@@ -1,0 +1,113 @@
+"""Text-analysis expressions: tokens, quality metrics, fingerprints, lang-ID.
+
+All pure Column expressions (codegen'd, no Python in the row path), each
+with an exactly-equivalent DuckDB formulation used by the declared-query
+oracles (queries registry). Token convention: whitespace-delimited, as the
+documents table is space-separated word soup (TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: "BPE-ish" token pattern: letter runs, digit runs, single other symbols.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny per-language marker lexicons for the heuristic language guesser.
+#: (Real deployments plug in fastText/CLD — out of scope here; the operator
+#: contract is a deterministic, oracle-checkable scoring rule.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por"],
+    "de": ["der", "die", "das", "und", "nicht", "ein", "mit", "von"],
+    "fr": ["le", "les", "des", "est", "dans", "pour", "une", "sur"],
+}
+
+#: Default stopword set for quality metrics (language-agnostic subset).
+STOPWORDS: list[str] = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def whitespace_tokens(text: Column | str) -> Column:
+    return F.split(_c(text), " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(whitespace_tokens(text))
+
+
+def regex_token_count(text: Column | str, pattern: str = BPE_TOKEN_PATTERN) -> Column:
+    """Count of BPE-ish tokens — a cheap proxy for tokenizer cost models."""
+    return F.regexp_count(_c(text), F.lit(pattern))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Non-alphanumeric-non-space characters per character."""
+    t = _c(text)
+    return F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]")) / F.length(t)
+
+
+def _member_count(tokens: Column, words: list[str]) -> Column:
+    lit = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(lit, t)))
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    tokens = whitespace_tokens(text)
+    return _member_count(tokens, stopwords or STOPWORDS) / F.size(tokens)
+
+
+def avg_token_length(text: Column | str) -> Column:
+    tokens = whitespace_tokens(text)
+    total = F.aggregate(
+        tokens, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return total / F.size(tokens)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0, 1]: long enough, not punct-heavy,
+    plausible word lengths, some stopwords. Deterministic arithmetic only —
+    weights are convention, the contract is the exact formula."""
+    t = _c(text)
+    length_term = F.least(F.length(t) / F.lit(400.0), F.lit(1.0))
+    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(t) * 10.0)
+    awl = avg_token_length(t)
+    wordlen_term = F.when((awl >= 3) & (awl <= 10), 1.0).otherwise(0.3)
+    stop_term = F.least(stopword_ratio(t) * 5.0, F.lit(1.0))
+    return (
+        0.3 * length_term + 0.3 * punct_term + 0.2 * wordlen_term + 0.2 * stop_term
+    )
+
+
+def lang_guess(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of marker-token hits (ties resolve in
+    LANG_MARKERS order); 'und' when nothing matches."""
+    tokens = whitespace_tokens(text)
+    scores = {lang: _member_count(tokens, ws) for lang, ws in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # Build reversed so earlier languages win ties via later .when overrides.
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((best > 0) & (scores[lang] == best), lang).otherwise(expr)
+    return expr
+
+
+def min_shingle_fingerprint(text: Column | str, k: int = 8) -> Column:
+    """Document fingerprint: minimum md5 over all k-char windows.
+
+    The min-over-rolling-window construction (w-shingling) is robust to
+    small edits — near-identical documents share fingerprints with high
+    probability. Evaluated as a codegen'd higher-order function; documents
+    shorter than k hash whole.
+    """
+    t = _c(text)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.length(t) - (k - 1)),
+        lambda i: F.md5(t.substr(i, F.lit(k))),
+    )
+    return F.when(F.length(t) >= k, F.array_min(windows)).otherwise(F.md5(t))

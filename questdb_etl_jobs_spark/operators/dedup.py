@@ -1,0 +1,202 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale posture (100 TB corpus dedup):
+
+- exact: one hash-partitioned shuffle on the digest; deterministic winner
+  (min id) — never ``dropDuplicates`` alone, whose survivor is
+  partition-order-dependent.
+- near-dup: the all-pairs comparison is quadratic and therefore banned;
+  MinHash signatures + banded LSH reduce it to equi-joins on band keys
+  (pairs that share no band never meet), then the cheap candidate set is
+  verified exactly (Jaccard / edit distance). Everything is expressions +
+  joins — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from questdb_etl_jobs_spark.functions.text import whitespace_tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, on: list[str], id_col: str) -> DataFrame:
+    """Keep one deterministic row per distinct ``on`` value: the min ``id_col``.
+
+    groupBy(min) + semi-join back would shuffle twice; a min_by aggregate
+    shuffles once and carries the winning id directly.
+    """
+    winners = df.groupBy(*on).agg(F.min(id_col).alias(id_col))
+    return df.join(winners.select(id_col), on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document (array<string>)."""
+    tokens = whitespace_tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(tokens, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two array columns (set semantics)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 32, shingle_words: int = 3
+) -> DataFrame:
+    """(id, signature array<long>[n_hashes]) per document.
+
+    Permutation *i* is simulated by ``xxhash64(shingle, i)``; the signature
+    element is the min over the document's distinct shingles. Plan: explode
+    shingles → single hash-aggregate with n_hashes ``min`` columns (partial
+    aggregation makes the shuffle carry one row per doc, not per shingle).
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, shingle_words)).alias("__shingle"),
+    )
+    mins = [
+        F.min(F.xxhash64("__shingle", F.lit(i))).alias(f"__h{i}")
+        for i in range(n_hashes)
+    ]
+    agg = exploded.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__h{i}") for i in range(n_hashes)]).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, n_bands: int = 8
+) -> DataFrame:
+    """Candidate near-dup pairs: ids whose signatures agree on ≥1 band.
+
+    Bands the signature into ``n_bands`` slices, hashes each slice, and
+    self-joins on (band index, band hash) — the LSH trick that makes
+    near-dup detection an equi-join. Output: (id_a, id_b), id_a < id_b,
+    distinct. Hot buckets (boilerplate-heavy corpora) are the skew risk:
+    AQE skew-join splits them at runtime.
+    """
+    sig_len_col = F.size("signature")
+    bands = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.sha2(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                "signature",
+                                b * (sig_len_col / n_bands).cast("int") + 1,
+                                (sig_len_col / n_bands).cast("int"),
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                    ),
+                    256,
+                ),
+            )
+        ).alias("__band", "__band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.__band") == F.col("b.__band"),
+                F.col("a.__band_hash") == F.col("b.__band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+        )
+        .distinct()
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup detection: MinHash → LSH candidates → exact
+    Jaccard verification. Returns (id_a, id_b, jaccard) above threshold."""
+    sigs = minhash_signature(df, id_col, text_col, n_hashes, shingle_words)
+    cands = lsh_candidate_pairs(sigs, id_col, n_bands)
+    docs = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_words).alias("__sh")
+    )
+    verified = (
+        cands.join(docs.withColumnRenamed(id_col, f"{id_col}_a").withColumnRenamed("__sh", "__sh_a"), f"{id_col}_a")
+        .join(docs.withColumnRenamed(id_col, f"{id_col}_b").withColumnRenamed("__sh", "__sh_b"), f"{id_col}_b")
+        .select(
+            f"{id_col}_a",
+            f"{id_col}_b",
+            jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_bits(text: Column | str, n_bits: int = 64) -> Column:
+    """SimHash of a document as array<int>[n_bits] of 0/1.
+
+    Each token votes ±1 per bit position of its 64-bit hash; the sign of
+    the per-position sum is the fingerprint bit. Kept as a bit array (not
+    packed into a long) to stay ANSI-overflow-safe and cheap to hamming-
+    compare with ``zip_with``. Entirely a codegen'd array fold — no shuffle.
+    """
+    tokens = whitespace_tokens(text)
+    votes = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0).cast("long"), n_bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bits - 1)),
+                lambda j: F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) * 2 - 1,
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.transform(votes, lambda v: F.when(v > 0, 1).otherwise(0))
+
+
+def hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two equal-length bit arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.when(x != y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )

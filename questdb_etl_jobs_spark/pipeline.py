@@ -1,0 +1,130 @@
+"""The reference ETL pipeline, Spark-first.
+
+Reproduces the dataflow of the reference's Cloud Function
+(reference cloud_function.py:98-129) as a declarative plan:
+
+    event gates → CSV scan → anonymize/cast → split good/quarantine
+    → designated-ts table append (and/or JDBC append)
+
+Semantic invariants preserved (SURVEY.md §1.4):
+
+1. deterministic anonymization: ``buyer = sha1(email)`` hex — same email,
+   same digest, per-buyer analytics survive (reference cloud_function.py:70);
+2. per-record fault isolation: malformed rows are quarantined, never fatal
+   (intent of reference cloud_function.py:91-95; the reference actually
+   crashes on a wrong-arity row at the unpack in cloud_function.py:67 —
+   we fix the bug, keep the intent);
+3. input gating before any work (reference cloud_function.py:103-115);
+4. typed, validated rows only reach the table (reference
+   sql/create-table.sql:1).
+
+All transforms are built-in JVM expressions (sha1, try_cast,
+try_to_timestamp) — no Python in the row path, so the batch is
+whole-stage-codegen'd end to end.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from questdb_etl_jobs_spark.schemas import PURCHASE_TS_PATTERN
+from questdb_etl_jobs_spark.sources.csv_source import read_purchases_csv
+from questdb_etl_jobs_spark.plans.designated import write_designated_ts
+
+#: Required keys of the storage event envelope (reference cloud_function.py:36).
+REQUIRED_EVENT_KEYS = ("bucket", "contentType", "name", "size")
+
+
+def is_event_valid(event: dict) -> bool:
+    """Gate 1 — event shape: all required keys present
+    (reference cloud_function.py:29-38)."""
+    return all(key in event for key in REQUIRED_EVENT_KEYS)
+
+
+def is_object_valid(event: dict) -> bool:
+    """Gate 2 — object content: non-empty and CSV content type
+    (reference cloud_function.py:41-50)."""
+    try:
+        size = int(event["size"])
+    except (KeyError, TypeError, ValueError):
+        return False
+    return size > 0 and event.get("contentType") == "text/csv"
+
+
+def anonymize_and_cast(raw: DataFrame) -> DataFrame:
+    """Transform raw (all-string) rows to the typed purchases shape.
+
+    The PII column is dropped and replaced by its SHA-1 hex digest
+    (reference cloud_function.py:62-78); positional casts per reference
+    cloud_function.py:74-76; timestamp pattern per cloud_function.py:88.
+    ``try_``-variants yield NULL (not an error) on bad input so invalid
+    values route to quarantine under ANSI mode.
+    """
+    return raw.select(
+        F.sha1(F.col("email")).alias("buyer"),
+        F.col("item_id").try_cast("int").alias("item_id"),
+        F.col("quantity").try_cast("int").alias("quantity"),
+        F.col("price").try_cast("int").alias("price"),
+        F.try_to_timestamp(
+            F.col("purchase_date"), F.lit(PURCHASE_TS_PATTERN)
+        ).alias("purchase_date"),
+        F.col("_corrupt_record"),
+    )
+
+
+def split_quarantine(typed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split into (good, quarantined) — per-record fault isolation.
+
+    A row quarantines if the CSV line failed to parse or any required
+    field failed validation/cast; good rows match the purchases schema
+    exactly (reference sql/create-table.sql:1).
+    """
+    bad_cond = (
+        F.col("_corrupt_record").isNotNull()
+        | F.col("buyer").isNull()
+        | F.col("item_id").isNull()
+        | F.col("quantity").isNull()
+        | F.col("price").isNull()
+        | F.col("purchase_date").isNull()
+    )
+    good = typed.filter(~bad_cond).drop("_corrupt_record")
+    bad = typed.filter(bad_cond)
+    return good, bad
+
+
+@dataclass
+class BatchResult:
+    rows_loaded: int
+    rows_quarantined: int
+
+
+def run_batch(
+    spark: SparkSession,
+    event: dict,
+    csv_path: str | None = None,
+    table_path: str | None = None,
+    quarantine_path: str | None = None,
+) -> BatchResult | None:
+    """One pipeline invocation, mirroring entrypoint()
+    (reference cloud_function.py:98-129).
+
+    Returns None when the gates reject the event (the reference's early
+    return, cloud_function.py:105-115); otherwise loads good rows into the
+    designated-ts table and quarantines bad rows, returning counts.
+    """
+    if not is_event_valid(event) or not is_object_valid(event):
+        return None
+    path = csv_path if csv_path is not None else event["name"]
+    raw = read_purchases_csv(spark, path)
+    good, bad = split_quarantine(anonymize_and_cast(raw))
+    # Counts via a single pass each; observable metrics, not .collect().
+    n_bad = bad.count()
+    if quarantine_path is not None and n_bad:
+        bad.write.mode("append").json(quarantine_path)
+    n_good = good.count()
+    if table_path is not None:
+        write_designated_ts(good, table_path, "purchase_date")
+    return BatchResult(rows_loaded=n_good, rows_quarantined=n_bad)

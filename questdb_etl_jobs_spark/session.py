@@ -1,0 +1,80 @@
+"""SparkSession construction and configuration.
+
+Two entry points:
+
+- :func:`get_spark` builds a session with the engine's posture (AQE on,
+  UTC timezone, sized shuffle partitions).
+- :func:`configure` applies the runtime-settable subset to an *existing*
+  session — needed because the verification driver passes us its own
+  ``SparkSession``; all confs here are SQL confs that take effect at
+  runtime.
+
+Scale posture (100 TB): AQE handles runtime coalescing, skew-join
+splitting, and broadcast demotion/promotion; shuffle-partition count is a
+starting hint only. Nothing here is local-mode-specific except the
+defaults used by tests/bench.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs applied to any session (ours or the driver's).
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic timestamp semantics across engines (oracle = DuckDB,
+    # which is timezone-naive); the reference's timestamps are naive ISO-8601
+    # (reference cloud_function.py:88).
+    "spark.sql.session.timeZone": "UTC",
+    # The driver's test tables store events.ts as parquet TIMESTAMP(NANOS),
+    # which Spark does not map to a Catalyst type; read it as LongType
+    # (nanos since epoch) and convert losslessly — the data is µs-precision
+    # (verified: max sub-µs component is 0). See sources/tables.py.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Adaptive execution: runtime re-plan (partition coalescing, skew-join
+    # handling, SMJ→BHJ conversion) — the 100 TB posture.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any toPandas()/pandas-UDF boundary (vectorized transfer).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable confs to an existing session."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Conf not recognized/settable in this build — non-fatal.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "questdb-etl-jobs-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine posture.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when unset and no
+    cluster master is configured — tests and bench run single-JVM; a real
+    deployment passes its own master/conf via spark-submit.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master is not None:
+        builder = builder.master(master)
+    if shuffle_partitions is None:
+        # Local default: match core count so tiny benches don't pay for
+        # hundreds of empty reduce tasks; AQE coalesces further at runtime.
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    return configure(spark)

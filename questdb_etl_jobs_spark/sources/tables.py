@@ -1,0 +1,37 @@
+"""Parquet test-table loader and catalog registration.
+
+The driver's tables (TESTDATA.md) are one parquet file each. Reading is
+plain ``spark.read.parquet`` — vectorized scan, predicate pushdown and
+column pruning come from Catalyst — with one shim: ``events.ts`` is stored
+as parquet TIMESTAMP(NANOS), which Spark cannot map; with
+``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as LongType
+(nanos since epoch) and is converted with integer division (``DIV 1000`` —
+nanos magnitudes exceed double's 53-bit mantissa, so float division would
+corrupt low microseconds). The generated data is µs-precision, so the
+conversion is lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from questdb_etl_jobs_spark import session as _session
+from questdb_etl_jobs_spark.schemas import TEST_TABLE_NAMES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table; normalizes events.ts to TimestampType (µs)."""
+    _session.configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TEST_TABLE_NAMES
+) -> None:
+    """Register every test table as a temp view for spark.sql() queries."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
