@@ -1,0 +1,54 @@
+"""Shared canonicalization fragments for the differential-oracle protocol.
+
+Floats: a plain ``SUM(double)`` accumulates in partition order — Spark's
+order differs run to run and from DuckDB's, and at 60k terms the double
+error reaches the 4th decimal of 1e9-scale sums. So every cross-engine sum
+routes through exact decimal arithmetic of pre-rounded terms:
+
+    ROUND(CAST(SUM(CAST(ROUND(term, 4) AS DECIMAL(28,4))) AS DOUBLE), 4)
+
+identical in Spark SQL and DuckDB, order-independent by construction.
+Averages reuse the exact sum divided by an exact count. Value-level floats
+just get ROUND(x, 4) (identical doubles in, identical doubles out).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+#: Absolute fixture locations (the oracle SQL embeds these paths).
+FIXTURE_DIR = Path(__file__).resolve().parents[2] / "tests" / "fixtures"
+PURCHASES_SMALL = str(FIXTURE_DIR / "purchases_small.csv")
+PURCHASES_HOURLY_DIR = str(FIXTURE_DIR / "purchases")
+PURCHASES_MALFORMED = str(FIXTURE_DIR / "purchases_malformed.csv")
+
+#: DuckDB read_csv clause for reference-format purchase files.
+DUCK_PURCHASES_CSV = (
+    "read_csv('{path}', header=false, delim=',', "
+    "columns={{'email':'VARCHAR','item_id':'VARCHAR','quantity':'VARCHAR',"
+    "'price':'VARCHAR','purchase_date':'VARCHAR'}})"
+)
+
+
+def duck_purchases(path: str) -> str:
+    return DUCK_PURCHASES_CSV.format(path=path)
+
+
+def sum4(term: str, alias: str) -> str:
+    """Order-independent 4-decimal sum fragment (valid in both dialects)."""
+    return (
+        f"ROUND(CAST(SUM(CAST(ROUND({term}, 4) AS DECIMAL(28,4))) AS DOUBLE), 4)"
+        f" AS {alias}"
+    )
+
+
+def avg4(term: str, alias: str) -> str:
+    """Order-independent 4-decimal average fragment."""
+    return (
+        f"ROUND(CAST(SUM(CAST(ROUND({term}, 4) AS DECIMAL(28,4))) AS DOUBLE)"
+        f" / COUNT({term}), 4) AS {alias}"
+    )
+
+
+def round4(term: str, alias: str) -> str:
+    return f"ROUND({term}, 4) AS {alias}"

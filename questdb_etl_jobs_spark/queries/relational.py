@@ -1,0 +1,438 @@
+"""Declared queries: joins and aggregations (SURVEY §2.3/2.4).
+
+Join strategy notes (the 100 TB posture, verified via .explain in tests):
+nation/region/supplier are broadcast (under the auto threshold — tiny
+dims); lineitem⋈orders shuffles on the order key with AQE free to pick
+shuffled-hash vs sort-merge and to split skewed partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from questdb_etl_jobs_spark.queries import dq
+from questdb_etl_jobs_spark.queries._protocol import avg4, round4, sum4
+from questdb_etl_jobs_spark.operators.asof import asof_join
+from questdb_etl_jobs_spark.operators.interval import interval_join
+from questdb_etl_jobs_spark.operators.sample_by import sample_by
+from questdb_etl_jobs_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# q10 — 3-hop star join + grouped revenue (J1, J2, A1, F7)
+# ---------------------------------------------------------------------------
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+@dq(
+    "q10_join_revenue_by_nation",
+    oracle=f"""
+    SELECT n_name,
+           {sum4(_REVENUE, "revenue")},
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    covers="J1,J2,A1,F7",
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.expr(sum4(_REVENUE, "revenue")),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — left outer join keeps zero-order customers (J3)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q11_left_join_order_counts",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+    covers="J3",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12/q13 — semi and anti joins (J4)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q12_semi_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    covers="J4",
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@dq(
+    "q13_anti_join_parts",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    ORDER BY p_partkey
+    """,
+    covers="J4",
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        part.join(lineitem, part.p_partkey == lineitem.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — theta self-join (J5)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q14_theta_self_join_suppliers",
+    oracle="""
+    SELECT a.s_suppkey AS suppkey_a, b.s_suppkey AS suppkey_b,
+           ROUND(ABS(a.s_acctbal - b.s_acctbal), 4) AS bal_diff
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey
+     AND a.s_suppkey < b.s_suppkey
+     AND ABS(a.s_acctbal - b.s_acctbal) < 100
+    ORDER BY suppkey_a, suppkey_b
+    """,
+    covers="J5",
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    a = supplier.alias("a")
+    b = supplier.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey"))
+            & (F.abs(F.col("a.s_acctbal") - F.col("b.s_acctbal")) < 100),
+        )
+        .select(
+            F.col("a.s_suppkey").alias("suppkey_a"),
+            F.col("b.s_suppkey").alias("suppkey_b"),
+            F.round(F.abs(F.col("a.s_acctbal") - F.col("b.s_acctbal")), 4).alias(
+                "bal_diff"
+            ),
+        )
+        .orderBy("suppkey_a", "suppkey_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — interval join via time bucketization (J6)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q15_interval_join_events",
+    oracle="""
+    SELECT p.event_id AS purchase_id, COUNT(e.event_id) AS n_errors_nearby
+    FROM (SELECT * FROM events WHERE event_type = 'purchase' AND event_id % 50 = 0) p
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON ABS(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(e.ts AS TIMESTAMP)))
+         <= 600000000
+    GROUP BY p.event_id
+    ORDER BY purchase_id
+    """,
+    covers="J6",
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 50 == 0)
+    ).select(F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    pairs = interval_join(
+        purchases, errors, left_ts="p_ts", right_ts="e_ts", tolerance="10 minutes"
+    )
+    return (
+        pairs.groupBy("purchase_id")
+        .agg(F.count("error_id").alias("n_errors_nearby"))
+        .orderBy("purchase_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — as-of join (J7; DuckDB native ASOF JOIN is the oracle)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q16_asof_join",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+         s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'signup')
+    SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+    FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+    ORDER BY p.event_id
+    """,
+    covers="J7",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof_join(purchases, signups, on="ts", by=["user_id"], how="left")
+    return joined.select(
+        "event_id", "user_id", "ts", F.col("ts_right").alias("signup_ts")
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q20 — pricing summary (TPC-H Q1 shape; A1, F7)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q20_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sum4("l_quantity", "sum_qty")},
+           {sum4("l_extendedprice", "sum_base_price")},
+           {sum4(_REVENUE, "sum_disc_price")},
+           {avg4("l_quantity", "avg_qty")},
+           {avg4("l_extendedprice", "avg_price")},
+           {avg4("l_discount", "avg_disc")},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    covers="A1,F7,S3",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(sum4("l_quantity", "sum_qty")),
+            F.expr(sum4("l_extendedprice", "sum_base_price")),
+            F.expr(sum4(_REVENUE, "sum_disc_price")),
+            F.expr(avg4("l_quantity", "avg_qty")),
+            F.expr(avg4("l_extendedprice", "avg_price")),
+            F.expr(avg4("l_discount", "avg_disc")),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — exact distinct counting (A2)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q21_distinct_users_per_type",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    covers="A2",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — rollup (A4)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q22_rollup_orders",
+    oracle=f"""
+    SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+           COALESCE(o_orderstatus, '(all)') AS status,
+           COUNT(*) AS n,
+           {sum4("o_totalprice", "total")}
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    ORDER BY priority, status
+    """,
+    covers="A4",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.expr(sum4("o_totalprice", "total")))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            "n",
+            "total",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q23 — statistical aggregates (A5)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q23_stats_by_type",
+    oracle="""
+    SELECT event_type,
+           ROUND(stddev_samp(value), 4) AS value_stddev,
+           ROUND(corr(value, CAST(user_id AS DOUBLE)), 4) AS value_user_corr
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    covers="A5",
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 4).alias("value_stddev"),
+            F.round(F.corr("value", F.col("user_id").cast("double")), 4).alias(
+                "value_user_corr"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24 — exact percentile / median (A5)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q24_median_price_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    covers="A5",
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(F.round(F.percentile("o_totalprice", 0.5), 4).alias("median_price"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25 — order-insensitive agg-to-array (A6)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q25_collect_types_per_user",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    covers="A6",
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+                "types"
+            )
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q26 — SAMPLE BY: calendar-bucket aggregation (A7, F5)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q26_hourly_bucket_agg",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket_ts,
+           COUNT(*) AS n,
+           {avg4("value", "avg_value")}
+    FROM events GROUP BY bucket_ts ORDER BY bucket_ts
+    """,
+    covers="A7,F5,R2",
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return sample_by(
+        events,
+        ts="ts",
+        bucket="hour",
+        aggs=[F.count(F.lit(1)).alias("n"), F.expr(avg4("value", "avg_value"))],
+    ).orderBy("bucket_ts")
+
+
+# ---------------------------------------------------------------------------
+# q27 — approximate distinct (A3) — sketch ≠ oracle, rows-only check
+# ---------------------------------------------------------------------------
+
+@dq("q27_approx_distinct_users", oracle=None, covers="A3")
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .orderBy("event_type")
+    )
