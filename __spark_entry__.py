@@ -3,8 +3,12 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All three functions delegate to the engine's declared-query registry
+(questdb_etl_jobs_spark/queries/__init__.py): every implemented operator
+from SURVEY.md §2 is exercised by at least one registered query with a
+DuckDB oracle (or an explicit rows-only marker for non-SQL sketches).
 """
 
 from __future__ import annotations
@@ -15,24 +19,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the q10 star join
+    (lineitem ⋈ orders ⋈ customer ⋈ broadcast(nation) → revenue)."""
+    from questdb_etl_jobs_spark.queries import spark_queries
+
+    return spark_queries()["q10_join_revenue_by_nation"](
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator family from SURVEY.md §2."""
+    from questdb_etl_jobs_spark.queries import spark_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return spark_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """Equivalent ANSI SQL per query, runnable by DuckDB on the same
+    parquet tables. Keys absent here (vs ``queries()``) are genuinely
+    non-SQL-expressible (xxhash64-based sketches) → rows-only check."""
+    from questdb_etl_jobs_spark.queries import oracle_queries
+
+    return oracle_queries()

@@ -46,9 +46,16 @@ def regex_token_count(text: Column | str, pattern: str = BPE_TOKEN_PATTERN) -> C
 
 
 def punct_ratio(text: Column | str) -> Column:
-    """Non-alphanumeric-non-space characters per character."""
+    """Non-alphanumeric-non-space characters per character.
+
+    Zero-length documents score 0.0 — under ANSI mode (Spark 4 default) an
+    unguarded division would fail the whole query with DIVIDE_BY_ZERO.
+    """
     t = _c(text)
-    return F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]")) / F.length(t)
+    return F.when(
+        F.length(t) > 0,
+        F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]")) / F.length(t),
+    ).otherwise(F.lit(0.0))
 
 
 def _member_count(tokens: Column, words: list[str]) -> Column:

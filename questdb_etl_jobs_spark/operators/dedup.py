@@ -27,11 +27,14 @@ from questdb_etl_jobs_spark.functions.text import whitespace_tokens
 def exact_dedup(df: DataFrame, on: list[str], id_col: str) -> DataFrame:
     """Keep one deterministic row per distinct ``on`` value: the min ``id_col``.
 
-    groupBy(min) + semi-join back would shuffle twice; a min_by aggregate
-    shuffles once and carries the winning id directly.
+    Single-shuffle plan: ``min_by(struct(all columns), id)`` carries the
+    whole winning row through one hash aggregate (partial + final), versus
+    the two shuffles of groupBy(min) + semi-join back. Never a bare
+    ``dropDuplicates``, whose survivor is partition-order-dependent.
     """
-    winners = df.groupBy(*on).agg(F.min(id_col).alias(id_col))
-    return df.join(winners.select(id_col), on=id_col, how="left_semi")
+    row = F.struct(*[F.col(c) for c in df.columns])
+    winners = df.groupBy(*on).agg(F.min_by(row, F.col(id_col)).alias("__row"))
+    return winners.select("__row.*")
 
 
 # ---------------------------------------------------------------------------
@@ -178,17 +181,22 @@ def simhash_bits(text: Column | str, n_bits: int = 64) -> Column:
     compare with ``zip_with``. Entirely a codegen'd array fold — no shuffle.
     """
     tokens = whitespace_tokens(text)
+
+    def token_votes(t: Column) -> Column:
+        # Bit positions are Python-side literals: shiftright requires a
+        # literal shift amount, and unrolling keeps it pure codegen.
+        h = F.xxhash64(t)
+        return F.array(
+            *[
+                (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                for j in range(n_bits)
+            ]
+        )
+
     votes = F.aggregate(
         tokens,
         F.array_repeat(F.lit(0).cast("long"), n_bits),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bits - 1)),
-                lambda j: F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) * 2 - 1,
-            ),
-            lambda a, v: a + v,
-        ),
+        lambda acc, t: F.zip_with(acc, token_votes(t), lambda a, v: a + v),
     )
     return F.transform(votes, lambda v: F.when(v > 0, 1).otherwise(0))
 

@@ -52,3 +52,21 @@ def avg4(term: str, alias: str) -> str:
 
 def round4(term: str, alias: str) -> str:
     return f"ROUND({term}, 4) AS {alias}"
+
+
+def spark_round4(term: str, alias: str) -> str:
+    """DuckDB fragment replicating Spark's ROUND-on-double semantics.
+
+    Spark's Round(double) goes through ``BigDecimal.valueOf`` — i.e. it
+    rounds the *shortest decimal repr* of the double, not its exact binary
+    value, so a double printing as "0.59825" rounds HALF_UP to 0.5983 while
+    plain ROUND of the binary (0.598249999…) gives 0.5982. The
+    VARCHAR→DECIMAL round-trip reproduces that: DuckDB's double→VARCHAR is
+    the same shortest round-trip repr. Use for derived doubles that can
+    land on exact .xxxx5 reprs (rational arithmetic); plain ``round4`` is
+    fine for full-entropy doubles.
+    """
+    return (
+        f"CAST(ROUND(CAST(CAST({term} AS VARCHAR) AS DECIMAL(38,18)), 4) "
+        f"AS DOUBLE) AS {alias}"
+    )

@@ -1,0 +1,623 @@
+"""Declared queries: LLM training-data pipeline surface (SURVEY §2.8 EXT).
+
+Covers F6 (string/regexp), F8 (array math), F9 (JSON), F11 (levenshtein /
+cosine), and the EXT composite operators: exact dedup, MinHash+LSH near-dup
+dedup, SimHash, similarity search, text quality analysis, document
+fingerprints, multimodal decode plumbing, applyInPandas grouped-map and a
+pandas UDAF.
+
+Oracle strategy: everything SQL-expressible gets a DuckDB formulation
+(list_* functions mirror Spark's higher-order array functions). Operators
+DuckDB cannot express (SHA-1-free xxhash64 sketches) either get a
+Python-computed VALUES oracle (the q02/q09 precedent: independently
+recompute with CPython over the same input) or an honest rows-only check.
+
+Float protocol: cross-engine comparisons avoid floating rounding wherever
+possible — the near-dup verifier compares *integer* shingle-set sizes
+(``5*inter >= 4*union`` instead of ``jaccard >= 0.8``), so the check is
+exact, not 4-decimal-approximate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from questdb_etl_jobs_spark.queries import dq
+from questdb_etl_jobs_spark.queries._protocol import (
+    PURCHASES_SMALL,
+    duck_purchases,
+    spark_round4,
+)
+from questdb_etl_jobs_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    avg_token_length,
+    lang_guess,
+    min_shingle_fingerprint,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    whitespace_tokens,
+)
+from questdb_etl_jobs_spark.functions.vectors import cosine_similarity, dot, norm
+from questdb_etl_jobs_spark.operators.dedup import (
+    exact_dedup,
+    hamming,
+    jaccard,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash_bits,
+    word_shingles,
+)
+from questdb_etl_jobs_spark.operators.multimodal import attach_media, decode_media
+from questdb_etl_jobs_spark.operators.similarity import cosine_topk
+from questdb_etl_jobs_spark.sources.csv_source import read_purchases_csv
+from questdb_etl_jobs_spark.sources.tables import load_table
+
+#: sf the driver's correctness gate runs at; Python-computed oracles read
+#: the same tables the pre-registered DuckDB views point at.
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# q40 — tokenize + top word counts (F6, DQ-40)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q40_top_words",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+    WHERE length(word) > 0
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+    covers="F6,U4",
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41 — vector norm + dot/cosine on consecutive pairs (F8, DQ-41)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q41_vector_math",
+    oracle="""
+    SELECT a.vec_id,
+           ROUND(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(a.embedding AS DOUBLE[]))), 4)
+             AS norm_a,
+           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])), 4) AS dot_ab,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4)
+             AS cos_ab
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    WHERE a.vec_id < 100
+    ORDER BY a.vec_id
+    """,
+    covers="F8,F11",
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < 100).alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.round(norm(F.col("a.embedding")), 4).alias("norm_a"),
+            F.round(dot(F.col("a.embedding"), F.col("b.embedding")), 4).alias(
+                "dot_ab"
+            ),
+            F.round(
+                cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 4
+            ).alias("cos_ab"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — JSON extraction + aggregation (F9, DQ-42)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q42_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                      AS DOUBLE) / COUNT(*), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    covers="F9",
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_k"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q43 — regexp/string ops: email domain extraction (F6, DQ-40)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q43_email_domains",
+    oracle=f"""
+    SELECT regexp_extract(email, '@(.+)$', 1) AS domain,
+           COUNT(*) AS n,
+           COUNT(DISTINCT split_part(email, '@', 1)) AS n_locals,
+           CAST(MAX(length(email)) AS INT) AS max_len
+    FROM {duck_purchases(PURCHASES_SMALL)}
+    GROUP BY domain
+    ORDER BY domain
+    """,
+    covers="F6",
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = read_purchases_csv(spark, PURCHASES_SMALL)
+    return (
+        raw.select(
+            F.regexp_extract("email", "@(.+)$", 1).alias("domain"),
+            F.substring_index("email", "@", 1).alias("local"),
+            F.length("email").alias("len"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("local").alias("n_locals"),
+            F.max("len").alias("max_len"),
+        )
+        .orderBy("domain")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q44 — levenshtein near-dup pairs on a bounded slice (F11, DQ-44)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q44_levenshtein_pairs",
+    oracle="""
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           levenshtein(a.text, b.text) AS lev
+    FROM (SELECT * FROM documents WHERE n_chars < 100) a
+    JOIN (SELECT * FROM documents WHERE n_chars < 100) b
+      ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) <= 70
+    ORDER BY doc_id_a, doc_id_b
+    """,
+    covers="F11,J5",
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") < 100)
+    a = docs.select(F.col("doc_id").alias("doc_id_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_id_b"), F.col("text").alias("tb"))
+    pairs = a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
+    return (
+        pairs.select(
+            "doc_id_a",
+            "doc_id_b",
+            F.levenshtein("ta", "tb").alias("lev"),
+        )
+        .filter(F.col("lev") <= 70)
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q45 — similarity search: exact cosine top-k for a probe (EXT, DQ-44)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q45_cosine_topk",
+    oracle="""
+    WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p
+                   FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), p), 4)
+             AS cosine
+    FROM embeddings, probe
+    WHERE vec_id <> 0
+    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), p) DESC,
+             vec_id
+    LIMIT 10
+    """,
+    covers="EXT,F8,O2",
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Probe fetch is a 1-row query parameter, not a data path.
+    probe_row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    probe = [float(x) for x in probe_row["embedding"]]
+    topk = cosine_topk(emb.filter(F.col("vec_id") != 0), probe, k=10)
+    return topk.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# q46 — exact dedup with deterministic winner (EXT dedup)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q46_exact_dedup",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY lang, source)
+    ORDER BY doc_id
+    """,
+    covers="EXT,A1,J4",
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = exact_dedup(docs, on=["lang", "source"], id_col="doc_id")
+    return kept.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q47 — MinHash + banded LSH near-dup detection (EXT dedup)
+# ---------------------------------------------------------------------------
+#
+# The corpus is documents ∪ mutated copies (first word dropped, id+100000)
+# so known near-dup pairs exist. The verify step compares *integer* shingle
+# set sizes (5*inter >= 4*union ⇔ jaccard >= 0.8) — exact cross-engine.
+# The Python oracle recomputes all-pairs exactly (no LSH), so this also
+# checks LSH recall: at 32 hashes × 16 bands the per-pair miss probability
+# at jaccard 0.8 is (1-0.8²)¹⁶ ≈ 8e-8.
+
+def _mutated_corpus(docs: DataFrame) -> DataFrame:
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, locate(' ', text) + 1)").alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(mutated)
+
+
+def _py_shingles(text: str, n: int = 3) -> frozenset[str]:
+    """CPython mirror of operators.dedup.word_shingles (set semantics)."""
+    toks = text.split(" ")
+    count = max(len(toks) - (n - 1), 1)
+    return frozenset(" ".join(toks[i : i + n]) for i in range(count))
+
+
+def _q47_oracle() -> str:
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{ORACLE_SF_DIR}/documents.parquet'"
+        " ORDER BY doc_id"
+    ).fetchall()
+    corpus: list[tuple[int, frozenset[str]]] = []
+    for doc_id, text in rows:
+        corpus.append((doc_id, _py_shingles(text)))
+        idx = text.find(" ")
+        mutated = text[idx + 1 :] if idx >= 0 else text
+        corpus.append((doc_id + 100000, _py_shingles(mutated)))
+    corpus.sort()
+    out = []
+    for i, (id_a, sh_a) in enumerate(corpus):
+        for id_b, sh_b in corpus[i + 1 :]:
+            inter = len(sh_a & sh_b)
+            union = len(sh_a | sh_b)
+            if 5 * inter >= 4 * union:
+                out.append(f"({id_a}, {id_b}, {inter}, {union})")
+    values = ",\n      ".join(out)
+    return f"""
+    SELECT CAST(doc_id_a AS BIGINT) AS doc_id_a,
+           CAST(doc_id_b AS BIGINT) AS doc_id_b,
+           CAST(n_inter AS INT) AS n_inter,
+           CAST(n_union AS INT) AS n_union
+    FROM (VALUES
+      {values}
+    ) AS t(doc_id_a, doc_id_b, n_inter, n_union)
+    ORDER BY doc_id_a, doc_id_b
+    """
+
+
+@dq("q47_near_dup_minhash_lsh", oracle=_q47_oracle, covers="EXT,U4,A1,J1")
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _mutated_corpus(docs)
+    sigs = minhash_signature(corpus, "doc_id", "text", n_hashes=32, shingle_words=3)
+    cands = lsh_candidate_pairs(sigs, "doc_id", n_bands=16)
+    shingled = corpus.select(
+        "doc_id", word_shingles("text", 3).alias("__sh")
+    )
+    verified = (
+        cands.join(
+            shingled.select(
+                F.col("doc_id").alias("doc_id_a"), F.col("__sh").alias("__sh_a")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            shingled.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("__sh").alias("__sh_b")
+            ),
+            "doc_id_b",
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.size(F.array_intersect("__sh_a", "__sh_b")).alias("n_inter"),
+            F.size(F.array_union("__sh_a", "__sh_b")).alias("n_union"),
+        )
+    )
+    return verified.filter(
+        5 * F.col("n_inter") >= 4 * F.col("n_union")
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+# ---------------------------------------------------------------------------
+# q48 — SimHash + hamming distance (EXT dedup; xxhash64 sketch → rows-only)
+# ---------------------------------------------------------------------------
+
+@dq("q48_simhash_hamming", oracle=None, covers="EXT,F8")
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id"), simhash_bits("text", 64).alias("__sh_a"))
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), simhash_bits("text", 64).alias("__sh_b")
+    )
+    return (
+        a.join(b, "doc_id")
+        .select("doc_id", hamming(F.col("__sh_a"), F.col("__sh_b")).alias("ham"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q49 — text quality metrics + language ID (EXT text analysis, DQ-40)
+# ---------------------------------------------------------------------------
+
+def _q49_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    score_sql = {
+        lang: (
+            "len(list_filter(string_split(text, ' '), "
+            f"x -> list_contains([{', '.join(repr(w) for w in ws)}], x)))"
+        )
+        for lang, ws in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(score_sql.values()) + ")"
+    lang_case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN {score_sql[lang]} = {best} THEN '{lang}'"
+        for lang in LANG_MARKERS
+    ) + " END"
+    # Every numeric literal is cast to DOUBLE: DuckDB literals default to
+    # DECIMAL, and mixed decimal/double arithmetic would diverge from
+    # Spark's pure-double evaluation in the low bits.
+    return f"""
+    WITH m AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                       / length(text)
+                  ELSE 0.0::DOUBLE END AS p_ratio,
+             len(list_filter(string_split(text, ' '),
+                             x -> list_contains([{stop_list}], x)))
+               / len(string_split(text, ' ')) AS s_ratio,
+             list_sum(list_transform(string_split(text, ' '),
+                                     x -> length(x)))
+               / len(string_split(text, ' ')) AS awl
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           {spark_round4("p_ratio", "punct_ratio")},
+           {spark_round4("s_ratio", "stop_ratio")},
+           {spark_round4("awl", "avg_tok_len")},
+           {spark_round4(
+               "0.3::DOUBLE * least(length(text) / 400.0::DOUBLE, 1.0::DOUBLE)"
+               " + 0.3::DOUBLE * greatest(0.0::DOUBLE,"
+               " 1.0::DOUBLE - p_ratio * 10.0::DOUBLE)"
+               " + 0.2::DOUBLE * (CASE WHEN awl >= 3 AND awl <= 10"
+               " THEN 1.0::DOUBLE ELSE 0.3::DOUBLE END)"
+               " + 0.2::DOUBLE * least(s_ratio * 5.0::DOUBLE, 1.0::DOUBLE)",
+               "quality",
+           )},
+           {lang_case} AS lang_guess
+    FROM m
+    ORDER BY doc_id
+    """
+
+
+@dq("q49_text_quality", oracle=_q49_oracle, covers="F6,EXT")
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 4).alias("stop_ratio"),
+        F.round(avg_token_length("text"), 4).alias("avg_tok_len"),
+        F.round(quality_score("text"), 4).alias("quality"),
+        lang_guess("text").alias("lang_guess"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q50 — rolling-hash document fingerprint (EXT, F6)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q50_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN length(text) >= 8
+                THEN list_min(list_transform(range(1, length(text) - 6),
+                                             i -> md5(substr(text, i, 8))))
+                ELSE md5(text) END AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+    covers="F6,F8,EXT",
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", min_shingle_fingerprint("text", 8).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q51 — multimodal decode plumbing via Arrow mapInPandas (U2, EXT)
+# ---------------------------------------------------------------------------
+#
+# Payloads are the documents' own bytes; the deterministic decode stub
+# derives width/height from the payload's sha256, so CPython can recompute
+# the expected output independently (the q02 VALUES-oracle pattern).
+
+def _q51_oracle() -> str:
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{ORACLE_SF_DIR}/documents.parquet'"
+        " WHERE doc_id < 100 ORDER BY doc_id"
+    ).fetchall()
+    out = []
+    for doc_id, text in rows:
+        payload = text.encode()
+        digest = hashlib.sha256(payload).digest()
+        out.append(
+            f"({doc_id}, 'text/plain', {len(payload)}, "
+            f"{64 + digest[0]}, {64 + digest[1]})"
+        )
+    values = ",\n      ".join(out)
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           media_type,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height
+    FROM (VALUES
+      {values}
+    ) AS t(doc_id, media_type, n_bytes, width, height)
+    ORDER BY doc_id
+    """
+
+
+@dq("q51_multimodal_decode", oracle=_q51_oracle, covers="U2,EXT")
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    with_payload = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    media = attach_media(with_payload, "payload", media_type="text/plain")
+    decoded = decode_media(media, id_col="doc_id", payload_col="payload")
+    return decoded.select(
+        "doc_id", "media_type", "n_bytes", "width", "height"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q52 — grouped-map applyInPandas (U2)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q52_grouped_pandas_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 4) AS mean_e0,
+           ROUND(MIN(CAST(embedding[1] AS DOUBLE)), 4) AS min_e0,
+           ROUND(MAX(CAST(embedding[1] AS DOUBLE)), 4) AS max_e0
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+    covers="U2",
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e0 = emb.select("label", F.col("embedding")[0].cast("double").alias("e0"))
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Raw doubles out; rounding happens Spark-side (HALF_UP, matching
+        # the oracle's ROUND — Python round() is banker's and would differ
+        # on exact .xxxx5 boundaries).
+        return pd.DataFrame(
+            {
+                "label": [pdf["label"].iloc[0]],
+                "n": [len(pdf)],
+                "mean_e0": [pdf["e0"].mean()],
+                "min_e0": [pdf["e0"].min()],
+                "max_e0": [pdf["e0"].max()],
+            }
+        )
+
+    out = e0.groupBy("label").applyInPandas(
+        stats, "label int, n long, mean_e0 double, min_e0 double, max_e0 double"
+    )
+    return out.select(
+        "label",
+        "n",
+        F.round("mean_e0", 4).alias("mean_e0"),
+        F.round("min_e0", 4).alias("min_e0"),
+        F.round("max_e0", 4).alias("max_e0"),
+    ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# q53 — pandas UDAF: geometric mean (U3)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q53_udaf_geomean",
+    oracle="""
+    SELECT event_type,
+           ROUND(exp(AVG(ln(value))), 4) AS geomean_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    covers="U3",
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.round(geomean("value"), 4).alias("geomean_value"))
+        .orderBy("event_type")
+    )

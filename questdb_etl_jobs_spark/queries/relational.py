@@ -110,21 +110,34 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @dq(
-    "q13_anti_join_parts",
+    "q13_anti_join_customers",
     oracle="""
-    SELECT p_partkey, p_name FROM part
-    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
-    ORDER BY p_partkey
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_totalprice > 400000)
+    ORDER BY c_custkey
     """,
     covers="J4",
 )
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part")
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    """Customers who never placed a 400k+ order.
+
+    Every part has lineitems and every customer has orders in the test
+    data, so an unfiltered anti join would pass vacuously (0 rows verify
+    nothing); the filtered right side guarantees a non-empty result while
+    keeping genuine anti-join semantics.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
     return (
-        part.join(lineitem, part.p_partkey == lineitem.l_partkey, "left_anti")
-        .select("p_partkey", "p_name")
-        .orderBy("p_partkey")
+        customer.join(
+            big_orders, customer.c_custkey == big_orders.o_custkey, "left_anti"
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
     )
 
 

@@ -1,0 +1,289 @@
+"""Declared queries: window functions and ordered analytics (SURVEY §2.5/2.6).
+
+Covers W1 (ranking), W2 (lag/lead/first/last), W3 (frame specs), W4
+(LATEST ON — the QuestDB idiom over designated-timestamp tables, reference
+sql/create-table.sql:1, README.md:70-71), O2 (top-k), T2 (set ops) and the
+A4 cube variant.
+
+Scale posture: every window partitions on a real key (customer / user) —
+one shuffle on the key, state bounded per key; no global windows anywhere.
+Top-k is ``orderBy().limit()`` which Catalyst plans as
+``TakeOrderedAndProject`` (k rows per partition, no global sort).
+
+Determinism protocol: every window ORDER BY ends in a unique tiebreaker
+column, ranks/ntiles are cast to BIGINT to match the DuckDB window output
+type, and every float is rounded via the shared 4-decimal protocol.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from questdb_etl_jobs_spark.queries import dq
+from questdb_etl_jobs_spark.queries._protocol import sum4
+from questdb_etl_jobs_spark.operators.latest import latest_on
+from questdb_etl_jobs_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# q30 — ranking family: row_number / rank / dense_rank / ntile (W1, DQ-30)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q30_rank_top3_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS totalprice,
+           rn, prio_rank, prio_dense, tile
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER w_price AS rn,
+             RANK() OVER w_prio AS prio_rank,
+             DENSE_RANK() OVER w_prio AS prio_dense,
+             NTILE(4) OVER w_price AS tile
+      FROM orders
+      WINDOW w_price AS (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey),
+             w_prio  AS (PARTITION BY o_custkey ORDER BY o_orderpriority)
+    )
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    covers="W1",
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_prio = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w_price).cast("long").alias("rn"),
+            F.rank().over(w_prio).cast("long").alias("prio_rank"),
+            F.dense_rank().over(w_prio).cast("long").alias("prio_dense"),
+            F.ntile(4).over(w_price).cast("long").alias("tile"),
+        )
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("totalprice"),
+            "rn",
+            "prio_rank",
+            "prio_dense",
+            "tile",
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q31 — analytic family: lag / lead / first / last (W2, DQ-31)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q31_lag_lead_gaps",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(CAST(ts AS TIMESTAMP))
+             - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER w AS gap_us,
+           lead(event_type) OVER w AS next_type,
+           ROUND(first_value(value) OVER w, 4) AS first_value,
+           ROUND(last_value(value)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING), 4) AS last_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+    """,
+    covers="W2",
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    us = F.unix_micros("ts")
+    return events.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.round(F.first("value").over(w), 4).alias("first_value"),
+        F.round(F.last("value").over(w_full), 4).alias("last_value"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q32 — frame specs: moving average + running sum (W3, DQ-32)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q32_moving_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mov_avg7,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS run_sum
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    covers="W3",
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    ordered = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_mov = ordered.rowsBetween(-6, 0)
+    w_run = ordered.rowsBetween(Window.unboundedPreceding, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w_mov), 4).alias("mov_avg7"),
+        F.round(F.sum("o_totalprice").over(w_run), 4).alias("run_sum"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# q33 — LATEST ON: latest event per user (W4, DQ-33)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q33_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+           ROUND(value, 4) AS value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    covers="W4,W1",
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    latest = latest_on(events, ts="ts", key=["user_id"], tiebreak=["event_id"])
+    return latest.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.round("value", 4).alias("value"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# q34 — top-k by value (O2, DQ-34): TakeOrderedAndProject, no global sort
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q34_topk_lineitems",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 4) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+    covers="O2",
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.orderBy(
+            F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+        )
+        .limit(10)
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.round("l_extendedprice", 4).alias("price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q35 — set operators: UNION distinct / INTERSECT / EXCEPT (T2, DQ-35)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q35_set_ops_users",
+    oracle="""
+    SELECT 'union' AS op, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      UNION
+      SELECT user_id FROM events WHERE event_type = 'signup'
+    )
+    UNION ALL
+    SELECT 'intersect' AS op, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'error'
+    )
+    UNION ALL
+    SELECT 'except' AS op, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'click'
+    )
+    ORDER BY op, user_id
+    """,
+    covers="T2",
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    def users(event_type: str) -> DataFrame:
+        return events.filter(F.col("event_type") == event_type).select("user_id")
+
+    tagged = (
+        users("purchase").union(users("signup")).distinct()
+        .select(F.lit("union").alias("op"), "user_id")
+        .unionByName(
+            users("purchase").intersect(users("error"))
+            .select(F.lit("intersect").alias("op"), "user_id")
+        )
+        .unionByName(
+            users("purchase").subtract(users("click"))
+            .select(F.lit("except").alias("op"), "user_id")
+        )
+    )
+    return tagged.orderBy("op", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# q36 — cube over (priority, status) (A4 cube variant, DQ-22)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q36_cube_orders",
+    oracle=f"""
+    SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+           COALESCE(o_orderstatus, '(all)') AS status,
+           COUNT(*) AS n,
+           {sum4("o_totalprice", "total")}
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    ORDER BY priority, status
+    """,
+    covers="A4",
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.expr(sum4("o_totalprice", "total")))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            "n",
+            "total",
+        )
+        .orderBy("priority", "status")
+    )
