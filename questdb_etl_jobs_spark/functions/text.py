@@ -8,7 +8,7 @@ documents table is space-separated word soup (TESTDATA.md).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: "BPE-ish" token pattern: letter runs, digit runs, single other symbols.
@@ -91,17 +91,74 @@ def quality_score(text: Column | str) -> Column:
     )
 
 
+def _lang_expr(tokens: Column) -> Column:
+    """argmax-of-marker-hits over a tokens column.
+
+    Single evaluation per language: scores land in one array, the winner
+    is ``array_position(scores, max)`` — first match wins ties, i.e.
+    LANG_MARKERS order. (A nested CASE re-evaluates the per-language
+    counts in every branch: codegen's subexpression elimination does not
+    descend into conditional branches.)
+    """
+    langs = list(LANG_MARKERS)
+    scores = F.array(*[_member_count(tokens, LANG_MARKERS[lang]) for lang in langs])
+    best = F.array_max(scores)
+    winner = F.element_at(
+        F.array(*[F.lit(lang) for lang in langs]),
+        F.array_position(scores, best).cast("int"),
+    )
+    return F.when(best > 0, winner).otherwise(F.lit("und"))
+
+
 def lang_guess(text: Column | str) -> Column:
     """Heuristic language ID: argmax of marker-token hits (ties resolve in
     LANG_MARKERS order); 'und' when nothing matches."""
-    tokens = whitespace_tokens(text)
-    scores = {lang: _member_count(tokens, ws) for lang, ws in LANG_MARKERS.items()}
-    best = F.greatest(*scores.values())
-    expr = F.lit("und")
-    # Build reversed so earlier languages win ties via later .when overrides.
-    for lang in reversed(list(LANG_MARKERS)):
-        expr = F.when((best > 0) & (scores[lang] == best), lang).otherwise(expr)
-    return expr
+    return _lang_expr(whitespace_tokens(text))
+
+
+def text_profile(df: DataFrame, text_col: str) -> DataFrame:
+    """All text metrics in one pass over a materialized tokens column.
+
+    Computes exactly the same values as the individual metric functions,
+    but splits the text ONCE: the standalone helpers each re-derive the
+    token array, and across six metrics that's six splits per row —
+    measurable at corpus scale. Adds columns n_tokens, punct_ratio,
+    stop_ratio, avg_tok_len, quality, lang_guess (all unrounded).
+    """
+    t = F.col(text_col)
+    toks = F.col("__toks")
+    stop_lit = F.array(*[F.lit(w) for w in STOPWORDS])
+    out = (
+        df.withColumn("__toks", whitespace_tokens(t))
+        .withColumn("n_tokens", F.size(toks))
+        .withColumn("punct_ratio", punct_ratio(t))
+        .withColumn(
+            "stop_ratio",
+            F.size(F.filter(toks, lambda x: F.array_contains(stop_lit, x)))
+            / F.size(toks),
+        )
+        .withColumn(
+            "avg_tok_len",
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+            / F.size(toks),
+        )
+    )
+    length_term = F.least(F.length(t) / F.lit(400.0), F.lit(1.0))
+    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 10.0)
+    awl = F.col("avg_tok_len")
+    wordlen_term = F.when((awl >= 3) & (awl <= 10), 1.0).otherwise(0.3)
+    stop_term = F.least(F.col("stop_ratio") * 5.0, F.lit(1.0))
+    return (
+        out.withColumn(
+            "quality",
+            0.3 * length_term
+            + 0.3 * punct_term
+            + 0.2 * wordlen_term
+            + 0.2 * stop_term,
+        )
+        .withColumn("lang_guess", _lang_expr(toks))
+        .drop("__toks")
+    )
 
 
 def min_shingle_fingerprint(text: Column | str, k: int = 8) -> Column:

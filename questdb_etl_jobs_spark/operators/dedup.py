@@ -69,8 +69,14 @@ def minhash_signature(
 
     Permutation *i* is simulated by ``xxhash64(shingle, i)``; the signature
     element is the min over the document's distinct shingles. Plan: explode
-    shingles → single hash-aggregate with n_hashes ``min`` columns (partial
-    aggregation makes the shuffle carry one row per doc, not per shingle).
+    shingles → hash-aggregate with n_hashes ``min`` columns. The explode is
+    deliberate: it materializes the (quadratic-to-build, array_distinct)
+    shingle set ONCE — a pure ``array_min(transform(...))`` fold per hash
+    re-inlines the shingle construction n_hashes× because lambda
+    expressions are excluded from codegen subexpression elimination
+    (measured 10× slower end-to-end). The shuffle stays cheap at scale:
+    partial aggregation collapses each document's shingle rows map-side,
+    so ~1 row per doc crosses the wire, not one per shingle.
     """
     exploded = df.select(
         F.col(id_col),

@@ -36,14 +36,8 @@ from questdb_etl_jobs_spark.queries._protocol import (
 from questdb_etl_jobs_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
-    avg_token_length,
-    lang_guess,
     min_shingle_fingerprint,
-    punct_ratio,
-    quality_score,
-    stopword_ratio,
-    token_count,
-    whitespace_tokens,
+    text_profile,
 )
 from questdb_etl_jobs_spark.functions.vectors import cosine_similarity, dot, norm
 from questdb_etl_jobs_spark.operators.dedup import (
@@ -458,16 +452,22 @@ def _q49_oracle() -> str:
 
 @dq("q49_text_quality", oracle=_q49_oracle, covers="F6,EXT")
 def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sort-early: orderBy BEFORE the metric projection. A sort above an
+    # expensive projection executes it twice — range partitioning samples
+    # its whole child to pick bounds. Sorting the 2-column input and
+    # projecting after keeps the metrics single-pass (order is preserved
+    # through projections).
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    profiled = text_profile(docs.select("doc_id", "text").orderBy("doc_id"), "text")
+    return profiled.select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
-        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
-        F.round(stopword_ratio("text"), 4).alias("stop_ratio"),
-        F.round(avg_token_length("text"), 4).alias("avg_tok_len"),
-        F.round(quality_score("text"), 4).alias("quality"),
-        lang_guess("text").alias("lang_guess"),
-    ).orderBy("doc_id")
+        "n_tokens",
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("stop_ratio", 4).alias("stop_ratio"),
+        F.round("avg_tok_len", 4).alias("avg_tok_len"),
+        F.round("quality", 4).alias("quality"),
+        "lang_guess",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -489,9 +489,11 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    # Sort-early (see q49): the per-window md5 fold is the expensive part;
+    # keep it above the sort so range-partition sampling never runs it.
+    return docs.select("doc_id", "text").orderBy("doc_id").select(
         "doc_id", min_shingle_fingerprint("text", 8).alias("fingerprint")
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -50,6 +50,16 @@ def configure(spark: SparkSession) -> SparkSession:
         except Exception:
             # Conf not recognized/settable in this build — non-fatal.
             pass
+    try:
+        if spark.conf.get("spark.master", "").startswith("local"):
+            # The test tables are ONE small parquet file each; the 128m
+            # default puts a whole table in a single scan task and the job
+            # runs 1-wide. Splitting finer restores scan parallelism in
+            # local mode. Cluster deployments keep the default — at real
+            # scale inputs are many files and 128m splits are right.
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+    except Exception:
+        pass
     return spark
 
 
