@@ -26,4 +26,9 @@ def stable_id(*cols: Column | str) -> Column:
     content hashes to equal ids, so re-delivered batches dedup exactly.
     """
     parts = [F.col(c) if isinstance(c, str) else c for c in cols]
-    return F.sha2(F.concat_ws("\x1f", *[p.cast("string") for p in parts]), 256)
+    # NULLs get an explicit sentinel: concat_ws silently skips NULLs, so
+    # without it ('a', NULL) and (NULL, 'a') — or rows differing only in
+    # which field is NULL — would hash equal and dedup could drop
+    # genuinely distinct rows.
+    safe = [F.coalesce(p.cast("string"), F.lit("\x00")) for p in parts]
+    return F.sha2(F.concat_ws("\x1f", *safe), 256)

@@ -101,6 +101,62 @@ def add_lsh_signature(
     return embeddings.withColumn(sig_col, F.concat(*bits))
 
 
+def write_lsh_bucketed(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    sig_col: str = "lsh_sig",
+    mode: str = "overwrite",
+) -> None:
+    """Persist embeddings partitioned by LSH signature.
+
+    This is what makes :func:`lsh_topk_bucketed` a partition-pruned scan at
+    100 TB: each signature becomes a storage partition
+    (``.../lsh_sig=0110.../part-*.parquet``), so a probe reads ONE
+    directory out of 2^n_planes instead of filtering the corpus. Signatures
+    are deterministic in (dim, n_planes, seed) — writer and probe agree as
+    long as they share the parameters.
+    """
+    signed = add_lsh_signature(
+        embeddings, dim, n_planes, seed, vec_col=vec_col, sig_col=sig_col
+    )
+    signed.write.partitionBy(sig_col).mode(mode).parquet(path)
+
+
+def probe_signature(probe: list[float], n_planes: int = 12, seed: int = 7) -> str:
+    """The LSH bucket a probe vector falls in (same hyperplanes as the
+    writer)."""
+    planes = _hyperplanes(len(probe), n_planes, seed)
+    return "".join(
+        "1" if sum(w * x for w, x in zip(plane, probe)) >= 0 else "0"
+        for plane in planes
+    )
+
+
+def lsh_topk_bucketed(
+    spark,
+    path: str,
+    probe: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k over a :func:`write_lsh_bucketed` table.
+
+    The ``lsh_sig == <bucket>`` filter is a partition filter — Catalyst
+    prunes to the single matching directory (assert `PartitionFilters` in
+    the scan node), so probe cost is O(bucket), not O(corpus).
+    """
+    bucket_sig = probe_signature(probe, n_planes, seed)
+    bucket = spark.read.parquet(path).filter(F.col("lsh_sig") == bucket_sig)
+    return cosine_topk(bucket, probe, k, id_col=id_col, vec_col=vec_col)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     probe: list[float],

@@ -119,12 +119,19 @@ def run_batch(
         return None
     path = csv_path if csv_path is not None else event["name"]
     raw = read_purchases_csv(spark, path)
-    good, bad = split_quarantine(anonymize_and_cast(raw))
-    # Counts via a single pass each; observable metrics, not .collect().
-    n_bad = bad.count()
-    if quarantine_path is not None and n_bad:
-        bad.write.mode("append").json(quarantine_path)
-    n_good = good.count()
-    if table_path is not None:
-        write_designated_ts(good, table_path, "purchase_date")
+    typed = anonymize_and_cast(raw).persist()
+    try:
+        good, bad = split_quarantine(typed)
+        # The persist means the CSV is scanned ONCE: the first count
+        # materializes the typed batch, and the quarantine write, good
+        # count, and table write all read the cached split — without it
+        # the source is re-scanned per action (3× I/O at batch scale).
+        n_bad = bad.count()
+        if quarantine_path is not None and n_bad:
+            bad.write.mode("append").json(quarantine_path)
+        n_good = good.count()
+        if table_path is not None:
+            write_designated_ts(good, table_path, "purchase_date")
+    finally:
+        typed.unpersist()
     return BatchResult(rows_loaded=n_good, rows_quarantined=n_bad)

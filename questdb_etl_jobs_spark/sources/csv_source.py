@@ -36,3 +36,31 @@ def read_purchases_csv(
             F.col("_metadata.file_size").alias("_source_size"),
         )
     return df
+
+
+def write_sorted_csv(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    single_file: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """CSV sink (S5): headerless rows sorted by the timestamp column.
+
+    Mirrors the reference's export shape — time-sorted, no header
+    (reference data_generator.py:68-76). ``single_file=True`` reproduces
+    the reference's one-file-per-export exactly (coalesce(1) — fine for
+    export-sized batches); the default keeps the write distributed, with
+    files range-partitioned AND sorted by ``ts_col`` so the lexicographic
+    file order preserves global time order at any scale.
+    """
+    out = df.orderBy(ts_col)
+    if single_file:
+        out = out.coalesce(1)
+    (
+        out.write.option("header", "false")
+        # The reference's wire pattern (cloud_function.py:88).
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
+        .mode(mode)
+        .csv(path)
+    )

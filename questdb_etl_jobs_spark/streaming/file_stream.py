@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from questdb_etl_jobs_spark.schemas import PURCHASES_RAW
-from questdb_etl_jobs_spark.pipeline import anonymize_and_cast, split_quarantine
+from questdb_etl_jobs_spark.pipeline import anonymize_and_cast
 from questdb_etl_jobs_spark.functions.hashing import stable_id
 from questdb_etl_jobs_spark.plans.designated import write_designated_ts
 
@@ -58,8 +58,18 @@ def run_stream_to_table(
     lateness: str = "0 seconds",
     dedup: bool = True,
     available_now: bool = True,
-) -> StreamingQuery:
-    """Run the full streaming pipeline; returns the StreamingQuery.
+) -> tuple[StreamingQuery, StreamingQuery]:
+    """Run the full streaming pipeline; returns (good_query, bad_query).
+
+    The quarantine split happens BEFORE the watermark/dedup stage: corrupt
+    rows carry a NULL event time and content-collapsing ids, so running
+    them through the stateful dedup could silently drop distinct malformed
+    rows — breaking per-record fault isolation (the reference's
+    log-and-continue contract, cloud_function.py:91-95). Instead two
+    streaming queries branch from the same source: the good branch gets
+    watermark + stateful dedup + designated-ts append; the bad branch goes
+    straight to the quarantine sink (at-least-once; quarantine re-delivery
+    is harmless and auditable).
 
     ``lateness="0 seconds"`` is the faithful mode (the reference forbids
     out-of-order uploads, reference README.md:373); pass e.g. ``"1 hour"``
@@ -67,10 +77,20 @@ def run_stream_to_table(
     """
     raw = stream_purchases_csv(spark, input_dir)
     typed = anonymize_and_cast(raw)
-    typed = typed.withWatermark("purchase_date", lateness)
+    bad_cond = (
+        F.col("_corrupt_record").isNotNull()
+        | F.col("buyer").isNull()
+        | F.col("item_id").isNull()
+        | F.col("quantity").isNull()
+        | F.col("price").isNull()
+        | F.col("purchase_date").isNull()
+    )
+
+    good = typed.filter(~bad_cond).drop("_corrupt_record")
+    good = good.withWatermark("purchase_date", lateness)
     if dedup:
-        typed = (
-            typed.withColumn(
+        good = (
+            good.withColumn(
                 "__row_id",
                 stable_id("buyer", "item_id", "quantity", "price", "purchase_date"),
             )
@@ -78,20 +98,27 @@ def run_stream_to_table(
             .drop("__row_id")
         )
 
-    def write_batch(batch: DataFrame, batch_id: int) -> None:
-        good, bad = split_quarantine(batch)
-        if bad.limit(1).count():
-            bad.write.mode("append").json(quarantine_path)
-        write_designated_ts(good, table_path, "purchase_date")
+    def write_good(batch: DataFrame, batch_id: int) -> None:
+        write_designated_ts(batch, table_path, "purchase_date")
 
-    writer = (
-        typed.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_path)
+    def write_bad(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").json(quarantine_path)
+
+    good_writer = (
+        good.writeStream.foreachBatch(write_good)
+        .option("checkpointLocation", f"{checkpoint_path}/good")
+        .outputMode("append")
+    )
+    bad_writer = (
+        typed.filter(bad_cond)
+        .writeStream.foreachBatch(write_bad)
+        .option("checkpointLocation", f"{checkpoint_path}/bad")
         .outputMode("append")
     )
     if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+        good_writer = good_writer.trigger(availableNow=True)
+        bad_writer = bad_writer.trigger(availableNow=True)
+    return good_writer.start(), bad_writer.start()
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,196 @@
+"""Operator semantics: as-of boundaries, interval edges, latest-on
+tiebreaks, dedup winners, sketches, similarity."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from questdb_etl_jobs_spark.operators.asof import asof_join
+from questdb_etl_jobs_spark.operators.dedup import (
+    exact_dedup,
+    hamming,
+    jaccard,
+    near_dup_pairs,
+    simhash_bits,
+    word_shingles,
+)
+from questdb_etl_jobs_spark.operators.interval import interval_join
+from questdb_etl_jobs_spark.operators.latest import latest_on
+from questdb_etl_jobs_spark.operators.similarity import cosine_topk
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------------------
+# As-of join (J7)
+# ---------------------------------------------------------------------------
+
+def test_asof_equal_ts_is_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"))], "user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "exact")],
+        "user_id long, ts timestamp, tag string",
+    )
+    out = asof_join(left, right, on="ts", by=["user_id"]).collect()
+    assert out[0]["tag"] == "exact"  # right.ts == left.ts matches (<=)
+    strict = asof_join(left, right, on="ts", by=["user_id"], strict=True).collect()
+    assert strict[0]["tag"] is None  # < excludes the equal row
+
+
+def test_asof_picks_latest_prior_and_keeps_unmatched(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 12:00:00")), (2, _ts("2024-01-01 12:00:00"))],
+        "user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:00:00"), "early"),
+            (1, _ts("2024-01-01 11:00:00"), "late"),
+            (1, _ts("2024-01-01 13:00:00"), "future"),
+        ],
+        "user_id long, ts timestamp, tag string",
+    )
+    rows = {
+        r["user_id"]: r
+        for r in asof_join(left, right, on="ts", by=["user_id"]).collect()
+    }
+    assert rows[1]["tag"] == "late"  # latest at-or-before, not first, not future
+    assert rows[2]["tag"] is None  # left-outer: no right rows for key 2
+    inner = asof_join(left, right, on="ts", by=["user_id"], how="inner")
+    assert [r["user_id"] for r in inner.collect()] == [1]
+
+
+def test_asof_carries_legit_null_payload(spark):
+    # A right row whose payload VALUE is NULL must still count as a match.
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 12:00:00"))], "user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 11:00:00"), None)],
+        "user_id long, ts timestamp, tag string",
+    )
+    out = asof_join(left, right, on="ts", by=["user_id"], how="inner").collect()
+    assert len(out) == 1 and out[0]["tag"] is None
+
+
+# ---------------------------------------------------------------------------
+# Interval join (J6)
+# ---------------------------------------------------------------------------
+
+def test_interval_join_tolerance_boundary(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"))], "lid long, l_ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 10:10:00")),  # exactly +tol: inclusive
+            (11, _ts("2024-01-01 09:50:00")),  # exactly -tol: inclusive
+            (12, _ts("2024-01-01 10:10:00.000001")),  # 1µs over: excluded
+        ],
+        "rid long, r_ts timestamp",
+    )
+    got = sorted(
+        r["rid"]
+        for r in interval_join(
+            left, right, left_ts="l_ts", right_ts="r_ts", tolerance="10 minutes"
+        ).collect()
+    )
+    assert got == [10, 11]
+
+
+# ---------------------------------------------------------------------------
+# LATEST ON (W4)
+# ---------------------------------------------------------------------------
+
+def test_latest_on_tiebreak_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 5),
+            (1, _ts("2024-01-01 10:00:00"), 9),  # same ts: higher id wins
+            (1, _ts("2024-01-01 09:00:00"), 7),
+        ],
+        "k long, ts timestamp, id long",
+    )
+    out = latest_on(df, ts="ts", key=["k"], tiebreak=["id"]).collect()
+    assert len(out) == 1 and out[0]["id"] == 9
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (EXT)
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup_min_id_winner(spark):
+    df = spark.createDataFrame(
+        [(3, "a"), (1, "a"), (2, "a"), (7, "b")], "id long, v string"
+    )
+    out = {r["v"]: r["id"] for r in exact_dedup(df, on=["v"], id_col="id").collect()}
+    assert out == {"a": 1, "b": 7}
+
+
+def test_jaccard_and_shingles(spark):
+    df = spark.createDataFrame([("the cat sat on the mat",)], "t string")
+    row = df.select(
+        jaccard(word_shingles("t", 3), word_shingles("t", 3)).alias("self"),
+        F.size(word_shingles("t", 3)).alias("n"),
+    ).collect()[0]
+    assert row["self"] == 1.0
+    assert row["n"] == 4  # 6 tokens → 4 distinct 3-grams
+
+
+def test_near_dup_pairs_finds_known_duplicate(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact duplicate of 1 → jaccard 1.0, must be found
+            (3, "completely different words entirely unrelated content here "
+                "nothing shared at all with the others one two three four"),
+        ],
+        "id long, text string",
+    )
+    pairs = near_dup_pairs(docs, "id", "text", threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] == 1.0
+
+
+def test_simhash_identical_and_perturbed(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame([(base, base, base.replace("kappa", "xi"))],
+                               "a string, b string, c string")
+    row = df.select(
+        hamming(simhash_bits("a"), simhash_bits("b")).alias("same"),
+        hamming(simhash_bits("a"), simhash_bits("c")).alias("near"),
+    ).collect()[0]
+    assert row["same"] == 0
+    assert 0 < row["near"] < 32  # one word changed: close, not identical
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (EXT)
+# ---------------------------------------------------------------------------
+
+def test_cosine_topk_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(1)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    probe = [rng.gauss(0, 1) for _ in range(8)]
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    expected = sorted(vecs, key=lambda v: (-cos(v[1], probe), v[0]))[:5]
+    got = cosine_topk(df, probe, k=5).collect()
+    assert [r["vec_id"] for r in got] == [v[0] for v in expected]
+    for r, (vid, v) in zip(got, expected):
+        assert r["cosine"] == pytest.approx(cos(v, probe), abs=1e-12)

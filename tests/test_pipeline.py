@@ -1,0 +1,111 @@
+"""Reference-pipeline semantics: golden SHA-1, quarantine, gates.
+
+The SHA-1 test is the anonymization contract (reference
+cloud_function.py:70): F.sha1 must be byte-identical to CPython hashlib
+on UTF-8 input — per-buyer analytics depend on digests matching across
+re-ingests and engines.
+"""
+
+from __future__ import annotations
+
+import csv
+import hashlib
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from questdb_etl_jobs_spark.pipeline import (
+    anonymize_and_cast,
+    is_event_valid,
+    is_object_valid,
+    run_batch,
+    split_quarantine,
+)
+from questdb_etl_jobs_spark.sources.csv_source import read_purchases_csv
+
+from conftest import FIXTURES
+
+SMALL = str(FIXTURES / "purchases_small.csv")
+MALFORMED = str(FIXTURES / "purchases_malformed.csv")
+
+
+def test_sha1_matches_hashlib(spark):
+    raw = read_purchases_csv(spark, SMALL)
+    got = {
+        (r["buyer"], r["item_id"], r["quantity"], r["price"], r["purchase_date"])
+        for r in anonymize_and_cast(raw).collect()
+    }
+    expected = set()
+    with open(SMALL, newline="") as fh:
+        for email, item_id, quantity, price, ts in csv.reader(fh):
+            expected.add(
+                (
+                    hashlib.sha1(email.encode()).hexdigest(),
+                    int(item_id),
+                    int(quantity),
+                    int(price),
+                    datetime.strptime(ts, "%Y-%m-%dT%H:%M:%S"),
+                )
+            )
+    assert got == expected
+
+
+def test_quarantine_split_matches_cpython(spark):
+    raw = read_purchases_csv(spark, MALFORMED)
+    good, bad = split_quarantine(anonymize_and_cast(raw))
+    n_good_expected = n_bad_expected = 0
+    with open(MALFORMED, newline="") as fh:
+        for row in csv.reader(fh):
+            ok = len(row) == 5
+            if ok:
+                try:
+                    int(row[1]), int(row[2]), int(row[3])
+                    datetime.strptime(row[4], "%Y-%m-%dT%H:%M:%S")
+                except ValueError:
+                    ok = False
+            n_good_expected += ok
+            n_bad_expected += not ok
+    assert good.count() == n_good_expected
+    assert bad.count() == n_bad_expected
+    # Good rows are fully typed — no NULLs survive the split.
+    assert good.filter(
+        F.col("buyer").isNull() | F.col("purchase_date").isNull()
+    ).count() == 0
+
+
+def test_event_gates():
+    valid = {"bucket": "b", "contentType": "text/csv", "name": "f.csv", "size": "10"}
+    assert is_event_valid(valid) and is_object_valid(valid)
+    assert not is_event_valid({"bucket": "b"})
+    assert not is_object_valid({**valid, "size": "0"})
+    assert not is_object_valid({**valid, "contentType": "application/json"})
+    assert not is_object_valid({**valid, "size": "notanint"})
+
+
+def test_run_batch_end_to_end(spark, tmp_path):
+    event = {"bucket": "b", "contentType": "text/csv", "name": MALFORMED,
+             "size": "1"}
+    result = run_batch(
+        spark,
+        event,
+        table_path=str(tmp_path / "table"),
+        quarantine_path=str(tmp_path / "quarantine"),
+    )
+    assert result is not None
+    assert result.rows_loaded + result.rows_quarantined == 14
+    assert result.rows_quarantined > 0
+    table = spark.read.parquet(str(tmp_path / "table"))
+    assert table.count() == result.rows_loaded
+    quarantined = spark.read.json(str(tmp_path / "quarantine"))
+    assert quarantined.count() == result.rows_quarantined
+
+
+def test_run_batch_rejects_bad_event(spark):
+    assert run_batch(spark, {"bucket": "b"}) is None
+    assert (
+        run_batch(
+            spark,
+            {"bucket": "b", "contentType": "text/plain", "name": SMALL, "size": "1"},
+        )
+        is None
+    )

@@ -1,0 +1,103 @@
+"""Plan-shape assertions: at 100 TB the plan IS the performance contract.
+
+Correctness tests prove values; these pin the physical strategies —
+broadcast on small dims, top-k without a global sort, predicate pushdown
+into the parquet scan, partition pruning on designated-ts and LSH-bucketed
+storage.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from questdb_etl_jobs_spark.plans.designated import (
+    read_designated_ts,
+    write_designated_ts,
+)
+from questdb_etl_jobs_spark.plans.inspect import assert_in_plan, assert_not_in_plan, plan_string
+from questdb_etl_jobs_spark.operators.similarity import (
+    lsh_topk_bucketed,
+    write_lsh_bucketed,
+)
+from questdb_etl_jobs_spark.queries import spark_queries
+
+from conftest import SF_SMALL
+
+
+def test_q10_broadcasts_small_dim(spark):
+    df = spark_queries()["q10_join_revenue_by_nation"](spark, SF_SMALL)
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_q34_topk_avoids_global_sort(spark):
+    df = spark_queries()["q34_topk_lineitems"](spark, SF_SMALL)
+    assert_in_plan(df, "TakeOrderedAndProject")
+    assert_not_in_plan(df, "Exchange rangepartitioning")
+
+
+def test_q20_filter_pushed_to_scan(spark):
+    df = spark_queries()["q20_pricing_summary"](spark, SF_SMALL)
+    plan = plan_string(df)
+    scan = plan[plan.index("Scan parquet") :]
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in scan
+    # Column pruning: the scan must not read all 11 lineitem columns.
+    read_schema = next(
+        line for line in scan.splitlines() if "ReadSchema" in line
+    )
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_designated_ts_partition_pruning(spark, tmp_path):
+    path = str(tmp_path / "events_table")
+    df = spark.createDataFrame(
+        [
+            (1, datetime.fromisoformat("2024-01-01 10:00:00")),
+            (2, datetime.fromisoformat("2024-01-02 10:00:00")),
+            (3, datetime.fromisoformat("2024-01-03 10:00:00")),
+        ],
+        "id long, ts timestamp",
+    )
+    write_designated_ts(df, path, "ts")
+    pruned = read_designated_ts(
+        spark, path, "ts", start="2024-01-02 00:00:00", end="2024-01-03 00:00:00"
+    )
+    assert [r["id"] for r in pruned.collect()] == [2]
+    plan = plan_string(pruned)
+    assert "PartitionFilters" in plan and "ts_pdate" in plan
+
+
+def test_lsh_bucketed_probe_is_partition_pruned(spark, tmp_path):
+    import random
+
+    rng = random.Random(3)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "emb_lsh")
+    write_lsh_bucketed(df, path, dim=8, n_planes=4)
+
+    probe = vecs[17][1]
+    topk = lsh_topk_bucketed(spark, path, probe, k=5, n_planes=4)
+    got = topk.collect()
+    assert any(r["vec_id"] == 17 for r in got)  # the probe's own bucket
+    plan = plan_string(topk)
+    assert "PartitionFilters" in plan and "lsh_sig" in plan
+    # The pruned scan must not enumerate every bucket: the partition filter
+    # pins a single signature value.
+    assert "isnotnull(lsh_sig" in plan or "lsh_sig#" in plan
+
+
+def test_exact_dedup_single_shuffle(spark):
+    from questdb_etl_jobs_spark.operators.dedup import exact_dedup
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    out = exact_dedup(docs, on=["lang", "source"], id_col="doc_id")
+    plan = plan_string(out)
+    # One exchange total (the aggregate's hash partitioning), no join back.
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning" in plan
+    assert "Join" not in plan

@@ -1,0 +1,54 @@
+"""Sinks: sorted CSV export (S5) and multimodal decode plumbing (U2)."""
+
+from __future__ import annotations
+
+import csv
+from datetime import datetime
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from questdb_etl_jobs_spark.operators.multimodal import (
+    attach_media,
+    decode_media,
+    sample_frames,
+)
+from questdb_etl_jobs_spark.sources.csv_source import write_sorted_csv
+
+
+def test_write_sorted_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            ("b", 2, datetime.fromisoformat("2024-01-01 11:00:00")),
+            ("a", 1, datetime.fromisoformat("2024-01-01 10:00:00")),
+            ("c", 3, datetime.fromisoformat("2024-01-01 09:00:00")),
+        ],
+        "name string, n long, ts timestamp",
+    )
+    out = tmp_path / "export"
+    write_sorted_csv(df, str(out), ts_col="ts", single_file=True)
+    files = list(Path(out).glob("part-*.csv"))
+    assert len(files) == 1  # single_file reproduces the reference export
+    with open(files[0], newline="") as fh:
+        rows = list(csv.reader(fh))
+    assert [r[0] for r in rows] == ["c", "a", "b"]  # time-sorted
+    assert rows[0][2] == "2024-01-01T09:00:00"  # reference wire pattern
+
+
+def test_multimodal_decode_quarantines_bad_payload(spark):
+    df = spark.createDataFrame(
+        [(1, b"payload-bytes"), (2, b"")],  # empty payload = corrupt media
+        "doc_id long, payload binary",
+    )
+    decoded = decode_media(attach_media(df, "payload"), "doc_id", "payload")
+    rows = {r["doc_id"]: r for r in decoded.collect()}
+    assert rows[1]["width"] is not None and len(rows[1]["feature"]) == 8
+    assert rows[2]["width"] is None  # bad media → NULLs, not a dead batch
+    assert rows[2]["n_bytes"] == 0
+
+
+def test_sample_frames_stride(spark):
+    df = spark.createDataFrame([(1, 10), (2, 1)], "doc_id long, n_frames int")
+    out = sample_frames(df, "n_frames", every=4)
+    got = sorted((r["doc_id"], r["frame_idx"]) for r in out.collect())
+    assert got == [(1, 0), (1, 4), (1, 8), (2, 0)]
