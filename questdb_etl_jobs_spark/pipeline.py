@@ -54,6 +54,22 @@ def is_object_valid(event: dict) -> bool:
     return size > 0 and event.get("contentType") == "text/csv"
 
 
+def gate_files_df(df: DataFrame) -> DataFrame:
+    """DataFrame-side object gates (SURVEY §2.2 P1/P2 distributed variant).
+
+    The driver-side dict gates (:func:`is_event_valid`/:func:`is_object_valid`)
+    mirror the reference's per-event Cloud Function check; when many files
+    land in one batch the same predicates belong IN the plan, on the file
+    source's ``_metadata`` columns (csv_source.read_purchases_csv
+    ``with_file_metadata=True``): non-empty object + CSV name. Catalyst
+    evaluates them per file, so invalid objects never produce rows
+    downstream.
+    """
+    return df.filter(
+        (F.col("_source_size") > 0) & F.col("_source_file").endswith(".csv")
+    )
+
+
 def anonymize_and_cast(raw: DataFrame) -> DataFrame:
     """Transform raw (all-string) rows to the typed purchases shape.
 

@@ -547,6 +547,116 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q54 — Python UDTF: one row per JSON property (U4)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q54_udtf_json_props",
+    oracle="""
+    SELECT event_id, 'k' AS key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS val
+    FROM events
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+    covers="U4,F9",
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4) exploding a JSON object into (key, val) rows.
+
+    The UDTF is the *generic* escape hatch for table-generating Python
+    logic; for plain JSON the built-in variants (q42/q55) stay the fast
+    path — this query exists to verify the UDTF plumbing end to end.
+    """
+    import json
+
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="key string, val bigint")
+    class ParseProps:
+        def eval(self, props: str):
+            if props is None:
+                return
+            for key, val in sorted(json.loads(props).items()):
+                yield key, int(val)
+
+    spark.udtf.register("parse_props", ParseProps)
+    events = load_table(spark, sf_dir, "events")
+    events.filter(F.col("event_type") == "purchase").createOrReplaceTempView(
+        "__q54_events"
+    )
+    return spark.sql(
+        """
+        SELECT e.event_id, t.key, t.val
+        FROM __q54_events e, LATERAL parse_props(e.props) t
+        ORDER BY e.event_id
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q55 — from_json structured parse (F9)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q55_from_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod
+    FROM events
+    WHERE event_type = 'click'
+    ORDER BY event_id
+    """,
+    covers="F9",
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.filter(F.col("event_type") == "click").withColumn(
+        "__p", F.from_json("props", "k INT")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("__p.k").alias("k"),
+        (F.col("__p.k") % 10).alias("k_mod"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q56 — embedding-cosine near-dup pairs (EXT dedup, bounded slice)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q56_embedding_near_dup",
+    oracle="""
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4)
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    ORDER BY vec_id_a, vec_id_b
+    """,
+    covers="EXT,J5,F11",
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs embedding near-dup — the verify-stage shape.
+
+    Quadratic by design (operators/similarity.py all_pairs_above): correct
+    on bounded slices / behind LSH candidate generation, never the 100 TB
+    path on a full corpus.
+    """
+    from questdb_etl_jobs_spark.operators.similarity import all_pairs_above
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = all_pairs_above(emb, threshold=0.4)
+    return pairs.select(
+        "vec_id_a", "vec_id_b", F.round("cosine", 4).alias("cosine")
+    ).orderBy("vec_id_a", "vec_id_b")
+
+
+# ---------------------------------------------------------------------------
 # q52 — grouped-map applyInPandas (U2)
 # ---------------------------------------------------------------------------
 

@@ -100,6 +100,23 @@ def test_run_batch_end_to_end(spark, tmp_path):
     assert quarantined.count() == result.rows_quarantined
 
 
+def test_dataframe_side_file_gates(spark, tmp_path):
+    # S7/P1/P2 distributed variant: gates evaluated in-plan on _metadata.
+    import shutil
+
+    from questdb_etl_jobs_spark.pipeline import gate_files_df
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    shutil.copy(SMALL, input_dir / "good.csv")
+    (input_dir / "bad.txt").write_text("x@y.z,1,2,3,2021-03-21T10:00:00\n")
+    raw = read_purchases_csv(spark, f"{input_dir}/*", with_file_metadata=True)
+    assert raw.count() == 41  # both files scanned
+    gated = gate_files_df(raw)
+    assert gated.count() == 40  # non-.csv object filtered in-plan
+    assert gated.filter(~F.col("_source_file").endswith("good.csv")).count() == 0
+
+
 def test_run_batch_rejects_bad_event(spark):
     assert run_batch(spark, {"bucket": "b"}) is None
     assert (

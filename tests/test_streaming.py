@@ -65,6 +65,76 @@ def test_stream_dedups_redelivered_file(spark, tmp_path):
     assert table.count() == 300  # not 600
 
 
+def test_windowed_aggs_batch_frames(spark):
+    # R2/R3 helpers work identically on batch frames (same expressions).
+    from datetime import datetime
+
+    from questdb_etl_jobs_spark.streaming.file_stream import (
+        session_counts,
+        sliding_counts,
+        tumbling_counts,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime.fromisoformat("2024-01-01 10:05:00")),
+            (1, datetime.fromisoformat("2024-01-01 10:20:00")),
+            (1, datetime.fromisoformat("2024-01-01 11:05:00")),
+            (2, datetime.fromisoformat("2024-01-01 13:00:00")),
+        ],
+        "user_id long, ts timestamp",
+    )
+    tumbling = {
+        (r["win"]["start"].hour): r["n"]
+        for r in tumbling_counts(df, "ts", "1 hour").collect()
+    }
+    assert tumbling == {10: 2, 11: 1, 13: 1}
+    sliding = sliding_counts(df, "ts", "30 minutes", "15 minutes").collect()
+    # Each event lands in exactly width/slide = 2 overlapping windows.
+    assert sum(r["n"] for r in sliding) == 8
+    sessions = session_counts(df, "ts", "user_id", gap="30 minutes").collect()
+    # user 1: (10:05,10:20) merge, 11:05 is its own session; user 2: one.
+    by_user = sorted((r["user_id"], r["n"]) for r in sessions)
+    assert by_user == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_streaming_tumbling_agg_matches_batch(spark, tmp_path):
+    from questdb_etl_jobs_spark.pipeline import anonymize_and_cast
+    from questdb_etl_jobs_spark.streaming.file_stream import (
+        stream_purchases_csv,
+        tumbling_counts,
+    )
+
+    stream = stream_purchases_csv(spark, str(FIXTURES / "purchases"))
+    typed = anonymize_and_cast(stream).withWatermark("purchase_date", "0 seconds")
+    agg = tumbling_counts(typed, "purchase_date", "1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["win"]["start"].isoformat(): r["n"]
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    # 300/180/420 rows per hourly export, plus boundary spill: compare to
+    # the batch computation over the same files.
+    from questdb_etl_jobs_spark.sources.csv_source import read_purchases_csv
+
+    batch = anonymize_and_cast(
+        read_purchases_csv(spark, str(FIXTURES / "purchases"))
+    )
+    expected = {
+        r["win"]["start"].isoformat(): r["n"]
+        for r in tumbling_counts(batch, "purchase_date", "1 hour").collect()
+    }
+    assert got == expected and sum(got.values()) == 900
+
+
 def test_stable_id_null_patterns_distinct(spark):
     df = spark.createDataFrame(
         [("a", None), (None, "a"), ("a", "a"), (None, None)],
