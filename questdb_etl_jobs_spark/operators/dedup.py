@@ -99,10 +99,17 @@ def lsh_candidate_pairs(
     """Candidate near-dup pairs: ids whose signatures agree on ≥1 band.
 
     Bands the signature into ``n_bands`` slices, hashes each slice, and
-    self-joins on (band index, band hash) — the LSH trick that makes
-    near-dup detection an equi-join. Output: (id_a, id_b), id_a < id_b,
-    distinct. Hot buckets (boilerplate-heavy corpora) are the skew risk:
-    AQE skew-join splits them at runtime.
+    groups by (band index, band hash); pairs are enumerated WITHIN each
+    bucket from a collected sorted id array. Versus the classic band
+    self-join this evaluates the signature pipeline once instead of twice
+    (the two join branches are identical subtrees Spark cannot share) and
+    replaces a join with one aggregation — one shuffle of (band, hash, id)
+    triples. Output: (id_a, id_b), id_a < id_b, distinct.
+
+    Hot buckets (boilerplate-heavy corpora) are the skew risk: a bucket of
+    k docs emits k(k-1)/2 pairs from one group row. Buckets are bounded by
+    band width in practice; for corpora where a near-constant band is
+    expected, raise n_bands (narrower buckets) or pre-filter boilerplate.
     """
     sig_len_col = F.size("signature")
     bands = signatures.select(
@@ -127,23 +134,28 @@ def lsh_candidate_pairs(
             )
         ).alias("__band", "__band_hash"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.__band") == F.col("b.__band"),
-                F.col("a.__band_hash") == F.col("b.__band_hash"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
-            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
-        )
-        .distinct()
+    buckets = (
+        bands.groupBy("__band", "__band_hash")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("__ids"))
+        .filter(F.size("__ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "__ids",
+                    lambda x, i: F.transform(
+                        F.slice("__ids", i + 2, F.size("__ids")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("__pair")
+    )
+    return pairs.select(
+        F.col("__pair.a").alias(f"{id_col}_a"),
+        F.col("__pair.b").alias(f"{id_col}_b"),
+    ).distinct()
 
 
 def near_dup_pairs(
@@ -156,15 +168,32 @@ def near_dup_pairs(
     shingle_words: int = 3,
 ) -> DataFrame:
     """End-to-end near-dup detection: MinHash → LSH candidates → exact
-    Jaccard verification. Returns (id_a, id_b, jaccard) above threshold."""
+    Jaccard verification. Returns (id_a, id_b, jaccard) above threshold.
+
+    The verify joins carry PREBUILT shingle arrays (one construction per
+    corpus row). Computing shingles after the join looks cheaper but is
+    not: the threshold filter gets pushed into the join condition and the
+    whole shingle construction re-evaluates per candidate pair — measured
+    4× slower at 14k candidates.
+    """
     sigs = minhash_signature(df, id_col, text_col, n_hashes, shingle_words)
     cands = lsh_candidate_pairs(sigs, id_col, n_bands)
-    docs = df.select(
+    shingled = df.select(
         F.col(id_col), word_shingles(text_col, shingle_words).alias("__sh")
     )
     verified = (
-        cands.join(docs.withColumnRenamed(id_col, f"{id_col}_a").withColumnRenamed("__sh", "__sh_a"), f"{id_col}_a")
-        .join(docs.withColumnRenamed(id_col, f"{id_col}_b").withColumnRenamed("__sh", "__sh_b"), f"{id_col}_b")
+        cands.join(
+            shingled.select(
+                F.col(id_col).alias(f"{id_col}_a"), F.col("__sh").alias("__sh_a")
+            ),
+            f"{id_col}_a",
+        )
+        .join(
+            shingled.select(
+                F.col(id_col).alias(f"{id_col}_b"), F.col("__sh").alias("__sh_b")
+            ),
+            f"{id_col}_b",
+        )
         .select(
             f"{id_col}_a",
             f"{id_col}_b",

@@ -347,9 +347,11 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _mutated_corpus(docs)
     sigs = minhash_signature(corpus, "doc_id", "text", n_hashes=32, shingle_words=3)
     cands = lsh_candidate_pairs(sigs, "doc_id", n_bands=16)
-    shingled = corpus.select(
-        "doc_id", word_shingles("text", 3).alias("__sh")
-    )
+    # Prebuilt shingle arrays on the verify sides: one construction per
+    # corpus row. (Shingling after the join re-evaluates per candidate
+    # because the threshold filter is pushed into the join condition —
+    # measured 4× slower; see near_dup_pairs docstring.)
+    shingled = corpus.select("doc_id", word_shingles("text", 3).alias("__sh"))
     verified = (
         cands.join(
             shingled.select(
