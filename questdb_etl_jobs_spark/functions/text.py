@@ -131,6 +131,7 @@ def text_profile(df: DataFrame, text_col: str) -> DataFrame:
     out = (
         df.withColumn("__toks", whitespace_tokens(t))
         .withColumn("n_tokens", F.size(toks))
+        .withColumn("n_bpe", regex_token_count(t).cast("int"))
         .withColumn("punct_ratio", punct_ratio(t))
         .withColumn(
             "stop_ratio",

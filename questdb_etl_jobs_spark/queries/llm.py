@@ -434,6 +434,8 @@ def _q49_oracle() -> str:
     )
     SELECT doc_id,
            CAST(n_tokens AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe,
            {spark_round4("p_ratio", "punct_ratio")},
            {spark_round4("s_ratio", "stop_ratio")},
            {spark_round4("awl", "avg_tok_len")},
@@ -464,6 +466,7 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiled.select(
         "doc_id",
         "n_tokens",
+        "n_bpe",
         F.round("punct_ratio", 4).alias("punct_ratio"),
         F.round("stop_ratio", 4).alias("stop_ratio"),
         F.round("avg_tok_len", 4).alias("avg_tok_len"),

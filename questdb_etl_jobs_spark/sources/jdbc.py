@@ -20,14 +20,31 @@ from pyspark.sql.readwriter import DataFrameWriter
 DEFAULT_URL = "jdbc:postgresql://localhost:8812/qdb"
 
 
-def jdbc_writer(
-    df: DataFrame,
+def jdbc_options(
     table: str,
     url: str = DEFAULT_URL,
     user: str = "admin",
     password: str = "quest",
     batchsize: int = 10_000,
+) -> dict[str, str]:
+    """JDBC writer options for a QuestDB table (pure — unit-testable
+    without a JVM or database)."""
+    return {
+        "url": url,
+        "dbtable": table,
+        "user": user,
+        "password": password,
+        "driver": "org.postgresql.Driver",
+        "batchsize": str(batchsize),
+        "isolationLevel": "NONE",
+    }
+
+
+def jdbc_writer(
+    df: DataFrame,
+    table: str,
     num_partitions: int | None = None,
+    **options,
 ) -> DataFrameWriter:
     """Build an append-mode JDBC writer for a QuestDB table.
 
@@ -38,16 +55,8 @@ def jdbc_writer(
     """
     if num_partitions is not None:
         df = df.coalesce(num_partitions)
-    return (
-        df.write.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .option("user", user)
-        .option("password", password)
-        .option("driver", "org.postgresql.Driver")
-        .option("batchsize", str(batchsize))
-        .option("isolationLevel", "NONE")
-        .mode("append")
+    return df.write.format("jdbc").options(**jdbc_options(table, **options)).mode(
+        "append"
     )
 
 

@@ -35,6 +35,22 @@ def test_write_sorted_csv_roundtrip(spark, tmp_path):
     assert rows[0][2] == "2024-01-01T09:00:00"  # reference wire pattern
 
 
+def test_jdbc_writer_options(spark):
+    # No JDBC driver/DB in this environment: cover option construction
+    # (batched inserts, bounded connections) without connecting.
+    from questdb_etl_jobs_spark.sources.jdbc import jdbc_options, jdbc_writer
+
+    opts = jdbc_options("purchases", batchsize=5000)
+    assert opts["dbtable"] == "purchases"
+    assert opts["batchsize"] == "5000"
+    assert opts["url"].startswith("jdbc:postgresql://")
+    assert opts["isolationLevel"] == "NONE"
+    # The writer builds without touching the network.
+    df = spark.createDataFrame([(1,)], "id long")
+    writer = jdbc_writer(df, "purchases", batchsize=5000, num_partitions=2)
+    assert writer is not None
+
+
 def test_multimodal_decode_quarantines_bad_payload(spark):
     df = spark.createDataFrame(
         [(1, b"payload-bytes"), (2, b"")],  # empty payload = corrupt media

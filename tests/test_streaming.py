@@ -135,6 +135,53 @@ def test_streaming_tumbling_agg_matches_batch(spark, tmp_path):
     assert got == expected and sum(got.values()) == 900
 
 
+def test_stateful_running_totals_matches_batch(spark, tmp_path):
+    # Custom per-key state machine (applyInPandasWithState) over the
+    # hourly replay must agree with the batch groupBy of the same files.
+    from questdb_etl_jobs_spark.pipeline import anonymize_and_cast
+    from questdb_etl_jobs_spark.sources.csv_source import read_purchases_csv
+    from questdb_etl_jobs_spark.streaming.file_stream import stream_purchases_csv
+    from questdb_etl_jobs_spark.streaming.stateful import running_user_totals
+
+    stream = stream_purchases_csv(spark, str(FIXTURES / "purchases"))
+    totals = running_user_totals(anonymize_and_cast(stream))
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("running_totals_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # Update mode appends one row per (key, batch); the final state per key
+    # is the row with the max n_purchases.
+    got = {
+        r["buyer"]: (r["n_purchases"], r["total_spend"])
+        for r in spark.sql(
+            """
+            SELECT buyer, n_purchases, total_spend
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY buyer
+                          ORDER BY n_purchases DESC) rn
+                  FROM running_totals_test) WHERE rn = 1
+            """
+        ).collect()
+    }
+    batch = anonymize_and_cast(
+        read_purchases_csv(spark, str(FIXTURES / "purchases"))
+    )
+    expected = {
+        r["buyer"]: (r["n"], r["total"])
+        for r in batch.groupBy("buyer")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("price").cast("long")).alias("total"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+
 def test_stable_id_null_patterns_distinct(spark):
     df = spark.createDataFrame(
         [("a", None), (None, "a"), ("a", "a"), (None, None)],
