@@ -101,6 +101,121 @@ def add_lsh_signature(
     return embeddings.withColumn(sig_col, F.concat(*bits))
 
 
+def train_centroids(
+    embeddings: DataFrame,
+    k: int,
+    n_iters: int = 2,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means for IVF coarse centroids.
+
+    Init = the k rows with smallest ``xxhash64(id, seed)`` (a seeded
+    pseudo-random sample that is stable across runs/clusters); each
+    iteration assigns by argmin L2 and recomputes means elementwise via
+    posexplode → groupBy(cluster, dim) — all DataFrame ops, no driver-side
+    loops over data. Centroid count k is small by construction (IVF coarse
+    quantizer), so collecting k×dim floats to the driver is O(k·dim).
+
+    Training cost is n_iters scans; real deployments train once and reuse
+    — the operator contract is the (assignment, pruned probe) pair, not
+    the trainer.
+    """
+    init = (
+        embeddings.select(id_col, vec_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("__h")
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in row[vec_col]] for row in init]
+    for _ in range(n_iters):
+        assigned = embeddings.select(
+            ivf_assign(centroids, vec_col).alias("__cluster"),
+            F.posexplode(F.col(vec_col)).alias("__dim", "__x"),
+        )
+        means = (
+            assigned.groupBy("__cluster", "__dim")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("__cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("__dim", "__m"))).alias("__ms"))
+            .collect()
+        )
+        for row in means:
+            centroids[row["__cluster"]] = [float(s["__m"]) for s in row["__ms"]]
+    return centroids
+
+
+def ivf_assign(centroids: list[list[float]], vec_col: str = "embedding"):
+    """Column: index of the nearest centroid by squared L2 (plan literal).
+
+    The centroid matrix rides into codegen as array literals — broadcast
+    to every task for free, no join.
+    """
+    v = F.col(vec_col)
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(c)) for c in centroid]),
+                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            )
+            for centroid in centroids
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def write_ivf_partitioned(
+    embeddings: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cluster_col: str = "ivf_cluster",
+    mode: str = "overwrite",
+) -> None:
+    """Persist embeddings partitioned by IVF cluster id.
+
+    The IVF analogue of :func:`write_lsh_bucketed`: each coarse cell is a
+    storage partition, so a probe scans ``n_probe`` directories instead of
+    the corpus."""
+    assigned = embeddings.withColumn(cluster_col, ivf_assign(centroids, vec_col))
+    assigned.write.partitionBy(cluster_col).mode(mode).parquet(path)
+
+
+def ivf_topk(
+    spark,
+    path: str,
+    probe: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "ivf_cluster",
+) -> DataFrame:
+    """Approximate top-k over a :func:`write_ivf_partitioned` table.
+
+    Scans the ``n_probe`` cells nearest the probe (partition-pruned:
+    ``cluster IN (...)`` is a partition filter); exact cosine re-rank
+    inside. Recall rises with n_probe — n_probe = len(centroids) recovers
+    exact brute force.
+    """
+    dists = [
+        sum((x - c) * (x - c) for x, c in zip(probe, centroid))
+        for centroid in centroids
+    ]
+    nearest = sorted(range(len(centroids)), key=lambda i: dists[i])[:n_probe]
+    cells = spark.read.parquet(path).filter(F.col(cluster_col).isin(nearest))
+    return cosine_topk(cells, probe, k, id_col=id_col, vec_col=vec_col)
+
+
 def write_lsh_bucketed(
     embeddings: DataFrame,
     path: str,

@@ -208,7 +208,7 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q44_levenshtein_pairs",
     oracle="""
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-           levenshtein(a.text, b.text) AS lev
+           CAST(levenshtein(a.text, b.text) AS INT) AS lev
     FROM (SELECT * FROM documents WHERE n_chars < 100) a
     JOIN (SELECT * FROM documents WHERE n_chars < 100) b
       ON a.doc_id < b.doc_id

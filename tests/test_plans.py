@@ -88,6 +88,34 @@ def test_lsh_bucketed_probe_is_partition_pruned(spark, tmp_path):
     assert "isnotnull(lsh_sig" in plan or "lsh_sig#" in plan
 
 
+def test_ivf_probe_is_partition_pruned(spark, tmp_path):
+    import random
+
+    from questdb_etl_jobs_spark.operators.similarity import (
+        ivf_topk,
+        train_centroids,
+        write_ivf_partitioned,
+    )
+
+    rng = random.Random(5)
+    # Two well-separated clusters around +2 and -2.
+    vecs = [
+        (i, [rng.gauss(2 if i % 2 else -2, 0.1) for _ in range(4)])
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    centroids = train_centroids(df, k=2, n_iters=2)
+    path = str(tmp_path / "emb_ivf")
+    write_ivf_partitioned(df, path, centroids)
+
+    probe = vecs[1][1]  # a +2-cluster member
+    topk = ivf_topk(spark, path, probe, centroids, k=5, n_probe=1)
+    got = [r["vec_id"] for r in topk.collect()]
+    assert len(got) == 5 and all(v % 2 == 1 for v in got)  # same cluster only
+    plan = plan_string(topk)
+    assert "PartitionFilters" in plan and "ivf_cluster" in plan
+
+
 def test_exact_dedup_single_shuffle(spark):
     from questdb_etl_jobs_spark.operators.dedup import exact_dedup
     from questdb_etl_jobs_spark.sources.tables import load_table
