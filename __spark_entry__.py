@@ -13,9 +13,17 @@ DuckDB oracle (or an explicit rows-only marker for non-SQL sketches).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# The engine package lives beside this file; make it importable no matter
+# what working directory the driver loads this module from.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -174,6 +174,33 @@ def test_simhash_identical_and_perturbed(spark):
 
 
 # ---------------------------------------------------------------------------
+# Skew mitigation
+# ---------------------------------------------------------------------------
+
+def test_salted_join_equals_plain_join(spark):
+    from questdb_etl_jobs_spark.operators.skew import salted_join
+
+    # 1000 rows of one hot key + a long tail.
+    big = spark.createDataFrame(
+        [(1, i) for i in range(1000)] + [(k, k) for k in range(2, 30)],
+        "k long, payload long",
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (3, "b")], "k long, v string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            (r["k"], r["payload"], r["v"])
+            for r in salted_join(big, small, on=["k"], n_salt=8, how=how).collect()
+        )
+        expected = sorted(
+            (r["k"], r["payload"], r["v"])
+            for r in big.join(small, on=["k"], how=how).collect()
+        )
+        assert got == expected
+
+
+# ---------------------------------------------------------------------------
 # Similarity search (EXT)
 # ---------------------------------------------------------------------------
 
