@@ -378,10 +378,40 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q48 — SimHash + hamming distance (EXT dedup; xxhash64 sketch → rows-only)
+# q48 — SimHash + hamming distance (EXT dedup)
 # ---------------------------------------------------------------------------
+#
+# Oracle: CPython XXH64 mirror (queries/_xxhash.py) recomputes the exact
+# simhash bit vectors independently — the sketch is fully verified, not
+# rows-only.
 
-@dq("q48_simhash_hamming", oracle=None, covers="EXT,F8")
+def _q48_oracle() -> str:
+    import duckdb
+
+    from questdb_etl_jobs_spark.queries._xxhash import simhash_bits_py
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{ORACLE_SF_DIR}/documents.parquet'"
+        " ORDER BY doc_id"
+    ).fetchall()
+    sims = {doc_id: simhash_bits_py(text) for doc_id, text in rows}
+    out = []
+    for doc_id in sorted(sims):
+        if doc_id + 1 not in sims:
+            continue
+        ham = sum(a != b for a, b in zip(sims[doc_id], sims[doc_id + 1]))
+        out.append(f"({doc_id}, {ham})")
+    values = ",\n      ".join(out)
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(ham AS INT) AS ham
+    FROM (VALUES
+      {values}
+    ) AS t(doc_id, ham)
+    ORDER BY doc_id
+    """
+
+
+@dq("q48_simhash_hamming", oracle=_q48_oracle, covers="EXT,F8")
 def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     a = docs.select(F.col("doc_id"), simhash_bits("text", 64).alias("__sh_a"))

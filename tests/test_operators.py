@@ -161,6 +161,18 @@ def test_near_dup_pairs_finds_known_duplicate(spark):
     assert pairs[0]["jaccard"] == 1.0
 
 
+def test_python_xxh64_matches_spark(spark):
+    # Golden parity for the oracle-side XXH64 mirror: empty, 1/4/8-byte
+    # tails, and the >=32-byte stripe path.
+    from questdb_etl_jobs_spark.queries._xxhash import xxh64_signed
+
+    samples = ["", "a", "abcd", "abcdefgh", "hello world", "x" * 31, "y" * 32,
+               "key agg row scan slow fast table value part hash"]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = [r[0] for r in df.select(F.xxhash64("t")).collect()]
+    assert got == [xxh64_signed(s.encode()) for s in samples]
+
+
 def test_simhash_identical_and_perturbed(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     df = spark.createDataFrame([(base, base, base.replace("kappa", "xi"))],
