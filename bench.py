@@ -51,6 +51,73 @@ def _headline():
     }
 
 
+def _ensure_ingest_csv(n_rows: int) -> str:
+    """Deterministic reference-format CSV for the M1 ingest benchmark.
+
+    Generated once into /tmp (seeded, content-stable); BASELINE.md's
+    transform throughput was measured on the same row shape.
+    """
+    import csv
+    import random
+
+    path = f"/tmp/spark_graft_bench_purchases_{n_rows}.csv"
+    if os.path.exists(path):
+        return path
+    rng = random.Random(42)
+    first = ["ada", "grace", "alan", "edsger", "barbara", "ken", "radia", "donald"]
+    last = ["lovelace", "hopper", "turing", "dijkstra", "liskov", "knuth"]
+    domains = ["example.com", "example.org", "example.net", "mail.test"]
+    tmp = path + ".tmp"
+    with open(tmp, "w", newline="") as fh:
+        w = csv.writer(fh)
+        for i in range(n_rows):
+            email = (
+                f"{rng.choice(first)}.{rng.choice(last)}{rng.randrange(1000)}"
+                f"@{rng.choice(domains)}"
+            )
+            ts = (
+                f"2021-03-{rng.randrange(1, 29):02d}T"
+                f"{rng.randrange(24):02d}:{rng.randrange(60):02d}:{rng.randrange(60):02d}"
+            )
+            w.writerow(
+                [email, rng.randrange(1, 50), rng.randrange(1, 11),
+                 rng.randrange(100, 10000), ts]
+            )
+    os.replace(tmp, path)
+    return path
+
+
+def _bench_ingest(spark, n_rows: int = 600_000) -> dict:
+    """End-to-end M1 pipeline: CSV scan → SHA-1 anonymize → cast →
+    quarantine split → designated-ts parquet append. Mirrors the
+    reference's whole transform+load path (BASELINE.md: 247k rows/s for
+    transform alone, single-thread CPython)."""
+    import shutil
+    import tempfile
+
+    from questdb_etl_jobs_spark.pipeline import run_batch
+
+    csv_path = _ensure_ingest_csv(n_rows)
+    event = {"bucket": "bench", "contentType": "text/csv", "name": csv_path,
+             "size": str(os.path.getsize(csv_path))}
+    best = float("inf")
+    for _ in range(2):
+        out_dir = tempfile.mkdtemp(prefix="spark_graft_ingest_")
+        t0 = time.perf_counter()
+        result = run_batch(
+            spark, event, table_path=f"{out_dir}/table",
+            quarantine_path=f"{out_dir}/quarantine",
+        )
+        best = min(best, time.perf_counter() - t0)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    assert result is not None and result.rows_loaded == n_rows
+    return {
+        "rows": n_rows,
+        "sec": round(best, 4),
+        "rows_per_sec": round(n_rows / best),
+    }
+
+
 def main() -> None:
     from questdb_etl_jobs_spark.queries import spark_queries
     from questdb_etl_jobs_spark.session import get_spark
@@ -76,6 +143,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[label] = round(best, 4)
 
+    ingest = _bench_ingest(spark)
     print(
         json.dumps(
             {
@@ -83,6 +151,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 4),
                 "unit": "sec",
                 "queries": times,
+                "ingest": ingest,
                 "sf": sf,
             }
         )
