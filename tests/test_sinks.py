@@ -6,6 +6,8 @@ import csv
 from datetime import datetime
 from pathlib import Path
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from questdb_etl_jobs_spark.operators.multimodal import (
@@ -61,6 +63,26 @@ def test_multimodal_decode_quarantines_bad_payload(spark):
     assert rows[1]["width"] is not None and len(rows[1]["feature"]) == 8
     assert rows[2]["width"] is None  # bad media → NULLs, not a dead batch
     assert rows[2]["n_bytes"] == 0
+
+
+def test_resize_decoded(spark):
+    from questdb_etl_jobs_spark.operators.multimodal import resize_decoded
+
+    df = spark.createDataFrame(
+        [(1, b"payload-bytes"), (2, b"")],
+        "doc_id long, payload binary",
+    )
+    decoded = decode_media(attach_media(df, "payload"), "doc_id", "payload")
+    orig = {r["doc_id"]: r for r in decoded.collect()}
+    resized = {
+        r["doc_id"]: r for r in resize_decoded(decoded, 128, 128).collect()
+    }
+    ok = resized[1]
+    assert (ok["width"], ok["height"]) == (128, 128)
+    scale = (128 * 128) / (orig[1]["width"] * orig[1]["height"])
+    assert ok["feature"][0] == pytest.approx(orig[1]["feature"][0] * scale, rel=1e-6)
+    # Quarantined decode (NULL attrs) passes through untouched.
+    assert resized[2]["width"] is None and resized[2]["feature"] is None
 
 
 def test_sample_frames_stride(spark):
