@@ -287,3 +287,36 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "status")
     )
+
+
+# ---------------------------------------------------------------------------
+# q37 — GROUPING SETS via SQL text (A4 complete; the reference's
+#        interactive-SQL entry point, reference README.md:363-366)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q37_grouping_sets_sql",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+           COALESCE(o_orderstatus, '(all)') AS status,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    ORDER BY priority, status
+    """,
+    covers="A4",
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text surface: the engine accepts Spark SQL strings over
+    registered views, mirroring the reference's interactive console."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__q37_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+               COALESCE(o_orderstatus, '(all)') AS status,
+               COUNT(*) AS n
+        FROM __q37_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY priority, status
+        """
+    )
