@@ -14,8 +14,10 @@ Cost model: exactly ONE shuffle (hash partition by ``by``) + one sort —
 the same cost as a sort-merge join, independent of how far back matches
 are. A naive implementation (range join + max-per-key) would shuffle twice
 and explode intermediates. At 100 TB: partitions are bounded by key
-cardinality; a hot key (one user with billions of events) serializes into
-one task — pre-bucket by (key, coarse time) if that shape is expected.
+cardinality; a hot key (one user with billions of events) would serialize
+into one task — pass ``bucket="1 hour"`` to partition the window by
+(key, coarse time) instead, with a tiny per-bucket summary window carrying
+payloads across boundaries (equivalence-tested against the plain path).
 
 The right payload is carried as a single struct so legitimate NULLs inside
 right columns survive (ignorenulls must only skip "no right row yet").
@@ -41,6 +43,7 @@ def asof_join(
     suffix: str = "_right",
     strict: bool = False,
     how: str = "left",
+    bucket: str | None = None,
 ) -> DataFrame:
     """Join each left row to the latest right row with ``right.on <= left.on``
     (``<`` when ``strict``), matching on the ``by`` key columns.
@@ -48,10 +51,22 @@ def asof_join(
     Right columns other than ``by`` come back suffixed with ``suffix``.
     ``how`` is ``"left"`` (unmatched left rows keep NULL right columns) or
     ``"inner"`` (unmatched left rows drop).
+
+    ``bucket`` (e.g. ``"1 hour"``) enables hot-key mitigation: the window
+    partitions by (key, coarse time bucket) so one key's billions of
+    events spread across buckets instead of serializing into one task; a
+    per-(key, bucket) summary window (tiny — one row per bucket) carries
+    the last right payload across bucket boundaries. Same results, two
+    extra small shuffles — use when a key's row count can exceed one
+    task's memory.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
     by = list(by or [])
+    if bucket is not None:
+        return _asof_join_bucketed(
+            left, right, on, by, suffix, strict, how, bucket
+        )
 
     payload_cols = [c for c in right.columns if c not in by]
     payload = F.struct(*[F.col(c) for c in payload_cols])
@@ -88,6 +103,110 @@ def asof_join(
     kept = carried.filter(F.col(_SIDE) == left_side)
     if how == "inner":
         # The whole payload struct is NULL iff no right row preceded.
+        kept = kept.filter(F.col(_PAYLOAD).isNotNull())
+    return kept.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[
+            F.col(f"{_PAYLOAD}.{c}").alias(
+                c + suffix if c in left.columns or c == on else c
+            )
+            for c in payload_cols
+        ],
+    )
+
+
+_UNIT_US = {
+    "second": 1_000_000,
+    "seconds": 1_000_000,
+    "minute": 60_000_000,
+    "minutes": 60_000_000,
+    "hour": 3_600_000_000,
+    "hours": 3_600_000_000,
+    "day": 86_400_000_000,
+    "days": 86_400_000_000,
+}
+
+
+def _interval_us(spec: str) -> int:
+    n, unit = spec.split()
+    return int(n) * _UNIT_US[unit]
+
+
+def _asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    suffix: str,
+    strict: bool,
+    how: str,
+    bucket: str,
+) -> DataFrame:
+    """Hot-key-safe as-of join: window per (key, time bucket) + a tiny
+    per-bucket summary window carrying payloads across bucket boundaries.
+
+    Equivalent to the single-window plan (equivalence-tested); the big
+    window state is bounded by rows-per-(key, bucket) instead of
+    rows-per-key.
+    """
+    bucket_us = _interval_us(bucket)
+    payload_cols = [c for c in right.columns if c not in by]
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    payload_type = right.select(payload.alias(_PAYLOAD)).schema[_PAYLOAD].dataType
+    right_side, left_side = (0, 1) if not strict else (1, 0)
+
+    right_tagged = right.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("__asof_ts"),
+        F.lit(right_side).alias(_SIDE),
+        payload.alias(_PAYLOAD),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+            for c in left.columns
+        ],
+    )
+    left_tagged = left.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("__asof_ts"),
+        F.lit(left_side).alias(_SIDE),
+        F.lit(None).cast(payload_type).alias(_PAYLOAD),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    union = right_tagged.unionByName(left_tagged).withColumn(
+        "__bkt", F.floor(F.unix_micros("__asof_ts") / F.lit(bucket_us))
+    )
+
+    # In-bucket carry: one task per (key, bucket), hot keys parallelized.
+    w_in = (
+        Window.partitionBy(*by, "__bkt")
+        .orderBy("__asof_ts", _SIDE)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = union.withColumn(
+        _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w_in)
+    )
+
+    # Per-bucket summary (ONE row per (key, bucket) present): the last
+    # carried payload in the bucket — NULL iff the bucket saw no right row.
+    summary = carried.groupBy(*by, "__bkt").agg(
+        F.max_by(F.col(_PAYLOAD), F.struct("__asof_ts", _SIDE)).alias("__blast")
+    )
+    w_prev = (
+        Window.partitionBy(*by)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_in = summary.select(
+        *by,
+        "__bkt",
+        F.last("__blast", ignorenulls=True).over(w_prev).alias("__carry"),
+    )
+
+    joined = carried.join(carry_in, on=[*by, "__bkt"], how="left").withColumn(
+        _PAYLOAD, F.coalesce(F.col(_PAYLOAD), F.col("__carry"))
+    )
+    kept = joined.filter(F.col(_SIDE) == left_side)
+    if how == "inner":
         kept = kept.filter(F.col(_PAYLOAD).isNotNull())
     return kept.select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],

@@ -81,6 +81,47 @@ def test_asof_carries_legit_null_payload(spark):
     assert len(out) == 1 and out[0]["tag"] is None
 
 
+def test_asof_bucketed_equals_single_window(spark):
+    # Hot-key mitigation path: identical results to the single-window plan
+    # across strict/how variants, including buckets with no right rows and
+    # carries across several empty buckets.
+    import random
+    from datetime import timedelta
+
+    rng = random.Random(7)
+    base = _ts("2024-01-01 00:00:00")
+    left = spark.createDataFrame(
+        [
+            (rng.randrange(3), base + timedelta(minutes=rng.randrange(0, 600)))
+            for _ in range(300)
+        ],
+        "user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (
+                rng.randrange(3),
+                base + timedelta(minutes=rng.randrange(0, 600)),
+                rng.randrange(1000),
+            )
+            for _ in range(40)  # sparse: many 1-hour buckets are empty
+        ],
+        "user_id long, ts timestamp, v long",
+    )
+    for strict in (False, True):
+        for how in ("left", "inner"):
+            plain = sorted(
+                map(tuple, asof_join(left, right, on="ts", by=["user_id"],
+                                     strict=strict, how=how).collect())
+            )
+            bucketed = sorted(
+                map(tuple, asof_join(left, right, on="ts", by=["user_id"],
+                                     strict=strict, how=how,
+                                     bucket="1 hour").collect())
+            )
+            assert bucketed == plain, (strict, how)
+
+
 # ---------------------------------------------------------------------------
 # Interval join (J6)
 # ---------------------------------------------------------------------------
