@@ -227,6 +227,25 @@ def test_simhash_identical_and_perturbed(spark):
 
 
 # ---------------------------------------------------------------------------
+# Text metrics: ANSI-mode edge cases
+# ---------------------------------------------------------------------------
+
+def test_text_profile_ansi_edge_cases(spark):
+    # Empty / whitespace / punct-only docs must score, not raise
+    # DIVIDE_BY_ZERO under ANSI mode (Spark 4 default).
+    from questdb_etl_jobs_spark.functions.text import text_profile
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, " "), (3, "!!!"), (4, "the quick brown fox")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text_profile(df, "text").collect()}
+    assert rows[1]["punct_ratio"] == 0.0 and rows[1]["lang_guess"] == "und"
+    assert rows[3]["punct_ratio"] == 1.0
+    assert rows[4]["lang_guess"] == "en" and rows[4]["n_tokens"] == 4
+
+
+# ---------------------------------------------------------------------------
 # Skew mitigation
 # ---------------------------------------------------------------------------
 

@@ -88,6 +88,22 @@ def test_lsh_bucketed_probe_is_partition_pruned(spark, tmp_path):
     assert "isnotnull(lsh_sig" in plan or "lsh_sig#" in plan
 
 
+def test_asof_join_single_big_shuffle(spark):
+    # The as-of union+window plan must shuffle the event data exactly once
+    # (hash partition by user); the final presentation sort is a separate
+    # range exchange over the already-reduced output.
+    import re
+
+    df = spark_queries()["q16_asof_join"](spark, SF_SMALL)
+    plan = plan_string(df)
+    assert len(re.findall(r"hashpartitioning", plan)) == 1
+
+
+def test_interval_join_is_not_cartesian(spark):
+    df = spark_queries()["q15_interval_join_events"](spark, SF_SMALL)
+    assert_not_in_plan(df, "CartesianProduct", "BroadcastNestedLoopJoin")
+
+
 def test_ivf_probe_is_partition_pruned(spark, tmp_path):
     import random
 

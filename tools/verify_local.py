@@ -81,7 +81,8 @@ def main() -> int:
             continue
         try:
             rel = con.sql(oq[name])
-            ocols = [d[0] for d in rel.description]
+            ocols = list(rel.columns)
+            otypes = [str(t) for t in rel.types]
             orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle error: {type(e).__name__}: {e}")
@@ -92,6 +93,20 @@ def main() -> int:
             problems.append(f"rows {len(srows)} vs {len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+        else:
+            type_map = {
+                "BIGINT": "bigint", "INTEGER": "int", "DOUBLE": "double",
+                "VARCHAR": "string", "TIMESTAMP": "timestamp",
+                "TIMESTAMP_NS": "timestamp", "FLOAT": "float",
+                "BOOLEAN": "boolean",
+            }
+            sdt = dict(sdf.dtypes)
+            for col, dt in zip(ocols, otypes):
+                want = type_map.get(dt.split("(")[0], dt.lower())
+                if sdt.get(col) != want:
+                    problems.append(
+                        f"dtype {col}: spark={sdt.get(col)} duck={dt}"
+                    )
         if not problems:
             sc, oc = rows_canon(scols, srows), rows_canon(ocols, orows)
             if sc != oc:
