@@ -67,4 +67,5 @@ def _load() -> None:
         relational,
         windows,
         llm,
+        streaming_q,
     )

@@ -1,0 +1,91 @@
+"""Declared queries: Structured Streaming, driver-verifiable (SURVEY §2.9).
+
+A streaming pipeline's output is a table, so the differential check works
+the same way as batch: the callable replays the checked-in hourly fixture
+exports (the reference's upload sequence, reference README.md:373) through
+``run_stream_to_table`` with ``Trigger.AvailableNow``, then returns an
+aggregate over the resulting designated-ts table. The oracle recomputes
+the expected table from the same CSVs in CPython (the q02/q09 VALUES
+pattern) — so watermarking, stateful dedup, the quarantine branch and the
+streaming sink are all under the driver's correctness gate, not just
+pytest.
+"""
+
+from __future__ import annotations
+
+import csv
+import shutil
+import tempfile
+from collections import defaultdict
+from datetime import datetime
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from questdb_etl_jobs_spark.queries import dq
+from questdb_etl_jobs_spark.queries._protocol import PURCHASES_HOURLY_DIR
+
+
+def _expected_hourly() -> dict[str, tuple[int, int]]:
+    """(hour ISO → (n_rows, total_price)) recomputed from the fixtures."""
+    out: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for path in sorted(Path(PURCHASES_HOURLY_DIR).glob("*.csv")):
+        with open(path, newline="") as fh:
+            for _email, _item, _qty, price, ts in csv.reader(fh):
+                parsed = datetime.strptime(ts, "%Y-%m-%dT%H:%M:%S")
+                hour = parsed.replace(minute=0, second=0)
+                slot = out[hour.strftime("%Y-%m-%d %H:%M:%S")]
+                slot[0] += 1
+                slot[1] += int(price)
+    return {k: (v[0], v[1]) for k, v in out.items()}
+
+
+def _q60_oracle() -> str:
+    rows = [
+        f"(TIMESTAMP '{hour}', {n}, {total})"
+        for hour, (n, total) in sorted(_expected_hourly().items())
+    ]
+    values = ",\n      ".join(rows)
+    return f"""
+    SELECT hour_ts, CAST(n AS BIGINT) AS n, CAST(total AS BIGINT) AS total
+    FROM (VALUES
+      {values}
+    ) AS t(hour_ts, n, total)
+    ORDER BY hour_ts
+    """
+
+
+@dq("q60_streaming_replay", oracle=_q60_oracle, covers="R1,R2,R4,R5,R6,S6")
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the hourly exports through the streaming pipeline, then
+    aggregate the landed designated-ts table per hour."""
+    from questdb_etl_jobs_spark.streaming.file_stream import run_stream_to_table
+
+    work = tempfile.mkdtemp(prefix="q60_stream_")
+    try:
+        good_q, bad_q = run_stream_to_table(
+            spark,
+            PURCHASES_HOURLY_DIR,
+            table_path=f"{work}/table",
+            quarantine_path=f"{work}/quarantine",
+            checkpoint_path=f"{work}/ckpt",
+        )
+        good_q.awaitTermination(300)
+        bad_q.awaitTermination(300)
+        table = spark.read.parquet(f"{work}/table")
+        # Materialize before the temp dir disappears.
+        result = (
+            table.groupBy(
+                F.date_trunc("hour", "purchase_date").alias("hour_ts")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("price").cast("long")).alias("total"),
+            )
+            .orderBy("hour_ts")
+        )
+        rows = result.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "hour_ts timestamp, n bigint, total bigint")
