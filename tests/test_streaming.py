@@ -182,6 +182,53 @@ def test_stateful_running_totals_matches_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_hourly_rollup_maintenance(spark, tmp_path):
+    # Hypertable-style continuous aggregate: streaming maintenance with
+    # per-batch dynamic partition overwrite must converge to the batch
+    # rollup of the same files — including with one file per trigger, so
+    # buckets are rewritten incrementally across micro-batches.
+    from questdb_etl_jobs_spark.pipeline import anonymize_and_cast
+    from questdb_etl_jobs_spark.sources.csv_source import read_purchases_csv
+    from questdb_etl_jobs_spark.streaming.file_stream import stream_purchases_csv
+    from questdb_etl_jobs_spark.streaming.rollup import (
+        maintain_hourly_rollup,
+        read_rollup,
+    )
+
+    stream = stream_purchases_csv(
+        spark, str(FIXTURES / "purchases"), max_files_per_trigger=1
+    )
+    q = maintain_hourly_rollup(
+        anonymize_and_cast(stream),
+        rollup_path=str(tmp_path / "rollup"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        ts_col="purchase_date",
+        agg_cols={"total_price": "price"},
+    )
+    q.awaitTermination(180)
+    got = {
+        r["bucket"]: (r["n"], r["total_price"])
+        for r in read_rollup(spark, str(tmp_path / "rollup")).collect()
+    }
+    batch = anonymize_and_cast(
+        read_purchases_csv(spark, str(FIXTURES / "purchases"))
+    )
+    expected = {
+        r["bucket"]: (r["n"], r["total_price"])
+        for r in batch.groupBy(
+            F.date_format(
+                F.date_trunc("hour", "purchase_date"), "yyyy-MM-dd'T'HH"
+            ).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("price").cast("long")).alias("total_price"),
+        )
+        .collect()
+    }
+    assert got == expected and sum(n for n, _ in got.values()) == 900
+
+
 def test_stable_id_null_patterns_distinct(spark):
     df = spark.createDataFrame(
         [("a", None), (None, "a"), ("a", "a"), (None, None)],
