@@ -43,7 +43,6 @@ from questdb_etl_jobs_spark.functions.vectors import cosine_similarity, dot, nor
 from questdb_etl_jobs_spark.operators.dedup import (
     exact_dedup,
     hamming,
-    jaccard,
     lsh_candidate_pairs,
     minhash_signature,
     simhash_bits,

@@ -8,11 +8,11 @@ shuffled-hash vs sort-merge and to split skewed partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from questdb_etl_jobs_spark.queries import dq
-from questdb_etl_jobs_spark.queries._protocol import avg4, round4, sum4
+from questdb_etl_jobs_spark.queries._protocol import avg4, sum4
 from questdb_etl_jobs_spark.operators.asof import asof_join
 from questdb_etl_jobs_spark.operators.interval import interval_join
 from questdb_etl_jobs_spark.operators.sample_by import sample_by
