@@ -89,3 +89,80 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, "hour_ts timestamp, n bigint, total bigint")
+
+
+# ---------------------------------------------------------------------------
+# q61 — CSV sink roundtrip (S5): write the reference export shape, read the
+#        bytes back; oracle recomputes the exact expected lines in CPython.
+# ---------------------------------------------------------------------------
+
+def _q61_expected_rows() -> list[tuple[str, str, str, str, str]]:
+    import hashlib
+
+    from questdb_etl_jobs_spark.queries._protocol import PURCHASES_SMALL
+
+    rows = []
+    with open(PURCHASES_SMALL, newline="") as fh:
+        for email, item_id, quantity, price, ts in csv.reader(fh):
+            rows.append(
+                (
+                    hashlib.sha1(email.encode()).hexdigest(),
+                    item_id,
+                    quantity,
+                    price,
+                    ts,
+                )
+            )
+    return rows
+
+
+def _q61_oracle() -> str:
+    values = ",\n      ".join(
+        "(" + ", ".join(f"'{v}'" for v in row) + ")"
+        for row in _q61_expected_rows()
+    )
+    return f"""
+    SELECT * FROM (VALUES
+      {values}
+    ) AS t(buyer, item_id, quantity, price, purchase_date)
+    ORDER BY buyer, purchase_date, item_id, quantity, price
+    """
+
+
+@dq("q61_csv_sink_roundtrip", oracle=_q61_oracle, covers="S5,F1,O1")
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anonymize the fixture export, write it with the CSV sink (sorted,
+    headerless, reference wire timestamp pattern), read the emitted bytes
+    back as strings."""
+    from questdb_etl_jobs_spark.pipeline import anonymize_and_cast, split_quarantine
+    from questdb_etl_jobs_spark.queries._protocol import PURCHASES_SMALL
+    from questdb_etl_jobs_spark.sources.csv_source import (
+        read_purchases_csv,
+        write_sorted_csv,
+    )
+
+    work = tempfile.mkdtemp(prefix="q61_csv_sink_")
+    try:
+        good, _bad = split_quarantine(
+            anonymize_and_cast(read_purchases_csv(spark, PURCHASES_SMALL))
+        )
+        out = f"{work}/export"
+        write_sorted_csv(good, out, ts_col="purchase_date", single_file=True)
+        emitted = (
+            spark.read.schema(
+                "buyer string, item_id string, quantity string, "
+                "price string, purchase_date string"
+            )
+            .option("header", "false")
+            .csv(out)
+        )
+        rows = emitted.orderBy(
+            "buyer", "purchase_date", "item_id", "quantity", "price"
+        ).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "buyer string, item_id string, quantity string, price string, "
+        "purchase_date string",
+    )
