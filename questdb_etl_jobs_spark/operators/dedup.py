@@ -243,3 +243,92 @@ def hamming(a: Column, b: Column) -> Column:
         F.lit(0),
         lambda acc, v: acc + v,
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (inverted index, no sketch)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    shingle_words: int = 3,
+    df_cap: int | None = 1000,
+) -> DataFrame:
+    """EXACT near-dup pairs by word n-gram Jaccard — no MinHash approximation.
+
+    The quadratic all-pairs comparison is replaced by an inverted index:
+    explode distinct shingles, group by shingle, enumerate pairs only
+    within each posting list (docs sharing zero shingles never meet —
+    and a pair with jaccard ≥ t > 0 always shares one, so no true pair is
+    lost). ``df_cap`` drops boilerplate shingles whose posting list
+    exceeds the cap before pair enumeration; candidates lost that way are
+    the documented recall trade at 100 TB (a pair is kept as long as ONE
+    shared shingle is under the cap). Survivors are verified with exact
+    integer set arithmetic — ``den*inter >= num*union`` avoids float
+    rounding entirely.
+
+    Cost: one shuffle of (shingle, id) postings + two broadcast-or-hash
+    joins carrying prebuilt shingle arrays (built once per row — building
+    them after the join re-evaluates per candidate; see near_dup_pairs).
+
+    Returns (id_a, id_b, n_inter, n_union), id_a < id_b.
+    """
+    shingled = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_words).alias("__sh")
+    )
+    postings = shingled.select(
+        F.col(id_col), F.explode("__sh").alias("__shingle")
+    )
+    lists = postings.groupBy("__shingle").agg(
+        F.array_sort(F.collect_set(id_col)).alias("__ids")
+    )
+    lists = lists.filter(F.size("__ids") > 1)
+    if df_cap is not None:
+        lists = lists.filter(F.size("__ids") <= df_cap)
+    cands = (
+        lists.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "__ids",
+                        lambda x, i: F.transform(
+                            F.slice("__ids", i + 2, F.size("__ids")),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("__pair")
+        )
+        .select(
+            F.col("__pair.a").alias(f"{id_col}_a"),
+            F.col("__pair.b").alias(f"{id_col}_b"),
+        )
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            shingled.select(
+                F.col(id_col).alias(f"{id_col}_a"), F.col("__sh").alias("__sh_a")
+            ),
+            f"{id_col}_a",
+        )
+        .join(
+            shingled.select(
+                F.col(id_col).alias(f"{id_col}_b"), F.col("__sh").alias("__sh_b")
+            ),
+            f"{id_col}_b",
+        )
+        .select(
+            f"{id_col}_a",
+            f"{id_col}_b",
+            F.size(F.array_intersect("__sh_a", "__sh_b")).alias("n_inter"),
+            F.size(F.array_union("__sh_a", "__sh_b")).alias("n_union"),
+        )
+    )
+    return verified.filter(
+        threshold_den * F.col("n_inter") >= threshold_num * F.col("n_union")
+    )

@@ -36,6 +36,7 @@ from questdb_etl_jobs_spark.queries._protocol import (
 from questdb_etl_jobs_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
+    lang_guess,
     min_shingle_fingerprint,
     text_profile,
 )
@@ -45,11 +46,17 @@ from questdb_etl_jobs_spark.operators.dedup import (
     hamming,
     lsh_candidate_pairs,
     minhash_signature,
+    ngram_jaccard_pairs,
     simhash_bits,
     word_shingles,
 )
 from questdb_etl_jobs_spark.operators.multimodal import attach_media, decode_media
-from questdb_etl_jobs_spark.operators.similarity import cosine_topk
+from questdb_etl_jobs_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    train_centroids,
+    write_ivf_partitioned,
+)
 from questdb_etl_jobs_spark.sources.csv_source import read_purchases_csv
 from questdb_etl_jobs_spark.sources.tables import load_table
 
@@ -767,3 +774,161 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(geomean("value"), 4).alias("geomean_value"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q57 — EXACT n-gram Jaccard dedup via inverted index (EXT dedup)
+# ---------------------------------------------------------------------------
+#
+# The exact counterpart of q47: same mutated corpus, same 0.8 threshold,
+# but candidates come from an inverted shingle index (docs sharing >=1
+# posting) instead of MinHash banding — zero false negatives by
+# construction. Oracle: CPython mirror of the full candidate rule
+# (posting lists + df_cap) + exact set verification.
+
+def _q57_oracle() -> str:
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{ORACLE_SF_DIR}/documents.parquet'"
+        " ORDER BY doc_id"
+    ).fetchall()
+    corpus: dict[int, frozenset[str]] = {}
+    for doc_id, text in rows:
+        corpus[doc_id] = _py_shingles(text)
+        idx = text.find(" ")
+        corpus[doc_id + 100000] = _py_shingles(text[idx + 1 :] if idx >= 0 else text)
+    postings: dict[str, list[int]] = {}
+    for doc_id, sh in corpus.items():
+        for g in sh:
+            postings.setdefault(g, []).append(doc_id)
+    cands: set[tuple[int, int]] = set()
+    for ids in postings.values():
+        if len(ids) < 2 or len(ids) > 1000:  # mirror df_cap=1000
+            continue
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                cands.add((a, b))
+    out = []
+    for id_a, id_b in sorted(cands):
+        inter = len(corpus[id_a] & corpus[id_b])
+        union = len(corpus[id_a] | corpus[id_b])
+        if 5 * inter >= 4 * union:
+            out.append(f"({id_a}, {id_b}, {inter}, {union})")
+    values = ",\n      ".join(out)
+    return f"""
+    SELECT CAST(doc_id_a AS BIGINT) AS doc_id_a,
+           CAST(doc_id_b AS BIGINT) AS doc_id_b,
+           CAST(n_inter AS INT) AS n_inter,
+           CAST(n_union AS INT) AS n_union
+    FROM (VALUES
+      {values}
+    ) AS t(doc_id_a, doc_id_b, n_inter, n_union)
+    ORDER BY doc_id_a, doc_id_b
+    """
+
+
+@dq("q57_ngram_jaccard_exact", oracle=_q57_oracle, covers="EXT,U4,A1,J1")
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _mutated_corpus(docs)
+    pairs = ngram_jaccard_pairs(
+        corpus,
+        "doc_id",
+        "text",
+        threshold_num=4,
+        threshold_den=5,
+        shingle_words=3,
+        df_cap=1000,
+    )
+    return pairs.orderBy("doc_id_a", "doc_id_b")
+
+
+# ---------------------------------------------------------------------------
+# q58 — language-ID confusion counts (EXT text analysis)
+# ---------------------------------------------------------------------------
+#
+# lang_guess (deterministic marker-lexicon argmax, functions/text.py) vs
+# the table's ground-truth lang label. The oracle SQL is GENERATED from
+# LANG_MARKERS so the two engines can never drift on the lexicons or the
+# tie order (first max in LANG_MARKERS insertion order; 'und' when no
+# marker hits).
+
+def _q58_oracle() -> str:
+    langs = list(LANG_MARKERS)
+    score_cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter(string_split(text, ' '),"
+            f" t -> list_contains([{words}], t))) AS s_{lang}"
+        )
+    all_scores = ", ".join(f"s_{lang}" for lang in langs)
+    branches = [f"WHEN greatest({all_scores}) = 0 THEN 'und'"]
+    for i, lang in enumerate(langs):
+        rest = [f"s_{lang} >= s_{o}" for o in langs[i + 1 :]]
+        cond = " AND ".join(rest) if rest else "TRUE"
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " END"
+    return f"""
+    WITH scored AS (
+      SELECT lang, {", ".join(score_cols)}
+      FROM documents
+    )
+    SELECT lang, {case} AS lang_guess, COUNT(*) AS n
+    FROM scored
+    GROUP BY lang, lang_guess
+    ORDER BY lang, lang_guess
+    """
+
+
+@dq("q58_lang_id_confusion", oracle=_q58_oracle, covers="EXT,F6,A1")
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", lang_guess("text").alias("lang_guess"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q59 — IVF similarity probe in exact mode (EXT similarity)
+# ---------------------------------------------------------------------------
+#
+# Drives the WHOLE IVF path (k-means training -> cluster-partitioned
+# write -> pruned probe) under the driver gate: with n_probe = k the
+# probe covers every cell, so the result is exactly brute-force cosine
+# top-k and the oracle is plain SQL. Recall/efficiency of the pruned
+# (n_probe < k) path is covered by tests/test_plans.py (PartitionFilters
+# assertion).
+
+@dq(
+    "q59_ivf_topk_exact",
+    oracle="""
+    WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p
+                   FROM embeddings WHERE vec_id = 1)
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), p), 4)
+             AS cosine
+    FROM embeddings, probe
+    WHERE vec_id <> 1
+    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), p) DESC,
+             vec_id
+    LIMIT 10
+    """,
+    covers="EXT,F8,O2,S3",
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_row = emb.filter(F.col("vec_id") == 1).select("embedding").first()
+    probe = [float(x) for x in probe_row["embedding"]]
+    k_cells = 8
+    centroids = train_centroids(emb, k=k_cells)
+    path = tempfile.mkdtemp(prefix="q59_ivf_")
+    write_ivf_partitioned(emb.filter(F.col("vec_id") != 1), path, centroids)
+    topk = ivf_topk(spark, path, probe, centroids, k=10, n_probe=k_cells)
+    return topk.select("vec_id", F.round("cosine", 4).alias("cosine"))

@@ -15,6 +15,7 @@ from questdb_etl_jobs_spark.operators.dedup import (
     hamming,
     jaccard,
     near_dup_pairs,
+    ngram_jaccard_pairs,
     simhash_bits,
     word_shingles,
 )
@@ -200,6 +201,40 @@ def test_near_dup_pairs_finds_known_duplicate(spark):
     pairs = near_dup_pairs(docs, "id", "text", threshold=0.9).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
     assert pairs[0]["jaccard"] == 1.0
+
+
+def test_ngram_jaccard_exact_pair_and_df_cap(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact duplicate → jaccard 1.0
+            (3, "completely different words entirely unrelated content here "
+                "nothing shared at all with the others one two three four"),
+        ],
+        "id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(docs, "id", "text").collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["n_inter"] == pairs[0]["n_union"]
+    # Every shared shingle has DF 2 here; df_cap=1 removes all postings,
+    # so the pair never becomes a candidate (the documented recall trade).
+    capped = ngram_jaccard_pairs(docs, "id", "text", df_cap=1).collect()
+    assert capped == []
+
+
+def test_lang_guess_tiebreak_and_und(spark):
+    from questdb_etl_jobs_spark.functions.text import lang_guess
+
+    df = spark.createDataFrame(
+        # "de la" → es score 1 (la), fr score 1 (le? no) — craft exact ties:
+        # "the el" hits en(the)=1 and es(el)=1 → tie resolves to 'en'
+        # (first max in LANG_MARKERS order); no hits at all → 'und'.
+        [(1, "the el"), (2, "zzz qqq")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r["g"] for r in df.select("id", lang_guess("text").alias("g")).collect()}
+    assert rows == {1: "en", 2: "und"}
 
 
 def test_python_xxh64_matches_spark(spark):
