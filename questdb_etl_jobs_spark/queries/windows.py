@@ -320,3 +320,85 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY priority, status
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q38 — gap-based sessionization (W2+W3 composition; QuestDB-style
+#        time-series session analysis over the designated timestamp)
+# ---------------------------------------------------------------------------
+#
+# New session when >8h elapses since the user's previous event: lag →
+# boundary flag → cumulative sum = session id, then two-level aggregate.
+# All-integer output (µs durations, counts) — no cross-engine float
+# protocol needed. One shuffle on user_id feeds both window passes;
+# the (user, session) group-by partial-aggregates map-side.
+
+_SESSION_GAP_US = 8 * 3600 * 1_000_000
+
+
+@dq(
+    "q38_sessionize",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {_SESSION_GAP_US}
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM t
+    ), per AS (
+      SELECT user_id, session_id, COUNT(*) AS n_ev,
+             MAX(us) - MIN(us) AS dur_us
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events,
+           CAST(MAX(dur_us) AS BIGINT) AS max_session_us,
+           CAST(MAX(n_ev) AS BIGINT) AS max_session_events
+    FROM per GROUP BY user_id ORDER BY user_id
+    """,
+    covers="W2,W3,A1,F5",
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(w)
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0).alias("new_s"),
+    )
+    sessions = flagged.select(
+        "user_id", "us", F.sum("new_s").over(w_cum).alias("session_id")
+    )
+    per = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.max("us") - F.min("us")).alias("dur_us"),
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_ev").alias("n_events"),
+            F.max("dur_us").alias("max_session_us"),
+            F.max("n_ev").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
