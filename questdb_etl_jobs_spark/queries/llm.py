@@ -783,8 +783,8 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The exact counterpart of q47: same mutated corpus, same 0.8 threshold,
 # but candidates come from an inverted shingle index (docs sharing >=1
 # posting) instead of MinHash banding — zero false negatives by
-# construction. Oracle: CPython mirror of the full candidate rule
-# (posting lists + df_cap) + exact set verification.
+# construction (a pair with jaccard >= 0.8 > 0 shares a shingle), so the
+# oracle is a plain brute-force over all pairs.
 
 def _q57_oracle() -> str:
     import duckdb
@@ -793,29 +793,21 @@ def _q57_oracle() -> str:
         f"SELECT doc_id, text FROM '{ORACLE_SF_DIR}/documents.parquet'"
         " ORDER BY doc_id"
     ).fetchall()
-    corpus: dict[int, frozenset[str]] = {}
+    corpus: list[tuple[int, frozenset[str]]] = []
     for doc_id, text in rows:
-        corpus[doc_id] = _py_shingles(text)
+        corpus.append((doc_id, _py_shingles(text)))
         idx = text.find(" ")
-        corpus[doc_id + 100000] = _py_shingles(text[idx + 1 :] if idx >= 0 else text)
-    postings: dict[str, list[int]] = {}
-    for doc_id, sh in corpus.items():
-        for g in sh:
-            postings.setdefault(g, []).append(doc_id)
-    cands: set[tuple[int, int]] = set()
-    for ids in postings.values():
-        if len(ids) < 2 or len(ids) > 1000:  # mirror df_cap=1000
-            continue
-        ids = sorted(ids)
-        for i, a in enumerate(ids):
-            for b in ids[i + 1 :]:
-                cands.add((a, b))
+        corpus.append(
+            (doc_id + 100000, _py_shingles(text[idx + 1 :] if idx >= 0 else text))
+        )
+    corpus.sort()
     out = []
-    for id_a, id_b in sorted(cands):
-        inter = len(corpus[id_a] & corpus[id_b])
-        union = len(corpus[id_a] | corpus[id_b])
-        if 5 * inter >= 4 * union:
-            out.append(f"({id_a}, {id_b}, {inter}, {union})")
+    for i, (id_a, sh_a) in enumerate(corpus):
+        for id_b, sh_b in corpus[i + 1 :]:
+            inter = len(sh_a & sh_b)
+            union = len(sh_a | sh_b)
+            if 5 * inter >= 4 * union:
+                out.append(f"({id_a}, {id_b}, {inter}, {union})")
     values = ",\n      ".join(out)
     return f"""
     SELECT CAST(doc_id_a AS BIGINT) AS doc_id_a,
@@ -840,7 +832,7 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_num=4,
         threshold_den=5,
         shingle_words=3,
-        df_cap=1000,
+        df_cap=None,  # exact counting path (no verify join)
     )
     return pairs.orderBy("doc_id_a", "doc_id_b")
 
