@@ -48,6 +48,8 @@ def _headline():
         "cosine_topk": "q45_cosine_topk",
         "near_dup_lsh": "q47_near_dup_minhash_lsh",
         "exact_dedup": "q46_exact_dedup",
+        "sessionize": "q38_sessionize",
+        "lang_id": "q58_lang_id_confusion",
     }
 
 
