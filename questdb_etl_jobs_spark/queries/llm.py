@@ -924,3 +924,83 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_ivf_partitioned(emb.filter(F.col("vec_id") != 1), path, centroids)
     topk = ivf_topk(spark, path, probe, centroids, k=10, n_probe=k_cells)
     return topk.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# q62 — multimodal pipeline: decode → resize → frame-sample (EXT, U2)
+# ---------------------------------------------------------------------------
+#
+# Chains the three media stages end to end: Arrow-batched decode
+# (deterministic stub codec), vectorized resize to 128x128 (area-ratio
+# feature rescale), and the pure-explode frame-sampling plan (every 7th
+# "frame", frame count = payload bytes). The oracle recomputes the whole
+# chain in CPython — the stub decode is sha256 arithmetic, so every
+# value is verified, not just row counts. Float protocol: Spark ROUND
+# rounds the shortest decimal repr; the mirror uses
+# Decimal(repr(x)) + HALF_UP (see _protocol.spark_round4 notes).
+
+def _q62_oracle() -> str:
+    import duckdb
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{ORACLE_SF_DIR}/documents.parquet'"
+        " WHERE doc_id < 100 ORDER BY doc_id"
+    ).fetchall()
+    out = []
+    for doc_id, text in rows:
+        payload = text.encode("utf-8")
+        digest = hashlib.sha256(payload).digest()
+        w, h = 64 + digest[0], 64 + digest[1]
+        scale = (128 * 128) / (w * h)
+        # feature values narrow to float32 at each Arrow boundary
+        # (DECODED_SCHEMA is array<float>): decode emits f32, resize
+        # multiplies in float64 and narrows again on return.
+        f0_decoded = np.float32(digest[0] / 255.0)
+        f0 = float(np.float32(float(f0_decoded) * scale))
+        f0r = Decimal(repr(f0)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        n_frames = ((len(payload) - 1) // 7) + 1
+        out.append(f"({doc_id}, {f0r}, {n_frames})")
+    values = ",\n      ".join(out)
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(f0 AS DOUBLE) AS f0,
+           CAST(n_frames AS BIGINT) AS n_frames
+    FROM (VALUES
+      {values}
+    ) AS t(doc_id, f0, n_frames)
+    ORDER BY doc_id
+    """
+
+
+@dq("q62_multimodal_pipeline", oracle=_q62_oracle, covers="U2,EXT")
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.multimodal import (
+        resize_decoded,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    with_payload = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    media = attach_media(with_payload, "payload", media_type="text/plain")
+    decoded = decode_media(media, id_col="doc_id", payload_col="payload")
+    resized = resize_decoded(decoded, 128, 128)
+    frames = sample_frames(
+        decoded.select("doc_id", F.col("n_bytes").cast("int").alias("n_frames")),
+        "n_frames",
+        every=7,
+    )
+    frame_counts = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    return (
+        resized.select(
+            "doc_id", F.round(F.col("feature")[0].cast("double"), 4).alias("f0")
+        )
+        .join(frame_counts, "doc_id")
+        .orderBy("doc_id")
+    )
