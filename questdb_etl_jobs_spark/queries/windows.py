@@ -402,3 +402,45 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q39 — sliding time windows, batch face of R3 (1h window / 30m slide)
+# ---------------------------------------------------------------------------
+#
+# F.window() is the SAME operator batch and streaming — this query runs
+# the R3 sliding-window aggregation on the batch engine under the oracle
+# gate (the streaming face is exercised in tests/test_streaming.py).
+# Each event lands in exactly two windows; DuckDB mirrors by unnesting
+# the two window starts per event.
+
+@dq(
+    "q39_sliding_window",
+    oracle=f"""
+    WITH e AS (
+      SELECT unnest([
+               time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+               time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                 - INTERVAL '30 minutes'
+             ]) AS win_start,
+             event_type, value
+      FROM events
+    )
+    SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type,
+           COUNT(*) AS n,
+           {sum4("value", "sum_value")}
+    FROM e GROUP BY win_start, event_type ORDER BY win_start, event_type
+    """,
+    covers="R3,A7,F5",
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.expr(sum4("value", "sum_value")))
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n", "sum_value"
+        )
+        .orderBy("win_start", "event_type")
+    )
