@@ -145,3 +145,47 @@ def test_exact_dedup_single_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "hashpartitioning" in plan
     assert "Join" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located fact-fact join: both sides bucketed on the key with the
+    same bucket count -> SortMergeJoin with ZERO Exchange nodes (the
+    write-once shuffle replaces every per-query shuffle)."""
+    from questdb_etl_jobs_spark.plans.inspect import (
+        assert_in_plan,
+        assert_not_in_plan,
+    )
+    from questdb_etl_jobs_spark.sources.bucketed import read_table, write_bucketed
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(
+        orders, "bt_orders", str(tmp_path / "o"), ["o_orderkey"], 4,
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        lineitem, "bt_lineitem", str(tmp_path / "l"), ["l_orderkey"], 4,
+        sort_cols=["l_orderkey"],
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_table(spark, "bt_orders").join(
+            read_table(spark, "bt_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        assert_in_plan(joined, "SortMergeJoin")
+        assert_not_in_plan(joined, "Exchange")
+        # and the values are right
+        expected = orders.join(
+            lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem")
