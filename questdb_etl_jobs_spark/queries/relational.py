@@ -507,3 +507,104 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q17 — 6-table regional star join (TPC-H Q5 shape): J1/J2 at full width
+# ---------------------------------------------------------------------------
+#
+# The widest join in the suite: fact (lineitem) against orders plus four
+# dimensions, with the classic c_nationkey = s_nationkey "local supplier"
+# constraint. Scale shape: nation and region ride as broadcasts (bytes),
+# the lineitem⋈orders⋈customer chain shuffles on its keys under AQE,
+# date + region filters reach the scans.
+
+@dq(
+    "q17_regional_revenue",
+    oracle=f"""
+    SELECT n_name,
+           {sum4(_REVENUE, "revenue")},
+           COUNT(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    covers="J1,J2,A1,F7",
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            supplier,
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.expr(sum4(_REVENUE, "revenue")), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — promo revenue share per month (TPC-H Q14 shape): CASE inside agg
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q18_promo_share",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           {sum4(f"CASE WHEN p_type = 'PROMO' THEN {_REVENUE} ELSE 0.0 END", "promo_revenue")},
+           {sum4(_REVENUE, "total_revenue")},
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part   ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY month
+    ORDER BY month
+    """,
+    covers="J1,A1,F5,F10",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    promo = f"CASE WHEN p_type = 'PROMO' THEN {_REVENUE} ELSE 0.0 END"
+    joined = lineitem.join(part, lineitem.l_partkey == part.p_partkey).join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    )
+    return (
+        joined.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.expr(sum4(promo, "promo_revenue")),
+            F.expr(sum4(_REVENUE, "total_revenue")),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("month")
+    )
