@@ -608,3 +608,37 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# q19 — subquery family: EXISTS + correlated scalar + uncorrelated scalar
+# ---------------------------------------------------------------------------
+#
+# Exercises Catalyst's subquery decorrelation (EXISTS → left-semi,
+# correlated scalar COUNT → left-outer aggregate join, uncorrelated
+# scalar → one-row broadcast). Scalars are order-independent (MAX,
+# COUNT) so both engines agree bit-for-bit — never AVG/SUM of doubles
+# in a comparison threshold.
+
+_Q19_SQL = """
+SELECT o_orderkey,
+       ROUND(o_totalprice, 4) AS totalprice,
+       (SELECT COUNT(*) FROM {li} l
+        WHERE l.l_orderkey = o.o_orderkey) AS n_items
+FROM {od} o
+WHERE EXISTS (SELECT 1 FROM {li} l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+  AND o_totalprice > (SELECT MAX(o_totalprice) FROM {od}) / 2
+ORDER BY o_orderkey
+"""
+
+
+@dq(
+    "q19_subqueries",
+    oracle=_Q19_SQL.format(li="lineitem", od="orders"),
+    covers="J4,A1,F7",
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__q19_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__q19_lineitem")
+    return spark.sql(_Q19_SQL.format(li="__q19_lineitem", od="__q19_orders"))
