@@ -642,3 +642,70 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("__q19_orders")
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__q19_lineitem")
     return spark.sql(_Q19_SQL.format(li="__q19_lineitem", od="__q19_orders"))
+
+
+# ---------------------------------------------------------------------------
+# q28 — pivot: event_type → columns (wide analytics face of A1)
+# ---------------------------------------------------------------------------
+#
+# Explicit value list (the scale-correct form — pivot without values
+# triggers a driver-side distinct scan to discover columns). Oracle uses
+# conditional aggregation, the engine-portable formulation of the same
+# plan. Spark pivot yields NULL for empty cells; coalesced to 0 to match
+# COUNT FILTER semantics.
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@dq(
+    "q28_pivot_event_counts",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}"
+                      for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    covers="A1,F10",
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    wide = (
+        events.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# q29 — unpivot/melt: wide → long (inverse of q28)
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q29_unpivot_stats",
+    oracle="""
+    SELECT s_suppkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT s_suppkey, 'acctbal' AS metric, ROUND(s_acctbal, 4) AS val
+      FROM supplier
+      UNION ALL
+      SELECT s_suppkey, 'nationkey' AS metric, CAST(s_nationkey AS DOUBLE)
+      FROM supplier
+    )
+    ORDER BY s_suppkey, metric
+    """,
+    covers="T1,U4",
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    prepared = supplier.select(
+        "s_suppkey",
+        F.round("s_acctbal", 4).alias("acctbal"),
+        F.col("s_nationkey").cast("double").alias("nationkey"),
+    )
+    return prepared.unpivot(
+        ["s_suppkey"], ["acctbal", "nationkey"], "metric", "val"
+    ).orderBy("s_suppkey", "metric")
