@@ -444,3 +444,53 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q63 — native session windows (F.session_window), batch face of R3
+# ---------------------------------------------------------------------------
+#
+# The same 8h-gap semantics as q38 expressed with Spark's built-in
+# session_window (usable batch AND streaming). The oracle derives
+# sessions with lag + cumulative sum — the portable formulation — and
+# reports each session's start timestamp; agreement proves the built-in
+# window's gap semantics match the hand-rolled sessionization.
+
+@dq(
+    "q63_session_window",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= {_SESSION_GAP_US}
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, tts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY tts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM t
+    )
+    SELECT user_id,
+           CAST(MIN(tts) AS TIMESTAMP) AS session_start,
+           COUNT(*) AS n
+    FROM s GROUP BY user_id, session_id ORDER BY user_id, session_start
+    """,
+    covers="R3,A7",
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "8 hours").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n"
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -9,6 +9,8 @@ from datetime import datetime
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import SF_SMALL
+
 from questdb_etl_jobs_spark.operators.asof import asof_join
 from questdb_etl_jobs_spark.operators.dedup import (
     exact_dedup,
@@ -328,3 +330,28 @@ def test_cosine_topk_matches_bruteforce(spark):
     assert [r["vec_id"] for r in got] == [v[0] for v in expected]
     for r, (vid, v) in zip(got, expected):
         assert r["cosine"] == pytest.approx(cos(v, probe), abs=1e-12)
+
+
+def test_approx_distinct_within_declared_error(spark):
+    """A3's sketch is rows-only in the driver gate (DuckDB can't replay
+    Spark's HLL++); this pins the accuracy contract instead: every group
+    estimate within 5x the declared 1% relative error of the exact count
+    (HLL++ rsd is a standard deviation, not a hard bound)."""
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    events = load_table(spark, SF_SMALL, "events")
+    approx = {
+        r["event_type"]: r["a"]
+        for r in events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("a"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["e"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("e"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for etype, e in exact.items():
+        assert abs(approx[etype] - e) <= max(1, 0.05 * e), (etype, approx[etype], e)
