@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis): operators vs brute-force CPython
+models on randomized inputs. Complements the fixed-seed oracle gate —
+these sweep the corners the fixtures don't (ties, empty partitions,
+duplicate timestamps, single-token docs)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from questdb_etl_jobs_spark.operators.asof import asof_join
+from questdb_etl_jobs_spark.operators.dedup import ngram_jaccard_pairs
+
+_BASE = datetime(2024, 1, 1)
+
+_events = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=25
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_events, right=_events, strict=st.booleans())
+def test_asof_join_matches_bruteforce(spark, left, right, strict):
+    ldf = spark.createDataFrame(
+        [(k, _BASE + timedelta(minutes=m), i) for i, (k, m) in enumerate(left)],
+        "k long, ts timestamp, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _BASE + timedelta(minutes=m), i) for i, (k, m) in enumerate(right)],
+        "k long, ts timestamp, rid long",
+    )
+    if not left:
+        return  # empty left: nothing to assert (createDataFrame keeps schema)
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            ldf, rdf, on="ts", by=["k"], strict=strict, how="left"
+        ).collect()
+    }
+    # brute force: latest right at-or-before (or strictly before); ties on
+    # right ts broken by the operator's documented tiebreak (max rid).
+    for i, (k, m) in enumerate(left):
+        cands = [
+            (rm, j)
+            for j, (rk, rm) in enumerate(right)
+            if rk == k and (rm < m if strict else rm <= m)
+        ]
+        expected = max(cands)[1] if cands else None
+        assert got[i] == expected, (i, k, m, strict, cands)
+
+
+_docs = st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=1, max_size=8).map(" ".join),
+    min_size=0,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_docs)
+def test_ngram_jaccard_exact_matches_bruteforce(spark, texts):
+    if not texts:
+        return
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["n_union"])
+        for r in ngram_jaccard_pairs(
+            df, "id", "text", threshold_num=1, threshold_den=2, shingle_words=2
+        ).collect()
+    }
+
+    def shingles(t: str) -> frozenset[str]:
+        toks = t.split(" ")
+        n = max(len(toks) - 1, 1)
+        return frozenset(" ".join(toks[i : i + 2]) for i in range(n))
+
+    sets = [shingles(t) for t in texts]
+    expected = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter > 0 and 2 * inter >= union:
+                expected[(a, b)] = (inter, union)
+    assert got == expected
