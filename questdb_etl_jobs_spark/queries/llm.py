@@ -1006,3 +1006,109 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(frame_counts, "doc_id")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q64 — corpus curation capstone: profile → filter → dedup (EXT)
+# ---------------------------------------------------------------------------
+#
+# The end-to-end LLM training-data shape: score every document
+# (text_profile), keep high-quality English docs of useful length, then
+# drop near-duplicates by suffix-8-token fingerprint with a
+# deterministic min-id winner (the mutated corpus guarantees real
+# duplicate groups: each original and its first-word-dropped mutation
+# share the suffix). Everything is one declarative plan — profile
+# expressions fused into the scan, one shuffle for the dedup aggregate.
+
+def _q64_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    score_sql = {
+        lang: (
+            "len(list_filter(toks, "
+            f"x -> list_contains([{', '.join(repr(w) for w in ws)}], x)))"
+        )
+        for lang, ws in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(score_sql.values()) + ")"
+    lang_case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN {score_sql[lang]} = {best} THEN '{lang}'"
+        for lang in LANG_MARKERS
+    ) + " END"
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000,
+             CASE WHEN strpos(text, ' ') > 0
+                  THEN substring(text, strpos(text, ' ') + 1)
+                  ELSE text END
+      FROM documents
+    ), m AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n_tokens,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                       / length(text)
+                  ELSE 0.0::DOUBLE END AS p_ratio,
+             len(list_filter(string_split(text, ' '),
+                             x -> list_contains([{stop_list}], x)))
+               / len(string_split(text, ' ')) AS s_ratio,
+             list_sum(list_transform(string_split(text, ' '),
+                                     x -> length(x)))
+               / len(string_split(text, ' ')) AS awl
+      FROM corpus
+    ), scored AS (
+      SELECT doc_id, text, toks, n_tokens,
+             0.3::DOUBLE * least(length(text) / 400.0::DOUBLE, 1.0::DOUBLE)
+             + 0.3::DOUBLE * greatest(0.0::DOUBLE,
+                                      1.0::DOUBLE - p_ratio * 10.0::DOUBLE)
+             + 0.2::DOUBLE * (CASE WHEN awl >= 3 AND awl <= 10
+                              THEN 1.0::DOUBLE ELSE 0.3::DOUBLE END)
+             + 0.2::DOUBLE * least(s_ratio * 5.0::DOUBLE, 1.0::DOUBLE)
+               AS quality,
+             {lang_case} AS lang_guess
+      FROM m
+    ), kept AS (
+      SELECT doc_id, n_tokens, quality,
+             array_to_string(toks[greatest(len(toks) - 7, 1):len(toks)], ' ')
+               AS fp
+      FROM scored
+      WHERE quality >= 0.85::DOUBLE AND lang_guess = 'en' AND n_tokens >= 20
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           {spark_round4("quality", "quality")}
+    FROM kept
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    ORDER BY doc_id
+    """
+
+
+@dq("q64_curation_pipeline", oracle=_q64_oracle, covers="EXT,F6,A1,W1")
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _mutated_corpus(docs)
+    prof = text_profile(corpus, "text")
+    toks = F.split("text", " ")
+    kept = (
+        prof.filter(
+            (F.col("quality") >= 0.85)
+            & (F.col("lang_guess") == "en")
+            & (F.col("n_tokens") >= 20)
+        )
+        .withColumn(
+            "__fp",
+            F.array_join(
+                F.slice(toks, F.greatest(F.size(toks) - 7, F.lit(1)), 8), " "
+            ),
+        )
+    )
+    deduped = exact_dedup(
+        kept.select("doc_id", "n_tokens", "quality", "__fp"),
+        on=["__fp"],
+        id_col="doc_id",
+    )
+    return deduped.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round("quality", 4).alias("quality"),
+    ).orderBy("doc_id")
