@@ -494,3 +494,46 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# q65 — multiset set ops: INTERSECT ALL / EXCEPT ALL (T2 completion)
+# ---------------------------------------------------------------------------
+#
+# The bag-semantics variants q35's distinct forms don't cover —
+# duplicates preserved by multiplicity (Catalyst plans them as
+# aggregate+generate, no row-id hacks).
+
+@dq(
+    "q65_set_ops_all",
+    oracle="""
+    SELECT 'intersect_all' AS op, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT ALL
+      SELECT user_id FROM events WHERE event_type = 'error'
+    )
+    UNION ALL
+    SELECT 'except_all' AS op, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT ALL
+      SELECT user_id FROM events WHERE event_type = 'click'
+    )
+    ORDER BY op, user_id
+    """,
+    covers="T2",
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    def users(event_type: str) -> DataFrame:
+        return events.filter(F.col("event_type") == event_type).select("user_id")
+
+    tagged = (
+        users("purchase").intersectAll(users("error"))
+        .select(F.lit("intersect_all").alias("op"), "user_id")
+        .unionByName(
+            users("purchase").exceptAll(users("click"))
+            .select(F.lit("except_all").alias("op"), "user_id")
+        )
+    )
+    return tagged.orderBy("op", "user_id")

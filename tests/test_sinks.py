@@ -90,3 +90,31 @@ def test_sample_frames_stride(spark):
     out = sample_frames(df, "n_frames", every=4)
     got = sorted((r["doc_id"], r["frame_idx"]) for r in out.collect())
     assert got == [(1, 0), (1, 4), (1, 8), (2, 0)]
+
+
+def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from questdb_etl_jobs_spark.sources.json_source import read_jsonl, write_jsonl
+
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "this is not json\n"
+        '{"id": "NaNope", "v": "c"}\n'  # wrong type -> corrupt under schema
+        '{"id": 4, "v": "d"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    # Cache before corrupt-only queries: Spark disallows plans that read
+    # ONLY _corrupt_record from a raw JSON scan (see read_jsonl docstring).
+    df = read_jsonl(spark, str(src), schema).cache()
+    good = df.filter(df._corrupt_record.isNull()).select("id", "v")
+    bad = df.filter(df._corrupt_record.isNotNull())
+    assert sorted(r["id"] for r in good.collect()) == [1, 4]
+    assert bad.count() == 2  # the non-JSON line and the mistyped id
+    out = tmp_path / "out"
+    write_jsonl(good, str(out), mode="overwrite")
+    back = read_jsonl(spark, str(out), schema)
+    assert sorted(r["id"] for r in back.collect()) == [1, 4]
