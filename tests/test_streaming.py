@@ -236,3 +236,47 @@ def test_stable_id_null_patterns_distinct(spark):
     )
     ids = [r["id"] for r in df.select(stable_id("x", "y").alias("id")).collect()]
     assert len(set(ids)) == 4  # concat_ws would collapse the first two
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """R3 session windows on the STREAMING engine: session_window over the
+    hourly fixture stream equals the same expression on a batch read
+    (q63 proves the batch face against the DuckDB oracle; this closes
+    the loop to readStream)."""
+    from questdb_etl_jobs_spark.pipeline import anonymize_and_cast
+    from questdb_etl_jobs_spark.sources.csv_source import read_purchases_csv
+    from questdb_etl_jobs_spark.streaming.file_stream import stream_purchases_csv
+
+    def sessions(df):
+        return (
+            df.groupBy(
+                F.session_window("purchase_date", "10 minutes").alias("w"),
+                "buyer",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "buyer",
+                F.col("w.start").alias("session_start"),
+                "n",
+            )
+        )
+
+    stream = anonymize_and_cast(
+        stream_purchases_csv(spark, str(FIXTURES / "purchases"))
+    ).withWatermark("purchase_date", "0 seconds")
+    q = (
+        sessions(stream)
+        .writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM session_test").collect())
+    )
+    batch = anonymize_and_cast(read_purchases_csv(spark, str(FIXTURES / "purchases")))
+    expected = sorted(map(tuple, sessions(batch).collect()))
+    assert got == expected and len(got) > 0
