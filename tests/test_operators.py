@@ -355,3 +355,33 @@ def test_approx_distinct_within_declared_error(spark):
     assert set(approx) == set(exact)
     for etype, e in exact.items():
         assert abs(approx[etype] - e) <= max(1, 0.05 * e), (etype, approx[etype], e)
+
+
+def test_ngram_jaccard_capped_path_exact_counts(spark):
+    """df_cap path: a boilerplate shingle over the cap is dropped from
+    candidate generation, but a pair connected by ANY rare shingle is
+    still found — and its n_inter/n_union come from the FULL shingle
+    sets (verify join), not the capped postings."""
+    boiler = "end of document footer text"  # appears in every doc
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta " + boiler),
+            (2, "alpha beta gamma delta " + boiler),  # near-dup of 1
+            (3, "one two three four five " + boiler),
+            (4, "six seven eight nine ten " + boiler),
+            (5, "eleven twelve thirteen fourteen " + boiler),
+        ],
+        "id long, text string",
+    )
+    # cap=3: every shingle wholly inside the shared footer has DF 5 → capped;
+    # the pair (1,2) still surfaces via its rare 'alpha beta gamma' shingles.
+    pairs = ngram_jaccard_pairs(
+        docs, "id", "text", threshold_num=4, threshold_den=5, df_cap=3
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    row = pairs[0]
+    # identical docs: full sets equal → inter == union (includes the
+    # capped footer shingles, proving the verify join used full arrays)
+    # 9 tokens → 7 distinct 3-gram shingles, including the capped footer
+    # ones — proving the verify join used full arrays.
+    assert row["n_inter"] == row["n_union"] == 7
