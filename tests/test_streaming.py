@@ -280,3 +280,56 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     batch = anonymize_and_cast(read_purchases_csv(spark, str(FIXTURES / "purchases")))
     expected = sorted(map(tuple, sessions(batch).collect()))
     assert got == expected and len(got) > 0
+
+
+def test_watermark_drops_late_rows_in_windowed_agg(spark, tmp_path):
+    """R4 negative case: with update-mode windowed aggregation and a
+    0-second watermark, a window whose close the watermark has passed
+    rejects late rows — a second micro-batch containing only
+    older-than-watermark events adds NOTHING to the store."""
+    import shutil
+
+    from questdb_etl_jobs_spark.pipeline import anonymize_and_cast
+    from questdb_etl_jobs_spark.streaming.file_stream import (
+        stream_purchases_csv,
+        tumbling_counts,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # Batch 1: the 12:00 and 13:00 exports — advances the watermark to the
+    # max seen event time (~13:59).
+    shutil.copy(FIXTURES / "purchases" / "2021-03-21T12.csv", src)
+    shutil.copy(FIXTURES / "purchases" / "2021-03-21T13.csv", src)
+
+    out = tmp_path / "out"
+
+    def run_once():
+        # Parquet sink (not memory) so the second run can RESUME the same
+        # checkpoint — that's what carries the watermark across runs.
+        stream = anonymize_and_cast(stream_purchases_csv(spark, str(src)))
+        typed = stream.withWatermark("purchase_date", "0 seconds")
+        q = (
+            tumbling_counts(typed, "purchase_date", "1 hour")
+            .selectExpr("win.start AS win_start", "n")
+            .writeStream.format("parquet")
+            .outputMode("append")  # append emits only CLOSED windows
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["win_start"].isoformat(): r["n"]
+            for r in spark.read.parquet(str(out)).collect()
+        }
+
+    first = run_once()
+    # Only the 12:00 window is closed (13:00 still open at watermark).
+    assert sum(first.values()) == 180 and len(first) == 1
+    # Batch 2: the 11:00 export arrives LATE — entirely behind the
+    # watermark, so the already-finalized region gains no new windows.
+    shutil.copy(FIXTURES / "purchases" / "2021-03-21T11.csv", src)
+    second = run_once()
+    assert second == first  # late rows dropped; no 11:00 window ever emitted
