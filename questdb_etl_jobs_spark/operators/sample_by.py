@@ -9,7 +9,7 @@ come from Catalyst; one shuffle keyed by (bucket, keys…).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Buckets accepted as date_trunc units (calendar-aligned, matches the
@@ -38,3 +38,89 @@ def sample_by(
         bucket_expr = F.window(F.col(ts), bucket).getField("start")
     grouped = df.groupBy(bucket_expr.alias(bucket_col), *(keys or []))
     return grouped.agg(*aggs)
+
+
+def fill_gaps(
+    agg: DataFrame,
+    bucket_col: str,
+    step: str,
+    keys: list[str] | None = None,
+    fill: dict[str, object] | None = None,
+) -> DataFrame:
+    """QuestDB ``SAMPLE BY … FILL(…)``: densify a bucketed aggregate.
+
+    Generates the dense bucket grid spanning the aggregate's global
+    [min, max] bucket range (× the distinct ``keys`` when grouped), left
+    joins the sparse aggregate onto it, and fills each column per
+    ``fill[col]``:
+
+    - ``"null"``  — leave the gap NULL (QuestDB FILL(NULL); the default);
+    - ``("value", v)`` — constant (FILL(value));
+    - ``"prev"``  — carry the previous non-null value forward (FILL(PREV));
+    - ``"linear"`` — interpolate between the surrounding non-null values
+      by bucket-timestamp fraction (FILL(LINEAR)); leading/trailing gaps
+      stay NULL, matching QuestDB.
+
+    Scale: operates on AGGREGATE space, not input space — grid size is
+    ``n_buckets × n_keys`` regardless of input rows. The bounds reduce to
+    one row; the grid join and the fill windows shuffle by ``keys`` (one
+    exchange feeds both window frames). With no keys the fill window is a
+    single partition — bounded by the time span / bucket, not by data.
+    """
+    keys = keys or []
+    fill = fill or {}
+    step = step if " " in step else f"1 {step}"
+    bounds = agg.select(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))
+        ).alias(bucket_col)
+    )
+    if keys:
+        grid = grid.crossJoin(agg.select(*keys).distinct())
+    out = grid.join(agg, on=[bucket_col, *keys], how="left")
+
+    w = Window.partitionBy(*keys).orderBy(bucket_col)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    for col, mode in fill.items():
+        c = F.col(col)
+        if mode == "null":
+            continue
+        if isinstance(mode, tuple) and mode[0] == "value":
+            out = out.withColumn(col, F.coalesce(c, F.lit(mode[1])))
+        elif mode == "prev":
+            out = out.withColumn(
+                col, F.last(c, ignorenulls=True).over(w_prev)
+            )
+        elif mode == "linear":
+            at = F.when(c.isNotNull(), F.col(bucket_col))
+            v0 = F.last(c, ignorenulls=True).over(w_prev)
+            t0 = F.last(at, ignorenulls=True).over(w_prev)
+            v1 = F.first(c, ignorenulls=True).over(w_next)
+            t1 = F.first(at, ignorenulls=True).over(w_next)
+            frac = (
+                (F.unix_micros(F.col(bucket_col)) - F.unix_micros(t0))
+                .cast("double")
+                / (F.unix_micros(t1) - F.unix_micros(t0)).cast("double")
+            )
+            out = out.withColumn(col, F.coalesce(c, v0 + (v1 - v0) * frac))
+        else:  # pragma: no cover - guard against typos in callers
+            raise ValueError(f"unknown fill mode {mode!r} for {col}")
+    return out
+
+
+def sample_by_fill(
+    df: DataFrame,
+    ts: str,
+    bucket: str,
+    aggs: list[Column],
+    keys: list[str] | None = None,
+    fill: dict[str, object] | None = None,
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """``SAMPLE BY bucket FILL(...)`` — aggregate then densify."""
+    agg = sample_by(df, ts, bucket, aggs, keys, bucket_col)
+    return fill_gaps(agg, bucket_col, bucket, keys, fill)

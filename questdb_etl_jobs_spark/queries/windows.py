@@ -21,8 +21,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from questdb_etl_jobs_spark.queries import dq
-from questdb_etl_jobs_spark.queries._protocol import sum4
+from questdb_etl_jobs_spark.queries._protocol import avg4, sum4
 from questdb_etl_jobs_spark.operators.latest import latest_on
+from questdb_etl_jobs_spark.operators.sample_by import fill_gaps, sample_by
 from questdb_etl_jobs_spark.sources.tables import load_table
 
 
@@ -493,6 +494,87 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.col("w.start").alias("session_start"), "n"
         )
         .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q66 — SAMPLE BY … FILL (A7 completion; QuestDB FILL(value/PREV/LINEAR),
+#        reference README.md:70-71 time-series surface)
+# ---------------------------------------------------------------------------
+#
+# Hourly per-type aggregate densified over the global [min, max] hour grid:
+# counts FILL(0), one avg column FILL(PREV), one FILL(LINEAR). The linear
+# interpolation is the identical IEEE expression on both faces
+# (v0 + (v1-v0) * (Δt/span) over exact 4-decimal inputs), so raw doubles
+# compare bit-exact; leading/trailing gaps stay NULL as in QuestDB.
+
+@dq(
+    "q66_sample_by_fill",
+    oracle=f"""
+    WITH agg AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+             event_type, COUNT(*) AS n, {avg4("value", "avg_value")}
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM agg
+    ), grid AS (
+      SELECT g.bucket_ts, k.event_type
+      FROM (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour'))
+                     AS bucket_ts
+            FROM bounds) g
+      CROSS JOIN (SELECT DISTINCT event_type FROM agg) k
+    ), j AS (
+      SELECT g.bucket_ts, g.event_type, a.n, a.avg_value
+      FROM grid g LEFT JOIN agg a
+        ON a.bucket_ts = g.bucket_ts AND a.event_type = g.event_type
+    ), f AS (
+      SELECT bucket_ts, event_type, COALESCE(n, 0) AS n, avg_value,
+             LAST_VALUE(avg_value IGNORE NULLS) OVER wp AS v0,
+             LAST_VALUE(CASE WHEN avg_value IS NOT NULL THEN bucket_ts END
+                        IGNORE NULLS) OVER wp AS t0,
+             FIRST_VALUE(avg_value IGNORE NULLS) OVER wn AS v1,
+             FIRST_VALUE(CASE WHEN avg_value IS NOT NULL THEN bucket_ts END
+                         IGNORE NULLS) OVER wn AS t1
+      FROM j
+      WINDOW wp AS (PARTITION BY event_type ORDER BY bucket_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY event_type ORDER BY bucket_ts
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT bucket_ts, event_type, n,
+           v0 AS avg_prev,
+           COALESCE(avg_value,
+                    v0 + (v1 - v0)
+                         * (CAST(epoch_us(bucket_ts) - epoch_us(t0) AS DOUBLE)
+                            / CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE)))
+             AS avg_lin
+    FROM f ORDER BY bucket_ts, event_type
+    """,
+    covers="A7,W2,F5",
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    agg = sample_by(
+        events,
+        ts="ts",
+        bucket="hour",
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.expr(avg4("value", "avg_value")),
+        ],
+        keys=["event_type"],
+    ).withColumn("avg_prev", F.col("avg_value"))
+    filled = fill_gaps(
+        agg,
+        bucket_col="bucket_ts",
+        step="hour",
+        keys=["event_type"],
+        fill={"n": ("value", 0), "avg_prev": "prev", "avg_value": "linear"},
+    )
+    return (
+        filled.withColumnRenamed("avg_value", "avg_lin")
+        .select("bucket_ts", "event_type", "n", "avg_prev", "avg_lin")
+        .orderBy("bucket_ts", "event_type")
     )
 
 

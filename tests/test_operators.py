@@ -385,3 +385,38 @@ def test_ngram_jaccard_capped_path_exact_counts(spark):
     # 9 tokens → 7 distinct 3-gram shingles, including the capped footer
     # ones — proving the verify join used full arrays.
     assert row["n_inter"] == row["n_union"] == 7
+
+
+def test_fill_gaps_modes(spark):
+    """FILL semantics on a hand-built sparse bucketed aggregate: value-0,
+    prev carry-forward, linear interpolation, and NULL edges (QuestDB
+    FILL(NULL) behavior outside the first/last observed bucket)."""
+    from questdb_etl_jobs_spark.operators.sample_by import fill_gaps
+
+    agg = spark.createDataFrame(
+        [
+            (_ts("2024-01-01T01:00:00"), "a", 2, 10.0),
+            (_ts("2024-01-01T04:00:00"), "a", 4, 40.0),
+            (_ts("2024-01-01T02:00:00"), "b", 1, 5.0),
+        ],
+        "bucket_ts timestamp, k string, n long, v double",
+    ).withColumn("v_prev", F.col("v"))
+    out = fill_gaps(
+        agg, "bucket_ts", "hour", keys=["k"],
+        fill={"n": ("value", 0), "v_prev": "prev", "v": "linear"},
+    )
+    rows = {
+        (r["k"], r["bucket_ts"].hour): (r["n"], r["v_prev"], r["v"])
+        for r in out.collect()
+    }
+    # Grid spans the GLOBAL [min, max] = 01:00..04:00 for both keys.
+    assert len(rows) == 8
+    # Key a: gap hours 2 and 3 interpolate 10 -> 40 linearly.
+    assert rows[("a", 2)] == (0, 10.0, 20.0)
+    assert rows[("a", 3)] == (0, 10.0, 30.0)
+    assert rows[("a", 1)] == (2, 10.0, 10.0)
+    # Key b: observed only at 02:00 — leading hour has no prev (NULL),
+    # trailing hours carry prev forward but linear stays NULL (no next).
+    assert rows[("b", 1)] == (0, None, None)
+    assert rows[("b", 3)] == (0, 5.0, None)
+    assert rows[("b", 4)] == (0, 5.0, None)
