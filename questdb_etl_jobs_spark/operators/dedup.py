@@ -241,6 +241,72 @@ def near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(
+    edges: DataFrame, id_a: str, id_b: str, max_iter: int = 50
+) -> DataFrame:
+    """Connected components over an undirected duplicate-edge list.
+
+    Near-dup detection yields PAIRS; picking one canonical document per
+    duplicate *group* needs the transitive closure (A~B, B~C ⇒ {A,B,C}
+    even when A~C is below threshold). Returns (node, cluster) for every
+    edge endpoint, ``cluster`` = min node id in the component — the
+    deterministic canonical-winner rule exact_dedup uses.
+
+    Min-label propagation: each round every node takes the min of its own
+    and its neighbors' labels; converges in O(component diameter) rounds
+    (dup chains are shallow — typically ≤5). Per round: one equi-join of
+    the symmetric edge list with the label table + a min-aggregate, both
+    hash-partitioned on node id; lineage is truncated per round
+    (localCheckpoint here; use a reliable checkpoint dir on a real
+    cluster) so the plan doesn't grow. The driver loop is control flow
+    only — the convergence check ships ONE scalar (sum of labels, which
+    strictly decreases until fixpoint), never data.
+
+    For adversarially deep components (million-hop chains) swap in the
+    large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — same fixpoint, fewer
+    rounds; not needed for dup graphs.
+    """
+    src, dst = "__cc_src", "__cc_dst"
+    sym = (
+        edges.select(F.col(id_a).alias(src), F.col(id_b).alias(dst))
+        .unionByName(edges.select(F.col(id_b).alias(src), F.col(id_a).alias(dst)))
+        .localCheckpoint()  # re-read every round; cut the upstream plan
+    )
+    labels = (
+        sym.select(F.col(src).alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node", dst), dst)
+            .groupBy(src)
+            .agg(F.min("cluster").alias("__nbr"))
+            .withColumnRenamed(src, "node")
+        )
+        labels = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("cluster"), F.coalesce("__nbr", F.col("cluster"))
+            ).alias("cluster"),
+        ).localCheckpoint()
+        # Labels are monotone non-increasing: an unchanged sum ⇔ fixpoint.
+        cur = labels.agg(
+            F.sum(F.col("cluster").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

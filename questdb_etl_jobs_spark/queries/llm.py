@@ -42,6 +42,7 @@ from questdb_etl_jobs_spark.functions.text import (
 )
 from questdb_etl_jobs_spark.functions.vectors import cosine_similarity, dot, norm
 from questdb_etl_jobs_spark.operators.dedup import (
+    dup_clusters,
     exact_dedup,
     hamming,
     lsh_candidate_pairs,
@@ -1112,3 +1113,112 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("int").alias("n_tokens"),
         F.round("quality", 4).alias("quality"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q67 — duplicate-CLUSTER resolution: connected components over near-dup
+#        edges (EXT dedup completion)
+# ---------------------------------------------------------------------------
+#
+# Near-dup pairs alone can't pick one canonical doc per duplicate GROUP:
+# A~B and B~C must land in one cluster even when A~C is below threshold.
+# The corpus is a 3-deep mutation chain per document (original, drop first
+# word, drop first two words); edges are EXACT n-gram Jaccard >= 0.6
+# (integer-compared), clusters come from min-label propagation
+# (operators/dedup.py dup_clusters). The oracle recomputes everything in
+# CPython: brute-force pairs + union-find — transitive closure included.
+
+def _chain_drop_first(col: str = "text"):
+    return F.expr(f"substring({col}, locate(' ', {col}) + 1)")
+
+
+def _chained_corpus(docs: DataFrame) -> DataFrame:
+    base = docs.select("doc_id", "text")
+    m1 = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        _chain_drop_first().alias("text"),
+    )
+    m2 = m1.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        _chain_drop_first().alias("text"),
+    )
+    return base.unionByName(m1).unionByName(m2)
+
+
+def _q67_oracle() -> str:
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{ORACLE_SF_DIR}/documents.parquet'"
+        " ORDER BY doc_id"
+    ).fetchall()
+
+    def drop_first(t: str) -> str:
+        i = t.find(" ")
+        return t[i + 1 :] if i >= 0 else t
+
+    corpus: list[tuple[int, frozenset[str]]] = []
+    for doc_id, text in rows:
+        m1 = drop_first(text)
+        corpus.append((doc_id, _py_shingles(text)))
+        corpus.append((doc_id + 100000, _py_shingles(m1)))
+        corpus.append((doc_id + 200000, _py_shingles(drop_first(m1))))
+    corpus.sort()
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x: int, y: int) -> None:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for i, (id_a, sh_a) in enumerate(corpus):
+        for id_b, sh_b in corpus[i + 1 :]:
+            inter = len(sh_a & sh_b)
+            if 5 * inter >= 3 * len(sh_a | sh_b):
+                union(id_a, id_b)
+
+    members: dict[int, list[int]] = {}
+    for node in parent:
+        members.setdefault(find(node), []).append(node)
+    out = []
+    for root, nodes in members.items():
+        for node in nodes:
+            out.append(f"({node}, {root}, {len(nodes)})")
+    values = ",\n      ".join(sorted(out, key=lambda s: int(s[1:].split(",")[0])))
+    return f"""
+    SELECT CAST(node AS BIGINT) AS doc_id, CAST(cluster AS BIGINT) AS cluster,
+           CAST(csize AS BIGINT) AS csize
+    FROM (VALUES
+      {values}
+    ) AS t(node, cluster, csize)
+    ORDER BY doc_id
+    """
+
+
+@dq("q67_dup_clusters", oracle=_q67_oracle, covers="EXT,J1,A1,U4")
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _chained_corpus(docs)
+    edges = ngram_jaccard_pairs(
+        corpus,
+        "doc_id",
+        "text",
+        threshold_num=3,
+        threshold_den=5,
+        shingle_words=3,
+        df_cap=None,
+    )
+    clusters = dup_clusters(edges, "doc_id_a", "doc_id_b")
+    sizes = clusters.groupBy("cluster").agg(F.count(F.lit(1)).alias("csize"))
+    return (
+        clusters.join(sizes, "cluster")
+        .select(F.col("node").alias("doc_id"), "cluster", "csize")
+        .orderBy("doc_id")
+    )

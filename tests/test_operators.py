@@ -420,3 +420,18 @@ def test_fill_gaps_modes(spark):
     assert rows[("b", 1)] == (0, None, None)
     assert rows[("b", 3)] == (0, 5.0, None)
     assert rows[("b", 4)] == (0, 5.0, None)
+
+
+def test_dup_clusters_transitive_chain(spark):
+    """A~B, B~C, D~E merges {A,B,C} via transitivity even with no A~C
+    edge; min node id wins as the cluster label."""
+    from questdb_etl_jobs_spark.operators.dedup import dup_clusters
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (3, 7)], "a long, b long"
+    )
+    got = {
+        r["node"]: r["cluster"]
+        for r in dup_clusters(edges, "a", "b").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
