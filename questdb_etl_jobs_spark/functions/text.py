@@ -201,3 +201,35 @@ def min_shingle_fingerprint(text: Column | str, k: int = 8) -> Column:
         lambda i: F.md5(t.substr(i, F.lit(k))),
     )
     return F.when(F.length(t) >= k, F.array_min(windows)).otherwise(F.md5(t))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: Patterns restricted to the Java-regex ∩ RE2 common subset so the
+#: differential oracle (DuckDB/RE2) runs the byte-identical pattern.
+EMAIL_PATTERN = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+LONG_NUMBER_PATTERN = r"[0-9]{6,}"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Scrub emails then long digit runs (ids, phones, cards) from text.
+
+    Order matters: emails go first so their local/domain digits don't get
+    half-replaced by the number pass. Pure codegen'd regexp_replace — the
+    standard pre-training scrub stays JVM-side at corpus scale.
+    """
+    t = _c(text)
+    t = F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(t, LONG_NUMBER_PATTERN, "<NUM>")
+
+
+def pii_counts(text: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_long_numbers) found in ``text`` (pre-redaction)."""
+    t = _c(text)
+    return (
+        F.regexp_count(t, F.lit(EMAIL_PATTERN)),
+        F.regexp_count(F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>"),
+                       F.lit(LONG_NUMBER_PATTERN)),
+    )

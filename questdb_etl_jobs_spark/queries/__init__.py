@@ -68,4 +68,5 @@ def _load() -> None:
         windows,
         llm,
         streaming_q,
+        training,
     )

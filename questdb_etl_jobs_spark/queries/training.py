@@ -1,0 +1,182 @@
+"""Declared queries: training-pipeline curation surface (sampling,
+packing, PII scrub) — the operations a 100 TB pre-training data pipeline
+runs between raw corpus and tokenizer.
+
+All three queries are pure integer / string transforms expressed
+identically in both engines (no float protocol needed): content-keyed
+sampling is a CASE over a multiplicative hash, packing is one cumulative
+window, redaction is a shared-regex-subset regexp_replace.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from questdb_etl_jobs_spark.functions.sampling import (
+    RESOLUTION,
+    sample_bucket,
+    stratified_sample,
+)
+from questdb_etl_jobs_spark.functions.text import (
+    EMAIL_PATTERN,
+    LONG_NUMBER_PATTERN,
+    pii_counts,
+    redact_pii,
+)
+from questdb_etl_jobs_spark.operators.packing import pack_sequences
+from questdb_etl_jobs_spark.queries import dq
+from questdb_etl_jobs_spark.queries._protocol import (
+    PURCHASES_SMALL,
+    duck_purchases,
+)
+from questdb_etl_jobs_spark.sources.csv_source import read_purchases_csv
+from questdb_etl_jobs_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# q68 — deterministic stratified sampling (corpus mixing)
+# ---------------------------------------------------------------------------
+#
+# Downsample the dominant strata, keep the rare one whole — decided by a
+# content-keyed multiplicative hash, not an RNG, so the sample is
+# identical across engines, partitionings, and reruns. Verified by
+# per-stratum kept-count AND the exact BIGINT sum of kept keys (a value-
+# level check on WHICH rows were kept, not just how many).
+
+_Q68_FRACTIONS = {"F": 0.10, "O": 0.05}
+_Q68_DEFAULT = 1.0
+
+
+@dq(
+    "q68_stratified_sample",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_kept,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+    FROM orders
+    WHERE (o_orderkey * 2654435761) % {RESOLUTION} <
+          CASE o_orderstatus
+            WHEN 'O' THEN {int(0.05 * RESOLUTION)}
+            WHEN 'F' THEN {int(0.10 * RESOLUTION)}
+            ELSE {int(RESOLUTION)} END
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    covers="EXT,P1,A1",
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    kept = stratified_sample(
+        orders,
+        key="o_orderkey",
+        strata_col="o_orderstatus",
+        fractions=_Q68_FRACTIONS,
+        default=_Q68_DEFAULT,
+    )
+    return (
+        kept.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("o_orderkey").alias("sum_keys"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q69 — sequence packing (concat-then-chunk into 512-token windows)
+# ---------------------------------------------------------------------------
+
+_Q69_BUDGET = 512
+_Q69_SHARDS = 4
+
+
+@dq(
+    "q69_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             doc_id % {_Q69_SHARDS} AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), s AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  - n_tokens AS BIGINT) AS strt
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           strt // {_Q69_BUDGET} AS bin,
+           strt % {_Q69_BUDGET} AS bin_offset,
+           (strt + n_tokens - 1) // {_Q69_BUDGET} - strt // {_Q69_BUDGET}
+             AS n_spans
+    FROM s ORDER BY doc_id
+    """,
+    covers="EXT,W3,U4",
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _Q69_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        sized, id_col="doc_id", tokens_col="n_tokens",
+        budget=_Q69_BUDGET, shard_col="shard",
+    )
+    return packed.select(
+        "doc_id", "shard", "n_tokens", "bin", "bin_offset", "n_spans"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q70 — PII redaction (emails, long digit runs) with match counts
+# ---------------------------------------------------------------------------
+#
+# The note column is synthesized from the purchases fixture (the corpus
+# tables deliberately contain no PII) so the redaction runs over real
+# email shapes. Patterns live in the Java-regex ∩ RE2 common subset —
+# both engines execute the byte-identical pattern.
+
+@dq(
+    "q70_pii_redact",
+    oracle=f"""
+    WITH t AS (
+      SELECT email,
+             'contact ' || email || ' account ' || item_id || quantity
+               || price || ' done' AS note
+      FROM {duck_purchases(PURCHASES_SMALL)}
+    )
+    SELECT email,
+           regexp_replace(regexp_replace(note, '{EMAIL_PATTERN}', '<EMAIL>',
+                                         'g'),
+                          '{LONG_NUMBER_PATTERN}', '<NUM>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(note, '{EMAIL_PATTERN}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(
+                  regexp_replace(note, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                  '{LONG_NUMBER_PATTERN}')) AS INT) AS n_nums
+    FROM t ORDER BY email
+    """,
+    covers="EXT,F6",
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = read_purchases_csv(spark, PURCHASES_SMALL)
+    noted = raw.select(
+        "email",
+        F.concat(
+            F.lit("contact "), F.col("email"), F.lit(" account "),
+            F.col("item_id"), F.col("quantity"), F.col("price"),
+            F.lit(" done"),
+        ).alias("note"),
+    )
+    n_emails, n_nums = pii_counts(F.col("note"))
+    return noted.select(
+        "email",
+        redact_pii(F.col("note")).alias("redacted"),
+        n_emails.cast("int").alias("n_emails"),
+        n_nums.cast("int").alias("n_nums"),
+    ).orderBy("email")

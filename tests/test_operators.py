@@ -435,3 +435,72 @@ def test_dup_clusters_transitive_chain(spark):
         for r in dup_clusters(edges, "a", "b").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_stratified_sample_content_keyed(spark):
+    """The sample is a pure function of the key: repartitioning doesn't
+    change membership, fraction 1.0 keeps everything, 0.0 drops all,
+    and distinct salts give different (decorrelated) samples."""
+    from questdb_etl_jobs_spark.functions.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    df = spark.range(0, 2000).withColumn(
+        "stratum", F.when(F.col("id") % 2 == 0, "a").otherwise("b")
+    )
+    kept = stratified_sample(
+        df, "id", "stratum", {"a": 0.2}, default=1.0
+    )
+    ids = {r["id"] for r in kept.collect()}
+    ids_repart = {
+        r["id"]
+        for r in stratified_sample(
+            df.repartition(13), "id", "stratum", {"a": 0.2}, default=1.0
+        ).collect()
+    }
+    assert ids == ids_repart
+    assert all(i in ids for i in range(1, 2000, 2))  # stratum b kept whole
+    n_a = sum(1 for i in ids if i % 2 == 0)
+    assert 0 < n_a < 1000  # stratum a thinned
+    s0 = {r["id"] for r in deterministic_sample(df, "id", 0.5, salt=0).collect()}
+    s1 = {r["id"] for r in deterministic_sample(df, "id", 0.5, salt=1).collect()}
+    assert s0 != s1 and len(s0) > 0 and len(s1) > 0
+
+
+def test_pack_sequences_boundaries(spark):
+    """Concat-then-chunk layout: offsets accumulate per shard in id
+    order; a doc straddling a window boundary reports n_spans >= 1."""
+    from questdb_etl_jobs_spark.operators.packing import pack_sequences
+
+    rows = [(1, 60), (2, 50), (3, 10), (4, 200)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    got = {
+        r["doc_id"]: (r["bin"], r["bin_offset"], r["n_spans"])
+        for r in pack_sequences(df, "doc_id", "n", budget=100).collect()
+    }
+    # doc1 [0,60) bin0; doc2 [60,110) crosses into bin1; doc3 [110,120)
+    # bin1; doc4 [120,320) crosses bins 1->3 (2 boundaries).
+    assert got == {
+        1: (0, 0, 0),
+        2: (0, 60, 1),
+        3: (1, 10, 0),
+        4: (1, 20, 2),
+    }
+
+
+def test_redact_pii_order_and_counts(spark):
+    """Emails are scrubbed before digit runs (no half-redacted emails);
+    short numbers survive; counts match."""
+    from questdb_etl_jobs_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [("mail a1234567@x.io then 9876543210 and 123 end",)], "t string"
+    )
+    n_e, n_n = pii_counts(F.col("t"))
+    row = df.select(
+        redact_pii(F.col("t")).alias("r"),
+        n_e.alias("ne"), n_n.alias("nn"),
+    ).collect()[0]
+    assert row["r"] == "mail <EMAIL> then <NUM> and 123 end"
+    assert (row["ne"], row["nn"]) == (1, 1)
