@@ -50,7 +50,31 @@ def _headline():
         "exact_dedup": "q46_exact_dedup",
         "sessionize": "q38_sessionize",
         "lang_id": "q58_lang_id_confusion",
+        "sample_by_fill": "q66_sample_by_fill",
+        "dup_clusters": _dup_clusters_lsh,
+        "seq_packing": "q69_sequence_packing",
+        "stratified_sample": "q68_stratified_sample",
     }
+
+
+def _dup_clusters_lsh(spark, sf_dir):
+    """Cluster resolution over LSH-candidate edges — the 100 TB path.
+
+    q67's correctness face uses the EXACT inverted-index edge generator at
+    a 0.6 threshold, which on this deliberately boilerplate-heavy synthetic
+    vocabulary (tiny word pool → giant posting lists) is quadratic at
+    sf0.1 — exactly the case the LSH path exists for. The bench therefore
+    times the deployment composition: MinHash→banded LSH→verify edges
+    (same operator the near_dup_lsh line times) → min-label-propagation
+    clusters.
+    """
+    from questdb_etl_jobs_spark.operators.dedup import dup_clusters, near_dup_pairs
+    from questdb_etl_jobs_spark.queries.llm import _chained_corpus
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    corpus = _chained_corpus(load_table(spark, sf_dir, "documents"))
+    edges = near_dup_pairs(corpus, "doc_id", "text", threshold=0.7)
+    return dup_clusters(edges, "doc_id_a", "doc_id_b")
 
 
 def _ensure_ingest_csv(n_rows: int) -> str:

@@ -70,6 +70,11 @@ def fill_gaps(
     keys = keys or []
     fill = fill or {}
     step = step if " " in step else f"1 {step}"
+    # Three consumers (bounds, distinct keys, the grid join) would each
+    # re-derive the aggregate from its INPUT — 3 scans of the raw table.
+    # Persisting the aggregate (bounded: n_buckets × n_keys rows, input-
+    # size-independent) makes it one input scan + in-memory re-reads.
+    agg = agg.persist()
     bounds = agg.select(
         F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
     )

@@ -709,3 +709,64 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepared.unpivot(
         ["s_suppkey"], ["acctbal", "nationkey"], "metric", "val"
     ).orderBy("s_suppkey", "metric")
+
+
+# ---------------------------------------------------------------------------
+# q74 — KMV distinct sketch (A3, VALUE-verified)
+# ---------------------------------------------------------------------------
+#
+# The deterministic counterpart of q27: the k smallest distinct xxhash64
+# values are a pure function of the data, so the CPython oracle (via the
+# golden-tested XXH64 mirror) reproduces the sketch frontier BIT-EXACTLY
+# and the estimate via the identical IEEE expression — approx-distinct
+# under the full value gate, not rows-only.
+
+_Q74_K = 32
+
+
+def _q74_oracle() -> str:
+    import struct
+
+    import duckdb
+
+    from questdb_etl_jobs_spark.queries._xxhash import xxh64_signed
+
+    rows = duckdb.sql(
+        "SELECT event_type, user_id FROM "
+        "'/root/testdata/sf0.01/events.parquet'"
+    ).fetchall()
+    by_type: dict[str, set[int]] = {}
+    for etype, uid in rows:
+        by_type.setdefault(etype, set()).add(uid)
+    out = []
+    for etype in sorted(by_type):
+        hashes = sorted(
+            xxh64_signed(struct.pack("<q", uid)) for uid in by_type[etype]
+        )
+        mins = hashes[:_Q74_K]
+        kth, n_min = mins[-1], len(mins)
+        if n_min < _Q74_K:
+            est = float(n_min)
+        else:
+            est = (_Q74_K - 1) / ((float(kth) + 2.0**63) / 2.0**64)
+        out.append(f"('{etype}', {kth}, {n_min}, {est!r})")
+    values = ",\n      ".join(out)
+    return f"""
+    SELECT event_type, CAST(kth_hash AS BIGINT) AS kth_hash,
+           CAST(n_min AS INT) AS n_min,
+           CAST(est_distinct AS DOUBLE) AS est_distinct
+    FROM (VALUES
+      {values}
+    ) AS t(event_type, kth_hash, n_min, est_distinct)
+    ORDER BY event_type
+    """
+
+
+@dq("q74_kmv_distinct", oracle=_q74_oracle, covers="A3,A2,W1")
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.sketch import kmv_distinct
+
+    events = load_table(spark, sf_dir, "events")
+    return kmv_distinct(
+        events, keys=["event_type"], value_col="user_id", k=_Q74_K
+    ).orderBy("event_type")

@@ -180,3 +180,61 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_emails.cast("int").alias("n_emails"),
         n_nums.cast("int").alias("n_nums"),
     ).orderBy("email")
+
+
+# ---------------------------------------------------------------------------
+# q73 — token-length histogram (corpus profiling before packing/filtering)
+# ---------------------------------------------------------------------------
+#
+# Fixed-width binning by integer arithmetic (bin = n_tokens DIV width) —
+# no width_bucket dialect differences, all-integer output. The per-bin
+# token sum is what sizes a packing run; the count is the length
+# distribution quality gates read.
+
+_Q73_BIN_WIDTH = 8
+
+
+@dq(
+    "q73_token_histogram",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT n_tokens // {_Q73_BIN_WIDTH} AS bin,
+           CAST(n_tokens // {_Q73_BIN_WIDTH} * {_Q73_BIN_WIDTH} AS BIGINT)
+             AS bin_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tok_total,
+           CAST(MIN(n_tokens) AS BIGINT) AS tok_min,
+           CAST(MAX(n_tokens) AS BIGINT) AS tok_max
+    FROM t GROUP BY bin ORDER BY bin
+    """,
+    covers="EXT,F7,A1",
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    binned = sized.withColumn(
+        "bin", F.expr(f"n_tokens DIV {_Q73_BIN_WIDTH}")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tok_total"),
+            F.min("n_tokens").alias("tok_min"),
+            F.max("n_tokens").alias("tok_max"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * _Q73_BIN_WIDTH).alias("bin_lo"),
+            "n_docs",
+            "tok_total",
+            "tok_min",
+            "tok_max",
+        )
+        .orderBy("bin")
+    )

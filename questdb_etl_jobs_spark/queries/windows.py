@@ -182,6 +182,37 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q71 — LATEST ON with composite partition key (W4 completion):
+#        QuestDB `LATEST ON ts PARTITION BY user_id, event_type`
+# ---------------------------------------------------------------------------
+
+@dq(
+    "q71_latest_composite_key",
+    oracle="""
+    SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           ROUND(value, 4) AS value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+    covers="W4,W1",
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    latest = latest_on(
+        events, ts="ts", key=["user_id", "event_type"], tiebreak=["event_id"]
+    )
+    return latest.select(
+        "user_id", "event_type", "event_id", "ts",
+        F.round("value", 4).alias("value"),
+    ).orderBy("user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
 # q34 — top-k by value (O2, DQ-34): TakeOrderedAndProject, no global sort
 # ---------------------------------------------------------------------------
 
@@ -576,6 +607,61 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket_ts", "event_type", "n", "avg_prev", "avg_lin")
         .orderBy("bucket_ts", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q72 — hourly VWAP (weighted average; QuestDB time-series staple)
+# ---------------------------------------------------------------------------
+#
+# vwap = Σ(value·w)/Σ(w) per (hour, type), weight w extracted from the
+# JSON props (F9 composing with A7). Σ(value·w) routes through the exact
+# decimal sum protocol; Σ(w) is a BIGINT — the division is one double op
+# on two order-independent operands, so the quotient is cross-engine
+# deterministic without rounding.
+
+@dq(
+    "q72_hourly_vwap",
+    oracle=f"""
+    WITH a AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+             event_type,
+             {sum4("value * CAST(json_extract_string(props, '$.k') AS BIGINT)",
+                   "wsum")},
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                  AS BIGINT) AS wtot
+      FROM events
+      GROUP BY bucket_ts, event_type
+    )
+    SELECT bucket_ts, event_type, wsum, wtot,
+           CASE WHEN wtot <> 0 THEN wsum / CAST(wtot AS DOUBLE) END AS vwap
+    FROM a ORDER BY bucket_ts, event_type
+    """,
+    covers="A7,F9,F7",
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    weighted = events.select("ts", "event_type", "value", k.alias("k"))
+    agg = sample_by(
+        weighted,
+        ts="ts",
+        bucket="hour",
+        aggs=[
+            F.expr(sum4("value * k", "wsum")),
+            F.sum("k").alias("wtot"),
+        ],
+        keys=["event_type"],
+    )
+    return agg.select(
+        "bucket_ts",
+        "event_type",
+        "wsum",
+        "wtot",
+        # ANSI-mode zero guard (zero-weight buckets exist in the data).
+        F.when(
+            F.col("wtot") != 0, F.col("wsum") / F.col("wtot").cast("double")
+        ).alias("vwap"),
+    ).orderBy("bucket_ts", "event_type")
 
 
 # ---------------------------------------------------------------------------

@@ -504,3 +504,22 @@ def test_redact_pii_order_and_counts(spark):
     ).collect()[0]
     assert row["r"] == "mail <EMAIL> then <NUM> and 123 end"
     assert (row["ne"], row["nn"]) == (1, 1)
+
+
+def test_kmv_distinct_exact_and_estimate(spark):
+    """Groups under k report exact counts; larger groups estimate within
+    a loose KMV error bound (k=64 -> ~12.5% stderr; assert 3 sigma)."""
+    from questdb_etl_jobs_spark.operators.sketch import kmv_distinct
+
+    df = spark.range(0, 5000).select(
+        F.when(F.col("id") < 10, "small").otherwise("big").alias("g"),
+        (F.col("id") % 2000).alias("v"),
+    )
+    got = {
+        r["g"]: (r["n_min"], r["est_distinct"])
+        for r in kmv_distinct(df, ["g"], "v", k=64).collect()
+    }
+    assert got["small"] == (10, 10.0)  # exact path
+    n_min, est = got["big"]
+    assert n_min == 64
+    assert abs(est - 1990) / 1990 < 0.40  # distinct vals 10..1999
