@@ -665,6 +665,52 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q75 — time-RANGE window frames (W3 completion): trailing 1 hour per user
+# ---------------------------------------------------------------------------
+#
+# RANGE frames are value-based (every peer within the interval joins the
+# frame, however many rows that is) — the idiom behind "events in the
+# last hour" features; rowsBetween (q32) cannot express it. Ordered on
+# integer µs so both engines use the identical numeric range; aggregates
+# are count + BIGINT sum + max(double) — all accumulation-order-free, so
+# no float protocol is needed.
+
+_HOUR_US = 3_600_000_000
+
+
+@dq(
+    "q75_trailing_hour_range",
+    oracle=f"""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                OVER w AS BIGINT) AS sum_k_1h,
+           MAX(value) OVER w AS max_v_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                 RANGE BETWEEN {_HOUR_US} PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    covers="W3,F9",
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_HOUR_US, 0)
+    )
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(k).over(w).alias("sum_k_1h"),
+        F.max("value").over(w).alias("max_v_1h"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
 # q65 — multiset set ops: INTERSECT ALL / EXCEPT ALL (T2 completion)
 # ---------------------------------------------------------------------------
 #

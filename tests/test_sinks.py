@@ -118,3 +118,32 @@ def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
     write_jsonl(good, str(out), mode="overwrite")
     back = read_jsonl(spark, str(out), schema)
     assert sorted(r["id"] for r in back.collect()) == [1, 4]
+
+
+def test_orc_roundtrip_preserves_types(spark, tmp_path):
+    """S3 family, second columnar format: ORC write/read round-trips the
+    engine's typed rows (incl. timestamp + array) byte-for-byte."""
+    df = spark.createDataFrame(
+        [(1, "a", datetime(2024, 1, 1, 12, 0, 5), [0.5, 1.5]),
+         (2, "b", datetime(2024, 1, 2, 3, 4, 5), [2.0])],
+        "id long, s string, ts timestamp, v array<double>",
+    )
+    path = str(tmp_path / "orc")
+    df.write.format("orc").save(path)
+    back = spark.read.format("orc").load(path)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A long-lived 100 TB table gains columns over time: old files lack
+    the new column, mergeSchema unions the footers and backfills NULL."""
+    path = str(tmp_path / "t")
+    spark.range(0, 3).select(F.col("id")).write.parquet(path)
+    spark.range(3, 5).select(
+        F.col("id"), (F.col("id") * 10).alias("score")
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: 30, 4: 40}
