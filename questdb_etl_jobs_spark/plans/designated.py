@@ -39,14 +39,56 @@ def write_designated_ts(
     reference's accumulate-hourly-batches model (reference README.md:373).
     """
     pcol = ts_col + PARTITION_SUFFIX
+    # Sort key MUST lead with the partition column: FileFormatWriter
+    # requires task rows ordered by partition columns and injects its own
+    # (ts-order-destroying) sort when the incoming ordering doesn't
+    # already satisfy that prefix. (pcol, ts) satisfies it AND yields
+    # time-ordered files.
     (
         df.withColumn(pcol, F.to_date(F.col(ts_col)))
-        .sortWithinPartitions(ts_col)
+        .sortWithinPartitions(pcol, ts_col)
         .write.mode(mode)
         .partitionBy(pcol)
         .parquet(path)
     )
     return pcol
+
+
+def compact_designated(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    ts_col: str,
+) -> None:
+    """Rewrite a designated-ts table with one time-sorted file per
+    partition directory.
+
+    The hourly-append model (reference README.md:373) leaves one small
+    file per micro-batch per day — at 100 TB that's the classic
+    small-files problem: scan parallelism collapses into file-open
+    overhead and footer reads dominate. Compaction restores the storage
+    convention's contract (few large, time-sorted files with tight
+    row-group stats).
+
+    Plan: one shuffle hashed on the partition date — every directory's
+    rows converge on a single task, so each directory is rewritten as
+    exactly one file — then ``sortWithinPartitions`` re-establishes time
+    order. Writes to ``dst_path`` (never in-place: Spark cannot safely
+    overwrite a path it is reading; callers atomically swap directories,
+    or run per-partition with dynamic partition overwrite for a live
+    table).
+    """
+    pcol = ts_col + PARTITION_SUFFIX
+    df = spark.read.parquet(src_path)
+    (
+        df.repartition(F.col(pcol))
+        # Leading pcol keeps the writer from injecting its own sort
+        # (see write_designated_ts).
+        .sortWithinPartitions(pcol, ts_col)
+        .write.mode("error")
+        .partitionBy(pcol)
+        .parquet(dst_path)
+    )
 
 
 def read_designated_ts(

@@ -147,3 +147,54 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "score"}
     rows = {r["id"]: r["score"] for r in merged.collect()}
     assert rows == {0: None, 1: None, 2: None, 3: 30, 4: 40}
+
+
+def test_compact_designated_one_sorted_file_per_partition(spark, tmp_path):
+    """Many small appends -> compaction leaves exactly one parquet file
+    per partition dir, rows intact and time-sorted within each file."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        compact_designated,
+        write_designated_ts,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    # 4 appends x 2 days, deliberately unsorted within each append.
+    for i in range(4):
+        df = spark.createDataFrame(
+            [(i * 10 + j, datetime(2024, 1, 1 + (j % 2), 12, 59 - i, j))
+             for j in range(6)],
+            "id long, ts timestamp",
+        )
+        write_designated_ts(df, src, "ts")
+    compact_designated(spark, src, dst, "ts")
+
+    per_dir = {}
+    for d in Path(dst).glob("ts_pdate=*"):
+        per_dir[d.name] = [f for f in d.glob("*.parquet")]
+    assert set(per_dir) == {"ts_pdate=2024-01-01", "ts_pdate=2024-01-02"}
+    assert all(len(files) == 1 for files in per_dir.values())
+    before = sorted(map(tuple, spark.read.parquet(src).drop("ts_pdate").collect()))
+    after = sorted(map(tuple, spark.read.parquet(dst).drop("ts_pdate").collect()))
+    assert before == after and len(after) == 24
+    for files in per_dir.values():  # each file internally time-ordered
+        ts = [r["ts"] for r in spark.read.parquet(str(files[0])).collect()]
+        assert ts == sorted(ts)
+
+
+def test_write_designated_ts_files_time_ordered(spark, tmp_path):
+    """Regression: with partitionBy, the file writer injects a sort on
+    the partition column alone unless the task ordering already leads
+    with it — which silently destroyed within-file ts order. Each
+    written file must be time-sorted."""
+    from questdb_etl_jobs_spark.plans.designated import write_designated_ts
+
+    df = spark.createDataFrame(
+        [(j, datetime(2024, 1, 1 + (j % 2), 23 - j % 24, j % 60, 0))
+         for j in range(50)],
+        "id long, ts timestamp",
+    ).coalesce(1)
+    path = str(tmp_path / "t")
+    write_designated_ts(df, path, "ts")
+    for f in Path(path).glob("ts_pdate=*/*.parquet"):
+        ts = [r["ts"] for r in spark.read.parquet(str(f)).collect()]
+        assert ts == sorted(ts), f
