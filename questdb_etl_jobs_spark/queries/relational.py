@@ -770,3 +770,57 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(
         events, keys=["event_type"], value_col="user_id", k=_Q74_K
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q76 — weekly cohort retention (A1+A2+F5+J1 composition)
+# ---------------------------------------------------------------------------
+#
+# cohort = the ISO week of a user's first event; each (cohort, week
+# offset) cell counts distinct users still active that week — the
+# standard retention matrix. Two shuffles: min-per-user, then the
+# (cohort, offset) distinct-count; the user→cohort join hashes on
+# user_id. All-integer output (datediff DIV 7), no float protocol.
+
+@dq(
+    "q76_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id,
+             date_trunc('week', CAST(ts AS TIMESTAMP)) AS act_week
+      FROM events
+    )
+    SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS BIGINT)
+             AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    covers="A1,A2,F5,J1",
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    firsts = events.groupBy("user_id").agg(
+        F.min(week).alias("cohort_week")
+    )
+    activity = events.select("user_id", week.alias("act_week")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr("datediff(act_week, cohort_week) DIV 7").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
