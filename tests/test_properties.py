@@ -97,3 +97,70 @@ def test_ngram_jaccard_exact_matches_bruteforce(spark, texts):
             if inter > 0 and 2 * inter >= union:
                 expected[(a, b)] = (inter, union)
     assert got == expected
+
+
+_sparse = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(-50, 50)),
+    min_size=1, max_size=12, unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(points=_sparse)
+def test_fill_gaps_linear_matches_numpy_interp(spark, points):
+    """FILL(LINEAR) against numpy.interp over random sparse hourly
+    aggregates (interior gaps only — edges stay NULL by QuestDB
+    semantics, which numpy.interp clamps instead)."""
+    import numpy as np
+
+    from questdb_etl_jobs_spark.operators.sample_by import fill_gaps
+
+    agg = spark.createDataFrame(
+        [(_BASE + timedelta(hours=h), float(v)) for h, v in points],
+        "bucket_ts timestamp, v double",
+    )
+    out = {
+        (r["bucket_ts"] - _BASE).total_seconds() / 3600: r["v"]
+        for r in fill_gaps(agg, "bucket_ts", "hour", fill={"v": "linear"})
+        .collect()
+    }
+    xs = sorted(h for h, _ in points)
+    vals = dict(points)
+    lo, hi = xs[0], xs[-1]
+    assert set(out) == set(range(lo, hi + 1))
+    for h in range(lo, hi + 1):
+        expected = float(np.interp(h, xs, [float(vals[x]) for x in xs]))
+        assert out[h] is not None and abs(out[h] - expected) < 1e-9, (h, points)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tokens=st.lists(st.integers(1, 300), min_size=1, max_size=30),
+    budget=st.integers(10, 200),
+)
+def test_pack_sequences_matches_python_model(spark, tokens, budget):
+    """Packing positions equal the sequential concat-then-chunk model."""
+    from questdb_etl_jobs_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        list(enumerate(tokens)), "doc_id long, n long"
+    )
+    got = {
+        r["doc_id"]: (r["bin"], r["bin_offset"], r["n_spans"])
+        for r in pack_sequences(df, "doc_id", "n", budget=budget).collect()
+    }
+    offset = 0
+    for i, n in enumerate(tokens):
+        b, off, spans = offset // budget, offset % budget, (
+            (offset + n - 1) // budget - offset // budget
+        )
+        assert got[i] == (b, off, spans), (i, n, budget)
+        offset += n
