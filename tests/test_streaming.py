@@ -333,3 +333,65 @@ def test_watermark_drops_late_rows_in_windowed_agg(spark, tmp_path):
     shutil.copy(FIXTURES / "purchases" / "2021-03-21T11.csv", src)
     second = run_once()
     assert second == first  # late rows dropped; no 11:00 window ever emitted
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join with watermarks + event-time range
+    condition (purchase within 30min after click): the streaming result
+    over availableNow equals the equivalent batch join."""
+    import csv as _csv
+
+    from pyspark.sql import functions as F
+
+    a_dir, b_dir = tmp_path / "clicks", tmp_path / "buys"
+    a_dir.mkdir(); b_dir.mkdir()
+    base = "2024-01-01T10:{:02d}:00"
+    clicks = [(i, i % 3, base.format(i)) for i in range(0, 50)]
+    buys = [(100 + i, i % 3, base.format(min(i + i % 7, 59))) for i in range(0, 50, 2)]
+    for path, rows in ((a_dir / "a.csv", clicks), (b_dir / "b.csv", buys)):
+        with open(path, "w", newline="") as fh:
+            _csv.writer(fh).writerows(rows)
+
+    schema = "id long, user_id long, ts timestamp"
+
+    def faces(reader):
+        a = reader.schema(schema).csv(str(a_dir)).withColumnRenamed("id", "click_id")
+        b = (
+            reader.schema(schema).csv(str(b_dir))
+            .withColumnRenamed("id", "buy_id")
+            .withColumnRenamed("user_id", "b_user")
+            .withColumnRenamed("ts", "b_ts")
+        )
+        return a, b
+
+    cond = lambda a, b: (
+        (a["user_id"] == b["b_user"])
+        & (b["b_ts"] >= a["ts"])
+        & (b["b_ts"] <= a["ts"] + F.expr("INTERVAL 30 MINUTES"))
+    )
+
+    sa, sb = faces(spark.readStream)
+    sa = sa.withWatermark("ts", "1 hour")
+    sb = sb.withWatermark("b_ts", "1 hour")
+    q = (
+        sa.join(sb, cond(sa, sb), "inner")
+        .select("click_id", "buy_id")
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["click_id"], r["buy_id"])
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    )
+
+    ba, bb = faces(spark.read)
+    expected = sorted(
+        (r["click_id"], r["buy_id"])
+        for r in ba.join(bb, cond(ba, bb), "inner").collect()
+    )
+    assert got == expected and len(got) > 0
