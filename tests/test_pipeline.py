@@ -126,3 +126,33 @@ def test_run_batch_rejects_bad_event(spark):
         )
         is None
     )
+
+
+def test_reference_console_journey(spark, tmp_path):
+    """The reference's full user journey, literally: hourly exports run
+    through the ETL (reference cloud_function.py entrypoint), then the
+    tutorial's console SQL — `SELECT * FROM purchases ORDER BY
+    purchase_date` (reference README.md:366) — runs against the loaded
+    table via the SQL surface. Anonymization holds (no raw emails) and
+    rows arrive time-ordered."""
+    from conftest import FIXTURES
+
+    table_path = str(tmp_path / "table")
+    for hour in ("11", "12", "13"):
+        f = FIXTURES / "purchases" / f"2021-03-21T{hour}.csv"
+        run_batch(
+            spark,
+            {"bucket": "b", "contentType": "text/csv", "name": str(f),
+             "size": "1"},
+            table_path=table_path,
+            quarantine_path=str(tmp_path / "quarantine"),
+        )
+    spark.read.parquet(table_path).createOrReplaceTempView("purchases")
+    rows = spark.sql(
+        "SELECT * FROM purchases ORDER BY purchase_date"
+    ).collect()
+    assert len(rows) == 900
+    ts = [r["purchase_date"] for r in rows]
+    assert ts == sorted(ts)
+    assert all("@" not in r["buyer"] for r in rows)  # SHA-1, not emails
+    assert all(len(r["buyer"]) == 40 for r in rows)
