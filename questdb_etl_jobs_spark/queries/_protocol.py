@@ -43,10 +43,19 @@ def sum4(term: str, alias: str) -> str:
 
 
 def avg4(term: str, alias: str) -> str:
-    """Order-independent 4-decimal average fragment."""
+    """Order-independent average of 4-decimal-rounded terms.
+
+    NO outer ROUND, deliberately: the quotient is a derived rational that
+    can land on an exact ``.xxxx5`` shortest repr, where Spark's ROUND
+    (on the repr) and DuckDB's (on the binary value) disagree — observed
+    at sf0.1. The un-rounded quotient is bit-identical instead: the
+    decimal sum converts to double exactly-rounded in both engines (the
+    scaled integer stays below 2^53 at these magnitudes) and one IEEE
+    division of identical operands has one correct answer.
+    """
     return (
-        f"ROUND(CAST(SUM(CAST(ROUND({term}, 4) AS DECIMAL(28,4))) AS DOUBLE)"
-        f" / COUNT({term}), 4) AS {alias}"
+        f"CAST(SUM(CAST(ROUND({term}, 4) AS DECIMAL(28,4))) AS DOUBLE)"
+        f" / COUNT({term}) AS {alias}"
     )
 
 

@@ -758,6 +758,7 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            ROUND(exp(AVG(ln(value))), 4) AS geomean_value
     FROM events
+    WHERE value > 0
     GROUP BY event_type
     ORDER BY event_type
     """,
@@ -773,7 +774,10 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return (
-        events.groupBy("event_type")
+        # geomean is only defined on positives; ln(0) is an error under
+        # ANSI semantics (observed: one value==0 row at sf0.1).
+        events.filter(F.col("value") > 0)
+        .groupBy("event_type")
         .agg(F.round(geomean("value"), 4).alias("geomean_value"))
         .orderBy("event_type")
     )
