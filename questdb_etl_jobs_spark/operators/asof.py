@@ -115,6 +115,90 @@ def asof_join(
     )
 
 
+def splice_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: list[str] | None = None,
+    suffix: str = "_right",
+    side_col: str = "side",
+) -> DataFrame:
+    """QuestDB SPLICE JOIN: the full-outer as-of join (reference QuestDB
+    SQL surface beside ASOF/LT; time-series joins per reference
+    README.md:70-71).
+
+    Output has one row per input row from BOTH tables; each row carries
+    the latest row of the *other* table with ``other.on <= this.on``
+    (NULLs when none precedes). Left columns keep their names, right
+    columns clash-suffixed with ``suffix``; ``side_col`` is 'L'/'R' for
+    the originating table.
+
+    Plan: ONE hash shuffle on ``by`` feeds two sorted window passes
+    (Catalyst reuses the single Exchange; the two sorts differ only in
+    the tie order of the side tag, so each direction sees equal-``on``
+    rows of the other side). No join, no second shuffle — same cost
+    model as :func:`asof_join`. Ties within one side at equal
+    (by, on) resolve arbitrarily, as in DuckDB's ASOF (keep (by, on)
+    unique per side for deterministic output).
+    """
+    by = list(by or [])
+    l_payload_cols = [c for c in left.columns if c not in by]
+    r_payload_cols = [c for c in right.columns if c not in by]
+    l_struct = F.struct(*[F.col(c) for c in l_payload_cols])
+    r_struct = F.struct(*[F.col(c) for c in r_payload_cols])
+    l_type = left.select(l_struct.alias("p")).schema["p"].dataType
+    r_type = right.select(r_struct.alias("p")).schema["p"].dataType
+
+    left_tagged = left.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("__ts"),
+        F.lit("L").alias("__side"),
+        l_struct.alias("__l"),
+        F.lit(None).cast(r_type).alias("__r"),
+    )
+    right_tagged = right.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("__ts"),
+        F.lit("R").alias("__side"),
+        F.lit(None).cast(l_type).alias("__l"),
+        r_struct.alias("__r"),
+    )
+    union = left_tagged.unionByName(right_tagged)
+
+    # Carry of the RIGHT payload: right rows must sort before left rows
+    # at equal ts (so a left row sees an equal-ts right row), and vice
+    # versa for the LEFT carry. Same partitioning → one Exchange.
+    right_first = F.when(F.col("__side") == "R", 0).otherwise(1)
+    left_first = F.when(F.col("__side") == "L", 0).otherwise(1)
+    w_r = (
+        Window.partitionBy(*by)
+        .orderBy("__ts", right_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_l = (
+        Window.partitionBy(*by)
+        .orderBy("__ts", left_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = union.select(
+        *by,
+        F.col("__side").alias(side_col),
+        F.last("__l", ignorenulls=True).over(w_l).alias("__l"),
+        F.last("__r", ignorenulls=True).over(w_r).alias("__r"),
+    )
+    return carried.select(
+        *by,
+        side_col,
+        *[F.col(f"__l.{c}").alias(c) for c in l_payload_cols],
+        *[
+            F.col(f"__r.{c}").alias(
+                c + suffix if c in l_payload_cols or c in by else c
+            )
+            for c in r_payload_cols
+        ],
+    )
+
+
 _UNIT_US = {
     "second": 1_000_000,
     "seconds": 1_000_000,

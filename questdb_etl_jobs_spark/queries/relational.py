@@ -824,3 +824,96 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# q77 — LT JOIN: strictly-before as-of (J7 strict variant)
+# ---------------------------------------------------------------------------
+#
+# QuestDB's LT JOIN is ASOF with a strict inequality (latest right row
+# strictly before each left row). Same single-shuffle union+window plan;
+# the side tag flips sort order at equal ts so a right row at the exact
+# left timestamp is NOT visible. DuckDB's ASOF supports the strict
+# comparator natively → direct oracle.
+
+@dq(
+    "q77_lt_join",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+         s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'signup')
+    SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+    FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts > s.ts
+    ORDER BY p.event_id
+    """,
+    covers="J7",
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof_join(
+        purchases, signups, on="ts", by=["user_id"], how="left", strict=True
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", F.col("ts_right").alias("signup_ts")
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q78 — SPLICE JOIN: full-outer as-of (J7 full variant)
+# ---------------------------------------------------------------------------
+#
+# One row per input row from BOTH sides, each carrying the latest
+# other-side row at-or-before its timestamp. Engine: one shuffle, two
+# sorted window carries (operators/asof.py:splice_join). Oracle: the
+# union of the two directional DuckDB ASOF joins — the definition.
+
+@dq(
+    "q78_splice_join",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase' AND event_id % 3 = 0),
+         s AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'signup'),
+    lface AS (
+      SELECT 'L' AS side, p.event_id, p.user_id, p.ts,
+             s.event_id AS other_id, s.ts AS other_ts
+      FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+    ),
+    rface AS (
+      SELECT 'R' AS side, s.event_id, s.user_id, s.ts,
+             p.event_id AS other_id, p.ts AS other_ts
+      FROM s ASOF LEFT JOIN p ON s.user_id = p.user_id AND s.ts >= p.ts
+    )
+    SELECT side, event_id, user_id, ts, other_id, other_ts
+    FROM (SELECT * FROM lface UNION ALL SELECT * FROM rface)
+    ORDER BY side, event_id
+    """,
+    covers="J7,T1",
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.asof import splice_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 3 == 0)
+    ).select("event_id", "user_id", "ts")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    spliced = splice_join(
+        purchases, signups, on="ts", by=["user_id"], suffix="_right"
+    )
+    is_l = F.col("side") == "L"
+    return spliced.select(
+        "side",
+        F.when(is_l, F.col("event_id")).otherwise(F.col("event_id_right")).alias("event_id"),
+        "user_id",
+        F.when(is_l, F.col("ts")).otherwise(F.col("ts_right")).alias("ts"),
+        F.when(is_l, F.col("event_id_right")).otherwise(F.col("event_id")).alias("other_id"),
+        F.when(is_l, F.col("ts_right")).otherwise(F.col("ts")).alias("other_ts"),
+    ).orderBy("side", "event_id")

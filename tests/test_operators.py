@@ -125,6 +125,59 @@ def test_asof_bucketed_equals_single_window(spark):
             assert bucketed == plain, (strict, how)
 
 
+def test_splice_join_both_sides_and_ties(spark):
+    # SPLICE = full as-of: every row of both sides appears once; equal-ts
+    # rows see each other in BOTH directions; earlier rows carry NULLs.
+    from questdb_etl_jobs_spark.operators.asof import splice_join
+
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "l1"),
+            (1, _ts("2024-01-01 12:00:00"), "l2"),
+        ],
+        "user_id long, ts timestamp, l_tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "r1"),  # ties with l1
+            (1, _ts("2024-01-01 11:00:00"), "r2"),
+            (2, _ts("2024-01-01 09:00:00"), "r3"),  # no left rows for key 2
+        ],
+        "user_id long, ts timestamp, r_tag string",
+    )
+    out = splice_join(left, right, on="ts", by=["user_id"]).collect()
+    assert len(out) == 5  # 2 left + 3 right rows, nothing dropped
+    by_tag = {r["l_tag"] or r["r_tag"]: r for r in out}
+    l1 = next(r for r in out if r["side"] == "L" and r["l_tag"] == "l1")
+    assert l1["r_tag"] == "r1"  # equal ts visible L←R
+    r1 = next(r for r in out if r["side"] == "R" and r["r_tag"] == "r1")
+    assert r1["l_tag"] == "l1"  # equal ts visible R←L
+    l2 = next(r for r in out if r["l_tag"] == "l2")
+    assert l2["r_tag"] == "r2"  # latest at-or-before, not the tie row
+    r3 = by_tag["r3"]
+    assert r3["l_tag"] is None and r3["side"] == "R"  # no left row precedes
+
+
+def test_splice_join_single_exchange(spark):
+    # The two directional carries must share ONE hash Exchange on the key.
+    from questdb_etl_jobs_spark.operators.asof import splice_join
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "x")],
+        "user_id long, ts timestamp, l_tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:00:00"), "y")],
+        "user_id long, ts timestamp, r_tag string",
+    )
+    from questdb_etl_jobs_spark.plans.inspect import plan_string
+
+    explained = plan_string(
+        splice_join(left, right, on="ts", by=["user_id"]), "simple"
+    )
+    assert explained.count("Exchange hashpartitioning") == 1
+
+
 # ---------------------------------------------------------------------------
 # Interval join (J6)
 # ---------------------------------------------------------------------------
