@@ -1,0 +1,83 @@
+"""Benchmark decontamination: flag corpus documents that share any
+token n-gram with an evaluation/benchmark set.
+
+The standard pre-training hygiene step (n-gram overlap decontamination,
+as popularized by the GPT-3/PaLM data papers): a training document is
+contaminated if any of its n-grams (n≈8..13 tokens) appears verbatim in
+a benchmark document. This generalizes the reference's validation-gate
+idea (reference cloud_function.py:29-50 — drop records failing a
+predicate) from per-record field checks to corpus-vs-corpus content
+checks.
+
+Scale posture (the whole point of the design):
+
+- The benchmark side is SMALL (eval sets are MBs, the corpus is TBs).
+  Its distinct-gram set is aggregated once and **broadcast**, so the
+  100 TB corpus side never shuffles its grams: the plan is
+  scan → gram explode → broadcast-semi-join → per-doc count (one
+  shuffle, on doc_id, of the *matched* grams only — a tiny fraction).
+- Grams explode ×(tokens-n+1) per doc, but the explode is streamed
+  through the broadcast join inside one stage — never materialized.
+- At extreme benchmark sizes (beyond broadcast), swap the broadcast
+  semi-join for a bloom-filter pushdown (build over benchmark grams,
+  `might_contain` prefilter, exact semi-join to confirm): same plan
+  shape with the shuffle bounded by the false-positive rate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped (mirrors the DuckDB
+    oracle: list_filter(string_split_regex(lower(t),'\\s+'), x->x<>''))."""
+    return F.filter(
+        F.split(F.lower(text), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
+def token_ngrams(text: Column | str, n: int = 8) -> Column:
+    """Distinct space-joined token n-grams of ``text`` (array<string>).
+
+    Documents shorter than ``n`` tokens yield an empty array (they can
+    only be exact-substring contaminated, which shorter n catches).
+    """
+    t = _tokens(F.col(text) if isinstance(text, str) else text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+    )
+    return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Corpus documents sharing ≥1 token ``n``-gram with ``benchmark``.
+
+    Returns (id_col, n_shared_grams) — the distinct-gram overlap count
+    per contaminated document. Drop these ids (anti-join) to clean the
+    corpus; the count supports thresholded policies (e.g. ≥2 grams).
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(token_ngrams(text_col, n)).alias("__gram")
+        )
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(token_ngrams(text_col, n)).alias("__gram")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "__gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_grams"))
+    )

@@ -238,3 +238,121 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q80 — benchmark decontamination (n-gram overlap vs eval slice)
+# ---------------------------------------------------------------------------
+#
+# The GPT-3/PaLM-style hygiene pass: a training doc is contaminated if
+# it shares any 8-token n-gram with the benchmark set. The benchmark
+# slice (doc_id % 17 = 0 — standing in for a held-out eval set) is
+# gram-aggregated once and BROADCAST, so the corpus side never shuffles
+# its exploded grams; only matched grams reach the per-doc count.
+
+@dq(
+    "q80_decontaminate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+      FROM toks, unnest(range(1, len(t) - 6)) AS r(i)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0)
+    SELECT c.doc_id, COUNT(*) AS n_shared_grams
+    FROM (SELECT doc_id, g FROM grams WHERE doc_id % 17 <> 0) c
+    JOIN bench USING (g)
+    GROUP BY c.doc_id
+    ORDER BY doc_id
+    """,
+    covers="EXT,J4,F6,U4",
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.decontaminate import (
+        contaminated_docs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return contaminated_docs(corpus, benchmark, "text", "doc_id", n=8).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q81 — deterministic corpus shuffle + shard assignment (training export)
+# ---------------------------------------------------------------------------
+#
+# The pre-tokenization global shuffle: order documents by
+# xxhash64(doc_id) so adjacent training examples decorrelate, split into
+# 16 writer shards by pmod(hash), position = rank within shard. Pure
+# hash math — rerunning on the same corpus gives byte-identical shards
+# (resumable exports). One shuffle (partition by shard); each shard's
+# order check is compressed into (n_docs, first_doc, Σ pos·doc_id) —
+# any dropped/reordered doc changes the checksum. Oracle: the CPython
+# XXH64 mirror recomputes the full assignment (pinned to the driver's
+# sf0.01 like every Python-computed oracle).
+
+_Q81_SHARDS = 16
+
+
+def _q81_oracle() -> str:
+    import struct
+
+    import duckdb
+
+    from questdb_etl_jobs_spark.queries._xxhash import xxh64_signed
+
+    rows = duckdb.sql(
+        "SELECT doc_id FROM '/root/testdata/sf0.01/documents.parquet'"
+    ).fetchall()
+    hashed = sorted(
+        (xxh64_signed(struct.pack("<q", d)), d) for (d,) in rows
+    )
+    shards: dict[int, list[int]] = {}
+    for h, d in hashed:  # global (hash, doc_id) order → per-shard order
+        shards.setdefault(h % _Q81_SHARDS, []).append(d)
+    out = []
+    for s in sorted(shards):
+        docs = shards[s]
+        checksum = sum(pos * d for pos, d in enumerate(docs, start=1))
+        out.append(f"({s}, {len(docs)}, {docs[0]}, {checksum})")
+    values = ",\n      ".join(out)
+    return f"""
+    SELECT CAST(shard AS BIGINT) AS shard, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(first_doc AS BIGINT) AS first_doc,
+           CAST(checksum AS BIGINT) AS checksum
+    FROM (VALUES
+      {values}
+    ) AS t(shard, n_docs, first_doc, checksum)
+    ORDER BY shard
+    """
+
+
+@dq("q81_shard_shuffle", oracle=_q81_oracle, covers="EXT,W1,A1")
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.xxhash64("doc_id").alias("__h")
+    )
+    sharded = docs.withColumn(
+        "shard", F.pmod(F.col("__h"), F.lit(_Q81_SHARDS)).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("__h", "doc_id")
+    positioned = sharded.withColumn("pos", F.row_number().over(w))
+    return (
+        positioned.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min_by("doc_id", F.struct("__h", "doc_id")).alias("first_doc"),
+            F.sum(F.col("pos") * F.col("doc_id")).alias("checksum"),
+        )
+        .orderBy("shard")
+    )

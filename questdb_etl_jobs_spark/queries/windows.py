@@ -751,3 +751,64 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tagged.orderBy("op", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# q79 — distribution + positional window family (W1/W2/W3 completion)
+# ---------------------------------------------------------------------------
+#
+# percent_rank / cume_dist / nth_value / first_value / last_value — the
+# remaining ANSI window functions on the QuestDB analytic surface. One
+# shuffle (partition by customer); positional functions use an explicit
+# full-partition ROWS frame and a unique total order so both engines see
+# the same 2nd/first/last row. percent_rank and cume_dist are derived
+# rationals — the oracle routes them through spark_round4 (repr-rounding
+# semantics) so an exact .xxxx5 quotient can't split the engines.
+
+@dq(
+    "q79_window_distribution",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(CAST(CAST(pr AS VARCHAR) AS DECIMAL(38,18)), 4)
+                AS DOUBLE) AS pct_rank,
+           CAST(ROUND(CAST(CAST(cd AS VARCHAR) AS DECIMAL(38,18)), 4)
+                AS DOUBLE) AS cume,
+           second_key, first_key, last_key
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             PERCENT_RANK() OVER w AS pr,
+             CUME_DIST()    OVER w AS cd,
+             NTH_VALUE(o_orderkey, 2) OVER wf AS second_key,
+             FIRST_VALUE(o_orderkey)  OVER wf AS first_key,
+             LAST_VALUE(o_orderkey)   OVER wf AS last_key
+      FROM orders
+      WHERE o_custkey % 25 = 0
+      WINDOW w  AS (PARTITION BY o_custkey
+                    ORDER BY o_totalprice, o_orderkey),
+             wf AS (PARTITION BY o_custkey
+                    ORDER BY o_totalprice, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)
+    )
+    ORDER BY o_custkey, o_orderkey
+    """,
+    covers="W1,W2,W3",
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 25 == 0
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 4).alias("cume"),
+            F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+            F.first("o_orderkey").over(wf).alias("first_key"),
+            F.last("o_orderkey").over(wf).alias("last_key"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )

@@ -576,3 +576,55 @@ def test_kmv_distinct_exact_and_estimate(spark):
     n_min, est = got["big"]
     assert n_min == 64
     assert abs(est - 1990) / 1990 < 0.40  # distinct vals 10..1999
+
+
+# ---------------------------------------------------------------------------
+# Decontamination (EXT: benchmark n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def test_contaminated_docs_crafted_overlap(spark):
+    from questdb_etl_jobs_spark.operators.decontaminate import (
+        contaminated_docs,
+        token_ngrams,
+    )
+    import pyspark.sql.functions as F
+
+    shared = "one two three four five six seven eight"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"prefix {shared} suffix tail"),     # contains the bench 8-gram
+            (2, "totally different text with no overlap at all here"),
+            (3, "short doc"),                        # < 8 tokens → no grams
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, f"{shared} and more benchmark words")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in contaminated_docs(corpus, benchmark).collect()
+    }
+    assert out == {1: 1}  # only doc 1, exactly one shared 8-gram
+
+    # short docs yield empty gram arrays, not errors
+    grams = corpus.select(token_ngrams("text", 8).alias("g")).collect()
+    assert grams[2]["g"] == []
+
+
+def test_contaminated_docs_case_and_whitespace_normalized(spark):
+    from questdb_etl_jobs_spark.operators.decontaminate import (
+        contaminated_docs,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "The  Quick\tBrown Fox Jumps Over The Dog")],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(2, "the quick brown fox jumps over the dog")],
+        "doc_id long, text string",
+    )
+    out = contaminated_docs(corpus, benchmark).collect()
+    assert [(r["doc_id"], r["n_shared_grams"]) for r in out] == [(1, 1)]
