@@ -39,3 +39,23 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; NULL when either vector has zero norm."""
     denominator = norm(a) * norm(b)
     return F.when(denominator != 0, dot(a, b) / denominator)
+
+
+def quantize_int8(a: Column | str, scale: Column) -> Column:
+    """Symmetric int8 quantization: round-half-up(v · scale) per element.
+
+    ``floor(x + 0.5)`` instead of ROUND: floor is exact IEEE and
+    identical across engines, where ROUND-on-double diverges on
+    exact-repr halves (Spark rounds the shortest repr, DuckDB the
+    binary value). With ``scale = 127 / max|v|`` the extremes land on
+    ±127.5 → floor stays in int8 range by construction.
+    """
+    return F.transform(
+        _c(a),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("byte"),
+    )
+
+
+def max_abs(a: Column | str) -> Column:
+    """max|v| over a float array (float-exact, no widening needed)."""
+    return F.array_max(F.transform(_c(a), F.abs))

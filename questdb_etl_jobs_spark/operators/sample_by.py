@@ -129,3 +129,56 @@ def sample_by_fill(
     """``SAMPLE BY bucket FILL(...)`` — aggregate then densify."""
     agg = sample_by(df, ts, bucket, aggs, keys, bucket_col)
     return fill_gaps(agg, bucket_col, bucket, keys, fill)
+
+
+#: Precision of a QuestDB interval literal → timestamp format + step.
+_INTERVAL_FORMS = (
+    ("%Y-%m-%dT%H:%M", 16, "minute"),
+    ("%Y-%m-%dT%H", 13, "hour"),
+    ("%Y-%m-%d", 10, "day"),
+    ("%Y-%m", 7, "month"),
+    ("%Y", 4, "year"),
+)
+
+
+def interval_bounds(literal: str) -> tuple[str, str]:
+    """[start, end) bounds of a QuestDB interval literal.
+
+    QuestDB's interval search idiom ``WHERE ts IN '2024-01'`` (time-series
+    surface per reference README.md:70-71) names a calendar span by its
+    prefix: ``'2024'`` a year, ``'2024-01'`` a month, ``'2024-01-15'`` a
+    day, ``'2024-01-15T10'`` an hour, ``'2024-01-15T10:30'`` a minute.
+    """
+    import datetime
+
+    for fmt, width, step in _INTERVAL_FORMS:
+        if len(literal) == width:
+            start = datetime.datetime.strptime(literal, fmt)
+            if step == "year":
+                end = start.replace(year=start.year + 1)
+            elif step == "month":
+                end = (start.replace(day=28) + datetime.timedelta(days=4)).replace(
+                    day=1
+                )
+            else:
+                end = start + datetime.timedelta(
+                    **{step + "s": 1}
+                )
+            iso = "%Y-%m-%d %H:%M:%S"
+            return start.strftime(iso), end.strftime(iso)
+    raise ValueError(f"unrecognized interval literal: {literal!r}")
+
+
+def ts_in(ts: Column | str, literal: str) -> Column:
+    """Predicate for ``ts IN '<interval>'`` — a plain half-open range
+    comparison, so it pushes down to the parquet scan (PushedFilters)
+    and prunes designated-ts partitions; no UDF, no expression barrier.
+    (On the driver's TIMESTAMP(NANOS)-shimmed events table the filter
+    evaluates post-conversion in the scan stage instead — plan-asserted
+    both ways in tests/test_plans.py.)
+    """
+    start, end = interval_bounds(literal)
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return (c >= F.lit(start).cast("timestamp")) & (
+        c < F.lit(end).cast("timestamp")
+    )

@@ -1226,3 +1226,73 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"), "cluster", "csize")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q83 — int8 embedding quantization (EXT: ANN storage path)
+# ---------------------------------------------------------------------------
+#
+# The storage-side half of similarity search at 100 TB: symmetric
+# per-vector int8 quantization (scale = 127/max|v|) shrinks the vector
+# corpus 4× before the ANN index is built. All arithmetic is exact-IEEE
+# (float widened to double, floor(x+0.5) for round-half-up), so the
+# quantized integers match the DuckDB oracle bit-for-bit — no float
+# tolerance anywhere. Zero-vector guard: scale degenerates to NULL and
+# the quantized array is all-zero.
+
+@dq(
+    "q83_quantize_int8",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             127.0::DOUBLE / NULLIF(list_max(list_transform(
+               CAST(embedding AS DOUBLE[]), x -> abs(x))), 0.0) AS scale
+      FROM embeddings
+      WHERE vec_id % 20 = 0
+    ),
+    q AS (
+      SELECT vec_id,
+             CASE WHEN scale IS NULL
+                  THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v, x -> CAST(floor(x * scale + 0.5)
+                                                   AS BIGINT))
+             END AS qv
+      FROM scaled
+    )
+    SELECT vec_id,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+           list_aggregate(qv, 'min') AS q_min,
+           list_aggregate(qv, 'max') AS q_max
+    FROM q
+    ORDER BY vec_id
+    """,
+    covers="F8,EXT",
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.functions.vectors import max_abs, quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 20 == 0
+    )
+    scale = F.lit(127.0) / F.nullif(
+        max_abs("embedding").cast("double"), F.lit(0.0)
+    )
+    with_q = emb.select(
+        "vec_id",
+        F.when(
+            scale.isNull(),
+            F.transform("embedding", lambda x: F.lit(0).cast("byte")),
+        )
+        .otherwise(quantize_int8("embedding", scale))
+        .alias("qv"),
+    )
+    qv_long = F.transform(F.col("qv"), lambda x: x.cast("long"))
+    return with_q.select(
+        "vec_id",
+        F.aggregate(qv_long, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_sum"
+        ),
+        F.array_min("qv").cast("long").alias("q_min"),
+        F.array_max("qv").cast("long").alias("q_max"),
+    ).orderBy("vec_id")

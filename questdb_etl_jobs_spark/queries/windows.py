@@ -812,3 +812,40 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q82 — QuestDB interval search: ts IN '<literal>' (O1/F5 idiom)
+# ---------------------------------------------------------------------------
+#
+# The interval literal expands to one half-open range predicate — pure
+# comparison, so it reaches the parquet scan as PushedFilters and prunes
+# designated-ts partitions (plan-asserted in tests). Day literal here;
+# the helper handles year/month/day/hour/minute prefixes.
+
+@dq(
+    "q82_interval_search",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+           event_type,
+           COUNT(*) AS n
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'
+      AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-16 00:00:00'
+    GROUP BY hour_ts, event_type
+    ORDER BY hour_ts, event_type
+    """,
+    covers="O1,F5,A7",
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.sample_by import ts_in
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(ts_in("ts", "2024-01-15"))
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("hour_ts", "event_type")
+    )

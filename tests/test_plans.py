@@ -189,3 +189,24 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bt_orders")
         spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+
+
+def test_ts_in_interval_pushed_to_scan(spark, tmp_path):
+    # QuestDB interval search expands to a pure range predicate that
+    # must reach the parquet scan (GreaterThanOrEqual + LessThan on ts)
+    # whenever ts is a genuine TimestampType column. (The driver's
+    # synthetic events.parquet stores TIMESTAMP(NANOS) → bigint shim →
+    # the predicate evaluates post-conversion there; the designated-ts
+    # partitioned layout provides the pruning for that path.)
+    from questdb_etl_jobs_spark.operators.sample_by import ts_in
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    path = str(tmp_path / "events_us")
+    load_table(spark, SF_SMALL, "events").write.parquet(path)
+    df = spark.read.parquet(path).filter(ts_in("ts", "2024-01-15"))
+    plan = plan_string(df)
+    scan = plan[plan.index("Scan parquet") :]
+    pushed = next(
+        line for line in scan.splitlines() if "PushedFilters" in line
+    )
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed
