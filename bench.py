@@ -54,6 +54,9 @@ def _headline():
         "dup_clusters": _dup_clusters_lsh,
         "seq_packing": "q69_sequence_packing",
         "stratified_sample": "q68_stratified_sample",
+        "splice_join": "q78_splice_join",
+        "decontaminate": "q80_decontaminate",
+        "shard_shuffle": "q81_shard_shuffle",
     }
 
 

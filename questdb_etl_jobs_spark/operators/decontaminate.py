@@ -54,6 +54,35 @@ def token_ngrams(text: Column | str, n: int = 8) -> Column:
     )
 
 
+def _gram_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, gram) rows over a MATERIALIZED tokens attribute.
+
+    Building grams straight off ``token_ngrams`` re-inlines the
+    tokenization into the slice lambda (CollapseProject + no CSE inside
+    higher-order functions → O(tokens²) re-splitting per doc, the same
+    trap functions/text.py:text_profile documents). The explode-of-one-
+    element-struct Generate barrier binds the token array as a real
+    row-local attribute first — measured ~5× on the sf0.1 corpus.
+    """
+    with_toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(F.struct(_tokens(F.col(text_col)).alias("toks")))
+        ).alias("__m"),
+    )
+    toks = F.col("__m.toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return with_toks.select(F.col(id_col), F.explode(grams).alias("__gram"))
+
+
 def contaminated_docs(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -67,15 +96,10 @@ def contaminated_docs(
     per contaminated document. Drop these ids (anti-join) to clean the
     corpus; the count supports thresholded policies (e.g. ≥2 grams).
     """
-    bench_grams = (
-        benchmark.select(
-            F.explode(token_ngrams(text_col, n)).alias("__gram")
-        )
-        .distinct()
-    )
-    corpus_grams = corpus.select(
-        F.col(id_col), F.explode(token_ngrams(text_col, n)).alias("__gram")
-    )
+    bench_grams = _gram_rows(benchmark, text_col, id_col, n).select(
+        "__gram"
+    ).distinct()
+    corpus_grams = _gram_rows(corpus, text_col, id_col, n)
     return (
         corpus_grams.join(F.broadcast(bench_grams), "__gram", "left_semi")
         .groupBy(id_col)

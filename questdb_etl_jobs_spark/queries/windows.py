@@ -849,3 +849,42 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("hour_ts", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q84 — SAMPLE BY ALIGN TO CALENDAR TIME ZONE (A7/F5 tz variant)
+# ---------------------------------------------------------------------------
+#
+# QuestDB's time-zone-aligned calendar bucketing: daily buckets on the
+# *local* calendar of a named zone, not UTC. The engine face uses the
+# real tz database (from_utc_timestamp); the oracle uses the fixed
+# +05:30 offset, which IS Asia/Kolkata for every instant in the data's
+# range (the zone has had no transitions since 1945 and no DST ever) —
+# so the comparison exercises Spark's tz path against exact arithmetic.
+
+@dq(
+    "q84_sample_by_timezone",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)
+                + INTERVAL '5 hours 30 minutes') AS TIMESTAMP) AS local_day,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY local_day
+    ORDER BY local_day
+    """,
+    covers="A7,F5,A2",
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    local_day = F.date_trunc(
+        "day", F.from_utc_timestamp(F.col("ts"), "Asia/Kolkata")
+    )
+    return (
+        events.groupBy(local_day.alias("local_day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("local_day")
+    )
