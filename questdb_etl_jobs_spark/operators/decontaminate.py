@@ -105,3 +105,33 @@ def contaminated_docs(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shared_grams"))
     )
+
+
+def repeated_ngrams(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Token n-grams appearing in ≥ ``min_docs`` distinct documents.
+
+    The memorization-risk sweep (the approximate, gram-granular face of
+    exact-substring dedup à la "Deduplicating Training Data Makes
+    Language Models Better"): high-multiplicity grams are boilerplate /
+    templates a model will memorize. Returns (gram, n_docs) for
+    thresholded removal or masking.
+
+    One shuffle (groupBy gram) with map-side partial counts; per-doc
+    grams are pre-distinct'd so a doc repeating its own boilerplate
+    counts once. At 100 TB, cap the output with a count threshold (the
+    long tail of singleton grams never leaves the partial aggregate
+    when min_docs ≥ 2 — the final filter runs post-agg but the partial
+    combine already collapsed duplicates).
+    """
+    return (
+        _gram_rows(corpus, text_col, id_col, n)
+        .groupBy(F.col("__gram").alias("gram"))
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )

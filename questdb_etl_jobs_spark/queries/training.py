@@ -356,3 +356,43 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# q85 — repeated n-gram mining (memorization-risk sweep)
+# ---------------------------------------------------------------------------
+#
+# Gram-granular exact-substring dedup signal: 6-token grams shared by
+# ≥3 distinct documents. One shuffle; singleton grams die in the
+# map-side partial aggregate.
+
+@dq(
+    "q85_repeated_ngrams",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+5], ' ') AS g
+      FROM toks, unnest(range(1, len(t) - 4)) AS r(i)
+    )
+    SELECT g AS gram, COUNT(*) AS n_docs
+    FROM grams
+    GROUP BY g
+    HAVING COUNT(*) >= 3
+    ORDER BY gram
+    """,
+    covers="EXT,F6,A1",
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.decontaminate import (
+        repeated_ngrams,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_ngrams(docs, "text", "doc_id", n=6, min_docs=3).orderBy(
+        "gram"
+    )

@@ -628,3 +628,23 @@ def test_contaminated_docs_case_and_whitespace_normalized(spark):
     )
     out = contaminated_docs(corpus, benchmark).collect()
     assert [(r["doc_id"], r["n_shared_grams"]) for r in out] == [(1, 1)]
+
+
+def test_repeated_ngrams_self_repetition_counts_once(spark):
+    from questdb_etl_jobs_spark.operators.decontaminate import repeated_ngrams
+
+    boiler = "terms of service apply to all users"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"{boiler} and {boiler}"),   # repeats internally: counts once
+            (2, f"intro {boiler} outro"),
+            (3, "unrelated content entirely different from the others"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["gram"]: r["n_docs"]
+        for r in repeated_ngrams(corpus, n=7, min_docs=2).collect()
+    }
+    assert out[boiler] == 2          # docs 1 and 2 — not 3 occurrences
+    assert all(v >= 2 for v in out.values())
