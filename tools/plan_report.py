@@ -29,6 +29,9 @@ HEADLINE: dict[str, str] = {
     "q69_sequence_packing": "one exchange (shard hash) for the packing window",
     "q68_stratified_sample": "sampling is a scan-level filter — zero pre-agg exchanges",
     "q75_trailing_hour_range": "RANGE frame over one keyed exchange",
+    "q78_splice_join": "full as-of: ONE hash exchange feeds both directional carries (2nd Exchange is the DQ output sort)",
+    "q80_decontaminate": "bench grams distinct+broadcast (small side); corpus grams hit zero exchanges before the join",
+    "q82_interval_search": "interval literal is a plain range predicate in the scan stage",
 }
 
 SALIENT = re.compile(
