@@ -56,7 +56,7 @@ def _q60_oracle() -> str:
     """
 
 
-@dq("q60_streaming_replay", oracle=_q60_oracle, covers="R1,R2,R4,R5,R6,S6")
+@dq("q60_streaming_replay", oracle=_q60_oracle, covers="R1,R2,R4,R5,R6,S6,S1,O3")
 def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the hourly exports through the streaming pipeline, then
     aggregate the landed designated-ts table per hour."""
@@ -165,4 +165,54 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "buyer string, item_id string, quantity string, price string, "
         "purchase_date string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q86 — event-metadata source gate (S7): the GCS event envelope as
+#        _metadata columns, filtered DataFrame-side
+# ---------------------------------------------------------------------------
+#
+# The reference receives (bucket, contentType, name, size) as a cloud
+# event dict and gates in driver Python (reference cloud_function.py:
+# 29-50, 109). The distributed face reads the same facts from the file
+# source's _metadata struct and gates them as Column predicates — the
+# size>0 check becomes a pushable filter on _metadata.file_size, and
+# per-file accounting falls out of a groupBy. Oracle: CPython stats the
+# same fixture directory.
+
+def _q86_oracle() -> str:
+    rows = []
+    for path in sorted(Path(PURCHASES_HOURLY_DIR).glob("*.csv")):
+        n = sum(1 for _ in open(path, newline=""))
+        rows.append(f"('{path.name}', {path.stat().st_size}, {n})")
+    values = ",\n      ".join(rows)
+    return f"""
+    SELECT file_name, CAST(file_size AS BIGINT) AS file_size,
+           CAST(n_rows AS BIGINT) AS n_rows
+    FROM (VALUES
+      {values}
+    ) AS t(file_name, file_size, n_rows)
+    ORDER BY file_name
+    """
+
+
+@dq("q86_metadata_source_gate", oracle=_q86_oracle, covers="S7,S2,P1,P2")
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sources.csv_source import read_purchases_csv
+
+    raw = read_purchases_csv(
+        spark, PURCHASES_HOURLY_DIR, with_file_metadata=True
+    )
+    gated = raw.filter(
+        (F.col("_source_size") > 0)
+        & F.col("_source_file").endswith(".csv")
+    )
+    return (
+        gated.groupBy(
+            F.element_at(F.split("_source_file", "/"), -1).alias("file_name"),
+            F.col("_source_size").alias("file_size"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("file_name")
     )
