@@ -51,6 +51,45 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def shingled(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    out_col: str = "__sh",
+) -> DataFrame:
+    """(id, shingle-set array) with the token array MATERIALIZED first.
+
+    ``word_shingles`` used directly in a projection re-inlines the
+    whitespace split into the slice lambda (CollapseProject + no CSE
+    inside higher-order functions → the text re-splits once per
+    shingle). The explode-of-one-element-struct Generate barrier binds
+    the token array as a row-local attribute before the gram transform
+    — same fix as functions/text.py:text_profile.
+    """
+    with_toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(F.struct(whitespace_tokens(text_col).alias("toks")))
+        ).alias("__m"),
+    )
+    toks = F.col("__m.toks")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    return with_toks.select(F.col(id_col), grams.alias(out_col))
+
+
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, __shingle) exploded distinct-shingle rows (barrier inside)."""
+    sets_ = shingled(df, id_col, text_col, n)
+    return sets_.select(
+        F.col(id_col), F.explode(F.col("__sh")).alias("__shingle")
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two array columns (set semantics)."""
     inter = F.size(F.array_intersect(a, b))
@@ -78,10 +117,7 @@ def minhash_signature(
     partial aggregation collapses each document's shingle rows map-side,
     so ~1 row per doc crosses the wire, not one per shingle.
     """
-    exploded = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(text_col, shingle_words)).alias("__shingle"),
-    )
+    exploded = shingle_rows(df, id_col, text_col, shingle_words)
     mins = [
         F.min(F.xxhash64("__shingle", F.lit(i))).alias(f"__h{i}")
         for i in range(n_hashes)
@@ -112,10 +148,7 @@ def signature_and_shingles(
     The collect_set does put shingle bytes on the wire — that is the
     same data the verify join had to shuffle anyway.
     """
-    exploded = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(text_col, shingle_words)).alias("__shingle"),
-    )
+    exploded = shingle_rows(df, id_col, text_col, shingle_words)
     mins = [
         F.min(F.xxhash64("__shingle", F.lit(i))).alias(f"__h{i}")
         for i in range(n_hashes)
@@ -217,16 +250,16 @@ def near_dup_pairs(
     """
     fused = signature_and_shingles(df, id_col, text_col, n_hashes, shingle_words)
     cands = lsh_candidate_pairs(fused.select(id_col, "signature"), id_col, n_bands)
-    shingled = fused.select(id_col, "__sh")
+    sh_sets = fused.select(id_col, "__sh")
     verified = (
         cands.join(
-            shingled.select(
+            sh_sets.select(
                 F.col(id_col).alias(f"{id_col}_a"), F.col("__sh").alias("__sh_a")
             ),
             f"{id_col}_a",
         )
         .join(
-            shingled.select(
+            sh_sets.select(
                 F.col(id_col).alias(f"{id_col}_b"), F.col("__sh").alias("__sh_b")
             ),
             f"{id_col}_b",
@@ -391,10 +424,8 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, n_inter, n_union), id_a < id_b.
     """
     a, b = f"{id_col}_a", f"{id_col}_b"
-    shingled = df.select(
-        F.col(id_col), word_shingles(text_col, shingle_words).alias("__sh")
-    )
-    postings = shingled.select(F.col(id_col), F.explode("__sh").alias("__shingle"))
+    sh_sets = shingled(df, id_col, text_col, shingle_words)
+    postings = sh_sets.select(F.col(id_col), F.explode("__sh").alias("__shingle"))
     sizes = postings.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     lists = postings.groupBy("__shingle").agg(
         F.array_sort(F.collect_set(id_col)).alias("__ids")
@@ -436,10 +467,10 @@ def ngram_jaccard_pairs(
     verified = (
         counted.select(a, b)
         .join(
-            shingled.select(F.col(id_col).alias(a), F.col("__sh").alias("__sh_a")), a
+            sh_sets.select(F.col(id_col).alias(a), F.col("__sh").alias("__sh_a")), a
         )
         .join(
-            shingled.select(F.col(id_col).alias(b), F.col("__sh").alias("__sh_b")), b
+            sh_sets.select(F.col(id_col).alias(b), F.col("__sh").alias("__sh_b")), b
         )
         .select(
             a,
