@@ -395,3 +395,67 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         for r in ba.join(bb, cond(ba, bb), "inner").collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_streaming_latest_on_updates_and_compacts(spark, tmp_path):
+    # Streaming LATEST ON: the continuously maintained latest-row-per-key
+    # view must equal the batch operator over everything streamed so far,
+    # keep updating as new files land, and survive compaction unchanged.
+    import shutil as _sh
+
+    from questdb_etl_jobs_spark.operators.latest import latest_on
+    from questdb_etl_jobs_spark.pipeline import anonymize_and_cast
+    from questdb_etl_jobs_spark.sources.csv_source import read_purchases_csv
+    from questdb_etl_jobs_spark.streaming.file_stream import (
+        stream_purchases_csv,
+    )
+    from questdb_etl_jobs_spark.streaming.latest import (
+        compact_latest,
+        maintain_latest_on,
+        read_latest,
+    )
+
+    input_dir = tmp_path / "input"
+    input_dir.mkdir()
+    for f in (FIXTURES / "purchases").glob("*.csv"):
+        _sh.copy(f, input_dir)
+    log, ckpt = str(tmp_path / "log"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = anonymize_and_cast(
+            stream_purchases_csv(spark, str(input_dir))
+        ).drop("_corrupt_record")
+        q = maintain_latest_on(
+            stream, log, ckpt, ts="purchase_date", key=["buyer"],
+            tiebreak=["item_id"],
+        )
+        q.awaitTermination(120)
+
+    def batch_view():
+        batch = anonymize_and_cast(
+            read_purchases_csv(spark, str(input_dir))
+        ).drop("_corrupt_record")
+        return latest_on(batch, "purchase_date", ["buyer"], ["item_id"])
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    run_once()
+    assert canon(read_latest(spark, log, "purchase_date", ["buyer"],
+                             ["item_id"])) == canon(batch_view())
+
+    # A newer file lands: the view follows without reprocessing old files.
+    (input_dir / "2021-03-21T14.csv").write_text(
+        f"late.buyer@example.com,7,2,999,2021-03-21T14:00:01\n"
+    )
+    run_once()
+    view = read_latest(spark, log, "purchase_date", ["buyer"], ["item_id"])
+    assert canon(view) == canon(batch_view())
+
+    # Compaction: log shrinks to one row per key; resolved view unchanged.
+    before = canon(view)
+    compact_latest(spark, log, "purchase_date", ["buyer"], ["item_id"])
+    log_df = spark.read.parquet(log)
+    assert log_df.count() == log_df.select("buyer").distinct().count()
+    assert canon(read_latest(spark, log, "purchase_date", ["buyer"],
+                             ["item_id"])) == before
