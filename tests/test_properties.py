@@ -164,3 +164,46 @@ def test_pack_sequences_matches_python_model(spark, tokens, budget):
         )
         assert got[i] == (b, off, spans), (i, n, budget)
         offset += n
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_events, right=_events)
+def test_splice_join_matches_bruteforce(spark, left, right):
+    # SPLICE = full as-of both ways. Keep (k, ts) unique PER SIDE (the
+    # operator's documented determinism caveat, same as DuckDB ASOF);
+    # cross-side ties stay in and must be visible in both directions.
+    from questdb_etl_jobs_spark.operators.asof import splice_join
+
+    left = list({(k, m): None for k, m in left})
+    right = list({(k, m): None for k, m in right})
+    if not left and not right:
+        return
+    ldf = spark.createDataFrame(
+        [(k, _BASE + timedelta(minutes=m), i) for i, (k, m) in enumerate(left)],
+        "k long, ts timestamp, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, _BASE + timedelta(minutes=m), i) for i, (k, m) in enumerate(right)],
+        "k long, ts timestamp, rid long",
+    )
+    out = splice_join(ldf, rdf, on="ts", by=["k"]).collect()
+    assert len(out) == len(left) + len(right)  # every input row appears
+
+    def latest(rows, k, m):
+        cands = [(rm, j) for j, (rk, rm) in enumerate(rows)
+                 if rk == k and rm <= m]
+        return max(cands)[1] if cands else None
+
+    for r in out:
+        if r["side"] == "L":
+            i = r["lid"]
+            k, m = left[i]
+            assert r["rid"] == latest(right, k, m), ("L", i, k, m)
+        else:
+            j = r["rid"]
+            k, m = right[j]
+            assert r["lid"] == latest(left, k, m), ("R", j, k, m)
