@@ -1296,3 +1296,59 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("qv").cast("long").alias("q_min"),
         F.array_max("qv").cast("long").alias("q_max"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q87 — MapType round-trip (F9: map functions)
+# ---------------------------------------------------------------------------
+#
+# Builds a real map<string,long> per user (map_from_entries over the
+# per-type counts), then interrogates it with the map-function surface:
+# size, map_keys (sorted + joined), map_values (summed via aggregate),
+# and a map_filter/element_at probe. The oracle is the equivalent
+# relational aggregation — if any map op dropped or duplicated an
+# entry, size/keys/total diverge.
+
+@dq(
+    "q87_map_functions",
+    oracle="""
+    WITH per_type AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events WHERE user_id % 20 = 0
+      GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS INT) AS n_types,
+           string_agg(event_type, ',' ORDER BY event_type) AS type_keys,
+           CAST(SUM(n) AS BIGINT) AS total_events,
+           CAST(COALESCE(SUM(n) FILTER (event_type = 'purchase'), 0)
+                AS BIGINT) AS n_purchases
+    FROM per_type
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    covers="F9,A6,F8",
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 20 == 0
+    )
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return mapped.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("type_keys"),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("total_events"),
+        F.coalesce(
+            F.element_at("m", F.lit("purchase")), F.lit(0).cast("long")
+        ).alias("n_purchases"),
+    ).orderBy("user_id")
