@@ -1352,3 +1352,72 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("m", F.lit("purchase")), F.lit(0).cast("long")
         ).alias("n_purchases"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# q90 — TF-IDF term weighting (corpus-statistics join)
+# ---------------------------------------------------------------------------
+#
+# Classic two-level aggregation + join: term frequency per (doc, term),
+# document frequency per term over the FULL corpus, idf = ln(N/df),
+# weight = tf * idf. The document-count scalar enters the plan as a
+# broadcast one-row aggregate (no driver-side collect). Output is keyed
+# by (doc_id, word) — ordering never depends on float comparisons — and
+# the weight goes through the spark-round protocol (a rational times a
+# log can land on an exact .xxxx5 repr).
+
+@dq(
+    "q90_tfidf",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf
+      FROM words WHERE length(word) > 0
+      GROUP BY doc_id, word
+    ),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.word,
+           CAST(tf.tf AS INT) AS tf,
+           CAST(df.df AS INT) AS df,
+           {{tfidf}}
+    FROM tf JOIN df USING (word), n
+    WHERE tf.doc_id % 50 = 0
+    ORDER BY doc_id, word
+    """.format(
+        tfidf=spark_round4(
+            "CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / df.df)",
+            "tfidf",
+        )
+    ),
+    covers="EXT,A1,J1,J2,F7",
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("word"),
+    ).filter(F.length("word") > 0)
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.filter(F.col("doc_id") % 50 == 0)
+        .join(df_counts, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("df").cast("int").alias("df"),
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "word")
+    )

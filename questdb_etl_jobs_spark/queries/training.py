@@ -396,3 +396,104 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_ngrams(docs, "text", "doc_id", n=6, min_docs=3).orderBy(
         "gram"
     )
+
+
+# ---------------------------------------------------------------------------
+# q88 — token-window chunking with overlap (RAG / context preparation)
+# ---------------------------------------------------------------------------
+#
+# Every document becomes ceil(n_tokens / 24) windows of up to 32 tokens
+# (8-token overlap). The oracle recomputes the identical windows with
+# DuckDB list slicing; value-level equality of chunk_text verifies the
+# start arithmetic, the clamped final window, and the join order.
+
+@dq(
+    "q88_token_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             CAST(unnest(generate_series(0, len(toks) - 1, 24)) AS INT)
+               AS start
+      FROM t
+    )
+    SELECT doc_id,
+           start // 24 AS chunk_idx,
+           CAST(len(toks[start + 1 : start + 32]) AS INT)
+             AS n_chunk_tokens,
+           array_to_string(toks[start + 1 : start + 32], ' ')
+             AS chunk_text
+    FROM s
+    WHERE doc_id % 10 = 0
+    ORDER BY doc_id, chunk_idx
+    """,
+    covers="EXT,F8,U4,F6",
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.chunking import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    return chunk_tokens(
+        docs, "doc_id", "text", chunk_size=32, stride=24
+    ).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# q89 — chunk-level exact dedup profile (sub-document boilerplate)
+# ---------------------------------------------------------------------------
+#
+# Document-level exact dedup (q46) can't see boilerplate spans shared
+# between distinct documents; window-level digesting can. Per source:
+# total windows, distinct window digests, duplicate count. The duplicate
+# count is non-zero on this corpus (the near-dup construction shares
+# spans across documents), so the query verifies real collisions.
+
+@dq(
+    "q89_chunk_dedup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source, toks,
+             CAST(unnest(generate_series(0, len(toks) - 1, 24)) AS INT)
+               AS start
+      FROM t
+    ),
+    c AS (
+      SELECT source,
+             md5(array_to_string(toks[start + 1 : start + 32], ' '))
+               AS digest
+      FROM s
+    )
+    SELECT source,
+           COUNT(*) AS n_chunks,
+           COUNT(DISTINCT digest) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT digest) AS INT) AS n_dup
+    FROM c
+    GROUP BY source
+    ORDER BY source
+    """,
+    covers="EXT,F2,A2,U4",
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.chunking import (
+        chunk_dedup_stats,
+        chunk_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_tokens(
+        docs,
+        "doc_id",
+        "text",
+        chunk_size=32,
+        stride=24,
+        passthrough=["source"],
+    )
+    return chunk_dedup_stats(chunks, "source").orderBy("source")

@@ -648,3 +648,67 @@ def test_repeated_ngrams_self_repetition_counts_once(spark):
     }
     assert out[boiler] == 2          # docs 1 and 2 — not 3 occurrences
     assert all(v >= 2 for v in out.values())
+
+
+def test_chunk_tokens_windows_and_clamp(spark):
+    from questdb_etl_jobs_spark.operators.chunking import (
+        chunk_dedup_stats,
+        chunk_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 7 tokens, chunk=3, stride=2 -> starts 0,2,4,6; last clamps
+            (1, "a b c d e f g", "s1"),
+            # fewer tokens than one chunk -> single short window
+            (2, "x y", "s1"),
+            # single token -> one window of 1
+            (3, "z", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = chunk_tokens(
+        docs, "doc_id", "text", chunk_size=3, stride=2,
+        passthrough=["source"],
+    )
+    rows = {
+        (r.doc_id, r.chunk_idx): (r.n_chunk_tokens, r.chunk_text, r.source)
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, 0): (3, "a b c", "s1"),
+        (1, 1): (3, "c d e", "s1"),
+        (1, 2): (3, "e f g", "s1"),
+        (1, 3): (1, "g", "s1"),
+        (2, 0): (2, "x y", "s1"),
+        (3, 0): (1, "z", "s2"),
+    }
+    # every token covered: union of windows == token multiset coverage
+    stats = {
+        r.source: (r.n_chunks, r.n_distinct, r.n_dup)
+        for r in chunk_dedup_stats(out, "source").collect()
+    }
+    assert stats == {"s1": (5, 5, 0), "s2": (1, 1, 0)}
+
+    with pytest.raises(ValueError):
+        chunk_tokens(docs, "doc_id", "text", chunk_size=0)
+
+
+def test_chunk_dedup_detects_shared_spans(spark):
+    from questdb_etl_jobs_spark.operators.chunking import (
+        chunk_dedup_stats,
+        chunk_tokens,
+    )
+
+    boiler = " ".join(f"w{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [(1, boiler + " unique one"), (2, boiler + " other tail")],
+        "doc_id long, text string",
+    ).withColumn("src", F.lit("s"))
+    chunks = chunk_tokens(
+        docs, "doc_id", "text", chunk_size=4, stride=4,
+        passthrough=["src"],
+    )
+    stats = chunk_dedup_stats(chunks, "src").collect()[0]
+    # the shared 4-token boilerplate window digests identically
+    assert stats.n_dup >= 1
