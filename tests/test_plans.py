@@ -210,3 +210,66 @@ def test_ts_in_interval_pushed_to_scan(spark, tmp_path):
         line for line in scan.splitlines() if "PushedFilters" in line
     )
     assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Dim-filtered fact joins inject a runtime bloom filter (the 100 TB
+    semi-join-reduction pattern): the filtered dim's join keys build a
+    bloom_filter_agg that pre-filters the fact scan before the shuffle.
+
+    Local thresholds are lowered to make the tiny test tables eligible;
+    the conf the deployment relies on (bloomFilter.enabled) is the
+    session default asserted here.
+    """
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    overrides = {
+        # force a shuffle join (bloom injection skips broadcast joins —
+        # broadcasting already prunes better)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # the 10 GiB application-side floor exists so tiny scans don't
+        # pay bloom build cost; zero it for the fixture-sized tables
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+    saved = {}
+    for k, v in overrides.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        from questdb_etl_jobs_spark.sources.tables import load_table
+
+        li = load_table(spark, SF_SMALL, "lineitem")
+        part = load_table(spark, SF_SMALL, "part").filter(
+            F.col("p_size") < 5
+        )
+        joined = (
+            li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_size")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        # and the result is still correct vs the plain join
+        rows = {(r.p_size, r.n) for r in joined.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plain = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .join(
+            load_table(spark, SF_SMALL, "part").filter(F.col("p_size") < 5),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_size")
+        .agg(F.count("*").alias("n"))
+    )
+    assert rows == {(r.p_size, r.n) for r in plain.collect()}
