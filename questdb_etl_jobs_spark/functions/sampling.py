@@ -65,3 +65,92 @@ def stratified_sample(
             .otherwise(threshold)
         )
     return df.filter(sample_bucket(key, salt) < threshold)
+
+
+def token_budget_take(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    weight_col: str,
+    budget: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum budgeted take: keep the deterministic-hash-ordered
+    prefix of each stratum whose cumulative ``weight_col`` stays within
+    ``budget`` (mixture targets expressed in tokens, not fractions).
+
+    Exact-prefix semantics need a per-stratum cumulative window — one
+    shuffle on ``strata_col``, and each stratum's running sum serializes
+    into a single task. Fine when strata are bounded (languages,
+    sources); for corpus-sized strata use
+    :func:`token_budget_take_scalable`, which trades exact-prefix for a
+    bucket-granular cutoff and never materializes a stratum-wide window.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(sample_bucket(key, salt).asc(), F.col(key).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__cum", F.sum(weight_col).over(w))
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum")
+    )
+
+
+def token_budget_take_scalable(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    weight_col: str,
+    budget: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Bucket-granular budgeted take that survives corpus-sized strata.
+
+    Two passes, no stratum-wide window:
+
+    1. aggregate ``weight_col`` per (stratum, hash bucket) — at most
+       RESOLUTION rows per stratum regardless of input size, partial-
+       aggregated map-side;
+    2. a cumulative window over that TINY aggregate finds each stratum's
+       cutoff bucket (the last whose running total fits the budget),
+       which broadcasts back as a semi-join filter
+       ``bucket <= cutoff(stratum)``.
+
+    The kept set is a deterministic function of content, reproducible
+    across engines and reruns; the budget is met at bucket granularity
+    (~1/RESOLUTION of the stratum's weight, e.g. 0.01%), which is the
+    right trade at 100 TB — the alternative serializes a trillion-row
+    running sum through one task.
+    """
+    from pyspark.sql.window import Window
+
+    bucket = sample_bucket(key, salt).alias("__bucket")
+    hist = df.select(
+        F.col(strata_col).alias("__stratum"),
+        bucket,
+        F.col(weight_col).alias("__w"),
+    ).groupBy("__stratum", "__bucket").agg(F.sum("__w").alias("__bw"))
+    cum_w = (
+        Window.partitionBy("__stratum")
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cutoffs = (
+        hist.withColumn("__cum", F.sum("__bw").over(cum_w))
+        .filter(F.col("__cum") <= budget)
+        .groupBy("__stratum")
+        .agg(F.max("__bucket").alias("__cutoff"))
+    )
+    return (
+        df.join(
+            F.broadcast(cutoffs),
+            (F.col(strata_col) == F.col("__stratum"))
+            & (sample_bucket(key, salt) <= F.col("__cutoff")),
+            "inner",
+        )
+        .drop("__stratum", "__cutoff")
+    )

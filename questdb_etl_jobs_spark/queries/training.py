@@ -497,3 +497,62 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
         passthrough=["source"],
     )
     return chunk_dedup_stats(chunks, "source").orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q91 — token-budget corpus mixing (per-language budget allocation)
+# ---------------------------------------------------------------------------
+#
+# Mixture targets in training pipelines are token budgets, not keep
+# fractions: cap each language at N tokens, decided by the deterministic
+# content hash so the kept set is reproducible across engines and
+# reruns. The verified face is the exact-prefix operator; the
+# stratum-scalable bucket-cutoff variant is equivalence-tested against
+# it in tests/test_operators.py.
+
+@dq(
+    "q91_token_budget_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             (doc_id * 2654435761) % {RESOLUTION} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT *, SUM(n_tokens) OVER (
+          PARTITION BY lang ORDER BY h, doc_id
+          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM c
+    WHERE cum <= 2500
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    covers="EXT,W3,A1,F7",
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.functions.sampling import token_budget_take
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    kept = token_budget_take(
+        docs, "doc_id", "lang", "n_tokens", budget=2500
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("lang")
+    )

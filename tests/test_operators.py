@@ -712,3 +712,49 @@ def test_chunk_dedup_detects_shared_spans(spark):
     stats = chunk_dedup_stats(chunks, "src").collect()[0]
     # the shared 4-token boilerplate window digests identically
     assert stats.n_dup >= 1
+
+
+def test_token_budget_take_scalable_vs_exact(spark):
+    """The bucket-cutoff variant must keep a subset of the exact-prefix
+    variant (whole buckets only), stay within budget, and be maximal —
+    including one more bucket would overflow."""
+    from questdb_etl_jobs_spark.functions.sampling import (
+        RESOLUTION,
+        token_budget_take,
+        token_budget_take_scalable,
+    )
+
+    rows = [(i, "a" if i % 3 else "b", 10 + (i * 7) % 50) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, grp string, w long")
+    budget = 300
+
+    exact = token_budget_take(df, "id", "grp", "w", budget)
+    scalable = token_budget_take_scalable(df, "id", "grp", "w", budget)
+    e = {(r.grp, r.id): r.w for r in exact.collect()}
+    s = {(r.grp, r.id): r.w for r in scalable.collect()}
+
+    assert set(s) <= set(e)
+    # per-group budget respected by both
+    for kept in (e, s):
+        for g in {"a", "b"}:
+            assert sum(w for (gg, _), w in kept.items() if gg == g) <= budget
+    # maximality of the bucket cutoff: recompute per-group bucket sums in
+    # python and check the next non-empty bucket would overflow
+    knuth = 2654435761
+    for g in {"a", "b"}:
+        buckets: dict[int, int] = {}
+        for i, gg, w in rows:
+            if gg == g:
+                buckets.setdefault((i * knuth) % RESOLUTION, 0)
+                buckets[(i * knuth) % RESOLUTION] += w
+        cum, cutoff = 0, -1
+        for b in sorted(buckets):
+            if cum + buckets[b] > budget:
+                break
+            cum += buckets[b]
+            cutoff = b
+        kept_w = sum(w for (gg, _), w in s.items() if gg == g)
+        assert kept_w == cum and cum <= budget
+        nxt = [b for b in sorted(buckets) if b > cutoff]
+        if nxt:
+            assert cum + buckets[nxt[0]] > budget
