@@ -207,3 +207,54 @@ def test_splice_join_matches_bruteforce(spark, left, right):
             j = r["rid"]
             k, m = right[j]
             assert r["lid"] == latest(left, k, m), ("R", j, k, m)
+
+
+_chunk_docs = st.lists(
+    st.lists(
+        st.text(alphabet="abcxyz", min_size=1, max_size=4),
+        min_size=1,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=_chunk_docs,
+    chunk_size=st.integers(1, 8),
+    overlap=st.integers(0, 4),
+)
+def test_chunk_tokens_matches_python_model(spark, docs, chunk_size, overlap):
+    """Windows must tile every token (coverage), respect size/stride
+    arithmetic exactly, and clamp only the final window per doc."""
+    from questdb_etl_jobs_spark.operators.chunking import chunk_tokens
+
+    stride = max(chunk_size - min(overlap, chunk_size - 1), 1)
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_tokens(
+            df, "doc_id", "text", chunk_size=chunk_size, stride=stride
+        ).collect()
+    }
+
+    want = {}
+    for i, toks in enumerate(docs):
+        starts = list(range(0, len(toks), stride)) or [0]
+        for idx, s in enumerate(starts):
+            window = toks[s : s + chunk_size]
+            want[(i, idx)] = (len(window), " ".join(window))
+    assert got == want
+    # coverage: every token position appears in >=1 window
+    for i, toks in enumerate(docs):
+        covered = set()
+        for idx, s in enumerate(range(0, len(toks), stride)):
+            covered.update(range(s, min(s + chunk_size, len(toks))))
+        assert covered == set(range(len(toks)))
