@@ -32,6 +32,8 @@ HEADLINE: dict[str, str] = {
     "q78_splice_join": "full as-of: ONE hash exchange feeds both directional carries (2nd Exchange is the DQ output sort)",
     "q80_decontaminate": "bench grams distinct+broadcast (small side); corpus grams hit zero exchanges before the join",
     "q82_interval_search": "interval literal is a plain range predicate in the scan stage",
+    "q88_token_chunks": "chunking is one codegen span (split→sequence→posexplode→slice), zero pre-sort exchanges",
+    "q91_token_budget_mix": "budget prefix = one keyed exchange for the cumulative window; scan reads 3 columns",
 }
 
 SALIENT = re.compile(
