@@ -758,3 +758,56 @@ def test_token_budget_take_scalable_vs_exact(spark):
         nxt = [b for b in sorted(buckets) if b > cutoff]
         if nxt:
             assert cum + buckets[nxt[0]] > budget
+
+
+def test_winner_operators_partition_invariant(spark):
+    """Deterministic-winner claims pinned: exact_dedup, latest_on, and
+    near_dup_pairs must produce identical results regardless of input
+    partitioning (1 vs 17 partitions, shuffled input order)."""
+    from datetime import datetime, timedelta
+
+    from questdb_etl_jobs_spark.operators.dedup import (
+        exact_dedup,
+        near_dup_pairs,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, i % 7, f"payload {i % 5}", base + timedelta(minutes=(i * 13) % 40))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, k long, text string, ts timestamp")
+
+    def runs(fn):
+        out = []
+        for parts in (1, 17):
+            shaped = df.repartition(parts)
+            out.append(sorted(tuple(r) for r in fn(shaped).collect()))
+        return out
+
+    a, b = runs(lambda d: exact_dedup(d, on=["text"], id_col="id"))
+    assert a == b and len(a) == 5
+
+    a, b = runs(
+        lambda d: latest_on(d, ts="ts", key=["k"], tiebreak=["id"])
+    )
+    assert a == b and len(a) == 7
+
+    docs = spark.createDataFrame(
+        [
+            (i, "the quick brown fox jumps over the lazy dog " * 3
+             + (f"tail {i % 3} " * 2))
+            for i in range(12)
+        ],
+        "doc_id long, text string",
+    )
+    a, b = (
+        sorted(
+            (r.doc_id_a, r.doc_id_b)
+            for r in near_dup_pairs(
+                docs.repartition(p), "doc_id", "text", threshold=0.5
+            ).collect()
+        )
+        for p in (1, 17)
+    )
+    assert a == b and len(a) > 0
