@@ -57,6 +57,9 @@ def _headline():
         "splice_join": "q78_splice_join",
         "decontaminate": "q80_decontaminate",
         "shard_shuffle": "q81_shard_shuffle",
+        "token_chunks": "q88_token_chunks",
+        "tfidf": "q90_tfidf",
+        "budget_mix": "q91_token_budget_mix",
     }
 
 
