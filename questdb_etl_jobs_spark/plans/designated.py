@@ -116,3 +116,67 @@ def read_designated_ts(
             (F.col(ts_col) < F.lit(end)) & (F.col(pcol) <= F.to_date(F.lit(end)))
         )
     return df.drop(pcol)
+
+
+def upsert_designated_ts(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    ts_col: str,
+    keys: list[str],
+) -> str:
+    """Deduplicating upsert into a designated-ts table: rows matching an
+    existing (ts, keys) replace it, others append — QuestDB's
+    ``DEDUP UPSERT KEYS`` semantics (reference README.md:70-71 table
+    family) as a partition-scoped merge.
+
+    Scale shape: only the date partitions the batch touches are read
+    (static pruning on the partition column) and only those are rewritten
+    (dynamic partition overwrite) — a day-sized merge against a 100 TB
+    table moves day-sized data. One shuffle resolves winners: batch rows
+    beat stored rows; duplicate (ts, keys) *within* the batch resolve by
+    max over the remaining columns (content-deterministic — Spark
+    DataFrames have no arrival order to honor, so the tiebreak must be a
+    pure function of the data).
+
+    The merged slice is ``localCheckpoint``-materialized before the write
+    because Spark cannot overwrite partitions it is concurrently reading;
+    the checkpoint truncates lineage off the source files first.
+    """
+    pcol = ts_col + PARTITION_SUFFIX
+    batchd = batch.withColumn(pcol, F.to_date(F.col(ts_col)))
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:  # first write: no table yet
+        return write_designated_ts(batch, path, ts_col)
+
+    dates = [r[0] for r in batchd.select(pcol).distinct().collect()]
+    cols = [c for c in existing.columns]
+    value_cols = [c for c in cols if c not in (*keys, ts_col, pcol)]
+    touched = existing.where(F.col(pcol).isin(dates))
+    tagged = touched.select(*cols).withColumn(
+        "__src", F.lit(0)
+    ).unionByName(batchd.select(*cols).withColumn("__src", F.lit(1)))
+    winner = F.max(
+        F.struct(F.col("__src"), *[F.col(c) for c in value_cols])
+    ).alias("__w")
+    merged = (
+        tagged.groupBy(ts_col, *keys, pcol)
+        .agg(winner)
+        .select(ts_col, *keys, pcol, *[f"__w.{c}" for c in value_cols])
+        .select(*cols)  # restore original column order
+    )
+    materialized = merged.localCheckpoint(eager=True)
+
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            materialized.sortWithinPartitions(pcol, ts_col)
+            .write.mode("overwrite")
+            .partitionBy(pcol)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    return pcol

@@ -198,3 +198,74 @@ def test_write_designated_ts_files_time_ordered(spark, tmp_path):
     for f in Path(path).glob("ts_pdate=*/*.parquet"):
         ts = [r["ts"] for r in spark.read.parquet(str(f)).collect()]
         assert ts == sorted(ts), f
+
+
+def test_upsert_designated_ts_merge_semantics(spark, tmp_path):
+    """QuestDB DEDUP UPSERT KEYS semantics: batch rows replace stored
+    rows with matching (ts, keys), new rows append, untouched date
+    partitions are not rewritten (their files stay byte-identical)."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        upsert_designated_ts,
+        write_designated_ts,
+    )
+
+    def ts(d, h):
+        return datetime(2024, 1, d, h, 0, 0)
+
+    initial = spark.createDataFrame(
+        [
+            ("a", ts(1, 10), 100.0),
+            ("b", ts(1, 11), 110.0),
+            ("a", ts(2, 10), 200.0),
+            ("a", ts(3, 10), 300.0),  # untouched partition
+        ],
+        "sym string, ts timestamp, px double",
+    )
+    path = str(tmp_path / "t")
+    write_designated_ts(initial, path, "ts")
+    d3_files = {
+        (p.name, p.stat().st_mtime_ns, p.stat().st_size)
+        for p in Path(path).glob("ts_pdate=2024-01-03/*.parquet")
+    }
+    assert d3_files
+
+    batch = spark.createDataFrame(
+        [
+            ("a", ts(1, 10), 101.0),   # replaces stored day-1 row
+            ("c", ts(1, 12), 120.0),   # new key day 1
+            ("b", ts(2, 10), 210.0),   # new key day 2
+            # within-batch duplicate (ts, key): max value wins
+            ("d", ts(2, 11), 4.0),
+            ("d", ts(2, 11), 7.0),
+        ],
+        "sym string, ts timestamp, px double",
+    )
+    upsert_designated_ts(spark, batch, path, "ts", keys=["sym"])
+
+    from questdb_etl_jobs_spark.plans.designated import read_designated_ts
+
+    got = {
+        (r.sym, r.ts, r.px)
+        for r in read_designated_ts(spark, path, "ts").collect()
+    }
+    assert got == {
+        ("a", ts(1, 10), 101.0),
+        ("b", ts(1, 11), 110.0),
+        ("c", ts(1, 12), 120.0),
+        ("a", ts(2, 10), 200.0),
+        ("b", ts(2, 10), 210.0),
+        ("d", ts(2, 11), 7.0),
+        ("a", ts(3, 10), 300.0),
+    }
+    # untouched day-3 partition: identical files, not rewritten
+    assert {
+        (p.name, p.stat().st_mtime_ns, p.stat().st_size)
+        for p in Path(path).glob("ts_pdate=2024-01-03/*.parquet")
+    } == d3_files
+    # idempotence: re-upserting the same batch changes nothing
+    upsert_designated_ts(spark, batch, path, "ts", keys=["sym"])
+    again = {
+        (r.sym, r.ts, r.px)
+        for r in read_designated_ts(spark, path, "ts").collect()
+    }
+    assert again == got
