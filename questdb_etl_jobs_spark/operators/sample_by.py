@@ -182,3 +182,32 @@ def ts_in(ts: Column | str, literal: str) -> Column:
     return (c >= F.lit(start).cast("timestamp")) & (
         c < F.lit(end).cast("timestamp")
     )
+
+
+def ohlc_aggs(
+    price: str,
+    ts: str,
+    tiebreak: list[str] | None = None,
+) -> list[Column]:
+    """OHLC candle aggregates for :func:`sample_by` — QuestDB's
+    ``first()``/``last()`` designated-ts aggregates as ordered
+    ``min_by``/``max_by`` (one hash aggregate, partial+final; no window,
+    no self-join).
+
+    ``tiebreak`` columns extend the ordering key (struct ordering) so
+    open/close stay deterministic when two rows share a timestamp —
+    pass the table's unique id.
+    """
+    order: Column = (
+        F.struct(F.col(ts), *[F.col(c) for c in tiebreak])
+        if tiebreak
+        else F.col(ts)
+    )
+    p = F.col(price)
+    return [
+        F.min_by(p, order).alias("open"),
+        F.max(p).alias("high"),
+        F.min(p).alias("low"),
+        F.max_by(p, order).alias("close"),
+        F.count(p).alias("n_trades"),
+    ]

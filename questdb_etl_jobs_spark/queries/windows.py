@@ -888,3 +888,59 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("local_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q92 — OHLC candles (SAMPLE BY + first/last ordered aggregates)
+# ---------------------------------------------------------------------------
+#
+# QuestDB's signature candle query: SELECT first(price) open, max high,
+# min low, last(price) close ... SAMPLE BY 1h. first/last over the
+# designated timestamp become min_by/max_by ordered aggregates — one
+# partial+final hash aggregate, no window pass. The oracle uses DuckDB's
+# arg_min/arg_max on the same ordering; in-bucket timestamps are unique
+# in this data (checked at sf0.1), and the library operator takes an
+# explicit tiebreak for data where they are not.
+
+@dq(
+    "q92_ohlc_candles",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', ts) AS bucket_ts,
+           ROUND(arg_min(value, ts), 4) AS open,
+           ROUND(MAX(value), 4) AS high,
+           ROUND(MIN(value), 4) AS low,
+           ROUND(arg_max(value, ts), 4) AS close,
+           COUNT(value) AS n_trades
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY event_type, bucket_ts
+    ORDER BY event_type, bucket_ts
+    """,
+    covers="A7,A1,F5",
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.sample_by import (
+        ohlc_aggs,
+        sample_by,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < "2024-01-03 00:00:00"
+    )
+    candles = sample_by(
+        events,
+        ts="ts",
+        bucket="hour",
+        aggs=ohlc_aggs("value", "ts"),
+        keys=["event_type"],
+    )
+    return candles.select(
+        "event_type",
+        "bucket_ts",
+        F.round("open", 4).alias("open"),
+        F.round("high", 4).alias("high"),
+        F.round("low", 4).alias("low"),
+        F.round("close", 4).alias("close"),
+        "n_trades",
+    ).orderBy("event_type", "bucket_ts")

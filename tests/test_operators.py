@@ -811,3 +811,36 @@ def test_winner_operators_partition_invariant(spark):
         for p in (1, 17)
     )
     assert a == b and len(a) > 0
+
+
+def test_ohlc_tiebreak_deterministic(spark):
+    """Two trades at the identical timestamp: open/close resolve by the
+    tiebreak id, not partition luck."""
+    from datetime import datetime
+
+    from questdb_etl_jobs_spark.operators.sample_by import (
+        ohlc_aggs,
+        sample_by,
+    )
+
+    t = datetime(2024, 1, 1, 9, 30, 0)
+    t2 = datetime(2024, 1, 1, 9, 45, 0)
+    df = spark.createDataFrame(
+        [
+            (1, t, 10.0),   # same ts as id=0 — higher id
+            (0, t, 11.0),
+            (2, t2, 9.0),
+            (3, t2, 12.0),  # same ts as id=2 — higher id
+        ],
+        "id long, ts timestamp, px double",
+    )
+    for parts in (1, 7):
+        got = sample_by(
+            df.repartition(parts),
+            ts="ts",
+            bucket="hour",
+            aggs=ohlc_aggs("px", "ts", tiebreak=["id"]),
+        ).collect()[0]
+        assert (got.open, got.high, got.low, got.close, got.n_trades) == (
+            11.0, 12.0, 9.0, 12.0, 4,
+        )
