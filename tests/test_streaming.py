@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from questdb_etl_jobs_spark.functions.hashing import stable_id
 from questdb_etl_jobs_spark.streaming.file_stream import run_stream_to_table
 
-from conftest import FIXTURES
+from conftest import FIXTURES, SF_SMALL
 
 
 def _run(spark, tmp_path, input_dir, **kw):
@@ -459,3 +459,56 @@ def test_streaming_latest_on_updates_and_compacts(spark, tmp_path):
     assert log_df.count() == log_df.select("buyer").distinct().count()
     assert canon(read_latest(spark, log, "purchase_date", ["buyer"],
                              ["item_id"])) == before
+
+
+def test_streaming_ohlc_candles_match_batch(spark, tmp_path):
+    """OHLC candles maintained over a stream (tumbling window +
+    min_by/max_by ordered aggregates) equal the batch q92 aggregation
+    over the same rows — the streaming face of the QuestDB candle
+    query."""
+    import shutil
+
+    from questdb_etl_jobs_spark.operators.sample_by import ohlc_aggs
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    src_dir = tmp_path / "events_parquet"
+    events = load_table(spark, SF_SMALL, "events").filter(
+        F.col("ts") < "2024-01-02 00:00:00"
+    )
+    # replay the day as three files so availableNow sees several batches
+    events.withColumn(
+        "part", (F.col("event_id") % 3).cast("int")
+    ).write.partitionBy("part").parquet(str(src_dir))
+
+    stream = (
+        spark.readStream.schema(
+            events.schema
+        ).parquet(str(src_dir) + "/part=*")
+        .withWatermark("ts", "0 seconds")
+    )
+    candles = stream.groupBy(
+        F.window("ts", "1 hour").alias("win"), "event_type"
+    ).agg(*ohlc_aggs("value", "ts", tiebreak=["event_id"]))
+    q = (
+        candles.writeStream.format("memory")
+        .queryName("ohlc_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win"]["start"].isoformat(), r["event_type"]):
+            (r["open"], r["high"], r["low"], r["close"], r["n_trades"])
+        for r in spark.sql("SELECT * FROM ohlc_stream").collect()
+    }
+    expected = {
+        (r["win"]["start"].isoformat(), r["event_type"]):
+            (r["open"], r["high"], r["low"], r["close"], r["n_trades"])
+        for r in events.groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type"
+        ).agg(*ohlc_aggs("value", "ts", tiebreak=["event_id"])).collect()
+    }
+    assert got == expected and len(got) > 0
+    shutil.rmtree(src_dir, ignore_errors=True)
