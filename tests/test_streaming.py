@@ -512,3 +512,53 @@ def test_streaming_ohlc_candles_match_batch(spark, tmp_path):
     }
     assert got == expected and len(got) > 0
     shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_streaming_upsert_table_idempotent_on_redelivery(spark, tmp_path):
+    """Redelivered files must not grow the table: each micro-batch
+    merges via dedup-upsert on (ts, keys), so replaying the same data —
+    even after the watermark/state of a row-dedup would have expired —
+    leaves the table unchanged."""
+    import shutil
+
+    from questdb_etl_jobs_spark.sources.tables import load_table
+    from questdb_etl_jobs_spark.streaming.upsert import maintain_upsert_table
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    events = (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("ts") < "2024-01-02 00:00:00")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    events.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    staged = next((tmp_path / "stage").glob("*.parquet"))
+    shutil.copy(staged, src / "delivery1.parquet")
+
+    table = str(tmp_path / "table")
+
+    def run(ckpt):
+        q = maintain_upsert_table(
+            spark.readStream.schema(events.schema).parquet(str(src)),
+            table,
+            str(tmp_path / ckpt),
+            ts="ts",
+            keys=["event_id"],
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    n1 = spark.read.parquet(table).count()
+    assert n1 == events.count()
+
+    # redelivery: same bytes, new object name, FRESH checkpoint (the
+    # file-source dedup can't save us) — table must not grow
+    shutil.copy(staged, src / "delivery2_redelivered.parquet")
+    run("ckpt2")
+    got = spark.read.parquet(table).drop("ts_pdate")
+    assert got.count() == n1
+    # and values are intact
+    assert (
+        got.exceptAll(events).count() == 0
+        and events.exceptAll(got).count() == 0
+    )
