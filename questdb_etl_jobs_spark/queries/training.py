@@ -556,3 +556,61 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q93 — deterministic train/val/test split (dataset versioning)
+# ---------------------------------------------------------------------------
+#
+# The 80/10/10 split every training run needs, as a pure function of the
+# document key: bucket = content hash in [0, RESOLUTION); train < 8000,
+# val in [8000, 9000), test >= 9000. Disjoint and exhaustive by
+# construction — verified by per-split counts, token totals, AND the
+# exact sum of member ids (which rows, not just how many). No RNG, no
+# state file: re-running on a grown corpus never moves an old row
+# between splits.
+
+@dq(
+    "q93_train_val_test_split",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             (doc_id * 2654435761) % {RESOLUTION} AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM t
+    GROUP BY split
+    ORDER BY split
+    """,
+    covers="EXT,F10,A1",
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = sample_bucket("doc_id")
+    split = (
+        F.when(bucket < 8000, "train")
+        .when(bucket < 9000, "val")
+        .otherwise("test")
+        .alias("split")
+    )
+    return (
+        docs.select(
+            split,
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("split")
+    )
