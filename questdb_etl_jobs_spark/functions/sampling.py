@@ -154,3 +154,32 @@ def token_budget_take_scalable(
         )
         .drop("__stratum", "__cutoff")
     )
+
+
+def fixed_size_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (eval sets, human
+    review batches — places where "about 1%" is the wrong contract).
+
+    Priority sampling: rank rows inside each stratum by the content-
+    keyed hash (ties by key) and keep the first k. Reproducible across
+    engines/reruns like the other samplers; adding NEW rows to a stratum
+    can displace old members (k is fixed — that's the contract), but
+    never reorders survivors relative to each other. One shuffle on
+    ``strata_col``; rank-then-filter prunes before any downstream work.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_bucket(key, salt).asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -614,3 +614,48 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# q94 — fixed-size deterministic sample (k per stratum)
+# ---------------------------------------------------------------------------
+#
+# Completes the sampling triad: fraction (q68), token budget (q91),
+# exact count (here) — eval sets want exactly k rows per language, not
+# "about 1%". Priority = content hash, so membership is reproducible;
+# verified by per-language counts and exact member-id sums.
+
+@dq(
+    "q94_fixed_size_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * 2654435761) % {RESOLUTION}, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM ranked
+    WHERE rk <= 25
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    covers="EXT,W1,A1",
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.functions.sampling import fixed_size_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = fixed_size_sample(docs, "doc_id", "lang", k=25)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("lang")
+    )
