@@ -60,6 +60,9 @@ def chunk_tokens(
     ``passthrough`` columns are carried onto every chunk row in-plan —
     cheaper at any scale than re-joining chunk rows back to a
     corpus-sized document dimension afterwards.
+
+    NULL ``text_col`` rows produce no chunks (the explode drops them) —
+    filter-and-quarantine upstream if they must be accounted for.
     """
     if stride <= 0 or chunk_size <= 0:
         raise ValueError("chunk_size and stride must be positive")

@@ -145,10 +145,24 @@ def upsert_designated_ts(
     """
     pcol = ts_col + PARTITION_SUFFIX
     batchd = batch.withColumn(pcol, F.to_date(F.col(ts_col)))
+
+    def dedup_batch(b: DataFrame) -> DataFrame:
+        """Within-batch (ts, keys) duplicates: max over value columns —
+        dedup applies on EVERY insert, including into an empty table."""
+        vcols = [c for c in batch.columns if c not in (*keys, ts_col)]
+        if not vcols:
+            return b.dropDuplicates([ts_col, *keys])
+        return (
+            b.groupBy(ts_col, *keys)
+            .agg(F.max(F.struct(*[F.col(c) for c in vcols])).alias("__w"))
+            .select(ts_col, *keys, *[f"__w.{c}" for c in vcols])
+            .select(*batch.columns)
+        )
+
     try:
         existing = spark.read.parquet(path)
     except Exception:  # first write: no table yet
-        return write_designated_ts(batch, path, ts_col)
+        return write_designated_ts(dedup_batch(batch), path, ts_col)
 
     dates = [r[0] for r in batchd.select(pcol).distinct().collect()]
     cols = [c for c in existing.columns]

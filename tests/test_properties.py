@@ -258,3 +258,55 @@ def test_chunk_tokens_matches_python_model(spark, docs, chunk_size, overlap):
         for idx, s in enumerate(range(0, len(toks), stride)):
             covered.update(range(s, min(s + chunk_size, len(toks))))
         assert covered == set(range(len(toks)))
+
+
+_upsert_batches = st.lists(  # each batch: rows of (day, key, value)
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 4), st.integers(0, 100)),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=_upsert_batches)
+def test_upsert_designated_ts_matches_dict_model(spark, batches, tmp_path_factory):
+    """Any sequence of upserted batches must leave the table equal to
+    the dict model: later batches beat stored rows on (ts, key);
+    duplicate (ts, key) within a batch resolve to the max value."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        read_designated_ts,
+        upsert_designated_ts,
+    )
+
+    tmp = tmp_path_factory.mktemp("upsert_prop")
+    path = str(tmp / "t")
+
+    model: dict[tuple, int] = {}
+    for batch in batches:
+        df = spark.createDataFrame(
+            [
+                (k, datetime(2024, 1, d, 12, 0, 0), float(v))
+                for d, k, v in batch
+            ],
+            "k long, ts timestamp, v double",
+        )
+        upsert_designated_ts(spark, df, path, "ts", keys=["k"])
+        staged: dict[tuple, int] = {}
+        for d, k, v in batch:
+            key = (k, datetime(2024, 1, d, 12, 0, 0))
+            staged[key] = max(staged.get(key, -1), v)
+        model.update(staged)
+
+    got = {
+        (r.k, r.ts): r.v
+        for r in read_designated_ts(spark, path, "ts").collect()
+    }
+    assert got == {key: float(v) for key, v in model.items()}
