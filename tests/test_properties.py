@@ -310,3 +310,56 @@ def test_upsert_designated_ts_matches_dict_model(spark, batches, tmp_path_factor
         for r in read_designated_ts(spark, path, "ts").collect()
     }
     assert got == {key: float(v) for key, v in model.items()}
+
+
+_weighted_rows = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 1), st.integers(1, 30)),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_weighted_rows, budget=st.integers(5, 120), k=st.integers(1, 6))
+def test_sampling_operators_match_python_models(spark, rows, budget, k):
+    """token_budget_take and fixed_size_sample vs brute-force models:
+    hash-ordered prefix under a weight budget; first-k by hash rank."""
+    from questdb_etl_jobs_spark.functions.sampling import (
+        RESOLUTION,
+        fixed_size_sample,
+        token_budget_take,
+    )
+
+    knuth = 2654435761
+    df = spark.createDataFrame(rows, "id long, grp long, w long")
+
+    got_budget = sorted(
+        (r.grp, r.id)
+        for r in token_budget_take(df, "id", "grp", "w", budget).collect()
+    )
+    got_fixed = sorted(
+        (r.grp, r.id)
+        for r in fixed_size_sample(df, "id", "grp", k).collect()
+    )
+
+    want_budget, want_fixed = [], []
+    for g in {r[1] for r in rows}:
+        members = sorted(
+            (i for i, gg, _ in rows if gg == g),
+            key=lambda i: ((i * knuth) % RESOLUTION, i),
+        )
+        cum = 0
+        weights = {i: w for i, gg, w in rows if gg == g}
+        for i in members:
+            cum += weights[i]
+            if cum > budget:
+                break
+            want_budget.append((g, i))
+        want_fixed.extend((g, i) for i in members[:k])
+    assert got_budget == sorted(want_budget)
+    assert got_fixed == sorted(want_fixed)
