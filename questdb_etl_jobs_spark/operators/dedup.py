@@ -182,24 +182,24 @@ def lsh_candidate_pairs(
     expected, raise n_bands (narrower buckets) or pre-filter boilerplate.
     """
     sig_len_col = F.size("signature")
+    # Band key = xxhash64 over the sliced long array directly (Spark's
+    # hash functions accept array columns). Equal slices always collide,
+    # so LSH recall is identical to any exact slice key; the rare unequal
+    # collision only adds a candidate the exact verify step discards.
+    # Versus stringifying the slice + sha256 this stays integer-domain
+    # (no per-band string materialization — measurably cheaper per doc,
+    # and 8 bytes on the shuffle wire instead of a 64-char digest).
     bands = signatures.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.sha2(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                "signature",
-                                b * (sig_len_col / n_bands).cast("int") + 1,
-                                (sig_len_col / n_bands).cast("int"),
-                            ),
-                            lambda v: v.cast("string"),
-                        ),
-                    ),
-                    256,
+                lambda b: F.xxhash64(
+                    F.slice(
+                        "signature",
+                        b * (sig_len_col / n_bands).cast("int") + 1,
+                        (sig_len_col / n_bands).cast("int"),
+                    )
                 ),
             )
         ).alias("__band", "__band_hash"),
@@ -328,8 +328,11 @@ def dup_clusters(
             F.least(
                 F.col("cluster"), F.coalesce("__nbr", F.col("cluster"))
             ).alias("cluster"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         # Labels are monotone non-increasing: an unchanged sum ⇔ fixpoint.
+        # The lazy checkpoint materializes under THIS collect — one job
+        # per round carries both the label update and the convergence
+        # check, instead of an eager-checkpoint job plus a sum job.
         cur = labels.agg(
             F.sum(F.col("cluster").cast("decimal(38,0)"))
         ).collect()[0][0]
