@@ -659,3 +659,53 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q95 — z-order (Morton) curve key (EXT: multi-dimensional data skipping)
+# ---------------------------------------------------------------------------
+#
+# Verifies the bit-interleave ladder plans/zorder.py uses to cluster
+# files for 2-D box pruning: per lineitem status group, COUNT plus the
+# exact BIGINT min/max/sum of z(l_partkey, l_suppkey). Sum-of-z is a
+# value-level check on every row's z-value (any single bit flipped in
+# any row changes it); the DuckDB oracle replays the identical
+# shift-and-mask ladder via z_value_sql, so the curve is verified
+# bit-for-bit cross-engine. The layout payoff (files = curve segments →
+# box queries touch few files) is pinned by tests/test_zorder.py on
+# real parquet footers.
+
+def _q95_oracle() -> str:
+    from questdb_etl_jobs_spark.plans.zorder import z_value_sql
+
+    z = z_value_sql("l_partkey", "l_suppkey")
+    return f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           COUNT(*) AS n_rows,
+           MIN({z}) AS z_min,
+           MAX({z}) AS z_max,
+           CAST(SUM({z}) AS BIGINT) AS z_sum
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """
+
+
+@dq("q95_zorder_key", oracle=_q95_oracle, covers="EXT,F7,A1")
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.plans.zorder import z_value
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = z_value("l_partkey", "l_suppkey").alias("__z")
+    return (
+        li.select("l_returnflag", "l_linestatus", z)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("__z").alias("z_min"),
+            F.max("__z").alias("z_max"),
+            F.sum("__z").alias("z_sum"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
