@@ -163,6 +163,37 @@ def signature_and_shingles(
     )
 
 
+def band_rows(
+    signatures: DataFrame, id_col: str, n_bands: int = 8
+) -> DataFrame:
+    """(id, __band, __band_hash) — one row per signature band.
+
+    Band key = xxhash64 over the sliced long array directly (Spark's
+    hash functions accept array columns). Equal slices always collide,
+    so LSH recall is identical to any exact slice key; the rare unequal
+    collision only adds a candidate the exact verify step discards.
+    Versus stringifying the slice + sha256 this stays integer-domain
+    (no per-band string materialization — measurably cheaper per doc,
+    and 8 bytes on the shuffle wire instead of a 64-char digest).
+    """
+    sig_len_col = F.size("signature")
+    return signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(
+                        "signature",
+                        b * (sig_len_col / n_bands).cast("int") + 1,
+                        (sig_len_col / n_bands).cast("int"),
+                    )
+                ),
+            )
+        ).alias("__band", "__band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str, n_bands: int = 8
 ) -> DataFrame:
@@ -181,29 +212,7 @@ def lsh_candidate_pairs(
     band width in practice; for corpora where a near-constant band is
     expected, raise n_bands (narrower buckets) or pre-filter boilerplate.
     """
-    sig_len_col = F.size("signature")
-    # Band key = xxhash64 over the sliced long array directly (Spark's
-    # hash functions accept array columns). Equal slices always collide,
-    # so LSH recall is identical to any exact slice key; the rare unequal
-    # collision only adds a candidate the exact verify step discards.
-    # Versus stringifying the slice + sha256 this stays integer-domain
-    # (no per-band string materialization — measurably cheaper per doc,
-    # and 8 bytes on the shuffle wire instead of a 64-char digest).
-    bands = signatures.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(
-                        "signature",
-                        b * (sig_len_col / n_bands).cast("int") + 1,
-                        (sig_len_col / n_bands).cast("int"),
-                    )
-                ),
-            )
-        ).alias("__band", "__band_hash"),
-    )
+    bands = band_rows(signatures, id_col, n_bands)
     buckets = (
         bands.groupBy("__band", "__band_hash")
         .agg(F.array_sort(F.collect_set(id_col)).alias("__ids"))
