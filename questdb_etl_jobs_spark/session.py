@@ -32,6 +32,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # (nanos since epoch) and convert losslessly — the data is µs-precision
     # (verified: max sub-µs component is 0). See sources/tables.py.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet TIMESTAMP(isAdjustedToUTC=false) would otherwise surface as
+    # TIMESTAMP_NTZ, which half the timestamp builtins (unix_micros,
+    # window, …) reject. With the session pinned to UTC above, reading it
+    # as TimestampType is value-identical and keeps one timestamp type
+    # throughout the engine and the DuckDB oracle comparison.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Adaptive execution: runtime re-plan (partition coalescing, skew-join
     # handling, SMJ→BHJ conversion) — the 100 TB posture.
     "spark.sql.adaptive.enabled": "true",
