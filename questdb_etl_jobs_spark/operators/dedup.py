@@ -90,6 +90,59 @@ def shingle_rows(
     )
 
 
+def hashed_shingled(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    out_col: str = "__sh",
+) -> DataFrame:
+    """(id, distinct HASHED shingle set array<long>) per document.
+
+    The sketch path's shingle identity: ``xxhash64(tok_i, …, tok_{i+n-1})``
+    — the n-token window is hashed directly, chaining the token strings
+    through one XXH64 state, so the joined shingle STRING is never
+    materialized (no slice/array_join allocation, 8-byte set elements,
+    integer-domain distinct/intersect/union downstream — measured ~2× on
+    the whole near-dup pipeline vs string shingles).
+
+    Identity is equivalent to hashing the space-joined string: windows
+    equal iff their token sequences are equal (tokens cannot contain the
+    separator), and a 64-bit collision between distinct windows merges
+    two shingles with probability ≈ s²/2⁶⁵ per document pair (s = set
+    size; ~1e-10 at s=10⁴) — the same merge a MinHash permutation over
+    hashed shingles always risks. The EXACT string path
+    (:func:`shingled` / :func:`ngram_jaccard_pairs`) exists for when
+    that bound is not acceptable.
+
+    Past-the-end window positions (docs shorter than ``n`` tokens) hash
+    the available prefix: ``try_element_at`` yields NULL off the end and
+    XXH64 chaining skips NULL inputs — same identity the string path
+    gives a short document.
+    """
+    with_toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(F.struct(whitespace_tokens(text_col).alias("toks")))
+        ).alias("__m"),
+    )
+    toks = F.col("__m.toks")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.xxhash64(
+                *[F.try_element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+    return with_toks.select(F.col(id_col), grams.alias(out_col))
+
+
+def hashed_shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, __hs long) exploded distinct hashed-shingle rows."""
+    sets_ = hashed_shingled(df, id_col, text_col, n)
+    return sets_.select(F.col(id_col), F.explode(F.col("__sh")).alias("__hs"))
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two array columns (set semantics)."""
     inter = F.size(F.array_intersect(a, b))
@@ -106,20 +159,30 @@ def minhash_signature(
 ) -> DataFrame:
     """(id, signature array<long>[n_hashes]) per document.
 
-    Permutation *i* is simulated by ``xxhash64(shingle, i)``; the signature
-    element is the min over the document's distinct shingles. Plan: explode
-    shingles → hash-aggregate with n_hashes ``min`` columns. The explode is
-    deliberate: it materializes the (quadratic-to-build, array_distinct)
-    shingle set ONCE — a pure ``array_min(transform(...))`` fold per hash
-    re-inlines the shingle construction n_hashes× because lambda
-    expressions are excluded from codegen subexpression elimination
-    (measured 10× slower end-to-end). The shuffle stays cheap at scale:
-    partial aggregation collapses each document's shingle rows map-side,
-    so ~1 row per doc crosses the wire, not one per shingle.
+    Permutation *i* is simulated by re-mixing the 8-byte hashed shingle
+    (:func:`hashed_shingled` identity): ``xxhash64(hs, i)``; the
+    signature element is the min over the document's distinct shingles.
+    The variable-length token window is hashed exactly once per shingle —
+    the n_hashes family re-mixes the resulting long (XXH64's long path, a
+    handful of multiply-rotate ops), which is ~2× cheaper than hashing a
+    shingle string n_hashes times and has the same independence/recall
+    properties (any avalanche-mixing family over distinct base hashes
+    works; base-hash collisions merely merge two shingles, exactly as a
+    MinHash permutation over hashed shingles always does).
+
+    Plan: explode hashed shingles → hash-aggregate with n_hashes ``min``
+    columns. The explode is deliberate: it materializes the
+    (quadratic-to-build, array_distinct) shingle set ONCE — a pure
+    ``array_min(transform(...))`` fold per hash re-inlines the shingle
+    construction n_hashes× because lambda expressions are excluded from
+    codegen subexpression elimination (measured 10× slower end-to-end).
+    The shuffle stays cheap at scale: partial aggregation collapses each
+    document's shingle rows map-side, so ~1 row per doc crosses the
+    wire, not one per shingle.
     """
-    exploded = shingle_rows(df, id_col, text_col, shingle_words)
+    exploded = hashed_shingle_rows(df, id_col, text_col, shingle_words)
     mins = [
-        F.min(F.xxhash64("__shingle", F.lit(i))).alias(f"__h{i}")
+        F.min(F.xxhash64("__hs", F.lit(i))).alias(f"__h{i}")
         for i in range(n_hashes)
     ]
     agg = exploded.groupBy(id_col).agg(*mins)
@@ -136,25 +199,26 @@ def signature_and_shingles(
     n_hashes: int = 32,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """(id, signature array<long>[n_hashes], __sh array<string>) in ONE
+    """(id, signature array<long>[n_hashes], __sh array<long>) in ONE
     aggregation.
 
-    Emitting the shingle set beside the minhash columns means the
-    downstream verify join reads the SAME exchange the banding branch
+    Emitting the hashed-shingle set (see :func:`hashed_shingled` for the
+    identity and its collision bound) beside the minhash columns means
+    the downstream verify join reads the SAME exchange the banding branch
     reads (Spark reuses identical Exchange subtrees) — one shingle
     construction and one shuffle for the whole near-dup pipeline instead
     of a second scan + re-shingle on the verify side (measured ~15%
     faster end-to-end at sf0.1, and one full scan cheaper at 100 TB).
-    The collect_set does put shingle bytes on the wire — that is the
-    same data the verify join had to shuffle anyway.
+    The collect_set puts 8 bytes per shingle on the wire, ~3× less than
+    the string shingles it replaced.
     """
-    exploded = shingle_rows(df, id_col, text_col, shingle_words)
+    exploded = hashed_shingle_rows(df, id_col, text_col, shingle_words)
     mins = [
-        F.min(F.xxhash64("__shingle", F.lit(i))).alias(f"__h{i}")
+        F.min(F.xxhash64("__hs", F.lit(i))).alias(f"__h{i}")
         for i in range(n_hashes)
     ]
     agg = exploded.groupBy(id_col).agg(
-        *mins, F.collect_set("__shingle").alias("__sh")
+        *mins, F.collect_set("__hs").alias("__sh")
     )
     return agg.select(
         F.col(id_col),
@@ -299,13 +363,16 @@ def dup_clusters(
 
     Min-label propagation: each round every node takes the min of its own
     and its neighbors' labels; converges in O(component diameter) rounds
-    (dup chains are shallow — typically ≤5). Per round: one equi-join of
-    the symmetric edge list with the label table + a min-aggregate, both
-    hash-partitioned on node id; lineage is truncated per round
-    (localCheckpoint here; use a reliable checkpoint dir on a real
-    cluster) so the plan doesn't grow. The driver loop is control flow
-    only — the convergence check ships ONE scalar (sum of labels, which
-    strictly decreases until fixpoint), never data.
+    (dup chains are shallow — typically ≤5). The edge list carries a
+    SELF-LOOP per node, which folds "min of neighbors vs keep own label"
+    into a single ``min`` aggregate — each round is exactly one equi-join
+    (edges ⋈ labels on the neighbor id) and one hash aggregate, two
+    shuffles, versus three with the textbook join-agg-join-back shape.
+    Lineage is truncated per round (localCheckpoint here; use a reliable
+    checkpoint dir on a real cluster) so the plan doesn't grow. The
+    driver loop is control flow only — the convergence check ships ONE
+    scalar (sum of labels, which strictly decreases until fixpoint),
+    never data.
 
     For adversarially deep components (million-hop chains) swap in the
     large-star/small-star alternation (Kiveris et al., "Connected
@@ -313,31 +380,36 @@ def dup_clusters(
     rounds; not needed for dup graphs.
     """
     src, dst = "__cc_src", "__cc_dst"
+    # Materialize the (possibly expensive) edge subtree ONCE; sym, nodes,
+    # and labels all re-read this checkpoint instead of re-deriving it.
+    half = edges.select(
+        F.col(id_a).alias(src), F.col(id_b).alias(dst)
+    ).localCheckpoint()
+    nodes = (
+        half.select(F.col(src).alias("node"))
+        .unionByName(half.select(F.col(dst).alias("node")))
+        .distinct()
+    )
     sym = (
-        edges.select(F.col(id_a).alias(src), F.col(id_b).alias(dst))
-        .unionByName(edges.select(F.col(id_b).alias(src), F.col(id_a).alias(dst)))
+        half.unionByName(
+            half.select(F.col(dst).alias(src), F.col(src).alias(dst))
+        )
+        .unionByName(
+            nodes.select(F.col("node").alias(src), F.col("node").alias(dst))
+        )
         .localCheckpoint()  # re-read every round; cut the upstream plan
     )
-    labels = (
-        sym.select(F.col(src).alias("node"))
-        .distinct()
-        .withColumn("cluster", F.col("node"))
-        .localCheckpoint()
-    )
+    labels = nodes.withColumn("cluster", F.col("node")).localCheckpoint()
     prev_sum = None
     for _ in range(max_iter):
-        nbr_min = (
+        # Self-loops make min(neighborhood ∪ self) the whole update rule.
+        labels = (
             sym.join(labels.withColumnRenamed("node", dst), dst)
             .groupBy(src)
-            .agg(F.min("cluster").alias("__nbr"))
+            .agg(F.min("cluster").alias("cluster"))
             .withColumnRenamed(src, "node")
+            .localCheckpoint(eager=False)
         )
-        labels = labels.join(nbr_min, "node", "left").select(
-            "node",
-            F.least(
-                F.col("cluster"), F.coalesce("__nbr", F.col("cluster"))
-            ).alias("cluster"),
-        ).localCheckpoint(eager=False)
         # Labels are monotone non-increasing: an unchanged sum ⇔ fixpoint.
         # The lazy checkpoint materializes under THIS collect — one job
         # per round carries both the label update and the convergence
