@@ -18,6 +18,7 @@ defaults used by tests/bench.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -48,8 +49,18 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+#: Sessions already configured — every conf.set is a py4j round trip
+#: (~10 of them ≈ 30-80 ms), and load_table calls configure() on every
+#: table load, so an un-memoized configure() taxes each query build.
+_CONFIGURED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def configure(spark: SparkSession) -> SparkSession:
-    """Apply the engine's runtime-settable confs to an existing session."""
+    """Apply the engine's runtime-settable confs to an existing session
+    (idempotent and memoized per session object)."""
+    if spark in _CONFIGURED:
+        return spark
+    _CONFIGURED.add(spark)
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)

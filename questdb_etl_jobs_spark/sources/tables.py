@@ -13,19 +13,39 @@ conversion is lossless.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from questdb_etl_jobs_spark import session as _session
 from questdb_etl_jobs_spark.schemas import TEST_TABLE_NAMES
 
+#: (session -> {(sf_dir, name) -> DataFrame}). A loaded table is an
+#: immutable logical plan; rebuilding it per query re-reads the parquet
+#: footer and re-runs analysis (~50-80 ms of driver latency per table per
+#: query — a 4-table join paid ~0.3 s before touching data). Keyed weakly
+#: by session so a stopped session's plans are collectable.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one test table; normalizes events.ts to TimestampType (µs)."""
+    """Load one test table; normalizes events.ts to TimestampType (µs).
+
+    Memoized per (session, path): callers only ever build new plans on
+    top of the returned DataFrame, never mutate it.
+    """
+    cache = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
     _session.configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    cache[key] = df
     return df
 
 

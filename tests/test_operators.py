@@ -15,9 +15,11 @@ from questdb_etl_jobs_spark.operators.asof import asof_join
 from questdb_etl_jobs_spark.operators.dedup import (
     exact_dedup,
     hamming,
+    hashed_shingled,
     jaccard,
     near_dup_pairs,
     ngram_jaccard_pairs,
+    shingled,
     simhash_bits,
     word_shingles,
 )
@@ -240,6 +242,31 @@ def test_jaccard_and_shingles(spark):
     ).collect()[0]
     assert row["self"] == 1.0
     assert row["n"] == 4  # 6 tokens → 4 distinct 3-grams
+
+
+def test_hashed_shingles_mirror_string_shingles(spark):
+    # The sketch path's hashed shingle sets must have exactly the string
+    # sets' cardinalities (identity-preserving modulo the documented
+    # 64-bit collision bound), including short-document edge cases where
+    # the window runs past the end of the token array.
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat the cat sat"),  # repeats → distinct
+            (3, "one two"),   # shorter than the 3-token window
+            (4, "solo"),      # single token
+            (5, ""),          # empty text → one empty-ish shingle
+        ],
+        "id long, text string",
+    )
+    joined = (
+        shingled(docs, "id", "text", 3, out_col="__str")
+        .join(hashed_shingled(docs, "id", "text", 3, out_col="__hashed"), "id")
+        .select("id", F.size("__str").alias("ns"), F.size("__hashed").alias("nh"))
+        .collect()
+    )
+    for row in joined:
+        assert row["ns"] == row["nh"], row
 
 
 def test_near_dup_pairs_finds_known_duplicate(spark):
