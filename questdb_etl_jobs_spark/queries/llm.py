@@ -1421,3 +1421,51 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "word")
     )
+
+
+# ---------------------------------------------------------------------------
+# q96 — native Python UDTF via SQL LATERAL (U4, the real table-function API)
+# ---------------------------------------------------------------------------
+#
+# Everything else on the U4 row rides on explode/posexplode (the fast,
+# expression-only path). This query exercises Spark 4's actual Python
+# UDTF API — an @udtf class registered in the catalog and laterally
+# joined in SQL — over the non-overlapping-chunk semantics whose
+# overlapping twin q88 implements with expressions. Arrow-batched row
+# exchange (session.RUNTIME_CONFS); one partition-local expansion, no
+# shuffle before the final presentation sort.
+
+@dq(
+    "q96_chunk_udtf_lateral",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS pos,
+           array_to_string(toks[CAST(i * 16 + 1 AS BIGINT)
+                                : CAST((i + 1) * 16 AS BIGINT)], ' ') AS chunk,
+           CAST(len(toks[CAST(i * 16 + 1 AS BIGINT)
+                         : CAST((i + 1) * 16 AS BIGINT)]) AS INT) AS n_tokens
+    FROM p,
+         UNNEST(generate_series(
+             0, CAST(ceil(len(toks) / 16.0) AS BIGINT) - 1)) AS t(i)
+    ORDER BY doc_id, pos
+    """,
+    covers="U4,EXT",
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.functions.udtfs import register_udtfs
+    from questdb_etl_jobs_spark.sources.tables import register_tables
+
+    register_udtfs(spark)
+    register_tables(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.pos, c.chunk, c.n_tokens
+        FROM documents d, LATERAL chunk_tokens(d.text, 16) c
+        WHERE d.doc_id % 5 = 0
+        ORDER BY d.doc_id, c.pos
+        """
+    )

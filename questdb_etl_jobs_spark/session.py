@@ -44,8 +44,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Arrow for any toPandas()/pandas-UDF boundary (vectorized transfer).
+    # Arrow for any toPandas()/pandas-UDF boundary (vectorized transfer),
+    # and for Python UDTF row exchange (functions/udtfs.py).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
 }
 
 
