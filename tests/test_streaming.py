@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import shutil
 
+import pytest
 from pyspark.sql import functions as F
 
 from questdb_etl_jobs_spark.functions.hashing import stable_id
@@ -164,6 +165,65 @@ def test_stateful_running_totals_matches_batch(spark, tmp_path):
             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY buyer
                           ORDER BY n_purchases DESC) rn
                   FROM running_totals_test) WHERE rn = 1
+            """
+        ).collect()
+    }
+    batch = anonymize_and_cast(
+        read_purchases_csv(spark, str(FIXTURES / "purchases"))
+    )
+    expected = {
+        r["buyer"]: (r["n"], r["total"])
+        for r in batch.groupBy("buyer")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("price").cast("long")).alias("total"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+
+def test_transform_with_state_matches_batch(spark, tmp_path):
+    # The transformWithStateInPandas twin (Spark 4.1 StatefulProcessor,
+    # named ValueState) must agree with the same batch groupBy — and
+    # with the applyInPandasWithState form it supersedes. The state
+    # protocol of this API needs google.protobuf, which this sandbox
+    # lacks — env-gated like the JDBC sink (COVERAGE.md S4).
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state protocol needs protobuf (not in sandbox)",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    from questdb_etl_jobs_spark.pipeline import anonymize_and_cast
+    from questdb_etl_jobs_spark.sources.csv_source import read_purchases_csv
+    from questdb_etl_jobs_spark.streaming.file_stream import stream_purchases_csv
+    from questdb_etl_jobs_spark.streaming.transform_state import (
+        running_user_totals_tws,
+    )
+
+    stream = stream_purchases_csv(spark, str(FIXTURES / "purchases"))
+    totals = running_user_totals_tws(anonymize_and_cast(stream))
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("tws_totals_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["buyer"]: (r["n_purchases"], r["total_spend"])
+        for r in spark.sql(
+            """
+            SELECT buyer, n_purchases, total_spend
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY buyer
+                          ORDER BY n_purchases DESC) rn
+                  FROM tws_totals_test) WHERE rn = 1
             """
         ).collect()
     }
