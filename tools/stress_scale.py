@@ -1,0 +1,192 @@
+"""10× scale stress: do the headline plans scale linearly past sf0.1?
+
+sf0.1 timings are overhead-dominated (see tools/scaling_report.py), so
+they cannot distinguish a linear plan from a quadratic one. This tool
+synthesizes 10×-sized copies of the hot tables (≈ sf1: lineitem 6M,
+orders 1.5M, events 1M, documents 50k) into /tmp and times the headline
+queries at both scales. A plan that survives 100 TB must grow ≈ data ×
+(time ratio ≪ 10 is overhead amortizing; ratio ≈ 10 is linear compute;
+ratio ≫ 10 means a superlinear term — a scale bug).
+
+Synthesis keeps the join/skew SHAPE honest rather than cloning rows:
+
+- lineitem/orders: replica i remaps the order key (k*16+i) so the fact-
+  to-fact join fans out 10× while per-order lineitem cardinality stays
+  the reference's; customer/nation dims are untouched, so per-customer
+  order counts grow 10× (the realistic dimension-skew direction).
+- events: replica i shifts user ids (u*16+i) and timestamps (+i s) —
+  key cardinality scales, per-key event density stays constant, the
+  100 TB shape for window/as-of/sessionize operators.
+- documents: replica i rewrites every token via
+  vocab[xxhash64(tok, pos, i) % |vocab|] — fresh word soup with the
+  corpus's vocabulary and length distribution, so near-dup density does
+  not collapse into degenerate 10-way clone clusters (which would
+  measure pair-explosion, not scaling).
+
+Usage: python tools/stress_scale.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/spark_graft_sf1"
+FACTOR = 10
+
+
+def _replicate(df, i: int, key_shifts: dict[str, int], ts_shift: str | None):
+    out = df
+    for col, mult in key_shifts.items():
+        out = out.withColumn(col, F.col(col) * mult + F.lit(i))
+    if ts_shift is not None:
+        out = out.withColumn(
+            ts_shift, F.col(ts_shift) + F.expr(f"INTERVAL {i} SECONDS")
+        )
+    return out
+
+
+def synthesize(spark) -> None:
+    if os.path.exists(os.path.join(OUT, "_DONE")):
+        return
+    shutil.rmtree(OUT, ignore_errors=True)
+    os.makedirs(OUT, exist_ok=True)
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    def write(name, build):
+        parts = [build(load_table(spark, BASE, name), i) for i in range(FACTOR)]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(f"{OUT}/{name}.parquet")
+
+    write("lineitem", lambda df, i: _replicate(df, i, {"l_orderkey": 16}, None))
+    write("orders", lambda df, i: _replicate(df, i, {"o_orderkey": 16}, None))
+    write(
+        "events",
+        lambda df, i: _replicate(
+            df, i, {"event_id": 16, "user_id": 16}, "ts"
+        ),
+    )
+
+    docs = load_table(spark, BASE, "documents")
+    vocab = [
+        r["w"]
+        for r in docs.select(
+            F.explode(F.split("text", " ")).alias("w")
+        ).distinct().collect()
+        if r["w"]
+    ]
+    vlit = F.array(*[F.lit(w) for w in sorted(vocab)])
+
+    def remix(df, i):
+        if i == 0:
+            return df.select("doc_id", "lang", "source", "text")
+        toks = F.split("text", " ")
+        remixed = F.array_join(
+            F.transform(
+                toks,
+                lambda t, p: F.element_at(
+                    vlit,
+                    (
+                        F.pmod(F.xxhash64(t, p, F.lit(i)), F.lit(len(vocab)))
+                        + 1
+                    ).cast("int"),
+                ),
+            ),
+            " ",
+        )
+        return df.select(
+            (F.col("doc_id") + 100_000 * i).alias("doc_id"),
+            "lang",
+            "source",
+            remixed.alias("text"),
+        )
+
+    write("documents", remix)
+    # Dims pass through unchanged so every query runs against OUT alone.
+    for name in ("customer", "nation", "region", "supplier", "part",
+                 "embeddings"):
+        load_table(spark, BASE, name).write.mode("overwrite").parquet(
+            f"{OUT}/{name}.parquet"
+        )
+    open(os.path.join(OUT, "_DONE"), "w").close()
+
+
+def _headline():
+    from questdb_etl_jobs_spark.operators.dedup import (
+        dup_clusters,
+        near_dup_pairs,
+    )
+    from questdb_etl_jobs_spark.queries import spark_queries
+    from questdb_etl_jobs_spark.queries.relational import q10_plain, q20_plain
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    registry = spark_queries()
+
+    def near_dup(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return near_dup_pairs(
+            docs.select("doc_id", "text"), "doc_id", "text", threshold=0.7
+        )
+
+    def clusters(spark, sf_dir):
+        edges = near_dup(spark, sf_dir)
+        return dup_clusters(edges, "doc_id_a", "doc_id_b")
+
+    return {
+        "dq20_pricing_summary": q20_plain,
+        "dq10_join_revenue": q10_plain,
+        "dq30_window_rank": registry["q30_rank_top3_orders"],
+        "dq34_topk": registry["q34_topk_lineitems"],
+        "asof_join": registry["q16_asof_join"],
+        "sessionize": registry["q38_sessionize"],
+        "exact_dedup": registry["q46_exact_dedup"],
+        "near_dup_pairs": near_dup,
+        "dup_clusters": clusters,
+    }
+
+
+def main() -> None:
+    from questdb_etl_jobs_spark.session import get_spark
+
+    spark = get_spark(app_name="stress-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    synthesize(spark)
+    print(f"# synthesis: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    results: dict[str, dict] = {}
+    for label, fn in _headline().items():
+        per_sf = {}
+        for tag, sf_dir in (("1x", BASE), ("10x", OUT)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            per_sf[tag] = round(best, 3)
+        per_sf["ratio"] = round(per_sf["10x"] / per_sf["1x"], 2)
+        results[label] = per_sf
+        print(f"{label:22s} 1x={per_sf['1x']:7.3f}s 10x={per_sf['10x']:7.3f}s "
+              f"ratio={per_sf['ratio']}", file=sys.stderr)
+
+    out = json.dumps({"factor": FACTOR, "queries": results})
+    print(out)
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as fh:
+            fh.write(out + "\n")
+
+
+if __name__ == "__main__":
+    main()
