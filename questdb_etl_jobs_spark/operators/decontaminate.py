@@ -83,6 +83,40 @@ def _gram_rows(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     return with_toks.select(F.col(id_col), F.explode(grams).alias("__gram"))
 
 
+def _hashed_gram_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, gram-hash long) rows — gram identity as xxhash64 over the
+    n-token window, string gram never materialized.
+
+    Only usable when the caller consumes gram IDENTITY (membership,
+    counts), not gram text — contamination flagging qualifies, the
+    repeated-grams report does not. Same trick and same 64-bit collision
+    bound as operators/dedup.hashed_shingled: a collision can only merge
+    two grams (~s²/2⁶⁵ per document), and halves the gram-production
+    cost while shrinking the broadcast set to 8 bytes per gram.
+    """
+    with_toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(F.struct(_tokens(F.col(text_col)).alias("toks")))
+        ).alias("__m"),
+    )
+    toks = F.col("__m.toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.xxhash64(
+                    *[F.try_element_at(toks, i + j + 1) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return with_toks.select(F.col(id_col), F.explode(grams).alias("__gram"))
+
+
 def contaminated_docs(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -95,11 +129,15 @@ def contaminated_docs(
     Returns (id_col, n_shared_grams) — the distinct-gram overlap count
     per contaminated document. Drop these ids (anti-join) to clean the
     corpus; the count supports thresholded policies (e.g. ≥2 grams).
+
+    Gram identity is hashed (:func:`_hashed_gram_rows`): membership and
+    counts survive, the broadcast benchmark set is 8 bytes/gram, and the
+    corpus side never builds a gram string.
     """
-    bench_grams = _gram_rows(benchmark, text_col, id_col, n).select(
+    bench_grams = _hashed_gram_rows(benchmark, text_col, id_col, n).select(
         "__gram"
     ).distinct()
-    corpus_grams = _gram_rows(corpus, text_col, id_col, n)
+    corpus_grams = _hashed_gram_rows(corpus, text_col, id_col, n)
     return (
         corpus_grams.join(F.broadcast(bench_grams), "__gram", "left_semi")
         .groupBy(id_col)
