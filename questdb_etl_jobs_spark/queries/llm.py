@@ -1469,3 +1469,101 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, c.pos
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q97 — VARIANT semi-structured type (Spark 4 parse_json / variant_get)
+# ---------------------------------------------------------------------------
+#
+# The modern F9 path: props parses ONCE into the binary VARIANT encoding
+# and typed fields extract without re-tokenizing JSON text per access
+# (get_json_object — q42 — re-parses the string per call site). At
+# 100 TB, parse-once-extract-many is the difference for multi-field
+# event schemas; missing paths go through try_variant_get → NULL, not
+# an error. Oracle: DuckDB's JSON extraction of the same fields.
+
+@dq(
+    "q97_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(COUNT(json_extract_string(props, '$.missing')) AS BIGINT)
+             AS n_missing_present,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    covers="F9",
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # parse_json appears under both extractions, but runs once per row:
+    # whole-stage codegen's subexpression elimination fuses the identical
+    # calls — the VARIANT binary is built once and both typed gets read it.
+    parsed = events.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+        F.expr("try_variant_get(parse_json(props), '$.missing', 'bigint')")
+        .alias("missing"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("missing").alias("n_missing_present"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q98 — recursive CTE calendar spine (Spark 4 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+#
+# The SQL-standard recursive form of the q66 calendar densification:
+# generate the hour spine WITH RECURSIVE from the corpus bounds, left
+# join hourly counts, FILL(0) gaps. Spark 4.0 added recursive CTEs;
+# DuckDB runs the identical text modulo the epoch helpers. The
+# DataFrame twin (operators/sample_by.fill_gaps) stays the hot path —
+# F.sequence is one expression, the recursion is one row per step — but
+# the SQL form is what a migrating QuestDB/ANSI user will write first.
+
+_Q98_SQL = """
+    WITH RECURSIVE spine(bucket_ts) AS (
+      SELECT date_trunc('hour', (SELECT MIN(ts) FROM events))
+      UNION ALL
+      SELECT bucket_ts + INTERVAL 1 HOUR FROM spine
+      WHERE bucket_ts < date_trunc('hour', (SELECT MAX(ts) FROM events))
+    ),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_ts,
+             COUNT(*) AS n_raw
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY 1
+    )
+    SELECT s.bucket_ts,
+           CAST(COALESCE(h.n_raw, 0) AS BIGINT) AS n
+    FROM spine s LEFT JOIN hourly h ON s.bucket_ts = h.bucket_ts
+    ORDER BY s.bucket_ts
+"""
+
+
+@dq("q98_recursive_spine", oracle=_Q98_SQL, covers="A7,F5")
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir, ("events",))
+    # Spark caps recursion depth at 100 by default; the hour spine spans
+    # a month-plus of data. The cap clause is Spark-dialect only — the
+    # DuckDB oracle runs the uncapped standard text.
+    return spark.sql(
+        _Q98_SQL.replace(
+            "spine(bucket_ts) AS (",
+            "spine(bucket_ts) MAX RECURSION LEVEL 10000 AS (",
+        )
+    )
