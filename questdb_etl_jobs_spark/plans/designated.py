@@ -32,11 +32,15 @@ def write_designated_ts(
     path: str,
     ts_col: str,
     mode: str = "append",
+    file_format: str = "parquet",
 ) -> str:
-    """Write ``df`` as a designated-timestamp parquet table at ``path``.
+    """Write ``df`` as a designated-timestamp table at ``path``.
 
     Returns the partition column name. ``append`` mode mirrors the
     reference's accumulate-hourly-batches model (reference README.md:373).
+    ``file_format`` is any columnar source with file-level stats —
+    parquet (default) or orc; the convention (date partition dirs +
+    in-file time order + min/max pruning) is format-agnostic.
     """
     pcol = ts_col + PARTITION_SUFFIX
     # Sort key MUST lead with the partition column: FileFormatWriter
@@ -49,7 +53,8 @@ def write_designated_ts(
         .sortWithinPartitions(pcol, ts_col)
         .write.mode(mode)
         .partitionBy(pcol)
-        .parquet(path)
+        .format(file_format)
+        .save(path)
     )
     return pcol
 
@@ -97,6 +102,7 @@ def read_designated_ts(
     ts_col: str,
     start: _dt.datetime | str | None = None,
     end: _dt.datetime | str | None = None,
+    file_format: str = "parquet",
 ) -> DataFrame:
     """Read a designated-ts table, pruning partitions for a time range.
 
@@ -105,7 +111,7 @@ def read_designated_ts(
     is static (visible as ``PartitionFilters`` in the physical plan).
     """
     pcol = ts_col + PARTITION_SUFFIX
-    df = spark.read.parquet(path)
+    df = spark.read.format(file_format).load(path)
     if start is not None:
         df = df.filter(
             (F.col(ts_col) >= F.lit(start))

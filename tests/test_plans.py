@@ -68,6 +68,31 @@ def test_designated_ts_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "ts_pdate" in plan
 
 
+def test_designated_ts_orc_parity(spark, tmp_path):
+    # The designated-ts storage convention is format-agnostic: the same
+    # writer/reader over ORC must produce identical content AND the same
+    # static partition pruning as the parquet default.
+    path = str(tmp_path / "events_orc")
+    df = spark.createDataFrame(
+        [
+            (1, datetime.fromisoformat("2024-01-01 10:00:00")),
+            (2, datetime.fromisoformat("2024-01-02 10:00:00")),
+            (3, datetime.fromisoformat("2024-01-03 10:00:00")),
+        ],
+        "id long, ts timestamp",
+    )
+    write_designated_ts(df, path, "ts", file_format="orc")
+    pruned = read_designated_ts(
+        spark, path, "ts", start="2024-01-02 00:00:00",
+        end="2024-01-03 00:00:00", file_format="orc",
+    )
+    assert [r["id"] for r in pruned.collect()] == [2]
+    plan = plan_string(pruned)
+    assert "PartitionFilters" in plan and "ts_pdate" in plan
+    full = read_designated_ts(spark, path, "ts", file_format="orc")
+    assert sorted(r["id"] for r in full.collect()) == [1, 2, 3]
+
+
 def test_lsh_bucketed_probe_is_partition_pruned(spark, tmp_path):
     import random
 
