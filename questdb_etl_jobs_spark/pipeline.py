@@ -91,14 +91,10 @@ def anonymize_and_cast(raw: DataFrame) -> DataFrame:
     )
 
 
-def split_quarantine(typed: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Split into (good, quarantined) — per-record fault isolation.
-
-    A row quarantines if the CSV line failed to parse or any required
-    field failed validation/cast; good rows match the purchases schema
-    exactly (reference sql/create-table.sql:1).
-    """
-    bad_cond = (
+def _bad_condition():
+    """A row quarantines if the CSV line failed to parse or any required
+    field failed validation/cast (reference sql/create-table.sql:1)."""
+    return (
         F.col("_corrupt_record").isNotNull()
         | F.col("buyer").isNull()
         | F.col("item_id").isNull()
@@ -106,6 +102,11 @@ def split_quarantine(typed: DataFrame) -> tuple[DataFrame, DataFrame]:
         | F.col("price").isNull()
         | F.col("purchase_date").isNull()
     )
+
+
+def split_quarantine(typed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split into (good, quarantined) — per-record fault isolation."""
+    bad_cond = _bad_condition()
     good = typed.filter(~bad_cond).drop("_corrupt_record")
     bad = typed.filter(bad_cond)
     return good, bad
@@ -135,19 +136,35 @@ def run_batch(
         return None
     path = csv_path if csv_path is not None else event["name"]
     raw = read_purchases_csv(spark, path)
-    typed = anonymize_and_cast(raw).persist()
-    try:
-        good, bad = split_quarantine(typed)
-        # The persist means the CSV is scanned ONCE: the first count
-        # materializes the typed batch, and the quarantine write, good
-        # count, and table write all read the cached split — without it
-        # the source is re-scanned per action (3× I/O at batch scale).
-        n_bad = bad.count()
-        if quarantine_path is not None and n_bad:
-            bad.write.mode("append").json(quarantine_path)
-        n_good = good.count()
-        if table_path is not None:
-            write_designated_ts(good, table_path, "purchase_date")
-    finally:
-        typed.unpersist()
+    typed = anonymize_and_cast(raw)
+    good, bad = split_quarantine(typed)
+
+    # Single-pass happy path: the table write carries an Observation
+    # computing both counts while it streams — the source is scanned
+    # exactly once and nothing is cached (persisting a full batch is a
+    # non-plan at 100 TB batch sizes; observe costs two counters per
+    # task). The quarantine pass re-derives the bad slice from the
+    # source ONLY when the observation says bad rows exist — the rare
+    # path pays the second scan, the clean path never does.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = typed.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(_bad_condition().cast("long")).alias("n_bad"),
+    )
+    good_observed = observed.filter(~_bad_condition()).drop("_corrupt_record")
+    if table_path is not None:
+        write_designated_ts(good_observed, table_path, "purchase_date")
+        metrics = obs.get
+    else:
+        # No table sink: the count action itself drives the observation.
+        n = good_observed.count()
+        metrics = obs.get
+        assert metrics["n_total"] - (metrics["n_bad"] or 0) == n
+    n_bad = int(metrics["n_bad"] or 0)
+    n_good = int(metrics["n_total"]) - n_bad
+    if quarantine_path is not None and n_bad:
+        bad.write.mode("append").json(quarantine_path)
     return BatchResult(rows_loaded=n_good, rows_quarantined=n_bad)
