@@ -296,3 +296,64 @@ def lsh_topk(
     signed = add_lsh_signature(embeddings, dim, n_planes, seed, vec_col=vec_col)
     bucket = signed.filter(F.col("lsh_sig") == probe_bits)
     return cosine_topk(bucket, probe, k, id_col=id_col, vec_col=vec_col)
+
+
+def semantic_dedup_losers(
+    embeddings: DataFrame,
+    seeds: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped semantic pruning: Voronoi-cell partition around
+    fixed seed vectors, exact pairwise cosine ONLY within each cell,
+    drop the higher id of every pair above ``threshold``.
+
+    Returns the dropped side: (id, n_twins, max_cosine) — one row per
+    document that has at least one lower-id near-twin in its cell;
+    anti-join the corpus against it to keep survivors (the deterministic
+    min-id winner rule every dedup operator here uses).
+
+    Why fixed seeds instead of trained k-means centroids: assignment is
+    a pure expression of the data (argmin L2 against literal vectors,
+    ties to the first seed), so results are reproducible across engines
+    and runs — iterative centroid means depend on float accumulation
+    order across partitions. Deployments that train centroids offline
+    (see :func:`train_centroids`) pass them here the same way.
+
+    Scale shape: the quadratic term is confined to one cell — grow the
+    seed count with the corpus to hold cell size ~constant, making the
+    pair stage O(n · cell_size). Cells are a hash-shuffle groupBy key;
+    a hot cell (many near-identical embeddings) is exactly AQE's
+    skew-join case. The cross-cell near-pair miss rate is the operator's
+    documented approximation (SemDeDup's own trade; Abbas et al., 2023).
+    """
+    from questdb_etl_jobs_spark.functions.vectors import cosine_similarity
+
+    cell = ivf_assign(seeds, vec_col).alias("__cell")
+    assigned = embeddings.select(
+        F.col(id_col), F.col(vec_col), cell
+    )
+    a = assigned.select(
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+        "__cell",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+        "__cell",
+    )
+    pairs = a.join(b, "__cell").filter(F.col("__ida") < F.col("__idb"))
+    scored = pairs.select(
+        "__idb",
+        cosine_similarity("__va", "__vb").alias("__cos"),
+    ).filter(F.col("__cos") >= F.lit(threshold))
+    return (
+        scored.groupBy("__idb")
+        .agg(
+            F.count(F.lit(1)).alias("n_twins"),
+            F.max("__cos").alias("max_cosine"),
+        )
+        .select(F.col("__idb").alias(id_col), "n_twins", "max_cosine")
+    )

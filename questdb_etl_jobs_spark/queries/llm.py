@@ -1567,3 +1567,63 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spine(bucket_ts) MAX RECURSION LEVEL 10000 AS (",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q99 — semantic dedup (SemDeDup shape: Voronoi cells + in-cell cosine)
+# ---------------------------------------------------------------------------
+#
+# Embedding-space near-duplicate pruning with the quadratic term confined
+# to a cell: assign every vector to its nearest of 8 data-derived seed
+# vectors (vec_id 1..8 — fixed, so assignment is a pure expression; see
+# semantic_dedup_losers on why not live-trained centroids), exact cosine
+# within cells only, drop the higher id of every pair ≥ 0.4. The oracle
+# replays the identical partition + pair arithmetic in DuckDB (fold
+# parity with list_cosine_similarity is already pinned by q56).
+
+@dq(
+    "q99_semantic_dedup",
+    oracle="""
+    WITH seeds AS (
+      SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS sv
+      FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+    ),
+    assign AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+             (SELECT s.sid FROM seeds s
+              ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), s.sv),
+                       s.sid
+              LIMIT 1) AS cell
+      FROM embeddings e
+    ),
+    pairs AS (
+      SELECT b.vec_id AS idb,
+             list_cosine_similarity(a.v, b.v) AS c
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    )
+    SELECT idb AS vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_twins,
+           ROUND(MAX(c), 4) AS max_cosine
+    FROM pairs GROUP BY idb ORDER BY vec_id
+    """,
+    covers="EXT,J5,A1,F11",
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.similarity import (
+        semantic_dedup_losers,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.filter(F.col("vec_id").between(1, 8))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    seeds = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    losers = semantic_dedup_losers(emb, seeds, threshold=0.4)
+    return losers.select(
+        "vec_id", "n_twins", F.round("max_cosine", 4).alias("max_cosine")
+    ).orderBy("vec_id")
