@@ -871,3 +871,55 @@ def test_ohlc_tiebreak_deterministic(spark):
         assert (got.open, got.high, got.low, got.close, got.n_trades) == (
             11.0, 12.0, 9.0, 12.0, 4,
         )
+
+
+def test_chunk_tokens_udtf_rows(spark):
+    # The registered UDTF must chunk exactly like Python slicing, emit
+    # nothing for NULL text, and keep the short final chunk.
+    from questdb_etl_jobs_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "a b c d e"), (2, None), (3, "x")], "id long, text string"
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        """
+        SELECT d.id, c.pos, c.chunk, c.n_tokens
+        FROM udtf_docs d, LATERAL chunk_tokens(d.text, 2) c
+        ORDER BY d.id, c.pos
+        """
+    ).collect()
+    got = [(r["id"], r["pos"], r["chunk"], r["n_tokens"]) for r in rows]
+    assert got == [
+        (1, 0, "a b", 2),
+        (1, 1, "c d", 2),
+        (1, 2, "e", 1),
+        (3, 0, "x", 1),
+    ]
+
+
+def test_semantic_dedup_losers_in_cell_only(spark):
+    # Two near-identical vectors in the same Voronoi cell → higher id
+    # dropped; an equally-similar pair SPLIT across cells must survive
+    # (the documented SemDeDup approximation).
+    from questdb_etl_jobs_spark.operators.similarity import (
+        semantic_dedup_losers,
+    )
+
+    seeds = [[1.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame(
+        [
+            (1, [0.9, 0.1]),   # cell 0
+            (2, [0.91, 0.1]),  # cell 0, twin of 1 → dropped
+            (3, [0.1, 0.9]),   # cell 1
+            (4, [0.6, 0.55]),  # cell 0 (closer to seed 0)
+            (5, [0.55, 0.6]),  # cell 1 — near-twin of 4 but cross-cell
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    losers = {
+        r["vec_id"]: r["n_twins"]
+        for r in semantic_dedup_losers(df, seeds, threshold=0.99).collect()
+    }
+    assert 2 in losers and losers[2] >= 1
+    assert 5 not in losers  # cross-cell pair is out of scope by design
