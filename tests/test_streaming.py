@@ -622,3 +622,62 @@ def test_streaming_upsert_table_idempotent_on_redelivery(spark, tmp_path):
         got.exceptAll(events).count() == 0
         and events.exceptAll(got).count() == 0
     )
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    # Stream⋈stream with watermark-bounded state must agree with the
+    # batch interval join over the same files (self-join: purchases by
+    # the same buyer within 1 hour of each other).
+    from questdb_etl_jobs_spark.operators.interval import interval_join
+    from questdb_etl_jobs_spark.pipeline import anonymize_and_cast
+    from questdb_etl_jobs_spark.sources.csv_source import read_purchases_csv
+    from questdb_etl_jobs_spark.streaming.file_stream import stream_purchases_csv
+    from questdb_etl_jobs_spark.streaming.stream_join import (
+        interval_stream_join,
+    )
+
+    def sides(df):
+        typed = anonymize_and_cast(df)
+        left = typed.select(
+            "buyer",
+            F.col("purchase_date").alias("l_ts"),
+            F.col("item_id").alias("l_item"),
+        )
+        right = typed.select(
+            "buyer",
+            F.col("purchase_date").alias("r_ts"),
+            F.col("item_id").alias("r_item"),
+        )
+        return left, right
+
+    s_left, s_right = sides(stream_purchases_csv(spark, str(FIXTURES / "purchases")))
+    joined = interval_stream_join(
+        s_left, s_right, "l_ts", "r_ts", "1 hour", on=["buyer"]
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql(
+            "SELECT buyer, l_ts, l_item, r_ts, r_item FROM ssj_test"
+        ).collect())
+    )
+    b_left, b_right = sides(read_purchases_csv(spark, str(FIXTURES / "purchases")))
+    expected = sorted(
+        map(tuple, interval_join(
+            b_left.withColumnRenamed("buyer", "b"),
+            b_right,
+            left_ts="l_ts",
+            right_ts="r_ts",
+            tolerance="1 hour",
+        ).filter(F.col("b") == F.col("buyer"))
+        .select("buyer", "l_ts", "l_item", "r_ts", "r_item")
+        .collect())
+    )
+    assert len(got) > 0 and got == expected
