@@ -40,6 +40,50 @@ def sample_by(
     return grouped.agg(*aggs)
 
 
+def sample_by_first_observation(
+    df: DataFrame,
+    ts: str,
+    bucket: str,
+    aggs: list[Column],
+    keys: list[str] | None = None,
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """SAMPLE BY with QuestDB's DEFAULT alignment: the first observation.
+
+    QuestDB anchors buckets at the table's first row unless ``ALIGN TO
+    CALENDAR`` is given; :func:`sample_by` is the calendar form. Here
+    bucket i covers ``[t0 + i·w, t0 + (i+1)·w)`` with ``t0 = min(ts)``
+    over the whole input (not per key — QuestDB semantics), computed as
+    a one-row broadcast aggregate: integer-µs arithmetic against the
+    anchor, no window function, still one shuffle keyed by
+    (bucket, keys…). ``bucket`` is an interval string (``"2 hours"``).
+    """
+    parts = bucket.split()
+    qty = int(parts[0]) if len(parts) == 2 else 1
+    unit = parts[-1].rstrip("s")
+    per_unit_us = {
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+    }
+    if unit not in per_unit_us:
+        raise ValueError(f"unsupported first-observation bucket {bucket!r}")
+    width_us = qty * per_unit_us[unit]
+    anchor = df.agg(F.min(ts).alias("__t0"))
+    us = F.unix_micros(F.col(ts))
+    t0 = F.unix_micros(F.col("__t0"))
+    idx = F.floor((us - t0) / F.lit(width_us))
+    bucket_expr = F.timestamp_micros(
+        (t0 + idx * F.lit(width_us)).cast("long")
+    )
+    with_anchor = df.join(F.broadcast(anchor))
+    grouped = with_anchor.groupBy(
+        bucket_expr.alias(bucket_col), *(keys or [])
+    )
+    return grouped.agg(*aggs)
+
+
 def fill_gaps(
     agg: DataFrame,
     bucket_col: str,

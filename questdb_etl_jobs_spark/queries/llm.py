@@ -1627,3 +1627,53 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     return losers.select(
         "vec_id", "n_twins", F.round("max_cosine", 4).alias("max_cosine")
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q100 — SAMPLE BY aligned to FIRST OBSERVATION (QuestDB's default)
+# ---------------------------------------------------------------------------
+#
+# QuestDB's SAMPLE BY anchors buckets at the table's first row unless
+# ALIGN TO CALENDAR is requested; every other sample_by query here is
+# the calendar form, so this closes the default-alignment parity gap.
+# 90-minute buckets make the two alignments visibly different (no
+# calendar boundary coincides). Oracle: identical integer-µs anchor
+# arithmetic in DuckDB.
+
+@dq(
+    "q100_sample_by_first_obs",
+    oracle="""
+    WITH t0 AS (SELECT MIN(CAST(ts AS TIMESTAMP)) AS a FROM events),
+    b AS (
+      SELECT epoch_us(a)
+             + CAST(FLOOR((epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(a))
+                          / 5400000000.0) AS BIGINT) * 5400000000
+               AS bus,
+             e.value
+      FROM events e, t0
+    )
+    SELECT make_timestamp(bus) AS bucket_ts,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 4) AS min_value,
+           ROUND(MAX(value), 4) AS max_value
+    FROM b GROUP BY bucket_ts ORDER BY bucket_ts
+    """,
+    covers="A7,F5",
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.sample_by import (
+        sample_by_first_observation,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    agg = sample_by_first_observation(
+        events,
+        ts="ts",
+        bucket="90 minutes",
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        ],
+    )
+    return agg.orderBy("bucket_ts")

@@ -923,3 +923,32 @@ def test_semantic_dedup_losers_in_cell_only(spark):
     }
     assert 2 in losers and losers[2] >= 1
     assert 5 not in losers  # cross-cell pair is out of scope by design
+
+
+def test_sample_by_first_observation_anchor(spark):
+    # Buckets anchor at min(ts), not the calendar: events at t0, t0+50m,
+    # t0+70m with 1-hour buckets split [t0, t0+60) / [t0+60, ...) even
+    # though t0 is mid-calendar-hour.
+    from questdb_etl_jobs_spark.operators.sample_by import (
+        sample_by_first_observation,
+    )
+
+    t0 = datetime.fromisoformat("2024-01-01 10:17:00")
+    df = spark.createDataFrame(
+        [
+            (1, t0),
+            (2, datetime.fromisoformat("2024-01-01 11:07:00")),  # +50m
+            (3, datetime.fromisoformat("2024-01-01 11:27:00")),  # +70m
+        ],
+        "id long, ts timestamp",
+    )
+    got = {
+        r["bucket_ts"]: r["n"]
+        for r in sample_by_first_observation(
+            df, ts="ts", bucket="1 hour", aggs=[F.count(F.lit(1)).alias("n")]
+        ).collect()
+    }
+    assert got == {
+        t0: 2,
+        datetime.fromisoformat("2024-01-01 11:17:00"): 1,
+    }
