@@ -18,6 +18,7 @@ on both sides — the driver's comparator hashes columns by name.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -74,7 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "q24_median_price_by_status", # A5 (percentile)
     "q25_collect_types_per_user", # A6
     "q26_hourly_bucket_agg",      # A7 R2
-    "q27_approx_distinct_users",  # A3 (rows-only by design)
+    "q74_kmv_distinct",           # A3 (value-verified KMV twin of q27's HLL)
     "q29_unpivot_stats",          # U4 T1
     "q30_rank_top3_orders",       # W1
     "q31_lag_lead_gaps",          # W2
@@ -108,11 +109,18 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 
+def _query_id(name: str) -> int:
+    m = re.match(r"q(\d+)", name)
+    return int(m.group(1)) if m else 10**6
+
+
 def _ordered() -> list[QuerySpec]:
     rank = {name: i for i, name in enumerate(_PRIORITY)}
     return sorted(
         REGISTRY.values(),
-        key=lambda s: (0, rank[s.name]) if s.name in rank else (1, s.name),
+        key=lambda s: (
+            (0, rank[s.name], 0) if s.name in rank else (1, _query_id(s.name), 0)
+        ),
     )
 
 
