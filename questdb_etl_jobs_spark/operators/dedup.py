@@ -259,7 +259,8 @@ def band_rows(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, n_bands: int = 8
+    signatures: DataFrame, id_col: str, n_bands: int = 8,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: ids whose signatures agree on ≥1 band.
 
@@ -272,9 +273,21 @@ def lsh_candidate_pairs(
     triples. Output: (id_a, id_b), id_a < id_b, distinct.
 
     Hot buckets (boilerplate-heavy corpora) are the skew risk: a bucket of
-    k docs emits k(k-1)/2 pairs from one group row. Buckets are bounded by
-    band width in practice; for corpora where a near-constant band is
-    expected, raise n_bands (narrower buckets) or pre-filter boilerplate.
+    k docs emits k(k-1)/2 pairs from one group row — quadratic on a
+    million-doc boilerplate bucket. ``bucket_cap=K`` bounds this: each id
+    pairs with the next K ids in the bucket's sorted order (a windowed
+    chain, K-deep redundancy against verify drops) PLUS the bucket head
+    (a star), so a bucket emits ≤ k·(K+1) pairs — linear in k — and the
+    component stays diameter-≤2 when verification passes, which keeps
+    downstream :func:`dup_clusters` min-label propagation O(1) rounds
+    instead of O(k/K) on the chain alone. Recall trade (documented,
+    mirroring the exact path's ``df_cap``): a pair neither ≤ K apart in
+    bucket id-order nor through the head is not DIRECTLY emitted — it is
+    still clustered together iff its star/chain path survives exact
+    verification, which for the boilerplate corpora that create hot
+    buckets (near-identical docs) it does. Uncapped (None) keeps exact
+    all-pairs enumeration; buckets with ≤ K+1 ids are unaffected by
+    construction (the window spans the whole bucket, the star is empty).
     """
     bands = band_rows(signatures, id_col, n_bands)
     buckets = (
@@ -282,19 +295,35 @@ def lsh_candidate_pairs(
         .agg(F.array_sort(F.collect_set(id_col)).alias("__ids"))
         .filter(F.size("__ids") > 1)
     )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "__ids",
-                    lambda x, i: F.transform(
-                        F.slice("__ids", i + 2, F.size("__ids")),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
+    if bucket_cap is None:
+        pair_arr = F.flatten(
+            F.transform(
+                "__ids",
+                lambda x, i: F.transform(
+                    F.slice("__ids", i + 2, F.size("__ids")),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
             )
-        ).alias("__pair")
-    )
+        )
+    else:
+        cap = int(bucket_cap)
+        head = F.element_at("__ids", 1)
+        chain = F.flatten(
+            F.transform(
+                "__ids",
+                lambda x, i: F.transform(
+                    F.slice("__ids", i + 2, F.lit(cap)),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+        # star: head → ids beyond the head's own window (positions cap+2..k)
+        star = F.transform(
+            F.slice("__ids", cap + 2, F.greatest(F.size("__ids") - cap - 1, F.lit(0))),
+            lambda y: F.struct(head.alias("a"), y.alias("b")),
+        )
+        pair_arr = F.concat(chain, star)
+    pairs = buckets.select(F.explode(pair_arr).alias("__pair"))
     return pairs.select(
         F.col("__pair.a").alias(f"{id_col}_a"),
         F.col("__pair.b").alias(f"{id_col}_b"),
@@ -309,9 +338,14 @@ def near_dup_pairs(
     n_hashes: int = 32,
     n_bands: int = 8,
     shingle_words: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dup detection: MinHash → LSH candidates → exact
     Jaccard verification. Returns (id_a, id_b, jaccard) above threshold.
+
+    ``bucket_cap`` bounds hot-bucket pair enumeration (see
+    :func:`lsh_candidate_pairs`) — set it on boilerplate-heavy corpora
+    where a near-constant band would otherwise emit quadratic pairs.
 
     The verify joins carry PREBUILT shingle arrays from the same fused
     aggregation the banding branch reads (see signature_and_shingles) —
@@ -322,7 +356,9 @@ def near_dup_pairs(
     candidates.
     """
     fused = signature_and_shingles(df, id_col, text_col, n_hashes, shingle_words)
-    cands = lsh_candidate_pairs(fused.select(id_col, "signature"), id_col, n_bands)
+    cands = lsh_candidate_pairs(
+        fused.select(id_col, "signature"), id_col, n_bands, bucket_cap=bucket_cap
+    )
     sh_sets = fused.select(id_col, "__sh")
     verified = (
         cands.join(

@@ -285,6 +285,50 @@ def test_near_dup_pairs_finds_known_duplicate(spark):
     assert pairs[0]["jaccard"] == 1.0
 
 
+def test_lsh_bucket_cap_bounds_hot_bucket_pairs(spark):
+    """Adversarial boilerplate corpus: 1k identical docs land in ONE bucket
+    per band. Uncapped that is 1000*999/2 = 499500 pairs; bucket_cap=K must
+    bound output to ~n*K while keeping the bucket transitively connected
+    (and exact verification still passes, since all docs are identical).
+    """
+    from questdb_etl_jobs_spark.operators.dedup import (
+        dup_clusters,
+        lsh_candidate_pairs,
+        signature_and_shingles,
+    )
+
+    n, cap = 1000, 4
+    base = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 2
+    docs = spark.createDataFrame([(i, base) for i in range(n)], "id long, text string")
+    fused = signature_and_shingles(docs, "id", "text", n_hashes=16)
+    cands = lsh_candidate_pairs(
+        fused.select("id", "signature"), "id", n_bands=4, bucket_cap=cap
+    )
+    rows = cands.collect()
+    # identical docs → identical signatures → every band maps all n ids to
+    # one bucket; capped enumeration emits the window chain (j-i <= cap)
+    # plus the star to the bucket head (i == 0) — linear, not quadratic.
+    assert len(rows) <= n * (cap + 1)
+    assert all(
+        0 < r["id_b"] - r["id_a"] <= cap or r["id_a"] == 0 for r in rows
+    )
+    # chain connectivity survives for clustering: one component, min label 0
+    clusters = dup_clusters(cands, "id_a", "id_b")
+    assert clusters.select("cluster").distinct().collect()[0][0] == 0
+    assert clusters.count() == n
+
+    # end-to-end capped near_dup_pairs still finds the known duplicate and
+    # nothing across unrelated docs
+    small = spark.createDataFrame(
+        [(1, base), (2, base),
+         (3, "totally different unrelated words nothing shared one two three "
+             "four five six seven eight nine ten")],
+        "id long, text string",
+    )
+    pairs = near_dup_pairs(small, "id", "text", threshold=0.9, bucket_cap=8).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
 def test_ngram_jaccard_exact_pair_and_df_cap(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
     docs = spark.createDataFrame(
