@@ -9,7 +9,10 @@ row per network round trip.
 No QuestDB (nor a Postgres JDBC driver) is present in the test
 environment, so this module only *builds* the writer; tests cover option
 construction, and the e2e path is exercised against the parquet
-designated-ts sink instead (plans/designated.py).
+designated-ts sink instead (plans/designated.py). The fully-verified
+network sink is the ILP twin (sources/ilp.py) — QuestDB's documented
+high-throughput ingest path, plain text over TCP, golden-tested here
+against a loopback socket server.
 """
 
 from __future__ import annotations

@@ -53,6 +53,134 @@ def test_jdbc_writer_options(spark):
     assert writer is not None
 
 
+class _LoopbackIlpServer:
+    """Minimal QuestDB-shaped ILP endpoint: accepts N concurrent TCP
+    connections, accumulates every byte until each client closes."""
+
+    def __init__(self):
+        import socket as _socket
+        import threading
+
+        self._sock = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+        self._sock.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+        self._sock.bind(("127.0.0.1", 0))
+        self._sock.listen(16)
+        self.port = self._sock.getsockname()[1]
+        self.chunks: list[bytes] = []
+        self._lock = threading.Lock()
+        self._threads: list[threading.Thread] = []
+        self._accepting = threading.Thread(target=self._accept_loop, daemon=True)
+        self._accepting.start()
+
+    def _accept_loop(self):
+        import threading
+
+        while True:
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return
+            t = threading.Thread(target=self._drain, args=(conn,), daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def _drain(self, conn):
+        data = bytearray()
+        while chunk := conn.recv(65536):
+            data += chunk
+        conn.close()
+        with self._lock:
+            self.chunks.append(bytes(data))
+
+    def close(self) -> bytes:
+        self._sock.close()
+        self._accepting.join(timeout=5)
+        for t in self._threads:
+            t.join(timeout=5)
+        return b"".join(self.chunks)
+
+
+def test_ilp_sink_golden_against_loopback_server(spark):
+    """S4 made verifiable: stream the reference fixture through the full
+    pipeline (anonymize/cast) into the ILP sink over a real loopback TCP
+    socket, and byte-compare every received line against a CPython oracle
+    that recomputes the expected ILP from the raw CSV (sha1 + epoch-ns)."""
+    import csv as _csv
+    import hashlib
+    from datetime import datetime, timezone
+
+    from questdb_etl_jobs_spark.pipeline import anonymize_and_cast, split_quarantine
+    from questdb_etl_jobs_spark.sources.csv_source import read_purchases_csv
+    from questdb_etl_jobs_spark.sources.ilp import write_purchases_ilp
+
+    from conftest import FIXTURES
+
+    small = str(FIXTURES / "purchases_small.csv")
+    good, _bad = split_quarantine(anonymize_and_cast(read_purchases_csv(spark, small)))
+
+    server = _LoopbackIlpServer()
+    try:
+        # 2 partitions → 2 concurrent connections: order across connections
+        # is not defined, so the golden comparison is a multiset of lines.
+        write_purchases_ilp(
+            good, host="127.0.0.1", port=server.port, num_partitions=2
+        )
+    finally:
+        received = server.close()
+
+    got = sorted(received.decode().splitlines())
+
+    expected = []
+    with open(small, newline="") as fh:
+        for email, item_id, quantity, price, ts in _csv.reader(fh):
+            digest = hashlib.sha1(email.encode()).hexdigest()
+            dt = datetime.strptime(ts, "%Y-%m-%dT%H:%M:%S").replace(
+                tzinfo=timezone.utc
+            )
+            ns = int(dt.timestamp()) * 1_000_000_000
+            expected.append(
+                f"purchases,buyer={digest} "
+                f"item_id={int(item_id)}i,quantity={int(quantity)}i,"
+                f"price={int(price)}i {ns}"
+            )
+    assert got == sorted(expected)
+    assert received.endswith(b"\n")
+
+
+def test_ilp_line_escaping_and_types(spark):
+    """Wire-format unit coverage: symbol escaping, string quoting, float/
+    bool/timestamp field encodings, NULL omission, no-designated-ts form."""
+    from datetime import datetime
+
+    from questdb_etl_jobs_spark.sources.ilp import ilp_line
+
+    df = spark.createDataFrame(
+        [
+            ("host a,b=c\\d", 'say "hi"\nthere', 1.5, True,
+             datetime.fromisoformat("2021-03-21 09:00:10"),
+             datetime.fromisoformat("2021-03-21 09:00:10")),
+            (None, None, None, None, None,
+             datetime.fromisoformat("2021-03-21 09:00:11")),
+        ],
+        "tag string, msg string, x double, ok boolean, seen timestamp, "
+        "ts timestamp",
+    )
+    lines = [
+        r[0]
+        for r in df.select(
+            ilp_line(df, "t 1", symbol_cols=("tag",), ts_col="ts")
+        ).collect()
+    ]
+    base_us = 1616317210_000000
+    assert lines[0] == (
+        "t\\ 1,tag=host\\ a\\,b\\=c\\\\d "
+        f'msg="say \\"hi\\"\\nthere",x=1.5,ok=t,seen={base_us}t '
+        f"{base_us * 1000}"
+    )
+    # all-null symbols/fields: bare measurement + designated ts only
+    assert lines[1] == f"t\\ 1 {(base_us + 1_000_000) * 1000}"
+
+
 def test_multimodal_decode_quarantines_bad_payload(spark):
     df = spark.createDataFrame(
         [(1, b"payload-bytes"), (2, b"")],  # empty payload = corrupt media
