@@ -19,12 +19,17 @@ Scale posture (the whole point of the design):
 - Grams explode ×(tokens-n+1) per doc, but the explode is streamed
   through the broadcast join inside one stage — never materialized.
 - At extreme benchmark sizes (beyond broadcast), swap the broadcast
-  semi-join for a bloom-filter pushdown (build over benchmark grams,
-  `might_contain` prefilter, exact semi-join to confirm): same plan
-  shape with the shuffle bounded by the false-positive rate.
+  semi-join for the bloom-filter pushdown implemented below
+  (:func:`contaminated_docs_bloom`): build a bloom over benchmark grams,
+  prefilter corpus grams with a vectorized membership test, exact
+  semi-join to confirm — same plan shape with every post-filter shuffle
+  bounded by true matches + the false-positive rate.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
+from math import ceil, log
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -140,6 +145,160 @@ def contaminated_docs(
     corpus_grams = _hashed_gram_rows(corpus, text_col, id_col, n)
     return (
         corpus_grams.join(F.broadcast(bench_grams), "__gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+@dataclass(frozen=True)
+class GramBloom:
+    """A bloom filter over hashed benchmark grams, built distributed.
+
+    ``words`` is the m-bit bitmap as ``m/64`` int64 words (numpy array on
+    the driver; shipped to executors as a Spark broadcast variable by
+    :func:`contaminated_docs_bloom`). Bit positions come from re-mixing
+    the 8-byte gram hash with ``xxhash64(gram, j)`` for j in 0..k-1 —
+    computed JVM-side on BOTH build and probe, so no Python reimplements
+    the hash and build/probe cannot disagree.
+    """
+
+    words: "object"  # np.ndarray[int64], length m_bits // 64
+    m_bits: int
+    k: int
+
+
+def _bit_positions(gram: Column, m_bits: int, k: int) -> list[Column]:
+    """k bloom bit positions for a hashed gram — JVM expressions only.
+
+    Seeds are IntegerType literals on both build and probe sides (the
+    xxhash64 of (long, int) must byte-match between the two plans).
+    """
+    return [
+        F.pmod(F.xxhash64(gram, F.lit(j)), F.lit(m_bits)) for j in range(k)
+    ]
+
+
+def build_gram_bloom(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    fpp: float = 0.01,
+    n_items: int | None = None,
+) -> GramBloom:
+    """Build a :class:`GramBloom` over ``benchmark``'s distinct gram hashes.
+
+    Fully distributed build: grams explode map-side, each contributes k
+    (word-index, bit-mask) rows, and one ``groupBy(idx).agg(bit_or)``
+    shuffle collapses them to at most ``m/64`` word rows — the ONLY thing
+    the driver collects is the finished bitmap (8 bytes per word, e.g.
+    ~120 MB for 10⁸ grams at 1% fpp, vs. gigabytes for the exact distinct
+    gram set that outgrew broadcast in the first place).
+
+    ``n_items`` (distinct-gram estimate) sizes the filter; when None it
+    is measured with one approx_count_distinct job (±2% is irrelevant to
+    sizing). Standard sizing: m = -n·ln(fpp)/ln²2, k = (m/n)·ln2.
+    """
+    import numpy as np
+
+    grams = _hashed_gram_rows(benchmark, text_col, id_col, n).select(
+        "__gram"
+    ).distinct()
+    if n_items is None:
+        n_items = grams.agg(
+            F.approx_count_distinct("__gram").alias("n")
+        ).collect()[0]["n"]
+    n_items = max(int(n_items), 1)
+    m_bits = max(1024, ceil(-n_items * log(fpp) / (log(2) ** 2)))
+    m_bits = ((m_bits + 63) // 64) * 64
+    k = max(1, round((m_bits / n_items) * log(2)))
+
+    pos = F.explode(F.array(*_bit_positions(F.col("__gram"), m_bits, k)))
+    word_rows = (
+        grams.select(pos.alias("__pos"))
+        .select(
+            (F.col("__pos") / 64).cast("long").alias("__idx"),
+            F.expr("shiftleft(1L, cast(pmod(__pos, 64) as int))").alias("__mask"),
+        )
+        .groupBy("__idx")
+        .agg(F.bit_or("__mask").alias("__word"))
+        .collect()
+    )
+    words = np.zeros(m_bits // 64, dtype=np.int64)
+    for r in word_rows:
+        words[r["__idx"]] = r["__word"]
+    return GramBloom(words=words, m_bits=m_bits, k=k)
+
+
+def contaminated_docs_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    fpp: float = 0.01,
+    confirm: str = "broadcast",
+    bloom: GramBloom | None = None,
+) -> DataFrame:
+    """:func:`contaminated_docs` for benchmark sets beyond broadcast reach.
+
+    Identical output contract — (id_col, n_shared_grams) — different
+    scale posture: instead of broadcasting the exact benchmark gram set,
+    a :class:`GramBloom` (compact bitmap) rides to executors and an
+    Arrow-vectorized membership test drops non-matching corpus grams IN
+    THE SCAN STAGE, before any exchange. Survivors (true matches + ~fpp
+    false positives) are confirmed with an exact semi-join so the result
+    is exactly equal to the broadcast path — the bloom only bounds how
+    much data reaches the confirm join, never what the answer is.
+
+    ``confirm="broadcast"`` keeps the confirm join broadcast (right when
+    the gram set fits after all — e.g. this sandbox); ``"shuffle"``
+    hash-partitions both sides, where the corpus side is now only the
+    bloom survivors instead of every gram in the corpus — the property
+    that makes a 100 TB corpus vs. multi-GB benchmark run feasible.
+
+    The probe is k numpy gathers per Arrow batch (``(w[pos>>6] >> (pos &
+    63)) & 1``), fully vectorized; bit positions are computed JVM-side by
+    the same expressions the build used (see :func:`_bit_positions`).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if confirm not in ("broadcast", "shuffle"):
+        raise ValueError(f"confirm must be 'broadcast' or 'shuffle', got {confirm!r}")
+    if bloom is None:
+        bloom = build_gram_bloom(benchmark, text_col, id_col, n, fpp)
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(bloom.words)
+
+    def _might_contain(*pos_cols):
+        w = bc.value.view(np.uint64)
+        hit = np.ones(len(pos_cols[0]), dtype=bool)
+        for p in pos_cols:
+            pv = p.to_numpy(dtype=np.uint64)
+            hit &= ((w[pv >> np.uint64(6)] >> (pv & np.uint64(63)))
+                    & np.uint64(1)).astype(bool)
+        return pd.Series(hit)
+
+    # functional form: varargs signatures can't use type-hint inference.
+    # asNondeterministic stops InferFiltersFromConstraints from cloning the
+    # probe onto the benchmark branch through the semi-join key (the clone
+    # is harmless but re-evaluates the UDF over every benchmark gram).
+    might_contain = F.pandas_udf(_might_contain, "boolean").asNondeterministic()
+
+    corpus_grams = _hashed_gram_rows(corpus, text_col, id_col, n)
+    probed = corpus_grams.filter(
+        might_contain(*_bit_positions(F.col("__gram"), bloom.m_bits, bloom.k))
+    )
+
+    bench_grams = _hashed_gram_rows(benchmark, text_col, id_col, n).select(
+        "__gram"
+    ).distinct()
+    if confirm == "broadcast":
+        bench_grams = F.broadcast(bench_grams)
+    return (
+        probed.join(bench_grams, "__gram", "left_semi")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shared_grams"))
     )

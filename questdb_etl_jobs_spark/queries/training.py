@@ -286,6 +286,51 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q101 — bloom-filter decontamination (beyond-broadcast benchmark variant)
+# ---------------------------------------------------------------------------
+#
+# Same contract (and same oracle) as q80, different 100 TB posture: a
+# compact bloom bitmap over benchmark grams rides to executors and an
+# Arrow-vectorized membership probe drops non-matching corpus grams in
+# the scan stage, before any exchange; survivors are confirmed with the
+# exact semi-join so the answer is identical to q80's broadcast path.
+
+@dq(
+    "q101_decontaminate_bloom",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+      FROM toks, unnest(range(1, len(t) - 6)) AS r(i)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0)
+    SELECT c.doc_id, COUNT(*) AS n_shared_grams
+    FROM (SELECT doc_id, g FROM grams WHERE doc_id % 17 <> 0) c
+    JOIN bench USING (g)
+    GROUP BY c.doc_id
+    ORDER BY doc_id
+    """,
+    covers="EXT,J4,F6,U2",
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.decontaminate import (
+        contaminated_docs_bloom,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return contaminated_docs_bloom(
+        corpus, benchmark, "text", "doc_id", n=8, confirm="broadcast"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # q81 — deterministic corpus shuffle + shard assignment (training export)
 # ---------------------------------------------------------------------------
 #

@@ -701,6 +701,63 @@ def test_contaminated_docs_case_and_whitespace_normalized(spark):
     assert [(r["doc_id"], r["n_shared_grams"]) for r in out] == [(1, 1)]
 
 
+def test_bloom_decontaminate_equals_broadcast_path(spark):
+    """The bloom prefilter + exact confirm must be EXACTLY equivalent to
+    the broadcast semi-join path (q80's shape) on real sf data, for both
+    confirm modes — the bloom bounds work, never changes the answer."""
+    from questdb_etl_jobs_spark.operators.decontaminate import (
+        contaminated_docs,
+        contaminated_docs_bloom,
+    )
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    benchmark = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    expected = sorted(
+        (r["doc_id"], r["n_shared_grams"])
+        for r in contaminated_docs(corpus, benchmark, "text", "doc_id", n=8).collect()
+    )
+    assert expected, "fixture must produce at least one contaminated doc"
+    for confirm in ("broadcast", "shuffle"):
+        got = sorted(
+            (r["doc_id"], r["n_shared_grams"])
+            for r in contaminated_docs_bloom(
+                corpus, benchmark, "text", "doc_id", n=8, confirm=confirm
+            ).collect()
+        )
+        assert got == expected, confirm
+
+
+def test_bloom_build_and_probe_agree(spark):
+    """Zero false negatives by construction: every benchmark gram probes
+    positive through the built bloom (build and probe share the same JVM
+    bit-position expressions); an unrelated corpus mostly probes negative
+    (fpp-bounded) and the confirm join removes the rest."""
+    from questdb_etl_jobs_spark.operators.decontaminate import (
+        build_gram_bloom,
+        contaminated_docs_bloom,
+    )
+
+    benchmark = spark.createDataFrame(
+        [(100, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    bloom = build_gram_bloom(benchmark, fpp=0.001)
+    assert bloom.m_bits % 64 == 0 and bloom.k >= 1
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix one two three four five six seven eight tail"),
+            (2, "entirely unrelated words with no benchmark overlap "
+                "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = contaminated_docs_bloom(corpus, benchmark, bloom=bloom).collect()
+    assert [(r["doc_id"], r["n_shared_grams"]) for r in out] == [(1, 1)]
+
+
 def test_repeated_ngrams_self_repetition_counts_once(spark):
     from questdb_etl_jobs_spark.operators.decontaminate import repeated_ngrams
 

@@ -172,6 +172,40 @@ def test_exact_dedup_single_shuffle(spark):
     assert "Join" not in plan
 
 
+def test_bloom_decontaminate_prefilters_before_any_exchange(spark):
+    """Bloom decontamination's 100 TB contract: the Arrow-vectorized bloom
+    membership test runs in the corpus scan stage — BEFORE every Exchange —
+    so only bloom survivors are ever shuffled, and with confirm='broadcast'
+    the benchmark side never hash-shuffles its grams at all (broadcast
+    exchange only)."""
+    import re
+
+    from questdb_etl_jobs_spark.operators.decontaminate import (
+        contaminated_docs_bloom,
+    )
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    out = contaminated_docs_bloom(corpus, benchmark, confirm="broadcast")
+    plan = plan_string(out)
+
+    assert "ArrowEvalPython" in plan  # vectorized bloom probe, not row Python
+    # Formatted-plan node ids start at the corpus leaf and grow toward the
+    # root, so "probe before every shuffle" = the ArrowEvalPython node id
+    # is smaller than every hash-partitioning Exchange id.
+    arrow_ids = [int(m) for m in re.findall(r"\((\d+)\) ArrowEvalPython", plan)]
+    ex_ids = [int(m) for m in re.findall(r"\((\d+)\) Exchange\b", plan)]
+    assert len(arrow_ids) == 1 and ex_ids  # probe evaluated once, corpus side
+    assert max(arrow_ids) < min(ex_ids)
+    # Exactly two hash exchanges: the benchmark's OWN distinct (bounded by
+    # benchmark size, not corpus size) and the final per-doc count. The
+    # corpus gram stream itself reaches no exchange unprobed.
+    assert len(ex_ids) == 2
+    assert "BroadcastExchange" in plan
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Co-located fact-fact join: both sides bucketed on the key with the
     same bucket count -> SortMergeJoin with ZERO Exchange nodes (the
