@@ -48,17 +48,24 @@ def sample_by_first_observation(
     keys: list[str] | None = None,
     bucket_col: str = "bucket_ts",
 ) -> DataFrame:
-    """SAMPLE BY with QuestDB's DEFAULT alignment: the first observation.
+    """SAMPLE BY with first-observation alignment.
 
-    QuestDB anchors buckets at the table's first row unless ``ALIGN TO
-    CALENDAR`` is given; :func:`sample_by` is the calendar form. Here
-    bucket i covers ``[t0 + i·w, t0 + (i+1)·w)`` with ``t0 = min(ts)``
-    over the whole input (not per key — QuestDB semantics), computed as
-    a one-row broadcast aggregate: integer-µs arithmetic against the
-    anchor, no window function, still one shuffle keyed by
-    (bucket, keys…). ``bucket`` is an interval string (``"2 hours"``).
+    QuestDB (pre-7.4 default; later versions default to ``ALIGN TO
+    CALENDAR`` and keep this as the explicit ``ALIGN TO FIRST
+    OBSERVATION`` form) anchors buckets at the table's first row;
+    :func:`sample_by` is the calendar form. Here bucket i covers
+    ``[t0 + i·w, t0 + (i+1)·w)`` with ``t0 = min(ts)`` over the whole
+    input (not per key — QuestDB semantics), computed as a one-row
+    broadcast aggregate: integer-µs arithmetic against the anchor, no
+    window function, still one shuffle keyed by (bucket, keys…).
+    ``bucket`` is an interval string: ``"<unit>"`` or ``"<n> <unit>"``
+    (``"2 hours"``); anything else raises.
     """
     parts = bucket.split()
+    if len(parts) not in (1, 2):
+        raise ValueError(
+            f"bucket must be '<unit>' or '<n> <unit>', got {bucket!r}"
+        )
     qty = int(parts[0]) if len(parts) == 2 else 1
     unit = parts[-1].rstrip("s")
     per_unit_us = {

@@ -131,13 +131,21 @@ def run_batch(
     Returns None when the gates reject the event (the reference's early
     return, cloud_function.py:105-115); otherwise loads good rows into the
     designated-ts table and quarantines bad rows, returning counts.
+
+    Consistency caveat: the returned counts come from the Observation on
+    the table-write scan, while quarantined rows are written by a second,
+    independent scan of the source CSV — if the file mutates between the
+    two scans, the written quarantine rows can disagree with the returned
+    count. Source objects are immutable in the reference's bucket model
+    (GCS finalize events), so this is a documented non-goal, not a race
+    we defend against.
     """
     if not is_event_valid(event) or not is_object_valid(event):
         return None
     path = csv_path if csv_path is not None else event["name"]
     raw = read_purchases_csv(spark, path)
     typed = anonymize_and_cast(raw)
-    good, bad = split_quarantine(typed)
+    _good, bad = split_quarantine(typed)
 
     # Single-pass happy path: the table write carries an Observation
     # computing both counts while it streams — the source is scanned

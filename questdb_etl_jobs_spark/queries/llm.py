@@ -1630,12 +1630,14 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q100 — SAMPLE BY aligned to FIRST OBSERVATION (QuestDB's default)
+# q100 — SAMPLE BY aligned to FIRST OBSERVATION
 # ---------------------------------------------------------------------------
 #
-# QuestDB's SAMPLE BY anchors buckets at the table's first row unless
-# ALIGN TO CALENDAR is requested; every other sample_by query here is
-# the calendar form, so this closes the default-alignment parity gap.
+# QuestDB's SAMPLE BY anchored at the table's first row — the DEFAULT in
+# QuestDB < 7.4, the explicit ALIGN TO FIRST OBSERVATION form afterwards
+# (7.4 changed the default to ALIGN TO CALENDAR); every other sample_by
+# query here is the calendar form, so this closes the alignment parity
+# gap for users migrating from either version.
 # 90-minute buckets make the two alignments visibly different (no
 # calendar boundary coincides). Oracle: identical integer-µs anchor
 # arithmetic in DuckDB.

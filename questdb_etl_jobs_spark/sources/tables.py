@@ -35,7 +35,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table; normalizes events.ts to TimestampType (µs).
 
     Memoized per (session, path): callers only ever build new plans on
-    top of the returned DataFrame, never mutate it.
+    top of the returned DataFrame, never mutate it. The memo assumes the
+    fixture files are IMMUTABLE for the session's lifetime — the cached
+    plan pins the parquet file listing and schema at first load, so a
+    caller that rewrites files under ``sf_dir`` in-session (fixture
+    regeneration, stress re-synthesis) must call :func:`invalidate_tables`
+    first or later reads see stale listings / FileNotFoundException.
     """
     cache = _TABLE_CACHE.setdefault(spark, {})
     key = (sf_dir, name)
@@ -47,6 +52,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     cache[key] = df
     return df
+
+
+def invalidate_tables(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Drop memoized plans for ``sf_dir`` (or all dirs when None) — call
+    before rewriting fixture files a live session already loaded."""
+    cache = _TABLE_CACHE.get(spark)
+    if not cache:
+        return
+    if sf_dir is None:
+        cache.clear()
+    else:
+        for key in [k for k in cache if k[0] == sf_dir]:
+            del cache[key]
 
 
 def register_tables(

@@ -1053,3 +1053,18 @@ def test_sample_by_first_observation_anchor(spark):
         t0: 2,
         datetime.fromisoformat("2024-01-01 11:17:00"): 1,
     }
+
+    # malformed interval strings must raise, not silently mis-bucket
+    # ("2 hours 30 minutes" once yielded 1-MINUTE buckets without error)
+    import pytest
+
+    df1 = spark.createDataFrame([(1, t0)], "id long, ts timestamp")
+    for bad in ("2 hours 30 minutes", "", "90 min utes"):
+        with pytest.raises(ValueError):
+            sample_by_first_observation(
+                df1, ts="ts", bucket=bad, aggs=[F.count(F.lit(1)).alias("n")]
+            )
+    with pytest.raises(ValueError):
+        sample_by_first_observation(
+            df1, ts="ts", bucket="3 weeks", aggs=[F.count(F.lit(1)).alias("n")]
+        )

@@ -59,7 +59,11 @@ def synthesize(spark) -> None:
         return
     shutil.rmtree(OUT, ignore_errors=True)
     os.makedirs(OUT, exist_ok=True)
-    from questdb_etl_jobs_spark.sources.tables import load_table
+    from questdb_etl_jobs_spark.sources.tables import invalidate_tables, load_table
+
+    # A prior in-session load of OUT (e.g. a _DONE marker removed to force
+    # re-synthesis) pinned stale file listings — drop them before rewriting.
+    invalidate_tables(spark, OUT)
 
     def write(name, build):
         parts = [build(load_table(spark, BASE, name), i) for i in range(FACTOR)]
