@@ -29,7 +29,10 @@ from pyspark.sql.streaming import StreamingQuery
 from questdb_etl_jobs_spark.schemas import PURCHASES_RAW
 from questdb_etl_jobs_spark.pipeline import anonymize_and_cast
 from questdb_etl_jobs_spark.functions.hashing import stable_id
-from questdb_etl_jobs_spark.plans.designated import write_designated_ts
+from questdb_etl_jobs_spark.plans.designated import (
+    upsert_designated_ts,
+    write_designated_ts,
+)
 
 
 def stream_purchases_csv(
@@ -58,8 +61,25 @@ def run_stream_to_table(
     lateness: str = "0 seconds",
     dedup: bool = True,
     available_now: bool = True,
+    sink: str = "append",
+    upsert_keys: tuple[str, ...] = ("buyer", "item_id", "quantity", "price"),
 ) -> tuple[StreamingQuery, StreamingQuery]:
     """Run the full streaming pipeline; returns (good_query, bad_query).
+
+    ``sink`` picks the good-branch table write:
+
+    - ``"append"`` (default) — the reference's accumulate model. Exactly-
+      once holds ONLY while the checkpoint commit and the table write
+      succeed or fail together; a crash in the window between the parquet
+      write and the checkpoint commit makes Structured Streaming replay
+      the batch on restart and the append duplicates it — the reference's
+      own documented at-least-once gap (SURVEY §1.4.5).
+    - ``"upsert"`` — idempotent redelivery: each micro-batch goes through
+      :func:`upsert_designated_ts` keyed on ``(purchase_date,
+      upsert_keys)`` (QuestDB ``DEDUP UPSERT KEYS`` semantics), so a
+      replayed batch merges into itself and the table equals the
+      single-run result after any crash/restart. This is the sink to pair
+      with at-least-once sources in production.
 
     The quarantine split happens BEFORE the watermark/dedup stage: corrupt
     rows carry a NULL event time and content-collapsing ids, so running
@@ -98,8 +118,21 @@ def run_stream_to_table(
             .drop("__row_id")
         )
 
-    def write_good(batch: DataFrame, batch_id: int) -> None:
-        write_designated_ts(batch, table_path, "purchase_date")
+    if sink == "upsert":
+
+        def write_good(batch: DataFrame, batch_id: int) -> None:
+            upsert_designated_ts(
+                batch.sparkSession, batch, table_path, "purchase_date",
+                list(upsert_keys),
+            )
+
+    elif sink == "append":
+
+        def write_good(batch: DataFrame, batch_id: int) -> None:
+            write_designated_ts(batch, table_path, "purchase_date")
+
+    else:
+        raise ValueError(f"sink must be 'append' or 'upsert', got {sink!r}")
 
     def write_bad(batch: DataFrame, batch_id: int) -> None:
         batch.write.mode("append").json(quarantine_path)

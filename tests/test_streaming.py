@@ -66,6 +66,95 @@ def test_stream_dedups_redelivered_file(spark, tmp_path):
     assert table.count() == 300  # not 600
 
 
+def _forge_crash_after_batch0_write(ckpt_good):
+    """Rewind a good-branch checkpoint to the exact crash window 'batch 0's
+    sink write completed, its commit never landed': keep offsets/0, drop
+    every later offset entry and ALL commit markers (+ hadoop .crc
+    sidecars). On restart Structured Streaming re-executes batch 0 —
+    redelivering its rows to the sink — then continues with new input.
+    (The latest batch alone won't do: availableNow runs append an empty
+    watermark-flush batch after the data batch, so 'delete latest commit'
+    would replay nothing.)"""
+    import os
+
+    for sub, keep in (("offsets", {"0"}), ("commits", set())):
+        d = ckpt_good / sub
+        for f in os.listdir(d):
+            name = f.lstrip(".").removesuffix(".crc")
+            if name not in keep:
+                os.remove(d / f)
+
+
+def test_stream_crash_recovery_upsert_sink_idempotent(spark, tmp_path):
+    """Crash-recovery proof for the at-least-once redelivery window (the
+    reference's documented gap, SURVEY §1.4.5): a crash BETWEEN the table
+    write and the checkpoint commit makes Structured Streaming replay the
+    committed-to-table batch on restart. We reproduce that exact state by
+    rewinding the checkpoint after a successful run — offsets say "batch 0
+    planned", commits say "batch 0 never finished" — then restart with
+    more input. The upsert sink must absorb the redelivered batch: final
+    table == single-run result, byte-for-row identical."""
+
+    f1 = FIXTURES / "purchases" / "2021-03-21T11.csv"
+    f2 = FIXTURES / "purchases" / "2021-03-21T12.csv"
+
+    def rows(path):
+        return sorted(
+            (r["buyer"], r["item_id"], r["quantity"], r["price"],
+             r["purchase_date"])
+            for r in spark.read.parquet(path).select(
+                "buyer", "item_id", "quantity", "price", "purchase_date"
+            ).collect()
+        )
+
+    # Reference: both files in one uninterrupted run.
+    ref_in = tmp_path / "ref_in"
+    ref_in.mkdir()
+    shutil.copy(f1, ref_in)
+    shutil.copy(f2, ref_in)
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    _run(spark, ref_dir, ref_in, sink="upsert")
+    expected = rows(str(ref_dir / "table"))
+    assert len(expected) == 480  # 300 + 180 clean fixture rows
+
+    # Crash run: process f1, then forge the crash window, then restart
+    # with f2 present — batch 0 (f1) is redelivered to the sink.
+    crash_in = tmp_path / "crash_in"
+    crash_in.mkdir()
+    shutil.copy(f1, crash_in)
+    crash_dir = tmp_path / "crash"
+    crash_dir.mkdir()
+    _run(spark, crash_dir, crash_in, sink="upsert")
+    assert len(rows(str(crash_dir / "table"))) == 300
+
+    _forge_crash_after_batch0_write(crash_dir / "ckpt" / "good")
+    shutil.copy(f2, crash_in)
+    _run(spark, crash_dir, crash_in, sink="upsert")
+    assert rows(str(crash_dir / "table")) == expected
+
+
+def test_stream_crash_append_sink_duplicates_proves_redelivery(spark, tmp_path):
+    """Control for the crash-recovery proof: the SAME forged crash window
+    with the plain append sink must duplicate the replayed batch — showing
+    the redelivery is real (the upsert test isn't passing vacuously) and
+    pinning the reference's at-least-once gap as observable behavior."""
+    f1 = FIXTURES / "purchases" / "2021-03-21T11.csv"
+    f2 = FIXTURES / "purchases" / "2021-03-21T12.csv"
+    crash_in = tmp_path / "in"
+    crash_in.mkdir()
+    shutil.copy(f1, crash_in)
+    _run(spark, tmp_path, crash_in, sink="append")
+    table_path = str(tmp_path / "table")
+    assert spark.read.parquet(table_path).count() == 300
+
+    _forge_crash_after_batch0_write(tmp_path / "ckpt" / "good")
+    shutil.copy(f2, crash_in)
+    _run(spark, tmp_path, crash_in, sink="append")
+    # f1's 300 rows land twice (append), f2's 180 once: the gap, observed.
+    assert spark.read.parquet(table_path).count() == 300 + 300 + 180
+
+
 def test_windowed_aggs_batch_frames(spark):
     # R2/R3 helpers work identically on batch frames (same expressions).
     from datetime import datetime
