@@ -208,8 +208,10 @@ def test_bloom_decontaminate_prefilters_before_any_exchange(spark):
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Co-located fact-fact join: both sides bucketed on the key with the
-    same bucket count -> SortMergeJoin with ZERO Exchange nodes (the
-    write-once shuffle replaces every per-query shuffle)."""
+    same bucket count -> a shuffle join node (sort-merge or, with the
+    engine's preferSortMergeJoin=false posture, shuffled-hash) with ZERO
+    Exchange nodes (the write-once shuffle replaces every per-query
+    shuffle)."""
     from questdb_etl_jobs_spark.plans.inspect import (
         assert_in_plan,
         assert_not_in_plan,
@@ -237,7 +239,8 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
             read_table(spark, "bt_lineitem"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        assert_in_plan(joined, "SortMergeJoin")
+        plan = plan_string(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
         assert_not_in_plan(joined, "Exchange")
         # and the values are right
         expected = orders.join(

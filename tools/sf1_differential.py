@@ -1,0 +1,271 @@
+"""Engine-vs-DuckDB differential at data-proportional scales (sf1, sf10).
+
+BASELINE.md's 2x acceptance bar was measured at sf0.1, where the five
+headline DQs cost Spark 0.2-0.8 s of which (per tools/scaling_report.py)
+all but ~0.05-0.4 s is FIXED per-query cost — scheduling, AQE stage
+materialization, py4j round-trips — that an embedded single-process engine
+does not pay and a real cluster amortizes over 1000x more data. That
+argument has so far been prose; this tool is the measurement.
+
+It times the same five DQs in BOTH engines at sf0.1, the 10x synthesis
+(~sf1: lineitem 6M) and the 100x synthesis (~sf10: lineitem 60M), same
+protocol for both engines (warm process, best of 3, result fully fetched),
+then fits per engine
+
+    t(scale) ~= fixed + marginal * scale
+
+and reports the ASYMPTOTIC ratio marginal_spark / marginal_duckdb — the
+number that survives when the data term dominates, i.e. what a 100 TB
+deployment actually pays per row relative to DuckDB-per-core. If the sf0.1
+gap were plan waste rather than fixed cost, this ratio would stay at the
+sf0.1 level instead of collapsing. Row counts are cross-checked per
+query/scale so the two engines provably ran the same computation.
+
+Usage: python tools/sf1_differential.py [out.json] [--skip-sf10]
+Writes a JSON summary to stdout (and out.json), human table to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from tools.stress_scale import BASE, OUT, synthesize, synthesize_big  # noqa: E402
+
+OUT100 = "/tmp/spark_graft_sf10"
+
+#: tier tag -> (dir, relative data scale vs sf0.1)
+TIERS: dict[str, tuple[str, float]] = {
+    "sf0.1": (BASE, 1.0),
+    "sf1": (OUT, 10.0),
+    "sf10": (OUT100, 100.0),
+}
+
+# DuckDB equivalents of the five headline DQs — semantically identical to
+# the Spark bench variants (plain double arithmetic, same predicates, same
+# output shape; see bench.py _headline and queries/relational.py).
+DUCK_SQL = {
+    "dq20_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity)                              AS sum_qty,
+               sum(l_extendedprice)                         AS sum_base_price,
+               sum(l_extendedprice * (1 - l_discount))      AS sum_disc_price,
+               avg(l_quantity)                              AS avg_qty,
+               avg(l_extendedprice)                         AS avg_price,
+               avg(l_discount)                              AS avg_disc,
+               count(*)                                     AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "dq10_join_revenue": """
+        SELECT n_name,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue,
+               count(*)                                AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+    "dq30_window_rank": """
+        SELECT o_custkey, o_orderkey,
+               round(o_totalprice, 4) AS totalprice,
+               rn, prio_rank, prio_dense, tile
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+                   rank()       OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderpriority) AS prio_rank,
+                   dense_rank() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderpriority) AS prio_dense,
+                   ntile(4)     OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS tile
+            FROM orders
+        )
+        WHERE rn <= 3
+        ORDER BY o_custkey, o_orderkey
+    """,
+    "dq25_hourly_bucket": """
+        SELECT date_trunc('hour', ts) AS bucket_ts,
+               count(*)   AS n,
+               avg(value) AS avg_value
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "dq34_topk": """
+        SELECT l_orderkey, l_linenumber, round(l_extendedprice, 4) AS price
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 10
+    """,
+}
+
+TABLES = ("lineitem", "orders", "customer", "nation", "events")
+
+
+def _spark_headline():
+    from questdb_etl_jobs_spark.queries import spark_queries
+    from questdb_etl_jobs_spark.queries.relational import (
+        q10_plain,
+        q20_plain,
+        q26_plain,
+    )
+
+    registry = spark_queries()
+    return {
+        "dq20_pricing_summary": q20_plain,
+        "dq10_join_revenue": q10_plain,
+        "dq30_window_rank": registry["q30_rank_top3_orders"],
+        "dq25_hourly_bucket": q26_plain,
+        "dq34_topk": registry["q34_topk_lineitems"],
+    }
+
+
+def _time_spark(spark, fn, sf_dir: str, runs: int = 3) -> tuple[float, int]:
+    best, rows = float("inf"), -1
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        pdf = fn(spark, sf_dir).toPandas()
+        best = min(best, time.perf_counter() - t0)
+        rows = len(pdf)
+    return best, rows
+
+
+def _time_duck(con, sql: str, runs: int = 3) -> tuple[float, int]:
+    best, rows = float("inf"), -1
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        out = con.execute(sql).fetchall()
+        best = min(best, time.perf_counter() - t0)
+        rows = len(out)
+    return best, rows
+
+
+def _duck_connection(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()  # defaults, matching BASELINE.md protocol
+    for t in TABLES:
+        src = f"{sf_dir}/{t}.parquet"
+        glob = f"{src}/**/*.parquet" if os.path.isdir(src) else src
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")
+    return con
+
+
+def _fit(points: list[tuple[float, float]]) -> tuple[float, float]:
+    """Least-squares (fixed, marginal) for t = fixed + marginal*scale."""
+    n = len(points)
+    sx = sum(p[0] for p in points)
+    sy = sum(p[1] for p in points)
+    sxx = sum(p[0] * p[0] for p in points)
+    sxy = sum(p[0] * p[1] for p in points)
+    marginal = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    fixed = (sy - marginal * sx) / n
+    return fixed, marginal
+
+
+def main() -> None:
+    from questdb_etl_jobs_spark.session import get_spark
+
+    skip_sf10 = "--skip-sf10" in sys.argv
+    out_path = next((a for a in sys.argv[1:] if not a.startswith("--")), None)
+
+    spark = get_spark(app_name="sf1-differential")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    synthesize(spark)
+    if not skip_sf10:
+        synthesize_big(spark, OUT100, factor=100, mult=128)
+    print(f"# synthesis: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    heads = _spark_headline()
+    heads["dq20_pricing_summary"](spark, BASE).collect()  # warm off the clock
+
+    tiers = {k: v for k, v in TIERS.items() if not (skip_sf10 and k == "sf10")}
+    results: dict[str, dict] = {}
+    for tag, (sf_dir, _scale) in tiers.items():
+        con = _duck_connection(sf_dir)
+        con.execute("SELECT count(*) FROM lineitem").fetchall()  # warm
+        for label, fn in heads.items():
+            s_sec, s_rows = _time_spark(spark, fn, sf_dir)
+            d_sec, d_rows = _time_duck(con, DUCK_SQL[label])
+            if s_rows != d_rows:
+                raise SystemExit(
+                    f"row mismatch {label}@{tag}: spark={s_rows} duck={d_rows}"
+                )
+            entry = results.setdefault(label, {})
+            entry[tag] = {
+                "spark_sec": round(s_sec, 4),
+                "duckdb_sec": round(d_sec, 4),
+                "ratio": round(s_sec / d_sec, 2),
+                "rows": s_rows,
+            }
+            print(
+                f"{tag:6s} {label:22s} spark={s_sec:7.3f}s duckdb={d_sec:7.3f}s "
+                f"ratio={s_sec / d_sec:6.2f} rows={s_rows}",
+                file=sys.stderr,
+            )
+        con.close()
+
+    # Fixed + marginal decomposition per engine; the asymptotic ratio is
+    # marginal_spark / marginal_duckdb — the gap that survives at scale.
+    for label, tiers_out in results.items():
+        pts_s = [(TIERS[t][1], v["spark_sec"]) for t, v in tiers_out.items()]
+        pts_d = [(TIERS[t][1], v["duckdb_sec"]) for t, v in tiers_out.items()]
+        if len(pts_s) >= 2:
+            fs, ms = _fit(pts_s)
+            fd, md = _fit(pts_d)
+            tiers_out["fit"] = {
+                "spark_fixed_sec": round(fs, 4),
+                "spark_marginal_sec_per_sf01": round(ms, 5),
+                "duckdb_fixed_sec": round(fd, 4),
+                "duckdb_marginal_sec_per_sf01": round(md, 5),
+                "asymptotic_ratio": round(ms / md, 2) if md > 0 else None,
+            }
+            print(
+                f"fit    {label:22s} spark={fs:.3f}+{ms:.4f}/sf0.1 "
+                f"duck={fd:.3f}+{md:.4f}/sf0.1 asymptote="
+                f"{(ms / md) if md > 0 else float('nan'):.2f}",
+                file=sys.stderr,
+            )
+
+    last_tag = list(tiers)[-1]
+    ratios = [v[last_tag]["ratio"] for v in results.values()]
+    asym = [
+        v["fit"]["asymptotic_ratio"]
+        for v in results.values()
+        if v.get("fit", {}).get("asymptotic_ratio")
+    ]
+    summary = {
+        "metric": "scale_differential",
+        "queries": results,
+        f"{last_tag}_ratio_le_2x": sum(1 for r in ratios if r <= 2.0),
+        f"{last_tag}_geomean_ratio": round(
+            math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 2
+        ),
+        "asymptote_le_2x": sum(1 for r in asym if r <= 2.0),
+        "asymptote_geomean": round(
+            math.exp(sum(math.log(r) for r in asym) / len(asym)), 2
+        )
+        if asym
+        else None,
+    }
+    out = json.dumps(summary)
+    print(out)
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(out + "\n")
+
+
+if __name__ == "__main__":
+    main()

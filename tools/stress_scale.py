@@ -125,6 +125,52 @@ def synthesize(spark) -> None:
     open(os.path.join(OUT, "_DONE"), "w").close()
 
 
+def synthesize_big(spark, out: str, factor: int, mult: int) -> None:
+    """Relational-table synthesis at arbitrary ``factor`` (e.g. 100 ≈ sf10).
+
+    Same shape-honest key remapping as :func:`synthesize` (replica r maps
+    key k → k·mult + r, with ``mult`` ≥ next power of two above factor so
+    replicas never collide; fact-to-fact joins match replica-to-replica,
+    per-key cardinality stays the reference's, per-dim fan-in grows
+    ``factor``×). Implementation differs: one ``crossJoin(range(factor))``
+    expansion instead of a ``factor``-way union — one scan branch in the
+    plan regardless of factor. Documents are NOT synthesized here (the
+    headline DQs are relational; the 10× documents remix stays in
+    :func:`synthesize`).
+    """
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return
+    assert mult >= factor, "replica multiplier must exceed factor"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    from questdb_etl_jobs_spark.sources.tables import invalidate_tables, load_table
+
+    invalidate_tables(spark, out)
+    replicas = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__r")
+
+    def write(name, key_cols, ts_col=None):
+        df = load_table(spark, BASE, name).select("*", replicas)
+        for c in key_cols:
+            df = df.withColumn(c, F.col(c) * mult + F.col("__r"))
+        if ts_col is not None:
+            df = df.withColumn(
+                ts_col,
+                F.col(ts_col)
+                + F.make_interval(secs=F.col("__r").cast("double")),
+            )
+        df.drop("__r").write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+
+    write("lineitem", ["l_orderkey"])
+    write("orders", ["o_orderkey"])
+    write("events", ["event_id", "user_id"], ts_col="ts")
+    for name in ("customer", "nation", "region", "supplier", "part",
+                 "embeddings"):
+        load_table(spark, BASE, name).write.mode("overwrite").parquet(
+            f"{out}/{name}.parquet"
+        )
+    open(os.path.join(out, "_DONE"), "w").close()
+
+
 def _headline():
     from questdb_etl_jobs_spark.operators.dedup import (
         dup_clusters,
