@@ -18,6 +18,30 @@ _TRUNC_UNITS = {
     "year", "quarter", "month", "week", "day", "hour", "minute", "second",
 }
 
+#: Fixed-width units where calendar truncation equals an epoch-µs floor:
+#: second/minute always (every modern tz offset is a whole number of
+#: minutes), hour only when the session runs UTC (a ±hh:30/:45 offset
+#: shifts local hour boundaries off the UTC grid). Integer floor is pure
+#: codegen arithmetic; date_trunc routes through calendar logic that
+#: measured ~1.6× slower over a 10M-row scan (tools/sf1_differential.py,
+#: dq25).
+_FIXED_WIDTH_US = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+}
+
+
+def _bucket_expr(spark_tz_utc: bool, ts: str, bucket: str) -> Column:
+    width = _FIXED_WIDTH_US.get(bucket)
+    if width is not None and (bucket != "hour" or spark_tz_utc):
+        us = F.unix_micros(F.col(ts))
+        # pmod (not %) so pre-epoch timestamps still floor downward.
+        return F.timestamp_micros(us - F.pmod(us, F.lit(width)))
+    if bucket in _TRUNC_UNITS:
+        return F.date_trunc(bucket, F.col(ts))
+    return F.window(F.col(ts), bucket).getField("start")
+
 
 def sample_by(
     df: DataFrame,
@@ -32,11 +56,12 @@ def sample_by(
     ``bucket`` is a date_trunc unit (``"hour"``) or an arbitrary interval
     like ``"15 minutes"`` (aligned to the epoch via ``window``).
     """
-    if bucket in _TRUNC_UNITS:
-        bucket_expr = F.date_trunc(bucket, F.col(ts))
-    else:
-        bucket_expr = F.window(F.col(ts), bucket).getField("start")
-    grouped = df.groupBy(bucket_expr.alias(bucket_col), *(keys or []))
+    tz_utc = (
+        df.sparkSession.conf.get("spark.sql.session.timeZone", "") == "UTC"
+    )
+    grouped = df.groupBy(
+        _bucket_expr(tz_utc, ts, bucket).alias(bucket_col), *(keys or [])
+    )
     return grouped.agg(*aggs)
 
 

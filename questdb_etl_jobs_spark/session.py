@@ -47,9 +47,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # Prefer shuffled-hash over sort-merge when one side is much smaller /
     # local-map-sized: skips sorting BOTH sides of every fact-fact equi-join.
     # Measured on this workload: dq10 (lineitem⋈orders at 60M⋈15M) 13.0s →
-    # 9.6s, as-of join 0.67s → 0.47s, nothing slower. Safe at 100 TB: the
-    # hash map is per-partition (AQE splits skewed partitions first) and
-    # spillable; joins where neither side qualifies still get SMJ.
+    # 9.6s, as-of join 0.67s → 0.47s, nothing slower. Caveat at 100 TB:
+    # the SHJ build-side HashedRelation is in-memory (NOT spillable), so a
+    # skewed build partition that AQE's stats miss can OOM a task; Spark
+    # only picks SHJ when one side is below the per-partition threshold,
+    # and joins where neither side qualifies still get SMJ.
     "spark.sql.join.preferSortMergeJoin": "false",
     # Arrow for any toPandas()/pandas-UDF boundary (vectorized transfer),
     # and for Python UDTF row exchange (functions/udtfs.py).
@@ -78,12 +80,17 @@ def configure(spark: SparkSession) -> SparkSession:
             pass
     try:
         if spark.conf.get("spark.master", "").startswith("local"):
-            # The test tables are ONE small parquet file each; the 128m
-            # default puts a whole table in a single scan task and the job
-            # runs 1-wide. Splitting finer restores scan parallelism in
-            # local mode. Cluster deployments keep the default — at real
-            # scale inputs are many files and 128m splits are right.
-            spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+            # Local benches read MB-scale files; the 128m default (plus
+            # the 4m per-file open cost) bins many files into one scan
+            # task and the job runs a few-wide on a 32-core box. 16m keeps
+            # ~one task per file for the local tiers' 2-10 MB files.
+            # Finer (4m) is counterproductive: parquet readers parallelize
+            # at ROW-GROUP granularity, so sub-file splits of a
+            # single-row-group file only add empty tasks — measured at
+            # sf10 (32-file tables): dq10 13.8s @4m vs 3.9s @16m. Cluster
+            # deployments keep the 128m default — at real scale inputs
+            # are many 100 MB+ files with multiple row groups.
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
     except Exception:
         pass
     return spark
@@ -107,10 +114,21 @@ def get_spark(
         builder = builder.master(master)
     if master is None or master.startswith("local"):
         # Local mode: driver JVM == executor. The 1g default driver heap
-        # forces spill on anything past sf0.1; size it to the box (only
-        # effective for the process's FIRST session — harmless otherwise).
+        # forces spill on anything past sf0.1; size it to the box — half
+        # of physical RAM, capped at 24g (leaves headroom for Python
+        # workers / page cache so the JVM is never bigger than the
+        # machine). $SPARK_GRAFT_DRIVER_MEM overrides. Only effective for
+        # the process's FIRST session — harmless otherwise.
+        try:
+            phys_gb = (
+                os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+            ) // (1 << 30)
+            default_mem = f"{max(1, min(24, phys_gb // 2))}g"
+        except (ValueError, OSError):
+            default_mem = "4g"
         builder = builder.config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", default_mem),
         )
     if shuffle_partitions is None:
         # Local default: match core count so tiny benches don't pay for

@@ -42,6 +42,29 @@ BASE = "/root/testdata/sf0.1"
 OUT = "/tmp/spark_graft_sf1"
 FACTOR = 10
 
+#: Output files per synthesized fact table. A single coalesced write makes
+#: one file with 1-3 row groups, and parquet readers (Spark AND DuckDB)
+#: parallelize at row-group granularity — so a 15M-row single-row-group
+#: orders file serializes BOTH engines' scans to ~1 core and the
+#: differential measures file decode, not engine compute. Real deployments
+#: shard into many files (100 TB ≈ thousands); 32 range-partitioned files
+#: (key- or time-sorted, the designated-ts layout) restore honest scan
+#: parallelism for both engines.
+FILES = 32
+
+#: fact table -> range-partition key for the sharded write.
+_SHARD_KEY = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "ts",
+    "documents": "doc_id",
+}
+
+
+def _sharded(df, name: str):
+    key = _SHARD_KEY.get(name)
+    return df.repartitionByRange(FILES, key) if key else df
+
 
 def _replicate(df, i: int, key_shifts: dict[str, int], ts_shift: str | None):
     out = df
@@ -70,7 +93,9 @@ def synthesize(spark) -> None:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        df.write.mode("overwrite").parquet(f"{OUT}/{name}.parquet")
+        _sharded(df, name).write.mode("overwrite").parquet(
+            f"{OUT}/{name}.parquet"
+        )
 
     write("lineitem", lambda df, i: _replicate(df, i, {"l_orderkey": 16}, None))
     write("orders", lambda df, i: _replicate(df, i, {"o_orderkey": 16}, None))
@@ -158,7 +183,9 @@ def synthesize_big(spark, out: str, factor: int, mult: int) -> None:
                 F.col(ts_col)
                 + F.make_interval(secs=F.col("__r").cast("double")),
             )
-        df.drop("__r").write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+        _sharded(df.drop("__r"), name).write.mode("overwrite").parquet(
+            f"{out}/{name}.parquet"
+        )
 
     write("lineitem", ["l_orderkey"])
     write("orders", ["o_orderkey"])
