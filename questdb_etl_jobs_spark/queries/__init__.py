@@ -119,7 +119,9 @@ def _ordered() -> list[QuerySpec]:
     return sorted(
         REGISTRY.values(),
         key=lambda s: (
-            (0, rank[s.name], 0) if s.name in rank else (1, _query_id(s.name), 0)
+            (0, rank[s.name], "")
+            if s.name in rank
+            else (1, _query_id(s.name), s.name)
         ),
     )
 

@@ -53,66 +53,31 @@ from questdb_etl_jobs_spark.sources.tables import load_table
     covers="W1",
 )
 def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Single-sort shape: the naive form (4 window functions over TWO
-    # orderings of the same partition key) pays two full per-partition
-    # sorts of the fact. Here only the price ordering is sorted; the
-    # priority-ordering ranks come from per-(custkey, priority) COUNTS —
-    # rank = 1 + rows with strictly smaller priority, dense_rank =
-    # position among distinct priorities — which map-side partial
-    # aggregation reduces to |custkey|x|priorities| rows before the
-    # exchange. ntile(4) is derived arithmetically from (rn, n): with
-    # q = n div 4, r = n mod 4 the first r tiles hold q+1 rows, so
-    # position p maps to ceil(p/(q+1)) while p <= r*(q+1), else
-    # r + ceil((p - r*(q+1))/q). Measured at sf10 (15M orders): ~30%
-    # faster than the two-sort form, bit-identical output.
+    # Plan shape, measured (tools/sf1_differential.py, 15M orders at
+    # sf10): both window specs share ONE exchange (hash by o_custkey) and
+    # pay two in-stage sorts. A "single-sort" rewrite — priority ranks
+    # from per-(custkey, priority) counts + arithmetic ntile — was built
+    # and benchmarked: only ~7% faster at sf10 (the second sort is cheap
+    # once the scan parallelizes) but ~50% SLOWER at sf0.1 (three more
+    # stages of fixed cost for the count/join path), so the direct form
+    # stays. Per-partition state is bounded by the external sorter either
+    # way — no collected arrays, the 100 TB-safe shape.
     orders = load_table(spark, sf_dir, "orders")
-    base = orders.select(
-        "o_custkey", "o_orderkey", "o_totalprice", "o_orderpriority"
-    )
     w_price = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
-    # count() over partitionBy-only reuses the price sort (its required
-    # ordering — just the partition key — is already satisfied): one
-    # exchange, one sort, two Window ops.
-    w_cust = Window.partitionBy("o_custkey")
-    top3 = (
-        base.select(
+    w_prio = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return (
+        orders.select(
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
-            "o_orderpriority",
             F.row_number().over(w_price).cast("long").alias("rn"),
-            F.count(F.lit(1)).over(w_cust).alias("n"),
+            F.rank().over(w_prio).cast("long").alias("prio_rank"),
+            F.dense_rank().over(w_prio).cast("long").alias("prio_dense"),
+            F.ntile(4).over(w_price).cast("long").alias("tile"),
         )
         .filter(F.col("rn") <= 3)
-    )
-    q = (F.col("n") / 4).cast("long")
-    r = F.col("n") % 4
-    p = F.col("rn")
-    big = F.greatest(q, F.lit(1))  # guard the (never-taken) q=0 branch
-    tile = (
-        F.when(p <= r * (q + 1), ((p + q) / (q + 1)).cast("long"))
-        .otherwise(r + ((p - r * (q + 1) + big - 1) / big).cast("long"))
-    )
-    top3 = top3.withColumn("tile", tile.cast("long"))
-
-    counts = base.groupBy("o_custkey", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    w_prio = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
-    prio = counts.select(
-        "o_custkey",
-        "o_orderpriority",
-        (F.sum("c").over(w_prio) - F.col("c") + 1)
-        .cast("long")
-        .alias("prio_rank"),
-        F.row_number().over(w_prio).cast("long").alias("prio_dense"),
-    )
-    # Both join sides are aggregate-space (3x and <=5x |custkey| rows);
-    # AQE promotes the exchange to a broadcast at runtime when small.
-    return (
-        top3.join(prio, ["o_custkey", "o_orderpriority"])
         .select(
             "o_custkey",
             "o_orderkey",

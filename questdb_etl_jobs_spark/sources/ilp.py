@@ -31,10 +31,16 @@ Wire-format rules implemented (public QuestDB ILP docs):
   a NULL designated ts omits the trailing field (server assigns);
 - NULL symbols/fields are omitted from the line (ILP has no null literal).
 
-Caveats (documented, matching QuestDB behavior): ILP is fire-and-forget —
-the server reports no per-line ack and disconnects on malformed input, so
-delivery is at-most-once per connection; pair with the idempotent
-designated-ts upsert (plans/designated.py) when exactly-once matters.
+Delivery semantics (documented, matching QuestDB behavior): ILP is
+fire-and-forget — the server reports no per-line ack and disconnects on
+malformed input, so a single connection delivers at-most-once. Under
+Spark's DEFAULT task retries, though, the SINK is at-least-once: a
+mid-partition socket failure fails the task, the retry re-opens a
+connection and re-sends the partition from the start, duplicating the
+already-delivered prefix. When duplicates matter, either create the
+target with ``DEDUP UPSERT KEYS`` (plans/designated.py renders the DDL;
+QuestDB then makes the re-send idempotent) or set
+``spark.task.maxFailures=1`` and treat a failed job as a partial load.
 """
 
 from __future__ import annotations
@@ -78,7 +84,27 @@ def _field_fragment(name: str, col: Column, dtype: T.DataType) -> Column:
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         val = F.concat(col.cast("string"), F.lit("i"))
     elif isinstance(dtype, (T.FloatType, T.DoubleType)):
-        val = col.cast("string")
+        # double->string gives Java shortest-repr, which switches to
+        # E-notation outside [1e-3, 1e7) ("1.0E7") and spells non-finite
+        # values "NaN"/"Infinity" — both malformed ILP that makes the
+        # server drop the connection (and, fire-and-forget, every
+        # subsequent line on it). Non-finite: omit the field, the NULL
+        # path — ILP has no NaN literal and QuestDB stores missing as
+        # null. Out-of-range magnitudes: printf %f renders plain decimal
+        # with an exact integer part; >=1e7 keeps >=8 integer digits so
+        # 10 fraction digits preserve the 17 significant digits a double
+        # round-trip needs, and <1e-3 gets 345 fraction digits (enough
+        # for the smallest subnormal, 4.9e-324). All Column expressions —
+        # the hot path (in-range values) stays the cheap cast.
+        d = col.cast("double")
+        finite = ~F.isnan(d) & (F.abs(d) != F.lit(float("inf")))
+        in_plain = (F.abs(d) < 1e7) & ((F.abs(d) >= 1e-3) | (d == 0.0))
+        val = F.when(
+            in_plain, col.cast("string")
+        ).when(
+            F.abs(d) >= 1e7, F.format_string("%.10f", d)
+        ).otherwise(F.format_string("%.345f", d))
+        return F.when(col.isNotNull() & finite, F.concat(key, val))
     elif isinstance(dtype, T.BooleanType):
         val = F.when(col, F.lit("t")).otherwise(F.lit("f"))
     elif isinstance(dtype, T.TimestampType):

@@ -181,6 +181,30 @@ def test_ilp_line_escaping_and_types(spark):
     assert lines[1] == f"t\\ 1 {(base_us + 1_000_000) * 1000}"
 
 
+def test_ilp_float_rendering_plain_decimal_and_nonfinite(spark):
+    """Doubles outside Java shortest-repr's plain range ([1e-3, 1e7))
+    must render plain decimal (no 'E'), non-finite doubles must be
+    OMITTED (malformed ILP would drop the whole connection), and every
+    rendered value must round-trip to the exact input double."""
+    from questdb_etl_jobs_spark.sources.ilp import ilp_line
+
+    vals = [1.5, 0.0, -0.0, 1e7, 1.2345678901234567e18, -4.9e-324,
+            1e-4, 12345678.9, float("nan"), float("inf"), float("-inf")]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i int, x double")
+    lines = {r["i"]: r["l"] for r in df.select(
+        "i", ilp_line(df, "t", symbol_cols=("i",)).alias("l")).collect()}
+    for i, v in enumerate(vals):
+        if v != v or v in (float("inf"), float("-inf")):
+            assert lines[i] == f"t,i={i}", (i, v, lines[i])  # field omitted
+            continue
+        rendered = lines[i].split("x=", 1)[1]
+        assert "e" not in rendered.lower(), (v, rendered)
+        assert float(rendered) == v, (v, rendered)
+    # in-range values keep the compact shortest repr
+    assert lines[0].endswith("x=1.5")
+
+
 def test_multimodal_decode_quarantines_bad_payload(spark):
     df = spark.createDataFrame(
         [(1, b"payload-bytes"), (2, b"")],  # empty payload = corrupt media

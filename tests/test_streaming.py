@@ -484,10 +484,12 @@ def test_watermark_drops_late_rows_in_windowed_agg(spark, tmp_path):
     assert second == first  # late rows dropped; no 11:00 window ever emitted
 
 
-def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
-    """Stream-stream inner join with watermarks + event-time range
-    condition (purchase within 30min after click): the streaming result
-    over availableNow equals the equivalent batch join."""
+def test_stream_stream_two_source_range_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join of TWO distinct streams with watermarks +
+    event-time range condition (purchase within 30min after click): the
+    streaming result over availableNow equals the equivalent batch join.
+    (Distinct from the self-join variant below, which exercises
+    interval_stream_join.)"""
     import csv as _csv
 
     from pyspark.sql import functions as F

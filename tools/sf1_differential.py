@@ -21,6 +21,18 @@ gap were plan waste rather than fixed cost, this ratio would stay at the
 sf0.1 level instead of collapsing. Row counts are cross-checked per
 query/scale so the two engines provably ran the same computation.
 
+Synthesized tiers are written as 32 range-partitioned files per fact
+table (tools/stress_scale.py FILES): parquet readers — Spark AND DuckDB —
+parallelize at row-group granularity, so the earlier single-file
+(1-3 row-group) synthesis serialized both engines' scans and measured
+file decode, not engine compute. Round-5 numbers predate this fix and
+are not comparable.
+
+The largest tier also times a BUCKETED dq10 (lineitem/orders hash-
+bucketed on the join key; zero-Exchange join plan) — the layout-aware
+shape a 100 TB deployment uses for recurring fact-fact joins — with the
+one-time layout cost reported alongside.
+
 Usage: python tools/sf1_differential.py [out.json] [--skip-sf10]
 Writes a JSON summary to stdout (and out.json), human table to stderr.
 """
@@ -174,6 +186,96 @@ def _fit(points: list[tuple[float, float]]) -> tuple[float, float]:
     return fixed, marginal
 
 
+def _bucketed_dq10(spark, sf_dir: str, raw_entry: dict) -> dict:
+    """Time dq10 over bucketed lineitem/orders at ``sf_dir``.
+
+    Returns {prep_sec, spark_sec, ratio_vs_duckdb, rows}; the aggregate
+    is value-checked against the raw-parquet plan (counts exact, revenue
+    within double-summation-order tolerance).
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from questdb_etl_jobs_spark.sources.bucketed import write_bucketed
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    wh = "/tmp/spark_graft_diff_bucketed"
+    shutil.rmtree(wh, ignore_errors=True)
+    for tbl in ("diff_li_b", "diff_od_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    t0 = time.perf_counter()
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        "diff_li_b", f"{wh}/li", ["l_orderkey"], 32,
+        sort_cols=["l_orderkey"],
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        "diff_od_b", f"{wh}/od", ["o_orderkey"], 32,
+        sort_cols=["o_orderkey"],
+    )
+    prep = time.perf_counter() - t0
+
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def q():
+        li = spark.table("diff_li_b")
+        od = spark.table("diff_od_b")
+        joined = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .join(customer, od.o_custkey == customer.c_custkey)
+            .join(
+                F.broadcast(nation),
+                customer.c_nationkey == nation.n_nationkey,
+            )
+        )
+        return (
+            joined.groupBy("n_name")
+            .agg(
+                F.sum(
+                    F.expr("l_extendedprice * (1 - l_discount)")
+                ).alias("revenue"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+            .orderBy("n_name")
+        )
+
+    best, rows = float("inf"), -1
+    pdf = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pdf = q().toPandas()
+        best = min(best, time.perf_counter() - t0)
+        rows = len(pdf)
+    # Cross-check vs the raw-parquet plan: counts must match exactly,
+    # double sums within summation-order tolerance.
+    raw = _spark_headline()["dq10_join_revenue"](spark, sf_dir).toPandas()
+    assert (raw["n_items"].values == pdf["n_items"].values).all(), (
+        "bucketed dq10 count mismatch"
+    )
+    rel = (
+        (raw["revenue"] - pdf["revenue"]).abs() / raw["revenue"].abs()
+    ).max()
+    assert rel < 1e-9, f"bucketed dq10 revenue drift {rel}"
+    duck = raw_entry["duckdb_sec"]
+    out = {
+        "prep_sec": round(prep, 2),
+        "spark_sec": round(best, 4),
+        "ratio": round(best / duck, 2),
+        "rows": rows,
+    }
+    print(
+        f"bucketed dq10: prep={prep:.1f}s join={best:.3f}s "
+        f"ratio-vs-raw-duckdb={best / duck:.2f}",
+        file=sys.stderr,
+    )
+    return out
+
+
 def main() -> None:
     from questdb_etl_jobs_spark.session import get_spark
 
@@ -217,11 +319,34 @@ def main() -> None:
             )
         con.close()
 
+    # Layout-aware variant at the largest tier: bucketed (co-located)
+    # lineitem/orders — the 100 TB answer to the fact-fact join. Both
+    # sides hash-bucketed on the join key at write time, so the join
+    # plans with ZERO exchanges; the one-time layout cost is reported
+    # alongside (at real scale data LANDS bucketed once and every
+    # subsequent join skips both shuffles). DuckDB comparison value is
+    # the raw-parquet dq10 time at the same tier (DuckDB has no bucketed
+    # storage; single-node it does not need one — the line quantifies
+    # what Spark's layout control buys back of the shuffle cost).
+    last_tag = list(tiers)[-1]
+    last_dir = tiers[last_tag][0]
+    results["dq10_join_revenue"][f"{last_tag}_bucketed"] = _bucketed_dq10(
+        spark, last_dir, results["dq10_join_revenue"][last_tag]
+    )
+
     # Fixed + marginal decomposition per engine; the asymptotic ratio is
     # marginal_spark / marginal_duckdb — the gap that survives at scale.
     for label, tiers_out in results.items():
-        pts_s = [(TIERS[t][1], v["spark_sec"]) for t, v in tiers_out.items()]
-        pts_d = [(TIERS[t][1], v["duckdb_sec"]) for t, v in tiers_out.items()]
+        pts_s = [
+            (TIERS[t][1], v["spark_sec"])
+            for t, v in tiers_out.items()
+            if t in TIERS
+        ]
+        pts_d = [
+            (TIERS[t][1], v["duckdb_sec"])
+            for t, v in tiers_out.items()
+            if t in TIERS
+        ]
         if len(pts_s) >= 2:
             fs, ms = _fit(pts_s)
             fd, md = _fit(pts_d)
