@@ -14,7 +14,7 @@ Scale posture (100 TB corpus dedup):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from questdb_etl_jobs_spark.functions.text import whitespace_tokens
@@ -288,14 +288,23 @@ def lsh_candidate_pairs(
     buckets (near-identical docs) it does. Uncapped (None) keeps exact
     all-pairs enumeration; buckets with ≤ K+1 ids are unaffected by
     construction (the window spans the whole bucket, the star is empty).
+
+    Memory shape: the capped path never materializes a bucket as ONE
+    aggregation row — chain pairs are ``lead(id, j)`` and the star is
+    ``first(id)`` over a (bucket, id-order) window, so a pathological
+    bucket holding the whole corpus streams through WindowExec's
+    spillable partition buffer with ≤ K+1 output structs per INPUT row
+    (adversarially tested: one bucket = entire corpus). Only the
+    uncapped exact path keeps the collected array — by construction it
+    is the "I know my buckets are small" mode.
     """
     bands = band_rows(signatures, id_col, n_bands)
-    buckets = (
-        bands.groupBy("__band", "__band_hash")
-        .agg(F.array_sort(F.collect_set(id_col)).alias("__ids"))
-        .filter(F.size("__ids") > 1)
-    )
     if bucket_cap is None:
+        buckets = (
+            bands.groupBy("__band", "__band_hash")
+            .agg(F.array_sort(F.collect_set(id_col)).alias("__ids"))
+            .filter(F.size("__ids") > 1)
+        )
         pair_arr = F.flatten(
             F.transform(
                 "__ids",
@@ -305,25 +314,44 @@ def lsh_candidate_pairs(
                 ),
             )
         )
+        pairs = buckets.select(F.explode(pair_arr).alias("__pair"))
     else:
         cap = int(bucket_cap)
-        head = F.element_at("__ids", 1)
-        chain = F.flatten(
-            F.transform(
-                "__ids",
-                lambda x, i: F.transform(
-                    F.slice("__ids", i + 2, F.lit(cap)),
-                    lambda y: F.struct(x.alias("a"), y.alias("b")),
-                ),
+        w = Window.partitionBy("__band", "__band_hash").orderBy(id_col)
+        # Window pass first (ONE Window operator — all expressions share
+        # the spec): the next K ids in bucket id-order (null past the
+        # bucket end), the bucket head via first() over the running
+        # frame, and this row's position. The pair array is built in a
+        # separate projection because window expressions cannot sit
+        # inside a generator's child expression.
+        enriched = bands.select(
+            F.col(id_col).alias("__id"),
+            *[
+                F.lead(id_col, j).over(w).alias(f"__n{j}")
+                for j in range(1, cap + 1)
+            ],
+            F.first(id_col).over(w).alias("__head"),
+            F.row_number().over(w).alias("__rn"),
+        )
+        chain = [
+            F.struct(
+                F.col("__id").alias("a"), F.col(f"__n{j}").alias("b")
             )
+            for j in range(1, cap + 1)
+        ]
+        # star: head → every id beyond the head's own chain window.
+        star = F.when(
+            F.col("__rn") > cap + 1,
+            F.struct(F.col("__head").alias("a"), F.col("__id").alias("b")),
         )
-        # star: head → ids beyond the head's own window (positions cap+2..k)
-        star = F.transform(
-            F.slice("__ids", cap + 2, F.greatest(F.size("__ids") - cap - 1, F.lit(0))),
-            lambda y: F.struct(head.alias("a"), y.alias("b")),
+        pairs = enriched.select(
+            F.explode(
+                F.filter(
+                    F.array(*chain, star),
+                    lambda p: p.isNotNull() & p.getField("b").isNotNull(),
+                )
+            ).alias("__pair")
         )
-        pair_arr = F.concat(chain, star)
-    pairs = buckets.select(F.explode(pair_arr).alias("__pair"))
     return pairs.select(
         F.col("__pair.a").alias(f"{id_col}_a"),
         F.col("__pair.b").alias(f"{id_col}_b"),

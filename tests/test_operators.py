@@ -312,6 +312,12 @@ def test_lsh_bucket_cap_bounds_hot_bucket_pairs(spark):
     assert all(
         0 < r["id_b"] - r["id_a"] <= cap or r["id_a"] == 0 for r in rows
     )
+    # the capped path must never materialize a bucket as one aggregation
+    # row: plan is window-based (spillable partition buffer), collect_set
+    # only exists on the uncapped exact path.
+    capped_plan = cands._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_set" not in capped_plan and "window" in capped_plan.lower()
+
     # chain connectivity survives for clustering: one component, min label 0
     clusters = dup_clusters(cands, "id_a", "id_b")
     assert clusters.select("cluster").distinct().collect()[0][0] == 0
