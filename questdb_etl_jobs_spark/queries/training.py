@@ -737,6 +737,10 @@ def _q95_oracle() -> str:
     """
 
 
+#: Pure SQL generator (no sf0.01 data baked in) — safe at any scale.
+_q95_oracle.sf_invariant = True
+
+
 @dq("q95_zorder_key", oracle=_q95_oracle, covers="EXT,F7,A1")
 def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     from questdb_etl_jobs_spark.plans.zorder import z_value
@@ -753,4 +757,56 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__z").alias("z_sum"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q102 — n-D z-order curve key (EXT: 3-column interleave, round 6)
+# ---------------------------------------------------------------------------
+#
+# The 3-D face of plans/zorder.py's generalized ladder (bit i of column
+# j → position 3·i + j; 21 bits per key): per order-priority group, the
+# exact BIGINT min/max/sum of z(l_partkey, l_suppkey, l_linenumber) over
+# lineitem. Sum-of-z is a value-level check on EVERY row's 3-way
+# interleave; the DuckDB oracle replays the identical ladder through
+# z_value_sql's overflow-safe pre-masked form, so the n-D curve is
+# verified bit-for-bit cross-engine. The 3-D layout payoff is pinned by
+# tests/test_zorder.py::test_zorder_3d_layout_prunes_box_queries.
+
+def _q102_oracle() -> str:
+    from questdb_etl_jobs_spark.plans.zorder import z_value_sql
+
+    z = z_value_sql("l_partkey", "l_suppkey", "l_linenumber")
+    return f"""
+    SELECT l_linestatus,
+           COUNT(*) AS n_rows,
+           MIN({z}) AS z_min,
+           MAX({z}) AS z_max,
+           CAST(SUM({z}) AS BIGINT) AS z_sum
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """
+
+
+#: Pure SQL generator (no sf0.01 data baked in) — safe at any scale.
+_q102_oracle.sf_invariant = True
+
+
+@dq("q102_zorder_3d_key", oracle=_q102_oracle, covers="EXT,F7,A1")
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.plans.zorder import z_value_n
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = z_value_n("l_partkey", "l_suppkey", "l_linenumber").alias("__z")
+    return (
+        li.select("l_linestatus", z)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("__z").alias("z_min"),
+            F.max("__z").alias("z_max"),
+            F.sum("__z").alias("z_sum"),
+        )
+        .orderBy("l_linestatus")
     )

@@ -16,11 +16,21 @@ Arrow-batched iterator per (key, micro-batch), so the per-row path
 stays vectorized pandas and the operator partitions by the grouping
 key like any shuffle.
 
-Sandbox note: the API's state protocol imports ``google.protobuf``,
-which this container does not ship — the module is import-clean and the
-batch-equivalence test exists (tests/test_streaming.py) but skips until
-protobuf is available; the applyInPandasWithState twin
-(streaming/stateful.py) carries the executed coverage meanwhile.
+Sandbox gate — DECISION (round 6, permanent for this environment): the
+API's Python↔JVM state protocol is pyspark's generated
+``sql/streaming/proto/StateMessage_pb2.py``, which requires the
+``google.protobuf`` RUNTIME (descriptor pool, symbol database, wire
+serialization) — not just message classes. Vendoring a stub was
+evaluated and rejected: generated _pb2 modules bind into protobuf's
+descriptor machinery, so a faithful stub is a reimplementation of
+protobuf's runtime semantics, a large correctness risk for zero new
+capability. The module stays import-clean, the batch-equivalence test
+(tests/test_streaming.py::test_transform_with_state_matches_batch)
+skips LOUDLY with this rationale, and ``applyInPandasWithState``
+(streaming/stateful.py, fully executed in tests) is the supported
+stateful-streaming path in this environment; on any real deployment
+(protobuf ships with every Spark distribution's Python env) this module
+is active and preferred.
 """
 
 from __future__ import annotations

@@ -280,7 +280,10 @@ def test_transform_with_state_matches_batch(spark, tmp_path):
     # lacks — env-gated like the JDBC sink (COVERAGE.md S4).
     pytest.importorskip(
         "google.protobuf",
-        reason="transformWithState state protocol needs protobuf (not in sandbox)",
+        reason="DECISION (transform_state.py docstring, COVERAGE.md R7): "
+        "transformWithState's state protocol needs the google.protobuf "
+        "RUNTIME, absent in this sandbox; vendoring a stub was evaluated "
+        "and rejected. applyInPandasWithState is the executed twin.",
     )
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",

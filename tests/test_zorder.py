@@ -92,3 +92,82 @@ def test_zorder_layout_prunes_box_queries(spark, tmp_path):
         F.count("*"), F.sum("l_extendedprice")
     ).first()
     assert a[0] == b[0] and a[0] > 0
+
+
+def test_z_value_n_matches_naive_reference(spark):
+    """3-way and 4-way interleave: Spark column == per-bit reference."""
+    from questdb_etl_jobs_spark.plans.zorder import z_value_n, z_value_py_naive
+
+    rows = (
+        spark.range(0, 400, 11)
+        .select(
+            F.col("id").alias("x"),
+            (F.col("id") * 13 % 997).alias("y"),
+            (F.col("id") * 7 % 463).alias("w"),
+            z_value_n("id", (F.col("id") * 13 % 997), (F.col("id") * 7 % 463))
+            .alias("z3"),
+            z_value_n(
+                "id", (F.col("id") * 13 % 997), (F.col("id") * 7 % 463),
+                (F.col("id") % 31),
+            ).alias("z4"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["z3"] == z_value_py_naive(r["x"], r["y"], r["w"])
+        assert r["z4"] == z_value_py_naive(r["x"], r["y"], r["w"], r["x"] % 31)
+
+
+def test_zorder_3d_layout_prunes_box_queries(spark, tmp_path):
+    """A 3-D box touches few files under the 3-column z layout but ~all
+    files under the 1-D time layout — footer min/max evidence."""
+    box = {
+        "l_partkey": (100, 160),
+        "l_suppkey": (10, 16),
+        "l_linenumber": (1, 2),
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_extendedprice",
+    )
+    zpath, lpath = str(tmp_path / "z3"), str(tmp_path / "linear")
+    write_zordered(
+        li, zpath, ("l_partkey", "l_suppkey", "l_linenumber"), n_files=16
+    )
+    (
+        li.repartitionByRange(16, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.parquet(lpath)
+    )
+
+    cols = list(box)
+
+    def touching(stats):
+        return sum(
+            1
+            for st in stats
+            if all(
+                c in st and st[c][0] <= hi and st[c][1] >= lo
+                for c, (lo, hi) in box.items()
+            )
+        )
+
+    zstats, lstats = file_minmax(zpath, cols), file_minmax(lpath, cols)
+    assert len(zstats) >= 8, "range partitioner collapsed the layout"
+    assert touching(zstats) <= len(zstats) // 2, (touching(zstats), len(zstats))
+    assert touching(lstats) >= len(lstats) - 1
+    assert touching(zstats) < touching(lstats)
+
+    pred = (
+        F.col("l_partkey").between(*box["l_partkey"])
+        & F.col("l_suppkey").between(*box["l_suppkey"])
+        & F.col("l_linenumber").between(*box["l_linenumber"])
+    )
+    a = spark.read.parquet(zpath).filter(pred).agg(
+        F.count("*"), F.sum("l_extendedprice")
+    ).first()
+    b = spark.read.parquet(lpath).filter(pred).agg(
+        F.count("*"), F.sum("l_extendedprice")
+    ).first()
+    assert a[0] == b[0] and a[0] > 0

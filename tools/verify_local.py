@@ -69,7 +69,16 @@ def main() -> int:
     if SF_DIR.rstrip("/") != "/root/testdata/sf0.01":
         from questdb_etl_jobs_spark.queries import REGISTRY
 
-        pinned = {n for n, spec in REGISTRY.items() if callable(spec.oracle)}
+        # Callable oracles default to sf0.01-pinned (most bake Python-
+        # computed values from that sf into the SQL); pure SQL generators
+        # opt out via an `sf_invariant = True` attribute (e.g. the
+        # z-order ladder oracles, q95/q102).
+        pinned = {
+            n
+            for n, spec in REGISTRY.items()
+            if callable(spec.oracle)
+            and not getattr(spec.oracle, "sf_invariant", False)
+        }
     failures = 0
     for name, fn in sq.items():
         if only and name not in only:
