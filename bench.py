@@ -60,6 +60,7 @@ def _headline():
         "token_chunks": "q88_token_chunks",
         "tfidf": "q90_tfidf",
         "budget_mix": "q91_token_budget_mix",
+        "repetition": "q103_repetition_metrics",
     }
 
 

@@ -810,3 +810,116 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# q103 — repetition metrics (EXT: Gopher-style quality-filter rules)
+# ---------------------------------------------------------------------------
+#
+# The repetition family of quality filters (Rae et al. "Gopher" §A1.1,
+# reused by RefinedWeb/Dolma): a document dominated by one repeated
+# n-gram, or whose n-gram occurrences are mostly repeats, is boilerplate
+# and gets filtered before training. Per (doc, n) for n = 1,2,3:
+# top_frac = occurrences of the most frequent n-gram / total n-grams;
+# dup_frac = 1 − distinct/total (fraction of occurrences that are
+# repeats). Complements q49's length/punct/stopword profile.
+#
+# Scale shape: ONE scan builds all three gram arrays as column
+# expressions (zip_with/transform — no UDF), a two-step explode turns
+# them into (doc, n, gram) rows, and two hash aggregations collapse to
+# (doc, n, gram) counts then (doc, n) metrics — everything partial-
+# aggregates map-side, nothing is per-doc state bigger than a row.
+
+def _q103_oracle() -> str:
+    from questdb_etl_jobs_spark.queries._protocol import spark_round4
+
+    top = spark_round4("top_cnt / CAST(total AS DOUBLE)", "top_frac")
+    dup = spark_round4(
+        "1.0::DOUBLE - dist / CAST(total AS DOUBLE)", "dup_frac"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, 1 AS gram_n, unnest(t) AS gram FROM toks
+      UNION ALL
+      SELECT doc_id, 2, unnest(list_transform(range(1, len(t)),
+             i -> t[i] || ' ' || t[i + 1]))
+      FROM toks
+      UNION ALL
+      SELECT doc_id, 3, unnest(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+      FROM toks
+    ),
+    c AS (
+      SELECT doc_id, gram_n, gram, COUNT(*) AS cnt
+      FROM g GROUP BY doc_id, gram_n, gram
+    ),
+    a AS (
+      SELECT doc_id, gram_n, MAX(cnt) AS top_cnt, SUM(cnt) AS total,
+             COUNT(*) AS dist
+      FROM c GROUP BY doc_id, gram_n
+    )
+    SELECT doc_id, gram_n, {top}, {dup}
+    FROM a
+    ORDER BY doc_id, gram_n
+    """
+
+
+_q103_oracle.sf_invariant = True
+
+
+@dq("q103_repetition_metrics", oracle=_q103_oracle, covers="EXT,F6,F8,A1")
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    n_t = F.size(t)
+    bi = F.zip_with(
+        F.slice(t, 1, n_t - 1),
+        F.slice(t, 2, n_t - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    tri = F.when(
+        n_t >= 3,
+        F.zip_with(
+            F.zip_with(
+                F.slice(t, 1, n_t - 2),
+                F.slice(t, 2, n_t - 2),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            F.slice(t, 3, n_t - 2),
+            lambda ab, c: F.concat_ws(" ", ab, c),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tagged = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("gram_n"), t.alias("grams")),
+                F.struct(F.lit(2).alias("gram_n"), bi.alias("grams")),
+                F.struct(F.lit(3).alias("gram_n"), tri.alias("grams")),
+            )
+        ).alias("gset"),
+    )
+    grams = tagged.select(
+        "doc_id",
+        F.col("gset.gram_n").alias("gram_n"),
+        F.explode("gset.grams").alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "gram_n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per = counts.groupBy("doc_id", "gram_n").agg(
+        F.max("cnt").alias("top_cnt"),
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("dist"),
+    )
+    return per.select(
+        "doc_id",
+        "gram_n",
+        F.round(F.col("top_cnt") / F.col("total"), 4).alias("top_frac"),
+        F.round(
+            F.lit(1.0) - F.col("dist") / F.col("total"), 4
+        ).alias("dup_frac"),
+    ).orderBy("doc_id", "gram_n")

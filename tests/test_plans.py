@@ -335,3 +335,21 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
         .agg(F.count("*").alias("n"))
     )
     assert rows == {(r.p_size, r.n) for r in plain.collect()}
+
+
+def test_q10_plain_preaggregates_before_fact_join(spark):
+    """The bench shape folds lineitem to order grain BEFORE the join
+    (eager aggregation): the plan must show a hash aggregate keyed on
+    l_orderkey BELOW the fact-fact join, so the exchange carries
+    |orders| pre-aggregated rows, not |lineitem| raw rows."""
+    from questdb_etl_jobs_spark.queries.relational import q10_plain
+
+    df = q10_plain(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    agg_at = plan.index("Aggregate [l_orderkey")
+    join_at = plan.index("Join Inner")
+    # optimizedPlan prints top-down: the join line precedes (is above)
+    # the lineitem aggregate feeding it.
+    assert join_at < agg_at, plan
+    # and the final result still has the per-nation shape
+    assert df.count() == 25
