@@ -45,6 +45,7 @@ IDS: list[tuple[str, str]] = [
     ("R1", "File-arrival streaming source"), ("R2", "Tumbling window"),
     ("R3", "Sliding/session windows"), ("R4", "Watermark/lateness"),
     ("R5", "Stateful dedup"), ("R6", "foreachBatch quarantine sink"),
+    ("R7", "transformWithStateInPandas"),
     ("U1", "Scalar transform (built-ins)"), ("U2", "Grouped-map pandas"),
     ("U3", "UDAF"), ("U4", "UDTF (explode)"),
     ("EXT", "LLM-pipeline composites"),
@@ -53,7 +54,14 @@ IDS: list[tuple[str, str]] = [
 #: Ids with no registry query, and why (verified elsewhere).
 NO_QUERY: dict[str, str] = {
     "S4": "env-blocked (no JDBC driver jar/DB in the sandbox); "
-          "sources/jdbc.py, batched partition-parallel writer",
+          "sources/jdbc.py, batched partition-parallel writer; the ILP "
+          "twin (sources/ilp.py) is golden-tested against a loopback "
+          "server",
+    "R7": "env-blocked, DECISION committed (streaming/transform_state.py "
+          "docstring): the state protocol needs the google.protobuf "
+          "runtime, absent here; vendoring a stub = reimplementing "
+          "protobuf, rejected. applyInPandasWithState "
+          "(streaming/stateful.py) is the executed twin",
     "P5": "driver-side contract (invalid event → batch skipped); "
           "run_batch early-exit tests in tests/test_pipeline.py",
     "R3": "streaming faces in tests (session/sliding stream == batch); "
