@@ -44,6 +44,7 @@ def asof_join(
     strict: bool = False,
     how: str = "left",
     bucket: str | None = None,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Join each left row to the latest right row with ``right.on <= left.on``
     (``<`` when ``strict``), matching on the ``by`` key columns.
@@ -51,6 +52,17 @@ def asof_join(
     Right columns other than ``by`` come back suffixed with ``suffix``.
     ``how`` is ``"left"`` (unmatched left rows keep NULL right columns) or
     ``"inner"`` (unmatched left rows drop).
+
+    ``tolerance`` (QuestDB ``ASOF JOIN ... TOLERANCE '1m'``) bounds how
+    stale a match may be: a carried right row with
+    ``left.on - right.on > tolerance`` is treated as no match (NULL right
+    columns under ``"left"``, dropped under ``"inner"``). Accepts
+    ``"30 seconds"``-style specs or QuestDB-style compact ``'30s'`` /
+    ``'5m'`` / ``'2h'`` / ``'1d'``. Because the as-of match is the
+    *closest* preceding row, nulling it out when beyond tolerance is
+    exact — no other row could qualify. The bound is applied as a plain
+    codegen predicate after the carry, so the one-shuffle cost model is
+    unchanged.
 
     ``bucket`` (e.g. ``"1 hour"``) enables hot-key mitigation: the window
     partitions by (key, coarse time bucket) so one key's billions of
@@ -65,7 +77,7 @@ def asof_join(
     by = list(by or [])
     if bucket is not None:
         return _asof_join_bucketed(
-            left, right, on, by, suffix, strict, how, bucket
+            left, right, on, by, suffix, strict, how, bucket, tolerance
         )
 
     payload_cols = [c for c in right.columns if c not in by]
@@ -101,6 +113,8 @@ def asof_join(
     )
 
     kept = carried.filter(F.col(_SIDE) == left_side)
+    if tolerance is not None:
+        kept = _apply_tolerance(kept, on, tolerance)
     if how == "inner":
         # The whole payload struct is NULL iff no right row preceded.
         kept = kept.filter(F.col(_PAYLOAD).isNotNull())
@@ -211,9 +225,44 @@ _UNIT_US = {
 }
 
 
+_UNIT_US_COMPACT = {
+    "us": 1,
+    "ms": 1_000,
+    "s": 1_000_000,
+    "m": 60_000_000,
+    "h": 3_600_000_000,
+    "d": 86_400_000_000,
+}
+
+
 def _interval_us(spec: str) -> int:
-    n, unit = spec.split()
-    return int(n) * _UNIT_US[unit]
+    """``"30 seconds"`` or QuestDB-compact ``"30s"/"5m"/"2h"/"1d"``."""
+    parts = spec.split()
+    if len(parts) == 2:
+        return int(parts[0]) * _UNIT_US[parts[1]]
+    s = spec.strip()
+    for suf in sorted(_UNIT_US_COMPACT, key=len, reverse=True):
+        if s.endswith(suf) and s[: -len(suf)].isdigit():
+            return int(s[: -len(suf)]) * _UNIT_US_COMPACT[suf]
+    raise ValueError(f"unparseable interval spec {spec!r}")
+
+
+def _apply_tolerance(kept: DataFrame, on: str, tolerance: str) -> DataFrame:
+    """NULL the carried payload where the match is older than ``tolerance``.
+
+    Runs on the post-carry rows (left side only), where ``__asof_ts`` is
+    the left timestamp and the payload struct holds the matched right
+    row including its ``on`` field. Pure Column predicate — no extra
+    shuffle, stays in the same codegen stage as the window's project.
+    """
+    tol_us = _interval_us(tolerance)
+    fresh = (
+        F.unix_micros(F.col("__asof_ts"))
+        - F.unix_micros(F.col(_PAYLOAD)[on])
+    ) <= F.lit(tol_us)
+    return kept.withColumn(
+        _PAYLOAD, F.when(fresh, F.col(_PAYLOAD))
+    )
 
 
 def _asof_join_bucketed(
@@ -225,6 +274,7 @@ def _asof_join_bucketed(
     strict: bool,
     how: str,
     bucket: str,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Hot-key-safe as-of join: window per (key, time bucket) + a tiny
     per-bucket summary window carrying payloads across bucket boundaries.
@@ -290,6 +340,8 @@ def _asof_join_bucketed(
         _PAYLOAD, F.coalesce(F.col(_PAYLOAD), F.col("__carry"))
     )
     kept = joined.filter(F.col(_SIDE) == left_side)
+    if tolerance is not None:
+        kept = _apply_tolerance(kept, on, tolerance)
     if how == "inner":
         kept = kept.filter(F.col(_PAYLOAD).isNotNull())
     return kept.select(

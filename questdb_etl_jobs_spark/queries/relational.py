@@ -245,6 +245,48 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q105 — ASOF JOIN with TOLERANCE (J7; QuestDB `ASOF JOIN ... TOLERANCE`)
+# ---------------------------------------------------------------------------
+#
+# Same purchase↔signup as-of as q16 but a signup older than 7 days is no
+# longer a match. The oracle takes DuckDB's unbounded ASOF match and
+# NULLs it past the bound — exact, because the as-of match is the
+# *closest* preceding row. Spark side: one predicate after the carry,
+# same single-shuffle plan as q16.
+
+@dq(
+    "q105_asof_tolerance",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+         s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'signup')
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN p.ts - s.ts <= INTERVAL 7 DAY THEN s.ts END
+             AS signup_ts
+    FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+    ORDER BY p.event_id
+    """,
+    covers="J7",
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases, signups, on="ts", by=["user_id"], how="left",
+        tolerance="7d",
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", F.col("ts_right").alias("signup_ts")
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
 # q20 — pricing summary (TPC-H Q1 shape; A1, F7)
 # ---------------------------------------------------------------------------
 
@@ -836,6 +878,54 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — ordered funnel progression (EXT: sessionize/cohort family)
+# ---------------------------------------------------------------------------
+#
+# view → click → purchase, strictly in time order per user (a step-2
+# event before the user's first step-1 event does not count). One hash
+# shuffle (collect_list per user), Catalyst higher-order fold — see
+# operators/funnel.py. The oracle is the equivalent conditional-min
+# cascade (t2 = first click >= first view, t3 = first purchase >= t2);
+# the fold's equal-ts stage tiebreak matches the cascade's ``>=``.
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+@dq(
+    "q104_funnel_steps",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    v AS (SELECT user_id, MIN(ts) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2
+          FROM e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3
+          FROM e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+          GROUP BY e.user_id)
+    SELECT stage, step, n_users FROM (
+      SELECT 1 AS stage, 'view' AS step,
+             (SELECT COUNT(*) FROM v) AS n_users
+      UNION ALL
+      SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
+    ) ORDER BY stage
+    """,
+    covers="EXT,A1,A6,F8,F10",
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.funnel import funnel_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_counts(events, _FUNNEL_STEPS)
 
 
 # ---------------------------------------------------------------------------

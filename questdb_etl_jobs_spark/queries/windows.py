@@ -953,3 +953,81 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("close", 4).alias("close"),
         "n_trades",
     ).orderBy("event_type", "bucket_ts")
+
+
+# ---------------------------------------------------------------------------
+# q106 — time-weighted average (TWAP) per event type (W2+A1+F7)
+# ---------------------------------------------------------------------------
+#
+# Each observation holds until the next one of the same type (step-wise
+# price series — the QuestDB/kdb TWAP idiom; reference time-series
+# surface per README.md:70-71). Segment durations come from ONE keyed
+# window (lead over event_type; unique event_id tiebreak so both engines
+# pick identical segments), then a hash agg: exactly one shuffle feeds
+# both. Exactness protocol: prices are quantized to 1e-4 (the data's
+# print precision) via FLOOR(value*1e4) — floor of a double is IEEE-
+# deterministic where ROUND's decimal tie-breaking is not — so the
+# weighted sum lives entirely in exact integer µprice·µs domain
+# (DECIMAL(38,0) accumulator: a hot key's sum is bounded by
+# max_µprice × total-time-range-µs, which can pass 2^63). The double
+# outputs derive from identical integers by identical single-rounding
+# ops, so no further rounding is needed.
+
+_Q106_WSUM_U = (
+    "SUM(CAST(CAST(FLOOR(value * 10000) AS BIGINT) * dur_us "
+    "AS DECIMAL(38,0)))"
+)
+
+
+@dq(
+    "q106_twap",
+    oracle=f"""
+    WITH seg AS (
+      SELECT event_type, value,
+             epoch_us(lead(CAST(ts AS TIMESTAMP)) OVER (
+                 PARTITION BY event_type
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id))
+               - epoch_us(CAST(ts AS TIMESTAMP)) AS dur_us
+      FROM events
+    ), a AS (
+      SELECT event_type,
+             {_Q106_WSUM_U} AS wsum_u,
+             CAST(SUM(dur_us) AS BIGINT) AS dur_total_us
+      FROM seg WHERE dur_us IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(wsum_u AS DOUBLE) / 10000.0 / 1000000.0 AS wsum,
+           dur_total_us,
+           CASE WHEN dur_total_us <> 0
+                THEN (CAST(wsum_u AS DOUBLE) / 10000.0)
+                     / CAST(dur_total_us AS DOUBLE) END AS twap
+    FROM a ORDER BY event_type
+    """,
+    covers="W2,A1,F7",
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seg = (
+        events.select("event_type", "ts", "event_id", "value")
+        .withColumn(
+            "dur_us",
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"),
+        )
+        .where(F.col("dur_us").isNotNull())
+    )
+    agg = seg.groupBy("event_type").agg(
+        F.expr(_Q106_WSUM_U).alias("wsum_u"),
+        F.sum("dur_us").alias("dur_total_us"),
+    )
+    return agg.select(
+        "event_type",
+        (F.col("wsum_u").cast("double") / 10000.0 / 1000000.0).alias("wsum"),
+        "dur_total_us",
+        F.when(
+            F.col("dur_total_us") != 0,
+            (F.col("wsum_u").cast("double") / 10000.0)
+            / F.col("dur_total_us").cast("double"),
+        ).alias("twap"),
+    ).orderBy("event_type")

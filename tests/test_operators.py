@@ -1111,3 +1111,115 @@ def test_repetition_metrics_edge_docs(spark):
     assert out[(3, 1)] == (1.0, 0.75)
     assert out[(3, 2)] == (1.0, round(1 - 1 / 3, 4))
     assert out[(3, 3)] == (1.0, 0.5)
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel (q104 family)
+# ---------------------------------------------------------------------------
+
+def test_funnel_requires_time_order(spark):
+    from questdb_etl_jobs_spark.operators.funnel import (
+        funnel_counts,
+        funnel_stages,
+    )
+
+    rows = [
+        # u1: full ordered funnel
+        (1, _ts("2024-01-01 10:00:00"), "view"),
+        (1, _ts("2024-01-01 10:05:00"), "click"),
+        (1, _ts("2024-01-01 10:10:00"), "purchase"),
+        # u2: click BEFORE first view — must not convert past stage 1
+        (2, _ts("2024-01-01 09:00:00"), "click"),
+        (2, _ts("2024-01-01 10:00:00"), "view"),
+        # u3: purchase before click (view, purchase, click) — stage 2
+        (3, _ts("2024-01-01 10:00:00"), "view"),
+        (3, _ts("2024-01-01 10:01:00"), "purchase"),
+        (3, _ts("2024-01-01 10:02:00"), "click"),
+        # u4: equal-ts tie — click at the exact ts of the first view
+        # converts (>= semantics), then a later purchase completes it
+        (4, _ts("2024-01-01 10:00:00"), "view"),
+        (4, _ts("2024-01-01 10:00:00"), "click"),
+        (4, _ts("2024-01-01 10:00:01"), "purchase"),
+        # u5: never viewed — excluded entirely
+        (5, _ts("2024-01-01 10:00:00"), "purchase"),
+        # u6: non-funnel event types ignored
+        (6, _ts("2024-01-01 10:00:00"), "error"),
+        (6, _ts("2024-01-01 10:01:00"), "view"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    steps = ["view", "click", "purchase"]
+
+    stages = {
+        r["user_id"]: r["max_stage"]
+        for r in funnel_stages(df, steps).collect()
+    }
+    assert stages == {1: 3, 2: 1, 3: 2, 4: 3, 5: 0, 6: 1}
+
+    counts = [tuple(r) for r in funnel_counts(df, steps).collect()]
+    assert counts == [(1, "view", 5), (2, "click", 3), (3, "purchase", 2)]
+
+
+def test_funnel_empty_and_filter_pushdown(spark, tmp_path):
+    from questdb_etl_jobs_spark.operators.funnel import funnel_counts
+
+    df = spark.createDataFrame(
+        [], "user_id bigint, ts timestamp, event_type string"
+    )
+    out = funnel_counts(df, ["view", "click"]).collect()
+    assert [tuple(r) for r in out] == [(1, "view", 0), (2, "click", 0)]
+
+    # the step IN-filter must reach the parquet scan
+    p = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "view")],
+        ["user_id", "ts", "event_type"],
+    ).write.parquet(p)
+    plan = funnel_counts(
+        spark.read.parquet(p), ["view", "click"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "In(event_type" in plan
+
+
+def test_asof_tolerance_bounds_staleness(spark):
+    from questdb_etl_jobs_spark.operators.asof import _interval_us
+
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00")),   # match at -30s: fresh
+            (2, _ts("2024-01-01 12:00:00")),   # match at -60s: boundary
+            (3, _ts("2024-01-01 14:00:00")),   # match at -61s: stale
+            (4, _ts("2024-01-01 16:00:00")),   # no right row at all
+        ],
+        ["id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (_ts("2024-01-01 09:59:30"), 10.0),
+            (_ts("2024-01-01 11:59:00"), 20.0),
+            (_ts("2024-01-01 13:58:59"), 30.0),
+        ],
+        ["ts", "px"],
+    )
+    out = {
+        r["id"]: r["px"]
+        for r in asof_join(left, right, on="ts", tolerance="1m").collect()
+    }
+    assert out == {1: 10.0, 2: 20.0, 3: None, 4: None}
+
+    inner = asof_join(left, right, on="ts", how="inner", tolerance="60s")
+    assert sorted(r["id"] for r in inner.collect()) == [1, 2]
+
+    # bucketed hot-key path: identical results
+    bucketed = {
+        r["id"]: r["px"]
+        for r in asof_join(
+            left, right, on="ts", tolerance="1 minute", bucket="1 hour"
+        ).collect()
+    }
+    assert bucketed == out
+
+    assert _interval_us("90s") == 90_000_000
+    assert _interval_us("2h") == 2 * 3_600_000_000
+    assert _interval_us("15 minutes") == 15 * 60_000_000
+    with pytest.raises(ValueError):
+        _interval_us("fortnight")
