@@ -630,3 +630,90 @@ def ngram_jaccard_pairs(
     return verified.filter(
         threshold_den * F.col("n_inter") >= threshold_num * F.col("n_union")
     )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style duplicated spans (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    hash_grams: bool = True,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document maximal cross-document duplicated token spans.
+
+    The ExactSubstr observation: a token span of length L >= k is
+    duplicated across documents iff every one of its k-grams is
+    duplicated, so gram-level evidence reconstructs span extent exactly —
+    no suffix array over the corpus required. Pipeline:
+
+    1. positional k-grams per doc (``transform(sequence(...))`` — one
+       Generate, zero shuffles, no Python);
+    2. grams seen in >= ``min_docs`` distinct docs (one hash aggregate on
+       the gram key — the posting-list shuffle);
+    3. semi-join hits back, then ONE window per doc merges overlapping /
+       adjacent gram intervals ``[pos, pos+k-1]`` into maximal spans and
+       counts covered tokens via the lag-union identity
+       ``covered += min(pos - prev, k)``.
+
+    ``hash_grams=True`` (the 100 TB path) joins on ``xxhash64(gram)`` —
+    8 bytes instead of the gram text on the posting shuffle; collisions
+    only ever ADD a false duplicated gram at ~2^-64. The verified face
+    (q112) runs ``hash_grams=False`` so the DuckDB oracle can reproduce
+    the key exactly.
+
+    Returns one row per doc that contains at least one duplicated span:
+    ``(id_col, n_dup_pos, n_spans, covered_tokens)``.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(0), F.size(toks) - F.lit(k))
+            ).alias("__pos"),
+            toks.alias("__toks"),
+        )
+        .filter(F.col("__pos") >= 0)  # docs shorter than k emit nothing
+        .select(
+            id_col,
+            F.col("__pos").cast("long").alias("pos"),
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), F.col("__pos") + 1, F.lit(k))
+            ).alias("__gtxt"),
+        )
+        .withColumn(
+            "__gram",
+            F.xxhash64("__gtxt") if hash_grams else F.col("__gtxt"),
+        )
+        .drop("__gtxt")
+    )
+    dup = (
+        grams.groupBy("__gram")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__gram")
+    )
+    hits = grams.join(dup, "__gram", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    merged = hits.withColumn("__prev", F.lag("pos").over(w))
+    return merged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_pos"),
+        F.sum(
+            F.when(
+                F.col("__prev").isNull() | (F.col("pos") - F.col("__prev") > k),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_spans"),
+        F.sum(
+            F.least(F.coalesce(F.col("pos") - F.col("__prev"), F.lit(k)), F.lit(k))
+        )
+        .cast("long")
+        .alias("covered_tokens"),
+    )

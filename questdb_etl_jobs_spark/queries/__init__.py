@@ -150,4 +150,5 @@ def _load() -> None:
         llm,
         streaming_q,
         training,
+        extensions,
     )

@@ -1223,3 +1223,52 @@ def test_asof_tolerance_bounds_staleness(spark):
     assert _interval_us("15 minutes") == 15 * 60_000_000
     with pytest.raises(ValueError):
         _interval_us("fortnight")
+
+
+# ---------------------------------------------------------------------------
+# duplicated_spans (ExactSubstr-style, q112)
+# ---------------------------------------------------------------------------
+
+def _spans_fixture(spark):
+    # doc 1 and 2 share the 5-token run "a b c d e" (k=3 grams at pos
+    # 0,1,2 in doc1; pos 2,3,4 in doc2). doc 3 is unique. doc 4 repeats
+    # the shared run twice with a unique gap > k between occurrences.
+    rows = [
+        (1, "a b c d e x y z"),
+        (2, "p q a b c d e"),
+        (3, "u v w m n o r s"),
+        (4, "a b c d e g1 g2 g3 g4 a b c d e"),
+        (5, "xx"),  # shorter than k: emits no grams
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_duplicated_spans_merges_intervals(spark):
+    from questdb_etl_jobs_spark.operators.dedup import duplicated_spans
+
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_spans(
+            _spans_fixture(spark), k=3, hash_grams=False
+        ).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    # doc1: dup gram positions 0,1,2 -> one span covering tokens 0..4 = 5
+    assert out[1]["n_spans"] == 1 and out[1]["covered_tokens"] == 5
+    # doc2: positions 2,3,4 -> one span, 5 tokens
+    assert out[2]["n_spans"] == 1 and out[2]["covered_tokens"] == 5
+    # doc4: two disjoint occurrences (gap g1..g4 > k) -> 2 spans, 10 tokens
+    assert out[4]["n_spans"] == 2 and out[4]["covered_tokens"] == 10
+
+
+def test_duplicated_spans_hashed_equals_exact(spark):
+    from questdb_etl_jobs_spark.operators.dedup import duplicated_spans
+
+    df = _spans_fixture(spark)
+    exact = sorted(
+        map(tuple, duplicated_spans(df, k=3, hash_grams=False).collect())
+    )
+    hashed = sorted(
+        map(tuple, duplicated_spans(df, k=3, hash_grams=True).collect())
+    )
+    assert exact == hashed

@@ -353,3 +353,22 @@ def test_q10_plain_preaggregates_before_fact_join(spark):
     assert join_at < agg_at, plan
     # and the final result still has the per-nation shape
     assert df.count() == 25
+
+
+def test_q107_pivot_single_aggregate_no_discovery(spark):
+    # Explicit pivot value list => no values-discovery job; Spark's pivot
+    # plan pre-aggregates on (day, event_type) then pivot-firsts on day:
+    # exactly 3 Exchanges (pre-agg, pivot agg, output sort), one scan.
+    df = spark_queries()["q107_pivot_daily_matrix"](spark, SF_SMALL)
+    plan = plan_string(df, mode="simple")
+    assert plan.count("Exchange") <= 3
+    assert plan.count("FileScan") == 1
+
+
+def test_q112_dup_spans_posting_then_one_window(spark):
+    # Gram posting-list aggregate + semi-join + ONE per-doc window merge:
+    # no cartesian product anywhere in the plan.
+    df = spark_queries()["q112_duplicated_spans"](spark, SF_SMALL)
+    plan = plan_string(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 1
