@@ -151,4 +151,5 @@ def _load() -> None:
         streaming_q,
         training,
         extensions,
+        profiling,
     )

@@ -1,0 +1,452 @@
+"""Declared queries: warehouse/ETL profiling + sketch extensions (round 6).
+
+q113 SCD2 build      — run-length collapse of an attribute change stream
+                       into ``[valid_from, valid_to)`` dimension versions
+                       (gaps-and-islands; `operators/scd.py`). The
+                       warehouse follow-on to the reference's append-only
+                       designated-timestamp load (`create-table.sql:1`).
+q114 column profiler — deequ-style one-pass table profile (rows, nulls,
+                       distinct, min/max) in canonical tall form; the
+                       data-quality step a production ETL runs before
+                       trusting an extract (reference gates per-record at
+                       `cloud_function.py:29-50`; this is the table-level
+                       complement).
+q115 char entropy    — Shannon character entropy per document: the
+                       C4/Gopher-family gibberish/boilerplate signal.
+                       Arrow-batched pandas UDF (per-doc O(len) with no
+                       row explosion) vs an unnest-per-char SQL oracle.
+q116 skew-safe distinct — exact COUNT(DISTINCT) via dedup-then-count:
+                       two bounded-width shuffles instead of one giant
+                       per-group value set; the 100 TB-safe spelling.
+q117 mergeable HLL   — per-day Datasketches HLL partials unioned to a
+                       global estimate (the pre-aggregated rollup pattern:
+                       store sketch bytes per partition, merge at query
+                       time), accuracy-asserted against the exact count.
+q118 PIT enrichment  — facts enriched with the SCD2 version current at
+                       fact time via as-of join (no range explosion), then
+                       rolled up per regime.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from questdb_etl_jobs_spark.operators.scd import pit_join, scd2_intervals
+from questdb_etl_jobs_spark.queries import dq
+from questdb_etl_jobs_spark.queries._protocol import sum4
+from questdb_etl_jobs_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# q113 — SCD2 validity intervals from the event stream
+# ---------------------------------------------------------------------------
+#
+# Dimension: per user, runs of consecutive equal event_type values become
+# versions. One shuffle on user_id (both windows and the groupBy reuse the
+# same hash partitioning). Output keyed (user_id, version) — total order.
+
+_Q113_ORACLE = """
+WITH t AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CASE WHEN lag(event_id)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+                OR lag(event_type)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+), r AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM t
+), v AS (
+  SELECT user_id, CAST(version AS BIGINT) AS version,
+         MIN(event_type) AS event_type,
+         MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM r GROUP BY user_id, version
+)
+SELECT user_id, event_type, version,
+       CAST(epoch_us(valid_from) AS BIGINT) AS valid_from_us,
+       CAST(epoch_us(lead(valid_from)
+                     OVER (PARTITION BY user_id ORDER BY version))
+            AS BIGINT) AS valid_to_us,
+       n_rows
+FROM v ORDER BY user_id, version
+"""
+
+
+@dq("q113_scd2_intervals", oracle=_Q113_ORACLE, covers="W1,W2,A1,F5,EXT")
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    dim = scd2_intervals(
+        events, key="user_id", attr="event_type", ts="ts", order=["event_id"]
+    )
+    return dim.select(
+        "user_id",
+        "event_type",
+        "version",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "n_rows",
+    ).orderBy("user_id", "version")
+
+
+# ---------------------------------------------------------------------------
+# q114 — one-pass column profiler (tall canonical form)
+# ---------------------------------------------------------------------------
+#
+# All metrics for all columns come from ONE aggregate over orders — a
+# single scan feeding a single (Expand-widened, for the exact distincts)
+# aggregation; min/max canonicalize per type so the tall VARCHAR column is
+# deterministic across engines: integers via BIGINT, doubles via
+# DECIMAL(28,4) (fixed 4-decimal print), timestamps via epoch µs. At
+# 100 TB swap the exact distincts for approx_count_distinct — same plan
+# minus the Expand; the exact form is kept here for the oracle gate.
+
+_Q114_COLS: tuple[tuple[str, str], ...] = (
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "varchar"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "varchar"),
+)
+
+
+def _duck_repr(col: str, kind: str, agg: str) -> str:
+    if kind == "bigint":
+        return f"CAST(CAST({agg}({col}) AS BIGINT) AS VARCHAR)"
+    if kind == "double":
+        return (
+            f"CAST(CAST(ROUND({agg}({col}), 4) AS DECIMAL(28,4)) AS VARCHAR)"
+        )
+    if kind == "timestamp":
+        return (
+            f"CAST(CAST(epoch_us(CAST({agg}({col}) AS TIMESTAMP)) AS BIGINT)"
+            f" AS VARCHAR)"
+        )
+    return f"{agg}({col})"
+
+
+def _q114_oracle() -> str:
+    metrics = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
+    for c, kind in _Q114_COLS:
+        metrics.append(f"CAST(COUNT({c}) AS BIGINT) AS nn_{c}")
+        metrics.append(f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}")
+        metrics.append(f"{_duck_repr(c, kind, 'MIN')} AS mn_{c}")
+        metrics.append(f"{_duck_repr(c, kind, 'MAX')} AS mx_{c}")
+    arms = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, n_rows, n_rows - nn_{c} AS n_nulls, "
+        f"nd_{c} AS n_distinct, mn_{c} AS min_repr, mx_{c} AS max_repr FROM a"
+        for c, _ in _Q114_COLS
+    )
+    return (
+        "WITH a AS (SELECT "
+        + ", ".join(metrics)
+        + " FROM orders) "
+        + arms
+        + " ORDER BY column_name"
+    )
+
+
+def _spark_repr(col: str, kind: str, agg) -> F.Column:
+    if kind == "bigint":
+        return agg(col).cast("long").cast("string")
+    if kind == "double":
+        return F.round(agg(col), 4).cast("decimal(28,4)").cast("string")
+    if kind == "timestamp":
+        return F.unix_micros(agg(col)).cast("string")
+    return agg(col)
+
+
+@dq("q114_profile_columns", oracle=_q114_oracle, covers="A1,A2,F10,EXT")
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _Q114_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"nd_{c}"))
+        aggs.append(_spark_repr(c, kind, F.min).alias(f"mn_{c}"))
+        aggs.append(_spark_repr(c, kind, F.max).alias(f"mx_{c}"))
+    wide = orders.agg(*aggs)
+    tall = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col("n_rows").alias("n_rows"),
+                        (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+                        F.col(f"nd_{c}").alias("n_distinct"),
+                        F.col(f"mn_{c}").alias("min_repr"),
+                        F.col(f"mx_{c}").alias("max_repr"),
+                    )
+                    for c, _ in _Q114_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    return tall.orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# q115 — Shannon character entropy per document
+# ---------------------------------------------------------------------------
+#
+# The Spark face is an Arrow-batched pandas UDF: per document O(len)
+# counting with no per-char row explosion (the SQL spelling below unnests
+# one row PER CHARACTER — ~n_chars × n_docs rows through a shuffle, which
+# at 100 TB is the difference between a map-only pass and a corpus-sized
+# exchange). Formula kept summation-order-stable on both engines:
+# H = ln(N) - (Σ c·ln c)/N over per-char counts, rounded to 3 decimals.
+
+_Q115_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+), freq AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+), ent AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_chars_text,
+         CAST(COUNT(*) AS BIGINT) AS n_unique_chars,
+         ROUND(ln(CAST(SUM(c) AS DOUBLE))
+               - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                 / CAST(SUM(c) AS DOUBLE), 3) AS entropy3
+  FROM freq GROUP BY doc_id
+)
+SELECT doc_id, n_chars_text, n_unique_chars, entropy3
+FROM ent ORDER BY doc_id
+"""
+
+_Q115_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_chars_text", T.LongType()),
+        T.StructField("n_unique_chars", T.LongType()),
+        T.StructField("entropy3", T.DoubleType()),
+    ]
+)
+
+
+def _entropy_batches(batches):
+    import math
+    from collections import Counter
+
+    for pdf in batches:
+        out = {
+            "doc_id": [],
+            "n_chars_text": [],
+            "n_unique_chars": [],
+            "entropy3": [],
+        }
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            counts = Counter(text or "")
+            n = sum(counts.values())
+            # Same term structure as the SQL oracle: ln N - Σ c·ln c / N.
+            ent = (
+                math.log(n) - sum(c * math.log(c) for c in counts.values()) / n
+                if n
+                else None
+            )
+            out["doc_id"].append(doc_id)
+            out["n_chars_text"].append(n)
+            out["n_unique_chars"].append(len(counts))
+            out["entropy3"].append(round(ent, 3) if ent is not None else None)
+        yield pd.DataFrame(out)
+
+
+@dq("q115_char_entropy", oracle=_Q115_ORACLE, covers="U2,F6,EXT")
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ent = docs.mapInPandas(_entropy_batches, schema=_Q115_SCHEMA)
+    return ent.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q116 — skew-safe exact COUNT(DISTINCT): dedup-then-count
+# ---------------------------------------------------------------------------
+#
+# COUNT(DISTINCT k) per group is the classic skew cliff: one reducer per
+# group must hold the group's whole value set. The dedup-then-count
+# spelling bounds every task instead: stage 1 groups by (group, value)
+# — partial aggregation collapses duplicates map-side, and the shuffle key
+# carries the value, so a hot GROUP fans out over the cluster; stage 2
+# counts rows per group (tiny). Also yields per-value frequencies for
+# free. Same answer as COUNT(DISTINCT), shuffle width O(distinct pairs).
+
+_Q116_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(per_user) AS BIGINT) AS max_events_one_user
+FROM (
+  SELECT event_type, user_id,
+         COUNT(*) OVER (PARTITION BY event_type, user_id) AS per_user
+  FROM events
+)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@dq("q116_skew_safe_distinct", oracle=_Q116_ORACLE, covers="A1,A2,EXT")
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pairs = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("per_user")
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("per_user").alias("n_events"),
+            F.max("per_user").alias("max_events_one_user"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q117 — mergeable HLL sketches: per-day partials → global union
+# ---------------------------------------------------------------------------
+#
+# The 100 TB rollup pattern: materialize one small sketch per (group,
+# partition) — here per (event_type, day) — and answer global distincts by
+# UNIONING sketch bytes, never rescanning raw data. Datasketches HLL
+# (lgConfigK=14, RSE ≈ 0.6%) keeps each partial ≤ ~16 KB regardless of
+# row count. The oracle asserts the estimate lands within 5% (≈ 8σ) of
+# the exact count and emits the exact count itself, so the row only
+# hash-matches when the sketch path is actually accurate.
+
+_Q117_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_5pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@dq("q117_hll_mergeable", oracle=_Q117_ORACLE, covers="A3,A2,EXT")
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        exact.join(merged, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q118 — point-in-time enrichment: purchases under the current SCD2 regime
+# ---------------------------------------------------------------------------
+#
+# Build the dimension from the NON-purchase event stream (a user's latest
+# activity regime), then enrich each purchase with the regime current at
+# purchase time — as-of join, one shuffle, no BETWEEN explosion — and roll
+# up revenue per regime. Purchases before a user's first regime fall into
+# the NULL bucket (canonicalized to '(none)').
+
+_Q118_ORACLE = """
+WITH src AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+  FROM events
+), t AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_id)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+                OR lag(event_type)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM src WHERE event_type <> 'purchase'
+), r AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM t
+), v AS (
+  SELECT user_id, version, MIN(event_type) AS regime,
+         MIN(ts) AS valid_from
+  FROM r GROUP BY user_id, version
+), iv AS (
+  SELECT user_id, regime, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+           AS valid_to
+  FROM v
+), p AS (
+  SELECT f.user_id, f.value, i.regime
+  FROM (SELECT * FROM src WHERE event_type = 'purchase') f
+  LEFT JOIN iv i
+    ON f.user_id = i.user_id
+   AND f.ts >= i.valid_from
+   AND (i.valid_to IS NULL OR f.ts < i.valid_to)
+)
+SELECT COALESCE(regime, '(none)') AS regime,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       {total}
+FROM p GROUP BY COALESCE(regime, '(none)') ORDER BY regime
+""".format(total=sum4("value", "total_value"))
+
+
+@dq("q118_pit_enrichment", oracle=_Q118_ORACLE, covers="J7,W2,A1,EXT")
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    dim = scd2_intervals(
+        events.filter(F.col("event_type") != "purchase"),
+        key="user_id",
+        attr="event_type",
+        ts="ts",
+        order=["event_id"],
+    ).select(
+        "user_id",
+        F.col("event_type").alias("regime"),
+        "version",
+        "valid_from",
+        "valid_to",
+    )
+    # Drop empty [t, t) intervals (same-µs run boundaries) so valid_from
+    # is unique per key and the as-of match is deterministic; an empty
+    # interval can never contain a fact timestamp anyway.
+    dim = dim.filter(
+        F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from"))
+    ).drop("version")
+    facts = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    enriched = pit_join(facts, dim, key="user_id", ts="ts", how="left")
+    return (
+        enriched.groupBy(
+            F.coalesce("regime", F.lit("(none)")).alias("regime")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum(F.round("value", 4).cast("decimal(28,4)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("total_value"),
+        )
+        .orderBy("regime")
+    )
