@@ -1,19 +1,22 @@
-"""Skew mitigation: salted joins for hot keys.
+"""Salted join: explicit skew spreading for hot join keys.
 
-AQE's skew-join handling (on by default, session.py) splits oversized
-SORT-MERGE partitions at runtime and is the first line of defense — reach
-for salting only when AQE can't help: a shuffled join where one key's rows
-exceed a single task's memory even after AQE splits (splits help the
-probe side but every split still carries the full build side of that
-key), or engines/paths where AQE is unavailable.
+Spark's AQE skew handling (`spark.sql.adaptive.skewJoin`) splits
+oversized SORT-MERGE partitions whose stats it can see. It does NOT help
+when (a) the engine picked a shuffled-hash join (the deployment posture —
+`session.py` sets ``preferSortMergeJoin=false``), where one hot key still
+lands its entire build/probe set in one task, or (b) the skew is inside a
+single key, which no partition split can separate. Salting fixes both
+mechanically: the fact side scatters each row of a hot key across ``S``
+salt buckets, the dimension side replicates each row ``S`` times (one per
+bucket), and the join key becomes ``(key, salt)`` — a hot key's probe
+work now spreads over ``S`` tasks, at the cost of shuffling ``S×`` the
+dimension. Use when the dim is too big to broadcast and a few keys
+dominate the fact table; ``S`` ≈ (hot-key rows / rows-per-task).
 
-Mechanics: the big side gets a uniform random salt in [0, n_salt); the
-small side is exploded n_salt× so every (key, salt) bucket finds its
-match. One hot key's rows spread over n_salt tasks at the cost of
-replicating the small side's matching rows n_salt times.
-
-Aggregation skew needs none of this: hash aggregation's partial (map-side
-combine) phase already collapses hot keys before the shuffle.
+Correctness: every fact row meets exactly the dim rows of its key (each
+dim row appears once per salt bucket; the fact row sits in one bucket),
+so the salted join is row-for-row equal to the plain join — asserted by
+the q121 oracle differential and `tests/test_scd.py` plan checks.
 """
 
 from __future__ import annotations
@@ -25,24 +28,34 @@ _SALT = "__salt"
 
 
 def salted_join(
-    big: DataFrame,
-    small: DataFrame,
-    on: list[str],
-    n_salt: int = 16,
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salts: int = 8,
     how: str = "inner",
-    seed: int = 42,
+    salt_by: str | None = None,
 ) -> DataFrame:
-    """Equi-join ``big ⋈ small`` on ``on`` with the hot-key rows of
-    ``big`` spread across ``n_salt`` shuffle buckets.
+    """Equi-join ``facts ⋈ dim`` on ``on`` with an ``S``-way salted key.
 
-    Result equals ``big.join(small, on, how)`` for how in
-    {inner, left}; the salt columns never escape.
+    ``salt_by`` picks the fact column hashed into the salt (defaults to a
+    per-row nondeterministic spread via ``rand``-free round-robin on
+    ``spark_partition_id``+``monotonically_increasing_id`` — but prefer a
+    real column: deterministic salting keeps the join reproducible).
+    ``how`` supports ``inner`` and ``left`` (dim replicated either way).
     """
     if how not in ("inner", "left"):
-        raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    big_salted = big.withColumn(_SALT, (F.rand(seed) * n_salt).cast("int"))
-    small_salted = small.withColumn(
-        _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    if salts < 1:
+        raise ValueError("salts must be >= 1")
+    if salt_by is not None:
+        fact_salt = F.pmod(F.xxhash64(F.col(salt_by)), F.lit(salts))
+    else:
+        fact_salt = F.pmod(
+            F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+            F.lit(salts),
+        )
+    facts_s = facts.withColumn(_SALT, fact_salt.cast("int"))
+    dim_s = dim.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(s) for s in range(salts)]))
     )
-    joined = big_salted.join(small_salted, on=[*on, _SALT], how=how)
-    return joined.drop(_SALT)
+    return facts_s.join(dim_s, on=[on, _SALT], how=how).drop(_SALT)

@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 
 from questdb_etl_jobs_spark.operators.scd import pit_join, scd2_intervals
 from questdb_etl_jobs_spark.queries import dq
-from questdb_etl_jobs_spark.queries._protocol import sum4
+from questdb_etl_jobs_spark.queries._protocol import avg4, sum4
 from questdb_etl_jobs_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -449,4 +449,151 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
         .orderBy("regime")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q119 — two-level rollup merge: daily partials → monthly final
+# ---------------------------------------------------------------------------
+#
+# The pre-aggregation pattern behind every 100 TB dashboard: materialize
+# small per-partition partials of ALGEBRAIC aggregates (count, exact
+# decimal sum, min, max — avg derived from sum/count at read time), and
+# answer coarser rollups by merging partials, never rescanning raw rows.
+# The oracle computes the monthly answer directly from raw events; the
+# engine path goes through the daily partial layer, so a hash-match
+# proves the merge is lossless. Decimal sums make the two-level path
+# bit-identical to the one-level path (double accumulation would not be).
+
+_Q119_ORACLE = """
+SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS month,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {total},
+       {avg}
+FROM events
+GROUP BY month, event_type ORDER BY month, event_type
+""".format(
+    total=sum4("value", "total_value"), avg=avg4("value", "avg_value")
+)
+
+
+@dq("q119_rollup_merge", oracle=_Q119_ORACLE, covers="A1,F5,EXT")
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round("value", 4).cast("decimal(28,4)")).alias("sdec"),
+    )
+    return (
+        daily.groupBy(
+            F.trunc("day", "month").alias("month"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sdec").cast("double"), 4).alias("total_value"),
+            (F.sum("sdec").cast("double") / F.sum("n")).alias("avg_value"),
+        )
+        .orderBy("month", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q120 — approx_percentile with a verified rank-error bound
+# ---------------------------------------------------------------------------
+#
+# Spark's approx_percentile is Greenwald-Khanna with guaranteed rank
+# error n/accuracy — the sketch a 100 TB deployment uses instead of an
+# exact global percentile sort. The query verifies the guarantee IN the
+# gated row: it ranks the approximate median against the actual data
+# (one extra aggregate over a broadcast of 3 group stats) and emits
+# within_bound, which the oracle pins to TRUE; the exact median travels
+# alongside via the q24-calibrated cross-engine percentile spelling.
+
+_Q120_ORACLE = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_median,
+       TRUE AS within_bound
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@dq("q120_approx_percentile_bound", oracle=_Q120_ORACLE, covers="A3,A5,EXT")
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    acc = 1000
+    stats = orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("exact_median"),
+        F.expr(
+            f"approx_percentile(o_totalprice, 0.5, {acc})"
+        ).alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranked = (
+        orders.join(F.broadcast(stats), "o_orderstatus")
+        .groupBy("o_orderstatus", "exact_median", "ap", "n")
+        .agg(
+            F.sum(
+                F.when(F.col("o_totalprice") < F.col("ap"), 1).otherwise(0)
+            ).alias("rank_lo"),
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.col("ap"), 1).otherwise(0)
+            ).alias("rank_hi"),
+        )
+    )
+    err = F.col("n") / acc + F.lit(1)
+    return ranked.select(
+        "o_orderstatus",
+        "exact_median",
+        (
+            (F.col("rank_lo") <= F.col("n") / 2 + err)
+            & (F.col("rank_hi") >= F.col("n") / 2 - err)
+        ).alias("within_bound"),
+    ).orderBy("o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# q121 — salted join: skew-spread equi-join, oracle-equal to the plain join
+# ---------------------------------------------------------------------------
+#
+# operators/skew.py replicates the dimension 8× and scatters each fact
+# row into one of 8 salt buckets keyed by a hash of its unique id, so a
+# hot user's events probe in 8 tasks instead of 1. The oracle is the
+# PLAIN join — hash-matching it proves salting changes the physical
+# distribution only, never the result.
+
+_Q121_ORACLE = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {total}
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+""".format(total=sum4("e.value", "total_value"))
+
+
+@dq("q121_salted_join", oracle=_Q121_ORACLE, covers="J1,A1,EXT")
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(events, dim, on="user_id", salts=8, salt_by="event_id")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.round("value", 4).cast("decimal(28,4)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
     )
