@@ -597,3 +597,120 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q122 — CCNet-style unigram log-prob quality score per document
+# ---------------------------------------------------------------------------
+#
+# The language-model-lite quality signal (CCNet/Wenzek et al. 2020 use a
+# 5-gram KenLM; the unigram variant keeps the same shape): score each
+# document by the mean negative log-probability of its tokens under the
+# corpus unigram distribution — high NLL = tokens the corpus finds rare =
+# gibberish candidate; low NLL = boilerplate candidate. Plan: one explode
+# → one groupBy(word) for the model (vocabulary-sized, broadcast back) →
+# one groupBy(doc) — no UDF, all codegen. Cross-engine float protocol:
+# per-token ln(count) is rounded to 6 decimals and summed as
+# DECIMAL(28,6) (order-free), the corpus constant ln(N) likewise, final
+# score rounded to 3.
+
+_Q122_ORACLE = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents
+), toks AS (
+  SELECT doc_id, word FROM words WHERE length(word) > 0
+), model AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY word
+), corpus AS (
+  SELECT CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE)), 6) AS DOUBLE) AS ln_n
+  FROM toks
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(
+         (SELECT ln_n FROM corpus)
+         - CAST(SUM(CAST(ROUND(ln(CAST(m.c AS DOUBLE)), 6)
+                         AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*),
+         3) AS nll3
+FROM toks t JOIN model m ON t.word = m.word
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+@dq("q122_unigram_logprob", oracle=_Q122_ORACLE, covers="F6,A1,J2,EXT")
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+    )
+    model = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    corpus = toks.agg(
+        F.round(F.log(F.count(F.lit(1)).cast("double")), 6).alias("ln_n")
+    )
+    scored = (
+        toks.join(F.broadcast(model), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.round(F.log(F.col("c").cast("double")), 6).cast(
+                    "decimal(28,6)"
+                )
+            ).alias("s"),
+        )
+        .crossJoin(F.broadcast(corpus))
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("ln_n") - F.col("s").cast("double") / F.col("n_tokens"), 3
+        ).alias("nll3"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q123 — cumulative unique users per day (running distinct)
+# ---------------------------------------------------------------------------
+#
+# The growth-metric classic. A naive per-day COUNT(DISTINCT user WHERE
+# ts <= day) rescans the fact table once per day; the scalable shape is
+# first-seen attribution: one groupBy(user) finds each user's first day,
+# one tiny per-day count, and the running sum is a window over the DAILY
+# table (bounded by calendar days, not data size).
+
+_Q123_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS first_day
+  FROM events GROUP BY user_id
+), daily AS (
+  SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM firsts GROUP BY first_day
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM daily ORDER BY day
+"""
+
+
+@dq("q123_cumulative_uniques", oracle=_Q123_ORACLE, covers="A1,A2,W3,F5,EXT")
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("day")
+    )
+    daily = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    ).orderBy("day")
