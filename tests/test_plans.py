@@ -372,3 +372,31 @@ def test_q112_dup_spans_posting_then_one_window(spark):
     plan = plan_string(df, mode="simple")
     assert "CartesianProduct" not in plan
     assert plan.count("Window") == 1
+
+
+def test_q122_model_join_is_broadcast(spark):
+    """The unigram model (vocabulary-sized) must broadcast back to the
+    token stream — a shuffle join would re-exchange the whole corpus."""
+    df = spark_queries()["q122_unigram_logprob"](spark, SF_SMALL)
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_q119_merge_reads_partials_not_raw(spark):
+    """Two-level rollup: exactly two hash aggregates pairs (daily, then
+    monthly) — the monthly level must aggregate the partial layer, adding
+    one exchange on the coarser key, not rescan/reshuffle raw events per
+    output row."""
+    df = spark_queries()["q119_rollup_merge"](spark, SF_SMALL)
+    plan = plan_string(df, "simple")
+    # 2 logical levels x (partial+final) HashAggregate over ONE raw scan;
+    # 3 exchanges: daily key, monthly key, output presentation sort.
+    assert plan.count("HashAggregate") == 4, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_q114_profiler_is_single_scan(spark):
+    """The tall profile must come from ONE scan of orders (one
+    FileScan node), not one scan per column arm."""
+    df = spark_queries()["q114_profile_columns"](spark, SF_SMALL)
+    plan = plan_string(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
