@@ -183,3 +183,35 @@ def fixed_size_sample(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key: str,
+    weight: Column | str,
+    k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES),
+    deterministic: row priority ``-ln(u) / w`` with ``u`` drawn from the
+    content-keyed hash, keep the ``k`` smallest priorities. Inclusion
+    probability is proportional to weight (the exponential-race scheme),
+    and the draw is a pure function of (key, salt) — reproducible across
+    engines, partitionings and reruns, like every sampler in this module.
+
+    Plan shape: priority is codegen'd arithmetic on the scan, and the
+    global top-k is TakeOrdered (per-partition heaps + driver merge of k
+    rows) — no global sort, no shuffle of non-survivors. At 100 TB this
+    is a map-side pass over the corpus emitting k rows per partition.
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = (sample_bucket(key, salt) + F.lit(1)).cast("double") / F.lit(
+        float(RESOLUTION)
+    )
+    priority = -F.log(u) / w.cast("double")
+    return (
+        df.withColumn("__pri", priority)
+        .orderBy(F.col("__pri").asc(), F.col(key).asc())
+        .limit(k)
+        .drop("__pri")
+    )

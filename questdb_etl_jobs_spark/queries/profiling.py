@@ -714,3 +714,54 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# q124 — weighted sampling without replacement (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+#
+# Corpus curation's "sample proportional to length/quality" primitive,
+# deterministic: u from the repo-standard Knuth content hash, priority
+# -ln(u)/weight, keep the global k smallest — the exponential race that
+# makes P(include) ∝ weight, reproducible across engines and reruns.
+# The Spark face is functions/sampling.weighted_sample_topk (TakeOrdered:
+# per-partition heaps, no global sort); the oracle replays the identical
+# arithmetic in SQL.
+
+_Q124_K = 40
+
+_Q124_ORACLE = f"""
+WITH pri AS (
+  SELECT doc_id, lang, n_chars,
+         -ln((((doc_id * 2654435761) % 10000) + 1) / 10000.0)
+           / CAST(n_chars AS DOUBLE) AS p
+  FROM documents
+), kept AS (
+  SELECT doc_id, lang, n_chars
+  FROM pri ORDER BY p, doc_id LIMIT {_Q124_K}
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+@dq("q124_weighted_sample", oracle=_Q124_ORACLE, covers="O2,A1,EXT")
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.functions.sampling import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    kept = weighted_sample_topk(docs, "doc_id", "n_chars", k=_Q124_K)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -1272,3 +1272,45 @@ def test_duplicated_spans_hashed_equals_exact(spark):
         map(tuple, duplicated_spans(df, k=3, hash_grams=True).collect())
     )
     assert exact == hashed
+
+
+def test_weighted_sample_topk_is_deterministic_and_weight_biased(spark):
+    from questdb_etl_jobs_spark.functions.sampling import weighted_sample_topk
+
+    # Heavy rows (weight 1000) vs light rows (weight 1): with k = half the
+    # population, heavies must be picked at a far higher rate, and the draw
+    # must be identical across reruns/partitionings.
+    rows = [(i, 1000 if i % 2 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    kept1 = sorted(r.id for r in weighted_sample_topk(df, "id", "w", k=100).collect())
+    kept2 = sorted(
+        r.id
+        for r in weighted_sample_topk(
+            df.repartition(7), "id", "w", k=100
+        ).collect()
+    )
+    assert kept1 == kept2
+    heavies = sum(1 for i in kept1 if i % 2)
+    assert heavies > 80  # ~100 expected; rate for lights is ~1/1000
+
+    # Salt decorrelates draws (uniform weights so selection is hash-driven;
+    # in the biased draw above k equals the heavy count, so every heavy is
+    # picked under ANY salt and the set can't move).
+    uni = spark.createDataFrame([(i, 1) for i in range(200)], "id long, w long")
+    base = sorted(r.id for r in weighted_sample_topk(uni, "id", "w", k=50).collect())
+    salted = sorted(
+        r.id for r in weighted_sample_topk(uni, "id", "w", k=50, salt=7).collect()
+    )
+    assert base != salted
+
+
+def test_weighted_sample_topk_plan_is_take_ordered(spark):
+    from questdb_etl_jobs_spark.functions.sampling import weighted_sample_topk
+    from questdb_etl_jobs_spark.plans.inspect import plan_string
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7 + 1).alias("w")
+    )
+    plan = plan_string(weighted_sample_topk(df, "id", "w", k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
