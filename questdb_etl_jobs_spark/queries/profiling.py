@@ -765,3 +765,61 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q125 — incremental LATEST ON maintenance: snapshot + delta merge
+# ---------------------------------------------------------------------------
+#
+# The materialized-view move for QuestDB's LATEST ON surface: keep a
+# compact per-key snapshot (one row per user), and on each new batch
+# merge ONLY (snapshot ∪ delta) — the full history is never rescanned.
+# merged = latest(delta) ∪ (snapshot ⟍ keys(latest(delta))), which is
+# provably LATEST ON over the whole table because every snapshot row
+# predates every delta row. The oracle computes LATEST ON directly over
+# all events, so the hash-match proves the incremental path lossless.
+# Cost: one window shuffle over the delta + one anti-join against the
+# key-sized snapshot — O(delta + keys), not O(history).
+
+_Q125_CUTOFF = "2021-03-20 00:00:00"
+
+_Q125_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       ROUND(value, 4) AS value4
+FROM ranked WHERE rn = 1 ORDER BY user_id
+"""
+
+
+@dq("q125_incremental_latest", oracle=_Q125_ORACLE, covers="W4,T1,J4,EXT")
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.latest import latest_on
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    cutoff = F.lit(_Q125_CUTOFF).cast("timestamp")
+    snapshot = latest_on(
+        events.filter(F.col("ts") < cutoff),
+        "ts",
+        ["user_id"],
+        tiebreak=["event_id"],
+    )
+    delta = events.filter(F.col("ts") >= cutoff)
+    delta_latest = latest_on(delta, "ts", ["user_id"], tiebreak=["event_id"])
+    carried = snapshot.join(
+        delta_latest.select("user_id"), "user_id", "left_anti"
+    )
+    merged = delta_latest.unionByName(carried)
+    return merged.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 4).alias("value4"),
+    ).orderBy("user_id")
