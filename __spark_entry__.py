@@ -8,7 +8,9 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 All three functions delegate to the engine's declared-query registry
 (questdb_etl_jobs_spark/queries/__init__.py): every implemented operator
 from SURVEY.md §2 is exercised by at least one registered query with a
-DuckDB oracle (or an explicit rows-only marker for non-SQL sketches).
+DuckDB oracle — since round 6 EVERY registered query is oracle-paired
+(approx sketches gate on exact-count + accuracy-bound rows, q27/q117/
+q120 pattern), so there are zero rows-only checks left.
 """
 
 from __future__ import annotations
@@ -45,8 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """Equivalent ANSI SQL per query, runnable by DuckDB on the same
-    parquet tables. Keys absent here (vs ``queries()``) are genuinely
-    non-SQL-expressible (xxhash64-based sketches) → rows-only check."""
+    parquet tables. Every ``queries()`` key is present (125/125)."""
     from questdb_etl_jobs_spark.queries import oracle_queries
 
     return oracle_queries()

@@ -553,12 +553,37 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q27 — approximate distinct (A3) — sketch ≠ oracle, rows-only check
 # ---------------------------------------------------------------------------
 
-@dq("q27_approx_distinct_users", oracle=None, covers="A3")
+@dq(
+    "q27_approx_distinct_users",
+    # HLL++ (approx_count_distinct) has no cross-engine value oracle — the
+    # estimate is implementation-defined — so the gated row carries the
+    # EXACT count plus a within-5% accuracy assertion on the estimate
+    # (rsd=0.01 → 5% is 5σ; same pattern as q117/q120). A wrong or wildly
+    # drifting sketch flips the boolean and fails the hash-match.
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    covers="A3",
+)
 def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_5pct"),
+        )
         .orderBy("event_type")
     )
 

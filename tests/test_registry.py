@@ -29,7 +29,8 @@ def test_priority_names_all_registered():
 
 
 def test_window_covers_value_verified_a3():
-    # q27 (HLL, rows-only by design) ceded its window slot to the
-    # value-verified KMV twin q74; q27 remains in the full registry.
+    # q27 (HLL) ceded its window slot to the value-verified KMV twin q74;
+    # q27 remains in the full registry, now oracle-paired via the
+    # exact-count + accuracy-bound row pattern.
     assert "q74_kmv_distinct" in qreg._PRIORITY
     assert "q27_approx_distinct_users" in set(qreg.spark_queries())
