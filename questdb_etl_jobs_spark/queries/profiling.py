@@ -823,3 +823,39 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         F.round("value", 4).alias("value4"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# q126 — exact quantile via two-phase histogram (no per-group value sort)
+# ---------------------------------------------------------------------------
+#
+# operators/quantile.py: exact percentile_cont semantics with bounded
+# task memory — histogram pass (state O(groups × buckets)) + driver walk
+# + a targeted rank of only the median-holding buckets (~n/B rows). The
+# oracle is DuckDB's exact quantile_cont; the interpolated rational can
+# land on .xxxx5 reprs, so the oracle replays Spark's repr-rounding via
+# the spark_round4 shim.
+
+from questdb_etl_jobs_spark.queries._protocol import spark_round4 as _sr4
+
+_Q126_ORACLE = f"""
+SELECT l_returnflag,
+       CAST(COUNT(l_extendedprice) AS BIGINT) AS n,
+       {_sr4("quantile_cont(l_extendedprice, 0.5)", "median4")}
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@dq("q126_exact_quantile_histogram", oracle=_Q126_ORACLE, covers="A5,A1,EXT")
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.quantile import exact_quantile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = exact_quantile(li, "l_extendedprice", "l_returnflag", q=0.5)
+    return med.select(
+        "l_returnflag",
+        "n",
+        F.round("quantile", 4).alias("median4"),
+    ).orderBy("l_returnflag")

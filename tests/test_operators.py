@@ -1314,3 +1314,41 @@ def test_weighted_sample_topk_plan_is_take_ordered(spark):
     plan = plan_string(weighted_sample_topk(df, "id", "w", k=10))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_exact_quantile_matches_builtin_percentile(spark):
+    import random
+
+    from questdb_etl_jobs_spark.operators.quantile import exact_quantile
+
+    rng = random.Random(11)
+    rows = [
+        (f"g{i % 3}", rng.uniform(-1000, 1000)) for i in range(5000)
+    ] + [("g3", 42.0)]  # single-row group
+    df = spark.createDataFrame(rows, "g string, v double")
+    for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+        mine = {
+            r.g: r.quantile
+            for r in exact_quantile(df, "v", "g", q=q, buckets=64).collect()
+        }
+        ref = {
+            r.g: r.p
+            for r in df.groupBy("g")
+            .agg(F.percentile("v", q).alias("p"))
+            .collect()
+        }
+        assert set(mine) == set(ref)
+        for g in ref:
+            assert abs(mine[g] - ref[g]) < 1e-9, (q, g, mine[g], ref[g])
+
+
+def test_exact_quantile_degenerate_and_nulls(spark):
+    from questdb_etl_jobs_spark.operators.quantile import exact_quantile
+
+    df = spark.createDataFrame(
+        [("a", 5.0)] * 10 + [("a", None), ("b", None)], "g string, v double"
+    )
+    out = {r.g: (r.n, r.quantile) for r in exact_quantile(df, "v", "g").collect()}
+    # all-equal values (zero span) collapse to bucket 0; NULLs ignored;
+    # the all-NULL group drops.
+    assert out == {"a": (10, 5.0)}
