@@ -64,6 +64,10 @@ def _q107_oracle() -> str:
     )
 
 
+#: pure-SQL generator — valid at any scale factor (verify_local sf0.1 pass)
+_q107_oracle.sf_invariant = True  # type: ignore[attr-defined]
+
+
 @dq("q107_pivot_daily_matrix", oracle=_q107_oracle, covers="A1,F5,EXT")
 def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -107,6 +111,10 @@ def _q108_oracle() -> str:
     FROM ({arms}) GROUP BY l_returnflag, measure
     ORDER BY l_returnflag, measure
     """
+
+
+#: pure-SQL generator — valid at any scale factor (verify_local sf0.1 pass)
+_q108_oracle.sf_invariant = True  # type: ignore[attr-defined]
 
 
 @dq("q108_unpivot_measures", oracle=_q108_oracle, covers="T1,A1,EXT")
@@ -335,6 +343,10 @@ def _q112_oracle() -> str:
              AS covered_tokens
     FROM hits GROUP BY doc_id ORDER BY doc_id
     """
+
+
+#: pure-SQL generator — valid at any scale factor (verify_local sf0.1 pass)
+_q112_oracle.sf_invariant = True  # type: ignore[attr-defined]
 
 
 @dq("q112_duplicated_spans", oracle=_q112_oracle, covers="EXT,F6,W2,A1")

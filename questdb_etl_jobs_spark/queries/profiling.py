@@ -164,6 +164,10 @@ def _spark_repr(col: str, kind: str, agg) -> F.Column:
     return agg(col)
 
 
+#: pure-SQL generator — valid at any scale factor (verify_local sf0.1 pass)
+_q114_oracle.sf_invariant = True  # type: ignore[attr-defined]
+
+
 @dq("q114_profile_columns", oracle=_q114_oracle, covers="A1,A2,F10,EXT")
 def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
