@@ -64,3 +64,61 @@ def interval_stream_join(
     joined = lw.join(rw, cond, "inner")
     # De-duplicate the equality keys (both sides carry them).
     return joined.drop(*[rw[c] for c in on])
+
+
+def asof_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    tolerance: str,
+    on: list[str],
+    left_id: str,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming ASOF JOIN with a mandatory staleness bound: each left
+    event pairs with the LATEST right event satisfying
+    ``left.ts - tolerance <= right.ts <= left.ts`` on matching keys.
+
+    QuestDB's ``ASOF JOIN … TOLERANCE`` (batch face:
+    operators/asof.asof_join) over two unbounded streams. An unbounded
+    as-of cannot stream — "the latest earlier row" is never settled and
+    state never evicts — but the TOLERANCE variant can: the range
+    predicate bounds both join state AND the answer, because a right row
+    older than ``tolerance`` can no longer be anyone's match.
+
+    Two chained stateful operators (Spark 3.5+/4.x multi-stateful
+    support), both watermark-evicted:
+
+    1. stream-stream inner join on (keys, backward time range) — state
+       per side ≈ rate × (tolerance + watermark);
+    2. per-left-event ``max_by(payload, right_ts)`` aggregation keyed on
+       (``left_id``, event-time) that reduces candidate matches to the
+       as-of winner; rows emit once the watermark passes their left ts
+       (append mode).
+
+    Inner semantics: left events with NO right row inside the tolerance
+    window drop (the streaming outer variant would couple NULL emission
+    to trigger timing). ``left_id`` must uniquely identify left rows.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (rw[right_ts] <= lw[left_ts]) & (
+        rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {tolerance}")
+    )
+    for c in on:
+        cond = cond & (lw[c] == rw[c])
+    joined = lw.join(rw, cond, "inner").drop(*[rw[c] for c in on])
+
+    payload_cols = [c for c in right.columns if c not in on]
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    group_cols = [c for c in left.columns if c != left_ts]
+    agg = (
+        joined.groupBy(F.col(left_ts), *[F.col(c) for c in group_cols])
+        .agg(F.max_by(payload, F.col(right_ts)).alias("__m"))
+    )
+    return agg.select(
+        left_ts,
+        *group_cols,
+        *[F.col(f"__m.{c}").alias(c) for c in payload_cols],
+    )

@@ -775,3 +775,78 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         .collect())
     )
     assert len(got) > 0 and got == expected
+
+
+def test_asof_stream_join_matches_batch_asof(spark, tmp_path):
+    """Streaming ASOF TOLERANCE join (join + max_by reduction, two chained
+    watermark-evicted stateful ops) equals the batch as-of operator with
+    the same tolerance on the same data."""
+    import csv as _csv
+
+    from questdb_etl_jobs_spark.operators.asof import asof_join
+    from questdb_etl_jobs_spark.streaming.stream_join import asof_stream_join
+
+    e_dir, q_dir = tmp_path / "orders", tmp_path / "quotes"
+    e_dir.mkdir(); q_dir.mkdir()
+    base = "2024-01-01T10:{:02d}:{:02d}"
+    lefts = [(i, i % 3, base.format(i % 60, 30)) for i in range(40)]
+    rights = [
+        (j % 3, base.format((j * 7) % 60, (j * 13) % 60), 100.0 + j)
+        for j in range(60)
+    ]
+    with open(e_dir / "l.csv", "w", newline="") as fh:
+        _csv.writer(fh).writerows(lefts)
+    with open(q_dir / "r.csv", "w", newline="") as fh:
+        _csv.writer(fh).writerows(rights)
+
+    l_schema = "order_id long, sym long, ts timestamp"
+    r_schema = "sym long, r_ts timestamp, px double"
+
+    def run_once():
+        sl = spark.readStream.schema(l_schema).csv(str(e_dir))
+        sr = spark.readStream.schema(r_schema).csv(str(q_dir))
+        out = asof_stream_join(
+            sl, sr, left_ts="ts", right_ts="r_ts", tolerance="10 minutes",
+            on=["sym"], left_id="order_id", watermark="0 seconds",
+        )
+        q = (
+            out.select("order_id", "px")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # Chained stateful ops run in append mode: the final aggregate flushes
+    # a group only once the watermark passes its left ts. Land far-future
+    # sentinel rows on BOTH sources (non-matching keys 998/999, so they
+    # join with nothing) and rerun against the same checkpoint — the
+    # watermark jumps past every real group and the as-of winners emit.
+    with open(e_dir / "l2.csv", "w", newline="") as fh:
+        _csv.writer(fh).writerows([(9999, 999, "2024-01-02T10:00:00")])
+    with open(q_dir / "r2.csv", "w", newline="") as fh:
+        _csv.writer(fh).writerows([(998, "2024-01-02T10:00:00", 0.0)])
+    run_once()
+    got = sorted(
+        (r["order_id"], r["px"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+
+    bl = spark.read.schema(l_schema).csv(str(e_dir))
+    br = (
+        spark.read.schema(r_schema).csv(str(q_dir))
+        .withColumnRenamed("r_ts", "ts")
+    )
+    batch = asof_join(
+        bl, br, on="ts", by=["sym"], how="inner", tolerance="10 minutes"
+    )
+    expected = sorted(
+        (r["order_id"], r["ts__r"] and r["px"])
+        for r in batch.withColumnRenamed("ts_right", "ts__r").collect()
+    )
+    expected = sorted((oid, px) for oid, px in expected if px is not None)
+    assert got == expected and len(got) > 0
