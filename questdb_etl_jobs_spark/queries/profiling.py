@@ -863,3 +863,66 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round("quantile", 4).alias("median4"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q127 — multi-granularity time rollup in ONE pass (GROUPING SETS over
+#         day/week/month buckets)
+# ---------------------------------------------------------------------------
+#
+# The dashboard-warmup query: daily, ISO-weekly and monthly aggregates of
+# the event stream from a single scan — Spark's Expand node (one row per
+# grouping set) feeding one partial+final aggregate, instead of three
+# separate scans+shuffles. Granularity is disambiguated via grouping()
+# flags; buckets coalesce into one date column so the tall output is
+# self-describing.
+
+_Q127_ORACLE = """
+WITH src AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+         CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS month,
+         value
+  FROM events
+)
+SELECT CASE WHEN GROUPING(day) = 0 THEN 'day'
+            WHEN GROUPING(week) = 0 THEN 'week'
+            ELSE 'month' END AS granularity,
+       COALESCE(day, week, month) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {total}
+FROM src
+GROUP BY GROUPING SETS ((day), (week), (month))
+ORDER BY granularity, bucket
+""".format(total=sum4("value", "total_value"))
+
+
+@dq("q127_time_grouping_sets", oracle=_Q127_ORACLE, covers="A4,A7,F5,EXT")
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    src = events.select(
+        F.to_date("ts").alias("day"),
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        "value",
+    )
+    gs = src.groupingSets(
+        [["day"], ["week"], ["month"]], "day", "week", "month"
+    ).agg(
+        # grouping() flags are aggregate-scope expressions — compute the
+        # granularity label inside the agg, not on the result.
+        F.when(F.grouping("day") == 0, "day")
+        .when(F.grouping("week") == 0, "week")
+        .otherwise("month")
+        .alias("granularity"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round("value", 4).cast("decimal(28,4)")).cast("double"), 4
+        ).alias("total_value"),
+    )
+    return gs.select(
+        "granularity",
+        F.coalesce("day", "week", "month").alias("bucket"),
+        "n",
+        "total_value",
+    ).orderBy("granularity", "bucket")
