@@ -926,3 +926,132 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     ).orderBy("granularity", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# q128 — CDC changelog apply (MERGE semantics without a MERGE sink)
+# ---------------------------------------------------------------------------
+#
+# The load-side dual of q125: given an ordered change stream with
+# upsert/delete ops, materialize the final table state — per key, the
+# LATEST op wins; a terminal delete removes the key. This is exactly how
+# a designated-ts QuestDB table with DEDUP UPSERT KEYS converges
+# (plans/designated.py renders that DDL), computed engine-side: one
+# window shuffle on the key, no per-op row loop. Ops are derived
+# deterministically from the event stream (purchase ⇒ delete marker,
+# everything else upsert) so both engines see the same changelog.
+
+_Q128_ORACLE = """
+WITH log AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+         value
+  FROM events
+), ranked AS (
+  SELECT user_id, ts, event_id, op, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM log
+)
+SELECT user_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       ROUND(value, 4) AS value4
+FROM ranked WHERE rn = 1 AND op = 'U'
+ORDER BY user_id
+"""
+
+
+@dq("q128_cdc_apply", oracle=_Q128_ORACLE, covers="W4,F10,EXT")
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.latest import latest_on
+
+    events = load_table(spark, sf_dir, "events")
+    log = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", "D")
+        .otherwise("U")
+        .alias("op"),
+        "value",
+    )
+    final = latest_on(log, "ts", ["user_id"], tiebreak=["event_id"]).filter(
+        F.col("op") == "U"
+    )
+    return final.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 4).alias("value4"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# q129 — snapshot diff: keyed added/removed/changed report between two
+#         table versions
+# ---------------------------------------------------------------------------
+#
+# The data-ops regression check: diff two versions of a keyed table
+# (here: per-user aggregate state before/after a cutoff week) and report
+# added / removed / changed / unchanged keys. One full-outer join on the
+# key — never a row-by-row compare — with null-safe change detection, so
+# it scales as a single co-partitioned shuffle at 100 TB.
+
+_Q129_CUTOFF = "2021-03-25 00:00:00"
+
+_Q129_ORACLE = f"""
+WITH v1 AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{_Q129_CUTOFF}'
+  GROUP BY user_id
+), v2 AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+), d AS (
+  SELECT COALESCE(v1.user_id, v2.user_id) AS user_id,
+         CASE WHEN v1.user_id IS NULL THEN 'added'
+              WHEN v2.user_id IS NULL THEN 'removed'
+              WHEN v1.n IS DISTINCT FROM v2.n THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MIN(user_id) AS BIGINT) AS min_key,
+       CAST(MAX(user_id) AS BIGINT) AS max_key
+FROM d GROUP BY status ORDER BY status
+"""
+
+
+@dq("q129_snapshot_diff", oracle=_Q129_ORACLE, covers="J3,F10,A1,EXT")
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_Q129_CUTOFF).cast("timestamp")
+    v1 = (
+        events.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    v2 = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    j = v1.withColumnRenamed("user_id", "k1").withColumnRenamed(
+        "n", "n1"
+    ).join(
+        v2.withColumnRenamed("user_id", "k2").withColumnRenamed("n", "n2"),
+        F.col("k1") == F.col("k2"),
+        "full_outer",
+    )
+    d = j.select(
+        F.coalesce("k1", "k2").alias("user_id"),
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(~F.col("n1").eqNullSafe(F.col("n2")), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return (
+        d.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min("user_id").alias("min_key"),
+            F.max("user_id").alias("max_key"),
+        )
+        .orderBy("status")
+    )
