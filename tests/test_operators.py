@@ -417,6 +417,8 @@ def test_text_profile_ansi_edge_cases(spark):
 # ---------------------------------------------------------------------------
 
 def test_salted_join_equals_plain_join(spark):
+    # Default (no salt_by) round-robin salting path; the deterministic
+    # hash-salted path and plan shape live in tests/test_skew.py.
     from questdb_etl_jobs_spark.operators.skew import salted_join
 
     # 1000 rows of one hot key + a long tail.
@@ -430,7 +432,7 @@ def test_salted_join_equals_plain_join(spark):
     for how in ("inner", "left"):
         got = sorted(
             (r["k"], r["payload"], r["v"])
-            for r in salted_join(big, small, on=["k"], n_salt=8, how=how).collect()
+            for r in salted_join(big, small, on="k", salts=8, how=how).collect()
         )
         expected = sorted(
             (r["k"], r["payload"], r["v"])
