@@ -1055,3 +1055,70 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# q130 — rolling 7-day distinct users from mergeable daily HLL partials
+# ---------------------------------------------------------------------------
+#
+# The rolling-MAU query, sketch-style: ONE HLL partial per day (built
+# once, ~16 KB each), every 7-day window answered by unioning 7 sketch
+# bytes — at 100 TB the raw-data pass happens once and every window
+# after that is arithmetic over kilobytes. The exact rolling distinct
+# rides along via bounded window-explode of the distinct (user, day)
+# pairs (≤7× a key-sized table, never the raw events), and the gated row
+# asserts the sketch lands within 5% of it (q117/q120/q27 pattern).
+
+_Q130_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), win AS (
+  SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS wday
+  FROM ud, LATERAL UNNEST(range(0, 7)) AS t(i)
+), days AS (SELECT DISTINCT day FROM ud)
+SELECT d.day,
+       CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS exact_users_7d,
+       TRUE AS within_5pct
+FROM days d JOIN win w ON w.wday = d.day
+GROUP BY d.day ORDER BY d.day
+"""
+
+
+@dq("q130_rolling_distinct_hll", oracle=_Q130_ORACLE, covers="A3,A7,F5,EXT")
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    offsets = F.array(*[F.lit(i) for i in range(7)])
+    # Sketch path: one partial per day, window = union of 7 partials.
+    daily_sk = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    windowed_sk = (
+        daily_sk.withColumn("wday", F.explode(offsets))
+        .select(F.date_add("day", F.col("wday")).alias("day"), "sk")
+        .groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    # Exact path over the key-sized distinct (user, day) table.
+    ud = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    exact = (
+        ud.withColumn("i", F.explode(offsets))
+        .select("user_id", F.date_add("day", F.col("i")).alias("day"))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("exact_users_7d"))
+    )
+    days = ud.select("day").distinct()
+    return (
+        days.join(exact, "day")
+        .join(windowed_sk, "day")
+        .select(
+            "day",
+            "exact_users_7d",
+            (
+                F.abs(F.col("est") - F.col("exact_users_7d"))
+                <= 0.05 * F.col("exact_users_7d")
+            ).alias("within_5pct"),
+        )
+        .orderBy("day")
+    )
