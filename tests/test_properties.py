@@ -363,3 +363,90 @@ def test_sampling_operators_match_python_models(spark, rows, budget, k):
         want_fixed.extend((g, i) for i in members[:k])
     assert got_budget == sorted(want_budget)
     assert got_fixed == sorted(want_fixed)
+
+
+_scd_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.sampled_from("ABC"), st.integers(0, 40)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_scd_rows)
+def test_scd2_intervals_match_bruteforce(spark, rows):
+    """SCD2 build vs a CPython run-length model: per key the versions
+    partition the row sequence, valid_to chains to the next valid_from,
+    and attrs/counts match the brute-force collapse (incl. duplicate
+    timestamps, resolved by the explicit order column)."""
+    from questdb_etl_jobs_spark.operators.scd import scd2_intervals
+
+    df = spark.createDataFrame(
+        [
+            (k, a, _BASE + timedelta(minutes=m), i)
+            for i, (k, a, m) in enumerate(rows)
+        ],
+        "k long, attr string, ts timestamp, rid long",
+    )
+    got = {
+        (r.k, r.version): (r.attr, r.valid_from, r.valid_to, r.n_rows)
+        for r in scd2_intervals(df, "k", "attr", "ts", order=["rid"]).collect()
+    }
+
+    # Brute-force model.
+    expected = {}
+    by_key: dict[int, list] = {}
+    for i, (k, a, m) in enumerate(rows):
+        by_key.setdefault(k, []).append((_BASE + timedelta(minutes=m), i, a))
+    for k, seq in by_key.items():
+        seq.sort()
+        runs = []
+        for ts, _, a in seq:
+            if not runs or runs[-1][0] != a:
+                runs.append([a, ts, 0])
+            runs[-1][2] += 1
+        for v, (a, ts, n) in enumerate(runs, start=1):
+            nxt = runs[v][1] if v < len(runs) else None
+            expected[(k, v)] = (a, ts, nxt, n)
+    assert got == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    weights=st.lists(st.integers(1, 1000), min_size=1, max_size=40),
+    k=st.integers(1, 10),
+    salt=st.integers(0, 3),
+)
+def test_weighted_sample_matches_bruteforce(spark, weights, k, salt):
+    """A-ES weighted top-k vs the same priority formula in CPython —
+    exact set equality, any weights, any k, any salt."""
+    import math
+
+    from questdb_etl_jobs_spark.functions.sampling import (
+        RESOLUTION,
+        weighted_sample_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "id long, w long"
+    )
+    got = sorted(
+        r.id for r in weighted_sample_topk(df, "id", "w", k=k, salt=salt).collect()
+    )
+    pri = {
+        i: -math.log((((i + salt) * 2654435761) % RESOLUTION + 1) / RESOLUTION)
+        / w
+        for i, w in enumerate(weights)
+    }
+    expected = sorted(
+        sorted(pri, key=lambda i: (pri[i], i))[: min(k, len(weights))]
+    )
+    assert got == expected
