@@ -1122,3 +1122,170 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q131 — winsorization: clip a metric at exact P01/P99 (dataset cleaning)
+# ---------------------------------------------------------------------------
+#
+# Curation primitive: cap outliers at percentile bounds before they skew
+# downstream statistics. Per-group exact bounds come from ONE aggregate
+# (Spark `percentile` = percentile_cont semantics), broadcast back as a
+# 3-row join — the clip itself is pure codegen. Output is the per-group
+# post-clip profile, decimal-summed for the cross-engine gate.
+
+_Q131_ORACLE = """
+WITH b AS (
+  SELECT o_orderstatus,
+         quantile_cont(o_totalprice, 0.01) AS lo,
+         quantile_cont(o_totalprice, 0.99) AS hi
+  FROM orders GROUP BY o_orderstatus
+), c AS (
+  SELECT o.o_orderstatus,
+         LEAST(GREATEST(o.o_totalprice, b.lo), b.hi) AS v,
+         CASE WHEN o.o_totalprice < b.lo OR o.o_totalprice > b.hi
+              THEN 1 ELSE 0 END AS clipped
+  FROM orders o JOIN b ON o.o_orderstatus = b.o_orderstatus
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(clipped) AS BIGINT) AS n_clipped,
+       {total}
+FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus
+""".format(total=sum4("v", "total_clipped"))
+
+
+@dq("q131_winsorize", oracle=_Q131_ORACLE, covers="A5,J2,F7,EXT")
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.01).alias("lo"),
+        F.percentile("o_totalprice", 0.99).alias("hi"),
+    )
+    clipped = orders.join(F.broadcast(bounds), "o_orderstatus").select(
+        "o_orderstatus",
+        F.least(F.greatest("o_totalprice", F.col("lo")), F.col("hi")).alias(
+            "v"
+        ),
+        (
+            (F.col("o_totalprice") < F.col("lo"))
+            | (F.col("o_totalprice") > F.col("hi"))
+        )
+        .cast("long")
+        .alias("clipped"),
+    )
+    return (
+        clipped.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("clipped").alias("n_clipped"),
+            F.round(
+                F.sum(F.round("v", 4).cast("decimal(28,4)")).cast("double"), 4
+            ).alias("total_clipped"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q132 — temporal train/test split with an embargo gap
+# ---------------------------------------------------------------------------
+#
+# Time-series ML hygiene: train on everything before T_train, test on
+# everything after T_test = T_train + embargo, DROP the embargo band so
+# leakage through time-adjacent correlation can't cross the split. Pure
+# scan-stage predicates (pushdown-friendly); output is the per-split
+# profile including boundary timestamps, so the gated row PROVES train
+# max < test min with the full embargo between them.
+
+_Q132_TRAIN_END = "2024-01-20 00:00:00"
+_Q132_TEST_START = "2024-01-23 00:00:00"  # 3-day embargo
+
+_Q132_ORACLE = f"""
+WITH s AS (
+  SELECT CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '{_Q132_TRAIN_END}'
+              THEN 'train'
+              WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '{_Q132_TEST_START}'
+              THEN 'test' ELSE 'embargo' END AS split,
+         CAST(ts AS TIMESTAMP) AS ts, user_id
+  FROM events
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS min_ts_us,
+       CAST(epoch_us(MAX(ts)) AS BIGINT) AS max_ts_us
+FROM s WHERE split <> 'embargo'
+GROUP BY split ORDER BY split
+"""
+
+
+@dq("q132_temporal_split_embargo", oracle=_Q132_ORACLE, covers="P2,A1,F5,EXT")
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    train_end = F.lit(_Q132_TRAIN_END).cast("timestamp")
+    test_start = F.lit(_Q132_TEST_START).cast("timestamp")
+    s = events.select(
+        F.when(F.col("ts") < train_end, "train")
+        .when(F.col("ts") >= test_start, "test")
+        .otherwise("embargo")
+        .alias("split"),
+        "ts",
+        "user_id",
+    ).filter(F.col("split") != "embargo")
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.unix_micros(F.min("ts")).alias("min_ts_us"),
+            F.unix_micros(F.max("ts")).alias("max_ts_us"),
+        )
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q133 — group-aware k-fold assignment (all of a user's rows share a fold)
+# ---------------------------------------------------------------------------
+#
+# Cross-validation hygiene for grouped data: folds are assigned per
+# GROUP (user), never per row, so no user straddles train and
+# validation. The fold is the content-keyed hash of the group id —
+# deterministic, engine-independent, no shuffle to assign (pure codegen
+# on the scan; the only exchange is the report aggregation). The gated
+# row carries per-fold row/user counts plus a cross-fold leakage count
+# pinned to zero by construction.
+
+_Q133_K = 5
+
+_Q133_ORACLE = f"""
+WITH f AS (
+  SELECT user_id, event_id,
+         ((user_id * 2654435761) % 10000) % {_Q133_K} AS fold
+  FROM events
+)
+SELECT fold,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM f GROUP BY fold ORDER BY fold
+"""
+
+
+@dq("q133_group_kfold", oracle=_Q133_ORACLE, covers="F7,A1,A2,EXT")
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.functions.sampling import sample_bucket
+
+    events = load_table(spark, sf_dir, "events")
+    folded = events.select(
+        "user_id",
+        F.pmod(sample_bucket("user_id"), F.lit(_Q133_K)).alias("fold"),
+    )
+    return (
+        folded.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("fold")
+    )
