@@ -1289,3 +1289,62 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# q134 — JSONL ingest: the reference pipeline over an alternate wire format
+# ---------------------------------------------------------------------------
+#
+# sources/json_source.py reads JSON-Lines purchase exports into the SAME
+# raw all-string shape as the CSV scan, so anonymize/cast/quarantine run
+# unchanged — format parity for the ingest path (S2's JSONL sibling).
+# Oracle: hashlib-SHA-1 VALUES computed from the fixture in CPython
+# (DuckDB has no sha1), the q02 pattern.
+
+def _q134_oracle() -> str:
+    import hashlib as _hashlib
+    import json as _json
+    from datetime import datetime as _dt
+
+    from questdb_etl_jobs_spark.queries._protocol import FIXTURE_DIR
+
+    rows = []
+    with open(FIXTURE_DIR / "purchases_small.jsonl") as fh:
+        for line in fh:
+            rec = _json.loads(line)
+            digest = _hashlib.sha1(rec["email"].encode()).hexdigest()
+            iso = _dt.strptime(
+                rec["purchase_date"], "%Y-%m-%dT%H:%M:%S"
+            ).strftime("%Y-%m-%d %H:%M:%S")
+            rows.append(
+                f"('{digest}', {int(rec['item_id'])}, "
+                f"{int(rec['quantity'])}, {int(rec['price'])}, "
+                f"TIMESTAMP '{iso}')"
+            )
+    values = ",\n      ".join(rows)
+    return f"""
+    SELECT * FROM (VALUES
+      {values}
+    ) AS t(buyer, item_id, quantity, price, purchase_date)
+    ORDER BY buyer, purchase_date, item_id, quantity, price
+    """
+
+
+@dq("q134_jsonl_ingest", oracle=_q134_oracle, covers="S2,F1,P3,F3,F4,EXT")
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.pipeline import (
+        anonymize_and_cast,
+        split_quarantine,
+    )
+    from questdb_etl_jobs_spark.queries._protocol import FIXTURE_DIR
+    from questdb_etl_jobs_spark.sources.json_source import (
+        read_purchases_jsonl,
+    )
+
+    raw = read_purchases_jsonl(
+        spark, str(FIXTURE_DIR / "purchases_small.jsonl")
+    )
+    good, _bad = split_quarantine(anonymize_and_cast(raw))
+    return good.orderBy(
+        "buyer", "purchase_date", "item_id", "quantity", "price"
+    )

@@ -156,3 +156,28 @@ def test_reference_console_journey(spark, tmp_path):
     assert ts == sorted(ts)
     assert all("@" not in r["buyer"] for r in rows)  # SHA-1, not emails
     assert all(len(r["buyer"]) == 40 for r in rows)
+
+
+def test_jsonl_source_quarantines_malformed(spark, tmp_path):
+    """JSONL ingest: numeric tokens arrive as wire strings (CSV parity),
+    malformed lines land in _corrupt_record instead of failing the batch."""
+    from questdb_etl_jobs_spark.pipeline import (
+        anonymize_and_cast,
+        split_quarantine,
+    )
+    from questdb_etl_jobs_spark.sources.json_source import read_purchases_jsonl
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"email":"a@x.io","item_id":1,"quantity":2,"price":3,'
+        '"purchase_date":"2021-03-21T11:00:00"}\n'
+        "this is not json\n"
+        '{"email":"b@x.io","item_id":"oops","quantity":2,"price":3,'
+        '"purchase_date":"2021-03-21T12:00:00"}\n'
+    )
+    raw = read_purchases_jsonl(spark, str(p))
+    good, bad = split_quarantine(anonymize_and_cast(raw))
+    assert good.count() == 1          # the clean record
+    assert bad.count() == 2           # broken JSON + non-int item_id
+    row = good.collect()[0]
+    assert row["item_id"] == 1 and len(row["buyer"]) == 40  # sha1 hex
