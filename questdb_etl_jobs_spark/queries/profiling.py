@@ -785,7 +785,7 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cost: one window shuffle over the delta + one anti-join against the
 # key-sized snapshot — O(delta + keys), not O(history).
 
-_Q125_CUTOFF = "2021-03-20 00:00:00"
+_Q125_CUTOFF = "2024-01-20 00:00:00"
 
 _Q125_ORACLE = f"""
 WITH ranked AS (
@@ -996,7 +996,7 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
 # key — never a row-by-row compare — with null-safe change detection, so
 # it scales as a single co-partitioned shuffle at 100 TB.
 
-_Q129_CUTOFF = "2021-03-25 00:00:00"
+_Q129_CUTOFF = "2024-01-01 04:00:00"
 
 _Q129_ORACLE = f"""
 WITH v1 AS (
