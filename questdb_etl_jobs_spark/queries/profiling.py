@@ -1348,3 +1348,87 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
     return good.orderBy(
         "buyer", "purchase_date", "item_id", "quantity", "price"
     )
+
+
+# ---------------------------------------------------------------------------
+# q135/q136 — the QuestDB dialect front-end, oracle-gated
+# ---------------------------------------------------------------------------
+#
+# sql/dialect.py runs QuestDB query strings verbatim, lowering LATEST ON
+# / SAMPLE BY / ASOF JOIN / interval search onto the library operators.
+# These two queries feed actual dialect strings through that front-end
+# and gate the result against DuckDB — so the translator itself is under
+# the differential oracle, not just unit tests.
+
+_Q135_SQL = (
+    "SELECT * FROM events WHERE ts IN '2024-01-15' "
+    "LATEST ON ts PARTITION BY user_id"
+)
+
+_Q135_ORACLE = """
+WITH day AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+  FROM events
+  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'
+    AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-16 00:00:00'
+), ranked AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+  FROM day
+)
+SELECT user_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       ROUND(value, 4) AS value4
+FROM ranked WHERE rn = 1 ORDER BY user_id
+"""
+
+
+@dq("q135_dialect_latest_on", oracle=_Q135_ORACLE, covers="W4,O1,F5,EXT")
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    out = questdb_sql(spark, _Q135_SQL, {"events": "ts"})
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 4).alias("value4"),
+    ).orderBy("user_id")
+
+
+_Q136_SQL = (
+    "SELECT ts, event_type, first(value) open, last(value) close, "
+    "count(*) n FROM events WHERE ts IN '2024-01-10' SAMPLE BY 1h"
+)
+
+_Q136_ORACLE = """
+WITH day AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events
+  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+    AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-11 00:00:00'
+)
+SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us,
+       event_type,
+       ROUND(arg_min(value, ts), 4) AS open4,
+       ROUND(arg_max(value, ts), 4) AS close4,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM day GROUP BY bucket_us, event_type
+ORDER BY bucket_us, event_type
+"""
+
+
+@dq("q136_dialect_sample_by", oracle=_Q136_ORACLE, covers="A7,F5,A1,EXT")
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    out = questdb_sql(spark, _Q136_SQL, {"events": "ts"})
+    return out.select(
+        F.unix_micros("ts").alias("bucket_us"),
+        "event_type",
+        F.round("open", 4).alias("open4"),
+        F.round("close", 4).alias("close4"),
+        "n",
+    ).orderBy("bucket_us", "event_type")

@@ -1,0 +1,5 @@
+"""QuestDB SQL dialect front-end (see :mod:`.dialect`)."""
+
+from questdb_etl_jobs_spark.sql.dialect import QuestDBSQLError, questdb_sql
+
+__all__ = ["QuestDBSQLError", "questdb_sql"]

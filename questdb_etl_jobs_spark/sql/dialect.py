@@ -1,0 +1,360 @@
+"""QuestDB SQL dialect → Spark: run QuestDB query strings verbatim.
+
+The reference deployment's query surface is a QuestDB console
+(`reference README.md:58,363-366` — "we can now execute the following
+SQL query"). Standard SQL from that console runs on Spark unchanged
+(`spark.sql`); what does NOT parse anywhere else is QuestDB's dialect
+sugar over designated-timestamp tables. This module accepts those query
+strings as written and lowers each dialect construct onto the library
+operator that implements its semantics:
+
+=====================================  ====================================
+QuestDB construct                      Lowering
+=====================================  ====================================
+``LATEST ON ts PARTITION BY k``        :func:`operators.latest.latest_on`
+``SAMPLE BY 1h [FILL(...)]``           :func:`operators.sample_by.sample_by`
+``... ALIGN TO FIRST OBSERVATION``     ``sample_by_first_observation``
+``first(x)`` / ``last(x)`` aggregates  ``min_by`` / ``max_by`` on the ts
+``ASOF / LT JOIN t2 [ON k]``           :func:`operators.asof.asof_join`
+``ts IN '2024-01'`` interval search    range predicate via
+                                       :func:`operators.sample_by.interval_bounds`
+``LIMIT -n`` (tail)                    reversed-order ``limit`` + re-sort
+anything else                          ``spark.sql`` passthrough (full
+                                       Spark SQL)
+=====================================  ====================================
+
+Scope is deliberate and explicit: a dialect query must have the shape
+``SELECT <list> FROM <table> [ASOF|LT JOIN t2 [ON k,...]] [WHERE ...]
+[LATEST ON ...] [SAMPLE BY ...] [ORDER BY ...] [LIMIT n]``; any
+unconsumed fragment raises :class:`QuestDBSQLError` naming it — no query
+is silently half-interpreted. Tables resolve from the session catalog
+(register DataFrames with ``createOrReplaceTempView``); designated
+timestamps come from the ``designated`` mapping (QuestDB stores that in
+table metadata, `reference sql/create-table.sql:1`).
+
+Everything is lowered to the same declarative plans the rest of the
+engine uses — the dialect layer adds zero execution cost at any scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class QuestDBSQLError(ValueError):
+    """A QuestDB-dialect construct this front-end does not support."""
+
+
+_UNIT = {
+    "s": "second",
+    "m": "minute",
+    "h": "hour",
+    "d": "day",
+    "w": "week",
+    "M": "month",
+    "y": "year",
+}
+
+_LATEST_RE = re.compile(
+    r"\bLATEST\s+ON\s+(\w+)\s+PARTITION\s+BY\s+"
+    r"(\w+(?:\s*,\s*\w+)*)",
+    re.IGNORECASE,
+)
+_SAMPLE_RE = re.compile(
+    r"\bSAMPLE\s+BY\s+(\d+)([smhdwMy])"
+    r"(?:\s+FILL\s*\(\s*([^)]*?)\s*\))?"
+    r"(?:\s+ALIGN\s+TO\s+(CALENDAR|FIRST\s+OBSERVATION))?",
+    re.IGNORECASE,
+)
+_JOIN_RE = re.compile(
+    r"\b(ASOF|LT|SPLICE)\s+JOIN\s+(\w+)"
+    r"(?:\s+ON\s+\(?\s*(\w+(?:\s*,\s*\w+)*)\s*\)?)?",
+    re.IGNORECASE,
+)
+_LIMIT_RE = re.compile(r"\bLIMIT\s+(-?\d+)\s*$", re.IGNORECASE)
+_ORDER_RE = re.compile(
+    r"\bORDER\s+BY\s+(.+?)(?=\bLIMIT\b|$)", re.IGNORECASE | re.DOTALL
+)
+_WHERE_RE = re.compile(
+    r"\bWHERE\s+(.+?)(?=\bLATEST\s+ON\b|\bSAMPLE\s+BY\b|\bORDER\s+BY\b"
+    r"|\bLIMIT\b|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_MAIN_RE = re.compile(
+    r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<table>\w+)(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_IN_INTERVAL_RE = re.compile(
+    r"\b(\w+)\s+IN\s+'([0-9][0-9T:\-\.]*)'", re.IGNORECASE
+)
+_AGG_RE = re.compile(
+    r"^(sum|avg|min|max|count|first|last)\s*\(\s*(\*|[\w\.]+)\s*\)"
+    r"(?:\s+(?:AS\s+)?(\w+))?$",
+    re.IGNORECASE,
+)
+_COL_RE = re.compile(r"^([\w\.]+)(?:\s+(?:AS\s+)?(\w+))?$", re.IGNORECASE)
+
+
+def _rewrite_interval_in(predicate: str) -> str:
+    """``ts IN '2024-01'`` → half-open range comparison (both engines)."""
+    from questdb_etl_jobs_spark.operators.sample_by import interval_bounds
+
+    def repl(m: re.Match) -> str:
+        col, literal = m.group(1), m.group(2)
+        start, end = interval_bounds(literal)
+        return (
+            f"({col} >= TIMESTAMP '{start}' AND {col} < TIMESTAMP '{end}')"
+        )
+
+    return _IN_INTERVAL_RE.sub(repl, predicate)
+
+
+def _split_items(text: str) -> list[str]:
+    """Split a select/order list on top-level commas."""
+    items, depth, cur = [], 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur and "".join(cur).strip():
+        items.append("".join(cur).strip())
+    return items
+
+
+def _agg_column(fn: str, arg: str, alias: str, ts: str) -> Column:
+    fn = fn.lower()
+    if fn == "count":
+        col = F.count(F.lit(1)) if arg == "*" else F.count(arg)
+    elif fn == "first":
+        col = F.min_by(arg, F.col(ts))
+    elif fn == "last":
+        col = F.max_by(arg, F.col(ts))
+    else:
+        col = getattr(F, fn)(arg)
+    return col.alias(alias)
+
+
+def questdb_sql(
+    spark: SparkSession,
+    sql: str,
+    designated: dict[str, str] | None = None,
+) -> DataFrame:
+    """Execute a QuestDB-dialect SQL string against registered views.
+
+    ``designated`` maps table name → designated-timestamp column (needed
+    by SAMPLE BY, ASOF/LT JOIN, first/last and tail LIMIT; QuestDB keeps
+    this in table metadata). Standard-SQL queries pass straight through
+    to ``spark.sql``.
+    """
+    designated = designated or {}
+    text = sql.strip().rstrip(";").strip()
+
+    limit_m = _LIMIT_RE.search(text)
+    has_dialect = bool(
+        _LATEST_RE.search(text)
+        or _SAMPLE_RE.search(text)
+        or _JOIN_RE.search(text)
+        or _IN_INTERVAL_RE.search(text)
+        or (limit_m and int(limit_m.group(1)) < 0)
+    )
+    if not has_dialect:
+        return spark.sql(text)
+
+    main = _MAIN_RE.match(text)
+    if not main:
+        raise QuestDBSQLError(
+            f"dialect query must start SELECT ... FROM <table>: {text!r}"
+        )
+    select_list = main.group("select")
+    table = main.group("table")
+    rest = main.group("rest")
+    ts = designated.get(table)
+
+    join_m = _JOIN_RE.search(rest)
+    where_m = _WHERE_RE.search(rest)
+    latest_m = _LATEST_RE.search(rest)
+    sample_m = _SAMPLE_RE.search(rest)
+    order_m = _ORDER_RE.search(rest)
+    limit_m = _LIMIT_RE.search(rest)
+
+    df = spark.table(table)
+
+    # ASOF / LT JOIN — right table keyed by ITS designated ts, presented
+    # under the left ts name (asof_join shares one `on` column).
+    if join_m:
+        from questdb_etl_jobs_spark.operators.asof import asof_join
+
+        kind, right_name, keys = (
+            join_m.group(1).upper(),
+            join_m.group(2),
+            join_m.group(3),
+        )
+        if kind == "SPLICE":
+            raise QuestDBSQLError(
+                "SPLICE JOIN: call operators.asof.splice_join directly "
+                "(its two-sided output shape has no single-SELECT spelling)"
+            )
+        if ts is None or right_name not in designated:
+            raise QuestDBSQLError(
+                f"{kind} JOIN needs designated timestamps for "
+                f"{table!r} and {right_name!r}"
+            )
+        right = spark.table(right_name)
+        r_ts = designated[right_name]
+        if r_ts != ts:
+            right = right.withColumnRenamed(r_ts, ts)
+        by = [k.strip() for k in keys.split(",")] if keys else []
+        df = asof_join(df, right, on=ts, by=by, strict=(kind == "LT"))
+
+    if where_m:
+        df = df.filter(F.expr(_rewrite_interval_in(where_m.group(1).strip())))
+
+    if latest_m:
+        from questdb_etl_jobs_spark.operators.latest import latest_on
+
+        l_ts = latest_m.group(1)
+        l_keys = [k.strip() for k in latest_m.group(2).split(",")]
+        df = latest_on(df, l_ts, l_keys)
+
+    if sample_m:
+        if ts is None:
+            raise QuestDBSQLError(
+                f"SAMPLE BY needs a designated timestamp for {table!r}"
+            )
+        n, unit, fill_spec, align = sample_m.groups()
+        unit_word = _UNIT[unit]
+        bucket = unit_word if int(n) == 1 else f"{n} {unit_word}s"
+        keys: list[str] = []
+        aggs: list[Column] = []
+        bucket_alias = ts
+        for item in _split_items(select_list):
+            agg = _AGG_RE.match(item)
+            col = _COL_RE.match(item)
+            if agg:
+                fn, arg, alias = agg.groups()
+                aggs.append(
+                    _agg_column(fn, arg, alias or f"{fn}_{arg}".rstrip("*_"), ts)
+                )
+            elif col and col.group(1) == ts:
+                bucket_alias = col.group(2) or ts
+            elif col:
+                keys.append(col.group(1))
+            else:
+                raise QuestDBSQLError(
+                    f"unsupported SAMPLE BY select item: {item!r}"
+                )
+        from questdb_etl_jobs_spark.operators.sample_by import (
+            sample_by,
+            sample_by_fill,
+            sample_by_first_observation,
+        )
+
+        align_norm = re.sub(r"\s+", " ", align or "CALENDAR").upper()
+        if align_norm == "FIRST OBSERVATION":
+            if fill_spec:
+                raise QuestDBSQLError(
+                    "FILL with ALIGN TO FIRST OBSERVATION is not supported"
+                )
+            df = sample_by_first_observation(
+                df, ts, bucket, aggs, keys, bucket_col=bucket_alias
+            )
+        elif fill_spec:
+            spec = fill_spec.strip()
+            low = spec.lower()
+            if low in ("null", "none"):
+                fill_val: object = "null"
+            elif low == "prev":
+                fill_val = "prev"
+            elif low == "linear":
+                fill_val = "linear"
+            else:
+                try:
+                    fill_val = ("value", float(spec))
+                except ValueError as exc:
+                    raise QuestDBSQLError(
+                        f"unsupported FILL spec: {spec!r}"
+                    ) from exc
+            # Apply ONE fill mode to every aggregate column (the common
+            # single-arg QuestDB form; per-column lists are unsupported).
+            out = sample_by(df, ts, bucket, aggs, keys, bucket_col=bucket_alias)
+            value_cols = [
+                c
+                for c in out.columns
+                if c != bucket_alias and c not in keys
+            ]
+            from questdb_etl_jobs_spark.operators.sample_by import fill_gaps
+
+            df = fill_gaps(
+                out,
+                bucket_alias,
+                bucket,
+                keys,
+                {c: fill_val for c in value_cols},
+            )
+        else:
+            df = sample_by(df, ts, bucket, aggs, keys, bucket_col=bucket_alias)
+    elif select_list.strip() != "*":
+        df = df.selectExpr(*_split_items(select_list))
+
+    order_cols: list[Column] = []
+    if order_m:
+        for item in _split_items(order_m.group(1).strip()):
+            m = re.match(r"^(.*?)(?:\s+(ASC|DESC))?$", item, re.IGNORECASE)
+            expr, direction = m.group(1).strip(), (m.group(2) or "ASC").upper()
+            c = F.expr(expr)
+            order_cols.append(c.desc() if direction == "DESC" else c.asc())
+        df = df.orderBy(*order_cols)
+
+    if limit_m:
+        n = int(limit_m.group(1))
+        if n >= 0:
+            df = df.limit(n)
+        else:
+            # QuestDB tail: last |n| rows of the result order (default:
+            # designated-ts order). Reverse, take, restore.
+            if order_m:
+                rev = [
+                    F.expr(re.match(r"^(.*?)(?:\s+(ASC|DESC))?$", it,
+                                    re.IGNORECASE).group(1).strip())
+                    for it in _split_items(order_m.group(1).strip())
+                ]
+                dirs = [
+                    (re.match(r"^(.*?)(?:\s+(ASC|DESC))?$", it,
+                              re.IGNORECASE).group(2) or "ASC").upper()
+                    for it in _split_items(order_m.group(1).strip())
+                ]
+                reversed_cols = [
+                    c.asc() if d == "DESC" else c.desc()
+                    for c, d in zip(rev, dirs)
+                ]
+                df = df.orderBy(*reversed_cols).limit(-n).orderBy(*order_cols)
+            elif ts is not None and ts in df.columns:
+                df = (
+                    df.orderBy(F.col(ts).desc())
+                    .limit(-n)
+                    .orderBy(F.col(ts).asc())
+                )
+            else:
+                raise QuestDBSQLError(
+                    "negative LIMIT needs an ORDER BY or a designated ts"
+                )
+
+    # Safety: every recognized span must account for the rest of the
+    # query — any leftover token is an unsupported construct, and the
+    # query fails loudly instead of running half-interpreted.
+    leftover = rest
+    for m in (join_m, where_m, latest_m, sample_m, order_m, limit_m):
+        if m:
+            leftover = leftover.replace(m.group(0), " ", 1)
+    if leftover.strip():
+        raise QuestDBSQLError(f"unsupported fragment: {leftover.strip()!r}")
+    return df
