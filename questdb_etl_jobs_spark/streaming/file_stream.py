@@ -52,6 +52,24 @@ def stream_purchases_csv(
     return reader.csv(input_dir)
 
 
+def stream_purchases_jsonl(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming scan of JSONL purchase exports (sources/json_source.py's
+    streaming face): same raw all-string shape as the CSV stream, so the
+    whole pipeline downstream is format-agnostic."""
+    reader = (
+        spark.readStream.schema(PURCHASES_RAW)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(input_dir)
+
+
 def run_stream_to_table(
     spark: SparkSession,
     input_dir: str,
@@ -63,6 +81,7 @@ def run_stream_to_table(
     available_now: bool = True,
     sink: str = "append",
     upsert_keys: tuple[str, ...] = ("buyer", "item_id", "quantity", "price"),
+    source_format: str = "csv",
 ) -> tuple[StreamingQuery, StreamingQuery]:
     """Run the full streaming pipeline; returns (good_query, bad_query).
 
@@ -95,7 +114,12 @@ def run_stream_to_table(
     out-of-order uploads, reference README.md:373); pass e.g. ``"1 hour"``
     to accept late data the idiomatic way.
     """
-    raw = stream_purchases_csv(spark, input_dir)
+    if source_format == "csv":
+        raw = stream_purchases_csv(spark, input_dir)
+    elif source_format == "jsonl":
+        raw = stream_purchases_jsonl(spark, input_dir)
+    else:
+        raise ValueError(f"source_format must be csv or jsonl, got {source_format!r}")
     typed = anonymize_and_cast(raw)
     bad_cond = (
         F.col("_corrupt_record").isNotNull()

@@ -850,3 +850,45 @@ def test_asof_stream_join_matches_batch_asof(spark, tmp_path):
     )
     expected = sorted((oid, px) for oid, px in expected if px is not None)
     assert got == expected and len(got) > 0
+
+
+def test_stream_jsonl_source_matches_csv_run(spark, tmp_path):
+    """Format parity: streaming the JSONL fixture through the same
+    pipeline yields the identical table the CSV stream produces."""
+    import csv as _csv
+    import json as _json
+
+    csv_src = FIXTURES / "purchases" / "2021-03-21T11.csv"
+    jsonl_in = tmp_path / "jsonl_in"
+    jsonl_in.mkdir()
+    with open(csv_src, newline="") as fh, open(
+        jsonl_in / "a.jsonl", "w"
+    ) as out:
+        for email, item_id, quantity, price, ts in _csv.reader(fh):
+            out.write(
+                _json.dumps(
+                    {"email": email, "item_id": int(item_id),
+                     "quantity": int(quantity), "price": int(price),
+                     "purchase_date": ts}
+                )
+                + "\n"
+            )
+
+    csv_in = tmp_path / "csv_in"
+    csv_in.mkdir()
+    shutil.copy(csv_src, csv_in)
+
+    csv_dir, jsonl_dir = tmp_path / "csv_run", tmp_path / "jsonl_run"
+    csv_dir.mkdir(); jsonl_dir.mkdir()
+    _run(spark, csv_dir, csv_in)
+    _run(spark, jsonl_dir, jsonl_in, source_format="jsonl")
+
+    def rows(p):
+        return sorted(
+            map(tuple, spark.read.parquet(str(p / "table")).select(
+                "buyer", "item_id", "quantity", "price", "purchase_date"
+            ).collect())
+        )
+
+    got = rows(jsonl_dir)
+    assert got == rows(csv_dir) and len(got) == 300
