@@ -66,7 +66,8 @@ _LATEST_RE = re.compile(
 _SAMPLE_RE = re.compile(
     r"\bSAMPLE\s+BY\s+(\d+)([smhdwMy])"
     r"(?:\s+FILL\s*\(\s*([^)]*?)\s*\))?"
-    r"(?:\s+ALIGN\s+TO\s+(CALENDAR|FIRST\s+OBSERVATION))?",
+    r"(?:\s+ALIGN\s+TO\s+(CALENDAR|FIRST\s+OBSERVATION)"
+    r"(?:\s+TIME\s+ZONE\s+'([^']+)')?)?",
     re.IGNORECASE,
 )
 _JOIN_RE = re.compile(
@@ -230,7 +231,7 @@ def questdb_sql(
             raise QuestDBSQLError(
                 f"SAMPLE BY needs a designated timestamp for {table!r}"
             )
-        n, unit, fill_spec, align = sample_m.groups()
+        n, unit, fill_spec, align, tz = sample_m.groups()
         unit_word = _UNIT[unit]
         bucket = unit_word if int(n) == 1 else f"{n} {unit_word}s"
         keys: list[str] = []
@@ -259,7 +260,24 @@ def questdb_sql(
         )
 
         align_norm = re.sub(r"\s+", " ", align or "CALENDAR").upper()
-        if align_norm == "FIRST OBSERVATION":
+        if tz:
+            # ALIGN TO CALENDAR TIME ZONE 'x': wall-clock buckets in tz,
+            # reported back as UTC instants (QuestDB reports the bucket's
+            # UTC start). Only whole-unit buckets make calendar sense.
+            if align_norm != "CALENDAR" or int(n) != 1 or fill_spec:
+                raise QuestDBSQLError(
+                    "TIME ZONE supports ALIGN TO CALENDAR with a 1-unit "
+                    "bucket and no FILL"
+                )
+            local_bucket = F.date_trunc(
+                unit_word, F.from_utc_timestamp(F.col(ts), tz)
+            )
+            grouped = df.groupBy(
+                F.to_utc_timestamp(local_bucket, tz).alias(bucket_alias),
+                *keys,
+            )
+            df = grouped.agg(*aggs)
+        elif align_norm == "FIRST OBSERVATION":
             if fill_spec:
                 raise QuestDBSQLError(
                     "FILL with ALIGN TO FIRST OBSERVATION is not supported"

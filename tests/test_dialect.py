@@ -137,3 +137,39 @@ def test_unsupported_fragment_raises(spark, trades):
 def test_sample_by_needs_designated_ts(spark, trades):
     with pytest.raises(QuestDBSQLError, match="designated"):
         questdb_sql(spark, "SELECT ts, sum(qty) q FROM trades SAMPLE BY 1h")
+
+
+def test_sample_by_calendar_time_zone(spark, trades):
+    """Daily buckets in America/New_York: 2024-01-01 00:15 UTC is still
+    2023-12-31 wall-clock in NY (UTC-5), so it buckets with the previous
+    NY day — boundaries shift relative to UTC daily buckets."""
+    out = questdb_sql(
+        spark,
+        "SELECT ts, count(*) n FROM trades "
+        "SAMPLE BY 1d ALIGN TO CALENDAR TIME ZONE 'America/New_York'",
+        {"trades": "ts"},
+    )
+    got = {r.ts: r.n for r in out.collect()}
+    # NY day starts at 05:00 UTC: hours 00,01,03 of each UTC day fall in
+    # the PREVIOUS NY day. 2 syms x 3 hours = 6 rows per UTC day.
+    assert got == {
+        _ts("2023-12-31 05:00:00"): 6,  # Jan 1 00/01/03 UTC
+        _ts("2024-01-01 05:00:00"): 6,  # Jan 2 00/01/03 UTC
+    }
+
+
+def test_lt_join_is_strict(spark, trades):
+    quotes = spark.createDataFrame(
+        [(_ts("2024-01-01 00:15:00"), "AAA", 9.0)],
+        "qts timestamp, sym string, bid double",
+    )
+    quotes.createOrReplaceTempView("quotes")
+    out = questdb_sql(
+        spark,
+        "SELECT * FROM trades LT JOIN quotes ON sym "
+        "WHERE ts IN '2024-01-01T00'",
+        {"trades": "ts", "quotes": "qts"},
+    )
+    got = {(r.sym, r.ts): r.bid for r in out.collect()}
+    # AAA trade at exactly 00:15 must NOT see the equal-ts quote (strict <).
+    assert got[("AAA", _ts("2024-01-01 00:15:00"))] is None
