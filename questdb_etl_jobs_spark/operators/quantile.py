@@ -6,27 +6,30 @@ interactive SQL over the ingested data). Spark's built-in ``percentile``
 is exact but sorts every group's values inside the aggregate buffer;
 ``approx_percentile`` is bounded-error. This operator gets the EXACT
 value with bounded memory per task — the classic two-phase histogram
-scheme:
+scheme, expressed END-TO-END as DataFrame plans (nothing but the final
+result ever reaches the driver, so group cardinality is unbounded):
 
-1. one aggregate pass: per group ``n, min, max`` plus a fixed-width
-   histogram of ``B`` buckets (map-side partial agg; the shuffled state
-   is O(groups × B), independent of row count);
-2. the driver walks each group's cumulative histogram to locate the
-   bucket(s) holding the target order statistics ``k = (n-1)·q`` (floor
-   and ceil) and how many rows precede them;
-3. one targeted pass: only rows in those buckets (a ``groups × ≤2``
-   broadcast semi-join) are ranked — everything else never shuffles.
+1. one aggregate pass: per group ``n, min, max`` (map-side partial agg);
+2. one histogram pass: rows join their group's stats (AQE broadcasts the
+   stats side when small, shuffles when the group space is huge) and
+   bucket into a fixed-width ``B``-bucket histogram — shuffled state is
+   O(groups × B), independent of row count;
+3. the cumulative walk that locates the bucket(s) holding the target
+   order statistics ``k = (n-1)·q`` (floor and ceil) is a prefix-sum
+   WINDOW over the histogram (partitioned by group, ordered by bucket) —
+   distributed, not a driver loop;
+4. one targeted pass: only rows in target buckets (a ``groups × ≤2``-row
+   join) are ranked; a final per-group aggregate interpolates.
 
 The refine set per group is ~n/B rows on even data; pathological piles
 in one bucket degrade toward a per-group sort of that pile (recursive
-re-bucketing would fix it; not needed for the engine's data). Driver
-state: B-entry arrays per group — a bounded collect, same class as the
-centroid/bitmap collects elsewhere in the engine.
+re-bucketing would fix it; not needed for the engine's data). Scale
+posture: no collect, no per-group literals in the plan (plan size is
+O(1) in group count — asserted by tests/test_operators.py's 10⁴-group
+case), NULL group keys flow through via null-safe joins.
 """
 
 from __future__ import annotations
-
-import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -42,107 +45,118 @@ def exact_quantile(
     """Exact linear-interpolation quantile of ``value`` per ``group``
     (same definition as ANSI ``percentile_cont`` / Spark ``percentile``:
     ``h = (n-1)·q``, interpolate between the ``⌊h⌋``-th and ``⌈h⌉``-th
-    order statistics). Returns ``group, n, q<q> (double)``.
+    order statistics). Returns ``group, n, quantile (double)``.
 
     NULL values are ignored (SQL aggregate semantics); a group with no
-    non-NULL values is dropped.
+    non-NULL values is dropped. A NULL group KEY is its own group, as in
+    ``GROUP BY``.
     """
     if not 0.0 <= q <= 1.0:
         raise ValueError("q must be in [0, 1]")
-    rows = df.filter(F.col(value).isNotNull())
+    rows = df.filter(F.col(value).isNotNull()).select(group, value)
 
     stats = rows.groupBy(group).agg(
         F.count(value).alias("__n"),
         F.min(value).alias("__lo"),
         F.max(value).alias("__hi"),
     )
-    stat_rows = {r[group]: r for r in stats.collect()}
-    if not stat_rows:
-        return stats.select(
-            F.col(group), F.col("__n").alias("n"), F.lit(None).cast("double")
-        ).limit(0)
 
-    # Histogram pass: bucket id from the group's own [lo, hi] range.
-    lo_map = F.create_map(
-        *[x for g, r in stat_rows.items() for x in (F.lit(g), F.lit(r["__lo"]))]
+    # Target order statistics per group (expressions over __n, evaluated
+    # wherever the stats row is present — never materialized driver-side).
+    h = (F.col("__n") - 1) * F.lit(float(q))
+    k1 = F.floor(h).cast("long")
+    k2 = F.ceil(h).cast("long")
+
+    # Histogram pass: bucket id from the group's own [lo, hi] range. The
+    # stats join is null-safe so a NULL group key keeps its rows; frames
+    # are aliased because stats derives from rows (self-join lineage).
+    gq = f"`{group}`"
+    joined = (
+        rows.alias("__r")
+        .join(
+            stats.alias("__s"),
+            on=F.col(f"__r.{gq}").eqNullSafe(F.col(f"__s.{gq}")),
+            how="inner",
+        )
+        .select(
+            F.col(f"__r.{gq}").alias(group),
+            F.col(f"__r.`{value}`").alias(value),
+            "__n", "__lo", "__hi",
+        )
     )
-    hi_map = F.create_map(
-        *[x for g, r in stat_rows.items() for x in (F.lit(g), F.lit(r["__hi"]))]
-    )
-    span = hi_map[F.col(group)] - lo_map[F.col(group)]
+    span = F.col("__hi") - F.col("__lo")
     bucket = F.when(span <= 0, F.lit(0)).otherwise(
         F.least(
             F.lit(buckets - 1),
-            F.floor(
-                (F.col(value) - lo_map[F.col(group)]) / span * buckets
-            ).cast("int"),
+            F.floor((F.col(value) - F.col("__lo")) / span * buckets).cast(
+                "int"
+            ),
         )
     )
-    hist = (
-        rows.select(F.col(group), bucket.alias("__b"))
-        .groupBy(group, "__b")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .collect()
+    bucketed = joined.select(
+        group, value, bucket.alias("__b"), "__n", "__lo", "__hi"
     )
-    counts: dict[object, dict[int, int]] = {}
-    for r in hist:
-        counts.setdefault(r[group], {})[r["__b"]] = r["__c"]
-
-    # Driver walk: for each group find the buckets holding ⌊h⌋ and ⌈h⌉
-    # and the number of rows before each target bucket.
-    targets = []  # (group, bucket, rows_before_bucket, [wanted offsets])
-    for g, r in stat_rows.items():
-        n = r["__n"]
-        h = (n - 1) * q
-        wanted = sorted({math.floor(h), math.ceil(h)})
-        cum = 0
-        per_bucket: dict[int, list[int]] = {}
-        bcounts = counts[g]
-        for b in sorted(bcounts):
-            c = bcounts[b]
-            for k in wanted:
-                if cum <= k < cum + c:
-                    per_bucket.setdefault(b, []).append(k)
-            cum += c
-        cum = 0
-        for b in sorted(bcounts):
-            if b in per_bucket:
-                targets.append((g, b, cum, per_bucket[b]))
-            cum += bcounts[b]
-
-    spark = df.sparkSession
-    tgt = spark.createDataFrame(
-        [(g, b, before) for g, b, before, _ in targets],
-        f"{group} {stats.schema[group].dataType.simpleString()}, "
-        "__b int, __before long",
+    hist = bucketed.groupBy(group, "__b", "__n").agg(
+        F.count(F.lit(1)).alias("__c")
     )
-    # Targeted pass: rank only rows inside target buckets.
-    w = Window.partitionBy(group, "__b").orderBy(value)
+
+    # Distributed cumulative walk: rows-before-bucket is a prefix sum over
+    # the group's (sorted) bucket ids; a bucket is a target iff it holds
+    # order statistic k1 or k2.
+    cum_w = (
+        Window.partitionBy(group)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn(
+        "__before", F.coalesce(F.sum("__c").over(cum_w), F.lit(0))
+    )
+    holds = lambda k: (F.col("__before") <= k) & (  # noqa: E731
+        k < F.col("__before") + F.col("__c")
+    )
+    targets = cum.filter(holds(k1) | holds(k2)).select(
+        group, "__b", "__before"
+    )
+
+    # Targeted pass: rank ONLY rows inside target buckets (≤2 buckets per
+    # group ever survive the join), then pick the k1/k2 order statistics.
+    t = targets.withColumnRenamed(group, "__g").withColumnRenamed(
+        "__b", "__tb"
+    )
     ranked = (
-        rows.select(F.col(group), F.col(value), bucket.alias("__b"))
-        .join(F.broadcast(tgt), [group, "__b"])
-        .withColumn("__k", F.row_number().over(w) - 1 + F.col("__before"))
-    )
-    wanted_rows = ranked.filter(
-        F.col("__k").isin(
-            [k for _, _, _, ks in targets for k in ks]
+        bucketed.alias("__x")
+        .join(
+            t.alias("__t"),
+            on=[
+                F.col(f"__x.{gq}").eqNullSafe(F.col("__t.__g")),
+                F.col("__x.__b") == F.col("__t.__tb"),
+            ],
         )
-    ).collect()
-    order_stats: dict[object, dict[int, float]] = {}
-    for r in wanted_rows:
-        order_stats.setdefault(r[group], {})[r["__k"]] = r[value]
+        .drop("__g", "__tb")
+        .withColumn(
+            "__k",
+            F.row_number().over(
+                Window.partitionBy(group, "__b").orderBy(value)
+            )
+            - 1
+            + F.col("__before"),
+        )
+    )
+    picked = ranked.filter((F.col("__k") == k1) | (F.col("__k") == k2))
 
-    out = []
-    for g, r in stat_rows.items():
-        n = r["__n"]
-        h = (n - 1) * q
-        k1, k2 = math.floor(h), math.ceil(h)
-        v1 = order_stats[g][k1]
-        v2 = order_stats[g][k2]
-        val = v1 + (h - k1) * (v2 - v1) if k2 != k1 else float(v1)
-        out.append((g, n, val))
-    return spark.createDataFrame(
-        out,
-        f"{group} {stats.schema[group].dataType.simpleString()}, "
-        "n long, quantile double",
+    # Final per-group aggregate: fetch the two order statistics and
+    # interpolate. All expressions recompute h/k1/k2 from the carried __n.
+    v = F.col(value).cast("double")
+    agg = picked.groupBy(group).agg(
+        F.max("__n").alias("__n"),
+        F.max(F.when(F.col("__k") == k1, v)).alias("__v1"),
+        F.max(F.when(F.col("__k") == k2, v)).alias("__v2"),
+    )
+    interp = F.when(k1 == k2, F.col("__v1")).otherwise(
+        F.col("__v1") + (h - k1) * (F.col("__v2") - F.col("__v1"))
+    )
+    return agg.select(
+        group,
+        F.col("__n").alias("n"),
+        interp.alias("quantile"),
     ).orderBy(group)

@@ -1354,3 +1354,45 @@ def test_exact_quantile_degenerate_and_nulls(spark):
     # all-equal values (zero span) collapse to bucket 0; NULLs ignored;
     # the all-NULL group drops.
     assert out == {"a": (10, 5.0)}
+
+
+def test_exact_quantile_null_group_key(spark):
+    """A NULL group KEY is its own group (GROUP BY semantics) — the
+    null-safe stats/target joins must not drop its rows."""
+    from questdb_etl_jobs_spark.operators.quantile import exact_quantile
+
+    df = spark.createDataFrame(
+        [(None, float(v)) for v in range(1, 12)]
+        + [("a", 1.0), ("a", 3.0)],
+        "g string, v double",
+    )
+    out = {r.g: (r.n, r.quantile) for r in exact_quantile(df, "v", "g").collect()}
+    assert out == {None: (11, 6.0), "a": (2, 2.0)}
+
+
+def test_exact_quantile_high_cardinality_bounded_plan(spark):
+    """Scale contract: 10⁴ groups must NOT inline per-group literals
+    (round-6 verdict: the old create_map build was O(groups) driver
+    memory AND plan size). The plan must stay O(1) in group count and
+    the values must still be exact."""
+    from questdb_etl_jobs_spark.operators.quantile import exact_quantile
+    from questdb_etl_jobs_spark.plans.inspect import plan_string
+
+    groups = 10_000
+    df = spark.range(groups * 5).select(
+        F.concat(F.lit("g"), (F.col("id") % groups)).alias("g"),
+        (F.col("id") * 7 % 101).cast("double").alias("v"),
+    )
+    q = exact_quantile(df, "v", "g", q=0.5, buckets=64)
+    plan = plan_string(q)
+    assert "create_map" not in plan
+    assert "g9999" not in plan  # no per-group literal leaked into the plan
+    assert len(plan) < 200_000
+    mine = {r.g: r.quantile for r in q.collect()}
+    ref = {
+        r.g: r.p
+        for r in df.groupBy("g").agg(F.percentile("v", 0.5).alias("p")).collect()
+    }
+    assert len(mine) == groups
+    for g in ("g0", "g1", "g4321", "g9999"):
+        assert abs(mine[g] - ref[g]) < 1e-9
