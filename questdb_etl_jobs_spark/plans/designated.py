@@ -59,6 +59,37 @@ def write_designated_ts(
     return pcol
 
 
+def infer_designated_ts(columns: list[str]) -> str | None:
+    """Recover the designated-timestamp column from the storage
+    convention: a ``<col>_pdate`` partition column alongside ``<col>``
+    marks ``<col>`` as designated (QuestDB keeps this in table metadata,
+    reference sql/create-table.sql:1; this engine keeps it in the
+    layout). Returns None when the table doesn't follow the convention
+    or is ambiguous (two designated candidates)."""
+    hits = [
+        c[: -len(PARTITION_SUFFIX)]
+        for c in columns
+        if c.endswith(PARTITION_SUFFIX) and c[: -len(PARTITION_SUFFIX)] in columns
+    ]
+    return hits[0] if len(hits) == 1 else None
+
+
+def register_designated_table(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    file_format: str = "parquet",
+) -> DataFrame:
+    """Register a designated-ts table written by
+    :func:`write_designated_ts` as a temp view. The partition column
+    travels with the view, so :func:`infer_designated_ts` (and the
+    QuestDB SQL dialect) recover the designated timestamp without
+    caller plumbing."""
+    df = spark.read.format(file_format).load(path)
+    df.createOrReplaceTempView(name)
+    return df
+
+
 def compact_designated(
     spark: SparkSession,
     src_path: str,

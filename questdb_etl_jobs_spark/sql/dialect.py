@@ -30,7 +30,12 @@ unconsumed fragment raises :class:`QuestDBSQLError` naming it — no query
 is silently half-interpreted. Tables resolve from the session catalog
 (register DataFrames with ``createOrReplaceTempView``); designated
 timestamps come from the ``designated`` mapping (QuestDB stores that in
-table metadata, `reference sql/create-table.sql:1`).
+table metadata, `reference sql/create-table.sql:1`) or, when absent, are
+inferred from the designated-ts storage layout's ``<col>_pdate``
+partition column (plans/designated.py) — tables written by
+``write_designated_ts``/registered by ``register_designated_table``
+query with no caller plumbing, and ``ts IN '<interval>'`` searches on
+them add the partition-pruning date predicate automatically.
 
 Everything is lowered to the same declarative plans the rest of the
 engine uses — the dialect layer adds zero execution cost at any scale.
@@ -99,18 +104,88 @@ _AGG_RE = re.compile(
 _COL_RE = re.compile(r"^([\w\.]+)(?:\s+(?:AS\s+)?(\w+))?$", re.IGNORECASE)
 
 
-def _rewrite_interval_in(predicate: str) -> str:
-    """``ts IN '2024-01'`` → half-open range comparison (both engines)."""
+def _rewrite_interval_in(predicate: str, columns: tuple[str, ...] = ()) -> str:
+    """``ts IN '2024-01'`` → half-open range comparison (both engines).
+
+    When the table carries the designated-ts layout's partition column
+    (``<col>_pdate``, plans/designated.py), the equivalent date predicate
+    is added so the interval search prunes partition directories
+    statically — at 100 TB the scan reads only the interval's days.
+    """
     from questdb_etl_jobs_spark.operators.sample_by import interval_bounds
+    from questdb_etl_jobs_spark.plans.designated import PARTITION_SUFFIX
 
     def repl(m: re.Match) -> str:
         col, literal = m.group(1), m.group(2)
         start, end = interval_bounds(literal)
-        return (
-            f"({col} >= TIMESTAMP '{start}' AND {col} < TIMESTAMP '{end}')"
-        )
+        cond = f"{col} >= TIMESTAMP '{start}' AND {col} < TIMESTAMP '{end}'"
+        pcol = col + PARTITION_SUFFIX
+        if pcol in columns:
+            cond += (
+                f" AND {pcol} >= DATE '{str(start)[:10]}'"
+                f" AND {pcol} <= DATE '{str(end)[:10]}'"
+            )
+        return f"({cond})"
 
     return _IN_INTERVAL_RE.sub(repl, predicate)
+
+
+def _split_top_and(predicate: str) -> list[str] | None:
+    """Split a predicate on top-level ``AND``; None if a top-level ``OR``
+    makes the split semantically unsafe. Quoted strings and parens are
+    respected."""
+    conjuncts: list[str] = []
+    depth, i, start, n = 0, 0, 0, len(predicate)
+    has_or = False
+    while i < n:
+        ch = predicate[i]
+        if ch == "'":
+            j = predicate.find("'", i + 1)
+            i = n if j < 0 else j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = re.match(r"(AND|OR)\b", predicate[i:], re.IGNORECASE)
+            word_boundary = i == 0 or not (
+                predicate[i - 1].isalnum() or predicate[i - 1] == "_"
+            )
+            if m and word_boundary:
+                if m.group(1).upper() == "OR":
+                    has_or = True
+                else:
+                    conjuncts.append(predicate[start:i].strip())
+                    start = i + 3
+                i += len(m.group(1))
+                continue
+        i += 1
+    conjuncts.append(predicate[start:].strip())
+    return None if has_or else [c for c in conjuncts if c]
+
+
+def _split_latest_where(
+    predicate: str, table_columns: set[str], allowed: set[str]
+) -> tuple[str | None, str | None]:
+    """QuestDB applies only designated-ts/partition-key filters BEFORE
+    ``LATEST ON`` and every other column filter AFTER it (the latest row
+    per key is found first, then filtered). Split the WHERE conjuncts
+    accordingly: a conjunct referencing only ``allowed`` columns is a
+    pre-filter, anything else is a post-filter. A top-level OR couples
+    the conjuncts, so the whole predicate is classified as one unit."""
+    conjuncts = _split_top_and(predicate)
+    if conjuncts is None:
+        conjuncts = [predicate.strip()]
+    pre, post = [], []
+    for c in conjuncts:
+        tokens = set(re.findall(r"[A-Za-z_]\w*", re.sub(r"'[^']*'", "''", c)))
+        referenced = tokens & table_columns
+        (pre if referenced <= allowed else post).append(f"({c})")
+    return (
+        " AND ".join(pre) if pre else None,
+        " AND ".join(post) if post else None,
+    )
 
 
 def _split_items(text: str) -> list[str]:
@@ -178,7 +253,6 @@ def questdb_sql(
     select_list = main.group("select")
     table = main.group("table")
     rest = main.group("rest")
-    ts = designated.get(table)
 
     join_m = _JOIN_RE.search(rest)
     where_m = _WHERE_RE.search(rest)
@@ -188,6 +262,12 @@ def questdb_sql(
     limit_m = _LIMIT_RE.search(rest)
 
     df = spark.table(table)
+    # Designated ts: explicit mapping wins; otherwise recover it from the
+    # designated-ts storage convention (the <col>_pdate partition column
+    # plans/designated.py writes) — saved tables query without plumbing.
+    from questdb_etl_jobs_spark.plans.designated import infer_designated_ts
+
+    ts = designated.get(table) or infer_designated_ts(df.columns)
 
     # ASOF / LT JOIN — right table keyed by ITS designated ts, presented
     # under the left ts name (asof_join shares one `on` column).
@@ -204,20 +284,42 @@ def questdb_sql(
                 "SPLICE JOIN: call operators.asof.splice_join directly "
                 "(its two-sided output shape has no single-SELECT spelling)"
             )
-        if ts is None or right_name not in designated:
+        right = spark.table(right_name)
+        r_ts = designated.get(right_name) or infer_designated_ts(right.columns)
+        if ts is None or r_ts is None:
             raise QuestDBSQLError(
                 f"{kind} JOIN needs designated timestamps for "
                 f"{table!r} and {right_name!r}"
             )
-        right = spark.table(right_name)
-        r_ts = designated[right_name]
         if r_ts != ts:
             right = right.withColumnRenamed(r_ts, ts)
         by = [k.strip() for k in keys.split(",")] if keys else []
         df = asof_join(df, right, on=ts, by=by, strict=(kind == "LT"))
 
+    post_latest_pred: str | None = None
     if where_m:
-        df = df.filter(F.expr(_rewrite_interval_in(where_m.group(1).strip())))
+        pred = _rewrite_interval_in(
+            where_m.group(1).strip(), tuple(df.columns)
+        )
+        if latest_m:
+            # QuestDB's LATEST ON filter order: ts/partition-key
+            # conjuncts narrow the scan BEFORE latest-row resolution,
+            # value filters apply to the resolved latest rows AFTER.
+            l_allowed = {latest_m.group(1)} | {
+                k.strip() for k in latest_m.group(2).split(",")
+            }
+            from questdb_etl_jobs_spark.plans.designated import (
+                PARTITION_SUFFIX,
+            )
+
+            l_allowed |= {c + PARTITION_SUFFIX for c in l_allowed}
+            pre_pred, post_latest_pred = _split_latest_where(
+                pred, set(df.columns), l_allowed
+            )
+            if pre_pred:
+                df = df.filter(F.expr(pre_pred))
+        else:
+            df = df.filter(F.expr(pred))
 
     if latest_m:
         from questdb_etl_jobs_spark.operators.latest import latest_on
@@ -225,6 +327,8 @@ def questdb_sql(
         l_ts = latest_m.group(1)
         l_keys = [k.strip() for k in latest_m.group(2).split(",")]
         df = latest_on(df, l_ts, l_keys)
+        if post_latest_pred:
+            df = df.filter(F.expr(post_latest_pred))
 
     if sample_m:
         if ts is None:
@@ -232,6 +336,14 @@ def questdb_sql(
                 f"SAMPLE BY needs a designated timestamp for {table!r}"
             )
         n, unit, fill_spec, align, tz = sample_m.groups()
+        if unit not in _UNIT:
+            # The keyword regexes are case-insensitive but QuestDB's
+            # duration units are NOT ('m' minute vs 'M' month): reject
+            # any casing that isn't an exact unit instead of crashing.
+            raise QuestDBSQLError(
+                f"unknown SAMPLE BY unit {unit!r} (case-sensitive; "
+                f"one of {', '.join(_UNIT)})"
+            )
         unit_word = _UNIT[unit]
         bucket = unit_word if int(n) == 1 else f"{n} {unit_word}s"
         keys: list[str] = []
@@ -367,12 +479,19 @@ def questdb_sql(
                 )
 
     # Safety: every recognized span must account for the rest of the
-    # query — any leftover token is an unsupported construct, and the
-    # query fails loudly instead of running half-interpreted.
-    leftover = rest
+    # query — any leftover character is an unsupported construct, and the
+    # query fails loudly instead of running half-interpreted. Matched
+    # character SPANS are marked consumed (not textual replace, which
+    # would eat an identical earlier occurrence, e.g. inside a WHERE
+    # string literal).
+    consumed = bytearray(len(rest))
     for m in (join_m, where_m, latest_m, sample_m, order_m, limit_m):
         if m:
-            leftover = leftover.replace(m.group(0), " ", 1)
+            for i in range(m.start(), m.end()):
+                consumed[i] = 1
+    leftover = "".join(
+        ch for i, ch in enumerate(rest) if not consumed[i]
+    )
     if leftover.strip():
         raise QuestDBSQLError(f"unsupported fragment: {leftover.strip()!r}")
     return df

@@ -158,6 +158,115 @@ def test_sample_by_calendar_time_zone(spark, trades):
     }
 
 
+def test_sample_by_unit_is_case_sensitive(spark, trades):
+    """QuestDB units are case-sensitive: 1m = minute, 1M = month, 1H is
+    not a unit (round-6 verdict: this crashed with a raw KeyError)."""
+    with pytest.raises(QuestDBSQLError, match="case-sensitive"):
+        questdb_sql(
+            spark, "SELECT ts, sum(qty) q FROM trades SAMPLE BY 1H",
+            {"trades": "ts"},
+        )
+    by_minute = questdb_sql(
+        spark, "SELECT ts, sum(qty) q FROM trades SAMPLE BY 30m",
+        {"trades": "ts"},
+    )
+    by_month = questdb_sql(
+        spark, "SELECT ts, sum(qty) q FROM trades SAMPLE BY 1M",
+        {"trades": "ts"},
+    )
+    assert by_minute.count() == 6  # one :00 bucket per (day, hour)
+    assert by_month.count() == 1   # all of 2024-01
+
+
+def test_latest_on_where_split(spark, trades):
+    """Value filters apply AFTER latest-row resolution (QuestDB order):
+    the latest AAA row has price 23.0, so `price < 22` must yield no AAA
+    row — not AAA's latest-among-price<22 row. Key/ts filters still
+    apply before."""
+    out = questdb_sql(
+        spark,
+        "SELECT * FROM trades WHERE price < 22 AND sym = 'AAA' "
+        "LATEST ON ts PARTITION BY sym",
+        {"trades": "ts"},
+    )
+    assert out.collect() == []
+    # ts filter pre-applies: latest AAA within Jan 1 is hour 3 (price 13).
+    out2 = questdb_sql(
+        spark,
+        "SELECT * FROM trades WHERE ts IN '2024-01-01' AND sym = 'AAA' "
+        "LATEST ON ts PARTITION BY sym",
+        {"trades": "ts"},
+    )
+    rows = out2.collect()
+    assert len(rows) == 1 and rows[0].price == 13.0
+
+
+def test_leftover_uses_spans_not_text(spark, trades):
+    """A WHERE string literal that textually repeats a later clause must
+    not confuse the unsupported-fragment accounting (round-6 advisor:
+    str.replace consumed the first occurrence, not the matched span)."""
+    out = questdb_sql(
+        spark,
+        "SELECT sym, qty FROM trades WHERE sym <> 'LIMIT 2' LIMIT 2",
+        {"trades": "ts"},
+    )
+    assert out.count() == 2
+
+
+def test_designated_ts_inferred_from_layout(spark, tmp_path):
+    """The two halves of the QuestDB convention meet: a table written by
+    write_designated_ts and registered carries its designated ts in the
+    layout (ts_pdate partition column), so dialect queries need no
+    `designated` argument — and interval searches prune partitions."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+        write_designated_ts,
+    )
+    from questdb_etl_jobs_spark.plans.inspect import plan_string
+
+    rows = [
+        (_ts(f"2024-01-0{d} {h:02d}:15:00"), s, float(10 * d + h))
+        for d in (1, 2)
+        for h in (0, 1)
+        for s in ("AAA", "BBB")
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, sym string, price double")
+    path = str(tmp_path / "trades_saved")
+    write_designated_ts(df, path, "ts")
+    register_designated_table(spark, "trades_saved", path)
+
+    out = questdb_sql(
+        spark,
+        "SELECT ts, sym, avg(price) p FROM trades_saved SAMPLE BY 1h",
+    )
+    got = {(r.ts, r.sym): r.p for r in out.collect()}
+    assert got[(_ts("2024-01-01 00:00:00"), "AAA")] == 10.0
+    assert len(got) == 8
+
+    pruned = questdb_sql(
+        spark,
+        "SELECT sym, price FROM trades_saved WHERE ts IN '2024-01-02'",
+    )
+    assert pruned.count() == 4
+    assert "ts_pdate" in plan_string(pruned)  # partition filter in plan
+
+    # ASOF JOIN resolves the right side's designated ts the same way.
+    quotes = spark.createDataFrame(
+        [(_ts("2024-01-01 00:00:00"), "AAA", 1.0)],
+        "qts timestamp, sym string, bid double",
+    )
+    qpath = str(tmp_path / "quotes_saved")
+    write_designated_ts(quotes, qpath, "qts")
+    register_designated_table(spark, "quotes_saved", qpath)
+    joined = questdb_sql(
+        spark,
+        "SELECT * FROM trades_saved ASOF JOIN quotes_saved ON sym",
+    )
+    by_key = {(r.sym, r.ts): r.bid for r in joined.collect()}
+    assert by_key[("AAA", _ts("2024-01-01 00:15:00"))] == 1.0
+    assert by_key[("BBB", _ts("2024-01-01 00:15:00"))] is None
+
+
 def test_lt_join_is_strict(spark, trades):
     quotes = spark.createDataFrame(
         [(_ts("2024-01-01 00:15:00"), "AAA", 9.0)],
