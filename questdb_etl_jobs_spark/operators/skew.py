@@ -37,23 +37,28 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``facts ⋈ dim`` on ``on`` with an ``S``-way salted key.
 
-    ``salt_by`` picks the fact column hashed into the salt (defaults to a
-    per-row nondeterministic spread via ``rand``-free round-robin on
-    ``spark_partition_id``+``monotonically_increasing_id`` — but prefer a
-    real column: deterministic salting keeps the join reproducible).
-    ``how`` supports ``inner`` and ``left`` (dim replicated either way).
+    ``salt_by`` picks the fact column hashed into the salt; by default
+    the salt is a hash of EVERY fact column. Both forms are pure
+    functions of row content — essential correctness property: the salt
+    participates in the shuffle join key, and a nondeterministic salt
+    (``rand()``, partition-id tricks) re-assigns rows when a failed or
+    speculative task recomputes a map partition, silently dropping or
+    duplicating join rows downstream. The only caveat of the content
+    default: fully identical fact rows share a salt bucket, so a hot key
+    made of *identical* rows doesn't spread — pass ``salt_by`` naming a
+    distinct-ish column for that shape. ``how`` supports ``inner`` and
+    ``left`` (dim replicated either way).
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner' or 'left'")
     if salts < 1:
         raise ValueError("salts must be >= 1")
-    if salt_by is not None:
-        fact_salt = F.pmod(F.xxhash64(F.col(salt_by)), F.lit(salts))
-    else:
-        fact_salt = F.pmod(
-            F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
-            F.lit(salts),
-        )
+    salt_cols = (
+        [F.col(salt_by)]
+        if salt_by is not None
+        else [F.col(c) for c in facts.columns]
+    )
+    fact_salt = F.pmod(F.xxhash64(*salt_cols), F.lit(salts))
     facts_s = facts.withColumn(_SALT, fact_salt.cast("int"))
     dim_s = dim.withColumn(
         _SALT, F.explode(F.array(*[F.lit(s) for s in range(salts)]))

@@ -99,7 +99,17 @@ def asof_stream_join(
 
     Inner semantics: left events with NO right row inside the tolerance
     window drop (the streaming outer variant would couple NULL emission
-    to trigger timing). ``left_id`` must uniquely identify left rows.
+    to trigger timing).
+
+    ``left_id`` must uniquely identify left rows: it IS the aggregation
+    state key — grouping is by ``(left_id, left_ts)``, and the remaining
+    left columns ride along as deterministic ``max`` aggregates (exact
+    when the contract holds, since they're then constant per group).
+    With duplicate ids the duplicates collapse into one output row whose
+    left payload is the per-column max — deterministic, but not the
+    batch ``asof_join`` answer; give every left row a real id. Keying
+    state on (id, ts) rather than every left column also keeps the state
+    store's key width fixed no matter how wide the left schema is.
     """
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
@@ -112,13 +122,13 @@ def asof_stream_join(
 
     payload_cols = [c for c in right.columns if c not in on]
     payload = F.struct(*[F.col(c) for c in payload_cols])
-    group_cols = [c for c in left.columns if c != left_ts]
-    agg = (
-        joined.groupBy(F.col(left_ts), *[F.col(c) for c in group_cols])
-        .agg(F.max_by(payload, F.col(right_ts)).alias("__m"))
+    other_left = [c for c in left.columns if c not in (left_id, left_ts)]
+    agg = joined.groupBy(F.col(left_id), F.col(left_ts)).agg(
+        *[F.max(c).alias(c) for c in other_left],
+        F.max_by(payload, F.col(right_ts)).alias("__m"),
     )
     return agg.select(
         left_ts,
-        *group_cols,
+        *[c for c in left.columns if c != left_ts],
         *[F.col(f"__m.{c}").alias(c) for c in payload_cols],
     )

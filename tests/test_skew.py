@@ -69,6 +69,35 @@ def test_salted_join_key_includes_salt_in_plan(spark):
     assert "__salt" in plan, plan
 
 
+def test_salted_join_default_salt_is_deterministic_and_correct(spark):
+    """The no-salt_by default must be a pure function of row content
+    (round-6 advisor: partition-id/monotonic-id salts re-assign rows on
+    task retry, dropping/duplicating join rows). Content-hash default:
+    same results as the plain join, and re-evaluating the salted frame
+    yields identical row assignments."""
+    facts, dim = _skewed(spark)
+    plain = facts.join(dim, "k").select("fid", "name")
+    salted = salted_join(facts, dim, on="k", salts=8).select("fid", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # Determinism: two independent evaluations of the salt expression
+    # agree row-for-row (nondeterministic sources would not).
+    s = F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(8))
+    a = facts.withColumn("s", s).collect()
+    b = facts.withColumn("s", s).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # And the hot key still spreads across buckets.
+    spread = (
+        facts.withColumn("s", s.cast("int"))
+        .filter(F.col("k") == 1)
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    assert len(spread) == 8
+
+
 def test_salted_join_validates_args(spark):
     facts, dim = _skewed(spark)
     import pytest
