@@ -2,7 +2,15 @@
 
 Prints ONE JSON line:
   {"metric": "bench_total", "value": <sum of per-query sec>, "unit": "sec",
-   "queries": {"<name>": sec, ...}, "sf": 0.1}
+   "queries": {"<name>": sec, ...}, "ingest": {...},
+   "control": {"dq20_duck_sec": ..., "dq25_duck_sec": ...,
+               "dq20_baseline_sec": ..., "dq25_baseline_sec": ...,
+               "drift_vs_baseline": ...},
+   "sf": 0.1}
+
+The control block re-runs BASELINE.md's DuckDB probe queries on the same
+boot so every recorded bench carries its own machine-speed calibration
+(divide raw ratios by drift_vs_baseline for cross-round comparisons).
 
 Protocol mirrors BASELINE.md: warm session (JVM startup excluded), result
 fully fetched, best of 3 timed runs after 1 warmup. Headline set maps to
@@ -151,12 +159,64 @@ def _bench_ingest(spark, n_rows: int = 600_000) -> dict:
     }
 
 
+#: BASELINE.md's measured DuckDB probe times (same machine, 2026-08-13).
+_CONTROL_BASELINE = {"dq20": 0.0683, "dq25": 0.0203}
+
+
+def _duck_control(sf_dir: str) -> dict:
+    """DuckDB control probes: BASELINE.md's DQ-20/DQ-25 queries re-run on
+    the same boot as every bench, so the recorded artifact carries its
+    own machine-speed calibration. Spark timings move boot-to-boot with
+    VM scheduling/cpufreq; these probes move with them while the code is
+    constant, so ``drift_vs_baseline`` (geomean probe ratio vs the
+    baseline-day measurements) separates machine drift from code
+    regressions: normalized spark ratio = raw ratio / drift.
+    """
+    import math
+
+    import duckdb
+
+    from tools.sf1_differential import DUCK_SQL
+
+    con = duckdb.connect()
+    for t in ("lineitem", "events"):
+        src = f"{sf_dir}/{t}.parquet"
+        glob = f"{src}/**/*.parquet" if os.path.isdir(src) else src
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')"
+        )
+    out: dict[str, float] = {}
+    ratios = []
+    for label, key in (
+        ("dq20", "dq20_pricing_summary"),
+        ("dq25", "dq25_hourly_bucket"),
+    ):
+        con.execute(DUCK_SQL[key]).fetchall()  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(DUCK_SQL[key]).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        out[f"{label}_duck_sec"] = round(best, 4)
+        out[f"{label}_baseline_sec"] = _CONTROL_BASELINE[label]
+        ratios.append(best / _CONTROL_BASELINE[label])
+    con.close()
+    out["drift_vs_baseline"] = round(
+        math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3
+    )
+    return out
+
+
 def main() -> None:
     from questdb_etl_jobs_spark.queries import spark_queries
     from questdb_etl_jobs_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    try:
+        control = _duck_control(sf_dir)
+    except Exception as exc:  # control is diagnostic — never fail the bench
+        control = {"error": repr(exc)}
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = spark_queries()
@@ -185,6 +245,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "ingest": ingest,
+                "control": control,
                 "sf": sf,
             }
         )
