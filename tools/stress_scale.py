@@ -229,6 +229,17 @@ def _headline():
         "exact_dedup": registry["q46_exact_dedup"],
         "near_dup_pairs": near_dup,
         "dup_clusters": clusters,
+        # Round-6 operators (round-7 verdict: scaling evidence was
+        # missing): keyed-window SCD2 build, latest-op-wins CDC apply,
+        # conditional-min funnel, distributed histogram quantile,
+        # mergeable-sketch rolling distinct. Events-based ones see 10x
+        # user cardinality at constant per-user density; the quantile
+        # sees 10x rows into the same 3 groups.
+        "scd2_build": registry["q113_scd2_intervals"],
+        "cdc_apply": registry["q128_cdc_apply"],
+        "funnel": registry["q104_funnel_steps"],
+        "exact_quantile": registry["q126_exact_quantile_histogram"],
+        "rolling_hll": registry["q130_rolling_distinct_hll"],
     }
 
 
