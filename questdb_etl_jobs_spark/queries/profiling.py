@@ -1432,3 +1432,153 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("close", 4).alias("close4"),
         "n",
     ).orderBy("bucket_us", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# q137 — dialect LATEST ON with a value filter (QuestDB filter order)
+# ---------------------------------------------------------------------------
+#
+# QuestDB applies designated-ts/partition-key filters BEFORE latest-row
+# resolution and every other filter AFTER it (sql/dialect.py round-7
+# split). This query gates that order under the differential oracle: the
+# value predicate must remove users whose LATEST row fails it — NOT
+# reselect each user's latest-among-passing rows (the two differ
+# whenever a user's latest Jan-15 event has value >= 100).
+
+_Q137_SQL = (
+    "SELECT * FROM events WHERE value < 100 AND ts IN '2024-01-15' "
+    "LATEST ON ts PARTITION BY user_id"
+)
+
+_Q137_ORACLE = """
+WITH day AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+  FROM events
+  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'
+    AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-16 00:00:00'
+), ranked AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+  FROM day
+)
+SELECT user_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       ROUND(value, 4) AS value4
+FROM ranked WHERE rn = 1 AND value < 100 ORDER BY user_id
+"""
+
+
+@dq("q137_dialect_latest_on_filtered", oracle=_Q137_ORACLE, covers="W4,P2,EXT")
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    out = questdb_sql(spark, _Q137_SQL, {"events": "ts"})
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 4).alias("value4"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# q138 — exponential moving average per user (sequential recurrence)
+# ---------------------------------------------------------------------------
+#
+# operators/ema.py: the order-dependent recurrence Spark's expression
+# surface cannot spell (and whose window-sum closed form overflows —
+# see the operator docstring), run as a grouped-map Pandas recurrence.
+# alpha = 0.25 so both alpha and 1-alpha are EXACT doubles: the Spark
+# UDF computes literally `0.25*x + 0.75*y` and the oracle's recursive
+# CTE computes the same IEEE expression, term for term — bit-identical
+# trajectories, gated at 4 decimals through the repr-rounding shim.
+
+_Q138_ORACLE = f"""
+WITH RECURSIVE src AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+         ) AS rn
+  FROM events
+), rec AS (
+  SELECT user_id, event_id, ts, rn, value AS ema FROM src WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.ts, s.rn,
+         CAST(0.25 AS DOUBLE) * s.value + CAST(0.75 AS DOUBLE) * r.ema
+  FROM src s JOIN rec r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       {_sr4("ema", "ema4")}
+FROM rec ORDER BY user_id, ts_us, event_id
+"""
+
+
+@dq("q138_ema_per_user", oracle=_Q138_ORACLE, covers="U2,W2,EXT")
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.ema import ema
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = ema(ev, key="user_id", ts="ts", value="value", alpha=0.25,
+              order=["event_id"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("ema", 4).alias("ema4"),
+    ).orderBy("user_id", "ts_us", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q139 — designated-ts layout roundtrip through the dialect
+# ---------------------------------------------------------------------------
+#
+# The full QuestDB storage convention end-to-end under the oracle:
+# events land via plans/designated.write_designated_ts (date-partitioned,
+# time-sorted), the table registers with register_designated_table, and a
+# dialect SAMPLE BY + interval query runs WITHOUT any designated-ts
+# plumbing — the timestamp is inferred from the <col>_pdate layout and
+# the interval search prunes partition directories statically.
+
+_Q139_ORACLE = """
+WITH day AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events
+  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 00:00:00'
+    AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-06 00:00:00'
+)
+SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MAX(value), 4) AS mx4
+FROM day GROUP BY bucket_us ORDER BY bucket_us
+"""
+
+
+@dq("q139_dialect_designated_roundtrip", oracle=_Q139_ORACLE,
+    covers="S6,A7,F5,EXT")
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+        write_designated_ts,
+    )
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    # Deterministic scratch location; overwrite keeps reruns idempotent.
+    path = "/tmp/spark_graft_q139_saved"
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-08")
+    )
+    write_designated_ts(ev, path, "ts", mode="overwrite")
+    register_designated_table(spark, "ev_saved_q139", path)
+    out = questdb_sql(
+        spark,
+        "SELECT ts, count(*) n, max(value) mx FROM ev_saved_q139 "
+        "WHERE ts IN '2024-01-05' SAMPLE BY 1h",
+    )
+    return out.select(
+        F.unix_micros("ts").alias("bucket_us"),
+        "n",
+        F.round("mx", 4).alias("mx4"),
+    ).orderBy("bucket_us")

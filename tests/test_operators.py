@@ -1396,3 +1396,40 @@ def test_exact_quantile_high_cardinality_bounded_plan(spark):
     assert len(mine) == groups
     for g in ("g0", "g1", "g4321", "g9999"):
         assert abs(mine[g] - ref[g]) < 1e-9
+
+
+def test_ema_matches_recurrence_and_handles_nulls(spark):
+    from questdb_etl_jobs_spark.operators.ema import ema
+
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, None), ("a", 4, 40.0),
+        ("b", 1, None), ("b", 2, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, i int, v double").select(
+        "k", "i", F.col("i").cast("timestamp").alias("ts"), "v"
+    )
+    out = {
+        (r.k, r.i): r.ema
+        for r in ema(df, key="k", ts="ts", value="v", alpha=0.25,
+                     order=["i"]).collect()
+    }
+    # a: 10; 0.25*20+0.75*10=12.5; NULL carries 12.5; 0.25*40+0.75*12.5
+    assert out[("a", 1)] == 10.0
+    assert out[("a", 2)] == 12.5
+    assert out[("a", 3)] == 12.5
+    assert abs(out[("a", 4)] - (0.25 * 40 + 0.75 * 12.5)) < 1e-12
+    # b: NULL before any value stays NULL; first value seeds the state.
+    assert out[("b", 1)] is None
+    assert out[("b", 2)] == 8.0
+
+
+def test_ema_validates_alpha(spark):
+    import pytest
+
+    from questdb_etl_jobs_spark.operators.ema import ema
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "k string, ts int, v double")
+    with pytest.raises(ValueError):
+        ema(df, key="k", ts="ts", value="v", alpha=0.0)
+    with pytest.raises(ValueError):
+        ema(df, key="k", ts="ts", value="v", alpha=1.5)
