@@ -1582,3 +1582,73 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round("mx", 4).alias("mx4"),
     ).orderBy("bucket_us")
+
+
+# ---------------------------------------------------------------------------
+# q140 — counter increase with reset handling (operators/counter.py)
+# ---------------------------------------------------------------------------
+#
+# PromQL-style monotonic-counter semantics over the event stream: a
+# deterministic synthetic counter (per-user running cents total mod
+# 100,000 — integer arithmetic, bit-exact in both engines, wraps every
+# ~4 samples) exercises the reset branch (drop -> increase = new value)
+# and the first-sample NULL under the differential oracle.
+
+_Q140_ORACLE = """
+WITH src AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+), c AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(cents) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) % 100000 AS counter
+  FROM src
+), inc AS (
+  SELECT event_type, counter,
+         LAG(counter) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM c
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(prev) AS BIGINT) AS n_with_prev,
+       CAST(SUM(CASE WHEN prev IS NULL THEN NULL
+                     WHEN counter - prev < 0 THEN counter
+                     ELSE counter - prev END) AS BIGINT) AS total_increase
+FROM inc GROUP BY event_type ORDER BY event_type
+"""
+
+
+@dq("q140_counter_rate", oracle=_Q140_ORACLE, covers="W2,W3,A1,EXT")
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from questdb_etl_jobs_spark.operators.counter import counter_increase
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counters = ev.withColumn(
+        "counter", F.sum("cents").over(w) % F.lit(100000)
+    )
+    inc = counter_increase(
+        counters, key="user_id", ts="ts", value="counter",
+        order=["event_id"],
+    )
+    return (
+        inc.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("increase").alias("n_with_prev"),
+            F.sum("increase").alias("total_increase"),
+        )
+        .orderBy("event_type")
+    )

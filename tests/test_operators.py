@@ -1433,3 +1433,24 @@ def test_ema_validates_alpha(spark):
         ema(df, key="k", ts="ts", value="v", alpha=0.0)
     with pytest.raises(ValueError):
         ema(df, key="k", ts="ts", value="v", alpha=1.5)
+
+
+def test_counter_increase_resets_and_nulls(spark):
+    from questdb_etl_jobs_spark.operators.counter import counter_increase
+
+    rows = [
+        ("a", 1, 10), ("a", 2, 25), ("a", 3, 5),    # drop: reset -> 5
+        ("a", 4, None), ("a", 5, 9),                 # null scrape skipped
+        ("b", 1, 100),                               # lone first sample
+    ]
+    df = spark.createDataFrame(rows, "k string, ts int, v long")
+    out = {
+        (r.k, r.ts): r.increase
+        for r in counter_increase(df, key="k", ts="ts", value="v").collect()
+    }
+    assert out[("a", 1)] is None      # no prior observation
+    assert out[("a", 2)] == 15
+    assert out[("a", 3)] == 5         # 25 -> 5 is a reset: count the 5
+    assert out[("a", 4)] is None      # missing scrape
+    assert out[("a", 5)] == 4         # baseline skips the null back to 5
+    assert out[("b", 1)] is None
