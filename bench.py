@@ -69,6 +69,9 @@ def _headline():
         "tfidf": "q90_tfidf",
         "budget_mix": "q91_token_budget_mix",
         "repetition": "q103_repetition_metrics",
+        # Round-7 additions (new entries; exclude from total-vs-r6 deltas):
+        "exact_quantile": "q126_exact_quantile_histogram",
+        "ema": "q138_ema_per_user",
     }
 
 
