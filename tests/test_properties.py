@@ -450,3 +450,98 @@ def test_weighted_sample_matches_bruteforce(spark, weights, k, salt):
         sorted(pri, key=lambda i: (pri[i], i))[: min(k, len(weights))]
     )
     assert got == expected
+
+
+_series = st.lists(
+    st.tuples(
+        st.integers(0, 2),                       # key
+        st.integers(0, 40),                      # minute offset (dups allowed)
+        st.one_of(st.none(), st.integers(-50, 50)),  # value (nullable)
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_series)
+def test_ema_matches_bruteforce(spark, rows):
+    from questdb_etl_jobs_spark.operators.ema import ema
+
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [
+            (k, _BASE + timedelta(minutes=m), i,
+             float(v) if v is not None else None)
+            for i, (k, m, v) in enumerate(rows)
+        ],
+        "k long, ts timestamp, rid long, v double",
+    )
+    got = {
+        r["rid"]: r["ema"]
+        for r in ema(df, key="k", ts="ts", value="v", alpha=0.25,
+                     order=["rid"]).collect()
+    }
+    # Brute force: per key in (ts, rid) order, y = 0.25x + 0.75y,
+    # NULL carries the state (NULL before any value).
+    for key in {k for k, _, _ in rows}:
+        state = None
+        ordered = sorted(
+            (m, i, v) for i, (k, m, v) in enumerate(rows) if k == key
+        )
+        for m, i, v in ordered:
+            if v is not None:
+                state = (
+                    float(v) if state is None
+                    else 0.25 * float(v) + 0.75 * state
+                )
+            expected = state
+            if expected is None:
+                assert got[i] is None, (i, rows)
+            else:
+                assert got[i] is not None and abs(got[i] - expected) < 1e-12
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_series)
+def test_counter_increase_matches_bruteforce(spark, rows):
+    from questdb_etl_jobs_spark.operators.counter import counter_increase
+
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [
+            (k, _BASE + timedelta(minutes=m), i,
+             int(v) if v is not None else None)
+            for i, (k, m, v) in enumerate(rows)
+        ],
+        "k long, ts timestamp, rid long, v long",
+    )
+    got = {
+        r["rid"]: r["increase"]
+        for r in counter_increase(
+            df, key="k", ts="ts", value="v", order=["rid"]
+        ).collect()
+    }
+    for key in {k for k, _, _ in rows}:
+        prev = None
+        ordered = sorted(
+            (m, i, v) for i, (k, m, v) in enumerate(rows) if k == key
+        )
+        for m, i, v in ordered:
+            if v is None or prev is None:
+                expected = None
+            else:
+                expected = v if v - prev < 0 else v - prev
+            assert got[i] == expected, (i, rows)
+            if v is not None:
+                prev = v
