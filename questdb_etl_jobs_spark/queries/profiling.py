@@ -1652,3 +1652,86 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q141 — hourly counter rate (PromQL rate() over SAMPLE BY buckets)
+# ---------------------------------------------------------------------------
+#
+# The operational composition the counter operator exists for: per-series
+# increases (reset-corrected, q140's synthetic counter) rolled into
+# hourly buckets per event_type as events/sec. Integer increase sums
+# stay exact; the final /3600 division is one IEEE op on identical
+# operands in both engines, gated through the repr-rounding shim.
+
+_Q141_ORACLE = f"""
+WITH src AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+), c AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(cents) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) % 100000 AS counter
+  FROM src
+), inc AS (
+  SELECT event_type, ts, counter,
+         LAG(counter) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM c
+), per_bucket AS (
+  SELECT date_trunc('hour', ts) AS bucket,
+         event_type,
+         SUM(CASE WHEN prev IS NULL THEN NULL
+                  WHEN counter - prev < 0 THEN counter
+                  ELSE counter - prev END) AS total_increase
+  FROM inc GROUP BY bucket, event_type
+)
+SELECT CAST(epoch_us(bucket) AS BIGINT) AS bucket_us,
+       event_type,
+       CAST(total_increase AS BIGINT) AS total_increase,
+       {_sr4("CAST(total_increase AS DOUBLE) / 3600.0", "rate4")}
+FROM per_bucket
+WHERE total_increase IS NOT NULL
+ORDER BY bucket_us, event_type
+"""
+
+
+@dq("q141_counter_rate_hourly", oracle=_Q141_ORACLE, covers="W2,A7,F5,EXT")
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from questdb_etl_jobs_spark.operators.counter import counter_increase
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counters = ev.withColumn(
+        "counter", F.sum("cents").over(w) % F.lit(100000)
+    )
+    inc = counter_increase(
+        counters, key="user_id", ts="ts", value="counter",
+        order=["event_id"],
+    )
+    per_bucket = (
+        inc.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+        )
+        .agg(F.sum("increase").alias("total_increase"))
+        .filter(F.col("total_increase").isNotNull())
+    )
+    return per_bucket.select(
+        F.unix_micros("bucket").alias("bucket_us"),
+        "event_type",
+        "total_increase",
+        F.round(F.col("total_increase").cast("double") / 3600.0, 4).alias(
+            "rate4"
+        ),
+    ).orderBy("bucket_us", "event_type")
