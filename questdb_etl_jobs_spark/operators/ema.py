@@ -17,17 +17,25 @@ Two honest options exist:
   sum — but ``(1-alpha)^{-i}`` overflows double past ~5,000 rows per key
   at alpha=0.1 (0.9^-7000 > 1e308), so it is a footgun at exactly the
   per-key series lengths a real deployment has;
-- ``applyInPandas`` over the key partitions (this module): one shuffle
-  on the key, Arrow-batched transfer, and the recurrence runs
-  vectorized-per-group in C-backed pandas. State is one double per
-  group; per-group work is O(rows); series length is unbounded.
+- assemble each key's series with ``sort_array(collect_list(...))`` (one
+  shuffle, map-side partial aggregation) and run the recurrence in a
+  SCALAR Pandas UDF over the series arrays (this module). The Python
+  machinery cost is per Arrow BATCH (~10k series), not per group — the
+  grouped-map ``applyInPandas`` alternative was measured 4× slower at
+  1,500 small groups because its per-group invocation overhead dominates
+  exactly when groups are small and numerous.
 
-Scale posture: identical shuffle shape to any keyed window (exchange on
-``key``); skewed keys behave like any hot window partition. The UDF is
-grouped-map Pandas (Arrow), never row-at-a-time Python.
+Scale posture: one exchange on ``key``, same as any keyed window. Each
+key's full series lives in one aggregation buffer / one task row — the
+same per-group memory contract as a grouped-map UDF or an unbounded
+window frame; a series too big for one task is too big for EMA's
+sequential dependency chain anyway (split by time range and chain the
+carry-in state explicitly if that day comes).
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -51,39 +59,58 @@ def ema(
     an oracle can spell — rather than pandas' ``ewm`` (whose internal
     renormalized form is algebraically equal but not bit-identical).
     NULL values carry the previous EMA forward unchanged (QuestDB/pandas
-    ``ignore_nulls`` semantics).
+    ``ignore_nulls`` semantics). Rows within a key sort by
+    ``(ts, *order, <remaining columns>)`` — pass ``order`` columns that
+    make rows unique for a well-defined result on duplicate timestamps.
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
-    from pyspark.sql.types import DoubleType, StructField, StructType
+    from pyspark.sql.functions import pandas_udf
 
-    sort_cols = [ts, *(order or [])]
-    out_schema = StructType(
-        list(df.schema.fields) + [StructField("ema", DoubleType())]
-    )
     a = float(alpha)
     one_minus = 1.0 - a
 
-    def per_key(pdf):
+    @pandas_udf("array<double>")
+    def ema_arrays(series: pd.Series) -> pd.Series:
         import numpy as np
-        import pandas as pd
 
-        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(
-            drop=True
-        )
-        x = pdf[value].to_numpy(dtype="float64", na_value=np.nan)
-        y = np.empty_like(x)
-        state = np.nan
-        for i in range(len(x)):
-            xi = x[i]
-            if np.isnan(xi):
-                y[i] = state  # NULL: carry previous EMA (NULL before any x)
-                continue
-            state = xi if np.isnan(state) else a * xi + one_minus * state
-            y[i] = state
-        s = pd.Series(y, dtype="float64").astype("Float64")
-        s[np.isnan(y)] = pd.NA
-        pdf["ema"] = s
-        return pdf
+        out = []
+        for vals in series:
+            x = np.asarray(vals, dtype="float64")
+            y = np.empty_like(x)
+            state = np.nan
+            for i in range(len(x)):
+                xi = x[i]
+                if np.isnan(xi):
+                    y[i] = state  # NULL: carry prior EMA (NULL before any x)
+                    continue
+                state = (
+                    xi if np.isnan(state) else a * xi + one_minus * state
+                )
+                y[i] = state
+            out.append([None if np.isnan(v) else float(v) for v in y])
+        return pd.Series(out)
 
-    return df.groupBy(key).applyInPandas(per_key, schema=out_schema)
+    # Struct field order IS the sort order: ts, then tiebreak columns,
+    # then the rest (value included) — sort_array compares struct fields
+    # in declaration order, so (ts, *order) leads.
+    lead = [ts, *(order or [])]
+    rest = [c for c in df.columns if c not in lead]
+    grouped = df.groupBy(key).agg(
+        F.sort_array(F.collect_list(F.struct(*lead, *rest))).alias("__s")
+    )
+    vals = F.transform(F.col("__s"), lambda s: s[value].cast("double"))
+    emas = grouped.withColumn("__e", ema_arrays(vals))
+    exploded = emas.select(
+        key, F.posexplode("__s").alias("__pos", "__row"), F.col("__e")
+    )
+    row_cols = [
+        F.col(f"__row.`{c}`").alias(c)
+        for c in [*lead, *rest]
+        if c != key
+    ]
+    return exploded.select(
+        key,
+        *row_cols,
+        F.element_at(F.col("__e"), F.col("__pos") + 1).alias("ema"),
+    ).select(*df.columns, "ema")
