@@ -1735,3 +1735,72 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rate4"
         ),
     ).orderBy("bucket_us", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# q142 — SPLICE JOIN through the dialect (full-outer as-of, QuestDB shape)
+# ---------------------------------------------------------------------------
+#
+# `SELECT * FROM a SPLICE JOIN b ON k` lowered onto
+# operators/asof.splice_join with the side marker dropped (QuestDB's
+# SELECT * shape: left columns then clash-suffixed right columns).
+# Oracle: union of the two directional DuckDB ASOF joins — the
+# definition — with the same column shape.
+
+_Q142_ORACLE = """
+WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase' AND event_id % 3 = 0),
+     s AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'signup'),
+lface AS (
+  SELECT p.user_id, p.event_id, p.ts,
+         s.event_id AS event_id_right, s.ts AS ts_right
+  FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+),
+rface AS (
+  SELECT s.user_id, p.event_id, p.ts,
+         s.event_id AS event_id_right, s.ts AS ts_right
+  FROM s ASOF LEFT JOIN p ON s.user_id = p.user_id AND s.ts >= p.ts
+)
+SELECT user_id,
+       event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       event_id_right,
+       CAST(epoch_us(ts_right) AS BIGINT) AS ts_right_us
+FROM (SELECT * FROM lface UNION ALL SELECT * FROM rface)
+ORDER BY user_id, ts_us NULLS FIRST, event_id NULLS FIRST,
+         ts_right_us NULLS FIRST, event_id_right NULLS FIRST
+"""
+
+
+@dq("q142_dialect_splice_join", oracle=_Q142_ORACLE, covers="J7,T1,EXT")
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    events = load_table(spark, sf_dir, "events")
+    events.filter(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 3 == 0)
+    ).select("user_id", "event_id", "ts").createOrReplaceTempView(
+        "ev_purch_q142"
+    )
+    events.filter(F.col("event_type") == "signup").select(
+        "user_id", "event_id", "ts"
+    ).createOrReplaceTempView("ev_sig_q142")
+    out = questdb_sql(
+        spark,
+        "SELECT * FROM ev_purch_q142 SPLICE JOIN ev_sig_q142 ON user_id",
+        {"ev_purch_q142": "ts", "ev_sig_q142": "ts"},
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id_right",
+        F.unix_micros("ts_right").alias("ts_right_us"),
+    ).orderBy(
+        "user_id",
+        F.col("ts_us").asc_nulls_first(),
+        F.col("event_id").asc_nulls_first(),
+        F.col("ts_right_us").asc_nulls_first(),
+        F.col("event_id_right").asc_nulls_first(),
+    )

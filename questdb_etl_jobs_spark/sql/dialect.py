@@ -16,6 +16,7 @@ QuestDB construct                      Lowering
 ``... ALIGN TO FIRST OBSERVATION``     ``sample_by_first_observation``
 ``first(x)`` / ``last(x)`` aggregates  ``min_by`` / ``max_by`` on the ts
 ``ASOF / LT JOIN t2 [ON k]``           :func:`operators.asof.asof_join`
+``SPLICE JOIN t2 [ON k]`` (SELECT *)   :func:`operators.asof.splice_join`
 ``ts IN '2024-01'`` interval search    range predicate via
                                        :func:`operators.sample_by.interval_bounds`
 ``LIMIT -n`` (tail)                    reversed-order ``limit`` + re-sort
@@ -24,7 +25,7 @@ anything else                          ``spark.sql`` passthrough (full
 =====================================  ====================================
 
 Scope is deliberate and explicit: a dialect query must have the shape
-``SELECT <list> FROM <table> [ASOF|LT JOIN t2 [ON k,...]] [WHERE ...]
+``SELECT <list> FROM <table> [ASOF|LT|SPLICE JOIN t2 [ON k,...]] [WHERE ...]
 [LATEST ON ...] [SAMPLE BY ...] [ORDER BY ...] [LIMIT n]``; any
 unconsumed fragment raises :class:`QuestDBSQLError` naming it — no query
 is silently half-interpreted. Tables resolve from the session catalog
@@ -279,11 +280,6 @@ def questdb_sql(
             join_m.group(2),
             join_m.group(3),
         )
-        if kind == "SPLICE":
-            raise QuestDBSQLError(
-                "SPLICE JOIN: call operators.asof.splice_join directly "
-                "(its two-sided output shape has no single-SELECT spelling)"
-            )
         right = spark.table(right_name)
         r_ts = designated.get(right_name) or infer_designated_ts(right.columns)
         if ts is None or r_ts is None:
@@ -294,7 +290,25 @@ def questdb_sql(
         if r_ts != ts:
             right = right.withColumnRenamed(r_ts, ts)
         by = [k.strip() for k in keys.split(",")] if keys else []
-        df = asof_join(df, right, on=ts, by=by, strict=(kind == "LT"))
+        if kind == "SPLICE":
+            # Full-outer as-of: one row per input row of BOTH tables,
+            # each carrying the other side's latest at-or-before values.
+            # Output shape follows QuestDB's SELECT * (left columns, then
+            # right columns suffixed on clash — including the right ts);
+            # the operator's side marker is dropped to match. Only the
+            # SELECT * spelling is supported: a projection list over
+            # clash-suffixed columns has no QuestDB-verbatim reading.
+            if select_list.strip() != "*":
+                raise QuestDBSQLError(
+                    "SPLICE JOIN supports SELECT * only (project after, "
+                    "or call operators.asof.splice_join for the "
+                    "side-tagged shape)"
+                )
+            from questdb_etl_jobs_spark.operators.asof import splice_join
+
+            df = splice_join(df, right, on=ts, by=by).drop("side")
+        else:
+            df = asof_join(df, right, on=ts, by=by, strict=(kind == "LT"))
 
     post_latest_pred: str | None = None
     if where_m:

@@ -267,6 +267,44 @@ def test_designated_ts_inferred_from_layout(spark, tmp_path):
     assert by_key[("BBB", _ts("2024-01-01 00:15:00"))] is None
 
 
+def test_splice_join_lowering(spark, trades):
+    """SELECT * FROM a SPLICE JOIN b: one row per input row of BOTH
+    tables in QuestDB's column shape (left cols, clash-suffixed right
+    cols, no side marker)."""
+    quotes = spark.createDataFrame(
+        [
+            (_ts("2024-01-01 00:00:00"), "AAA", 1.0),
+            (_ts("2024-01-01 02:00:00"), "AAA", 2.0),
+        ],
+        "qts timestamp, sym string, bid double",
+    )
+    quotes.createOrReplaceTempView("quotes")
+    out = questdb_sql(
+        spark,
+        "SELECT * FROM trades SPLICE JOIN quotes ON sym",
+        {"trades": "ts", "quotes": "qts"},
+    )
+    assert "side" not in out.columns
+    assert "ts_right" in out.columns and "bid" in out.columns
+    rows = out.collect()
+    # 12 trade rows + 2 quote rows, nothing dropped.
+    assert len(rows) == 14
+    # A quote-side row carries the latest trade at-or-before it.
+    qrow = next(
+        r for r in rows
+        if r.ts_right == _ts("2024-01-01 02:00:00") and r.bid == 2.0
+        and r.price is not None and r.ts <= r.ts_right
+    )
+    assert qrow.ts == _ts("2024-01-01 01:15:00")
+
+    with pytest.raises(QuestDBSQLError, match="SELECT \\* only"):
+        questdb_sql(
+            spark,
+            "SELECT sym FROM trades SPLICE JOIN quotes ON sym",
+            {"trades": "ts", "quotes": "qts"},
+        )
+
+
 def test_lt_join_is_strict(spark, trades):
     quotes = spark.createDataFrame(
         [(_ts("2024-01-01 00:15:00"), "AAA", 9.0)],
