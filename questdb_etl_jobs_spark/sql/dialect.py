@@ -412,38 +412,42 @@ def questdb_sql(
                 df, ts, bucket, aggs, keys, bucket_col=bucket_alias
             )
         elif fill_spec:
-            spec = fill_spec.strip()
-            low = spec.lower()
-            if low in ("null", "none"):
-                fill_val: object = "null"
-            elif low == "prev":
-                fill_val = "prev"
-            elif low == "linear":
-                fill_val = "linear"
-            else:
+            def one_fill(spec: str) -> object:
+                low = spec.lower()
+                if low in ("null", "none"):
+                    return "null"
+                if low in ("prev", "linear"):
+                    return low
                 try:
-                    fill_val = ("value", float(spec))
+                    return ("value", float(spec))
                 except ValueError as exc:
                     raise QuestDBSQLError(
                         f"unsupported FILL spec: {spec!r}"
                     ) from exc
-            # Apply ONE fill mode to every aggregate column (the common
-            # single-arg QuestDB form; per-column lists are unsupported).
+
             out = sample_by(df, ts, bucket, aggs, keys, bucket_col=bucket_alias)
             value_cols = [
                 c
                 for c in out.columns
                 if c != bucket_alias and c not in keys
             ]
+            # QuestDB's FILL takes either one mode for every aggregate
+            # column or a positional per-column list (FILL(0, PREV)).
+            parts = [p.strip() for p in fill_spec.split(",")]
+            if len(parts) == 1:
+                fills = {c: one_fill(parts[0]) for c in value_cols}
+            elif len(parts) == len(value_cols):
+                fills = {
+                    c: one_fill(p) for c, p in zip(value_cols, parts)
+                }
+            else:
+                raise QuestDBSQLError(
+                    f"FILL list has {len(parts)} entries for "
+                    f"{len(value_cols)} aggregate columns"
+                )
             from questdb_etl_jobs_spark.operators.sample_by import fill_gaps
 
-            df = fill_gaps(
-                out,
-                bucket_alias,
-                bucket,
-                keys,
-                {c: fill_val for c in value_cols},
-            )
+            df = fill_gaps(out, bucket_alias, bucket, keys, fills)
         else:
             df = sample_by(df, ts, bucket, aggs, keys, bucket_col=bucket_alias)
     elif select_list.strip() != "*":

@@ -81,6 +81,27 @@ def test_sample_by_fill_null_densifies(spark, trades):
     assert len(rows) == 8  # 4 hours x 2 syms
 
 
+def test_sample_by_fill_per_column_list(spark, trades):
+    """QuestDB's positional FILL list: one mode per aggregate column
+    (here: constant 0 for the sum, PREV for the average)."""
+    out = questdb_sql(
+        spark,
+        "SELECT ts, sym, sum(qty) volume, avg(price) p FROM trades "
+        "WHERE ts IN '2024-01-01' SAMPLE BY 1h FILL(0, PREV)",
+        {"trades": "ts"},
+    )
+    by_key = {(r.ts.hour, r.sym): (r.volume, r.p) for r in out.collect()}
+    # Hour 2 is empty: sum fills with 0, avg carries hour 1's value.
+    assert by_key[(2, "AAA")] == (0.0, by_key[(1, "AAA")][1])
+    with pytest.raises(QuestDBSQLError, match="FILL list has"):
+        questdb_sql(
+            spark,
+            "SELECT ts, sym, sum(qty) v FROM trades SAMPLE BY 1h "
+            "FILL(0, PREV, NULL)",
+            {"trades": "ts"},
+        )
+
+
 def test_interval_search_rewrite(spark, trades):
     out = questdb_sql(
         spark,
