@@ -892,3 +892,63 @@ def test_stream_jsonl_source_matches_csv_run(spark, tmp_path):
 
     got = rows(jsonl_dir)
     assert got == rows(csv_dir) and len(got) == 300
+
+
+def test_ema_stream_matches_batch_ema(spark, tmp_path):
+    """Streaming EMA (applyInPandasWithState, one double of state per
+    key) equals the batch operator on the same data, with the state
+    carried across micro-batches (maxFilesPerTrigger=1 forces one
+    batch per file)."""
+    import csv as _csv
+    import os as _os
+
+    from questdb_etl_jobs_spark.operators.ema import ema
+    from questdb_etl_jobs_spark.streaming.ema_stream import ema_stream
+
+    src = tmp_path / "ema_src"
+    src.mkdir()
+    base = "2024-01-01T{:02d}:{:02d}:00"
+    rows = [
+        (i % 3, i, base.format(i // 60, i % 60), float((i * 37) % 100))
+        for i in range(40)
+    ]
+    # Two time-ordered files -> two micro-batches; distinct mtimes pin
+    # the processing order.
+    with open(src / "a.csv", "w", newline="") as fh:
+        _csv.writer(fh).writerows(rows[:25])
+    with open(src / "b.csv", "w", newline="") as fh:
+        _csv.writer(fh).writerows(rows[25:])
+    _os.utime(src / "a.csv", (1_700_000_000, 1_700_000_000))
+    _os.utime(src / "b.csv", (1_700_000_100, 1_700_000_100))
+
+    schema = "k long, rid long, ts timestamp, v double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    out = ema_stream(stream, key="k", ts="ts", value="v", alpha=0.25,
+                     id_col="rid")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["rid"]: r["ema"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+
+    batch = spark.read.schema(schema).csv(str(src))
+    expected = {
+        r["rid"]: r["ema"]
+        for r in ema(batch, key="k", ts="ts", value="v", alpha=0.25,
+                     order=["rid"]).collect()
+    }
+    assert len(got) == 40
+    for rid, e in expected.items():
+        assert abs(got[rid] - e) < 1e-12, rid
