@@ -103,3 +103,78 @@ def ema_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_COUNTER_STATE_SCHEMA = "prev double, seeded boolean"
+
+
+def counter_increase_stream(
+    stream: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    id_col: str,
+) -> DataFrame:
+    """Streaming twin of :func:`operators.counter.counter_increase`:
+    per-key reset-corrected counter increases with ONE carried baseline
+    per key (the last non-null sample). Same ordering contract and
+    Python-per-(key, batch) execution shape as :func:`ema_stream`;
+    output ``(key, id, ts_us, value, increase)`` in append mode.
+    """
+    out_schema = (
+        f"{key} long, {id_col} long, ts_us bigint, "
+        f"{value} double, increase double"
+    )
+
+    def update(
+        group_key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            carried, seeded = state.get
+            prev = float(carried) if seeded else np.nan
+        else:
+            prev = np.nan
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["__ts_us", "__id"]).reset_index(drop=True)
+        x = batch["__v"].to_numpy(dtype="float64", na_value=np.nan)
+        inc = np.empty_like(x)
+        for i in range(len(x)):
+            xi = x[i]
+            if np.isnan(xi) or np.isnan(prev):
+                inc[i] = np.nan
+            elif xi - prev < 0:
+                inc[i] = xi  # reset: the counter restarted from zero
+            else:
+                inc[i] = xi - prev
+            if not np.isnan(xi):
+                prev = xi
+        state.update(
+            (0.0 if np.isnan(prev) else float(prev), not np.isnan(prev))
+        )
+        yield pd.DataFrame(
+            {
+                key: batch["__k"],
+                id_col: batch["__id"],
+                "ts_us": batch["__ts_us"],
+                value: [None if np.isnan(v) else float(v) for v in x],
+                "increase": [None if np.isnan(v) else float(v) for v in inc],
+            }
+        )
+
+    prepared = stream.select(
+        F.col(key).alias("__k"),
+        F.col(id_col).alias("__id"),
+        F.unix_micros(F.col(ts)).alias("__ts_us"),
+        F.col(value).cast("double").alias("__v"),
+    )
+    return prepared.groupBy("__k").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_COUNTER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

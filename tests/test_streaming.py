@@ -952,3 +952,65 @@ def test_ema_stream_matches_batch_ema(spark, tmp_path):
     assert len(got) == 40
     for rid, e in expected.items():
         assert abs(got[rid] - e) < 1e-12, rid
+
+
+def test_counter_increase_stream_matches_batch(spark, tmp_path):
+    """Streaming counter increases (one carried baseline per key) equal
+    the batch operator, including a reset that spans the micro-batch
+    boundary."""
+    import csv as _csv
+    import os as _os
+
+    from questdb_etl_jobs_spark.operators.counter import counter_increase
+    from questdb_etl_jobs_spark.streaming.ema_stream import (
+        counter_increase_stream,
+    )
+
+    src = tmp_path / "ctr_src"
+    src.mkdir()
+    base = "2024-01-01T00:{:02d}:00"
+    # Monotone counters per key with a deliberate reset at i=30 (value
+    # drops) that lands in the SECOND file.
+    rows = [
+        (i % 2, i, base.format(i), float(5 * i if i != 30 else 3))
+        for i in range(40)
+    ]
+    with open(src / "a.csv", "w", newline="") as fh:
+        _csv.writer(fh).writerows(rows[:25])
+    with open(src / "b.csv", "w", newline="") as fh:
+        _csv.writer(fh).writerows(rows[25:])
+    _os.utime(src / "a.csv", (1_700_000_000, 1_700_000_000))
+    _os.utime(src / "b.csv", (1_700_000_100, 1_700_000_100))
+
+    schema = "k long, rid long, ts timestamp, v double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    out = counter_increase_stream(stream, key="k", ts="ts", value="v",
+                                  id_col="rid")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "ctr_out"))
+        .option("checkpointLocation", str(tmp_path / "ctr_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["rid"]: r["increase"]
+        for r in spark.read.parquet(str(tmp_path / "ctr_out")).collect()
+    }
+
+    batch = spark.read.schema(schema).csv(str(src))
+    expected = {
+        r["rid"]: r["increase"]
+        for r in counter_increase(
+            batch, key="k", ts="ts", value="v", order=["rid"]
+        ).collect()
+    }
+    assert len(got) == 40
+    assert got == expected
+    assert got[30] == 3.0  # the cross-batch reset counts the new value
