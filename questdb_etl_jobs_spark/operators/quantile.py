@@ -160,3 +160,85 @@ def exact_quantile(
         F.col("__n").alias("n"),
         interp.alias("quantile"),
     ).orderBy(group)
+
+
+def histogram_partials(
+    df: DataFrame,
+    parts: list[str],
+    value: str,
+    lo: float,
+    hi: float,
+    buckets: int = 4096,
+) -> DataFrame:
+    """Mergeable quantile partials: per-``parts`` fixed-width histogram
+    counts over a FIXED global ``[lo, hi]`` domain.
+
+    The quantile face of the per-partition-sketch rollup pattern
+    (operators/sketch.py's HLL partials are the distinct-count face):
+    materialize one tall ``(parts..., __b, __c)`` histogram per
+    partition unit at ingest time, and answer quantiles over any
+    partition subset by SUMMING counts — never rescanning raw rows.
+    Fixing the domain up front is what makes partials mergeable
+    (per-group adaptive ranges, as in :func:`exact_quantile`, cannot be
+    combined after the fact); values outside ``[lo, hi]`` clamp into the
+    edge buckets, so the domain should cover the data with headroom.
+    Size: ``buckets`` longs per partition unit, independent of rows.
+    """
+    if not hi > lo:
+        raise ValueError("hi must exceed lo")
+    v = F.col(value)
+    width = (hi - lo) / buckets
+    b = (
+        F.when(v.isNull(), None)
+        .when(v <= F.lit(lo), 0)
+        .when(v >= F.lit(hi), buckets - 1)
+        .otherwise(F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"))
+    )
+    return (
+        df.select(*parts, b.alias("__b"))
+        .filter(F.col("__b").isNotNull())
+        .groupBy(*parts, "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+
+
+def quantile_from_partials(
+    partials: DataFrame,
+    group: list[str],
+    q: float,
+    lo: float,
+    hi: float,
+    buckets: int = 4096,
+) -> DataFrame:
+    """Approximate quantile per ``group`` from merged histogram partials
+    (bucket-midpoint estimate; error ≤ one bucket width by
+    construction). Returns ``group..., n, est (double)``.
+
+    Fully distributed: merge = one sum aggregate, the cumulative bucket
+    walk is a window over ``(group, bucket)`` rows — the same prefix-sum
+    shape :func:`exact_quantile` uses, O(groups × buckets) state total.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("q must be in [0, 1]")
+    width = (hi - lo) / buckets
+    merged = partials.groupBy(*group, "__b").agg(F.sum("__c").alias("__c"))
+    w = Window.partitionBy(*group)
+    cum_w = (
+        Window.partitionBy(*group)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    enriched = merged.withColumn(
+        "__n", F.sum("__c").over(w)
+    ).withColumn("__before", F.coalesce(F.sum("__c").over(cum_w), F.lit(0)))
+    k = F.floor((F.col("__n") - 1) * F.lit(float(q))).cast("long")
+    hit = enriched.filter(
+        (F.col("__before") <= k)
+        & (k < F.col("__before") + F.col("__c"))
+    )
+    est = F.lit(lo) + (F.col("__b") + F.lit(0.5)) * F.lit(width)
+    return hit.select(
+        *group,
+        F.col("__n").alias("n"),
+        est.alias("est"),
+    ).orderBy(*group)

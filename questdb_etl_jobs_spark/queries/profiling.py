@@ -1804,3 +1804,63 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_right_us").asc_nulls_first(),
         F.col("event_id_right").asc_nulls_first(),
     )
+
+
+# ---------------------------------------------------------------------------
+# q143 — mergeable histogram quantile rollup (the quantile face of q117)
+# ---------------------------------------------------------------------------
+#
+# Per-(flag, ship-year) fixed-domain histogram partials merged at query
+# time into a bucket-midpoint median estimate — quantiles over any
+# partition subset without rescanning raw rows, the 100 TB rollup
+# pattern. The oracle row carries the exact count and asserts the
+# estimate lands within one bucket width (~29.3 on a [0, 120k]/4096
+# domain) of the true median, so the row only hash-matches when the
+# merge-and-walk path is actually accurate.
+
+_Q143_LO, _Q143_HI, _Q143_BUCKETS = 0.0, 120_000.0, 4096
+
+_Q143_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(l_extendedprice) AS BIGINT) AS n,
+       TRUE AS within_bucket
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@dq("q143_histogram_quantile_rollup", oracle=_Q143_ORACLE, covers="A5,A7,EXT")
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.quantile import (
+        histogram_partials,
+        quantile_from_partials,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.year("l_shipdate").alias("ship_year"),
+        "l_extendedprice",
+    )
+    partials = histogram_partials(
+        li, ["l_returnflag", "ship_year"], "l_extendedprice",
+        lo=_Q143_LO, hi=_Q143_HI, buckets=_Q143_BUCKETS,
+    )
+    est = quantile_from_partials(
+        partials, ["l_returnflag"], q=0.5,
+        lo=_Q143_LO, hi=_Q143_HI, buckets=_Q143_BUCKETS,
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("__exact"),
+        F.count("l_extendedprice").alias("n"),
+    )
+    est = est.select("l_returnflag", "est")
+    width = (_Q143_HI - _Q143_LO) / _Q143_BUCKETS
+    return (
+        exact.join(est, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            (F.abs(F.col("est") - F.col("__exact")) <= F.lit(width)).alias(
+                "within_bucket"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1454,3 +1454,39 @@ def test_counter_increase_resets_and_nulls(spark):
     assert out[("a", 4)] is None      # missing scrape
     assert out[("a", 5)] == 4         # baseline skips the null back to 5
     assert out[("b", 1)] is None
+
+
+def test_histogram_quantile_rollup_merges_partials(spark):
+    """Quantile answered from merged per-part histograms lands within
+    one bucket width of the exact quantile, for any subset of parts —
+    the mergeability contract."""
+    import random
+
+    from questdb_etl_jobs_spark.operators.quantile import (
+        histogram_partials,
+        quantile_from_partials,
+    )
+
+    rng = random.Random(3)
+    rows = [("g", i % 4, rng.uniform(0.0, 1000.0)) for i in range(8000)]
+    df = spark.createDataFrame(rows, "g string, day int, v double")
+    lo, hi, buckets = 0.0, 1000.0, 512
+    width = (hi - lo) / buckets
+    partials = histogram_partials(df, ["g", "day"], "v", lo, hi, buckets)
+    for q in (0.1, 0.5, 0.9):
+        # Full merge vs exact.
+        full = quantile_from_partials(
+            partials, ["g"], q, lo, hi, buckets
+        ).collect()[0]
+        exact = df.agg(F.percentile("v", q)).collect()[0][0]
+        assert full["n"] == 8000
+        assert abs(full["est"] - exact) <= width
+        # Subset merge (days 0-1 only) vs exact over that subset.
+        sub = quantile_from_partials(
+            partials.filter(F.col("day") < 2), ["g"], q, lo, hi, buckets
+        ).collect()[0]
+        sub_exact = (
+            df.filter(F.col("day") < 2).agg(F.percentile("v", q)).collect()[0][0]
+        )
+        assert sub["n"] == 4000
+        assert abs(sub["est"] - sub_exact) <= width
