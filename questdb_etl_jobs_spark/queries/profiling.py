@@ -1864,3 +1864,56 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q144 — Johnson-Lindenstrauss sign projection (embedding dim reduction)
+# ---------------------------------------------------------------------------
+#
+# functions/vectors.sign_project: 64-dim embeddings down to 16 dims via
+# a seeded ±1 matrix (Achlioptas) — the dimension-reduction step ahead
+# of ANN indexing / semantic dedup. The oracle replays the IDENTICAL
+# matrix (same seeded CPython PRNG) as an inline VALUES table and the
+# identical left-to-right signed-add chain, so every projected
+# coordinate is gated value-for-value, not just by a distance bound.
+
+_Q144_SEED, _Q144_IN, _Q144_OUT = 7, 64, 16
+
+
+def _q144_oracle() -> str:
+    from questdb_etl_jobs_spark.functions.vectors import projection_signs
+
+    signs = projection_signs(_Q144_IN, _Q144_OUT, _Q144_SEED)
+    rows = ", ".join(f"({j}, {signs[j]})" for j in range(_Q144_OUT))
+    expr = (
+        "0.25 * list_sum(list_transform(range(1, 65), "
+        "i -> CAST(m.r[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
+    )
+    return f"""
+    WITH m(j, r) AS (VALUES {rows})
+    SELECT e.vec_id, CAST(m.j AS INT) AS dim, {_sr4(expr, "val4")}
+    FROM embeddings e CROSS JOIN m
+    ORDER BY e.vec_id, dim
+    """
+
+
+_q144_oracle.sf_invariant = True
+
+
+@dq("q144_random_projection", oracle=_q144_oracle, covers="F8,EXT")
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.functions.vectors import (
+        projection_signs,
+        sign_project,
+    )
+
+    signs = projection_signs(_Q144_IN, _Q144_OUT, _Q144_SEED)
+    emb = load_table(spark, sf_dir, "embeddings")
+    projected = emb.select(
+        "vec_id", sign_project("embedding", signs).alias("__p")
+    )
+    return projected.select(
+        "vec_id", F.posexplode("__p").alias("dim", "__v")
+    ).select(
+        "vec_id", "dim", F.round("__v", 4).alias("val4")
+    ).orderBy("vec_id", "dim")

@@ -1490,3 +1490,37 @@ def test_histogram_quantile_rollup_merges_partials(spark):
         )
         assert sub["n"] == 4000
         assert abs(sub["est"] - sub_exact) <= width
+
+
+def test_sign_project_preserves_distances(spark):
+    """JL contract on a fixed seed: scaled pairwise distances after the
+    16-dim sign projection stay within a loose (deterministic, seeded)
+    distortion band of the 64-dim originals."""
+    import math
+    import random
+
+    from questdb_etl_jobs_spark.functions.vectors import (
+        projection_signs,
+        sign_project,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    signs = projection_signs(64, 16, seed=7)
+    proj = {
+        r.id: r.p
+        for r in df.select("id", sign_project("v", signs).alias("p")).collect()
+    }
+    orig = dict(rows)
+    ratios = []
+    for i in range(0, 30, 3):
+        for j in range(1, 30, 7):
+            if i == j:
+                continue
+            d0 = math.dist(orig[i], orig[j])
+            d1 = math.dist(proj[i], proj[j])
+            ratios.append(d1 / d0)
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 < mean < 1.2, mean
+    assert all(0.45 < r < 1.75 for r in ratios), (min(ratios), max(ratios))
