@@ -1917,3 +1917,67 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", "dim", F.round("__v", 4).alias("val4")
     ).orderBy("vec_id", "dim")
+
+
+# ---------------------------------------------------------------------------
+# q146 — materialized SAMPLE BY view: three refreshes == direct query
+# ---------------------------------------------------------------------------
+#
+# QuestDB's materialized-view parity (operators/matview.py): the event
+# history lands in three chronological refreshes (the reference's
+# hourly-append model, README.md:373); the maintained view must then
+# answer the daily OHLC/stats SAMPLE BY bit-for-bit identically to a
+# direct query over the full history — possible because every stored
+# partial is algebraic and the sums ride the DECIMAL(28,4) protocol.
+
+_Q146_ORACLE = """
+SELECT CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT)
+         AS bucket_us,
+       event_type,
+       CAST(COUNT(value) AS BIGINT) AS n,
+       {total},
+       ROUND(MIN(value), 4) AS vmin4,
+       ROUND(MAX(value), 4) AS vmax4,
+       ROUND(arg_min(value, CAST(ts AS TIMESTAMP)), 4) AS first4,
+       ROUND(arg_max(value, CAST(ts AS TIMESTAMP)), 4) AS last4
+FROM events
+GROUP BY bucket_us, event_type ORDER BY bucket_us, event_type
+""".format(total=sum4("value", "total4"))
+
+
+@dq("q146_matview_sample_by", oracle=_Q146_ORACLE, covers="A7,A1,S6,EXT")
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from questdb_etl_jobs_spark.operators.matview import (
+        read_sample_by_view,
+        refresh_sample_by_view,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    )
+    path = "/tmp/spark_graft_q146_view"
+    shutil.rmtree(path, ignore_errors=True)
+    cuts = ("2024-01-11", "2024-01-21")
+    batches = [
+        events.filter(F.col("ts") < cuts[0]),
+        events.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        events.filter(F.col("ts") >= cuts[1]),
+    ]
+    for b in batches:
+        refresh_sample_by_view(
+            spark, b, path, ts="ts", bucket="day", value="value",
+            keys=["event_type"],
+        )
+    view = read_sample_by_view(spark, path)
+    return view.select(
+        F.unix_micros("bucket_ts").alias("bucket_us"),
+        "event_type",
+        "n",
+        F.round("total", 4).alias("total4"),
+        F.round("vmin", 4).alias("vmin4"),
+        F.round("vmax", 4).alias("vmax4"),
+        F.round("first_val", 4).alias("first4"),
+        F.round("last_val", 4).alias("last4"),
+    ).orderBy("bucket_us", "event_type")

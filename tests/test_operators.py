@@ -1524,3 +1524,50 @@ def test_sign_project_preserves_distances(spark):
     mean = sum(ratios) / len(ratios)
     assert 0.8 < mean < 1.2, mean
     assert all(0.45 < r < 1.75 for r in ratios), (min(ratios), max(ratios))
+
+
+def test_matview_refresh_handles_late_data(spark, tmp_path):
+    """Partials are arrival-order-independent: a late batch overlapping
+    already-refreshed days merges to exactly the direct recompute,
+    including first/last pairs and decimal sums."""
+    from questdb_etl_jobs_spark.operators.matview import (
+        read_sample_by_view,
+        refresh_sample_by_view,
+        sample_by_partials,
+        _merge,
+    )
+
+    rows = [
+        (_ts(f"2024-01-0{d} {h:02d}:00:0{s}"), "t", float(d * 100 + h + s))
+        for d in (1, 2)
+        for h in (0, 5)
+        for s in (1, 7)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, k string, v double")
+    path = str(tmp_path / "mv")
+    # On-time batch = day 1 + half of day 2; late batch backfills day 1
+    # hours AND finishes day 2 — out of order on purpose.
+    on_time = df.filter(
+        (F.col("ts") < "2024-01-02") | (F.col("ts") >= "2024-01-02 05:00:00")
+    ).filter(F.col("ts").substr(18, 2) != "07")
+    late = df.exceptAll(on_time)
+    refresh_sample_by_view(spark, on_time, path, "ts", "day", "v", ["k"])
+    refresh_sample_by_view(spark, late, path, "ts", "day", "v", ["k"])
+    got = sorted(
+        map(tuple, read_sample_by_view(spark, path).collect())
+    )
+    direct = _merge(sample_by_partials(df, "ts", "day", "v", ["k"]), ["k"])
+    expected = sorted(
+        map(
+            tuple,
+            direct.select(
+                "bucket_ts", "k", "n",
+                F.col("dsum").cast("double").alias("total"),
+                (F.col("dsum").cast("double") / F.col("n")).alias("avg"),
+                "vmin", "vmax",
+                F.col("first.v").alias("first_val"),
+                F.col("last.v").alias("last_val"),
+            ).collect(),
+        )
+    )
+    assert got == expected and len(got) == 2  # one row per day
