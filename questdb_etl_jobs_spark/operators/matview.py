@@ -132,3 +132,43 @@ def read_sample_by_view(spark: SparkSession, path: str) -> DataFrame:
         F.col("first.v").alias("first_val"),
         F.col("last.v").alias("last_val"),
     )
+
+
+def maintain_sample_by_view(
+    stream: DataFrame,
+    path: str,
+    checkpoint_path: str,
+    ts: str,
+    bucket: str,
+    value: str,
+    keys: list[str],
+    available_now: bool = True,
+):
+    """Streaming maintenance of the materialized view: each micro-batch
+    refreshes the store via :func:`refresh_sample_by_view` inside
+    ``foreachBatch`` — the reference's file-arrival model (hourly GCS
+    exports, reference README.md:373) keeping a dashboard view current.
+
+    Exactly-once caveat (same contract as streaming/upsert.py): a batch
+    replayed after a crash between the partition overwrite and the
+    checkpoint commit would double-merge. Partials are NOT idempotent
+    under re-merge (counts/sums add), so deployments that need
+    exactly-once across crashes should stage each batch's partials to a
+    batch-id-named directory first and merge from there; the engine's
+    crash-recovery-tested upsert sink shows the pattern.
+    """
+
+    def do_refresh(batch: DataFrame, batch_id: int) -> None:
+        if not batch.isEmpty():
+            refresh_sample_by_view(
+                batch.sparkSession, batch, path, ts, bucket, value, keys
+            )
+
+    writer = (
+        stream.writeStream.foreachBatch(do_refresh)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1014,3 +1014,64 @@ def test_counter_increase_stream_matches_batch(spark, tmp_path):
     assert len(got) == 40
     assert got == expected
     assert got[30] == 3.0  # the cross-batch reset counts the new value
+
+
+def test_streaming_matview_equals_direct_sample_by(spark, tmp_path):
+    """File-arrival stream maintaining the materialized SAMPLE BY view:
+    after both micro-batches land, the view equals a direct partials
+    computation over all rows."""
+    import csv as _csv
+    import os as _os
+
+    from questdb_etl_jobs_spark.operators.matview import (
+        _merge,
+        maintain_sample_by_view,
+        read_sample_by_view,
+        sample_by_partials,
+    )
+
+    src = tmp_path / "mv_src"
+    src.mkdir()
+    rows = [
+        (f"2024-01-0{1 + i % 2}T{i % 24:02d}:00:00", "t", float(3 * i + 1))
+        for i in range(40)
+    ]
+    with open(src / "a.csv", "w", newline="") as fh:
+        _csv.writer(fh).writerows(rows[:23])
+    with open(src / "b.csv", "w", newline="") as fh:
+        _csv.writer(fh).writerows(rows[23:])
+    _os.utime(src / "a.csv", (1_700_000_000, 1_700_000_000))
+    _os.utime(src / "b.csv", (1_700_000_100, 1_700_000_100))
+
+    schema = "ts timestamp, k string, v double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = maintain_sample_by_view(
+        stream, str(tmp_path / "mv_store"), str(tmp_path / "mv_ckpt"),
+        ts="ts", bucket="day", value="v", keys=["k"],
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(tuple,
+            read_sample_by_view(spark, str(tmp_path / "mv_store")).collect())
+    )
+    batch = spark.read.schema(schema).csv(str(src))
+    direct = _merge(sample_by_partials(batch, "ts", "day", "v", ["k"]), ["k"])
+    expected = sorted(
+        map(
+            tuple,
+            direct.select(
+                "bucket_ts", "k", "n",
+                F.col("dsum").cast("double").alias("total"),
+                (F.col("dsum").cast("double") / F.col("n")).alias("avg"),
+                "vmin", "vmax",
+                F.col("first.v").alias("first_val"),
+                F.col("last.v").alias("last_val"),
+            ).collect(),
+        )
+    )
+    assert got == expected and len(got) == 2
