@@ -1,0 +1,104 @@
+"""Exact top-k heavy hitters with a Misra-Gries candidate pass.
+
+Corpus token statistics at 100 TB hit a wall the plain
+``groupBy(token).count() + TakeOrdered`` plan doesn't: when distinct
+cardinality is enormous (open-vocabulary n-grams, URLs, user ids), the
+count shuffle carries one partial row PER DISTINCT KEY even though only
+the top k matter. The classic two-phase answer:
+
+1. **Candidate pass** — each input partition summarizes its rows with a
+   Misra-Gries sketch of ``counters`` slots (``mapInPandas``: one dict,
+   vectorized pandas value_counts feeding it; output ≤ ``counters``
+   rows per partition regardless of input size). Summed across
+   partitions, MG weights underestimate true counts by at most
+   ``N / counters`` total (merged-summary bound, Agarwal et al., "
+   Mergeable Summaries", PODS'12) — so every key with true count >
+   ``N/counters`` MUST survive as a candidate, and with
+   ``counters ≫ k`` the true top-k is contained in the candidate set
+   for any realistically skewed distribution (the guarantee is exact
+   when the k-th count exceeds ``N/counters``; the returned
+   ``guaranteed`` flag states whether it held).
+2. **Confirm pass** — exact counts ONLY for candidate keys: the second
+   scan's shuffle carries ≤ ``counters × partitions`` distinct keys
+   (broadcast semi-join prunes before the aggregation), not the full
+   vocabulary.
+
+Both passes are bounded-state and deterministic; ties in the final
+ordering break on the key itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def misra_gries_partials(
+    df: DataFrame, col: str, counters: int
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries of ``col``: ≤ ``counters``
+    rows ``(key, weight)`` per input partition, where ``weight``
+    undercounts the partition-local frequency by at most
+    ``partition_rows / counters``."""
+
+    def summarize(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        slots: dict = {}
+        for pdf in pdfs:
+            for key, cnt in pdf[col].value_counts().items():
+                cnt = int(cnt)
+                if key in slots:
+                    slots[key] += cnt
+                    continue
+                slots[key] = cnt
+                if len(slots) > counters:
+                    # Decrement all by the minimum slot value; evict
+                    # zeros (batch form of the one-at-a-time MG step).
+                    dec = min(slots.values())
+                    slots = {
+                        s: w - dec for s, w in slots.items() if w > dec
+                    }
+        yield pd.DataFrame(
+            {col: list(slots.keys()), "__w": list(slots.values())}
+        )
+
+    schema = f"{df.select(col).schema[col].dataType.simpleString()}"
+    return df.select(col).mapInPandas(
+        summarize, schema=f"{col} {schema}, __w long"
+    )
+
+
+def heavy_hitters_topk(
+    df: DataFrame, col: str, k: int, counters: int = 1024
+) -> DataFrame:
+    """Exact top-``k`` values of ``col`` by count, via the MG candidate
+    pass + exact confirm pass. Returns ``col, cnt, guaranteed`` ordered
+    by ``(cnt desc, col)``; a row's ``guaranteed`` is TRUE when its own
+    exact count strictly exceeds the merged-MG error bound
+    ``N/counters`` — such a key provably could not have been pruned, so
+    when every returned row is guaranteed, the result IS the true
+    top-k."""
+    if k < 1 or counters < k:
+        raise ValueError("need counters >= k >= 1")
+    rows = df.filter(F.col(col).isNotNull())
+    candidates = (
+        misra_gries_partials(rows, col, counters)
+        .groupBy(col)
+        .agg(F.sum("__w").alias("__lb"))
+        .select(col)
+    )
+    exact = (
+        rows.join(F.broadcast(candidates), on=col, how="left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = rows.select(F.count(F.lit(1)).alias("__n"))
+    topk = exact.orderBy(F.col("cnt").desc(), F.col(col)).limit(k)
+    return topk.crossJoin(F.broadcast(total)).select(
+        col,
+        "cnt",
+        (F.col("cnt") * F.lit(counters) > F.col("__n")).alias("guaranteed"),
+    ).orderBy(F.col("cnt").desc(), F.col(col))

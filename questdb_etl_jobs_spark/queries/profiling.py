@@ -1981,3 +1981,45 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("first_val", 4).alias("first4"),
         F.round("last_val", 4).alias("last4"),
     ).orderBy("bucket_us", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# q147 — exact top-k heavy hitters via Misra-Gries candidates
+# ---------------------------------------------------------------------------
+#
+# operators/heavyhitters.py: per-partition MG summaries bound the
+# candidate set, a broadcast-semi-join confirm pass gets exact counts
+# for candidates only — top-k token statistics whose shuffles carry
+# candidate keys, not the whole vocabulary. Gated against the direct
+# exact top-20 (count desc, token asc) over the corpus tokens; the
+# `guaranteed` flag is TRUE for every row here (counts far exceed
+# N/counters), which the oracle pins.
+
+_Q147_K = 20
+
+
+_Q147_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), counted AS (
+  SELECT token, COUNT(*) AS cnt FROM toks
+  WHERE token IS NOT NULL AND token <> ''
+  GROUP BY token
+)
+SELECT token, CAST(cnt AS BIGINT) AS cnt, TRUE AS guaranteed
+FROM counted ORDER BY cnt DESC, token LIMIT {_Q147_K}
+"""
+
+
+@dq("q147_heavy_hitters", oracle=_Q147_ORACLE, covers="A1,U2,O2,EXT")
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.heavyhitters import (
+        heavy_hitters_topk,
+    )
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return heavy_hitters_topk(toks, "token", k=_Q147_K, counters=1024)

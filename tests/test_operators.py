@@ -1571,3 +1571,39 @@ def test_matview_refresh_handles_late_data(spark, tmp_path):
         )
     )
     assert got == expected and len(got) == 2  # one row per day
+
+
+def test_heavy_hitters_small_sketch_still_exact_on_skew(spark):
+    """counters ≪ vocabulary: the MG candidate pass must still surface
+    the true top-k when their counts clear the N/counters bound, with
+    the guaranteed flag set; partial output stays bounded."""
+    from questdb_etl_jobs_spark.operators.heavyhitters import (
+        heavy_hitters_topk,
+        misra_gries_partials,
+    )
+
+    # 3 hot keys (600/300/150) over 500 singleton tail keys; N = 1550.
+    rows = (
+        [("hot_a",)] * 600 + [("hot_b",)] * 300 + [("hot_c",)] * 150
+        + [(f"tail_{i}",) for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "token string").repartition(8)
+    out = heavy_hitters_topk(df, "token", k=3, counters=16).collect()
+    assert [(r.token, r.cnt) for r in out] == [
+        ("hot_a", 600), ("hot_b", 300), ("hot_c", 150)
+    ]
+    # 150 * 16 > 1550: every returned row clears the bound.
+    assert all(r.guaranteed for r in out)
+    # Partial pass emits <= counters rows per partition.
+    per_part = (
+        misra_gries_partials(df, "token", 16)
+        .groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in per_part) <= 16
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        heavy_hitters_topk(df, "token", k=8, counters=4)
