@@ -2023,3 +2023,65 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
     )
     return heavy_hitters_topk(toks, "token", k=_Q147_K, counters=1024)
+
+
+# ---------------------------------------------------------------------------
+# q148 — rolling z-score anomaly detection (trailing-window monitoring)
+# ---------------------------------------------------------------------------
+#
+# The metric-monitoring classic over a designated-timestamp stream: each
+# event scored against its user's trailing 20-event mean/stddev, flagged
+# at |z| > 3. Pure keyed-window codegen — one shuffle on the series key,
+# two frame aggregates, no state beyond the frame. Warm-up events
+# (fewer than 10 prior samples) are excluded from evaluation, matching
+# the oracle exactly.
+
+_Q148_ORACLE = """
+WITH scored AS (
+  SELECT user_id, event_type, value,
+         AVG(value) OVER w AS mu,
+         STDDEV_SAMP(value) OVER w AS sd,
+         COUNT(value) OVER w AS m
+  FROM (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+               event_id, value FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(CASE WHEN ABS((value - mu) / sd) > 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_anomalies
+FROM scored
+WHERE m >= 10 AND sd > 0
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@dq("q148_rolling_zscore", oracle=_Q148_ORACLE, covers="W3,A5,A1,EXT")
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    scored = ev.select(
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("value").over(w).alias("m"),
+    ).filter((F.col("m") >= 10) & (F.col("sd") > 0))
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(F.when(F.abs(z) > 3, 1).otherwise(0)).alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
