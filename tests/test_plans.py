@@ -400,3 +400,54 @@ def test_q114_profiler_is_single_scan(spark):
     df = spark_queries()["q114_profile_columns"](spark, SF_SMALL)
     plan = plan_string(df, "simple")
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_q140_counter_single_exchange(spark):
+    """Counter increase + aggregation: the keyed window and the final
+    agg are fed by hash exchanges only — and the window's shuffle on
+    user_id happens exactly once (both window passes share it)."""
+    df = spark_queries()["q140_counter_rate"](spark, SF_SMALL)
+    plan = plan_string(df, "simple")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_q148_zscore_single_keyed_exchange(spark):
+    """Both trailing-frame aggregates (avg, stddev, count) evaluate in
+    ONE window pass over one user_id exchange."""
+    df = spark_queries()["q148_rolling_zscore"](spark, SF_SMALL)
+    plan = plan_string(df, "simple")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert plan.count("Window") == 1
+
+
+def test_heavy_hitters_confirm_is_broadcast_semi(spark):
+    """The exact confirm pass prunes with a broadcast LEFT SEMI join
+    before aggregating — the vocabulary never shuffles."""
+    from questdb_etl_jobs_spark.operators.heavyhitters import (
+        heavy_hitters_topk,
+    )
+
+    toks = spark.createDataFrame(
+        [(f"t{i % 7}",) for i in range(100)], "token string"
+    )
+    plan = plan_string(heavy_hitters_topk(toks, "token", k=3, counters=16))
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+def test_matview_read_is_projection_only(spark, tmp_path):
+    """Reading the materialized view finalizes partials with zero
+    exchanges — a projection over the key-sized store."""
+    from questdb_etl_jobs_spark.operators.matview import (
+        read_sample_by_view,
+        refresh_sample_by_view,
+    )
+
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1, h), "k", float(h)) for h in range(6)],
+        "ts timestamp, k string, v double",
+    )
+    path = str(tmp_path / "mv_plan")
+    refresh_sample_by_view(spark, df, path, "ts", "day", "v", ["k"])
+    view = read_sample_by_view(spark, path)
+    assert_not_in_plan(view, "Exchange")
