@@ -1,8 +1,10 @@
 """Bench harness: headline queries at sf0.1 on a warm local session.
 
 Prints ONE JSON line:
-  {"metric": "bench_total", "value": <sum of per-query sec>, "unit": "sec",
-   "queries": {"<name>": sec, ...}, "ingest": {...},
+  {"metric": "bench_total", "value": <sum of per-query best sec>,
+   "unit": "sec",
+   "queries": {"<name>": {"best": sec, "runs": [sec, sec, sec]}, ...},
+   "protocol": {...}, "ingest": {...},
    "control": {"dq20_duck_sec": ..., "dq25_duck_sec": ...,
                "dq20_baseline_sec": ..., "dq25_baseline_sec": ...,
                "drift_vs_baseline": ...},
@@ -12,11 +14,14 @@ The control block re-runs BASELINE.md's DuckDB probe queries on the same
 boot so every recorded bench carries its own machine-speed calibration
 (divide raw ratios by drift_vs_baseline for cross-round comparisons).
 
-Protocol mirrors BASELINE.md: warm session (JVM startup excluded), result
-fully fetched, best of 3 timed runs after 1 warmup. Headline set maps to
-the baseline's measured DQs (DQ-20/10/30/25/34) plus the engine's LLM-
-pipeline operators (dedup, similarity, text analysis) so regressions in
-either surface show up per-round.
+Protocol mirrors BASELINE.md and tools/sf1_differential.py: warm session
+(JVM startup excluded), result fully fetched, one discarded warmup pass
+over the whole query set, then 3 INTERLEAVED recorded passes (each query
+timed once per pass); reported value is per-query best-of-passes, with
+the per-pass series recorded so the artifact shows its own variance.
+Headline set maps to the baseline's measured DQs (DQ-20/10/30/25/34)
+plus the engine's LLM-pipeline operators (dedup, similarity, text
+analysis) so regressions in either surface show up per-round.
 
 Env: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      $SPARK_GRAFT_CPUS (default 32).
@@ -162,10 +167,6 @@ def _bench_ingest(spark, n_rows: int = 600_000) -> dict:
     }
 
 
-#: BASELINE.md's measured DuckDB probe times (same machine, 2026-08-13).
-_CONTROL_BASELINE = {"dq20": 0.0683, "dq25": 0.0203}
-
-
 def _duck_control(sf_dir: str) -> dict:
     """DuckDB control probes: BASELINE.md's DQ-20/DQ-25 queries re-run on
     the same boot as every bench, so the recorded artifact carries its
@@ -179,7 +180,10 @@ def _duck_control(sf_dir: str) -> dict:
 
     import duckdb
 
-    from tools.sf1_differential import DUCK_SQL
+    # Single source of truth for the baseline-day probe values: the scale
+    # differential's CONTROL_BASELINE (re-measuring the baseline updates
+    # both artifacts' calibration together).
+    from tools.sf1_differential import CONTROL_BASELINE, DUCK_SQL
 
     con = duckdb.connect()
     for t in ("lineitem", "events"):
@@ -190,10 +194,8 @@ def _duck_control(sf_dir: str) -> dict:
         )
     out: dict[str, float] = {}
     ratios = []
-    for label, key in (
-        ("dq20", "dq20_pricing_summary"),
-        ("dq25", "dq25_hourly_bucket"),
-    ):
+    for key, baseline_sec in CONTROL_BASELINE.items():
+        label = key.split("_")[0]  # dq20_pricing_summary -> dq20
         con.execute(DUCK_SQL[key]).fetchall()  # warm
         best = float("inf")
         for _ in range(3):
@@ -201,8 +203,8 @@ def _duck_control(sf_dir: str) -> dict:
             con.execute(DUCK_SQL[key]).fetchall()
             best = min(best, time.perf_counter() - t0)
         out[f"{label}_duck_sec"] = round(best, 4)
-        out[f"{label}_baseline_sec"] = _CONTROL_BASELINE[label]
-        ratios.append(best / _CONTROL_BASELINE[label])
+        out[f"{label}_baseline_sec"] = baseline_sec
+        ratios.append(best / baseline_sec)
     con.close()
     out["drift_vs_baseline"] = round(
         math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3
@@ -223,30 +225,49 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = spark_queries()
+    heads = {
+        label: (registry[key] if isinstance(key, str) else key)
+        for label, key in _headline().items()
+    }
 
-    # Warm the JVM + parquet footer caches once, off the clock.
-    registry["q20_pricing_summary"](spark, sf_dir).collect()
-
-    times: dict[str, float] = {}
-    for label, key in _headline().items():
-        fn = registry[key] if isinstance(key, str) else key
-        best = float("inf")
-        for _ in range(3):
+    # INTERLEAVED passes (the SCALE_DIFF protocol, round-7 redesign): one
+    # discarded warmup pass over the whole set (JIT, AQE stats, parquet
+    # footer + page caches), then ``passes`` recorded passes where every
+    # query is timed once per pass. Boot-time noise (cpufreq ramp, JVM
+    # compilation bursts) hits adjacent cells of one pass instead of all
+    # three runs of whichever query happened to execute first; best-of
+    # over passes is the reported value and the per-pass series stays in
+    # the artifact so run-to-run variance is visible, not inferred.
+    passes = 3
+    runs: dict[str, list[float]] = {label: [] for label in heads}
+    for rnd in range(passes + 1):
+        recorded = rnd > 0
+        for label, fn in heads.items():
             t0 = time.perf_counter()
             # Arrow-batched fetch: full result materialized driver-side,
             # matching the baseline's "result fully fetched" protocol.
             fn(spark, sf_dir).toPandas()
-            best = min(best, time.perf_counter() - t0)
-        times[label] = round(best, 4)
+            if recorded:
+                runs[label].append(round(time.perf_counter() - t0, 4))
 
+    queries = {
+        label: {"best": min(series), "runs": series}
+        for label, series in runs.items()
+    }
     ingest = _bench_ingest(spark)
     print(
         json.dumps(
             {
                 "metric": "bench_total",
-                "value": round(sum(times.values()), 4),
+                "value": round(sum(q["best"] for q in queries.values()), 4),
                 "unit": "sec",
-                "queries": times,
+                "queries": queries,
+                "protocol": {
+                    "passes_recorded": passes,
+                    "warmup_passes": 1,
+                    "interleaved": True,
+                    "per_query": "best-of-passes, per-pass series recorded",
+                },
                 "ingest": ingest,
                 "control": control,
                 "sf": sf,

@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from questdb_etl_jobs_spark.sources.fs import hadoop_path_exists as _view_exists
+
 _PDATE = "__vdate"
 
 
@@ -95,11 +97,14 @@ def refresh_sample_by_view(
     fresh = sample_by_partials(batch, ts, bucket, value, keys).withColumn(
         _PDATE, F.to_date("bucket_ts")
     )
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:  # first refresh: no view yet
+    if not _view_exists(spark, path):
+        # First refresh: no view yet. Only a provably-absent path takes
+        # this branch — a transient storage/permission error or corrupt
+        # footer on an EXISTING view must raise, never silently wipe the
+        # view history with one micro-batch's partials.
         fresh.write.partitionBy(_PDATE).mode("overwrite").parquet(path)
         return
+    existing = spark.read.parquet(path)
     dates = [r[0] for r in fresh.select(_PDATE).distinct().collect()]
     touched = existing.where(F.col(_PDATE).isin(dates))
     merged = _merge(

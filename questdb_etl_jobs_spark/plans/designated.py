@@ -196,10 +196,16 @@ def upsert_designated_ts(
             .select(*batch.columns)
         )
 
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:  # first write: no table yet
+    from questdb_etl_jobs_spark.sources.fs import hadoop_path_exists
+
+    if not hadoop_path_exists(spark, path):
+        # First write: no table yet. Only a provably-absent path takes
+        # the initialize branch — a transient storage error or corrupt
+        # footer on an EXISTING table must raise, never be mistaken for
+        # first-write (that would drop the history on the next step's
+        # dynamic overwrite).
         return write_designated_ts(dedup_batch(batch), path, ts_col)
+    existing = spark.read.parquet(path)
 
     dates = [r[0] for r in batchd.select(pcol).distinct().collect()]
     cols = [c for c in existing.columns]

@@ -32,6 +32,19 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 _STATE_SCHEMA = "ema double, seeded boolean"
 
 
+def _out_schema(stream: DataFrame, key: str, id_col: str, value: str,
+                result_col: str) -> str:
+    """Output schema with key/id types taken from the input stream, so a
+    string symbol key or int id works the same as in the batch twins
+    (operators/ema.py, operators/counter.py are type-generic)."""
+    key_t = stream.schema[key].dataType.simpleString()
+    id_t = stream.schema[id_col].dataType.simpleString()
+    return (
+        f"{key} {key_t}, {id_col} {id_t}, ts_us bigint, "
+        f"{value} double, {result_col} double"
+    )
+
+
 def ema_stream(
     stream: DataFrame,
     key: str,
@@ -51,10 +64,7 @@ def ema_stream(
         raise ValueError("alpha must be in (0, 1]")
     a = float(alpha)
     one_minus = 1.0 - a
-    out_schema = (
-        f"{key} long, {id_col} long, ts_us bigint, "
-        f"{value} double, ema double"
-    )
+    out_schema = _out_schema(stream, key, id_col, value, "ema")
 
     def update(
         group_key: tuple,
@@ -121,10 +131,7 @@ def counter_increase_stream(
     Python-per-(key, batch) execution shape as :func:`ema_stream`;
     output ``(key, id, ts_us, value, increase)`` in append mode.
     """
-    out_schema = (
-        f"{key} long, {id_col} long, ts_us bigint, "
-        f"{value} double, increase double"
-    )
+    out_schema = _out_schema(stream, key, id_col, value, "increase")
 
     def update(
         group_key: tuple,
