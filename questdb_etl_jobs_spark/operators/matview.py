@@ -56,13 +56,25 @@ def sample_by_partials(
     v = F.col(value)
     return batch.groupBy(b, *keys).agg(
         F.count(v).alias("n"),
-        F.sum(F.round(v, 4).cast("decimal(28,4)")).alias("dsum"),
+        # Outer cast pins the stored type: sum(decimal(28,4)) widens to
+        # decimal(38,4), and staged batch files must carry the SAME
+        # parquet decimal width as _merge's output or a post-compaction
+        # read of mixed batch dirs fails on FLBA length.
+        F.sum(F.round(v, 4).cast("decimal(28,4)"))
+        .cast("decimal(28,4)").alias("dsum"),
         F.min(v).alias("vmin"),
         F.max(v).alias("vmax"),
-        F.min_by(F.struct(F.col(ts).alias("t"), v.alias("v")), F.col(ts))
-        .alias("first"),
-        F.max_by(F.struct(F.col(ts).alias("t"), v.alias("v")), F.col(ts))
-        .alias("last"),
+        # Composite (ts, value) ordering key: ties on ts resolve the
+        # same way on every (re)computation — required for the staged
+        # exactly-once path's bit-identical replay guarantee.
+        F.min_by(
+            F.struct(F.col(ts).alias("t"), v.alias("v")),
+            F.struct(F.col(ts), v),
+        ).alias("first"),
+        F.max_by(
+            F.struct(F.col(ts).alias("t"), v.alias("v")),
+            F.struct(F.col(ts), v),
+        ).alias("last"),
     )
 
 
@@ -72,8 +84,9 @@ def _merge(partials: DataFrame, keys: list[str]) -> DataFrame:
         F.sum("dsum").cast("decimal(28,4)").alias("dsum"),
         F.min("vmin").alias("vmin"),
         F.max("vmax").alias("vmax"),
-        F.min_by(F.col("first"), F.col("first.t")).alias("first"),
-        F.max_by(F.col("last"), F.col("last.t")).alias("last"),
+        F.min_by(F.col("first"), F.struct("first.t", "first.v"))
+        .alias("first"),
+        F.max_by(F.col("last"), F.struct("last.t", "last.v")).alias("last"),
     )
 
 
@@ -139,6 +152,124 @@ def read_sample_by_view(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _staged_dir(path: str) -> str:
+    return path.rstrip("/") + "__batches"
+
+
+def refresh_sample_by_view_exactly_once(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    batch_id: int,
+    ts: str,
+    bucket: str,
+    value: str,
+    keys: list[str],
+) -> None:
+    """Exactly-once refresh: stage, then recompute touched partitions
+    from staged state only.
+
+    Partials are NOT idempotent under re-merge (counts/sums add), so the
+    incremental :func:`refresh_sample_by_view` double-merges a batch the
+    checkpoint redelivers after a crash between the partition overwrite
+    and the commit. This variant closes every crash window by making the
+    view a PURE FUNCTION of the staged batch directories:
+
+    1. **Stage** — the batch's partials land in
+       ``<path>__batches/batch_id=<id>/<date>=...`` via directory
+       overwrite. A replayed batch rewrites the same directory with the
+       same bytes: idempotent.
+    2. **Recompute** — every date partition the batch touches is rebuilt
+       by merging partials from ALL staged batches for those dates
+       (partition-pruned read: only the touched dates' files open) and
+       dynamic-partition-overwritten into the view.
+
+    Replay after a crash at ANY point re-runs both steps against
+    identical staged state and produces bit-identical partitions —
+    there is no read-modify-write of view rows anywhere, so there is
+    nothing to double-apply. Cost per refresh is O(batch + staged
+    partials for touched dates); staged partials are key-sized per
+    (batch, date), so a date's recompute input grows by one small file
+    per batch that touched it (hourly batches against day buckets: ≤24
+    plus late arrivals) — :func:`compact_staged_batches` folds history
+    into one base batch when that tail grows. Mixing this with the
+    incremental refresh on one view is undefined: rows that entered the
+    view without a staged directory are invisible to recompute.
+
+    Object-store caveat (same as Spark's own dynamic overwrite): the
+    final partition swap relies on the committer's rename; on stores
+    without atomic rename use a rename-capable committer or HDFS-backed
+    view paths.
+    """
+    fresh = sample_by_partials(batch, ts, bucket, value, keys).withColumn(
+        _PDATE, F.to_date("bucket_ts")
+    )
+    staged = _staged_dir(path)
+    fresh.write.partitionBy(_PDATE).mode("overwrite").parquet(
+        f"{staged}/batch_id={int(batch_id)}"
+    )
+    dates = [r[0] for r in fresh.select(_PDATE).distinct().collect()]
+    if not dates:
+        return
+    all_staged = (
+        spark.read.option("basePath", staged).parquet(staged)
+        .where(F.col(_PDATE).isin(dates))
+        .drop("batch_id")
+    )
+    recomputed = _merge(all_staged, keys).withColumn(
+        _PDATE, F.to_date("bucket_ts")
+    )
+    materialized = recomputed.localCheckpoint(eager=True)
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        materialized.write.partitionBy(_PDATE).mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+
+def compact_staged_batches(
+    spark: SparkSession, path: str, base_batch_id: int = -1
+) -> None:
+    """Fold all staged batch directories into one base batch.
+
+    Merges every staged partial into ``batch_id=<base_batch_id>`` (the
+    merge is the associative ``_merge``, so the folded base is
+    equivalent to the batches it replaces), writes the base, then
+    removes the superseded directories. Run OFFLINE relative to
+    refreshes (no concurrent ``foreachBatch``): a refresh that staged a
+    new batch between the read and the delete here would lose it.
+    Streaming batch ids are non-negative, so the default base id never
+    collides with a live batch.
+    """
+    staged = _staged_dir(path)
+    if not _view_exists(spark, staged):
+        return
+    all_staged = spark.read.option("basePath", staged).parquet(staged)
+    old_ids = [
+        r[0] for r in all_staged.select("batch_id").distinct().collect()
+    ]
+    folded = _merge(all_staged.drop("batch_id"), [
+        c for c in all_staged.columns
+        if c not in ("bucket_ts", "batch_id", _PDATE,
+                     "n", "dsum", "vmin", "vmax", "first", "last")
+    ]).withColumn(_PDATE, F.to_date("bucket_ts"))
+    materialized = folded.localCheckpoint(eager=True)
+    materialized.write.partitionBy(_PDATE).mode("overwrite").parquet(
+        f"{staged}/batch_id={int(base_batch_id)}"
+    )
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(staged).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for bid in old_ids:
+        if int(bid) != int(base_batch_id):
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{staged}/batch_id={int(bid)}"),
+                True,
+            )
+
+
 def maintain_sample_by_view(
     stream: DataFrame,
     path: str,
@@ -148,23 +279,31 @@ def maintain_sample_by_view(
     value: str,
     keys: list[str],
     available_now: bool = True,
+    exactly_once: bool = True,
 ):
-    """Streaming maintenance of the materialized view: each micro-batch
-    refreshes the store via :func:`refresh_sample_by_view` inside
+    """Streaming maintenance of the materialized view inside
     ``foreachBatch`` — the reference's file-arrival model (hourly GCS
     exports, reference README.md:373) keeping a dashboard view current.
 
-    Exactly-once caveat (same contract as streaming/upsert.py): a batch
-    replayed after a crash between the partition overwrite and the
-    checkpoint commit would double-merge. Partials are NOT idempotent
-    under re-merge (counts/sums add), so deployments that need
-    exactly-once across crashes should stage each batch's partials to a
-    batch-id-named directory first and merge from there; the engine's
-    crash-recovery-tested upsert sink shows the pattern.
+    By default each micro-batch goes through
+    :func:`refresh_sample_by_view_exactly_once`, so a batch the
+    checkpoint redelivers after a crash merges to bit-identical view
+    contents (see that function's staging design; crash-replay proven in
+    tests/test_streaming.py). ``exactly_once=False`` selects the
+    stage-free incremental :func:`refresh_sample_by_view` — one fewer
+    write per batch, at-least-once across crashes (same contract as a
+    bare foreachBatch sink).
     """
 
     def do_refresh(batch: DataFrame, batch_id: int) -> None:
-        if not batch.isEmpty():
+        if batch.isEmpty():
+            return
+        if exactly_once:
+            refresh_sample_by_view_exactly_once(
+                batch.sparkSession, batch, path, batch_id,
+                ts, bucket, value, keys,
+            )
+        else:
             refresh_sample_by_view(
                 batch.sparkSession, batch, path, ts, bucket, value, keys
             )

@@ -1573,6 +1573,118 @@ def test_matview_refresh_handles_late_data(spark, tmp_path):
     assert got == expected and len(got) == 2  # one row per day
 
 
+def test_matview_exactly_once_replay_bit_identical(spark, tmp_path):
+    """Crash-replay proof: re-applying a batch under the SAME batch_id
+    (what a foreachBatch redelivery does after a crash between the
+    partition overwrite and the checkpoint commit) leaves the view
+    bit-identical — the staged design recomputes from identical staged
+    state instead of double-merging partials."""
+    from questdb_etl_jobs_spark.operators.matview import (
+        read_sample_by_view,
+        refresh_sample_by_view_exactly_once,
+    )
+
+    rows = [
+        (_ts(f"2024-01-0{d} {h:02d}:00:0{s}"), "t", float(d * 100 + h + s))
+        for d in (1, 2)
+        for h in (0, 5)
+        for s in (1, 7)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, k string, v double")
+    path = str(tmp_path / "mv")
+    b0 = df.filter(F.col("ts") < "2024-01-02")
+    b1 = df.filter(F.col("ts") >= "2024-01-02")
+    refresh_sample_by_view_exactly_once(
+        spark, b0, path, 0, "ts", "day", "v", ["k"]
+    )
+    refresh_sample_by_view_exactly_once(
+        spark, b1, path, 1, "ts", "day", "v", ["k"]
+    )
+    # Raw partial rows (decimals included), not just the finalized face.
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    # Redeliver batch 1 — twice, for good measure.
+    refresh_sample_by_view_exactly_once(
+        spark, b1, path, 1, "ts", "day", "v", ["k"]
+    )
+    refresh_sample_by_view_exactly_once(
+        spark, b1, path, 1, "ts", "day", "v", ["k"]
+    )
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
+    # And the view still equals the incremental-path answer on all rows.
+    got = sorted(map(tuple, read_sample_by_view(spark, path).collect()))
+    assert len(got) == 2 and all(r[2] == 4 for r in got)  # n per day
+
+
+def test_matview_exactly_once_compaction(spark, tmp_path):
+    """compact_staged_batches folds staged history into one base batch:
+    the finalized view is unchanged, the old batch dirs are gone, and a
+    post-compaction refresh (late data) still recomputes correctly."""
+    from questdb_etl_jobs_spark.operators.matview import (
+        _staged_dir,
+        compact_staged_batches,
+        read_sample_by_view,
+        refresh_sample_by_view_exactly_once,
+    )
+
+    rows = [
+        (_ts(f"2024-01-01 {h:02d}:00:00"), "t", float(h)) for h in range(6)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, k string, v double")
+    path = str(tmp_path / "mv")
+    for i in range(3):
+        refresh_sample_by_view_exactly_once(
+            spark, df.filter(F.hour("ts") % 3 == i), path, i,
+            "ts", "day", "v", ["k"],
+        )
+    before = sorted(map(tuple, read_sample_by_view(spark, path).collect()))
+    compact_staged_batches(spark, path)
+    ids = {
+        r[0]
+        for r in spark.read.option("basePath", _staged_dir(path))
+        .parquet(_staged_dir(path)).select("batch_id").distinct().collect()
+    }
+    assert ids == {-1}
+    # View partitions untouched by compaction; a late batch after
+    # compaction merges base + new correctly.
+    assert sorted(
+        map(tuple, read_sample_by_view(spark, path).collect())
+    ) == before
+    late = spark.createDataFrame(
+        [(_ts("2024-01-01 23:00:00"), "t", 99.0)],
+        "ts timestamp, k string, v double",
+    )
+    refresh_sample_by_view_exactly_once(
+        spark, late, path, 3, "ts", "day", "v", ["k"]
+    )
+    got = read_sample_by_view(spark, path).collect()
+    assert len(got) == 1 and got[0].n == 7 and got[0].vmax == 99.0
+    assert got[0].last_val == 99.0
+
+
+def test_matview_refresh_raises_on_unreadable_existing_view(spark, tmp_path):
+    """An EXISTING but unreadable view path must raise, never be
+    mistaken for first-refresh and overwritten with one batch's
+    partials (the history-wipe failure mode)."""
+    import pytest
+
+    from questdb_etl_jobs_spark.operators.matview import (
+        refresh_sample_by_view,
+    )
+
+    path = tmp_path / "mv"
+    path.mkdir()
+    (path / "part-00000.parquet").write_bytes(b"not a parquet footer")
+    df = spark.createDataFrame(
+        [(_ts("2024-01-01 00:00:00"), "t", 1.0)],
+        "ts timestamp, k string, v double",
+    )
+    with pytest.raises(Exception):
+        refresh_sample_by_view(spark, df, str(path), "ts", "day", "v", ["k"])
+    # The corrupt store was not silently replaced.
+    assert (path / "part-00000.parquet").read_bytes() == b"not a parquet footer"
+
+
 def test_heavy_hitters_small_sketch_still_exact_on_skew(spark):
     """counters ≪ vocabulary: the MG candidate pass must still surface
     the true top-k when their counts clear the N/counters bound, with
