@@ -71,19 +71,12 @@ def misra_gries_partials(
     )
 
 
-def heavy_hitters_topk(
-    df: DataFrame, col: str, k: int, counters: int = 1024
-) -> DataFrame:
-    """Exact top-``k`` values of ``col`` by count, via the MG candidate
-    pass + exact confirm pass. Returns ``col, cnt, guaranteed`` ordered
-    by ``(cnt desc, col)``; a row's ``guaranteed`` is TRUE when its own
-    exact count strictly exceeds the merged-MG error bound
-    ``N/counters`` — such a key provably could not have been pruned, so
-    when every returned row is guaranteed, the result IS the true
-    top-k."""
-    if k < 1 or counters < k:
-        raise ValueError("need counters >= k >= 1")
-    rows = df.filter(F.col(col).isNotNull())
+def _topk_pass(rows: DataFrame, col: str, k: int, counters: int) -> DataFrame:
+    """One candidate+confirm round at a fixed sketch size. Returns
+    ``col, cnt, guaranteed`` ordered by ``(cnt desc, col)``; a row's
+    ``guaranteed`` is TRUE when its own exact count strictly exceeds the
+    merged-MG error bound ``N/counters`` — such a key provably could not
+    have been pruned."""
     candidates = (
         misra_gries_partials(rows, col, counters)
         .groupBy(col)
@@ -102,3 +95,48 @@ def heavy_hitters_topk(
         "cnt",
         (F.col("cnt") * F.lit(counters) > F.col("__n")).alias("guaranteed"),
     ).orderBy(F.col("cnt").desc(), F.col(col))
+
+
+def heavy_hitters_topk(
+    df: DataFrame,
+    col: str,
+    k: int,
+    counters: int = 1024,
+    max_escalations: int = 4,
+) -> DataFrame:
+    """Exact top-``k`` values of ``col`` by count, auto-escalating the
+    sketch until the exactness guarantee holds.
+
+    Runs the MG candidate + exact confirm round; if any returned row has
+    ``guaranteed = false`` (its exact count does not clear the
+    ``N/counters`` bound, so a true top-k key COULD have been pruned),
+    the round re-runs with doubled counters, up to ``max_escalations``
+    times — callers get the exactness the flag promises without
+    hand-tuning ``counters`` to the data's skew. Each escalation doubles
+    only the bounded sketch state (``counters`` slots per partition) and
+    rescans the input; the result set itself is always k rows, so the
+    guarantee check is a driver-side look at k booleans, not a second
+    shuffle. A distribution flat enough to exhaust the escalation budget
+    (k-th count ≤ N/final_counters) returns the last round's rows with
+    their honest ``guaranteed`` flags — possibly fewer than k of them,
+    since MG decrements can evict nearly every slot on flat data — so
+    the caller can see exactly which rows remain unproven.
+
+    Returns ``col, cnt, guaranteed`` ordered by ``(cnt desc, col)``;
+    when every row is guaranteed, the result IS the true top-k.
+    """
+    if k < 1 or counters < k:
+        raise ValueError("need counters >= k >= 1")
+    if max_escalations < 0:
+        raise ValueError("max_escalations must be >= 0")
+    rows = df.filter(F.col(col).isNotNull())
+    c = counters
+    for attempt in range(max_escalations + 1):
+        out = _topk_pass(rows, col, k, c)
+        collected = out.collect()
+        if all(r.guaranteed for r in collected) or attempt == max_escalations:
+            break
+        c *= 2
+    # Rebuild from the k collected rows: the caller's DataFrame must not
+    # silently recompute a pass that was already judged.
+    return rows.sparkSession.createDataFrame(collected, schema=out.schema)

@@ -1719,3 +1719,55 @@ def test_heavy_hitters_small_sketch_still_exact_on_skew(spark):
 
     with pytest.raises(ValueError):
         heavy_hitters_topk(df, "token", k=8, counters=4)
+
+
+def test_heavy_hitters_auto_escalates_to_exact(spark):
+    """Adversarial start: counters far below the skew threshold (the
+    first pass provably cannot guarantee its rows). The operator must
+    escalate the sketch on its own and still return the exact top-k
+    with every row guaranteed."""
+    from questdb_etl_jobs_spark.operators.heavyhitters import (
+        _topk_pass,
+        heavy_hitters_topk,
+    )
+
+    # N = 3000: hot 200/150/100, tail 2550 singletons. counters=8 →
+    # bound N/8 = 375 > 200: nothing guaranteeable. Exactness needs
+    # 100*c > 3000 → c ≥ 32, i.e. two doublings from 8.
+    rows = (
+        [("hot_a",)] * 200 + [("hot_b",)] * 150 + [("hot_c",)] * 100
+        + [(f"tail_{i}",) for i in range(2550)]
+    )
+    df = spark.createDataFrame(rows, "token string").repartition(8)
+    # The starting sketch really is below the threshold:
+    first = _topk_pass(
+        df.filter(F.col("token").isNotNull()), "token", 3, 8
+    ).collect()
+    assert not all(r.guaranteed for r in first)
+    out = heavy_hitters_topk(df, "token", k=3, counters=8).collect()
+    assert [(r.token, r.cnt) for r in out] == [
+        ("hot_a", 200), ("hot_b", 150), ("hot_c", 100)
+    ]
+    assert all(r.guaranteed for r in out)
+
+
+def test_heavy_hitters_flat_distribution_reports_unproven(spark):
+    """A distribution flat enough to exhaust the escalation budget
+    returns rows with honest guaranteed=false flags instead of looping
+    or lying."""
+    from questdb_etl_jobs_spark.operators.heavyhitters import (
+        heavy_hitters_topk,
+    )
+
+    # 600 keys × 5 occurrences: N=3000, every count=5. With counters=8
+    # and 1 escalation (max 16), bound stays 3000/16 >> 5.
+    rows = [(f"k{i:03d}",) for i in range(600) for _ in range(5)]
+    df = spark.createDataFrame(rows, "token string").repartition(8)
+    out = heavy_hitters_topk(
+        df, "token", k=3, counters=8, max_escalations=1
+    ).collect()
+    # MG decrements can evict almost everything on flat data, so the
+    # candidate set may hold fewer than k keys — honest, as long as
+    # nothing claims to be guaranteed.
+    assert 1 <= len(out) <= 3 and all(r.cnt <= 5 for r in out)
+    assert not any(r.guaranteed for r in out)

@@ -423,14 +423,18 @@ def test_q148_zscore_single_keyed_exchange(spark):
 def test_heavy_hitters_confirm_is_broadcast_semi(spark):
     """The exact confirm pass prunes with a broadcast LEFT SEMI join
     before aggregating — the vocabulary never shuffles."""
-    from questdb_etl_jobs_spark.operators.heavyhitters import (
-        heavy_hitters_topk,
-    )
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from questdb_etl_jobs_spark.operators.heavyhitters import _topk_pass
 
     toks = spark.createDataFrame(
         [(f"t{i % 7}",) for i in range(100)], "token string"
     )
-    plan = plan_string(heavy_hitters_topk(toks, "token", k=3, counters=16))
+    # _topk_pass is the plan-bearing round heavy_hitters_topk executes
+    # (the public wrapper returns the judged rows as a local relation).
+    plan = plan_string(
+        _topk_pass(toks.filter(F.col("token").isNotNull()), "token", 3, 16)
+    )
     assert "LeftSemi" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
 
