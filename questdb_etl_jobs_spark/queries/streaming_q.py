@@ -14,6 +14,7 @@ pytest.
 from __future__ import annotations
 
 import csv
+import os
 import shutil
 import tempfile
 from collections import defaultdict
@@ -215,4 +216,142 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("file_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q145 — streaming EMA (R-family stateful smoothing under the oracle)
+# ---------------------------------------------------------------------------
+#
+# streaming/ema_stream.py: the order-dependent recurrence carried across
+# micro-batches as one double of state per key. The hourly fixture files
+# replay one-per-trigger (the reference's hourly-export arrival model,
+# reference README.md:373), so the state provably survives batch
+# boundaries: the oracle recomputes the full per-row EMA trajectory in
+# CPython over the same rows in the same replay order — identical IEEE
+# expression `0.25*x + 0.75*y` term for term, gated at 4 decimals via
+# the repr-rounding shim (same protocol as q138's batch face).
+
+def _q145_replay_rows() -> list[tuple[int, int, str, float]]:
+    """(item_id, row_id, ts_iso, price) in replay order: hourly files in
+    name order (= time order), lines in file order, row_id global."""
+    out = []
+    rid = 0
+    for path in sorted(Path(PURCHASES_HOURLY_DIR).glob("*.csv")):
+        with open(path, newline="") as fh:
+            for _email, item, _qty, price, ts in csv.reader(fh):
+                out.append((int(item), rid, ts, float(price)))
+                rid += 1
+    return out
+
+
+def _q145_expected() -> list[tuple[int, int, float]]:
+    """CPython recurrence: per key, per hour-file batch, rows sorted by
+    (ts, row_id) — exactly ema_stream's within-batch sort — with the
+    carried state crossing file boundaries in replay order."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    state: dict[int, float] = {}
+    out = []
+    batch: list[tuple[int, int, str, float]] = []
+    rows = _q145_replay_rows()
+
+    def flush() -> None:
+        for item, rid, ts, price in sorted(
+            batch, key=lambda r: (r[2], r[1])
+        ):
+            prev = state.get(item)
+            st = price if prev is None else 0.25 * price + 0.75 * prev
+            state[item] = st
+            ema4 = float(
+                Decimal(repr(st)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+            )
+            out.append((item, rid, ema4))
+        batch.clear()
+
+    current_hour = None
+    for item, rid, ts, price in rows:
+        hour = ts[:13]
+        if hour != current_hour:
+            flush()
+            current_hour = hour
+        batch.append((item, rid, ts, price))
+    flush()
+    return sorted(out)
+
+
+def _q145_oracle() -> str:
+    values = ",\n      ".join(
+        f"({item}, {rid}, {ema4!r})" for item, rid, ema4 in _q145_expected()
+    )
+    return f"""
+    SELECT CAST(item_id AS INTEGER) AS item_id,
+           CAST(row_id AS BIGINT) AS row_id,
+           CAST(ema4 AS DOUBLE) AS ema4
+    FROM (VALUES
+      {values}
+    ) AS t(item_id, row_id, ema4)
+    ORDER BY item_id, row_id
+    """
+
+
+@dq("q145_ema_stream_replay", oracle=_q145_oracle, covers="R1,R6,U2,W2")
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the hourly exports one-file-per-trigger through the
+    stateful streaming EMA, land the per-row trajectory in parquet, and
+    return it (streaming/ema_stream.py:35)."""
+    from questdb_etl_jobs_spark.streaming.ema_stream import ema_stream
+
+    work = tempfile.mkdtemp(prefix="q145_ema_stream_")
+    try:
+        src = Path(work) / "src"
+        src.mkdir()
+        rid = 0
+        for i, path in enumerate(
+            sorted(Path(PURCHASES_HOURLY_DIR).glob("*.csv"))
+        ):
+            rows = []
+            with open(path, newline="") as fh:
+                for _email, item, _qty, price, ts in csv.reader(fh):
+                    rows.append((item, rid, ts, price))
+                    rid += 1
+            dst = src / path.name
+            with open(dst, "w", newline="") as fh:
+                csv.writer(fh).writerows(rows)
+            # Ascending mtimes pin the file-arrival replay order.
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.schema(
+                "item_id int, row_id bigint, ts timestamp, price double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .csv(str(src))
+        )
+        traj = ema_stream(
+            stream, key="item_id", ts="ts", value="price",
+            alpha=0.25, id_col="row_id",
+        )
+        q = (
+            traj.writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        result = (
+            spark.read.parquet(f"{work}/out")
+            .select(
+                "item_id",
+                "row_id",
+                F.round("ema", 4).alias("ema4"),
+            )
+            .orderBy("item_id", "row_id")
+        )
+        rows_out = result.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows_out, "item_id int, row_id bigint, ema4 double"
     )
