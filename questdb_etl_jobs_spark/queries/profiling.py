@@ -2085,3 +2085,78 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q151 — exactly-once materialized view: redelivery + compaction == direct
+# ---------------------------------------------------------------------------
+#
+# operators/matview.py refresh_sample_by_view_exactly_once under the
+# oracle: the event history lands in three staged refreshes, the SECOND
+# is deliberately redelivered (same batch_id — the crash-replay window a
+# checkpointed foreachBatch produces), and the staged history is
+# compacted mid-sequence before a final late batch. The finalized view
+# must still answer the daily SAMPLE BY bit-for-bit identically to a
+# direct query over the full history — the q146 contract, now under
+# at-least-once delivery.
+
+_Q151_ORACLE = """
+SELECT CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT)
+         AS bucket_us,
+       event_type,
+       CAST(COUNT(value) AS BIGINT) AS n,
+       {total},
+       ROUND(MIN(value), 4) AS vmin4,
+       ROUND(MAX(value), 4) AS vmax4,
+       ROUND(arg_min(value, CAST(ts AS TIMESTAMP)), 4) AS first4,
+       ROUND(arg_max(value, CAST(ts AS TIMESTAMP)), 4) AS last4
+FROM events
+GROUP BY bucket_us, event_type ORDER BY bucket_us, event_type
+""".format(total=sum4("value", "total4"))
+
+
+@dq("q151_matview_exactly_once", oracle=_Q151_ORACLE, covers="A7,R6,S6,EXT")
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from questdb_etl_jobs_spark.operators.matview import (
+        compact_staged_batches,
+        read_sample_by_view,
+        refresh_sample_by_view_exactly_once,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    )
+    path = "/tmp/spark_graft_q151_view"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + "__batches", ignore_errors=True)
+    cuts = ("2024-01-11", "2024-01-21")
+    batches = [
+        events.filter(F.col("ts") < cuts[0]),
+        events.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        events.filter(F.col("ts") >= cuts[1]),
+    ]
+
+    def refresh(i: int) -> None:
+        refresh_sample_by_view_exactly_once(
+            spark, batches[i], path, i, ts="ts", bucket="day",
+            value="value", keys=["event_type"],
+        )
+
+    refresh(0)
+    refresh(1)
+    refresh(1)  # redelivered micro-batch: same id, same rows
+    compact_staged_batches(spark, path)
+    refresh(2)  # late batch lands on the compacted base
+    view = read_sample_by_view(spark, path)
+    return view.select(
+        F.unix_micros("bucket_ts").alias("bucket_us"),
+        "event_type",
+        "n",
+        F.round("total", 4).alias("total4"),
+        F.round("vmin", 4).alias("vmin4"),
+        F.round("vmax", 4).alias("vmax4"),
+        F.round("first_val", 4).alias("first4"),
+        F.round("last_val", 4).alias("last4"),
+    ).orderBy("bucket_us", "event_type")

@@ -1044,3 +1044,83 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_l, F.col("event_id_right")).otherwise(F.col("event_id")).alias("other_id"),
         F.when(is_l, F.col("ts_right")).otherwise(F.col("ts")).alias("other_ts"),
     ).orderBy("side", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q149 — bucketed-layout star join, exchange-free on the fact tables
+# ---------------------------------------------------------------------------
+#
+# sources/bucketed.py under the driver's oracle: lineitem and orders land
+# hash-bucketed on the join key (the pay-the-shuffle-once layout a 100 TB
+# deployment uses for recurring fact-fact joins), lineitem folds to order
+# grain ON the bucket key (zero-exchange aggregation whose output KEEPS
+# the bucket partitioning), the fact-fact join plans with zero exchanges,
+# and the dimensions broadcast. Same composed shape the scale
+# differential times at sf10 (tools/sf1_differential.py); the revenue
+# decimal protocol composes exactly because DECIMAL(28,4) partial sums
+# are associative: sum-of-order-sums == direct sum4.
+
+@dq(
+    "q149_bucketed_join_revenue",
+    oracle=f"""
+    SELECT n_name,
+           {sum4(_REVENUE, "revenue")},
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    covers="J1,J2,A1,F7,EXT",
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from questdb_etl_jobs_spark.sources.bucketed import write_bucketed
+
+    wh = "/tmp/spark_graft_q149_bucketed"
+    shutil.rmtree(wh, ignore_errors=True)
+    for tbl in ("q149_li_b", "q149_od_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        "q149_li_b", f"{wh}/li", ["l_orderkey"], 8,
+        sort_cols=["l_orderkey"],
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        "q149_od_b", f"{wh}/od", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"],
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    li = (
+        spark.table("q149_li_b")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.expr(f"CAST(ROUND({_REVENUE}, 4) AS DECIMAL(28,4))")
+            ).alias("__rev_d"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+    )
+    od = spark.table("q149_od_b")
+    joined = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(customer), od.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(F.sum("__rev_d").cast("double"), 4).alias("revenue"),
+            F.sum("__cnt").alias("n_items"),
+        )
+        .orderBy("n_name")
+    )

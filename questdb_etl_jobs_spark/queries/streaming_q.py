@@ -220,19 +220,21 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q145 — streaming EMA (R-family stateful smoothing under the oracle)
+# q145 / q150 — streaming recurrences (R-family stateful ops under the
+# oracle): EMA and reset-corrected counter increase
 # ---------------------------------------------------------------------------
 #
-# streaming/ema_stream.py: the order-dependent recurrence carried across
+# streaming/ema_stream.py: order-dependent recurrences carried across
 # micro-batches as one double of state per key. The hourly fixture files
 # replay one-per-trigger (the reference's hourly-export arrival model,
 # reference README.md:373), so the state provably survives batch
-# boundaries: the oracle recomputes the full per-row EMA trajectory in
+# boundaries: the oracle recomputes the full per-row trajectory in
 # CPython over the same rows in the same replay order — identical IEEE
-# expression `0.25*x + 0.75*y` term for term, gated at 4 decimals via
-# the repr-rounding shim (same protocol as q138's batch face).
+# expressions term for term (q145 gated at 4 decimals via the
+# repr-rounding shim, same protocol as q138's batch face; q150's
+# integer-price differences are exact doubles).
 
-def _q145_replay_rows() -> list[tuple[int, int, str, float]]:
+def _replay_rows_with_ids() -> list[tuple[int, int, str, float]]:
     """(item_id, row_id, ts_iso, price) in replay order: hourly files in
     name order (= time order), lines in file order, row_id global."""
     out = []
@@ -245,32 +247,26 @@ def _q145_replay_rows() -> list[tuple[int, int, str, float]]:
     return out
 
 
-def _q145_expected() -> list[tuple[int, int, float]]:
-    """CPython recurrence: per key, per hour-file batch, rows sorted by
-    (ts, row_id) — exactly ema_stream's within-batch sort — with the
-    carried state crossing file boundaries in replay order."""
-    from decimal import ROUND_HALF_UP, Decimal
-
+def _replay_expected(step) -> list[tuple[int, int, float]]:
+    """CPython recurrence trajectory: per key, per hour-file batch, rows
+    sorted by (ts, row_id) — exactly the streaming operators'
+    within-batch sort — with carried state crossing file boundaries in
+    replay order. ``step(prev_or_None, x) -> (new_state, emitted)``."""
     state: dict[int, float] = {}
     out = []
     batch: list[tuple[int, int, str, float]] = []
-    rows = _q145_replay_rows()
 
     def flush() -> None:
-        for item, rid, ts, price in sorted(
+        for item, rid, _ts, price in sorted(
             batch, key=lambda r: (r[2], r[1])
         ):
-            prev = state.get(item)
-            st = price if prev is None else 0.25 * price + 0.75 * prev
+            st, emitted = step(state.get(item), price)
             state[item] = st
-            ema4 = float(
-                Decimal(repr(st)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
-            )
-            out.append((item, rid, ema4))
+            out.append((item, rid, emitted))
         batch.clear()
 
     current_hour = None
-    for item, rid, ts, price in rows:
+    for item, rid, ts, price in _replay_rows_with_ids():
         hour = ts[:13]
         if hour != current_hour:
             flush()
@@ -280,29 +276,32 @@ def _q145_expected() -> list[tuple[int, int, float]]:
     return sorted(out)
 
 
-def _q145_oracle() -> str:
+def _replay_oracle(step, out_col: str) -> str:
+    def fmt(v: float | None) -> str:
+        return "NULL" if v is None else repr(v)
+
     values = ",\n      ".join(
-        f"({item}, {rid}, {ema4!r})" for item, rid, ema4 in _q145_expected()
+        f"({item}, {rid}, {fmt(v)})"
+        for item, rid, v in _replay_expected(step)
     )
     return f"""
     SELECT CAST(item_id AS INTEGER) AS item_id,
            CAST(row_id AS BIGINT) AS row_id,
-           CAST(ema4 AS DOUBLE) AS ema4
+           CAST({out_col} AS DOUBLE) AS {out_col}
     FROM (VALUES
       {values}
-    ) AS t(item_id, row_id, ema4)
+    ) AS t(item_id, row_id, {out_col})
     ORDER BY item_id, row_id
     """
 
 
-@dq("q145_ema_stream_replay", oracle=_q145_oracle, covers="R1,R6,U2,W2")
-def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay the hourly exports one-file-per-trigger through the
-    stateful streaming EMA, land the per-row trajectory in parquet, and
-    return it (streaming/ema_stream.py:35)."""
-    from questdb_etl_jobs_spark.streaming.ema_stream import ema_stream
-
-    work = tempfile.mkdtemp(prefix="q145_ema_stream_")
+def _run_replay_stream(spark: SparkSession, op, result_col: str,
+                       out_col: str, prefix: str):
+    """Replay the id-augmented hourly exports one-file-per-trigger
+    through a stateful streaming operator, land the per-row trajectory
+    via a parquet sink, and return the collected (item_id, row_id,
+    round(result, 4)) rows."""
+    work = tempfile.mkdtemp(prefix=prefix)
     try:
         src = Path(work) / "src"
         src.mkdir()
@@ -327,12 +326,8 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .csv(str(src))
         )
-        traj = ema_stream(
-            stream, key="item_id", ts="ts", value="price",
-            alpha=0.25, id_col="row_id",
-        )
         q = (
-            traj.writeStream.format("parquet")
+            op(stream).writeStream.format("parquet")
             .option("path", f"{work}/out")
             .option("checkpointLocation", f"{work}/ckpt")
             .outputMode("append")
@@ -345,7 +340,7 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "item_id",
                 "row_id",
-                F.round("ema", 4).alias("ema4"),
+                F.round(result_col, 4).alias(out_col),
             )
             .orderBy("item_id", "row_id")
         )
@@ -353,5 +348,70 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(
-        rows_out, "item_id int, row_id bigint, ema4 double"
+        rows_out, f"item_id int, row_id bigint, {out_col} double"
+    )
+
+
+def _ema_step(prev: float | None, x: float) -> tuple[float, float]:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    st = x if prev is None else 0.25 * x + 0.75 * prev
+    return st, float(
+        Decimal(repr(st)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+    )
+
+
+def _counter_step(
+    prev: float | None, x: float
+) -> tuple[float, float | None]:
+    if prev is None:
+        inc = None
+    elif x - prev < 0:
+        inc = x  # reset: the counter restarted from zero
+    else:
+        inc = x - prev
+    return x, inc
+
+
+@dq(
+    "q145_ema_stream_replay",
+    oracle=lambda: _replay_oracle(_ema_step, "ema4"),
+    covers="R1,R6,U2,W2",
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the hourly exports through the stateful streaming EMA
+    (streaming/ema_stream.py:35) and return the per-row trajectory."""
+    from questdb_etl_jobs_spark.streaming.ema_stream import ema_stream
+
+    return _run_replay_stream(
+        spark,
+        lambda s: ema_stream(
+            s, key="item_id", ts="ts", value="price",
+            alpha=0.25, id_col="row_id",
+        ),
+        result_col="ema", out_col="ema4", prefix="q145_ema_stream_",
+    )
+
+
+@dq(
+    "q150_counter_stream_replay",
+    oracle=lambda: _replay_oracle(_counter_step, "inc4"),
+    covers="R1,R6,U2,W2",
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the hourly exports through the stateful streaming counter
+    increase (streaming/ema_stream.py counter twin): reset-corrected
+    deltas with one carried baseline per key; the first sample per key
+    emits NULL, crossing micro-batch boundaries via the state store."""
+    from questdb_etl_jobs_spark.streaming.ema_stream import (
+        counter_increase_stream,
+    )
+
+    return _run_replay_stream(
+        spark,
+        lambda s: counter_increase_stream(
+            s, key="item_id", ts="ts", value="price", id_col="row_id",
+        ),
+        result_col="increase", out_col="inc4",
+        prefix="q150_counter_stream_",
     )

@@ -253,6 +253,49 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bt_lineitem")
 
 
+def test_bucketed_preagg_join_keeps_bucket_partitioning(spark, tmp_path):
+    """The composed 100 TB shape (q149 / the scale differential's
+    bucketed dq10): groupBy on the bucket key aggregates WITHOUT an
+    exchange, its output keeps the bucket partitioning, and the
+    fact-fact join consumes it exchange-free — the only exchanges left
+    are dimension broadcasts and the final key-sized rollup."""
+    from questdb_etl_jobs_spark.sources.bucketed import read_table, write_bucketed
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    lineitem = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    write_bucketed(
+        lineitem, "bp_lineitem", str(tmp_path / "l"), ["l_orderkey"], 4,
+        sort_cols=["l_orderkey"],
+    )
+    write_bucketed(
+        orders, "bp_orders", str(tmp_path / "o"), ["o_orderkey"], 4,
+        sort_cols=["o_orderkey"],
+    )
+    try:
+        li = (
+            read_table(spark, "bp_lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        joined = li.join(
+            read_table(spark, "bp_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = plan_string(joined)
+        # No exchange anywhere on the agg→join path.
+        assert "Exchange hashpartitioning" not in plan, plan
+        # Inner join at order grain: one row per order that has lines.
+        assert joined.count() == lineitem.select("l_orderkey").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bp_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bp_orders")
+
+
 def test_ts_in_interval_pushed_to_scan(spark, tmp_path):
     # QuestDB interval search expands to a pure range predicate that
     # must reach the parquet scan (GreaterThanOrEqual + LessThan on ts)

@@ -189,11 +189,22 @@ def _duck_connection(sf_dir: str):
 
 
 def _bucketed_dq10(spark, sf_dir: str, raw_entry: dict) -> dict:
-    """Time dq10 over bucketed lineitem/orders at ``sf_dir``.
+    """Time dq10 over bucketed lineitem/orders at ``sf_dir``, in two
+    shapes:
 
-    Returns {prep_sec, spark_sec, ratio_vs_duckdb, rows}; the aggregate
-    is value-checked against the raw-parquet plan (counts exact, revenue
-    within double-summation-order tolerance).
+    - ``join`` — raw-grain join of the bucketed tables (zero-Exchange
+      fact-fact join, aggregation after);
+    - ``preagg`` — the composed 100 TB form: lineitem folds to order
+      grain ON the bucketed layout first (groupBy on the bucket key
+      needs NO exchange and its output KEEPS the bucket partitioning),
+      then joins bucketed orders exchange-free and broadcasts the
+      dimension tables — the q10_plain eager-aggregation rewrite and
+      the bucketed layout composed, where round 7 measured each alone.
+
+    Returns {prep_sec, spark_sec, ratio, rows, shapes: {join: {...},
+    preagg: {...}}} with spark_sec/ratio from the best shape; both
+    aggregates are value-checked against the raw-parquet plan (counts
+    exact, revenue within double-summation-order tolerance).
     """
     import shutil
 
@@ -221,10 +232,12 @@ def _bucketed_dq10(spark, sf_dir: str, raw_entry: dict) -> dict:
     )
     prep = time.perf_counter() - t0
 
-    customer = load_table(spark, sf_dir, "customer")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
     nation = load_table(spark, sf_dir, "nation")
 
-    def q():
+    def q_join():
         li = spark.table("diff_li_b")
         od = spark.table("diff_od_b")
         joined = (
@@ -246,36 +259,77 @@ def _bucketed_dq10(spark, sf_dir: str, raw_entry: dict) -> dict:
             .orderBy("n_name")
         )
 
-    best, rows = float("inf"), -1
-    pdf = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        pdf = q().toPandas()
-        best = min(best, time.perf_counter() - t0)
-        rows = len(pdf)
-    # Cross-check vs the raw-parquet plan: counts must match exactly,
-    # double sums within summation-order tolerance.
+    def q_preagg():
+        li = (
+            spark.table("diff_li_b")
+            .groupBy("l_orderkey")
+            .agg(
+                F.sum(
+                    F.expr("l_extendedprice * (1 - l_discount)")
+                ).alias("__rev"),
+                F.count(F.lit(1)).alias("__cnt"),
+            )
+        )
+        od = spark.table("diff_od_b")
+        joined = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .join(
+                F.broadcast(customer),
+                od.o_custkey == customer.c_custkey,
+            )
+            .join(
+                F.broadcast(nation),
+                customer.c_nationkey == nation.n_nationkey,
+            )
+        )
+        return (
+            joined.groupBy("n_name")
+            .agg(
+                F.sum("__rev").alias("revenue"),
+                F.sum("__cnt").alias("n_items"),
+            )
+            .orderBy("n_name")
+        )
+
     raw = _spark_headline()["dq10_join_revenue"](spark, sf_dir).toPandas()
-    assert (raw["n_items"].values == pdf["n_items"].values).all(), (
-        "bucketed dq10 count mismatch"
-    )
-    rel = (
-        (raw["revenue"] - pdf["revenue"]).abs() / raw["revenue"].abs()
-    ).max()
-    assert rel < 1e-9, f"bucketed dq10 revenue drift {rel}"
     duck = raw_entry["duckdb_sec"]
-    out = {
+    shapes: dict[str, dict] = {}
+    for shape, q in (("join", q_join), ("preagg", q_preagg)):
+        best, rows = float("inf"), -1
+        pdf = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pdf = q().toPandas()
+            best = min(best, time.perf_counter() - t0)
+            rows = len(pdf)
+        # Cross-check vs the raw-parquet plan: counts must match
+        # exactly, double sums within summation-order tolerance.
+        assert (raw["n_items"].values == pdf["n_items"].values).all(), (
+            f"bucketed dq10 ({shape}) count mismatch"
+        )
+        rel = (
+            (raw["revenue"] - pdf["revenue"]).abs() / raw["revenue"].abs()
+        ).max()
+        assert rel < 1e-9, f"bucketed dq10 ({shape}) revenue drift {rel}"
+        shapes[shape] = {
+            "spark_sec": round(best, 4),
+            "ratio": round(best / duck, 2),
+            "rows": rows,
+        }
+        print(
+            f"bucketed dq10 [{shape}]: prep={prep:.1f}s run={best:.3f}s "
+            f"ratio-vs-raw-duckdb={best / duck:.2f}",
+            file=sys.stderr,
+        )
+    best_shape = min(shapes, key=lambda s: shapes[s]["spark_sec"])
+    return {
         "prep_sec": round(prep, 2),
-        "spark_sec": round(best, 4),
-        "ratio": round(best / duck, 2),
-        "rows": rows,
+        "spark_sec": shapes[best_shape]["spark_sec"],
+        "ratio": shapes[best_shape]["ratio"],
+        "rows": shapes[best_shape]["rows"],
+        "best_shape": best_shape,
+        "shapes": shapes,
     }
-    print(
-        f"bucketed dq10: prep={prep:.1f}s join={best:.3f}s "
-        f"ratio-vs-raw-duckdb={best / duck:.2f}",
-        file=sys.stderr,
-    )
-    return out
 
 
 def main() -> None:
@@ -396,11 +450,25 @@ def main() -> None:
             (x1, s1, d1), (x2, s2, d2) = pts[-2], pts[-1]
             ms = (s2 - s1) / (x2 - x1)
             md = (d2 - d1) / (x2 - x1)
+            # Fixed-cost decomposition at the largest tier: t = fixed +
+            # marginal*scale, so fixed = t_sf10 - marginal*100 — the
+            # per-query constant (scheduling, AQE stage materialization,
+            # py4j round-trips for Spark; ~0 for an embedded engine)
+            # that a 1000-executor deployment amortizes over 1000x more
+            # data per query. The residual data-proportional ratio IS
+            # the asymptotic_ratio: what survives when the data term
+            # dominates the fixed term.
+            sf = (s2 - ms * x2, d2 - md * x2)
             tiers_out["fit"] = {
                 "tiers_used": [x1, x2],
                 "spark_marginal_sec_per_sf01": round(ms, 5),
                 "duckdb_marginal_sec_per_sf01": round(md, 5),
                 "asymptotic_ratio": round(ms / md, 2) if md > 0 else None,
+                "spark_fixed_cost_sec": round(sf[0], 4),
+                "duckdb_fixed_cost_sec": round(sf[1], 4),
+                "residual_data_proportional_ratio": (
+                    round(ms / md, 2) if md > 0 else None
+                ),
             }
             print(
                 f"fit    {label:22s} marginal spark={ms:.4f}/sf0.1 "
