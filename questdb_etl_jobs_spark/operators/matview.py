@@ -288,8 +288,8 @@ def maintain_sample_by_view(
     By default each micro-batch goes through
     :func:`refresh_sample_by_view_exactly_once`, so a batch the
     checkpoint redelivers after a crash merges to bit-identical view
-    contents (see that function's staging design; crash-replay proven in
-    tests/test_streaming.py). ``exactly_once=False`` selects the
+    contents (see that function's staging design; double-apply replay
+    proven in tests/test_operators.py and the registered q151). ``exactly_once=False`` selects the
     stage-free incremental :func:`refresh_sample_by_view` — one fewer
     write per batch, at-least-once across crashes (same contract as a
     bare foreachBatch sink).

@@ -116,12 +116,106 @@ def sample_by_first_observation(
     return grouped.agg(*aggs)
 
 
+def _width_us(bucket: str) -> int:
+    """Micro-second width of a fixed-width bucket spec (``"hour"``,
+    ``"15 minutes"``). Calendar units (week/month/…) raise: they have no
+    fixed width, so anchored-origin bucketing is undefined for them."""
+    parts = bucket.split()
+    if len(parts) not in (1, 2):
+        raise ValueError(
+            f"bucket must be '<unit>' or '<n> <unit>', got {bucket!r}"
+        )
+    qty = int(parts[0]) if len(parts) == 2 else 1
+    unit = parts[-1].rstrip("s")
+    per_unit_us = {
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+    }
+    if unit not in per_unit_us:
+        raise ValueError(f"no fixed width for bucket {bucket!r}")
+    return qty * per_unit_us[unit]
+
+
+def _parse_utc_us(literal: str) -> int:
+    """Epoch-µs of an ISO timestamp literal, read as UTC (the engine's
+    session timezone contract; see session.py)."""
+    import datetime
+
+    dt = datetime.datetime.fromisoformat(literal.replace("T", " "))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=datetime.timezone.utc)
+    epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+    return (dt - epoch) // datetime.timedelta(microseconds=1)
+
+
+def sample_by_from_to(
+    df: DataFrame,
+    ts: str,
+    bucket: str,
+    aggs: list[Column],
+    from_ts: str,
+    to_ts: str,
+    keys: list[str] | None = None,
+    fill: dict[str, object] | None = None,
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """QuestDB ``SAMPLE BY <w> FROM <from> TO <to> [FILL(...)]``.
+
+    QuestDB 8's explicit-range sampling (public SAMPLE BY docs): FROM/TO
+    bound the query — rows land in ``[from, to)`` (lower inclusive,
+    upper exclusive, like every interval in the engine) — and the
+    sampling ORIGIN moves from the calendar grid to ``from``: bucket *i*
+    covers ``[from + i·w, from + (i+1)·w)``, so a ``FROM '..T00:30'``
+    produces half-past-aligned hourly buckets. With ``fill``, the output
+    is prefilled across the whole ``[from, to)`` range — including empty
+    leading/trailing buckets a data-derived grid could never see, which
+    is the reason the clause exists (dashboards want the full axis).
+    Without ``fill`` only non-empty buckets return.
+
+    Scale: the range predicate is a pushed-down scan filter; bucketing is
+    integer-µs codegen arithmetic off the anchored origin (no calendar
+    logic); the prefill grid is ``(range/w) × keys`` rows of AGGREGATE
+    space built from literals — input-size-independent.
+
+    Fixed-width buckets only (s/m/h/d): a month has no fixed width, so
+    QuestDB itself rejects calendar units with FROM-TO alignment.
+    """
+    width = _width_us(bucket)
+    lo_us, hi_us = _parse_utc_us(from_ts), _parse_utc_us(to_ts)
+    if hi_us <= lo_us:
+        raise ValueError(f"empty FROM-TO range: {from_ts!r} .. {to_ts!r}")
+    c = F.col(ts)
+    filtered = df.filter(
+        (c >= F.timestamp_micros(F.lit(lo_us)))
+        & (c < F.timestamp_micros(F.lit(hi_us)))
+    )
+    us = F.unix_micros(c)
+    idx = F.floor((us - F.lit(lo_us)) / F.lit(width))
+    bucket_expr = F.timestamp_micros(
+        (F.lit(lo_us) + idx * F.lit(width)).cast("long")
+    )
+    agg = filtered.groupBy(
+        bucket_expr.alias(bucket_col), *(keys or [])
+    ).agg(*aggs)
+    if fill is None:
+        return agg
+    last_bucket_us = lo_us + ((hi_us - lo_us - 1) // width) * width
+    return fill_gaps(
+        agg, bucket_col, f"{width} microseconds", keys, fill,
+        lo_us=lo_us, hi_us=last_bucket_us,
+    )
+
+
 def fill_gaps(
     agg: DataFrame,
     bucket_col: str,
     step: str,
     keys: list[str] | None = None,
     fill: dict[str, object] | None = None,
+    lo_us: int | None = None,
+    hi_us: int | None = None,
 ) -> DataFrame:
     """QuestDB ``SAMPLE BY … FILL(…)``: densify a bucketed aggregate.
 
@@ -142,6 +236,11 @@ def fill_gaps(
     one row; the grid join and the fill windows shuffle by ``keys`` (one
     exchange feeds both window frames). With no keys the fill window is a
     single partition — bounded by the time span / bucket, not by data.
+
+    ``lo_us``/``hi_us`` (epoch-µs, both inclusive bucket starts) pin the
+    grid to an explicit range instead of the aggregate's own [min, max] —
+    the FROM-TO prefill (:func:`sample_by_from_to`), where empty edge
+    buckets must still appear.
     """
     keys = keys or []
     fill = fill or {}
@@ -151,9 +250,15 @@ def fill_gaps(
     # Persisting the aggregate (bounded: n_buckets × n_keys rows, input-
     # size-independent) makes it one input scan + in-memory re-reads.
     agg = agg.persist()
-    bounds = agg.select(
-        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
-    )
+    if lo_us is not None and hi_us is not None:
+        bounds = agg.sparkSession.range(1).select(
+            F.timestamp_micros(F.lit(lo_us)).alias("__lo"),
+            F.timestamp_micros(F.lit(hi_us)).alias("__hi"),
+        )
+    else:
+        bounds = agg.select(
+            F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+        )
     grid = bounds.select(
         F.explode(
             F.sequence("__lo", "__hi", F.expr(f"INTERVAL {step}"))

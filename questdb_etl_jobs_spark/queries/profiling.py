@@ -2160,3 +2160,70 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("first_val", 4).alias("first4"),
         F.round("last_val", 4).alias("last4"),
     ).orderBy("bucket_us", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# q152 — dialect SAMPLE BY FROM-TO: anchored origin + range prefill
+# ---------------------------------------------------------------------------
+#
+# sql/dialect.py + operators/sample_by.sample_by_from_to under the
+# oracle: QuestDB 8's explicit-range sampling. The FROM timestamp is
+# deliberately half-past-aligned so the test proves the origin actually
+# moved off the calendar grid (a date_trunc bug would shift every bucket
+# 30 minutes and hash-mismatch), the range bounds the rows [from, to),
+# and FILL(PREV, PREV, 0) prefills all 30 two-hour buckets per key —
+# including empty edge buckets a data-derived grid could never emit.
+
+_Q152_SQL = (
+    "SELECT ts, event_type, min(value) lo, max(value) hi, count(*) n "
+    "FROM events SAMPLE BY 2h "
+    "FROM '2024-01-10T01:30:00' TO '2024-01-12T13:30:00' "
+    "FILL(PREV, PREV, 0)"
+)
+
+_Q152_ORACLE = """
+WITH rng AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 01:30:00'
+    AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-12 13:30:00'
+), agg AS (
+  SELECT CAST(
+           (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-10 01:30:00'))
+           // 7200000000 AS BIGINT) AS idx,
+         event_type, MIN(value) AS lo, MAX(value) AS hi,
+         COUNT(*) AS n
+  FROM rng GROUP BY idx, event_type
+), grid AS (
+  SELECT gs.idx, t.event_type
+  FROM generate_series(0, 29) AS gs(idx)
+  CROSS JOIN (SELECT DISTINCT event_type FROM rng) AS t
+), joined AS (
+  SELECT g.idx, g.event_type, a.lo, a.hi, a.n
+  FROM grid g LEFT JOIN agg a USING (idx, event_type)
+)
+SELECT CAST(epoch_us(TIMESTAMP '2024-01-10 01:30:00')
+            + idx * 7200000000 AS BIGINT) AS bucket_us,
+       event_type,
+       ROUND(last_value(lo IGNORE NULLS) OVER w, 4) AS lo4,
+       ROUND(last_value(hi IGNORE NULLS) OVER w, 4) AS hi4,
+       COALESCE(n, 0) AS n
+FROM joined
+WINDOW w AS (PARTITION BY event_type ORDER BY idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY bucket_us, event_type
+"""
+
+
+@dq("q152_dialect_sample_by_from_to", oracle=_Q152_ORACLE, covers="A7,F5,EXT")
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    out = questdb_sql(spark, _Q152_SQL, {"events": "ts"})
+    return out.select(
+        F.unix_micros("ts").alias("bucket_us"),
+        "event_type",
+        F.round("lo", 4).alias("lo4"),
+        F.round("hi", 4).alias("hi4"),
+        F.col("n").cast("long").alias("n"),
+    ).orderBy("bucket_us", "event_type")

@@ -13,6 +13,8 @@ QuestDB construct                      Lowering
 =====================================  ====================================
 ``LATEST ON ts PARTITION BY k``        :func:`operators.latest.latest_on`
 ``SAMPLE BY 1h [FILL(...)]``           :func:`operators.sample_by.sample_by`
+``... FROM 't0' TO 't1'``              ``sample_by_from_to`` (anchored
+                                       origin + range prefill)
 ``... ALIGN TO FIRST OBSERVATION``     ``sample_by_first_observation``
 ``first(x)`` / ``last(x)`` aggregates  ``min_by`` / ``max_by`` on the ts
 ``ASOF / LT JOIN t2 [ON k]``           :func:`operators.asof.asof_join`
@@ -71,6 +73,7 @@ _LATEST_RE = re.compile(
 )
 _SAMPLE_RE = re.compile(
     r"\bSAMPLE\s+BY\s+(\d+)([smhdwMy])"
+    r"(?:\s+FROM\s+'([^']+)'\s+TO\s+'([^']+)')?"
     r"(?:\s+FILL\s*\(\s*([^)]*?)\s*\))?"
     r"(?:\s+ALIGN\s+TO\s+(CALENDAR|FIRST\s+OBSERVATION)"
     r"(?:\s+TIME\s+ZONE\s+'([^']+)')?)?",
@@ -103,6 +106,35 @@ _AGG_RE = re.compile(
     re.IGNORECASE,
 )
 _COL_RE = re.compile(r"^([\w\.]+)(?:\s+(?:AS\s+)?(\w+))?$", re.IGNORECASE)
+
+
+def _parse_fill_spec(fill_spec: str, value_cols: list[str]) -> dict:
+    """QuestDB ``FILL(...)`` → the fill_gaps mode dict. One mode applies
+    to every aggregate column; a positional list (``FILL(0, PREV)``)
+    maps per column."""
+
+    def one_fill(spec: str) -> object:
+        low = spec.lower()
+        if low in ("null", "none"):
+            return "null"
+        if low in ("prev", "linear"):
+            return low
+        try:
+            return ("value", float(spec))
+        except ValueError as exc:
+            raise QuestDBSQLError(
+                f"unsupported FILL spec: {spec!r}"
+            ) from exc
+
+    parts = [p.strip() for p in fill_spec.split(",")]
+    if len(parts) == 1:
+        return {c: one_fill(parts[0]) for c in value_cols}
+    if len(parts) == len(value_cols):
+        return {c: one_fill(p) for c, p in zip(value_cols, parts)}
+    raise QuestDBSQLError(
+        f"FILL list has {len(parts)} entries for "
+        f"{len(value_cols)} aggregate columns"
+    )
 
 
 def _rewrite_interval_in(predicate: str, columns: tuple[str, ...] = ()) -> str:
@@ -349,7 +381,7 @@ def questdb_sql(
             raise QuestDBSQLError(
                 f"SAMPLE BY needs a designated timestamp for {table!r}"
             )
-        n, unit, fill_spec, align, tz = sample_m.groups()
+        n, unit, from_lit, to_lit, fill_spec, align, tz = sample_m.groups()
         if unit not in _UNIT:
             # The keyword regexes are case-insensitive but QuestDB's
             # duration units are NOT ('m' minute vs 'M' month): reject
@@ -386,7 +418,41 @@ def questdb_sql(
         )
 
         align_norm = re.sub(r"\s+", " ", align or "CALENDAR").upper()
-        if tz:
+        if from_lit:
+            # FROM-TO (QuestDB 8 explicit-range sampling): rows bound to
+            # [from, to), buckets anchored at FROM, FILL prefills the
+            # whole range. Defined for calendar alignment with fixed-
+            # width units only — QuestDB itself rejects the rest.
+            from questdb_etl_jobs_spark.operators.sample_by import (
+                sample_by_from_to,
+            )
+
+            if tz or align_norm != "CALENDAR":
+                raise QuestDBSQLError(
+                    "SAMPLE BY FROM-TO supports ALIGN TO CALENDAR only"
+                )
+            if unit not in "smhd":
+                raise QuestDBSQLError(
+                    f"SAMPLE BY FROM-TO needs a fixed-width unit "
+                    f"(s/m/h/d), got {unit!r}"
+                )
+            sparse = sample_by_from_to(
+                df, ts, bucket, aggs, from_lit, to_lit, keys,
+                fill=None, bucket_col=bucket_alias,
+            )
+            if fill_spec:
+                value_cols = [
+                    c for c in sparse.columns
+                    if c != bucket_alias and c not in keys
+                ]
+                df = sample_by_from_to(
+                    df, ts, bucket, aggs, from_lit, to_lit, keys,
+                    fill=_parse_fill_spec(fill_spec, value_cols),
+                    bucket_col=bucket_alias,
+                )
+            else:
+                df = sparse
+        elif tz:
             # ALIGN TO CALENDAR TIME ZONE 'x': wall-clock buckets in tz,
             # reported back as UTC instants (QuestDB reports the bucket's
             # UTC start). Only whole-unit buckets make calendar sense.
@@ -412,42 +478,18 @@ def questdb_sql(
                 df, ts, bucket, aggs, keys, bucket_col=bucket_alias
             )
         elif fill_spec:
-            def one_fill(spec: str) -> object:
-                low = spec.lower()
-                if low in ("null", "none"):
-                    return "null"
-                if low in ("prev", "linear"):
-                    return low
-                try:
-                    return ("value", float(spec))
-                except ValueError as exc:
-                    raise QuestDBSQLError(
-                        f"unsupported FILL spec: {spec!r}"
-                    ) from exc
-
             out = sample_by(df, ts, bucket, aggs, keys, bucket_col=bucket_alias)
             value_cols = [
                 c
                 for c in out.columns
                 if c != bucket_alias and c not in keys
             ]
-            # QuestDB's FILL takes either one mode for every aggregate
-            # column or a positional per-column list (FILL(0, PREV)).
-            parts = [p.strip() for p in fill_spec.split(",")]
-            if len(parts) == 1:
-                fills = {c: one_fill(parts[0]) for c in value_cols}
-            elif len(parts) == len(value_cols):
-                fills = {
-                    c: one_fill(p) for c, p in zip(value_cols, parts)
-                }
-            else:
-                raise QuestDBSQLError(
-                    f"FILL list has {len(parts)} entries for "
-                    f"{len(value_cols)} aggregate columns"
-                )
             from questdb_etl_jobs_spark.operators.sample_by import fill_gaps
 
-            df = fill_gaps(out, bucket_alias, bucket, keys, fills)
+            df = fill_gaps(
+                out, bucket_alias, bucket, keys,
+                _parse_fill_spec(fill_spec, value_cols),
+            )
         else:
             df = sample_by(df, ts, bucket, aggs, keys, bucket_col=bucket_alias)
     elif select_list.strip() != "*":

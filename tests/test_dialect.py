@@ -341,3 +341,58 @@ def test_lt_join_is_strict(spark, trades):
     got = {(r.sym, r.ts): r.bid for r in out.collect()}
     # AAA trade at exactly 00:15 must NOT see the equal-ts quote (strict <).
     assert got[("AAA", _ts("2024-01-01 00:15:00"))] is None
+
+
+def test_sample_by_from_to_anchored_prefill(spark, trades):
+    """FROM-TO: rows bound to [from, to), buckets anchored at the
+    half-past FROM (not the calendar grid), and FILL prefills the whole
+    range — empty edge buckets included."""
+    out = questdb_sql(
+        spark,
+        "SELECT ts, sym, avg(price) p FROM trades SAMPLE BY 1h "
+        "FROM '2024-01-01T00:30:00' TO '2024-01-01T05:30:00' FILL(NULL)",
+        {"trades": "ts"},
+    )
+    rows = out.collect()
+    # 5 one-hour buckets x 2 syms, all half-past-anchored.
+    assert len(rows) == 10
+    assert {r.ts.minute for r in rows} == {30}
+    by_key = {(r.ts.hour, r.sym): r.p for r in rows}
+    # 00:15 is BEFORE the FROM bound: excluded, so bucket 00:30 holds
+    # only the 01:15 row; 03:15 lands in [02:30, 03:30).
+    assert by_key[(0, "AAA")] == 11.0
+    assert by_key[(2, "AAA")] == 13.0
+    # Trailing empty buckets exist with NULL (the prefill contract).
+    assert by_key[(3, "AAA")] is None and by_key[(4, "AAA")] is None
+
+
+def test_sample_by_from_to_sparse_without_fill(spark, trades):
+    """Without FILL, FROM-TO filters + anchors but emits only non-empty
+    buckets."""
+    out = questdb_sql(
+        spark,
+        "SELECT ts, sym, count(*) n FROM trades SAMPLE BY 1h "
+        "FROM '2024-01-01T00:30:00' TO '2024-01-01T05:30:00'",
+        {"trades": "ts"},
+    )
+    rows = out.collect()
+    assert len(rows) == 4  # buckets 00:30 and 02:30 x 2 syms
+    assert all(r.n == 1 for r in rows)
+
+
+def test_sample_by_from_to_rejects_calendar_units_and_tz(spark, trades):
+    with pytest.raises(QuestDBSQLError, match="fixed-width"):
+        questdb_sql(
+            spark,
+            "SELECT ts, count(*) n FROM trades SAMPLE BY 1M "
+            "FROM '2024-01-01' TO '2024-03-01' FILL(0)",
+            {"trades": "ts"},
+        )
+    with pytest.raises(QuestDBSQLError, match="CALENDAR only"):
+        questdb_sql(
+            spark,
+            "SELECT ts, count(*) n FROM trades SAMPLE BY 1h "
+            "FROM '2024-01-01' TO '2024-01-02' "
+            "ALIGN TO FIRST OBSERVATION",
+            {"trades": "ts"},
+        )
