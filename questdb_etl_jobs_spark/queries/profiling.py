@@ -2227,3 +2227,176 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hi", 4).alias("hi4"),
         F.col("n").cast("long").alias("n"),
     ).orderBy("bucket_us", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# q153 — haversine_dist_deg: per-key great-circle track mileage
+# ---------------------------------------------------------------------------
+#
+# functions/geo.py under the oracle: QuestDB's haversine aggregate (the
+# fleet-mileage query from its public function reference) over a
+# deterministic synthetic track — lat/lon derived from event_id by exact
+# integer arithmetic, identical in both faces, so the differential
+# exercises the trig/window/aggregate path, not a data generator. Both
+# engines evaluate the IDENTICAL IEEE expression chain (explicit
+# deg→rad constant — see geo.DEG_TO_RAD for why not radians()); the
+# segment sum routes through the 4-decimal DECIMAL protocol.
+
+_Q153_LAT = "((event_id * 7919) % 17000) / 100.0 - 85.0"
+_Q153_LON = "((event_id * 104729) % 36000) / 100.0 - 180.0"
+
+_Q153_ORACLE = f"""
+WITH pts AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         {_Q153_LAT} AS lat,
+         {_Q153_LON} AS lon
+  FROM events
+), hav AS (
+  SELECT user_id,
+           sin((lat - lag(lat) OVER w) * 0.017453292519943295 / 2)
+         * sin((lat - lag(lat) OVER w) * 0.017453292519943295 / 2)
+         + cos(lag(lat) OVER w * 0.017453292519943295)
+         * cos(lat * 0.017453292519943295)
+         * sin((lon - lag(lon) OVER w) * 0.017453292519943295 / 2)
+         * sin((lon - lag(lon) OVER w) * 0.017453292519943295 / 2) AS h
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), seg AS (
+  -- CASE, not least(h, 1.0): least ignores NULLs in both engines, and
+  -- the lag-window first row must stay NULL (see functions/geo.py).
+  SELECT user_id,
+         2 * 6371.0088 * asin(sqrt(
+           CASE WHEN h > 1.0 THEN 1.0 ELSE h END)) AS d
+  FROM hav
+)
+SELECT user_id, {sum4("d", "distance_km4")},
+       CAST(COUNT(d) AS BIGINT) AS n_segments
+FROM seg GROUP BY user_id ORDER BY user_id
+"""
+
+
+@dq("q153_haversine_track", oracle=_Q153_ORACLE, covers="W2,A1,F7,EXT")
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.functions.geo import haversine_segments
+
+    pts = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(_Q153_LAT).alias("lat"),
+        F.expr(_Q153_LON).alias("lon"),
+    )
+    segs = haversine_segments(
+        pts, "lat", "lon", "ts", keys=["user_id"], tiebreak=["event_id"]
+    )
+    return (
+        segs.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.expr("CAST(ROUND(segment_km, 4) AS DECIMAL(28,4))")
+                ).cast("double"),
+                4,
+            ).alias("distance_km4"),
+            F.count("segment_km").alias("n_segments"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q154 — dialect row generators: long_sequence + timestamp_sequence
+# ---------------------------------------------------------------------------
+#
+# QuestDB's demo-data idiom (its docs build every tutorial table from
+# SELECT ... FROM long_sequence(n) with timestamp_sequence timestamps)
+# lowered onto spark.range — the distributed generator — with the
+# timestamp series as integer-µs codegen. The oracle is DuckDB
+# generate_series doing the same arithmetic; a WHERE over the generated
+# column proves the output is a real table expression, not a special
+# case.
+
+_Q154_SQL = (
+    "SELECT x, timestamp_sequence('2024-03-01T00:00:00', 300000000) ts, "
+    "x * x total FROM long_sequence(5000) WHERE x % 7 = 0"
+)
+
+_Q154_ORACLE = """
+SELECT CAST(x AS BIGINT) AS x,
+       CAST(1709251200000000 + (x - 1) * 300000000 AS BIGINT) AS ts_us,
+       CAST(x * x AS BIGINT) AS total
+FROM generate_series(1, 5000) AS t(x)
+WHERE x % 7 = 0
+ORDER BY x
+"""
+
+
+@dq("q154_dialect_long_sequence", oracle=_Q154_ORACLE, covers="F5,F7,EXT")
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    out = questdb_sql(spark, _Q154_SQL, {})
+    return out.select(
+        "x",
+        F.unix_micros("ts").alias("ts_us"),
+        "total",
+    ).orderBy("x")
+
+
+# ---------------------------------------------------------------------------
+# q155 — geohash spatial bucketing (QuestDB geohash type, encode + agg)
+# ---------------------------------------------------------------------------
+#
+# functions/geo.geohash_encode under the oracle: QuestDB stores geohash
+# columns and groups by prefixes for spatial rollups; here the encode is
+# a closed-form codegen expression (scale-floor + fixed bit interleave +
+# base-32 lookup — no UDF, no loop in the plan) and the oracle is the
+# generated SQL mirror of the SAME arithmetic, so every character of
+# every hash is differentially verified. Points derive from event_id by
+# exact integer arithmetic (the q153 track), aggregation is a plain
+# spatial rollup per 2-char cell (~1250 km, 1024 cells — real
+# aggregation at every sf): the mobility-analytics shape.
+
+def _q155_oracle() -> str:
+    from questdb_etl_jobs_spark.functions.geo import geohash_sql
+    from questdb_etl_jobs_spark.queries._protocol import sum4
+
+    gh = geohash_sql(
+        "(((event_id * 7919) % 17000) / 100.0 - 85.0)",
+        "(((event_id * 104729) % 36000) / 100.0 - 180.0)",
+        2,
+    )
+    return f"""
+    SELECT {gh} AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sum4("value", "total4")}
+    FROM events
+    GROUP BY cell ORDER BY cell
+    """
+
+
+@dq("q155_geohash_cells", oracle=_q155_oracle, covers="F7,F6,A1,EXT")
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.functions.geo import geohash_encode
+
+    pts = load_table(spark, sf_dir, "events").select(
+        "value",
+        F.expr(_Q153_LAT).alias("lat"),
+        F.expr(_Q153_LON).alias("lon"),
+    )
+    return (
+        pts.select(
+            geohash_encode(F.col("lat"), F.col("lon"), 2).alias("cell"),
+            "value",
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(
+                    F.expr("CAST(ROUND(value, 4) AS DECIMAL(28,4))")
+                ).cast("double"),
+                4,
+            ).alias("total4"),
+        )
+        .orderBy("cell")
+    )

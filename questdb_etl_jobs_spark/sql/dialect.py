@@ -22,6 +22,8 @@ QuestDB construct                      Lowering
 ``ts IN '2024-01'`` interval search    range predicate via
                                        :func:`operators.sample_by.interval_bounds`
 ``LIMIT -n`` (tail)                    reversed-order ``limit`` + re-sort
+``FROM long_sequence(n)``              ``spark.range`` (x = 1..n)
+``timestamp_sequence('t0', step)``     integer-µs codegen off ``x``
 anything else                          ``spark.sql`` passthrough (full
                                        Spark SQL)
 =====================================  ====================================
@@ -94,8 +96,16 @@ _WHERE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _MAIN_RE = re.compile(
-    r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<table>\w+)(?P<rest>.*)$",
+    r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+"
+    r"(?P<table>\w+(?:\s*\(\s*\d+\s*\))?)(?P<rest>.*)$",
     re.IGNORECASE | re.DOTALL,
+)
+_LONG_SEQ_RE = re.compile(
+    r"^long_sequence\s*\(\s*(\d+)\s*\)$", re.IGNORECASE
+)
+_TS_SEQ_RE = re.compile(
+    r"\btimestamp_sequence\s*\(\s*'([^']+)'\s*,\s*(\d+)L?\s*\)",
+    re.IGNORECASE,
 )
 _IN_INTERVAL_RE = re.compile(
     r"\b(\w+)\s+IN\s+'([0-9][0-9T:\-\.]*)'", re.IGNORECASE
@@ -273,6 +283,8 @@ def questdb_sql(
         or _SAMPLE_RE.search(text)
         or _JOIN_RE.search(text)
         or _IN_INTERVAL_RE.search(text)
+        or _TS_SEQ_RE.search(text)
+        or re.search(r"\blong_sequence\s*\(", text, re.IGNORECASE)
         or (limit_m and int(limit_m.group(1)) < 0)
     )
     if not has_dialect:
@@ -294,7 +306,28 @@ def questdb_sql(
     order_m = _ORDER_RE.search(rest)
     limit_m = _LIMIT_RE.search(rest)
 
-    df = spark.table(table)
+    seq_m = _LONG_SEQ_RE.match(table.strip())
+    if seq_m:
+        # QuestDB's row generator: long_sequence(n) is a table of one
+        # column x = 1..n. spark.range is the distributed twin — n rows
+        # split across the cluster, no driver materialization.
+        df = spark.range(1, int(seq_m.group(1)) + 1).select(
+            F.col("id").alias("x")
+        )
+    else:
+        df = spark.table(table)
+    # timestamp_sequence(start, step_us): row x's timestamp is
+    # start + (x-1)·step (QuestDB generates one value per output row in
+    # generation order; with long_sequence that order IS x). Rewritten
+    # to pure integer-µs arithmetic so it runs anywhere an expression
+    # can (select list, WHERE), entirely in codegen.
+    def _ts_seq(m: re.Match) -> str:
+        from questdb_etl_jobs_spark.operators.sample_by import _parse_utc_us
+
+        start_us = _parse_utc_us(m.group(1))
+        return f"timestamp_micros({start_us} + (x - 1) * {m.group(2)})"
+
+    select_list = _TS_SEQ_RE.sub(_ts_seq, select_list)
     # Designated ts: explicit mapping wins; otherwise recover it from the
     # designated-ts storage convention (the <col>_pdate partition column
     # plans/designated.py writes) — saved tables query without plumbing.

@@ -396,3 +396,24 @@ def test_sample_by_from_to_rejects_calendar_units_and_tz(spark, trades):
             "ALIGN TO FIRST OBSERVATION",
             {"trades": "ts"},
         )
+
+
+def test_long_sequence_generator(spark):
+    """QuestDB's demo-data generator: long_sequence(n) is a table with
+    x = 1..n, timestamp_sequence a per-row series off the generation
+    index; WHERE/aggregates compose over the generated table."""
+    out = questdb_sql(
+        spark,
+        "SELECT x, timestamp_sequence('2024-01-01T00:00:00', 1000000) ts "
+        "FROM long_sequence(10) WHERE x > 7",
+        {},
+    )
+    rows = sorted((r.x, r.ts) for r in out.collect())
+    assert [x for x, _ in rows] == [8, 9, 10]
+    # x=8's timestamp is start + 7 steps of 1s.
+    assert rows[0][1] == _ts("2024-01-01 00:00:07")
+    # Distributed generator, not a driver loop: the plan reads Range.
+    n = questdb_sql(
+        spark, "SELECT count(*) n FROM long_sequence(100000)", {}
+    ).first().n
+    assert n == 100000

@@ -1771,3 +1771,111 @@ def test_heavy_hitters_flat_distribution_reports_unproven(spark):
     # nothing claims to be guaranteed.
     assert 1 <= len(out) <= 3 and all(r.cnt <= 5 for r in out)
     assert not any(r.guaranteed for r in out)
+
+
+def test_haversine_known_distances(spark):
+    """Spot values against independently computed great-circle distances
+    (mean Earth radius 6371.0088 km): 1 degree of longitude on the
+    equator, and Paris->NYC."""
+    from questdb_etl_jobs_spark.functions.geo import haversine_km
+
+    df = spark.createDataFrame(
+        [
+            (0.0, 0.0, 0.0, 1.0, 111.195),     # 1 deg lon at equator
+            (48.8566, 2.3522, 40.7128, -74.0060, 5837.15),  # Paris-NYC
+            (10.0, 20.0, 10.0, 20.0, 0.0),     # same point
+            (89.9, 0.0, -89.9, 180.0, 20015.11),  # exactly antipodal
+        ],
+        "lat1 double, lon1 double, lat2 double, lon2 double, want double",
+    )
+    rows = df.select(
+        haversine_km(F.col("lat1"), F.col("lon1"),
+                     F.col("lat2"), F.col("lon2")).alias("got"),
+        "want",
+    ).collect()
+    for r in rows:
+        assert abs(r.got - r.want) < 0.5, (r.got, r.want)
+
+
+def test_haversine_dist_deg_track_total(spark):
+    """Per-key mileage: sum of consecutive segments in ts order;
+    single-point keys report 0.0; a shared timestamp is broken by the
+    tiebreak column."""
+    from questdb_etl_jobs_spark.functions.geo import (
+        haversine_dist_deg,
+        haversine_km,
+    )
+
+    rows = [
+        ("a", 1, 1, 0.0, 0.0),
+        ("a", 2, 2, 0.0, 1.0),
+        ("a", 2, 3, 0.0, 3.0),   # same ts as id 2: ordered by id
+        ("b", 1, 4, 50.0, 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, t long, id long, lat double, lon double"
+    ).withColumn("ts", F.timestamp_seconds("t"))
+    out = {
+        r.k: r.distance_km
+        for r in haversine_dist_deg(
+            df, "lat", "lon", "ts", keys=["k"], tiebreak=["id"]
+        ).collect()
+    }
+    one_deg = spark.range(1).select(
+        haversine_km(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(1.0))
+        .alias("d")
+    ).first().d
+    two_deg = spark.range(1).select(
+        haversine_km(F.lit(0.0), F.lit(1.0), F.lit(0.0), F.lit(3.0))
+        .alias("d")
+    ).first().d
+    assert abs(out["a"] - (one_deg + two_deg)) < 1e-9
+    assert out["b"] == 0.0
+
+
+def test_geohash_known_values(spark):
+    """Published geohash test vectors (Skagen 'u4pruyd', Paris
+    'u09tvw0', Sydney 'r3gx2f7') plus the domain corners."""
+    from questdb_etl_jobs_spark.functions.geo import geohash_encode
+
+    cases = [
+        (57.64911, 10.40744, "u4pruyd"),
+        (48.8566, 2.3522, "u09tvw0"),
+        (-33.8688, 151.2093, "r3gx2f7"),
+        (0.0, 0.0, "s000000"),
+        (90.0, 180.0, "zzzzzzz"),
+        (-90.0, -180.0, "0000000"),
+    ]
+    df = spark.createDataFrame(cases, "lat double, lon double, want string")
+    rows = df.select(
+        geohash_encode(F.col("lat"), F.col("lon"), 7).alias("got"), "want"
+    ).collect()
+    for r in rows:
+        assert r.got == r.want, (r.got, r.want)
+
+
+def test_geohash_prefix_property_and_sql_mirror(spark):
+    """Shorter hashes are prefixes of longer ones (the property spatial
+    prefix-rollups rely on), and the generated DuckDB mirror reproduces
+    the Spark face character for character on random points."""
+    import duckdb
+
+    from questdb_etl_jobs_spark.functions.geo import geohash_encode, geohash_sql
+
+    pts = spark.range(200).select(
+        (F.pmod(F.col("id") * 7919, F.lit(17000)) / 100.0 - 85.0).alias("lat"),
+        (F.pmod(F.col("id") * 104729, F.lit(36000)) / 100.0 - 180.0).alias("lon"),
+    )
+    rows = pts.select(
+        "lat", "lon",
+        geohash_encode(F.col("lat"), F.col("lon"), 8).alias("g8"),
+        geohash_encode(F.col("lat"), F.col("lon"), 3).alias("g3"),
+    ).collect()
+    con = duckdb.connect()
+    for r in rows:
+        assert r.g8.startswith(r.g3)
+        mirror = con.execute(
+            f"SELECT {geohash_sql(repr(r.lat), repr(r.lon), 8)}"
+        ).fetchone()[0]
+        assert mirror == r.g8, (r.lat, r.lon, mirror, r.g8)
+    con.close()
