@@ -350,19 +350,101 @@ def interval_bounds(literal: str) -> tuple[str, str]:
     raise ValueError(f"unrecognized interval literal: {literal!r}")
 
 
+def _shift_months(dt, months: int):
+    """Calendar month shift, day-of-month clamped to the target month."""
+    import calendar
+
+    y, m0 = divmod((dt.year * 12 + dt.month - 1) + months, 12)
+    return dt.replace(
+        year=y, month=m0 + 1,
+        day=min(dt.day, calendar.monthrange(y, m0 + 1)[1]),
+    )
+
+
+_DURATION_RE_UNITS = {
+    "s": "seconds", "m": "minutes", "h": "hours", "d": "days", "w": "weeks",
+}
+
+
+def _shift(dt, qty: int, unit: str):
+    import datetime
+
+    if unit in _DURATION_RE_UNITS:
+        return dt + datetime.timedelta(**{_DURATION_RE_UNITS[unit]: qty})
+    if unit == "M":
+        return _shift_months(dt, qty)
+    if unit == "y":
+        return _shift_months(dt, 12 * qty)
+    raise ValueError(f"unknown interval duration unit {unit!r}")
+
+
+def interval_bounds_multi(literal: str) -> list[tuple[str, str]]:
+    """All [start, end) spans of a QuestDB interval expression.
+
+    QuestDB's full interval syntax (public interval-search docs) extends
+    the plain prefix with modifiers separated by ``;``:
+
+    - ``'<prefix>;<duration>'`` — the prefix's span with its END pushed
+      out by the duration (``'2024-01-15T10;30m'`` = that hour plus 30
+      minutes);
+    - ``'<prefix>;<duration>;<period>;<count>'`` — that span repeated
+      ``count`` times, each occurrence shifted by ``period``
+      (``'2024-01-01;1d;1y;3'`` = Jan 1-2 of 2024, 2025, 2026).
+
+    Durations/periods are ``<n><unit>`` with unit one of s/m/h/d/w/M/y
+    (calendar-aware for M/y). Returns one (start, end) per occurrence,
+    ISO-formatted like :func:`interval_bounds`.
+    """
+    import datetime
+    import re as _re
+
+    parts = literal.split(";")
+    if len(parts) not in (1, 2, 4):
+        raise ValueError(f"malformed interval expression: {literal!r}")
+    s0, e0 = interval_bounds(parts[0])
+    iso = "%Y-%m-%d %H:%M:%S"
+    start = datetime.datetime.strptime(s0, iso)
+    end = datetime.datetime.strptime(e0, iso)
+
+    def parse_dur(text: str) -> tuple[int, str]:
+        m = _re.fullmatch(r"(\d+)([smhdwMy])", text.strip())
+        if not m:
+            raise ValueError(f"malformed interval duration: {text!r}")
+        return int(m.group(1)), m.group(2)
+
+    if len(parts) >= 2:
+        qty, unit = parse_dur(parts[1])
+        end = _shift(end, qty, unit)
+    occurrences = [(start, end)]
+    if len(parts) == 4:
+        pqty, punit = parse_dur(parts[2])
+        count = int(parts[3])
+        if count < 1:
+            raise ValueError(f"interval repeat count must be >= 1: {literal!r}")
+        for k in range(1, count):
+            occurrences.append(
+                (_shift(start, k * pqty, punit), _shift(end, k * pqty, punit))
+            )
+    return [(s.strftime(iso), e.strftime(iso)) for s, e in occurrences]
+
+
 def ts_in(ts: Column | str, literal: str) -> Column:
-    """Predicate for ``ts IN '<interval>'`` — a plain half-open range
-    comparison, so it pushes down to the parquet scan (PushedFilters)
-    and prunes designated-ts partitions; no UDF, no expression barrier.
+    """Predicate for ``ts IN '<interval>'`` — plain half-open range
+    comparisons (OR-ed per occurrence for repeating intervals), so it
+    pushes down to the parquet scan (PushedFilters) and prunes
+    designated-ts partitions; no UDF, no expression barrier.
     (On the driver's TIMESTAMP(NANOS)-shimmed events table the filter
     evaluates post-conversion in the scan stage instead — plan-asserted
     both ways in tests/test_plans.py.)
     """
-    start, end = interval_bounds(literal)
     c = F.col(ts) if isinstance(ts, str) else ts
-    return (c >= F.lit(start).cast("timestamp")) & (
-        c < F.lit(end).cast("timestamp")
-    )
+    pred = None
+    for start, end in interval_bounds_multi(literal):
+        one = (c >= F.lit(start).cast("timestamp")) & (
+            c < F.lit(end).cast("timestamp")
+        )
+        pred = one if pred is None else (pred | one)
+    return pred
 
 
 def ohlc_aggs(

@@ -2400,3 +2400,49 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# q156 — QuestDB extended interval search: duration + repeating periods
+# ---------------------------------------------------------------------------
+#
+# The full interval-expression syntax from QuestDB's interval-search
+# docs: '<prefix>;<duration>;<period>;<count>'. Here: the 08:00 hour of
+# Jan 5 extended by 2h (a 3-hour maintenance window), repeated weekly
+# for 3 weeks — lowered to an OR of three pushdown-able half-open
+# ranges. The oracle spells the same three ranges explicitly.
+
+_Q156_SQL = (
+    "SELECT event_type, count(*) n, min(value) lo, max(value) hi "
+    "FROM events WHERE ts IN '2024-01-05T08;2h;1w;3' "
+    "GROUP BY event_type ORDER BY event_type"
+)
+
+_Q156_ORACLE = """
+WITH rng AS (
+  SELECT event_type, value FROM events
+  WHERE (CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 08:00:00'
+         AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-05 11:00:00')
+     OR (CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-12 08:00:00'
+         AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-12 11:00:00')
+     OR (CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-19 08:00:00'
+         AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-19 11:00:00')
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(value), 4) AS lo4, ROUND(MAX(value), 4) AS hi4
+FROM rng GROUP BY event_type ORDER BY event_type
+"""
+
+
+@dq("q156_interval_repeat", oracle=_Q156_ORACLE, covers="P1,F5,A1,EXT")
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    out = questdb_sql(spark, _Q156_SQL, {"events": "ts"})
+    return out.select(
+        "event_type",
+        "n",
+        F.round("lo", 4).alias("lo4"),
+        F.round("hi", 4).alias("hi4"),
+    ).orderBy("event_type")

@@ -20,7 +20,13 @@ QuestDB construct                      Lowering
 ``ASOF / LT JOIN t2 [ON k]``           :func:`operators.asof.asof_join`
 ``SPLICE JOIN t2 [ON k]`` (SELECT *)   :func:`operators.asof.splice_join`
 ``ts IN '2024-01'`` interval search    range predicate via
-                                       :func:`operators.sample_by.interval_bounds`
+                                       ``interval_bounds_multi`` —
+                                       incl. ``';1d'`` duration and
+                                       ``';1y;3'`` repeats (OR of
+                                       pushdown-able ranges)
+``GROUP BY`` / implicit grouping /     ``groupBy().agg()`` (QuestDB
+``count()``                            allows omitting GROUP BY; bare
+                                       count() is count(*))
 ``LIMIT -n`` (tail)                    reversed-order ``limit`` + re-sort
 ``FROM long_sequence(n)``              ``spark.range`` (x = 1..n)
 ``timestamp_sequence('t0', step)``     integer-µs codegen off ``x``
@@ -30,7 +36,7 @@ anything else                          ``spark.sql`` passthrough (full
 
 Scope is deliberate and explicit: a dialect query must have the shape
 ``SELECT <list> FROM <table> [ASOF|LT|SPLICE JOIN t2 [ON k,...]] [WHERE ...]
-[LATEST ON ...] [SAMPLE BY ...] [ORDER BY ...] [LIMIT n]``; any
+[LATEST ON ...] [SAMPLE BY ... | GROUP BY ...] [ORDER BY ...] [LIMIT n]``; any
 unconsumed fragment raises :class:`QuestDBSQLError` naming it — no query
 is silently half-interpreted. Tables resolve from the session catalog
 (register DataFrames with ``createOrReplaceTempView``); designated
@@ -91,8 +97,12 @@ _ORDER_RE = re.compile(
     r"\bORDER\s+BY\s+(.+?)(?=\bLIMIT\b|$)", re.IGNORECASE | re.DOTALL
 )
 _WHERE_RE = re.compile(
-    r"\bWHERE\s+(.+?)(?=\bLATEST\s+ON\b|\bSAMPLE\s+BY\b|\bORDER\s+BY\b"
-    r"|\bLIMIT\b|$)",
+    r"\bWHERE\s+(.+?)(?=\bLATEST\s+ON\b|\bSAMPLE\s+BY\b|\bGROUP\s+BY\b"
+    r"|\bORDER\s+BY\b|\bLIMIT\b|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_GROUP_RE = re.compile(
+    r"\bGROUP\s+BY\s+(.+?)(?=\bORDER\s+BY\b|\bLIMIT\b|$)",
     re.IGNORECASE | re.DOTALL,
 )
 _MAIN_RE = re.compile(
@@ -108,10 +118,11 @@ _TS_SEQ_RE = re.compile(
     re.IGNORECASE,
 )
 _IN_INTERVAL_RE = re.compile(
-    r"\b(\w+)\s+IN\s+'([0-9][0-9T:\-\.]*)'", re.IGNORECASE
+    r"\b(\w+)\s+IN\s+'([0-9][0-9T:\-\.]*(?:;[0-9]+[smhdwMy](?:;[0-9]+[smhdwMy];[0-9]+)?)?)'",
+    re.IGNORECASE,
 )
 _AGG_RE = re.compile(
-    r"^(sum|avg|min|max|count|first|last)\s*\(\s*(\*|[\w\.]+)\s*\)"
+    r"^(sum|avg|min|max|count|first|last)\s*\(\s*(\*|[\w\.]*)\s*\)"
     r"(?:\s+(?:AS\s+)?(\w+))?$",
     re.IGNORECASE,
 )
@@ -155,20 +166,29 @@ def _rewrite_interval_in(predicate: str, columns: tuple[str, ...] = ()) -> str:
     is added so the interval search prunes partition directories
     statically — at 100 TB the scan reads only the interval's days.
     """
-    from questdb_etl_jobs_spark.operators.sample_by import interval_bounds
+    from questdb_etl_jobs_spark.operators.sample_by import (
+        interval_bounds_multi,
+    )
     from questdb_etl_jobs_spark.plans.designated import PARTITION_SUFFIX
 
     def repl(m: re.Match) -> str:
         col, literal = m.group(1), m.group(2)
-        start, end = interval_bounds(literal)
-        cond = f"{col} >= TIMESTAMP '{start}' AND {col} < TIMESTAMP '{end}'"
-        pcol = col + PARTITION_SUFFIX
-        if pcol in columns:
-            cond += (
-                f" AND {pcol} >= DATE '{str(start)[:10]}'"
-                f" AND {pcol} <= DATE '{str(end)[:10]}'"
+        spans = interval_bounds_multi(literal)
+        conds = []
+        for start, end in spans:
+            one = (
+                f"{col} >= TIMESTAMP '{start}' AND {col} < TIMESTAMP '{end}'"
             )
-        return f"({cond})"
+            pcol = col + PARTITION_SUFFIX
+            if pcol in columns:
+                # Partition pruning per occurrence: a repeating interval
+                # (';1y;3') prunes to its own days, not the whole span.
+                one += (
+                    f" AND {pcol} >= DATE '{str(start)[:10]}'"
+                    f" AND {pcol} <= DATE '{str(end)[:10]}'"
+                )
+            conds.append(f"({one})" if len(spans) > 1 else one)
+        return "(" + " OR ".join(conds) + ")"
 
     return _IN_INTERVAL_RE.sub(repl, predicate)
 
@@ -252,7 +272,8 @@ def _split_items(text: str) -> list[str]:
 def _agg_column(fn: str, arg: str, alias: str, ts: str) -> Column:
     fn = fn.lower()
     if fn == "count":
-        col = F.count(F.lit(1)) if arg == "*" else F.count(arg)
+        # QuestDB spells count(*) as bare count() too.
+        col = F.count(F.lit(1)) if arg in ("*", "") else F.count(arg)
     elif fn == "first":
         col = F.min_by(arg, F.col(ts))
     elif fn == "last":
@@ -285,6 +306,9 @@ def questdb_sql(
         or _IN_INTERVAL_RE.search(text)
         or _TS_SEQ_RE.search(text)
         or re.search(r"\blong_sequence\s*\(", text, re.IGNORECASE)
+        # Bare count() is QuestDB's count(*): Spark SQL rejects it, so
+        # its presence routes through the dialect aggregate parser.
+        or re.search(r"\bcount\s*\(\s*\)", text, re.IGNORECASE)
         or (limit_m and int(limit_m.group(1)) < 0)
     )
     if not has_dialect:
@@ -303,8 +327,12 @@ def questdb_sql(
     where_m = _WHERE_RE.search(rest)
     latest_m = _LATEST_RE.search(rest)
     sample_m = _SAMPLE_RE.search(rest)
+    group_m = _GROUP_RE.search(rest)
     order_m = _ORDER_RE.search(rest)
     limit_m = _LIMIT_RE.search(rest)
+    if group_m and sample_m:
+        # SAMPLE BY *is* the grouping; QuestDB rejects the combo too.
+        raise QuestDBSQLError("GROUP BY cannot combine with SAMPLE BY")
 
     seq_m = _LONG_SEQ_RE.match(table.strip())
     if seq_m:
@@ -525,6 +553,42 @@ def questdb_sql(
             )
         else:
             df = sample_by(df, ts, bucket, aggs, keys, bucket_col=bucket_alias)
+    elif group_m or any(
+        _AGG_RE.match(item) for item in _split_items(select_list)
+    ):
+        # Plain (non-SAMPLE BY) aggregation in a dialect query. QuestDB
+        # also allows the GROUP BY clause to be OMITTED — bare select
+        # columns imply the grouping — so keys come from the select
+        # list's non-aggregate items; an explicit GROUP BY must name
+        # exactly those (QuestDB rejects mismatches too).
+        keys: list[str] = []
+        aggs: list[Column] = []
+        for item in _split_items(select_list):
+            agg = _AGG_RE.match(item)
+            col = _COL_RE.match(item)
+            if agg:
+                fn, arg, alias = agg.groups()
+                if fn.lower() in ("first", "last") and ts is None:
+                    raise QuestDBSQLError(
+                        f"{fn}() needs a designated timestamp for {table!r}"
+                    )
+                aggs.append(
+                    _agg_column(fn, arg, alias or f"{fn}_{arg}".rstrip("*_"), ts)
+                )
+            elif col:
+                keys.append(col.group(1))
+            else:
+                raise QuestDBSQLError(
+                    f"unsupported aggregate select item: {item!r}"
+                )
+        if group_m:
+            named = [k.strip() for k in _split_items(group_m.group(1).strip())]
+            if sorted(named) != sorted(keys):
+                raise QuestDBSQLError(
+                    f"GROUP BY columns {named} do not match the select "
+                    f"list's non-aggregate columns {keys}"
+                )
+        df = df.groupBy(*keys).agg(*aggs)
     elif select_list.strip() != "*":
         df = df.selectExpr(*_split_items(select_list))
 
@@ -578,7 +642,7 @@ def questdb_sql(
     # would eat an identical earlier occurrence, e.g. inside a WHERE
     # string literal).
     consumed = bytearray(len(rest))
-    for m in (join_m, where_m, latest_m, sample_m, order_m, limit_m):
+    for m in (join_m, where_m, latest_m, sample_m, group_m, order_m, limit_m):
         if m:
             for i in range(m.start(), m.end()):
                 consumed[i] = 1

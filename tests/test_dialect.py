@@ -417,3 +417,64 @@ def test_long_sequence_generator(spark):
         spark, "SELECT count(*) n FROM long_sequence(100000)", {}
     ).first().n
     assert n == 100000
+
+
+def test_interval_expression_duration_and_repeat():
+    """'<prefix>;<duration>;<period>;<count>' expands to count spans,
+    calendar-aware across month/year boundaries."""
+    from questdb_etl_jobs_spark.operators.sample_by import (
+        interval_bounds_multi,
+    )
+
+    # Duration extends the END of the prefix span.
+    assert interval_bounds_multi("2024-01-15T10;30m") == [
+        ("2024-01-15 10:00:00", "2024-01-15 11:30:00")
+    ]
+    # Repeats shift both bounds; month arithmetic clamps day-of-month.
+    spans = interval_bounds_multi("2024-01-31;1d;1M;3")
+    assert spans == [
+        ("2024-01-31 00:00:00", "2024-02-02 00:00:00"),
+        ("2024-02-29 00:00:00", "2024-03-02 00:00:00"),
+        ("2024-03-31 00:00:00", "2024-04-02 00:00:00"),
+    ]
+    with pytest.raises(ValueError, match="malformed"):
+        interval_bounds_multi("2024-01-01;xx")
+    with pytest.raises(ValueError, match="malformed"):
+        interval_bounds_multi("2024-01-01;1d;1w")
+
+
+def test_interval_repeat_in_where(spark, trades):
+    """A repeating interval filters to the union of its occurrences."""
+    out = questdb_sql(
+        spark,
+        "SELECT count(*) n FROM trades WHERE ts IN '2024-01-01T00;1h;1d;2'",
+        {"trades": "ts"},
+    )
+    # Hours 00-01 (inclusive prefix hour + 1h) on both days x 2 syms.
+    assert out.first().n == 8
+
+
+def test_group_by_explicit_and_implicit(spark, trades):
+    """QuestDB aggregation both ways: explicit GROUP BY, and the
+    QuestDB-specific implicit form where bare select columns imply the
+    grouping; bare count() is count(*)."""
+    for sql in (
+        "SELECT sym, count() n, sum(qty) v FROM trades GROUP BY sym",
+        "SELECT sym, count() n, sum(qty) v FROM trades",
+    ):
+        out = {r.sym: (r.n, r.v) for r in
+               questdb_sql(spark, sql, {"trades": "ts"}).collect()}
+        assert out["AAA"][0] == 6 and out["BBB"][0] == 6
+        assert out["AAA"][1] == sum(d * 100 + h for d in (1, 2) for h in (0, 1, 3))
+    with pytest.raises(QuestDBSQLError, match="do not match"):
+        questdb_sql(
+            spark,
+            "SELECT sym, count() n FROM trades GROUP BY qty",
+            {"trades": "ts"},
+        )
+    with pytest.raises(QuestDBSQLError, match="cannot combine"):
+        questdb_sql(
+            spark,
+            "SELECT ts, sym, count() n FROM trades GROUP BY sym SAMPLE BY 1h",
+            {"trades": "ts"},
+        )
