@@ -2446,3 +2446,80 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lo", 4).alias("lo4"),
         F.round("hi", 4).alias("hi4"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q157 — t-digest mergeable quantiles with a verified rank-error bound
+# ---------------------------------------------------------------------------
+#
+# operators/tdigest.py under the oracle, q120's verification pattern:
+# the digest's p50/p95 estimates are RANKED against the actual rows
+# (broadcast of 3 sketch rows back over the table) and the gated rows
+# carry within_bound booleans the oracle pins TRUE, alongside the exact
+# percentiles via the q24-calibrated quantile_cont spelling. Bound used:
+# rank error ≤ 4·n·q(1−q)/δ + 1 — the k₁ scale function's centroid-
+# weight ceiling (Dunning & Ertl), ~4× looser than observed so the gate
+# is stable yet still ~10× tighter than a naive histogram at the tail.
+
+_Q157_ORACLE = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+       ROUND(quantile_cont(o_totalprice, 0.95), 4) AS exact_p95,
+       TRUE AS p50_within_bound,
+       TRUE AS p95_within_bound
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@dq("q157_tdigest_quantiles", oracle=_Q157_ORACLE, covers="A3,A5,U2,EXT")
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.tdigest import (
+        DEFAULT_DELTA,
+        tdigest_quantiles,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    digest = tdigest_quantiles(
+        orders, "o_totalprice", ["o_orderstatus"], [0.5, 0.95]
+    )
+    ranked = (
+        orders.join(F.broadcast(digest), "o_orderstatus")
+        .groupBy("o_orderstatus", "n", "q_50", "q_95")
+        .agg(
+            F.round(
+                F.percentile("o_totalprice", 0.5), 4
+            ).alias("exact_p50"),
+            F.round(
+                F.percentile("o_totalprice", 0.95), 4
+            ).alias("exact_p95"),
+            F.sum(
+                F.when(F.col("o_totalprice") < F.col("q_50"), 1).otherwise(0)
+            ).alias("rank50_lo"),
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.col("q_50"), 1).otherwise(0)
+            ).alias("rank50_hi"),
+            F.sum(
+                F.when(F.col("o_totalprice") < F.col("q_95"), 1).otherwise(0)
+            ).alias("rank95_lo"),
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.col("q_95"), 1).otherwise(0)
+            ).alias("rank95_hi"),
+        )
+    )
+
+    def bound(q: float):
+        return F.col("n") * F.lit(4.0 * q * (1 - q) / DEFAULT_DELTA) + 1
+
+    def within(q: float, lo: str, hi: str):
+        target = F.col("n") * F.lit(q)
+        return (F.col(lo) <= target + bound(q)) & (
+            F.col(hi) >= target - bound(q)
+        )
+
+    return ranked.select(
+        "o_orderstatus",
+        "exact_p50",
+        "exact_p95",
+        within(0.5, "rank50_lo", "rank50_hi").alias("p50_within_bound"),
+        within(0.95, "rank95_lo", "rank95_hi").alias("p95_within_bound"),
+    ).orderBy("o_orderstatus")

@@ -1879,3 +1879,90 @@ def test_geohash_prefix_property_and_sql_mirror(spark):
         ).fetchone()[0]
         assert mirror == r.g8, (r.lat, r.lon, mirror, r.g8)
     con.close()
+
+
+def test_tdigest_bounded_state_and_accuracy(spark):
+    """Centroid count stays sketch-sized on heavy input; every quantile
+    estimate's TRUE rank error stays within the k1 bound; total weight
+    is conserved; NULLs are skipped."""
+    import numpy as np
+
+    from questdb_etl_jobs_spark.operators.tdigest import (
+        tdigest_merge,
+        tdigest_partials,
+        tdigest_quantiles,
+    )
+
+    n = 40000
+    df = spark.range(n).select(
+        (F.col("id") % 3).alias("k"),
+        # lognormal-ish skew from uniform bits, deterministic
+        F.exp((F.pmod(F.col("id") * 2654435761, F.lit(10007)) / 2000.0))
+        .alias("v"),
+    ).union(
+        spark.range(5).select(
+            (F.col("id") % 3).alias("k"), F.lit(None).cast("double")
+        )
+    )
+    merged = tdigest_merge(
+        tdigest_partials(df, "v", ["k"], delta=100), ["k"], delta=100
+    )
+    rows = merged.collect()
+    assert {r.k for r in rows} == {0, 1, 2}
+    for r in rows:
+        assert len(r.means) <= 200, len(r.means)
+        assert abs(r.n - (n // 3 + (1 if r.k < n % 3 else 0))) <= 1
+        assert r.means == sorted(r.means)
+    # Accuracy: rank the estimates against the actual values.
+    out = tdigest_quantiles(df, "v", ["k"], [0.05, 0.5, 0.99]).collect()
+    vals = {
+        r.k: np.sort(
+            np.array(
+                [x.v for x in df.filter(f"k = {r.k} AND v IS NOT NULL")
+                 .select("v").collect()]
+            )
+        )
+        for r in out
+    }
+    for r in out:
+        v = vals[r.k]
+        for q, est in ((0.05, r.q_05), (0.5, r.q_50), (0.99, r.q_99)):
+            lo = (v < est).sum()
+            hi = (v <= est).sum()
+            bound = 4 * len(v) * q * (1 - q) / 100 + 1
+            assert lo <= q * len(v) + bound and hi >= q * len(v) - bound, (
+                r.k, q, est, lo, hi, bound,
+            )
+
+
+def test_tdigest_merge_of_splits_matches_whole(spark):
+    """Mergeability: digesting two halves and merging estimates the
+    same quantiles (within bound) as digesting everything at once — the
+    partials-at-rest rollup contract."""
+    from questdb_etl_jobs_spark.operators.tdigest import (
+        tdigest_merge,
+        tdigest_partials,
+        tdigest_quantile_expr,
+    )
+
+    base = spark.range(20000).select(
+        F.lit("g").alias("k"),
+        (F.pmod(F.col("id") * 48271, F.lit(65537)) / 655.37).alias("v"),
+    )
+    halves = tdigest_partials(
+        base.filter("v < 50"), "v", ["k"]
+    ).unionByName(tdigest_partials(base.filter("v >= 50"), "v", ["k"]))
+    whole = tdigest_merge(tdigest_partials(base, "v", ["k"]), ["k"])
+    merged = tdigest_merge(halves, ["k"])
+    q_m = merged.select(tdigest_quantile_expr(0.5).alias("e")).first().e
+    q_w = whole.select(tdigest_quantile_expr(0.5).alias("e")).first().e
+    # Uniform 0..100: both medians must sit near 50 (rank bound ~1%).
+    assert abs(q_m - 50.0) < 2.0 and abs(q_w - 50.0) < 2.0
+    # Tail clamps: q=0/q=1 return the extreme centroid means.
+    ends = whole.select(
+        tdigest_quantile_expr(0.0).alias("lo"),
+        tdigest_quantile_expr(1.0).alias("hi"),
+        F.element_at("means", 1).alias("m0"),
+        F.element_at("means", -1).alias("m1"),
+    ).first()
+    assert ends.lo == ends.m0 and ends.hi == ends.m1
