@@ -208,6 +208,49 @@ def sample_by_from_to(
     )
 
 
+def parse_hhmm_offset_us(offset: str) -> int:
+    """``'[±]hh:mm'`` → signed µs (QuestDB's WITH OFFSET literal)."""
+    import re as _re
+
+    m = _re.fullmatch(r"([+-]?)(\d{2}):(\d{2})", offset.strip())
+    if not m:
+        raise ValueError(f"offset must be '[±]hh:mm', got {offset!r}")
+    sign = -1 if m.group(1) == "-" else 1
+    return sign * (int(m.group(2)) * 3600 + int(m.group(3)) * 60) * 1_000_000
+
+
+def sample_by_offset(
+    df: DataFrame,
+    ts: str,
+    bucket: str,
+    aggs: list[Column],
+    offset: str,
+    keys: list[str] | None = None,
+    fill: dict[str, object] | None = None,
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """QuestDB ``SAMPLE BY … ALIGN TO CALENDAR WITH OFFSET '[±]hh:mm'``:
+    calendar buckets shifted off the UTC grid by a fixed hh:mm — the
+    business-day-boundary idiom (a ledger whose day rolls at 02:30).
+
+    Fixed-width units only; the bucket is integer-µs floor arithmetic
+    against the shifted origin (``floor((t−off)/w)·w + off``), pure
+    codegen like the other anchored faces. FILL densifies over the
+    aggregate's own [min, max] shifted grid.
+    """
+    width = _width_us(bucket)
+    off = parse_hhmm_offset_us(offset)
+    us = F.unix_micros(F.col(ts))
+    idx = F.floor((us - F.lit(off)) / F.lit(width))
+    bucket_expr = F.timestamp_micros(
+        (F.lit(off) + idx * F.lit(width)).cast("long")
+    )
+    agg = df.groupBy(bucket_expr.alias(bucket_col), *(keys or [])).agg(*aggs)
+    if fill is None:
+        return agg
+    return fill_gaps(agg, bucket_col, f"{width} microseconds", keys, fill)
+
+
 def fill_gaps(
     agg: DataFrame,
     bucket_col: str,

@@ -2523,3 +2523,45 @@ def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(0.5, "rank50_lo", "rank50_hi").alias("p50_within_bound"),
         within(0.95, "rank95_lo", "rank95_hi").alias("p95_within_bound"),
     ).orderBy("o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# q158 — SAMPLE BY ALIGN TO CALENDAR WITH OFFSET (shifted business day)
+# ---------------------------------------------------------------------------
+#
+# The QuestDB offset-alignment clause: daily buckets rolling at 02:30
+# instead of midnight (ledger/business-day boundaries). Buckets are
+# integer-µs floors against the shifted origin; the oracle replicates
+# the identical arithmetic. 02:30 = 9000000000 µs past midnight UTC;
+# width 86400000000.
+
+_Q158_SQL = (
+    "SELECT ts, event_type, count(*) n, min(value) lo, max(value) hi "
+    "FROM events SAMPLE BY 1d ALIGN TO CALENDAR WITH OFFSET '02:30'"
+)
+
+_Q158_ORACLE = """
+SELECT CAST(9000000000 + (epoch_us(CAST(ts AS TIMESTAMP)) - 9000000000)
+            // 86400000000 * 86400000000 AS BIGINT) AS bucket_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(value), 4) AS lo4,
+       ROUND(MAX(value), 4) AS hi4
+FROM events
+GROUP BY bucket_us, event_type ORDER BY bucket_us, event_type
+"""
+
+
+@dq("q158_sample_by_offset", oracle=_Q158_ORACLE, covers="A7,F5,EXT")
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    out = questdb_sql(spark, _Q158_SQL, {"events": "ts"})
+    return out.select(
+        F.unix_micros("ts").alias("bucket_us"),
+        "event_type",
+        "n",
+        F.round("lo", 4).alias("lo4"),
+        F.round("hi", 4).alias("hi4"),
+    ).orderBy("bucket_us", "event_type")

@@ -296,11 +296,12 @@ def _replay_oracle(step, out_col: str) -> str:
 
 
 def _run_replay_stream(spark: SparkSession, op, result_col: str,
-                       out_col: str, prefix: str):
+                       out_col: str, prefix: str, raw: bool = False):
     """Replay the id-augmented hourly exports one-file-per-trigger
-    through a stateful streaming operator, land the per-row trajectory
-    via a parquet sink, and return the collected (item_id, row_id,
-    round(result, 4)) rows."""
+    through a stateful streaming operator, land its output via a parquet
+    sink, and return the collected (item_id, row_id, round(result, 4))
+    rows — or, with ``raw``, the operator's own output rows unchanged
+    (for operators whose emission is per-(key, batch), not per-row)."""
     work = tempfile.mkdtemp(prefix=prefix)
     try:
         src = Path(work) / "src"
@@ -335,18 +336,23 @@ def _run_replay_stream(spark: SparkSession, op, result_col: str,
             .start()
         )
         q.awaitTermination(300)
-        result = (
-            spark.read.parquet(f"{work}/out")
-            .select(
-                "item_id",
-                "row_id",
-                F.round(result_col, 4).alias(out_col),
+        if raw:
+            rows_out = spark.read.parquet(f"{work}/out").collect()
+        else:
+            rows_out = (
+                spark.read.parquet(f"{work}/out")
+                .select(
+                    "item_id",
+                    "row_id",
+                    F.round(result_col, 4).alias(out_col),
+                )
+                .orderBy("item_id", "row_id")
+                .collect()
             )
-            .orderBy("item_id", "row_id")
-        )
-        rows_out = result.collect()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+    if raw:
+        return rows_out
     return spark.createDataFrame(
         rows_out, f"item_id int, row_id bigint, {out_col} double"
     )
@@ -415,3 +421,70 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
         result_col="increase", out_col="inc4",
         prefix="q150_counter_stream_",
     )
+
+
+# ---------------------------------------------------------------------------
+# q159 — streaming t-digest replay with verified rank bounds
+# ---------------------------------------------------------------------------
+#
+# streaming/tdigest_stream.py under the oracle: per-key digests carried
+# across the hourly micro-batches, emitting live p50/p90 estimates each
+# trigger. The digest's merge path is order-insensitive only up to its
+# accuracy bound, so the gate is the q120/q157 pattern: the FINAL
+# estimates are ranked in CPython against every replayed value and the
+# result rows carry within_bound booleans the oracle pins TRUE, plus
+# the exact absorbed count n (deterministic).
+
+def _q159_oracle() -> str:
+    from collections import Counter
+
+    counts = Counter(item for item, _rid, _ts, _p in _replay_rows_with_ids())
+    values = ",\n      ".join(
+        f"({item}, {n}, TRUE, TRUE)" for item, n in sorted(counts.items())
+    )
+    return f"""
+    SELECT CAST(item_id AS INTEGER) AS item_id,
+           CAST(n AS BIGINT) AS n,
+           CAST(p50_ok AS BOOLEAN) AS p50_ok,
+           CAST(p90_ok AS BOOLEAN) AS p90_ok
+    FROM (VALUES
+      {values}
+    ) AS t(item_id, n, p50_ok, p90_ok)
+    ORDER BY item_id
+    """
+
+
+@dq("q159_tdigest_stream_replay", oracle=_q159_oracle, covers="R1,R6,U2,A3")
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the hourly exports through the streaming t-digest and gate
+    its final per-key estimates against the full value set."""
+    from questdb_etl_jobs_spark.streaming.tdigest_stream import tdigest_stream
+
+    rows_out = _run_replay_stream(
+        spark,
+        lambda s: tdigest_stream(s, key="item_id", value="price",
+                                 qs=[0.5, 0.9]),
+        result_col=None, out_col=None, prefix="q159_tdigest_stream_",
+        raw=True,
+    )
+    # Final digest row per key = the one with the largest absorbed n.
+    final: dict[int, tuple[int, float, float]] = {}
+    for r in rows_out:
+        if r.item_id not in final or r.n > final[r.item_id][0]:
+            final[r.item_id] = (r.n, r.q_50, r.q_90)
+    by_key: dict[int, list[float]] = {}
+    for item, _rid, _ts, price in _replay_rows_with_ids():
+        by_key.setdefault(item, []).append(price)
+    checked = []
+    for item, vals in sorted(by_key.items()):
+        vals.sort()
+        n, q50, q90 = final[item]
+        def ok(q: float, est: float) -> bool:
+            lo = sum(1 for v in vals if v < est)
+            hi = sum(1 for v in vals if v <= est)
+            bound = 4 * len(vals) * q * (1 - q) / 100 + 1
+            return lo <= q * len(vals) + bound and hi >= q * len(vals) - bound
+        checked.append((item, n, ok(0.5, q50), ok(0.9, q90)))
+    return spark.createDataFrame(
+        checked, "item_id int, n bigint, p50_ok boolean, p90_ok boolean"
+    ).orderBy("item_id")

@@ -16,6 +16,8 @@ QuestDB construct                      Lowering
 ``... FROM 't0' TO 't1'``              ``sample_by_from_to`` (anchored
                                        origin + range prefill)
 ``... ALIGN TO FIRST OBSERVATION``     ``sample_by_first_observation``
+``... CALENDAR WITH OFFSET 'hh:mm'``   ``sample_by_offset`` (shifted
+                                       business-day grid)
 ``first(x)`` / ``last(x)`` aggregates  ``min_by`` / ``max_by`` on the ts
 ``ASOF / LT JOIN t2 [ON k]``           :func:`operators.asof.asof_join`
 ``SPLICE JOIN t2 [ON k]`` (SELECT *)   :func:`operators.asof.splice_join`
@@ -84,7 +86,8 @@ _SAMPLE_RE = re.compile(
     r"(?:\s+FROM\s+'([^']+)'\s+TO\s+'([^']+)')?"
     r"(?:\s+FILL\s*\(\s*([^)]*?)\s*\))?"
     r"(?:\s+ALIGN\s+TO\s+(CALENDAR|FIRST\s+OBSERVATION)"
-    r"(?:\s+TIME\s+ZONE\s+'([^']+)')?)?",
+    r"(?:\s+TIME\s+ZONE\s+'([^']+)')?"
+    r"(?:\s+WITH\s+OFFSET\s+'([^']+)')?)?",
     re.IGNORECASE,
 )
 _JOIN_RE = re.compile(
@@ -442,7 +445,8 @@ def questdb_sql(
             raise QuestDBSQLError(
                 f"SAMPLE BY needs a designated timestamp for {table!r}"
             )
-        n, unit, from_lit, to_lit, fill_spec, align, tz = sample_m.groups()
+        (n, unit, from_lit, to_lit, fill_spec, align, tz,
+         offset) = sample_m.groups()
         if unit not in _UNIT:
             # The keyword regexes are case-insensitive but QuestDB's
             # duration units are NOT ('m' minute vs 'M' month): reject
@@ -479,7 +483,39 @@ def questdb_sql(
         )
 
         align_norm = re.sub(r"\s+", " ", align or "CALENDAR").upper()
-        if from_lit:
+        if offset and not from_lit:
+            # ALIGN TO CALENDAR WITH OFFSET 'hh:mm': calendar buckets
+            # shifted off the UTC grid (the 02:30-business-day idiom).
+            from questdb_etl_jobs_spark.operators.sample_by import (
+                sample_by_offset,
+            )
+
+            if tz or align_norm != "CALENDAR":
+                raise QuestDBSQLError(
+                    "WITH OFFSET supports ALIGN TO CALENDAR only"
+                )
+            if unit not in "smhd":
+                raise QuestDBSQLError(
+                    f"WITH OFFSET needs a fixed-width unit (s/m/h/d), "
+                    f"got {unit!r}"
+                )
+            sparse = sample_by_offset(
+                df, ts, bucket, aggs, offset, keys,
+                fill=None, bucket_col=bucket_alias,
+            )
+            if fill_spec:
+                value_cols = [
+                    c for c in sparse.columns
+                    if c != bucket_alias and c not in keys
+                ]
+                df = sample_by_offset(
+                    df, ts, bucket, aggs, offset, keys,
+                    fill=_parse_fill_spec(fill_spec, value_cols),
+                    bucket_col=bucket_alias,
+                )
+            else:
+                df = sparse
+        elif from_lit:
             # FROM-TO (QuestDB 8 explicit-range sampling): rows bound to
             # [from, to), buckets anchored at FROM, FILL prefills the
             # whole range. Defined for calendar alignment with fixed-

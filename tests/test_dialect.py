@@ -478,3 +478,28 @@ def test_group_by_explicit_and_implicit(spark, trades):
             "SELECT ts, sym, count() n FROM trades GROUP BY sym SAMPLE BY 1h",
             {"trades": "ts"},
         )
+
+
+def test_sample_by_with_offset(spark, trades):
+    """ALIGN TO CALENDAR WITH OFFSET '00:30': hourly buckets rolling at
+    half past, negative offsets accepted, non-calendar combos rejected."""
+    out = questdb_sql(
+        spark,
+        "SELECT ts, sym, count(*) n FROM trades WHERE ts IN '2024-01-01' "
+        "SAMPLE BY 1h ALIGN TO CALENDAR WITH OFFSET '00:30'",
+        {"trades": "ts"},
+    )
+    rows = out.collect()
+    assert {r.ts.minute for r in rows} == {30}
+    by_key = {(r.ts.hour, r.sym): r.n for r in rows}
+    # Rows at :15 fall in the PREVIOUS half-past bucket: 00:15 -> 23:30
+    # of Dec 31, 01:15 -> 00:30, 03:15 -> 02:30.
+    assert by_key[(0, "AAA")] == 1 and by_key[(2, "AAA")] == 1
+    assert (23, "AAA") in by_key
+    with pytest.raises(QuestDBSQLError, match="CALENDAR only"):
+        questdb_sql(
+            spark,
+            "SELECT ts, count(*) n FROM trades SAMPLE BY 1h "
+            "ALIGN TO CALENDAR TIME ZONE 'Europe/Berlin' WITH OFFSET '00:30'",
+            {"trades": "ts"},
+        )

@@ -1075,3 +1075,53 @@ def test_streaming_matview_equals_direct_sample_by(spark, tmp_path):
         )
     )
     assert got == expected and len(got) == 2
+
+
+def test_tdigest_stream_quantiles_within_bound(spark, tmp_path):
+    """Streaming t-digest: per-key digests carried across micro-batches
+    (maxFilesPerTrigger=1), the final emitted estimates rank within the
+    k1 bound against ALL streamed values, n counts every row, and the
+    per-batch emission grows monotonically in n."""
+    import csv as _csv
+    import os as _os
+
+    import numpy as np
+
+    src = tmp_path / "td_src"
+    src.mkdir()
+    rows = [(i % 2, ((i * 48271) % 65537) / 655.37) for i in range(4000)]
+    for fi in range(2):
+        with open(src / f"{fi}.csv", "w", newline="") as fh:
+            _csv.writer(fh).writerows(rows[fi * 2000:(fi + 1) * 2000])
+        _os.utime(src / f"{fi}.csv",
+                  (1_700_000_000 + fi, 1_700_000_000 + fi))
+
+    from questdb_etl_jobs_spark.streaming.tdigest_stream import tdigest_stream
+
+    schema = "k long, v double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    out = tdigest_stream(stream, key="k", value="v", qs=[0.5, 0.99])
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "td_out"))
+        .option("checkpointLocation", str(tmp_path / "td_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "td_out")).collect()
+    # One row per (key, micro-batch): 2 keys x 2 batches.
+    assert len(got) == 4
+    final = {r.k: r for r in got if r.n == 2000}
+    assert set(final) == {0, 1}
+    for k, r in final.items():
+        v = np.sort(np.array([val for kk, val in rows if kk == k]))
+        for qq, est in ((0.5, r.q_50), (0.99, r.q_99)):
+            lo, hi = (v < est).sum(), (v <= est).sum()
+            bound = 4 * len(v) * qq * (1 - qq) / 100 + 1
+            assert lo <= qq * len(v) + bound and hi >= qq * len(v) - bound

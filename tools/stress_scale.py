@@ -240,6 +240,13 @@ def _headline():
         "funnel": registry["q104_funnel_steps"],
         "exact_quantile": registry["q126_exact_quantile_histogram"],
         "rolling_hll": registry["q130_rolling_distinct_hll"],
+        # Round-8 operators: keyed-window trig aggregate (events, 10x
+        # user keys), codegen geohash rollup (pure scan+agg), and the
+        # mapInPandas+applyInPandas t-digest (sketch-space shuffle —
+        # the Python-per-batch path under 10x rows).
+        "haversine_track": registry["q153_haversine_track"],
+        "geohash_cells": registry["q155_geohash_cells"],
+        "tdigest": registry["q157_tdigest_quantiles"],
     }
 
 
