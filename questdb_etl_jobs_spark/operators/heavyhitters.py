@@ -38,16 +38,29 @@ from pyspark.sql import functions as F
 
 
 def misra_gries_partials(
-    df: DataFrame, col: str, counters: int
+    df: DataFrame, col: str, counters: int, with_total: bool = False
 ) -> DataFrame:
     """Per-partition Misra-Gries summaries of ``col``: ≤ ``counters``
     rows ``(key, weight)`` per input partition, where ``weight``
     undercounts the partition-local frequency by at most
-    ``partition_rows / counters``."""
+    ``partition_rows / counters``.
+
+    ``with_total`` appends ``__n`` (the partition's TRUE row count) and
+    ``__d`` (the partition's total applied decrement — every eviction
+    event subtracts its ``dec`` from EVERY key's possible count, so the
+    sum of decs is an exact undercount bound for any key, 0 when the
+    sketch never evicted), both on the first output row (0 on the
+    rest). A downstream merge recovers total N and a TIGHT error bound
+    by summing them — the worst-case ``N/counters`` is ≥ this and
+    reports nonzero error even for provably exact sketches (the
+    streaming face needs both)."""
 
     def summarize(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         slots: dict = {}
+        total = 0
+        dec_sum = 0
         for pdf in pdfs:
+            total += len(pdf)
             for key, cnt in pdf[col].value_counts().items():
                 cnt = int(cnt)
                 if key in slots:
@@ -58,17 +71,27 @@ def misra_gries_partials(
                     # Decrement all by the minimum slot value; evict
                     # zeros (batch form of the one-at-a-time MG step).
                     dec = min(slots.values())
+                    dec_sum += dec
                     slots = {
                         s: w - dec for s, w in slots.items() if w > dec
                     }
-        yield pd.DataFrame(
-            {col: list(slots.keys()), "__w": list(slots.values())}
-        )
+        keys, weights = list(slots.keys()), list(slots.values())
+        if with_total and not slots and total:
+            # All slots evicted (uniform weights at the cap) but rows
+            # WERE seen: a zero-weight carrier row preserves the count.
+            keys, weights = [None], [0]
+        out = {col: keys, "__w": weights}
+        if with_total:
+            pad = [0] * (len(keys) - 1) if keys else []
+            out["__n"] = ([total] + pad) if keys else []
+            out["__d"] = ([dec_sum] + pad) if keys else []
+        yield pd.DataFrame(out)
 
     schema = f"{df.select(col).schema[col].dataType.simpleString()}"
-    return df.select(col).mapInPandas(
-        summarize, schema=f"{col} {schema}, __w long"
-    )
+    out_schema = f"{col} {schema}, __w long"
+    if with_total:
+        out_schema += ", __n long, __d long"
+    return df.select(col).mapInPandas(summarize, schema=out_schema)
 
 
 def _topk_pass(rows: DataFrame, col: str, k: int, counters: int) -> DataFrame:

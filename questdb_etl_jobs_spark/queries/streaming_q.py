@@ -488,3 +488,69 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         checked, "item_id int, n bigint, p50_ok boolean, p90_ok boolean"
     ).orderBy("item_id")
+
+
+# ---------------------------------------------------------------------------
+# q160 — streaming heavy hitters replay (exact-mode Misra-Gries state)
+# ---------------------------------------------------------------------------
+#
+# streaming/heavyhitters_stream.py under the oracle: the hourly exports
+# replay one-per-trigger, the carried global MG sketch absorbs each
+# batch's parallel partials, and the FINAL emission must be the exact
+# top-10 items by purchase count — counters (64) exceeds the fixture's
+# vocabulary, so no sketch ever evicts, err is exactly 0, weights are
+# exact counts, and guaranteed must hold (the d_total bookkeeping under
+# test). The oracle recomputes the same top-10 (same (-count, str(key))
+# tiebreak) in CPython.
+
+def _q160_oracle() -> str:
+    from collections import Counter
+
+    counts = Counter(item for item, _rid, _ts, _p in _replay_rows_with_ids())
+    total = sum(counts.values())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], str(kv[0])))
+    top = ranked[:10]
+    # Same strictness as the operator: a TIE at the boundary means the
+    # top-10 SET is not unique, so guaranteed is honestly FALSE even in
+    # exact mode (err 0).
+    next_w = ranked[10][1] if len(ranked) > 10 else 0
+    g = "TRUE" if top[-1][1] > next_w else "FALSE"
+    values = ",\n      ".join(
+        f"({item}, {cnt}, {total}, 0, {g})" for item, cnt in top
+    )
+    return f"""
+    SELECT CAST(item_id AS INTEGER) AS item_id,
+           CAST(weight AS BIGINT) AS weight,
+           CAST(n_total AS BIGINT) AS n_total,
+           CAST(err AS BIGINT) AS err,
+           CAST(guaranteed AS BOOLEAN) AS guaranteed
+    FROM (VALUES
+      {values}
+    ) AS t(item_id, weight, n_total, err, guaranteed)
+    ORDER BY weight DESC, item_id
+    """
+
+
+@dq("q160_heavy_hitters_stream", oracle=_q160_oracle, covers="R1,R6,U2,O2")
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the hourly exports through the streaming MG sketch and
+    return the final top-10 emission."""
+    from questdb_etl_jobs_spark.streaming.heavyhitters_stream import (
+        heavy_hitters_stream,
+    )
+
+    rows_out = _run_replay_stream(
+        spark,
+        lambda s: heavy_hitters_stream(s, "item_id", k=10, counters=64),
+        result_col=None, out_col=None, prefix="q160_hh_stream_", raw=True,
+    )
+    final_n = max(r.n_total for r in rows_out)
+    final = [
+        (r.item_id, r.weight, r.n_total, r.err, r.guaranteed)
+        for r in rows_out if r.n_total == final_n
+    ]
+    return spark.createDataFrame(
+        final,
+        "item_id int, weight bigint, n_total bigint, err bigint, "
+        "guaranteed boolean",
+    ).orderBy(F.col("weight").desc(), "item_id")

@@ -498,3 +498,59 @@ def test_matview_read_is_projection_only(spark, tmp_path):
     refresh_sample_by_view(spark, df, path, "ts", "day", "v", ["k"])
     view = read_sample_by_view(spark, path)
     assert_not_in_plan(view, "Exchange")
+
+
+def test_haversine_single_exchange(spark):
+    """The track-mileage aggregate: the keyed lag window's exchange is
+    the ONLY one — the follow-on per-key sum reuses its partitioning."""
+    from questdb_etl_jobs_spark.functions.geo import haversine_segments
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    pts = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "ts", "event_id",
+        F.col("value").alias("lat"),
+        (F.col("value") + 1).alias("lon"),
+    )
+    segs = haversine_segments(
+        pts, "lat", "lon", "ts", keys=["user_id"], tiebreak=["event_id"]
+    )
+    out = segs.groupBy("user_id").agg(F.sum("segment_km").alias("d"))
+    plan = plan_string(out)
+    # At most ONE keyed exchange (window + agg share it); at this tiny
+    # SF a single-partition input needs none at all.
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    # Codegen trig, no Python in the row path.
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sample_by_from_to_range_reaches_scan(spark):
+    """FROM-TO's implicit row bound is a pushed-down scan filter — at
+    100 TB the scan reads only the queried range's row groups."""
+    from questdb_etl_jobs_spark.operators.sample_by import sample_by_from_to
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    agg = sample_by_from_to(
+        ev, "ts", "day", [F.count(F.lit(1)).alias("n")],
+        "2024-01-10T00:30:00", "2024-01-20T00:30:00",
+    )
+    plan = plan_string(agg)
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
+    assert "LessThan(ts,2024-01-20 00:30:00" in plan
+
+
+def test_geohash_encode_no_python_no_shuffle(spark):
+    """The geohash derivation is pure codegen projection: zero
+    exchanges before the final cell aggregate, zero Python eval nodes."""
+    from questdb_etl_jobs_spark.functions.geo import geohash_encode
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    pts = load_table(spark, SF_SMALL, "events").select(
+        (F.col("value") - 50).alias("lat"), F.col("value").alias("lon")
+    )
+    out = pts.select(
+        geohash_encode(F.col("lat"), F.col("lon"), 4).alias("cell")
+    ).groupBy("cell").count()
+    plan = plan_string(out)
+    assert plan.count("Exchange hashpartitioning") <= 1  # final agg only
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

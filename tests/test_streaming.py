@@ -1125,3 +1125,80 @@ def test_tdigest_stream_quantiles_within_bound(spark, tmp_path):
             lo, hi = (v < est).sum(), (v <= est).sum()
             bound = 4 * len(v) * qq * (1 - qq) / 100 + 1
             assert lo <= qq * len(v) + bound and hi >= qq * len(v) - bound
+
+
+def test_heavy_hitters_stream_bounds_and_exactness(spark, tmp_path):
+    """Streaming MG: the carried sketch's weights bound true counts
+    (w <= true <= w + err) across micro-batches, the skewed head is
+    exactly right, and with counters >= distinct keys the weights ARE
+    the exact counts."""
+    import csv as _csv
+    import os as _os
+    from collections import Counter
+
+    from questdb_etl_jobs_spark.streaming.heavyhitters_stream import (
+        heavy_hitters_stream,
+    )
+
+    # Zipf-ish: key j appears ~1000/j times, shuffled deterministically.
+    rows = []
+    for j in range(1, 40):
+        rows += [[f"k{j:02d}"]] * (1000 // j)
+    rows = [rows[(i * 7919) % len(rows)] for i in range(len(rows))]
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    half = len(rows) // 2
+    for fi, chunk in enumerate((rows[:half], rows[half:])):
+        with open(src / f"{fi}.csv", "w", newline="") as fh:
+            _csv.writer(fh).writerows(chunk)
+        _os.utime(src / f"{fi}.csv",
+                  (1_700_000_000 + fi, 1_700_000_000 + fi))
+
+    stream = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    out = heavy_hitters_stream(stream, "tok", k=5, counters=16)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "hh_out"))
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "hh_out")).collect()
+    final_n = max(r.n_total for r in got)
+    assert final_n == len(rows)
+    truth = Counter(r[0] for r in rows)
+    final = [r for r in got if r.n_total == final_n]
+    assert len(final) == 5
+    for r in final:
+        true = truth[r.tok]
+        assert r.weight <= true <= r.weight + r.err, (r, true)
+    # The unambiguous head survives sketching exactly.
+    want_head = [t for t, _ in truth.most_common(3)]
+    got_sorted = [r.tok for r in sorted(final, key=lambda r: -r.weight)]
+    assert got_sorted[:3] == want_head
+    # Exact mode: counters above the vocabulary -> weights == counts.
+    stream2 = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    out2 = heavy_hitters_stream(stream2, "tok", k=5, counters=64)
+    q2 = (
+        out2.writeStream.format("parquet")
+        .option("path", str(tmp_path / "hh_out2"))
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = [r for r in spark.read.parquet(str(tmp_path / "hh_out2")).collect()
+            if r.n_total == len(rows)]
+    for r in got2:
+        assert r.weight == truth[r.tok] and r.guaranteed
