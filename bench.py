@@ -77,6 +77,10 @@ def _headline():
         # Round-7 additions (new entries; exclude from total-vs-r6 deltas):
         "exact_quantile": "q126_exact_quantile_histogram",
         "ema": "q138_ema_per_user",
+        # Round-8 additions (exclude from total-vs-r7 deltas):
+        "haversine": "q153_haversine_track",
+        "geohash_cells": "q155_geohash_cells",
+        "tdigest": "q157_tdigest_quantiles",
     }
 
 

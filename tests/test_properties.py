@@ -545,3 +545,155 @@ def test_counter_increase_matches_bruteforce(spark, rows):
             assert got[i] == expected, (i, rows)
             if v is not None:
                 prev = v
+
+
+# ---------------------------------------------------------------------------
+# Round-8 operators
+# ---------------------------------------------------------------------------
+
+def _py_geohash(lat: float, lon: float, chars: int) -> str:
+    """Independent reference implementation: the textbook per-bit
+    bisection loop (NOT the closed form under test)."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_rng, lon_rng = [-90.0, 90.0], [-180.0, 180.0]
+    bits, out, ch, even = 0, [], 0, True
+    while len(out) < chars:
+        rng, v = (lon_rng, lon) if even else (lat_rng, lat)
+        mid = (rng[0] + rng[1]) / 2
+        ch <<= 1
+        if v >= mid:
+            ch |= 1
+            rng[0] = mid
+        else:
+            rng[1] = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(alphabet[ch])
+            bits, ch = 0, 0
+    return "".join(out)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        # Hypothesis loves exact boundary floats (0.0, ±90, ±180), and
+        # the assume() below rejects exactly those — expected here.
+        HealthCheck.filter_too_much,
+    ],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(-90, 90, allow_nan=False, width=32),
+            st.floats(-180, 180, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    chars=st.integers(1, 8),
+)
+def test_geohash_matches_bisection_reference(spark, pts, chars):
+    """The closed-form codegen geohash equals the textbook bisection
+    loop on arbitrary points (the bisection path IS the binary
+    expansion of the scaled fraction; the poles/antimeridian clamp to
+    the top cell like every standard implementation).
+
+    Points within a float-ulp of an exact cell boundary are excluded:
+    there the two formulations legitimately differ by one cell (the
+    closed form's ``lon+180`` absorbs a sub-ulp offset; the bisection
+    compares against the boundary directly) — the same divergence any
+    two published geohash libraries show at exact boundaries."""
+    from hypothesis import assume
+
+    from questdb_etl_jobs_spark.functions.geo import geohash_encode
+
+    lon_bits = (5 * chars + 1) // 2
+    lat_bits = 5 * chars // 2
+    for la, lo in pts:
+        s_lat = (la + 90.0) / 180.0 * (1 << lat_bits)
+        s_lon = (lo + 180.0) / 360.0 * (1 << lon_bits)
+        assume(abs(s_lat - round(s_lat)) > 1e-6 or la in (90.0, -90.0))
+        assume(abs(s_lon - round(s_lon)) > 1e-6 or lo in (180.0, -180.0))
+    df = spark.createDataFrame(
+        [(float(la), float(lo)) for la, lo in pts], "lat double, lon double"
+    )
+    got = (
+        df.select(
+            "lat", "lon",
+            geohash_encode(F.col("lat"), F.col("lon"), chars).alias("g"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert r.g == _py_geohash(r.lat, r.lon, chars), (r.lat, r.lon, chars)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    start=st.datetimes(
+        min_value=datetime(2000, 1, 1), max_value=datetime(2030, 12, 1)
+    ),
+    dur=st.tuples(st.integers(1, 72), st.sampled_from("smhdw")),
+    period=st.tuples(st.integers(1, 13), st.sampled_from("hdwMy")),
+    count=st.integers(1, 5),
+)
+def test_interval_repeat_spans_are_disjoint_shifts(start, dur, period, count):
+    """Every occurrence of a repeating interval is the base span shifted
+    by k periods: starts strictly increase, widths match the base except
+    across variable-length calendar months, and span count == count."""
+    from questdb_etl_jobs_spark.operators.sample_by import (
+        interval_bounds_multi,
+    )
+
+    prefix = start.strftime("%Y-%m-%dT%H:%M")
+    literal = (
+        f"{prefix};{dur[0]}{dur[1]};{period[0]}{period[1]};{count}"
+    )
+    spans = interval_bounds_multi(literal)
+    assert len(spans) == count
+    starts = [s for s, _ in spans]
+    assert starts == sorted(set(starts))
+    if period[1] not in "My":
+        widths = {
+            (datetime.fromisoformat(e) - datetime.fromisoformat(s))
+            for s, e in spans
+        }
+        assert len(widths) == 1  # fixed-width periods shift rigidly
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=400,
+    ),
+    q=st.sampled_from([0.1, 0.5, 0.9]),
+)
+def test_tdigest_rank_bound_property(spark, vals, q):
+    """For arbitrary value sets the digest estimate's true rank stays
+    within the k1 bound — including constant columns, duplicates, and
+    sign mixes the fixture data never produces."""
+    from questdb_etl_jobs_spark.operators.tdigest import tdigest_quantiles
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double").withColumn(
+        "g", F.lit(1)
+    )
+    row = tdigest_quantiles(df, "v", ["g"], [q], delta=50).first()
+    est = row[f"q_{int(q * 100):02d}"]
+    svals = sorted(vals)
+    lo = sum(1 for v in svals if v < est)
+    hi = sum(1 for v in svals if v <= est)
+    bound = 4 * len(vals) * q * (1 - q) / 50 + 1
+    assert lo <= q * len(vals) + bound and hi >= q * len(vals) - bound
