@@ -34,6 +34,10 @@ HEADLINE: dict[str, str] = {
     "q82_interval_search": "interval literal is a plain range predicate in the scan stage",
     "q88_token_chunks": "chunking is one codegen span (split→sequence→posexplode→slice), zero pre-sort exchanges",
     "q91_token_budget_mix": "budget prefix = one keyed exchange for the cumulative window; scan reads 3 columns",
+    # Round 8:
+    "q152_dialect_sample_by_from_to": "FROM-TO range bound lands in PushedFilters; anchored bucket is integer-µs codegen",
+    "q153_haversine_track": "window + per-key sum share ONE hash exchange (2nd Exchange is the DQ output sort); codegen trig, zero Python nodes",
+    "q155_geohash_cells": "geohash encode is pure projection — the only exchange is the 1024-cell aggregate",
 }
 
 SALIENT = re.compile(
