@@ -554,3 +554,88 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item_id int, weight bigint, n_total bigint, err bigint, "
         "guaranteed boolean",
     ).orderBy(F.col("weight").desc(), "item_id")
+
+
+# ---------------------------------------------------------------------------
+# q161 — streaming KMV distinct replay (deterministic sketch state)
+# ---------------------------------------------------------------------------
+#
+# streaming/kmv_stream.py under the oracle — and unlike the t-digest /
+# MG gates, this one is VALUE-exact: the k smallest distinct hashes do
+# not depend on arrival order or batch boundaries, so the final
+# streaming state must equal the CPython XXH64-mirror recomputation
+# bit for bit (kth_hash, n_min, and the estimate's IEEE arithmetic —
+# the q74 protocol, now across micro-batch state). The hashed value is
+# a deterministic derivation of row_id so both small-set exact
+# (n_min < k) and frontier-estimate branches occur across the 50 keys.
+
+_Q161_K = 16
+_Q161_MULT = 2654435761
+
+
+def _q161_oracle() -> str:
+    import struct
+
+    from questdb_etl_jobs_spark.queries._xxhash import xxh64_signed
+
+    by_item: dict[int, set[int]] = {}
+    counts: dict[int, int] = {}
+    for item, rid, _ts, _p in _replay_rows_with_ids():
+        by_item.setdefault(item, set()).add((rid * _Q161_MULT) % 1000)
+        counts[item] = counts.get(item, 0) + 1
+    out = []
+    for item in sorted(by_item):
+        hashes = sorted(
+            xxh64_signed(struct.pack("<q", v)) for v in by_item[item]
+        )
+        mins = hashes[:_Q161_K]
+        kth, n_min = mins[-1], len(mins)
+        if n_min < _Q161_K:
+            est = float(n_min)
+        else:
+            est = (_Q161_K - 1) / ((float(kth) + 2.0**63) / 2.0**64)
+        # The estimate rides as a QUOTED string: DuckDB parses a bare
+        # float literal as DECIMAL, which can drop the last ulp; the
+        # string→DOUBLE cast is correctly rounded, hence bit-exact.
+        out.append(f"({item}, {counts[item]}, {kth}, {n_min}, '{est!r}')")
+    values = ",\n      ".join(out)
+    return f"""
+    SELECT CAST(item_id AS INTEGER) AS item_id,
+           CAST(n_seen AS BIGINT) AS n_seen,
+           CAST(kth_hash AS BIGINT) AS kth_hash,
+           CAST(n_min AS INTEGER) AS n_min,
+           CAST(est_distinct AS DOUBLE) AS est_distinct
+    FROM (VALUES
+      {values}
+    ) AS t(item_id, n_seen, kth_hash, n_min, est_distinct)
+    ORDER BY item_id
+    """
+
+
+@dq("q161_kmv_stream_replay", oracle=_q161_oracle, covers="R1,R6,U2,A3")
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the hourly exports through the streaming KMV sketch and
+    return the final per-key state (bit-exact vs the batch mirror)."""
+    from questdb_etl_jobs_spark.streaming.kmv_stream import kmv_distinct_stream
+
+    rows_out = _run_replay_stream(
+        spark,
+        lambda s: kmv_distinct_stream(
+            s.withColumn(
+                "val", (F.col("row_id") * F.lit(_Q161_MULT)) % 1000
+            ),
+            "item_id", "val", k=_Q161_K,
+        ),
+        result_col=None, out_col=None, prefix="q161_kmv_stream_", raw=True,
+    )
+    final: dict[int, tuple] = {}
+    for r in rows_out:
+        if r.item_id not in final or r.n_seen > final[r.item_id][1]:
+            final[r.item_id] = (
+                r.item_id, r.n_seen, r.kth_hash, r.n_min, r.est_distinct
+            )
+    return spark.createDataFrame(
+        sorted(final.values()),
+        "item_id int, n_seen bigint, kth_hash bigint, n_min int, "
+        "est_distinct double",
+    ).orderBy("item_id")

@@ -1202,3 +1202,57 @@ def test_heavy_hitters_stream_bounds_and_exactness(spark, tmp_path):
             if r.n_total == len(rows)]
     for r in got2:
         assert r.weight == truth[r.tok] and r.guaranteed
+
+
+def test_kmv_stream_equals_batch_sketch(spark, tmp_path):
+    """Determinism pays off: the streaming KMV's final per-key state is
+    BIT-IDENTICAL to the batch operator over the same rows — the k
+    smallest distinct hashes don't care about batch boundaries."""
+    import csv as _csv
+    import os as _os
+
+    from questdb_etl_jobs_spark.operators.sketch import kmv_distinct
+    from questdb_etl_jobs_spark.streaming.kmv_stream import kmv_distinct_stream
+
+    rows = [(i % 4, (i * 7919) % 300) for i in range(2000)]
+    src = tmp_path / "kmv_src"
+    src.mkdir()
+    for fi in range(3):
+        with open(src / f"{fi}.csv", "w", newline="") as fh:
+            _csv.writer(fh).writerows(rows[fi * 700:(fi + 1) * 700])
+        _os.utime(src / f"{fi}.csv",
+                  (1_700_000_000 + fi, 1_700_000_000 + fi))
+
+    stream = (
+        spark.readStream.schema("k long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        kmv_distinct_stream(stream, "k", "v", k=24)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "kmv_out"))
+        .option("checkpointLocation", str(tmp_path / "kmv_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.read.parquet(str(tmp_path / "kmv_out")).collect()
+    final = {}
+    for r in emitted:
+        if r.k not in final or r.n_seen > final[r.k].n_seen:
+            final[r.k] = r
+    batch = {
+        r.k: r
+        for r in kmv_distinct(
+            spark.read.schema("k long, v long").csv(str(src)),
+            ["k"], "v", k=24,
+        ).collect()
+    }
+    assert set(final) == set(batch)
+    for k, s in final.items():
+        b = batch[k]
+        assert (s.kth_hash, s.n_min, s.est_distinct) == (
+            b.kth_hash, b.n_min, b.est_distinct
+        ), (k, s, b)
