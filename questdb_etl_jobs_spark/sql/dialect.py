@@ -23,13 +23,15 @@ QuestDB construct                      Lowering
 ``SPLICE JOIN t2 [ON k]`` (SELECT *)   :func:`operators.asof.splice_join`
 ``ts IN '2024-01'`` interval search    range predicate via
                                        ``interval_bounds_multi`` —
-                                       incl. ``';1d'`` duration and
-                                       ``';1y;3'`` repeats (OR of
-                                       pushdown-able ranges)
+                                       incl. ``';1d'`` duration,
+                                       ``';1y;3'`` repeats, and
+                                       ``('a','b')`` interval lists
+                                       (OR of pushdown-able ranges)
 ``GROUP BY`` / implicit grouping /     ``groupBy().agg()`` (QuestDB
 ``count()``                            allows omitting GROUP BY; bare
                                        count() is count(*))
-``LIMIT -n`` (tail)                    reversed-order ``limit`` + re-sort
+``LIMIT -n`` (tail) / ``LIMIT lo,hi``  reversed-order ``limit`` + re-sort
+                                       / ``offset(lo).limit(hi−lo)``
 ``FROM long_sequence(n)``              ``spark.range`` (x = 1..n)
 ``timestamp_sequence('t0', step)``     integer-µs codegen off ``x``
 anything else                          ``spark.sql`` passthrough (full
@@ -95,7 +97,9 @@ _JOIN_RE = re.compile(
     r"(?:\s+ON\s+\(?\s*(\w+(?:\s*,\s*\w+)*)\s*\)?)?",
     re.IGNORECASE,
 )
-_LIMIT_RE = re.compile(r"\bLIMIT\s+(-?\d+)\s*$", re.IGNORECASE)
+_LIMIT_RE = re.compile(
+    r"\bLIMIT\s+(-?\d+)(?:\s*,\s*(-?\d+))?\s*$", re.IGNORECASE
+)
 _ORDER_RE = re.compile(
     r"\bORDER\s+BY\s+(.+?)(?=\bLIMIT\b|$)", re.IGNORECASE | re.DOTALL
 )
@@ -120,8 +124,15 @@ _TS_SEQ_RE = re.compile(
     r"\btimestamp_sequence\s*\(\s*'([^']+)'\s*,\s*(\d+)L?\s*\)",
     re.IGNORECASE,
 )
+_INTERVAL_LIT = (
+    r"[0-9][0-9T:\-\.]*(?:;[0-9]+[smhdwMy](?:;[0-9]+[smhdwMy];[0-9]+)?)?"
+)
 _IN_INTERVAL_RE = re.compile(
-    r"\b(\w+)\s+IN\s+'([0-9][0-9T:\-\.]*(?:;[0-9]+[smhdwMy](?:;[0-9]+[smhdwMy];[0-9]+)?)?)'",
+    rf"\b(\w+)\s+IN\s+'({_INTERVAL_LIT})'", re.IGNORECASE
+)
+_IN_INTERVAL_LIST_RE = re.compile(
+    rf"\b(\w+)\s+IN\s+(\(\s*'{_INTERVAL_LIT}'"
+    rf"(?:\s*,\s*'{_INTERVAL_LIT}')+\s*\))",
     re.IGNORECASE,
 )
 _AGG_RE = re.compile(
@@ -174,9 +185,7 @@ def _rewrite_interval_in(predicate: str, columns: tuple[str, ...] = ()) -> str:
     )
     from questdb_etl_jobs_spark.plans.designated import PARTITION_SUFFIX
 
-    def repl(m: re.Match) -> str:
-        col, literal = m.group(1), m.group(2)
-        spans = interval_bounds_multi(literal)
+    def expand(col: str, spans: list[tuple[str, str]]) -> str:
         conds = []
         for start, end in spans:
             one = (
@@ -193,6 +202,21 @@ def _rewrite_interval_in(predicate: str, columns: tuple[str, ...] = ()) -> str:
             conds.append(f"({one})" if len(spans) > 1 else one)
         return "(" + " OR ".join(conds) + ")"
 
+    def repl(m: re.Match) -> str:
+        return expand(m.group(1), interval_bounds_multi(m.group(2)))
+
+    def repl_list(m: re.Match) -> str:
+        # QuestDB interval LISTS: ts IN ('2024-01-01', '2024-01-03') —
+        # union of each literal's spans. Only all-interval lists rewrite
+        # (the regex requires the interval shape), so a value list like
+        # sym IN ('AAA', 'BBB') passes through untouched.
+        col, body = m.group(1), m.group(2)
+        spans: list[tuple[str, str]] = []
+        for lit in re.findall(r"'([^']+)'", body):
+            spans.extend(interval_bounds_multi(lit))
+        return expand(col, spans)
+
+    predicate = _IN_INTERVAL_LIST_RE.sub(repl_list, predicate)
     return _IN_INTERVAL_RE.sub(repl, predicate)
 
 
@@ -307,12 +331,14 @@ def questdb_sql(
         or _SAMPLE_RE.search(text)
         or _JOIN_RE.search(text)
         or _IN_INTERVAL_RE.search(text)
+        or _IN_INTERVAL_LIST_RE.search(text)
         or _TS_SEQ_RE.search(text)
         or re.search(r"\blong_sequence\s*\(", text, re.IGNORECASE)
         # Bare count() is QuestDB's count(*): Spark SQL rejects it, so
         # its presence routes through the dialect aggregate parser.
         or re.search(r"\bcount\s*\(\s*\)", text, re.IGNORECASE)
         or (limit_m and int(limit_m.group(1)) < 0)
+        or (limit_m and limit_m.group(2) is not None)
     )
     if not has_dialect:
         return spark.sql(text)
@@ -637,7 +663,16 @@ def questdb_sql(
             order_cols.append(c.desc() if direction == "DESC" else c.asc())
         df = df.orderBy(*order_cols)
 
-    if limit_m:
+    if limit_m and limit_m.group(2) is not None:
+        # QuestDB range limit: LIMIT lo, hi returns result rows
+        # lo+1 .. hi (positive bounds; the common pagination slice).
+        lo, hi = int(limit_m.group(1)), int(limit_m.group(2))
+        if lo < 0 or hi < lo:
+            raise QuestDBSQLError(
+                f"unsupported LIMIT range {lo},{hi} (need 0 <= lo <= hi)"
+            )
+        df = df.offset(lo).limit(hi - lo)
+    elif limit_m:
         n = int(limit_m.group(1))
         if n >= 0:
             df = df.limit(n)

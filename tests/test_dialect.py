@@ -503,3 +503,40 @@ def test_sample_by_with_offset(spark, trades):
             "ALIGN TO CALENDAR TIME ZONE 'Europe/Berlin' WITH OFFSET '00:30'",
             {"trades": "ts"},
         )
+
+
+def test_limit_range_slice(spark, trades):
+    """QuestDB LIMIT lo, hi: rows lo+1..hi of the result order."""
+    out = questdb_sql(
+        spark,
+        "SELECT ts, sym, price FROM trades ORDER BY price LIMIT 2, 5",
+        {"trades": "ts"},
+    )
+    prices = [r.price for r in out.collect()]
+    all_prices = sorted(
+        r.price for r in spark.table("trades").collect()
+    )
+    assert prices == all_prices[2:5]
+    with pytest.raises(QuestDBSQLError, match="unsupported LIMIT range"):
+        questdb_sql(
+            spark, "SELECT * FROM trades LIMIT 5, 2", {"trades": "ts"}
+        )
+
+
+def test_interval_list_in_where(spark, trades):
+    """ts IN ('<day1>', '<day2>') — the union of both days; a string
+    VALUE list on a non-ts column still passes through untouched."""
+    out = questdb_sql(
+        spark,
+        "SELECT count(*) n FROM trades "
+        "WHERE ts IN ('2024-01-01', '2024-01-02')",
+        {"trades": "ts"},
+    )
+    assert out.first().n == 12  # all fixture rows live on those 2 days
+    one = questdb_sql(
+        spark,
+        "SELECT count(*) n FROM trades WHERE ts IN ('2024-01-02', "
+        "'2024-01-03') AND sym IN ('AAA', 'BBB')",
+        {"trades": "ts"},
+    )
+    assert one.first().n == 6
