@@ -479,11 +479,17 @@ def main() -> None:
 
     last_tag = list(tiers)[-1]
     ratios = [v[last_tag]["ratio"] for v in results.values()]
-    asym = [
+    # A NON-POSITIVE marginal means the query's best-of time did not
+    # grow from sf1 to sf10 — its data-proportional cost is below this
+    # boot's measurement noise. Such a ratio is "unmeasurably small",
+    # not a number a geomean can absorb (log of ≤0): count it as ≤2×
+    # and exclude it from the geomean, flagging it in the summary.
+    asym_all = [
         v["fit"]["asymptotic_ratio"]
         for v in results.values()
-        if v.get("fit", {}).get("asymptotic_ratio")
+        if v.get("fit", {}).get("asymptotic_ratio") is not None
     ]
+    asym = [r for r in asym_all if r > 0]
     summary = {
         "metric": "scale_differential",
         "protocol": {
@@ -498,12 +504,16 @@ def main() -> None:
         f"{last_tag}_geomean_ratio": round(
             math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 2
         ),
-        "asymptote_le_2x": sum(1 for r in asym if r <= 2.0),
+        "asymptote_le_2x": sum(1 for r in asym_all if r <= 2.0),
         "asymptote_geomean": round(
             math.exp(sum(math.log(r) for r in asym) / len(asym)), 2
         )
         if asym
         else None,
+        "asymptote_below_noise": [
+            q for q, v in results.items()
+            if (v.get("fit", {}).get("asymptotic_ratio") or 1) <= 0
+        ],
     }
     out = json.dumps(summary)
     print(out)
