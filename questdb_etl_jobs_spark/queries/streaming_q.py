@@ -18,7 +18,7 @@ import os
 import shutil
 import tempfile
 from collections import defaultdict
-from datetime import datetime
+from datetime import datetime, timedelta
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -638,4 +638,127 @@ def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(final.values()),
         "item_id int, n_seen bigint, kth_hash bigint, n_min int, "
         "est_distinct double",
+    ).orderBy("item_id")
+
+
+# ---------------------------------------------------------------------------
+# q162 — stream-stream interval join replay (watermark-bounded state)
+# ---------------------------------------------------------------------------
+#
+# streaming/stream_join.py under the oracle: BOTH inputs are unbounded
+# file streams (the purchase feed, and a synthesized confirmation feed
+# carrying every 3rd purchase delayed 10 minutes), joined on item_id
+# with |ts_l − ts_r| ≤ 30 minutes — the only feasible stream-stream
+# shape, because the tolerance is what lets the state store evict. The
+# oracle brute-forces the same pairing in CPython over the same rows,
+# so the join's match set (not just counts) determines the gated
+# per-item totals.
+
+def _q162_pairs() -> dict[int, int]:
+    rows = _replay_rows_with_ids()
+    confirms = [
+        (item, rid, ts) for item, rid, ts, _p in rows if rid % 3 == 0
+    ]
+    n_by_item: dict[int, int] = {}
+    for item, _rid, ts, _p in rows:
+        t = datetime.strptime(ts, "%Y-%m-%dT%H:%M:%S")
+        for citem, _crid, cts in confirms:
+            if citem != item:
+                continue
+            ct = datetime.strptime(cts, "%Y-%m-%dT%H:%M:%S")
+            # The confirm stream's event time is its purchase ts + 10
+            # minutes; inclusive 30-minute band on both ends (between).
+            if abs((t - ct).total_seconds() - 600) <= 1800:
+                n_by_item[item] = n_by_item.get(item, 0) + 1
+    return n_by_item
+
+
+def _q162_oracle() -> str:
+    values = ",\n      ".join(
+        f"({item}, {n})" for item, n in sorted(_q162_pairs().items())
+    )
+    return f"""
+    SELECT CAST(item_id AS INTEGER) AS item_id,
+           CAST(n_pairs AS BIGINT) AS n_pairs
+    FROM (VALUES
+      {values}
+    ) AS t(item_id, n_pairs)
+    ORDER BY item_id
+    """
+
+
+@dq("q162_stream_stream_interval_join", oracle=_q162_oracle,
+    covers="R1,R3,R4,J6")
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay both feeds one-file-per-trigger through the watermarked
+    stream-stream interval join and count matches per item."""
+    from questdb_etl_jobs_spark.streaming.stream_join import (
+        interval_stream_join,
+    )
+
+    work = tempfile.mkdtemp(prefix="q162_ssjoin_")
+    try:
+        left_dir = Path(work) / "left"
+        right_dir = Path(work) / "right"
+        left_dir.mkdir(), right_dir.mkdir()
+        rid = 0
+        for i, path in enumerate(
+            sorted(Path(PURCHASES_HOURLY_DIR).glob("*.csv"))
+        ):
+            lrows, rrows = [], []
+            with open(path, newline="") as fh:
+                for _email, item, _qty, price, ts in csv.reader(fh):
+                    lrows.append((item, rid, ts, price))
+                    if rid % 3 == 0:
+                        t = datetime.strptime(ts, "%Y-%m-%dT%H:%M:%S")
+                        cts = (t + timedelta(minutes=10)).strftime(
+                            "%Y-%m-%dT%H:%M:%S"
+                        )
+                        rrows.append((item, rid, cts))
+                    rid += 1
+            for d, rows in ((left_dir, lrows), (right_dir, rrows)):
+                with open(d / path.name, "w", newline="") as fh:
+                    csv.writer(fh).writerows(rows)
+                os.utime(
+                    d / path.name, (1_700_000_000 + i, 1_700_000_000 + i)
+                )
+        left = (
+            spark.readStream.schema(
+                "item_id int, row_id bigint, ts timestamp, price double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .csv(str(left_dir))
+        )
+        right = (
+            spark.readStream.schema(
+                "item_id int, c_row_id bigint, c_ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .csv(str(right_dir))
+        )
+        joined = interval_stream_join(
+            left, right, left_ts="ts", right_ts="c_ts",
+            tolerance="30 minutes", on=["item_id"],
+        )
+        q = (
+            joined.select("item_id", "row_id", "c_row_id")
+            .writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows_out = (
+            spark.read.parquet(f"{work}/out")
+            .groupBy("item_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("item_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows_out, "item_id int, n_pairs bigint"
     ).orderBy("item_id")
