@@ -28,8 +28,9 @@ QuestDB construct                      Lowering
                                        ``('a','b')`` interval lists
                                        (OR of pushdown-able ranges)
 ``GROUP BY`` / implicit grouping /     ``groupBy().agg()`` (QuestDB
-``count()``                            allows omitting GROUP BY; bare
-                                       count() is count(*))
+``count()`` / ``HAVING``               allows omitting GROUP BY; bare
+                                       count() is count(*); HAVING
+                                       filters the aliased aggregates)
 ``LIMIT -n`` (tail) / ``LIMIT lo,hi``  reversed-order ``limit`` + re-sort
                                        / ``offset(lo).limit(hi−lo)``
 ``FROM long_sequence(n)``              ``spark.range`` (x = 1..n)
@@ -109,7 +110,11 @@ _WHERE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _GROUP_RE = re.compile(
-    r"\bGROUP\s+BY\s+(.+?)(?=\bORDER\s+BY\b|\bLIMIT\b|$)",
+    r"\bGROUP\s+BY\s+(.+?)(?=\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_HAVING_RE = re.compile(
+    r"\bHAVING\s+(.+?)(?=\bORDER\s+BY\b|\bLIMIT\b|$)",
     re.IGNORECASE | re.DOTALL,
 )
 _MAIN_RE = re.compile(
@@ -357,8 +362,16 @@ def questdb_sql(
     latest_m = _LATEST_RE.search(rest)
     sample_m = _SAMPLE_RE.search(rest)
     group_m = _GROUP_RE.search(rest)
+    having_m = _HAVING_RE.search(rest)
     order_m = _ORDER_RE.search(rest)
     limit_m = _LIMIT_RE.search(rest)
+    if having_m and not (
+        group_m
+        or sample_m
+        or any(_AGG_RE.match(it) for it in _split_items(select_list))
+    ):
+        # Implicit grouping (aggregates in the select list) counts.
+        raise QuestDBSQLError("HAVING needs an aggregation to filter")
     if group_m and sample_m:
         # SAMPLE BY *is* the grouping; QuestDB rejects the combo too.
         raise QuestDBSQLError("GROUP BY cannot combine with SAMPLE BY")
@@ -651,8 +664,16 @@ def questdb_sql(
                     f"list's non-aggregate columns {keys}"
                 )
         df = df.groupBy(*keys).agg(*aggs)
+        if having_m:
+            # Post-aggregation filter over the ALIASED aggregate columns
+            # (standard HAVING semantics; aliases are in scope because
+            # the agg already ran).
+            df = df.filter(F.expr(having_m.group(1).strip()))
     elif select_list.strip() != "*":
         df = df.selectExpr(*_split_items(select_list))
+
+    if having_m and sample_m:
+        df = df.filter(F.expr(having_m.group(1).strip()))
 
     order_cols: list[Column] = []
     if order_m:
@@ -713,7 +734,8 @@ def questdb_sql(
     # would eat an identical earlier occurrence, e.g. inside a WHERE
     # string literal).
     consumed = bytearray(len(rest))
-    for m in (join_m, where_m, latest_m, sample_m, group_m, order_m, limit_m):
+    for m in (join_m, where_m, latest_m, sample_m, group_m, having_m,
+              order_m, limit_m):
         if m:
             for i in range(m.start(), m.end()):
                 consumed[i] = 1

@@ -540,3 +540,42 @@ def test_interval_list_in_where(spark, trades):
         {"trades": "ts"},
     )
     assert one.first().n == 6
+
+
+def test_having_filters_aggregates(spark, trades):
+    """HAVING over the aliased aggregates, in both the GROUP BY and
+    SAMPLE BY paths; HAVING without grouping is rejected."""
+    out = questdb_sql(
+        spark,
+        "SELECT sym, ts, count() n FROM trades "
+        "WHERE ts IN '2024-01-01' SAMPLE BY 1h HAVING n > 1",
+        {"trades": "ts"},
+    )
+    assert out.count() == 0  # one trade per (sym, hour) in the fixture
+    out2 = questdb_sql(
+        spark,
+        "SELECT sym, sum(qty) v FROM trades GROUP BY sym HAVING v > 900",
+        {"trades": "ts"},
+    )
+    rows = {r.sym: r.v for r in out2.collect()}
+    assert set(rows) == {"BBB"} or rows  # value-checked below
+    full = {r.sym: r.v for r in questdb_sql(
+        spark, "SELECT sym, sum(qty) v FROM trades GROUP BY sym",
+        {"trades": "ts"}).collect()}
+    assert rows == {s: v for s, v in full.items() if v > 900}
+    # Implicit grouping composes with HAVING too (QuestDB style; the
+    # bare count() marks the query as dialect — a fully standard
+    # implicit-group query has no marker and stays a Spark-side error).
+    imp = questdb_sql(
+        spark,
+        "SELECT sym, count() n, sum(qty) v FROM trades HAVING v > 900",
+        {"trades": "ts"},
+    )
+    assert {r.sym: r.v for r in imp.collect()} == rows
+    with pytest.raises(QuestDBSQLError, match="HAVING needs"):
+        questdb_sql(
+            spark,
+            "SELECT ts, sym FROM trades WHERE ts IN '2024-01-01' "
+            "HAVING sym = 'AAA'",
+            {"trades": "ts"},
+        )
