@@ -2565,3 +2565,77 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lo", 4).alias("lo4"),
         F.round("hi", 4).alias("hi4"),
     ).orderBy("bucket_us", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# q163 — distributed purchase generator (reference entry point 2)
+# ---------------------------------------------------------------------------
+#
+# sources/generator.py under the oracle: the reference's random CSV
+# generator (data_generator.py:39-78) re-expressed as a deterministic
+# spark.range derivation (chained xxhash64 streams, pure codegen) so it
+# distributes AND verifies. The generated rows run through the same
+# anonymize/cast pipeline the ETL uses, then roll up per item; the
+# oracle regenerates every row in the CPython mirror and aggregates the
+# same way — generator arithmetic, the consistent item→price mapping,
+# SHA-1 anonymization, and the hour's timestamp layout all gate at
+# once.
+
+_Q163_N = 4000
+_Q163_HOUR = "2021-03-21T11:00:00"
+
+
+def _q163_oracle() -> str:
+    import hashlib
+    from collections import defaultdict
+
+    from questdb_etl_jobs_spark.sources.generator import mirror_purchases
+
+    per_item: dict[int, list] = defaultdict(lambda: [0, 0, 0, set()])
+    for email, item_id, qty, price, _ts in mirror_purchases(
+        _Q163_N, _Q163_HOUR
+    ):
+        slot = per_item[item_id]
+        slot[0] += 1
+        slot[1] += qty
+        slot[2] = price
+        slot[3].add(hashlib.sha1(email.encode()).hexdigest())
+    values = ",\n      ".join(
+        f"({item}, {n}, {qty}, {price}, {len(buyers)})"
+        for item, (n, qty, price, buyers) in sorted(per_item.items())
+    )
+    return f"""
+    SELECT CAST(item_id AS INTEGER) AS item_id,
+           CAST(n AS BIGINT) AS n,
+           CAST(qty_total AS BIGINT) AS qty_total,
+           CAST(price AS INTEGER) AS price,
+           CAST(n_buyers AS BIGINT) AS n_buyers
+    FROM (VALUES
+      {values}
+    ) AS t(item_id, n, qty_total, price, n_buyers)
+    ORDER BY item_id
+    """
+
+
+@dq("q163_purchase_generator", oracle=_q163_oracle, covers="S2,F1,F7,EXT")
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.functions.hashing import anonymize_sha1
+    from questdb_etl_jobs_spark.sources.generator import generate_purchases
+
+    rows = generate_purchases(spark, _Q163_N, _Q163_HOUR)
+    return (
+        rows.select(
+            "item_id",
+            "quantity",
+            "price",
+            anonymize_sha1(F.col("email")).alias("buyer"),
+        )
+        .groupBy("item_id", "price")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("quantity").alias("qty_total"),
+            F.countDistinct("buyer").alias("n_buyers"),
+        )
+        .select("item_id", "n", "qty_total", "price", "n_buyers")
+        .orderBy("item_id")
+    )

@@ -1966,3 +1966,30 @@ def test_tdigest_merge_of_splits_matches_whole(spark):
         F.element_at("means", -1).alias("m1"),
     ).first()
     assert ends.lo == ends.m0 and ends.hi == ends.m1
+
+
+def test_generate_purchases_matches_mirror_and_reference_shape(spark):
+    """The distributed generator is bit-identical to its CPython mirror,
+    carries the reference's field distributions (email 6-12 lowercase
+    chars @example.com, item 100-500, qty 1-10, price 1-200, one
+    consistent price per item), and emits time-sorted rows."""
+    import re as _re
+
+    from questdb_etl_jobs_spark.sources.generator import (
+        generate_purchases,
+        mirror_purchases,
+    )
+
+    got = [
+        (r.email, r.item_id, r.quantity, r.price, r.purchase_date)
+        for r in generate_purchases(spark, 300, "2021-03-21T11:00:00")
+        .collect()
+    ]
+    assert got == mirror_purchases(300, "2021-03-21T11:00:00")
+    price_by_item = {}
+    for email, item, qty, price, ts in got:
+        assert _re.fullmatch(r"[a-z]{6,12}@example\.com", email), email
+        assert 100 <= item <= 500 and 1 <= qty <= 10 and 1 <= price <= 200
+        assert ts.hour == 11 and ts.strftime("%Y-%m-%d") == "2021-03-21"
+        assert price_by_item.setdefault(item, price) == price
+    assert [t for *_, t in got] == sorted(t for *_, t in got)
