@@ -2639,3 +2639,71 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item_id", "n", "qty_total", "price", "n_buyers")
         .orderBy("item_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q164 — CUSUM drift monitor (Page's test, closed-form codegen)
+# ---------------------------------------------------------------------------
+#
+# operators/cusum.py under the oracle — and deliberately NOT the same
+# arithmetic: the Spark face computes the closed form
+# S_i = P_i − min(0, running_min(P)), the oracle walks the textbook
+# recurrence max(0, S_{i−1} + d_i) in a recursive CTE. Bit-agreement of
+# the two (modulo round4) is a proof of the closed form on real data,
+# not just a transcription check. Per-user drift of `value` against a
+# fixed target; row identity via event_id tiebreak.
+
+_Q164_TARGET = 50.0
+_Q164_SLACK = 2.0
+
+_Q164_ORACLE = f"""
+WITH RECURSIVE ordered AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS rn
+  FROM events
+), walk AS (
+  SELECT user_id, event_id, rn,
+         CASE WHEN value - {_Q164_TARGET!r} - {_Q164_SLACK!r} > 0
+              THEN value - {_Q164_TARGET!r} - {_Q164_SLACK!r}
+              ELSE 0 END AS s_pos,
+         CASE WHEN {_Q164_TARGET!r} - {_Q164_SLACK!r} - value > 0
+              THEN {_Q164_TARGET!r} - {_Q164_SLACK!r} - value
+              ELSE 0 END AS s_neg
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.rn,
+         CASE WHEN w.s_pos + o.value - {_Q164_TARGET!r} - {_Q164_SLACK!r} > 0
+              THEN w.s_pos + o.value - {_Q164_TARGET!r} - {_Q164_SLACK!r}
+              ELSE 0 END,
+         CASE WHEN w.s_neg + {_Q164_TARGET!r} - {_Q164_SLACK!r} - o.value > 0
+              THEN w.s_neg + {_Q164_TARGET!r} - {_Q164_SLACK!r} - o.value
+              ELSE 0 END
+  FROM ordered o JOIN walk w
+    ON o.user_id = w.user_id AND o.rn = w.rn + 1
+)
+SELECT user_id, event_id,
+       ROUND(s_pos, 4) AS cusum_pos4,
+       ROUND(s_neg, 4) AS cusum_neg4
+FROM walk ORDER BY user_id, event_id
+"""
+
+
+@dq("q164_cusum_drift", oracle=_Q164_ORACLE, covers="W3,W2,F7,EXT")
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.cusum import cusum
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = cusum(
+        events, "value", "ts", keys=["user_id"],
+        target=_Q164_TARGET, slack=_Q164_SLACK, tiebreak=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("cusum_pos", 4).alias("cusum_pos4"),
+        F.round("cusum_neg", 4).alias("cusum_neg4"),
+    ).orderBy("user_id", "event_id")

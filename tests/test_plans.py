@@ -554,3 +554,19 @@ def test_geohash_encode_no_python_no_shuffle(spark):
     plan = plan_string(out)
     assert plan.count("Exchange hashpartitioning") <= 1  # final agg only
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cusum_single_exchange_no_python(spark):
+    """Both CUSUM window passes (prefix sum, running min) plan on ONE
+    keyed exchange + sort; no Python anywhere."""
+    from questdb_etl_jobs_spark.operators.cusum import cusum
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    events = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = cusum(events, "value", "ts", keys=["user_id"], target=50.0,
+                tiebreak=["event_id"])
+    plan = plan_string(out)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

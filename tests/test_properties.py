@@ -697,3 +697,44 @@ def test_tdigest_rank_bound_property(spark, vals, q):
     hi = sum(1 for v in svals if v <= est)
     bound = 4 * len(vals) * q * (1 - q) / 50 + 1
     assert lo <= q * len(vals) + bound and hi >= q * len(vals) - bound
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    series=st.lists(
+        st.tuples(st.integers(0, 2), st.floats(-100, 100, allow_nan=False)),
+        min_size=1,
+        max_size=40,
+    ),
+    target=st.floats(-10, 10, allow_nan=False),
+    slack=st.floats(0, 5, allow_nan=False),
+)
+def test_cusum_closed_form_matches_loop(spark, series, target, slack):
+    """The windowed closed form S = P − min(0, running_min(P)) equals
+    the textbook max(0, S+d) loop on arbitrary series — including all
+    resets, duplicate keys, and negative runs."""
+    from questdb_etl_jobs_spark.operators.cusum import cusum
+
+    df = spark.createDataFrame(
+        [(k, i, float(v)) for i, (k, v) in enumerate(series)],
+        "k long, i long, v double",
+    ).withColumn("ts", F.timestamp_seconds("i"))
+    got = {
+        r.i: (r.cusum_pos, r.cusum_neg)
+        for r in cusum(
+            df, "v", "ts", keys=["k"], target=target, slack=slack,
+            tiebreak=["i"],
+        ).collect()
+    }
+    state: dict[int, tuple[float, float]] = {}
+    for i, (k, v) in enumerate(series):
+        sp, sn = state.get(k, (0.0, 0.0))
+        sp = max(0.0, sp + (v - target - slack))
+        sn = max(0.0, sn + (target - slack - v))
+        state[k] = (sp, sn)
+        gp, gn = got[i]
+        assert abs(gp - sp) < 1e-6 and abs(gn - sn) < 1e-6, (i, k, v)
