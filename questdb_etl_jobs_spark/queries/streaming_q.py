@@ -762,3 +762,48 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows_out, "item_id int, n_pairs bigint"
     ).orderBy("item_id")
+
+
+# ---------------------------------------------------------------------------
+# q165 — streaming CUSUM replay (two doubles of drift state per key)
+# ---------------------------------------------------------------------------
+#
+# The monitoring family's streaming face under the oracle, via the
+# shared replay harness: per-item positive CUSUM of price against a
+# fixed target, state crossing micro-batch boundaries; the CPython
+# trajectory walks the identical recurrence (same IEEE ops, repr-round
+# shim as q145).
+
+_Q165_TARGET = 100.0
+_Q165_SLACK = 5.0
+
+
+def _cusum_step(prev, x: float):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    sp = prev if prev is not None else 0.0
+    sp = max(0.0, sp + (x - _Q165_TARGET - _Q165_SLACK))
+    return sp, float(
+        Decimal(repr(sp)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+    )
+
+
+@dq(
+    "q165_cusum_stream_replay",
+    oracle=lambda: _replay_oracle(_cusum_step, "cusum4"),
+    covers="R1,R6,U2,W3",
+)
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the hourly exports through the streaming CUSUM and return
+    the per-row positive-drift trajectory."""
+    from questdb_etl_jobs_spark.streaming.ema_stream import cusum_stream
+
+    return _run_replay_stream(
+        spark,
+        lambda s: cusum_stream(
+            s, key="item_id", ts="ts", value="price",
+            target=_Q165_TARGET, id_col="row_id", slack=_Q165_SLACK,
+        ),
+        result_col="cusum_pos", out_col="cusum4",
+        prefix="q165_cusum_stream_",
+    )

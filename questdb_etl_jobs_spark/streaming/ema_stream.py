@@ -185,3 +185,76 @@ def counter_increase_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_CUSUM_STATE_SCHEMA = "s_pos double, s_neg double"
+
+
+def cusum_stream(
+    stream: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    target: float,
+    id_col: str,
+    slack: float = 0.0,
+) -> DataFrame:
+    """Streaming twin of :func:`operators.cusum.cusum`: Page's test with
+    TWO doubles of state per key (the positive/negative accumulators).
+    Same ordering contract and per-(key, batch) execution shape as
+    :func:`ema_stream`; the batch operator's closed form and this
+    recurrence are the same real function (proven by q164's
+    recursive-CTE oracle), so the twin equals batch output to float
+    tolerance. Output ``(key, id, ts_us, value, cusum_pos, cusum_neg)``
+    in append mode."""
+    t, k_slack = float(target), float(slack)
+    key_t = stream.schema[key].dataType.simpleString()
+    id_t = stream.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{key} {key_t}, {id_col} {id_t}, ts_us bigint, "
+        f"{value} double, cusum_pos double, cusum_neg double"
+    )
+
+    def update(
+        group_key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        sp, sn = state.get if state.exists else (0.0, 0.0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["__ts_us", "__id"]).reset_index(drop=True)
+        x = batch["__v"].to_numpy(dtype="float64")
+        out_p = np.empty_like(x)
+        out_n = np.empty_like(x)
+        for i in range(len(x)):
+            sp = max(0.0, sp + (x[i] - t - k_slack))
+            sn = max(0.0, sn + (t - k_slack - x[i]))
+            out_p[i] = sp
+            out_n[i] = sn
+        state.update((float(sp), float(sn)))
+        yield pd.DataFrame(
+            {
+                key: batch["__k"],
+                id_col: batch["__id"],
+                "ts_us": batch["__ts_us"],
+                value: x,
+                "cusum_pos": out_p,
+                "cusum_neg": out_n,
+            }
+        )
+
+    prepared = stream.select(
+        F.col(key).alias("__k"),
+        F.col(id_col).alias("__id"),
+        F.unix_micros(F.col(ts)).alias("__ts_us"),
+        F.col(value).cast("double").alias("__v"),
+    )
+    return prepared.groupBy("__k").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1256,3 +1256,57 @@ def test_kmv_stream_equals_batch_sketch(spark, tmp_path):
         assert (s.kth_hash, s.n_min, s.est_distinct) == (
             b.kth_hash, b.n_min, b.est_distinct
         ), (k, s, b)
+
+
+def test_cusum_stream_matches_batch_closed_form(spark, tmp_path):
+    """Streaming CUSUM (two doubles of state) equals the batch closed
+    form across micro-batch boundaries."""
+    import csv as _csv
+    import os as _os
+
+    from questdb_etl_jobs_spark.operators.cusum import cusum
+    from questdb_etl_jobs_spark.streaming.ema_stream import cusum_stream
+
+    rows = [
+        (i % 3, i, f"2024-01-01T{i // 60:02d}:{i % 60:02d}:00",
+         float(((i * 37) % 100) - 50))
+        for i in range(60)
+    ]
+    src = tmp_path / "cs_src"
+    src.mkdir()
+    for fi, chunk in enumerate((rows[:35], rows[35:])):
+        with open(src / f"{fi}.csv", "w", newline="") as fh:
+            _csv.writer(fh).writerows(chunk)
+        _os.utime(src / f"{fi}.csv",
+                  (1_700_000_000 + fi, 1_700_000_000 + fi))
+    schema = "k long, rid long, ts timestamp, v double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        cusum_stream(stream, key="k", ts="ts", value="v", target=3.0,
+                     id_col="rid", slack=1.0)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "cs_out"))
+        .option("checkpointLocation", str(tmp_path / "cs_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.rid: (r.cusum_pos, r.cusum_neg)
+        for r in spark.read.parquet(str(tmp_path / "cs_out")).collect()
+    }
+    batch = spark.read.schema(schema).csv(str(src))
+    want = {
+        r.rid: (r.cusum_pos, r.cusum_neg)
+        for r in cusum(batch, "v", "ts", keys=["k"], target=3.0,
+                       slack=1.0, tiebreak=["rid"]).collect()
+    }
+    assert set(got) == set(want)
+    for rid in got:
+        assert abs(got[rid][0] - want[rid][0]) < 1e-9
+        assert abs(got[rid][1] - want[rid][1]) < 1e-9
