@@ -1,6 +1,10 @@
 """Bench harness: headline queries at sf0.1 on a warm local session.
 
-Prints ONE JSON line:
+Prints the full artifact line, then a compact ``bench_summary`` line
+(total + headline-5 bests + ingest + drift) LAST so a bounded tail
+capture of stdout always contains the headline numbers.
+
+Full line:
   {"metric": "bench_total", "value": <sum of per-query best sec>,
    "unit": "sec",
    "queries": {"<name>": {"best": sec, "runs": [sec, sec, sec]}, ...},
@@ -259,11 +263,12 @@ def main() -> None:
         for label, series in runs.items()
     }
     ingest = _bench_ingest(spark)
+    total = round(sum(q["best"] for q in queries.values()), 4)
     print(
         json.dumps(
             {
                 "metric": "bench_total",
-                "value": round(sum(q["best"] for q in queries.values()), 4),
+                "value": total,
                 "unit": "sec",
                 "queries": queries,
                 "protocol": {
@@ -274,6 +279,33 @@ def main() -> None:
                 },
                 "ingest": ingest,
                 "control": control,
+                "sf": sf,
+            }
+        )
+    )
+    # Compact summary LAST: the recording harness keeps only the final
+    # ~2KB of stdout, and the series-carrying full line above outgrew
+    # that window in round 8 (BENCH_r08.json lost bench_total and the
+    # headline bests). This line is a few hundred bytes by construction,
+    # so the tail capture always contains total + headline-5 + drift.
+    headline_keys = (
+        "dq20_pricing_summary", "dq10_join_revenue", "dq30_window_rank",
+        "dq25_hourly_bucket", "dq34_topk",
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "bench_summary",
+                "value": total,
+                "unit": "sec",
+                "queries": {
+                    k: queries[k]["best"] for k in headline_keys if k in queries
+                },
+                "ingest_rows_per_sec": ingest.get("rows_per_sec"),
+                "drift_vs_baseline": (
+                    control.get("drift_vs_baseline")
+                    if isinstance(control, dict) else None
+                ),
                 "sf": sf,
             }
         )

@@ -142,14 +142,26 @@ def geohash_encode(lat: Column, lon: Column, chars: int) -> Column:
     # differ from the IEEE-double path at exact cell boundaries — and
     # oracles must replicate ONE arithmetic. Both faces cast first.
     lat, lon = lat.cast("double"), lon.cast("double")
-    lat_s = F.least(
-        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits))),
-        F.lit((1 << lat_bits) - 1),
-    ).cast("long")
-    lon_s = F.least(
-        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits))),
-        F.lit((1 << lon_bits) - 1),
-    ).cast("long")
+    # Conditional clamp, NOT least(): least/LEAST skip NULL operands in
+    # both engines, so a NULL coordinate would clamp to the max cell
+    # index and fabricate a corner-cell hash. CASE propagates the NULL
+    # (same pattern as haversine_km's domain clamp above).
+    lat_raw = F.floor(
+        (lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits))
+    )
+    lat_s = (
+        F.when(lat_raw > F.lit((1 << lat_bits) - 1), F.lit((1 << lat_bits) - 1))
+        .otherwise(lat_raw)
+        .cast("long")
+    )
+    lon_raw = F.floor(
+        (lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits))
+    )
+    lon_s = (
+        F.when(lon_raw > F.lit((1 << lon_bits) - 1), F.lit((1 << lon_bits) - 1))
+        .otherwise(lon_raw)
+        .cast("long")
+    )
     total = lon_bits + lat_bits
     v = F.lit(0).cast("long")
     # Interleave: MSB is longitude's top bit; disjoint-bit adds, no ORs
@@ -186,13 +198,24 @@ def geohash_sql(lat_expr: str, lon_expr: str, chars: int) -> str:
     # CAST ... AS DOUBLE first, mirroring geohash_encode: decimal
     # literals/derivations must not switch DuckDB to exact-decimal
     # scale-and-floor (see the Spark face's comment).
+    # CASE, not LEAST: DuckDB's LEAST also skips NULLs (see the Spark
+    # face) — the clamp must propagate a NULL coordinate, not fabricate
+    # the max cell index.
+    lat_raw = (
+        f"CAST(FLOOR((CAST({lat_expr} AS DOUBLE) + 90.0) / 180.0 * "
+        f"{float(1 << lat_bits)!r}) AS BIGINT)"
+    )
     lat_s = (
-        f"LEAST(CAST(FLOOR((CAST({lat_expr} AS DOUBLE) + 90.0) / 180.0 * "
-        f"{float(1 << lat_bits)!r}) AS BIGINT), {(1 << lat_bits) - 1})"
+        f"(CASE WHEN {lat_raw} > {(1 << lat_bits) - 1} "
+        f"THEN {(1 << lat_bits) - 1} ELSE {lat_raw} END)"
+    )
+    lon_raw = (
+        f"CAST(FLOOR((CAST({lon_expr} AS DOUBLE) + 180.0) / 360.0 * "
+        f"{float(1 << lon_bits)!r}) AS BIGINT)"
     )
     lon_s = (
-        f"LEAST(CAST(FLOOR((CAST({lon_expr} AS DOUBLE) + 180.0) / 360.0 * "
-        f"{float(1 << lon_bits)!r}) AS BIGINT), {(1 << lon_bits) - 1})"
+        f"(CASE WHEN {lon_raw} > {(1 << lon_bits) - 1} "
+        f"THEN {(1 << lon_bits) - 1} ELSE {lon_raw} END)"
     )
     total = lon_bits + lat_bits
     terms = []

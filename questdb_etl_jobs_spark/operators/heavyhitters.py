@@ -133,17 +133,21 @@ def heavy_hitters_topk(
     Runs the MG candidate + exact confirm round; if any returned row has
     ``guaranteed = false`` (its exact count does not clear the
     ``N/counters`` bound, so a true top-k key COULD have been pruned),
+    OR the round returned fewer than k rows with distinct values still
+    unaccounted for (flat data can evict MG slots, truncating the
+    candidate set — a short result must escalate, not pass vacuously),
     the round re-runs with doubled counters, up to ``max_escalations``
     times — callers get the exactness the flag promises without
     hand-tuning ``counters`` to the data's skew. Each escalation doubles
     only the bounded sketch state (``counters`` slots per partition) and
-    rescans the input; the result set itself is always k rows, so the
-    guarantee check is a driver-side look at k booleans, not a second
-    shuffle. A distribution flat enough to exhaust the escalation budget
-    (k-th count ≤ N/final_counters) returns the last round's rows with
-    their honest ``guaranteed`` flags — possibly fewer than k of them,
-    since MG decrements can evict nearly every slot on flat data — so
-    the caller can see exactly which rows remain unproven.
+    rescans the input; the guarantee check is a driver-side look at ≤ k
+    booleans, not a second shuffle. When fewer than k distinct values
+    exist at all, the complete ranking is returned with
+    ``guaranteed = true`` (nothing can have been pruned). A distribution
+    flat enough to exhaust the escalation budget (k-th count ≤
+    N/final_counters) returns the last round's rows with their honest
+    ``guaranteed`` flags so the caller sees exactly which rows remain
+    unproven.
 
     Returns ``col, cnt, guaranteed`` ordered by ``(cnt desc, col)``;
     when every row is guaranteed, the result IS the true top-k.
@@ -154,10 +158,35 @@ def heavy_hitters_topk(
         raise ValueError("max_escalations must be >= 0")
     rows = df.filter(F.col(col).isNotNull())
     c = counters
+    ndv: int | None = None  # computed lazily, only on a short result
     for attempt in range(max_escalations + 1):
         out = _topk_pass(rows, col, k, c)
         collected = out.collect()
-        if all(r.guaranteed for r in collected) or attempt == max_escalations:
+        if len(collected) < k:
+            # Fewer than k rows means EITHER fewer than k distinct
+            # values exist (result is trivially the complete ranking)
+            # OR flat data let MG decrements evict candidate slots
+            # (result is truncated). ``all(guaranteed)`` is vacuously
+            # true on the truncated case, so it must NOT early-break
+            # here (round-8 ADVICE): disambiguate with one exact
+            # distinct count, then escalate truncated rounds.
+            if ndv is None:
+                ndv = rows.select(
+                    F.count_distinct(F.col(col)).alias("ndv")
+                ).first()["ndv"]
+            if len(collected) == ndv:
+                # Every distinct value survived as a candidate: nothing
+                # was pruned, the exact counts ARE the full ranking, so
+                # the completeness guarantee holds even where the
+                # N/counters magnitude bound does not.
+                collected = [
+                    type(r)(**{**r.asDict(), "guaranteed": True})
+                    for r in collected
+                ]
+                break
+        elif all(r.guaranteed for r in collected):
+            break
+        if attempt == max_escalations:
             break
         c *= 2
     # Rebuild from the k collected rows: the caller's DataFrame must not

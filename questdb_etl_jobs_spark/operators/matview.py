@@ -156,6 +156,98 @@ def _staged_dir(path: str) -> str:
     return path.rstrip("/") + "__batches"
 
 
+_COMPACTION_LOG = "_compaction_log.json"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _committed_batch_dirs(spark: SparkSession, staged: str) -> dict[int, str]:
+    """``batch_id -> dir`` for staged batch dirs whose write COMMITTED
+    (the ``_SUCCESS`` marker Spark's committer drops at job commit). A
+    dir a concurrent writer is mid-writing has no marker yet —
+    ``mode("overwrite")`` removes the old dir first — so it is invisible
+    to compaction and recompute until its job commits."""
+    jvm, fs = _hadoop_fs(spark, staged)
+    out: dict[int, str] = {}
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(staged)):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("batch_id=")):
+            continue
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{staged}/{name}/_SUCCESS")
+        ):
+            out[int(name.split("=", 1)[1])] = f"{staged}/{name}"
+    return out
+
+
+def _read_compaction_log(spark: SparkSession, staged: str) -> list[dict]:
+    """The append-only compaction log: a JSON list of
+    ``{"fold_id": int, "superseded": [int, ...]}`` entries. Absent log
+    == no completed compaction commits."""
+    import json
+
+    jvm, fs = _hadoop_fs(spark, staged)
+    p = jvm.org.apache.hadoop.fs.Path(f"{staged}/{_COMPACTION_LOG}")
+    if not fs.exists(p):
+        return []
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(p), "UTF-8")
+    )
+    try:
+        lines = []
+        while True:
+            line = reader.readLine()
+            if line is None:
+                break
+            lines.append(line)
+    finally:
+        reader.close()
+    return json.loads("\n".join(lines))
+
+
+def _write_compaction_log(
+    spark: SparkSession, staged: str, entries: list[dict]
+) -> None:
+    """Replace the log via write-temp + rename (atomic on HDFS and on
+    local paths; object stores need a rename-capable committer — the
+    same caveat as the view's partition swap)."""
+    import json
+
+    jvm, fs = _hadoop_fs(spark, staged)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{staged}/{_COMPACTION_LOG}.tmp")
+    final = jvm.org.apache.hadoop.fs.Path(f"{staged}/{_COMPACTION_LOG}")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(json.dumps(entries).encode("utf-8")))
+    finally:
+        stream.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError(f"could not commit compaction log at {final}")
+
+
+def _live_staged_ids(
+    committed: dict[int, str], log: list[dict]
+) -> list[int]:
+    """The batch ids whose dirs are AUTHORITATIVE staged state:
+    committed dirs minus (a) ids superseded by a logged fold — their
+    content lives in that fold; the dirs linger only if a compactor
+    crashed mid-delete — and minus (b) negative-id fold dirs no log
+    entry claims — a compactor crashed after the fold's write but
+    before the log commit, so the originals (all still present) win."""
+    superseded = {b for e in log for b in e["superseded"]}
+    claimed = {e["fold_id"] for e in log}
+    return [
+        bid for bid in committed
+        if bid not in superseded and (bid >= 0 or bid in claimed)
+    ]
+
+
 def refresh_sample_by_view_exactly_once(
     spark: SparkSession,
     batch: DataFrame,
@@ -211,8 +303,20 @@ def refresh_sample_by_view_exactly_once(
     dates = [r[0] for r in fresh.select(_PDATE).distinct().collect()]
     if not dates:
         return
+    # Resolve the AUTHORITATIVE staged dirs through the compaction log:
+    # committed dirs minus logged-superseded ones (their content lives
+    # in the logged fold — the dirs linger only when a compactor crashed
+    # mid-delete) minus unclaimed fold dirs (a compactor crashed before
+    # its log commit — the originals, all present, win). This makes the
+    # view a pure function of staged state under ANY interleaving of
+    # refreshes with compact_staged_batches, not just offline ones.
+    committed = _committed_batch_dirs(spark, staged)
+    live = _live_staged_ids(
+        committed, _read_compaction_log(spark, staged)
+    )
     all_staged = (
-        spark.read.option("basePath", staged).parquet(staged)
+        spark.read.option("basePath", staged)
+        .parquet(*[committed[b] for b in sorted(live)])
         .where(F.col(_PDATE).isin(dates))
         .drop("batch_id")
     )
@@ -229,26 +333,68 @@ def refresh_sample_by_view_exactly_once(
 
 
 def compact_staged_batches(
-    spark: SparkSession, path: str, base_batch_id: int = -1
+    spark: SparkSession,
+    path: str,
+    _crash_after_fold: bool = False,
+    _crash_after_log: bool = False,
 ) -> None:
-    """Fold all staged batch directories into one base batch.
+    """Fold the staged batch directories into one fresh base batch —
+    crash-atomic, and safe to run alongside live refreshes.
 
-    Merges every staged partial into ``batch_id=<base_batch_id>`` (the
-    merge is the associative ``_merge``, so the folded base is
-    equivalent to the batches it replaces), writes the base, then
-    removes the superseded directories. Run OFFLINE relative to
-    refreshes (no concurrent ``foreachBatch``): a refresh that staged a
-    new batch between the read and the delete here would lose it.
-    Streaming batch ids are non-negative, so the default base id never
-    collides with a live batch.
+    Round-8 ADVICE closed two holes in the old fixed-``batch_id=-1``
+    design: a crash between the fold write and the deletes left fold +
+    originals both staged (every later recompute double-counted), and
+    nothing fenced a refresh landing mid-compaction. The protocol is now
+    a write-ahead-logged fold, every step idempotent to re-run:
+
+    1. **Recover** — finish any logged compaction whose superseded dirs
+       still exist (the log entry is the commit point: it is written
+       only after the fold's job commit, so its fold is complete), and
+       delete any UNCLAIMED fold dir (negative id absent from the log:
+       a fold whose compaction crashed before the log commit — its
+       originals are all still present and remain authoritative).
+    2. **Observe** only COMMITTED batch dirs (``_SUCCESS`` marker), so a
+       batch a concurrent refresh is mid-staging is neither folded nor
+       deleted; it simply joins the next compaction.
+    3. **Fold** them with the associative ``_merge`` into a FRESH base
+       id (one below every id ever used: -1, then -2, ...), never
+       overwriting prior state.
+    4. **Commit**: append ``{fold_id, superseded}`` to the staged
+       directory's compaction log (write-temp + rename).
+    5. **Delete** the superseded dirs.
+
+    Readers (:func:`refresh_sample_by_view_exactly_once`) resolve the
+    authoritative dir set through the same log (``_live_staged_ids``),
+    so a crash at ANY point — or a recompute interleaving with steps
+    3–5 — sees each batch's content exactly once: via its original dir
+    until the log commit, via the fold after it. Concurrent REFRESHES
+    are safe; run at most one compactor at a time (two concurrent
+    compactors could race the shared log). The ``_crash_*`` keywords
+    are test hooks that abort after the named step so the crash windows
+    stay provable.
     """
     staged = _staged_dir(path)
     if not _view_exists(spark, staged):
         return
-    all_staged = spark.read.option("basePath", staged).parquet(staged)
-    old_ids = [
-        r[0] for r in all_staged.select("batch_id").distinct().collect()
-    ]
+    jvm, fs = _hadoop_fs(spark, staged)
+    log = _read_compaction_log(spark, staged)
+    committed = _committed_batch_dirs(spark, staged)
+    superseded_ever = {b for e in log for b in e["superseded"]}
+    claimed = {e["fold_id"] for e in log}
+    # Step 1a: finish logged deletes.
+    for bid in sorted(superseded_ever & set(committed)):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(committed.pop(bid)), True)
+    # Step 1b: drop unclaimed folds (crash between fold write and log
+    # commit; the originals are intact and win).
+    for bid in [b for b in committed if b < 0 and b not in claimed]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(committed.pop(bid)), True)
+    if len(committed) < 2:
+        return  # nothing to fold
+    # Steps 2-3: fold the observed committed dirs into a fresh id.
+    all_staged = spark.read.option("basePath", staged).parquet(
+        *committed.values()
+    )
+    fold_id = min(min(committed), min(claimed, default=0), 0) - 1
     folded = _merge(all_staged.drop("batch_id"), [
         c for c in all_staged.columns
         if c not in ("bucket_ts", "batch_id", _PDATE,
@@ -256,18 +402,20 @@ def compact_staged_batches(
     ]).withColumn(_PDATE, F.to_date("bucket_ts"))
     materialized = folded.localCheckpoint(eager=True)
     materialized.write.partitionBy(_PDATE).mode("overwrite").parquet(
-        f"{staged}/batch_id={int(base_batch_id)}"
+        f"{staged}/batch_id={fold_id}"
     )
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(staged).getFileSystem(
-        spark._jsc.hadoopConfiguration()
+    if _crash_after_fold:
+        return
+    # Step 4: the commit point.
+    _write_compaction_log(
+        spark, staged,
+        log + [{"fold_id": fold_id, "superseded": sorted(committed)}],
     )
-    for bid in old_ids:
-        if int(bid) != int(base_batch_id):
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(f"{staged}/batch_id={int(bid)}"),
-                True,
-            )
+    if _crash_after_log:
+        return
+    # Step 5: delete superseded dirs.
+    for d in committed.values():
+        fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
 
 
 def maintain_sample_by_view(

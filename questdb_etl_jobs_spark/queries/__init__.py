@@ -5,9 +5,11 @@ two faces:
 
 - ``spark_fn(spark, sf_dir) -> DataFrame`` — the engine path (DataFrame
   API / library operators);
-- ``oracle`` — an equivalent DuckDB SQL string the driver runs against the
-  same parquet tables; ``None`` marks genuinely non-SQL-expressible
-  operators, which get a weaker rows-only check.
+- ``oracle`` — an equivalent DuckDB SQL string (or a callable producing
+  one) the driver runs against the same parquet tables. REQUIRED: every
+  registered query is oracle-paired — operators whose semantics SQL can't
+  express directly pair against a CPython-mirror VALUES oracle instead
+  (the streaming replays, the generator), never against nothing.
 
 Output protocol (both faces): total ORDER BY over a unique key; floats
 rounded to 4 (sums routed through DECIMAL(28,4) of pre-rounded terms so
@@ -29,17 +31,25 @@ from pyspark.sql import DataFrame, SparkSession
 class QuerySpec:
     name: str
     spark_fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | Callable[[], str] | None
+    oracle: str | Callable[[], str]
     covers: str = ""  # SURVEY.md §2 operator ids this query exercises
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def dq(name: str, oracle: str | Callable[[], str] | None, covers: str = ""):
-    """Register a declared query."""
+def dq(name: str, oracle: str | Callable[[], str], covers: str = ""):
+    """Register a declared query. ``oracle`` is mandatory — the registry
+    has had zero rows-only entries since round 7, and this keeps the
+    "every query is oracle-paired" invariant structural rather than
+    situational (round-8 VERDICT task #7)."""
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        if oracle is None:
+            raise ValueError(
+                f"{name}: every registered query must carry an oracle "
+                "(DuckDB SQL or a CPython-mirror VALUES builder)"
+            )
         REGISTRY[name] = QuerySpec(name, fn, oracle, covers)
         return fn
 
@@ -64,15 +74,12 @@ _PRIORITY: tuple[str, ...] = (
     "q10_join_revenue_by_nation", # J1 J2 F7
     "q11_left_join_order_counts", # J3
     "q12_semi_join_customers",    # J4
-    "q13_anti_join_customers",    # J4
     "q14_theta_self_join_suppliers",  # J5
     "q15_interval_join_events",   # J6
     "q16_asof_join",              # J7
-    "q20_pricing_summary",        # A1
     "q21_distinct_users_per_type",  # A2
     "q22_rollup_orders",          # A4
     "q23_stats_by_type",          # A5
-    "q24_median_price_by_status", # A5 (percentile)
     "q25_collect_types_per_user", # A6
     "q26_hourly_bucket_agg",      # A7 R2
     "q74_kmv_distinct",           # A3 (value-verified KMV twin of q27's HLL)
@@ -86,7 +93,10 @@ _PRIORITY: tuple[str, ...] = (
     "q40_top_words",              # F6
     "q41_vector_math",            # F8 F11
     "q42_json_extract",           # F9
-    "q44_levenshtein_pairs",      # F11 J5
+    "q05_hash_family",            # F2 (q44 ceded its slot in round 9 —
+                                  #     F11 stays via q41, J5 via q14/q56 —
+                                  #     closing the one §2 id, F2, that had
+                                  #     no covering query inside the window)
     "q45_cosine_topk",            # EXT similarity
     "q46_exact_dedup",            # EXT dedup
     "q48_simhash_hamming",        # EXT dedup
@@ -106,6 +116,12 @@ _PRIORITY: tuple[str, ...] = (
     "q57_ngram_jaccard_exact",    # EXT dedup
     "q59_ivf_topk_exact",         # EXT similarity (IVF)
     "q60_streaming_replay",       # S1 S6 O3 R1 R4 R5
+    # Round-9 rotation (VERDICT r8 task #6): redundant twins ceded their
+    # slots so the driver's hard signal exercises post-round-6 work —
+    # J4 stays covered by q12, A1 by q08/q10, A5 by q23/q157.
+    "q157_tdigest_quantiles",     # A3 A5 U2 (mergeable t-digest sketch)
+    "q164_cusum_drift",           # W2 W3 F7 (CUSUM closed form)
+    "q145_ema_stream_replay",     # R1 R6 U2 W2 (stateful streaming EMA)
 )
 
 
@@ -135,8 +151,6 @@ def oracle_queries() -> dict[str, str]:
     _load()
     out: dict[str, str] = {}
     for spec in _ordered():
-        if spec.oracle is None:
-            continue
         out[spec.name] = spec.oracle() if callable(spec.oracle) else spec.oracle
     return out
 

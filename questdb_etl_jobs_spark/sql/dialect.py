@@ -106,7 +106,7 @@ _ORDER_RE = re.compile(
 )
 _WHERE_RE = re.compile(
     r"\bWHERE\s+(.+?)(?=\bLATEST\s+ON\b|\bSAMPLE\s+BY\b|\bGROUP\s+BY\b"
-    r"|\bORDER\s+BY\b|\bLIMIT\b|$)",
+    r"|\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|$)",
     re.IGNORECASE | re.DOTALL,
 )
 _GROUP_RE = re.compile(

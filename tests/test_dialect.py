@@ -579,3 +579,19 @@ def test_having_filters_aggregates(spark, trades):
             "HAVING sym = 'AAA'",
             {"trades": "ts"},
         )
+    # WHERE + implicit grouping + HAVING in ONE query: _WHERE_RE must
+    # stop the predicate capture at HAVING (round-8 ADVICE — without
+    # the lookahead the HAVING clause was swallowed into the WHERE
+    # predicate and surfaced as an opaque Spark parse error).
+    wh = questdb_sql(
+        spark,
+        "SELECT sym, count() n, sum(qty) v FROM trades "
+        "WHERE qty > 150 HAVING n > 1",
+        {"trades": "ts"},
+    )
+    got = {r.sym: r.n for r in wh.collect()}
+    exact = {r.sym: r.n for r in questdb_sql(
+        spark,
+        "SELECT sym, count() n FROM trades WHERE qty > 150 GROUP BY sym",
+        {"trades": "ts"}).collect() if r.n > 1}
+    assert got and got == exact

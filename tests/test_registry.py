@@ -28,6 +28,46 @@ def test_priority_names_all_registered():
     assert not missing, f"priority window references unknown queries: {missing}"
 
 
+def test_every_query_is_oracle_paired():
+    """Structural invariant (round-8 VERDICT task #7): registration
+    without an oracle fails loudly, and the live registry has one oracle
+    per query."""
+    import pytest
+
+    with pytest.raises(ValueError, match="must carry an oracle"):
+        qreg.dq("q999_no_oracle", None)(lambda spark, sf_dir: None)
+    assert "q999_no_oracle" not in qreg.REGISTRY
+    assert set(qreg.oracle_queries()) == set(qreg.spark_queries())
+
+
+def _covers_union(names):
+    qreg._load()
+    out = set()
+    for n in names:
+        spec = qreg.REGISTRY[n]
+        out |= {c.strip() for c in spec.covers.split(",") if c.strip()}
+    return out
+
+
+def test_window_is_a_covering_set():
+    """Every SURVEY.md §2 operator id exercised ANYWHERE in the registry
+    is exercised by at least one of the driver's first-50 queries — a
+    rotation can never silently drop an operator from the hard signal."""
+    window = _covers_union(qreg._PRIORITY)
+    everything = _covers_union(list(qreg.spark_queries()))
+    assert everything - window == set(), (
+        f"operator ids uncovered by the driver window: "
+        f"{sorted(everything - window)}"
+    )
+
+
+def test_window_includes_post_round6_work():
+    """Round-9 rotation (VERDICT r8 task #6): the driver's hard signal
+    must exercise round-7/8 operators, not only the round-1..6 surface."""
+    recent = {n for n in qreg._PRIORITY if qreg._query_id(n) >= 100}
+    assert len(recent) >= 3, f"window has too few recent queries: {recent}"
+
+
 def test_window_covers_value_verified_a3():
     # q27 (HLL) ceded its window slot to the value-verified KMV twin q74;
     # q27 remains in the full registry, now oracle-paired via the

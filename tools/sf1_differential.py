@@ -332,11 +332,221 @@ def _bucketed_dq10(spark, sf_dir: str, raw_entry: dict) -> dict:
     }
 
 
+def _matview_dq25(spark, sf_dir: str, raw_entry: dict) -> dict:
+    """Time dq25 served from the materialized SAMPLE BY view at
+    ``sf_dir`` — layout-as-investment for the recurring hourly-bucket
+    dashboard, the exact structure dq10's ``sf10_bucketed`` line records
+    for the fact-fact join (round-8 verdict task #2).
+
+    Prep (disclosed): one refresh folds the events history into hourly
+    mergeable partials (operators/matview.py). At deployment the view is
+    maintained incrementally per micro-batch — refresh cost O(batch +
+    touched buckets), never O(history) — so the build here is the
+    one-time cost a recurring dashboard amortizes to zero. Serving:
+    ``read_sample_by_view`` is a projection over the key-sized store
+    (zero exchanges; plan-asserted in tests/test_plans.py), which is WHY
+    this shape's scaling is flat: the serving scan is O(buckets), not
+    O(rows).
+
+    DuckDB comparison value is its raw-parquet dq25 at the same tier
+    (``sf10_bucketed`` convention: DuckDB has no incremental matview;
+    single-node it rescans — the line quantifies what the engine's
+    maintained-view structure buys for a repeated query). Values are
+    cross-checked against the raw plan: counts exact; avg within the
+    4-decimal pre-rounding the store's exact-decimal sums apply
+    (|Δavg| ≤ 5e-5 by construction).
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from questdb_etl_jobs_spark.operators.matview import (
+        read_sample_by_view,
+        refresh_sample_by_view,
+    )
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    path = "/tmp/spark_graft_diff_matview"
+    shutil.rmtree(path, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events").select("ts", "value")
+    t0 = time.perf_counter()
+    refresh_sample_by_view(
+        spark, events, path, ts="ts", bucket="hour", value="value", keys=[]
+    )
+    prep = time.perf_counter() - t0
+
+    def q_view():
+        return (
+            read_sample_by_view(spark, path)
+            .select("bucket_ts", "n", F.col("avg").alias("avg_value"))
+            .orderBy("bucket_ts")
+        )
+
+    raw = _spark_headline()["dq25_hourly_bucket"](spark, sf_dir).toPandas()
+    duck = raw_entry["duckdb_sec"]
+    best, rows, pdf = float("inf"), -1, None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pdf = q_view().toPandas()
+        best = min(best, time.perf_counter() - t0)
+        rows = len(pdf)
+    assert (raw["n"].values == pdf["n"].values).all(), (
+        "matview dq25 count mismatch"
+    )
+    max_d = (raw["avg_value"] - pdf["avg_value"]).abs().max()
+    assert max_d <= 5.1e-5, f"matview dq25 avg drift {max_d}"
+    print(
+        f"matview dq25: prep={prep:.1f}s run={best:.3f}s "
+        f"ratio-vs-raw-duckdb={best / duck:.2f}",
+        file=sys.stderr,
+    )
+    return {
+        "prep_sec": round(prep, 2),
+        "spark_sec": round(best, 4),
+        "ratio": round(best / duck, 2),
+        "rows": rows,
+    }
+
+
+def _refit(tiers_out: dict) -> None:
+    """(Re)compute the two-largest-tier marginal fit for one query's
+    tier dict in place — shared by the fresh run and the cross-run
+    merge so merged bests always carry a consistent fit."""
+    pts = sorted(
+        (TIERS[t][1], v["spark_sec"], v["duckdb_sec"])
+        for t, v in tiers_out.items()
+        if t in TIERS
+    )
+    if len(pts) < 2:
+        return
+    (x1, s1, d1), (x2, s2, d2) = pts[-2], pts[-1]
+    ms = (s2 - s1) / (x2 - x1)
+    md = (d2 - d1) / (x2 - x1)
+    sf = (s2 - ms * x2, d2 - md * x2)
+    tiers_out["fit"] = {
+        "tiers_used": [x1, x2],
+        "spark_marginal_sec_per_sf01": round(ms, 5),
+        "duckdb_marginal_sec_per_sf01": round(md, 5),
+        "asymptotic_ratio": round(ms / md, 2) if md > 0 else None,
+        "spark_fixed_cost_sec": round(sf[0], 4),
+        "duckdb_fixed_cost_sec": round(sf[1], 4),
+        "residual_data_proportional_ratio": (
+            round(ms / md, 2) if md > 0 else None
+        ),
+    }
+
+
+def _merge_cell(prev: dict, new: dict, duck_base: float | None = None) -> dict:
+    """Per-cell best across disclosed runs (the protocol's stated
+    policy, now applied to what gets committed — round-8 verdict task
+    #3): each engine keeps its best time over ALL runs; run series are
+    concatenated so the artifact still shows full variance."""
+    out = dict(new)
+    if "spark_sec" in prev and "spark_sec" in new:
+        out["spark_sec"] = min(prev["spark_sec"], new["spark_sec"])
+    if "duckdb_sec" in prev and "duckdb_sec" in new:
+        out["duckdb_sec"] = min(prev["duckdb_sec"], new["duckdb_sec"])
+    for k in ("spark_runs", "duckdb_runs"):
+        if k in prev and k in new:
+            out[k] = prev[k] + new[k]
+    if "prep_sec" in prev and "prep_sec" in new:
+        out["prep_sec"] = min(prev["prep_sec"], new["prep_sec"])
+    if "shapes" in prev and "shapes" in new:
+        out["shapes"] = {
+            s: _merge_cell(prev["shapes"][s], new["shapes"][s], duck_base)
+            for s in new["shapes"]
+            if s in prev["shapes"]
+        }
+        best_shape = min(
+            out["shapes"], key=lambda s: out["shapes"][s]["spark_sec"]
+        )
+        out["best_shape"] = best_shape
+        out["spark_sec"] = out["shapes"][best_shape]["spark_sec"]
+    denom = duck_base if duck_base is not None else out.get("duckdb_sec")
+    if denom and "spark_sec" in out:
+        out["ratio"] = round(out["spark_sec"] / denom, 2)
+    return out
+
+
+def merge_summaries(prev: dict, new: dict) -> dict:
+    """Fold a previous SCALE_DIFF artifact into a fresh one: per-cell
+    best per engine, shape cells re-ratioed against the merged raw
+    DuckDB base of their tier, fits recomputed from the merged bests,
+    headline aggregates recomputed. Provenance: ``runs_merged`` counts
+    the disclosed runs folded in; every per-run series is kept."""
+    merged = dict(new)
+    queries: dict[str, dict] = {}
+    for label, ntiers in new["queries"].items():
+        ptiers = prev.get("queries", {}).get(label)
+        if not ptiers:
+            queries[label] = ntiers
+            continue
+        out: dict[str, dict] = {}
+        for tag, cell in ntiers.items():
+            if tag == "fit":
+                continue
+            pcell = ptiers.get(tag)
+            if not isinstance(cell, dict) or not isinstance(pcell, dict):
+                out[tag] = cell
+                continue
+            base_tag = tag.split("_")[0] if "_" in tag else None
+            if base_tag in TIERS:  # layout shape cell (e.g. sf10_bucketed)
+                duck_base = min(
+                    ntiers[base_tag]["duckdb_sec"],
+                    ptiers.get(base_tag, ntiers[base_tag])["duckdb_sec"],
+                )
+                out[tag] = _merge_cell(pcell, cell, duck_base)
+            else:
+                out[tag] = _merge_cell(pcell, cell)
+        _refit(out)
+        queries[label] = out
+    merged["queries"] = queries
+    merged["runs_merged"] = prev.get("runs_merged", 1) + new.get(
+        "runs_merged", 1
+    )
+    merged["control_runs"] = prev.get("control_runs", [prev["control"]]) + \
+        new.get("control_runs", [new["control"]])
+
+    last_tag = "sf10" if any(
+        "sf10" in v for v in queries.values()
+    ) else "sf1"
+    ratios = [
+        v[last_tag]["ratio"] for v in queries.values() if last_tag in v
+    ]
+    asym_all = [
+        v["fit"]["asymptotic_ratio"]
+        for v in queries.values()
+        if v.get("fit", {}).get("asymptotic_ratio") is not None
+    ]
+    asym = [r for r in asym_all if r > 0]
+    merged[f"{last_tag}_ratio_le_2x"] = sum(1 for r in ratios if r <= 2.0)
+    merged[f"{last_tag}_geomean_ratio"] = round(
+        math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 2
+    )
+    merged["asymptote_le_2x"] = sum(1 for r in asym_all if r <= 2.0)
+    merged["asymptote_geomean"] = (
+        round(math.exp(sum(math.log(r) for r in asym) / len(asym)), 2)
+        if asym
+        else None
+    )
+    merged["asymptote_below_noise"] = [
+        q for q, v in queries.items()
+        if (v.get("fit", {}).get("asymptotic_ratio") or 1) <= 0
+    ]
+    return merged
+
+
 def main() -> None:
     from questdb_etl_jobs_spark.session import get_spark
 
     skip_sf10 = "--skip-sf10" in sys.argv
-    out_path = next((a for a in sys.argv[1:] if not a.startswith("--")), None)
+    argv = sys.argv[1:]
+    merge_path = None
+    if "--merge" in argv:
+        i = argv.index("--merge")
+        merge_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    out_path = next((a for a in argv if not a.startswith("--")), None)
 
     spark = get_spark(app_name="sf1-differential")
     spark.sparkContext.setLogLevel("ERROR")
@@ -433,6 +643,11 @@ def main() -> None:
     results["dq10_join_revenue"][f"{last_tag}_bucketed"] = _bucketed_dq10(
         spark, last_dir, results["dq10_join_revenue"][last_tag]
     )
+    # Layout-aware variant for the time-bucket dashboard: dq25 served
+    # from the maintained SAMPLE BY view (see _matview_dq25).
+    results["dq25_hourly_bucket"][f"{last_tag}_matview"] = _matview_dq25(
+        spark, last_dir, results["dq25_hourly_bucket"][last_tag]
+    )
 
     # Marginal per-unit-data cost per engine: the two-point slope between
     # the two LARGEST tiers of the same best-of numbers the raw ratios
@@ -440,40 +655,21 @@ def main() -> None:
     # gap that survives when the data term dominates — and, computed this
     # way, it cannot contradict the sf10 raw ratio the way an LSQ fit
     # through a noisy sf0.1 endpoint can.
+    # Fixed-cost decomposition at the largest tier: t = fixed +
+    # marginal*scale — the per-query constant (scheduling, AQE stage
+    # materialization, py4j round-trips for Spark; ~0 for an embedded
+    # engine) that a 1000-executor deployment amortizes over 1000x more
+    # data per query. The residual data-proportional ratio IS the
+    # asymptotic_ratio: what survives when the data term dominates.
     for label, tiers_out in results.items():
-        pts = sorted(
-            (TIERS[t][1], v["spark_sec"], v["duckdb_sec"])
-            for t, v in tiers_out.items()
-            if t in TIERS
-        )
-        if len(pts) >= 2:
-            (x1, s1, d1), (x2, s2, d2) = pts[-2], pts[-1]
-            ms = (s2 - s1) / (x2 - x1)
-            md = (d2 - d1) / (x2 - x1)
-            # Fixed-cost decomposition at the largest tier: t = fixed +
-            # marginal*scale, so fixed = t_sf10 - marginal*100 — the
-            # per-query constant (scheduling, AQE stage materialization,
-            # py4j round-trips for Spark; ~0 for an embedded engine)
-            # that a 1000-executor deployment amortizes over 1000x more
-            # data per query. The residual data-proportional ratio IS
-            # the asymptotic_ratio: what survives when the data term
-            # dominates the fixed term.
-            sf = (s2 - ms * x2, d2 - md * x2)
-            tiers_out["fit"] = {
-                "tiers_used": [x1, x2],
-                "spark_marginal_sec_per_sf01": round(ms, 5),
-                "duckdb_marginal_sec_per_sf01": round(md, 5),
-                "asymptotic_ratio": round(ms / md, 2) if md > 0 else None,
-                "spark_fixed_cost_sec": round(sf[0], 4),
-                "duckdb_fixed_cost_sec": round(sf[1], 4),
-                "residual_data_proportional_ratio": (
-                    round(ms / md, 2) if md > 0 else None
-                ),
-            }
+        _refit(tiers_out)
+        fit = tiers_out.get("fit")
+        if fit:
             print(
-                f"fit    {label:22s} marginal spark={ms:.4f}/sf0.1 "
-                f"duck={md:.4f}/sf0.1 asymptote="
-                f"{(ms / md) if md > 0 else float('nan'):.2f}",
+                f"fit    {label:22s} marginal "
+                f"spark={fit['spark_marginal_sec_per_sf01']:.4f}/sf0.1 "
+                f"duck={fit['duckdb_marginal_sec_per_sf01']:.4f}/sf0.1 "
+                f"asymptote={fit['asymptotic_ratio']}",
                 file=sys.stderr,
             )
 
@@ -515,6 +711,15 @@ def main() -> None:
             if (v.get("fit", {}).get("asymptotic_ratio") or 1) <= 0
         ],
     }
+    if merge_path:
+        with open(merge_path) as fh:
+            prev = json.load(fh)
+        summary = merge_summaries(prev, summary)
+        print(
+            f"# merged with {merge_path}: runs_merged="
+            f"{summary['runs_merged']}",
+            file=sys.stderr,
+        )
     out = json.dumps(summary)
     print(out)
     if out_path:
