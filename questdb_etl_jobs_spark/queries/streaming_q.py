@@ -807,3 +807,163 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
         result_col="cusum_pos", out_col="cusum4",
         prefix="q165_cusum_stream_",
     )
+
+
+# ---------------------------------------------------------------------------
+# q166 — LEFT OUTER stream-stream interval join (settled NULL tail)
+# ---------------------------------------------------------------------------
+#
+# The outer face of q162's join (round-8 verdict task #5): same two
+# unbounded feeds, but every purchase row must appear — matched rows
+# once per confirm inside the ±30-minute band, unmatched rows exactly
+# once with a NULL confirm id. NULL emission is gated on SETTLEDNESS
+# (both watermarks past left_ts + tolerance), so the replay appends one
+# sentinel row per side dated a day beyond the last real event to push
+# the watermark across the whole tail, and drains eviction with a
+# second availableNow pass on the same checkpoint (the first pass's
+# final watermark is only acted on by the next planned micro-batch).
+# The CPython oracle brute-forces per-item matched-pair and unmatched-
+# row counts over the same rows, so both faces of the outer semantics
+# (multiplicity AND the NULL tail) are value-checked.
+
+def _q166_counts() -> dict[int, tuple[int, int]]:
+    """item_id -> (n_pairs, n_unmatched_left_rows), brute-forced."""
+    rows = _replay_rows_with_ids()
+    confirms = [
+        (item, rid, ts) for item, rid, ts, _p in rows if rid % 3 == 0
+    ]
+    out: dict[int, list[int]] = {}
+    for item, _rid, ts, _p in rows:
+        t = datetime.strptime(ts, "%Y-%m-%dT%H:%M:%S")
+        n = 0
+        for citem, _crid, cts in confirms:
+            if citem != item:
+                continue
+            ct = datetime.strptime(cts, "%Y-%m-%dT%H:%M:%S")
+            # Confirm event time = its purchase ts + 10 minutes;
+            # inclusive 30-minute band on both ends (between).
+            if abs((t - ct).total_seconds() - 600) <= 1800:
+                n += 1
+        e = out.setdefault(item, [0, 0])
+        e[0] += n
+        if n == 0:
+            e[1] += 1
+    return {k: (v[0], v[1]) for k, v in out.items()}
+
+
+def _q166_oracle() -> str:
+    values = ",\n      ".join(
+        f"({item}, {np}, {nu})"
+        for item, (np, nu) in sorted(_q166_counts().items())
+    )
+    return f"""
+    SELECT CAST(item_id AS INTEGER) AS item_id,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_unmatched AS BIGINT) AS n_unmatched
+    FROM (VALUES
+      {values}
+    ) AS t(item_id, n_pairs, n_unmatched)
+    ORDER BY item_id
+    """
+
+
+@dq("q166_stream_interval_left_join", oracle=_q166_oracle,
+    covers="R1,R3,R4,J3,J6")
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay both feeds through the LEFT OUTER watermarked interval
+    join; count matched pairs and settled NULL rows per item."""
+    from questdb_etl_jobs_spark.streaming.stream_join import (
+        interval_stream_join,
+    )
+
+    work = tempfile.mkdtemp(prefix="q166_ssleft_")
+    try:
+        left_dir = Path(work) / "left"
+        right_dir = Path(work) / "right"
+        left_dir.mkdir(), right_dir.mkdir()
+        rid = 0
+        max_ts = None
+        files = sorted(Path(PURCHASES_HOURLY_DIR).glob("*.csv"))
+        for i, path in enumerate(files):
+            lrows, rrows = [], []
+            with open(path, newline="") as fh:
+                for _email, item, _qty, price, ts in csv.reader(fh):
+                    lrows.append((item, rid, ts, price))
+                    t = datetime.strptime(ts, "%Y-%m-%dT%H:%M:%S")
+                    max_ts = t if max_ts is None else max(max_ts, t)
+                    if rid % 3 == 0:
+                        cts = (t + timedelta(minutes=10)).strftime(
+                            "%Y-%m-%dT%H:%M:%S"
+                        )
+                        rrows.append((item, rid, cts))
+                    rid += 1
+            for d, rows in ((left_dir, lrows), (right_dir, rrows)):
+                with open(d / path.name, "w", newline="") as fh:
+                    csv.writer(fh).writerows(rows)
+                os.utime(
+                    d / path.name, (1_700_000_000 + i, 1_700_000_000 + i)
+                )
+        # Sentinel flush rows: one per side, a day past the last real
+        # event, so the tail's NULL results settle (filtered below).
+        flush_ts = (max_ts + timedelta(days=1)).strftime(
+            "%Y-%m-%dT%H:%M:%S"
+        )
+        for d, row in (
+            (left_dir, (-1, -1, flush_ts, 0.0)),
+            (right_dir, (-1, -1, flush_ts)),
+        ):
+            with open(d / "zz_flush.csv", "w", newline="") as fh:
+                csv.writer(fh).writerow(row)
+            os.utime(
+                d / "zz_flush.csv",
+                (1_700_000_000 + len(files), 1_700_000_000 + len(files)),
+            )
+        left = (
+            spark.readStream.schema(
+                "item_id int, row_id bigint, ts timestamp, price double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .csv(str(left_dir))
+        )
+        right = (
+            spark.readStream.schema(
+                "item_id int, c_row_id bigint, c_ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .csv(str(right_dir))
+        )
+        joined = interval_stream_join(
+            left, right, left_ts="ts", right_ts="c_ts",
+            tolerance="30 minutes", on=["item_id"], how="left_outer",
+        )
+
+        def run_pass() -> None:
+            q = (
+                joined.select("item_id", "row_id", "c_row_id")
+                .writeStream.format("parquet")
+                .option("path", f"{work}/out")
+                .option("checkpointLocation", f"{work}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        run_pass()
+        run_pass()  # drain: evict-and-emit acts on the final watermark
+        rows_out = (
+            spark.read.parquet(f"{work}/out")
+            .filter(F.col("item_id") >= 0)
+            .groupBy("item_id")
+            .agg(
+                F.count("c_row_id").alias("n_pairs"),
+                F.count_if(F.col("c_row_id").isNull()).alias("n_unmatched"),
+            )
+            .orderBy("item_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows_out, "item_id int, n_pairs bigint, n_unmatched bigint"
+    ).orderBy("item_id")

@@ -42,13 +42,28 @@ def interval_stream_join(
     hourly feed (reference README.md:373); raise it for out-of-order
     sources and state retention stretches accordingly.
 
-    ``how='inner'`` only: outer stream-stream joins emit NULL matches
-    when state expires, which couples row content to trigger timing —
-    callers that need it should watermark generously and accept that
-    results are only settled past the watermark.
+    ``how`` is ``'inner'`` or ``'left_outer'``. The outer face comes
+    with an explicit SETTLEDNESS contract: a left row's NULL-extended
+    result can only be emitted once BOTH watermarks pass the end of its
+    match window (``left_ts + tolerance``) — before that, a matching
+    right row could still arrive, so Spark holds the row in state. Row
+    content therefore couples to watermark progress, never to wall-clock
+    trigger timing: results are FINAL for any event-time older than the
+    current watermark, and a bounded replay that must settle its tail
+    advances the watermark past the last real event (e.g. one sentinel
+    row per side dated beyond ``max(ts) + tolerance`` — the pattern
+    q166 replays under its CPython oracle). Right-outer is the mirror
+    (swap the call); full-outer composes both caveats and stays out of
+    the API surface deliberately.
+
+    State bound is unchanged by the outer face: rate × (tolerance +
+    watermark) per side — eviction reasons over the same mandatory
+    range predicate.
     """
-    if how != "inner":
-        raise ValueError("interval_stream_join supports how='inner'")
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            "interval_stream_join supports how='inner' or 'left_outer'"
+        )
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     conds = [lw[c] == rw[c] for c in on]
@@ -61,8 +76,9 @@ def interval_stream_join(
     cond = conds[0]
     for c in conds[1:]:
         cond = cond & c
-    joined = lw.join(rw, cond, "inner")
-    # De-duplicate the equality keys (both sides carry them).
+    joined = lw.join(rw, cond, how)
+    # De-duplicate the equality keys (both sides carry them; on
+    # left_outer the right copies are NULL for unmatched rows anyway).
     return joined.drop(*[rw[c] for c in on])
 
 

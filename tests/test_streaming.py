@@ -777,6 +777,101 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert len(got) > 0 and got == expected
 
 
+def test_stream_stream_interval_join_left_outer_settles_null_tail(
+    spark, tmp_path
+):
+    """LEFT OUTER stream⋈stream: matched rows appear once per match,
+    unmatched left rows appear EXACTLY once with NULL right columns —
+    after the watermark settles past their match window (pushed here by
+    a sentinel row per side, drained by a second availableNow pass on
+    the same checkpoint: eviction acts on the final watermark only in
+    the NEXT planned micro-batch). State stays bounded by the mandatory
+    tolerance; an unsupported join type still raises."""
+    import os
+
+    from questdb_etl_jobs_spark.streaming.stream_join import (
+        interval_stream_join,
+    )
+
+    ld, rd = tmp_path / "l", tmp_path / "r"
+    ld.mkdir(), rd.mkdir()
+    # Left: key-1 rows at minutes 0..5, one stranded key-1 row at minute
+    # 30, one key-2 row (no right rows for key 2 at all).
+    with open(ld / "a.csv", "w") as fh:
+        for m in range(6):
+            fh.write(f"1,{m},2024-01-01T00:{m:02d}:00\n")
+        fh.write("1,30,2024-01-01T00:30:00\n")
+        fh.write("2,40,2024-01-01T00:01:00\n")
+    # Right: key-1 confirms 100/102/104 at minutes 2/4/6.
+    with open(rd / "a.csv", "w") as fh:
+        for m in (0, 2, 4):
+            fh.write(f"1,{m + 100},2024-01-01T00:{m + 2:02d}:00\n")
+    # Sentinels push both watermarks a day past the data.
+    for d, row in ((ld, "-1,-1,2024-01-02T00:00:00"),
+                   (rd, "-1,-1,2024-01-02T00:00:00")):
+        with open(d / "z.csv", "w") as fh:
+            fh.write(row + "\n")
+    for d in (ld, rd):
+        for i, p in enumerate(sorted(os.listdir(d))):
+            os.utime(d / p, (1_700_000_000 + i,) * 2)
+
+    left = (
+        spark.readStream.schema("item_id int, row_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1).csv(str(ld))
+    )
+    right = (
+        spark.readStream.schema(
+            "item_id int, c_row_id bigint, c_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1).csv(str(rd))
+    )
+    joined = interval_stream_join(
+        left, right, "ts", "c_ts", "3 minutes", ["item_id"],
+        how="left_outer",
+    )
+
+    def run_pass():
+        q = (
+            joined.select("item_id", "row_id", "c_row_id")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_pass()
+    run_pass()
+    got = sorted(
+        (r.row_id, r.c_row_id)
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .filter("item_id >= 0")
+        .collect()
+    )
+    # |left_min - confirm_min| <= 3 over confirm minutes {2, 4, 6}.
+    expected = sorted(
+        [(0, 100),
+         (1, 100), (1, 102),
+         (2, 100), (2, 102),
+         (3, 100), (3, 102), (3, 104),
+         (4, 100), (4, 102), (4, 104),
+         (5, 100), (5, 102), (5, 104),
+         (30, None), (40, None)],
+        key=lambda t: (t[0], t[1] if t[1] is not None else -1),
+    )
+    assert sorted(
+        got, key=lambda t: (t[0], t[1] if t[1] is not None else -1)
+    ) == expected
+
+    with pytest.raises(ValueError, match="inner.*left_outer"):
+        interval_stream_join(
+            left, right, "ts", "c_ts", "3 minutes", ["item_id"],
+            how="full_outer",
+        )
+
+
 def test_asof_stream_join_matches_batch_asof(spark, tmp_path):
     """Streaming ASOF TOLERANCE join (join + max_by reduction, two chained
     watermark-evicted stateful ops) equals the batch as-of operator with
