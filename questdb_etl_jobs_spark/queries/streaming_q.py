@@ -967,3 +967,145 @@ def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows_out, "item_id int, n_pairs bigint, n_unmatched bigint"
     ).orderBy("item_id")
+
+
+# ---------------------------------------------------------------------------
+# q167 — streaming near-dup admission gate (incremental corpus dedup)
+# ---------------------------------------------------------------------------
+#
+# The online form of q47's batch near-dup dedup: the mutated corpus
+# (each document + a first-word-dropped near-twin, q47's construction)
+# arrives as THREE file micro-batches, and streaming/dedup_stream.py
+# admits a document only if it is novel — within a batch duplicate
+# clusters keep the min id, across batches the first admitted document
+# wins against the maintained (id, signature, shingles) index. Batch
+# assignment is doc_id % 3, so a mutated twin (id+100000 ≡ id+1 mod 3)
+# lands one batch AFTER its original except for ids ≡ 2 (mod 3), whose
+# twin wraps to batch 0 and is admitted FIRST — the replay exercises
+# first-admitted-wins in both directions.
+#
+# Oracle protocol = q47's: a CPython mirror brute-forces EXACT all-pairs
+# Jaccard over word shingles (no LSH, no hashing) and replays the same
+# batch admission model; the Spark face's banded-LSH candidate pruning
+# and 64-bit hashed shingle sets are the (documented, ~1e-7
+# deterministic-risk) approximations under test — a recall miss or hash
+# collision would surface as a differential failure, not be absorbed.
+
+def _q167_batches() -> list[list[tuple[int, str]]]:
+    import duckdb
+
+    from questdb_etl_jobs_spark.queries.llm import ORACLE_SF_DIR
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{ORACLE_SF_DIR}/documents.parquet'"
+        " ORDER BY doc_id"
+    ).fetchall()
+    corpus = []
+    for doc_id, text in rows:
+        corpus.append((doc_id, text))
+        idx = text.find(" ")
+        corpus.append((doc_id + 100000, text[idx + 1:] if idx >= 0 else text))
+    batches: list[list[tuple[int, str]]] = [[], [], []]
+    for doc_id, text in corpus:
+        batches[doc_id % 3].append((doc_id, text))
+    return batches
+
+
+def _q167_admitted() -> list[int]:
+    """CPython replay of the admission semantics (exact Jaccard ≥ 4/5)."""
+    from questdb_etl_jobs_spark.queries.llm import _py_shingles
+
+    def near(a: frozenset, b: frozenset) -> bool:
+        inter = len(a & b)
+        return 5 * inter >= 4 * (len(a) + len(b) - inter)
+
+    admitted: list[tuple[int, frozenset]] = []
+    for rows in _q167_batches():
+        sh = {i: _py_shingles(t) for i, t in rows}
+        # Within-batch clusters (union-find over verified pairs) → min id.
+        parent = {i: i for i in sh}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ids = sorted(sh)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                if near(sh[a], sh[b]):
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        survivors = [i for i in ids if find(i) == i]
+        # Cross-batch: reject any survivor near-dupping an admitted doc.
+        for i in survivors:
+            if not any(near(sh[i], ash) for _a, ash in admitted):
+                admitted.append((i, sh[i]))
+    return sorted(i for i, _s in admitted)
+
+
+def _q167_oracle() -> str:
+    values = ",\n      ".join(f"({i})" for i in _q167_admitted())
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id
+    FROM (VALUES
+      {values}
+    ) AS t(doc_id)
+    ORDER BY doc_id
+    """
+
+
+@dq("q167_stream_dedup_admit", oracle=_q167_oracle,
+    covers="R1,R6,U4,J4,EXT")
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the mutated corpus through the streaming admission gate;
+    return the admitted doc_ids (docstring above for semantics)."""
+    import json
+
+    from questdb_etl_jobs_spark.queries.llm import ORACLE_SF_DIR
+    from questdb_etl_jobs_spark.streaming.dedup_stream import (
+        maintain_dedup_corpus,
+    )
+
+    if os.path.realpath(sf_dir) != os.path.realpath(ORACLE_SF_DIR):
+        # The batch split is defined over the oracle tier's doc_ids; the
+        # replay (like q02/q09's fixture replays) is tier-pinned.
+        sf_dir = ORACLE_SF_DIR
+
+    work = tempfile.mkdtemp(prefix="q167_dedup_admit_")
+    try:
+        feed = Path(work) / "feed"
+        feed.mkdir()
+        for b, rows in enumerate(_q167_batches()):
+            p = feed / f"batch_{b}.jsonl"
+            with open(p, "w") as fh:
+                for doc_id, text in rows:
+                    fh.write(
+                        json.dumps({"doc_id": doc_id, "text": text}) + "\n"
+                    )
+            os.utime(p, (1_700_000_000 + b,) * 2)
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(feed))
+        )
+        q = maintain_dedup_corpus(
+            stream,
+            corpus_path=f"{work}/corpus",
+            index_path=f"{work}/index",
+            checkpoint_path=f"{work}/ckpt",
+        )
+        q.awaitTermination(600)
+        admitted = sorted(
+            r.doc_id
+            for r in spark.read.parquet(f"{work}/corpus")
+            .select("doc_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(i,) for i in admitted], "doc_id bigint"
+    ).orderBy("doc_id")

@@ -1405,3 +1405,75 @@ def test_cusum_stream_matches_batch_closed_form(spark, tmp_path):
     for rid in got:
         assert abs(got[rid][0] - want[rid][0]) < 1e-9
         assert abs(got[rid][1] - want[rid][1]) < 1e-9
+
+
+def test_maintain_dedup_corpus_admits_only_novel(spark, tmp_path):
+    """Streaming near-dup admission gate (streaming/dedup_stream.py):
+    within a micro-batch duplicate clusters keep the min-id winner; across
+    batches the FIRST admitted document wins — a later near-dup (even of a
+    different id range) is rejected against the maintained signature
+    index. Novel documents always land in the corpus, and the index rows
+    carry (id, signature, shingles) so admitted docs are never
+    re-shingled."""
+    import json
+    import os
+
+    from questdb_etl_jobs_spark.streaming.dedup_stream import (
+        maintain_dedup_corpus,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm stone wall near the old oak tree"
+    )
+    other = (
+        "completely different text about spark structured streaming "
+        "state stores watermarks and exactly once sinks in pipelines"
+    )
+    third = (
+        "yet another unrelated document mentioning parquet columnar "
+        "layouts predicate pushdown and vectorized arrow readers"
+    )
+    batches = [
+        # batch 0: 1 and 2 are exact dups (min-id 1 wins); 3 is novel.
+        [(1, base), (2, base), (3, other)],
+        # batch 1: 4 near-dups the ADMITTED 1 (first word dropped) →
+        # rejected; 5 is novel.
+        [(4, base.split(" ", 1)[1]), (5, third)],
+        # batch 2: 6 near-dups the REJECTED 2's text → still rejected
+        # (1 holds the cluster); 7 re-sends 5's text → rejected.
+        [(6, base), (7, third)],
+    ]
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for b, rows in enumerate(batches):
+        p = feed / f"batch_{b}.jsonl"
+        with open(p, "w") as fh:
+            for doc_id, text in rows:
+                fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        os.utime(p, (1_700_000_000 + b,) * 2)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(feed))
+    )
+    q = maintain_dedup_corpus(
+        stream,
+        corpus_path=str(tmp_path / "corpus"),
+        index_path=str(tmp_path / "index"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    admitted = sorted(r.doc_id for r in corpus.select("doc_id").collect())
+    assert admitted == [1, 3, 5]
+    index = spark.read.parquet(str(tmp_path / "index"))
+    assert sorted(r.doc_id for r in index.select("doc_id").collect()) == \
+        [1, 3, 5]
+    # Index rows carry the reusable signature + shingle set.
+    row = index.filter("doc_id = 1").head()
+    assert len(row.signature) == 32 and len(row["__sh"]) > 0
+    # Admitted text survives untouched in the corpus.
+    assert corpus.filter("doc_id = 1").head().text == base
