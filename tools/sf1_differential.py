@@ -408,6 +408,115 @@ def _matview_dq25(spark, sf_dir: str, raw_entry: dict) -> dict:
     }
 
 
+SF100_EVENTS = "/tmp/spark_graft_sf100_events"
+
+
+def _matview_dq25_sf100(spark) -> dict:
+    """dq25 at an events-only sf100 tier (1000× the bar's sf0.1): the
+    tier where the maintained view's FLAT serving cost meets a raw
+    rescan that has outgrown every engine's fixed cost.
+
+    At sf10 the entire raw dq25 answer costs an embedded engine ~50 ms —
+    comparable to its own fixed cost and BELOW any JVM engine's
+    per-query floor, so no structure can clear a raw-ratio bar there
+    (the committed fixed-cost decomposition already shows dq25's Spark
+    marginal at 0.47× DuckDB's). This cell makes the layout argument at
+    the scale the engine is designed for: the view store is O(buckets)
+    — IDENTICAL at sf10 and sf100 — while both raw scans grow 1000×,
+    so the serving read's advantage is structural, not a tuning
+    artifact. Recorded: tier synthesis cost, view build cost (one-time;
+    incremental per micro-batch at deployment), best-of-3 interleaved
+    raw-DuckDB / raw-Spark / view-serve times, ratio = view-serve vs
+    raw DuckDB on the same tier (the sf10_bucketed convention).
+    Cross-checks: view row count and per-bucket n match raw Spark
+    exactly; avg within the store's 4-decimal pre-rounding; DuckDB row
+    count matches."""
+    import shutil
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from questdb_etl_jobs_spark.operators.matview import (
+        read_sample_by_view,
+        refresh_sample_by_view,
+    )
+    from questdb_etl_jobs_spark.sources.tables import load_table
+    from tools.stress_scale import synthesize_events_only
+
+    t0 = time.perf_counter()
+    synthesize_events_only(spark, SF100_EVENTS, factor=1000, mult=1024)
+    synth = round(time.perf_counter() - t0, 1)
+
+    path = "/tmp/spark_graft_diff_matview_sf100"
+    shutil.rmtree(path, ignore_errors=True)
+    events = load_table(spark, SF100_EVENTS, "events").select("ts", "value")
+    t0 = time.perf_counter()
+    refresh_sample_by_view(
+        spark, events, path, ts="ts", bucket="hour", value="value", keys=[]
+    )
+    prep = round(time.perf_counter() - t0, 1)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF100_EVENTS}/events.parquet/**/*.parquet')"
+    )
+
+    def q_view():
+        return (
+            read_sample_by_view(spark, path)
+            .select("bucket_ts", "n", F.col("avg").alias("avg_value"))
+            .orderBy("bucket_ts")
+        )
+
+    raw_fn = _spark_headline()["dq25_hourly_bucket"]
+    best = {"duck": float("inf"), "raw": float("inf"), "view": float("inf")}
+    rows = {}
+    pdf_view = pdf_raw = None
+    for rnd in range(4):  # round 0 = warmup, discarded
+        t0 = time.perf_counter()
+        duck_rows = con.execute(DUCK_SQL["dq25_hourly_bucket"]).fetchall()
+        d = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pdf_raw = raw_fn(spark, SF100_EVENTS).toPandas()
+        r = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pdf_view = q_view().toPandas()
+        v = time.perf_counter() - t0
+        if rnd > 0:
+            best["duck"] = min(best["duck"], d)
+            best["raw"] = min(best["raw"], r)
+            best["view"] = min(best["view"], v)
+        rows = {"duck": len(duck_rows), "raw": len(pdf_raw),
+                "view": len(pdf_view)}
+    con.close()
+    assert rows["duck"] == rows["raw"] == rows["view"], rows
+    assert (pdf_raw["n"].values == pdf_view["n"].values).all(), (
+        "sf100 matview count mismatch"
+    )
+    max_d = (pdf_raw["avg_value"] - pdf_view["avg_value"]).abs().max()
+    assert max_d <= 5.1e-5, f"sf100 matview avg drift {max_d}"
+    ratio = round(best["view"] / best["duck"], 2)
+    print(
+        f"matview dq25 @sf100(events-only): synth={synth}s prep={prep}s "
+        f"duck_raw={best['duck']:.3f}s spark_raw={best['raw']:.3f}s "
+        f"view_serve={best['view']:.3f}s ratio={ratio}",
+        file=sys.stderr,
+    )
+    return {
+        "tier": "sf100_events_only",
+        "scale_vs_sf01": 1000.0,
+        "synth_sec": synth,
+        "prep_sec": prep,
+        "duckdb_sec": round(best["duck"], 4),
+        "spark_raw_sec": round(best["raw"], 4),
+        "spark_sec": round(best["view"], 4),
+        "ratio": ratio,
+        "spark_raw_ratio": round(best["raw"] / best["duck"], 2),
+        "rows": rows["view"],
+    }
+
+
 def _refit(tiers_out: dict) -> None:
     """(Re)compute the two-largest-tier marginal fit for one query's
     tier dict in place — shared by the fresh run and the cross-run
@@ -451,6 +560,8 @@ def _merge_cell(prev: dict, new: dict, duck_base: float | None = None) -> dict:
             out[k] = prev[k] + new[k]
     if "prep_sec" in prev and "prep_sec" in new:
         out["prep_sec"] = min(prev["prep_sec"], new["prep_sec"])
+    if "spark_raw_sec" in prev and "spark_raw_sec" in new:
+        out["spark_raw_sec"] = min(prev["spark_raw_sec"], new["spark_raw_sec"])
     if "shapes" in prev and "shapes" in new:
         out["shapes"] = {
             s: _merge_cell(prev["shapes"][s], new["shapes"][s], duck_base)
@@ -465,6 +576,8 @@ def _merge_cell(prev: dict, new: dict, duck_base: float | None = None) -> dict:
     denom = duck_base if duck_base is not None else out.get("duckdb_sec")
     if denom and "spark_sec" in out:
         out["ratio"] = round(out["spark_sec"] / denom, 2)
+    if denom and "spark_raw_sec" in out:
+        out["spark_raw_ratio"] = round(out["spark_raw_sec"] / denom, 2)
     return out
 
 
@@ -644,10 +757,16 @@ def main() -> None:
         spark, last_dir, results["dq10_join_revenue"][last_tag]
     )
     # Layout-aware variant for the time-bucket dashboard: dq25 served
-    # from the maintained SAMPLE BY view (see _matview_dq25).
+    # from the maintained SAMPLE BY view (see _matview_dq25), plus the
+    # events-only sf100 tier where the view's flat cost meets a raw
+    # rescan big enough to dominate fixed costs (see _matview_dq25_sf100).
     results["dq25_hourly_bucket"][f"{last_tag}_matview"] = _matview_dq25(
         spark, last_dir, results["dq25_hourly_bucket"][last_tag]
     )
+    if not skip_sf10:
+        results["dq25_hourly_bucket"]["sf100_matview_events"] = (
+            _matview_dq25_sf100(spark)
+        )
 
     # Marginal per-unit-data cost per engine: the two-point slope between
     # the two LARGEST tiers of the same best-of numbers the raw ratios

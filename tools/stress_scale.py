@@ -198,6 +198,41 @@ def synthesize_big(spark, out: str, factor: int, mult: int) -> None:
     open(os.path.join(out, "_DONE"), "w").close()
 
 
+def synthesize_events_only(spark, out: str, factor: int, mult: int) -> None:
+    """Events-only tier at ``factor``× BASE (factor=1000 ≈ sf100).
+
+    The time-bucket dashboard's scale demonstration needs a tier where
+    the raw rescan cost dominates EVERY engine's per-query fixed cost —
+    at sf10 the whole dq25 answer fits in ~50 ms of embedded-engine scan,
+    so a maintained view's flat serving cost can't show its asymptote. A
+    full relational synthesis at 1000× would burn disk on tables the
+    measurement never reads; this writes just ``events`` with the same
+    shape-honest remapping as :func:`synthesize_big` (replica r maps
+    key k → k·mult + r; per-hour bucket set unchanged, so the bucket
+    store the view maintains stays the same size while raw history grows
+    ``factor``×— exactly the 100 TB regime)."""
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return
+    assert mult >= factor, "replica multiplier must exceed factor"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    from questdb_etl_jobs_spark.sources.tables import invalidate_tables, load_table
+
+    invalidate_tables(spark, out)
+    replicas = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__r")
+    df = load_table(spark, BASE, "events").select("*", replicas)
+    for c in ("event_id", "user_id"):
+        df = df.withColumn(c, F.col(c) * mult + F.col("__r"))
+    df = df.withColumn(
+        "ts",
+        F.col("ts") + F.make_interval(secs=F.col("__r").cast("double") / 2.0),
+    )
+    _sharded(df.drop("__r"), "events").write.mode("overwrite").parquet(
+        f"{out}/events.parquet"
+    )
+    open(os.path.join(out, "_DONE"), "w").close()
+
+
 def _headline():
     from questdb_etl_jobs_spark.operators.dedup import (
         dup_clusters,
