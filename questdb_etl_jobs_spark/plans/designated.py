@@ -237,3 +237,104 @@ def upsert_designated_ts(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
     return pcol
+
+
+def list_partitions(spark: SparkSession, path: str, ts_col: str) -> list[str]:
+    """Sorted partition dates (``YYYY-MM-DD``) of a designated-ts table.
+
+    A directory listing through the Hadoop FileSystem that owns ``path``
+    (local in tests, hdfs/s3a/gs/abfs on a cluster) — never a data scan.
+    """
+    pcol = ts_col + PARTITION_SUFFIX
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    prefix = pcol + "="
+    out = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith(prefix):
+            out.append(name[len(prefix):])
+    return sorted(out)
+
+
+def drop_partitions(
+    spark: SparkSession,
+    path: str,
+    ts_col: str,
+    older_than: _dt.datetime | _dt.date | str | None = None,
+    partition_list: list[str] | None = None,
+) -> list[str]:
+    """QuestDB ``ALTER TABLE … DROP PARTITION`` twin (reference
+    sql/create-table.sql:1 table family; QuestDB drops by partition
+    timestamp with ``WHERE timestamp < …`` or ``LIST '…', …``).
+
+    Retention on a designated-ts table is a FILESYSTEM operation: whole
+    date partition directories are deleted, surviving partitions are
+    never read, rewritten, or even listed into a plan — at 100 TB,
+    expiring a month is 30 directory deletes, not a table rewrite. This
+    is the deletion face of the convention's pruning guarantee.
+
+    ``older_than`` drops partitions at DAY granularity: a directory is
+    dropped iff its whole day lies strictly before the cutoff, so a
+    cutoff with a time-of-day keeps the partially-covered day (QuestDB
+    semantics: a partition is dropped only when the predicate holds for
+    the partition, and the active partition is refused). ``partition_list``
+    is the explicit ``LIST`` form (``YYYY-MM-DD`` strings; missing dirs
+    are ignored — the operation is idempotent by construction, safe to
+    re-run after a partial failure).
+
+    Deletes are recursive per-directory and sequential; a crash mid-way
+    leaves a prefix of the requested drops applied, and the re-run
+    completes the rest (each delete is independent — there is no
+    cross-partition invariant to fence). Returns the dates actually
+    dropped.
+    """
+    if (older_than is None) == (partition_list is None):
+        raise ValueError("exactly one of older_than/partition_list required")
+    existing = list_partitions(spark, path, ts_col)
+    if older_than is not None:
+        if isinstance(older_than, str):
+            cutoff = _dt.datetime.fromisoformat(older_than)
+        else:
+            cutoff = older_than
+        if isinstance(cutoff, _dt.datetime):
+            cutoff_date = cutoff.date()
+        else:
+            cutoff_date = cutoff
+        victims = [d for d in existing if _dt.date.fromisoformat(d) < cutoff_date]
+    else:
+        want = set(partition_list)
+        victims = [d for d in existing if d in want]
+    pcol = ts_col + PARTITION_SUFFIX
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    dropped = []
+    for d in victims:
+        if fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{pcol}={d}"), True):
+            dropped.append(d)
+    return dropped
+
+
+def enforce_ttl(
+    spark: SparkSession,
+    path: str,
+    ts_col: str,
+    ttl_days: int,
+    as_of: _dt.datetime | _dt.date | str,
+) -> list[str]:
+    """QuestDB ``ALTER TABLE … SET TTL <n> DAYS`` enforcement twin: drop
+    every partition whose whole day is older than ``ttl_days`` before
+    ``as_of``. QuestDB evaluates TTL against the most recent timestamp
+    on ingest; here the reference point is EXPLICIT — the caller passes
+    the batch's max event time (or wall clock at the deployment edge) so
+    the operation stays deterministic and replayable. Returns dropped
+    dates."""
+    if isinstance(as_of, str):
+        as_of = _dt.datetime.fromisoformat(as_of)
+    if isinstance(as_of, _dt.datetime):
+        as_of = as_of.date()
+    cutoff = as_of - _dt.timedelta(days=ttl_days)
+    return drop_partitions(spark, path, ts_col, older_than=cutoff)

@@ -2707,3 +2707,65 @@ def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cusum_pos", 4).alias("cusum_pos4"),
         F.round("cusum_neg", 4).alias("cusum_neg4"),
     ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q168 — retention: DROP PARTITION WHERE / LIST + TTL on a designated table
+# ---------------------------------------------------------------------------
+#
+# QuestDB's data-lifecycle face (``ALTER TABLE … DROP PARTITION WHERE
+# timestamp < …`` / ``LIST '…'`` / ``SET TTL``, the table family of
+# reference sql/create-table.sql:1) as the storage-convention twin
+# (plans/designated.py:drop_partitions): retention deletes whole date
+# partition DIRECTORIES through the Hadoop FS — no scan, no rewrite of
+# survivors. The replay drops everything whole-day-older than a MID-DAY
+# cutoff (partition granularity must keep the partially-covered day
+# 01-11) plus one explicit LIST date, then aggregates what survived; the
+# oracle recomputes the surviving set relationally. A wrong granularity
+# (dropping 01-11) or a leaked/lost directory shifts whole day-rows.
+
+_Q168_ORACLE = """
+WITH kept AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, value
+  FROM events
+  WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '2024-01-11'
+    AND CAST(CAST(ts AS TIMESTAMP) AS DATE) <> DATE '2024-01-20'
+)
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM kept GROUP BY day ORDER BY day
+"""
+
+
+@dq("q168_retention_drop_partition", oracle=_Q168_ORACLE,
+    covers="S6,O1,A1,A2,EXT")
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        drop_partitions,
+        write_designated_ts,
+    )
+
+    path = "/tmp/spark_graft_q168_retention"
+    _shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    write_designated_ts(ev, path, "ts", mode="overwrite")
+    # WHERE-form: whole days strictly before the cutoff; 01-11 survives.
+    drop_partitions(spark, path, "ts", older_than="2024-01-11 12:00:00")
+    # LIST-form on top (idempotent; missing dirs are no-ops).
+    drop_partitions(spark, path, "ts", partition_list=["2024-01-20"])
+    kept = spark.read.parquet(path)
+    return (
+        kept.groupBy(
+            F.date_format(F.col("ts_pdate"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("users"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .orderBy("day")
+    )

@@ -570,3 +570,79 @@ def test_cusum_single_exchange_no_python(spark):
     plan = plan_string(out)
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_drop_partitions_retention(spark, tmp_path):
+    """QuestDB DROP PARTITION / TTL twin: retention deletes whole date
+    directories through the Hadoop FS — surviving partition files are
+    byte-untouched (no rewrite), a time-of-day cutoff keeps the
+    partially-covered day, LIST mode ignores missing dirs (idempotent),
+    and enforce_ttl derives the same cutoff from an explicit as_of."""
+    import os
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        drop_partitions,
+        enforce_ttl,
+        list_partitions,
+        write_designated_ts,
+    )
+
+    path = str(tmp_path / "t")
+    rows = [
+        (d * 10 + i, datetime.fromisoformat(f"2024-01-0{d} {8 + i:02d}:00:00"))
+        for d in range(1, 6)
+        for i in range(2)
+    ]
+    write_designated_ts(
+        spark.createDataFrame(rows, "id long, ts timestamp"), path, "ts"
+    )
+    assert list_partitions(spark, path, "ts") == [
+        f"2024-01-0{d}" for d in range(1, 6)
+    ]
+    survivor = f"{path}/ts_pdate=2024-01-04"
+    before = {
+        f: os.stat(f"{survivor}/{f}").st_mtime_ns
+        for f in os.listdir(survivor)
+        if f.endswith(".parquet")
+    }
+
+    # Mid-day cutoff: 01-03 is only partially covered -> survives.
+    dropped = drop_partitions(
+        spark, path, "ts", older_than="2024-01-03 12:00:00"
+    )
+    assert dropped == ["2024-01-01", "2024-01-02"]
+    assert list_partitions(spark, path, "ts") == [
+        "2024-01-03", "2024-01-04", "2024-01-05"
+    ]
+    got = spark.read.parquet(path)
+    assert sorted(r.id for r in got.collect()) == [30, 31, 40, 41, 50, 51]
+    after = {
+        f: os.stat(f"{survivor}/{f}").st_mtime_ns
+        for f in os.listdir(survivor)
+        if f.endswith(".parquet")
+    }
+    assert before == after  # retention never rewrites survivors
+
+    # LIST form + idempotence (missing dirs are fine).
+    assert drop_partitions(
+        spark, path, "ts",
+        partition_list=["2024-01-03", "2024-01-01", "2099-12-31"],
+    ) == ["2024-01-03"]
+    assert drop_partitions(
+        spark, path, "ts", partition_list=["2024-01-03"]
+    ) == []
+
+    # TTL at day granularity: with as_of mid-morning on 01-05, a 1-day
+    # TTL still partially covers 01-04 -> nothing is whole-day-expired.
+    assert enforce_ttl(
+        spark, path, "ts", ttl_days=1, as_of="2024-01-05 09:00:00"
+    ) == []
+    assert enforce_ttl(
+        spark, path, "ts", ttl_days=0, as_of="2024-01-05 09:00:00"
+    ) == ["2024-01-04"]
+    assert list_partitions(spark, path, "ts") == ["2024-01-05"]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one"):
+        drop_partitions(spark, path, "ts")
