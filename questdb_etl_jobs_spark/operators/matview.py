@@ -157,6 +157,7 @@ def _staged_dir(path: str) -> str:
 
 
 _COMPACTION_LOG = "_compaction_log.json"
+_COMPACTION_LOCK = "_compaction.lock"
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -184,18 +185,36 @@ def _committed_batch_dirs(spark: SparkSession, staged: str) -> dict[int, str]:
     return out
 
 
-def _read_compaction_log(spark: SparkSession, staged: str) -> list[dict]:
-    """The append-only compaction log: a JSON list of
-    ``{"fold_id": int, "superseded": [int, ...]}`` entries. Absent log
-    == no completed compaction commits."""
+def _log_versions(jvm, fs, staged: str) -> list[tuple[int, str]]:
+    """``(version, path)`` of every compaction-log file present, sorted
+    ascending. The legacy unversioned ``_compaction_log.json`` reads as
+    version 0; versioned logs are ``_compaction_log.<n>.json``."""
+    sdir = jvm.org.apache.hadoop.fs.Path(staged)
+    if not fs.exists(sdir):
+        return []
+    out: list[tuple[int, str]] = []
+    for st in fs.listStatus(sdir):
+        name = st.getPath().getName()
+        if name == _COMPACTION_LOG:
+            out.append((0, f"{staged}/{name}"))
+        elif (
+            name.startswith("_compaction_log.")
+            and name.endswith(".json")
+            and name != _COMPACTION_LOG
+        ):
+            mid = name[len("_compaction_log."):-len(".json")]
+            if mid.isdigit():
+                out.append((int(mid), f"{staged}/{name}"))
+    return sorted(out)
+
+
+def _read_log_file(jvm, fs, path: str) -> list[dict]:
     import json
 
-    jvm, fs = _hadoop_fs(spark, staged)
-    p = jvm.org.apache.hadoop.fs.Path(f"{staged}/{_COMPACTION_LOG}")
-    if not fs.exists(p):
-        return []
     reader = jvm.java.io.BufferedReader(
-        jvm.java.io.InputStreamReader(fs.open(p), "UTF-8")
+        jvm.java.io.InputStreamReader(
+            fs.open(jvm.org.apache.hadoop.fs.Path(path)), "UTF-8"
+        )
     )
     try:
         lines = []
@@ -209,26 +228,123 @@ def _read_compaction_log(spark: SparkSession, staged: str) -> list[dict]:
     return json.loads("\n".join(lines))
 
 
+def _read_compaction_log_versioned(
+    spark: SparkSession, staged: str
+) -> tuple[int, list[dict]]:
+    """``(version, entries)`` of the HIGHEST-versioned compaction log
+    present (-1, [] when none). The log is a JSON list of
+    ``{"fold_id": int, "superseded": [int, ...]}`` entries.
+
+    Logs are never deleted-then-replaced in place: each commit writes a
+    NEW ``_compaction_log.<n+1>.json`` (temp + rename to a fresh name,
+    atomic with no not-found window), so a concurrent reader always
+    sees either version n or n+1 — never "no log", which would make it
+    misread every logged fold dir as unclaimed and drop its content.
+    A lister racing the rename may briefly see n only; that staleness
+    is exactly what the caller's stable-snapshot loop detects."""
+    jvm, fs = _hadoop_fs(spark, staged)
+    last_err: Exception | None = None
+    for _ in range(5):
+        versions = _log_versions(jvm, fs, staged)
+        if not versions:
+            return -1, []
+        ver, path = versions[-1]
+        try:
+            return ver, _read_log_file(jvm, fs, path)
+        except Exception as exc:
+            # The listed file can vanish if a commit's post-rename GC
+            # raced us — but only for non-highest versions, so a
+            # re-list finds the (strictly newer) successor.
+            if "FileNotFoundException" not in str(exc):
+                raise
+            last_err = exc
+    raise RuntimeError(
+        f"compaction log of {staged} kept vanishing across 5 re-lists"
+    ) from last_err
+
+
+def _read_compaction_log(spark: SparkSession, staged: str) -> list[dict]:
+    """Entries of the current compaction log (absent log == no
+    completed compaction commits)."""
+    return _read_compaction_log_versioned(spark, staged)[1]
+
+
 def _write_compaction_log(
     spark: SparkSession, staged: str, entries: list[dict]
 ) -> None:
-    """Replace the log via write-temp + rename (atomic on HDFS and on
-    local paths; object stores need a rename-capable committer — the
-    same caveat as the view's partition swap)."""
+    """Commit the log as the NEXT monotonically-versioned file —
+    ``_compaction_log.<n+1>.json`` via write-temp + rename (atomic on
+    HDFS and local paths; object stores need a rename-capable store —
+    the same caveat as the view's partition swap). The live log is
+    NEVER deleted before its successor is visible: readers picking the
+    highest version see the old log right up until the rename lands,
+    closing the round-9 window where a delete-then-rename replace left
+    a gap with NO log and a concurrent reader treated every fold dir as
+    unclaimed. Older versions are garbage-collected only AFTER the new
+    version is committed."""
     import json
 
     jvm, fs = _hadoop_fs(spark, staged)
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{staged}/{_COMPACTION_LOG}.tmp")
-    final = jvm.org.apache.hadoop.fs.Path(f"{staged}/{_COMPACTION_LOG}")
+    prior = _log_versions(jvm, fs, staged)
+    next_ver = (prior[-1][0] + 1) if prior else 1
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{staged}/_compaction_log.{next_ver}.json.tmp"
+    )
+    final = jvm.org.apache.hadoop.fs.Path(
+        f"{staged}/_compaction_log.{next_ver}.json"
+    )
     stream = fs.create(tmp, True)
     try:
         stream.write(bytearray(json.dumps(entries).encode("utf-8")))
     finally:
         stream.close()
-    if fs.exists(final):
-        fs.delete(final, False)
     if not fs.rename(tmp, final):
         raise IOError(f"could not commit compaction log at {final}")
+    for _, old_path in prior:  # GC superseded versions (post-commit)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(old_path), False)
+
+
+def _acquire_compaction_lease(
+    spark: SparkSession, staged: str, lease_ttl_sec: float
+) -> bool:
+    """Best-effort single-compactor lease: atomically create
+    ``_compaction.lock`` (``FileSystem.create`` with overwrite=false —
+    a single round trip that either creates or throws, on HDFS and
+    local paths alike). A live lock means another compactor holds the
+    lease → return False (caller no-ops; the next scheduled compaction
+    picks the work up). A lock whose modification time is older than
+    ``lease_ttl_sec`` is a CRASHED holder's leftovers — the fold/log/
+    delete protocol is crash-atomic on its own, so takeover is safe:
+    delete the stale lock and try the create once more."""
+    import time
+
+    jvm, fs = _hadoop_fs(spark, staged)
+    lock = jvm.org.apache.hadoop.fs.Path(f"{staged}/{_COMPACTION_LOCK}")
+    for _ in range(2):
+        try:
+            stream = fs.create(lock, False)
+            try:
+                stream.write(bytearray(b"compaction lease"))
+            finally:
+                stream.close()
+            return True
+        except Exception:
+            try:
+                st = fs.getFileStatus(lock)
+            except Exception:
+                continue  # holder released between create and stat
+            age = time.time() - st.getModificationTime() / 1000.0
+            if age <= lease_ttl_sec:
+                return False
+            fs.delete(lock, False)  # stale: take over, retry create
+    return False
+
+
+def _release_compaction_lease(spark: SparkSession, staged: str) -> None:
+    jvm, fs = _hadoop_fs(spark, staged)
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(f"{staged}/{_COMPACTION_LOCK}"), False
+    )
 
 
 def _live_staged_ids(
@@ -310,20 +426,59 @@ def refresh_sample_by_view_exactly_once(
     # its log commit — the originals, all present, win). This makes the
     # view a pure function of staged state under ANY interleaving of
     # refreshes with compact_staged_batches, not just offline ones.
-    committed = _committed_batch_dirs(spark, staged)
-    live = _live_staged_ids(
-        committed, _read_compaction_log(spark, staged)
-    )
-    all_staged = (
-        spark.read.option("basePath", staged)
-        .parquet(*[committed[b] for b in sorted(live)])
-        .where(F.col(_PDATE).isin(dates))
-        .drop("batch_id")
-    )
-    recomputed = _merge(all_staged, keys).withColumn(
-        _PDATE, F.to_date("bucket_ts")
-    )
-    materialized = recomputed.localCheckpoint(eager=True)
+    #
+    # STABLE-SNAPSHOT loop (round-9 ADVICE): log and listing are two
+    # separate reads, so a compactor's log commit landing BETWEEN them
+    # would pair a stale dir listing (fold dir absent) with a fresh log
+    # (originals superseded) and silently drop those batches from the
+    # recompute. Read log → list dirs → re-read log; only a (log,
+    # listing) pair bracketed by identical log states is used. A
+    # compactor's step-5 deletes racing the planned scan surface as
+    # FileNotFound at materialization — also retried through a fresh
+    # resolve (the view is a pure function of staged state, so a retry
+    # recomputes the same answer from the post-compaction layout).
+    materialized = None
+    last_err: Exception | None = None
+    for _attempt in range(8):
+        ver1, log = _read_compaction_log_versioned(spark, staged)
+        committed = _committed_batch_dirs(spark, staged)
+        ver2, log2 = _read_compaction_log_versioned(spark, staged)
+        if (ver1, log) != (ver2, log2):
+            continue  # compactor committed mid-snapshot: re-resolve
+        if int(batch_id) not in committed:
+            raise RuntimeError(
+                f"staged batch_id={int(batch_id)} was just written to "
+                f"{staged} but is missing from the committed listing. "
+                "Committed state is keyed on the _SUCCESS marker Spark's "
+                "committer drops at job commit; this session appears to "
+                "run with mapreduce.fileoutputcommitter.marksuccessful"
+                "jobs=false, which makes every staged dir invisible to "
+                "the exactly-once protocol. Re-enable the marker for "
+                "view paths."
+            )
+        live = _live_staged_ids(committed, log)
+        all_staged = (
+            spark.read.option("basePath", staged)
+            .parquet(*[committed[b] for b in sorted(live)])
+            .where(F.col(_PDATE).isin(dates))
+            .drop("batch_id")
+        )
+        recomputed = _merge(all_staged, keys).withColumn(
+            _PDATE, F.to_date("bucket_ts")
+        )
+        try:
+            materialized = recomputed.localCheckpoint(eager=True)
+            break
+        except Exception as exc:  # step-5 delete raced the scan
+            if "FileNotFoundException" not in str(exc):
+                raise
+            last_err = exc
+            continue
+    if materialized is None:
+        raise RuntimeError(
+            f"could not obtain a stable staged snapshot of {staged} "
+            "after 8 attempts (compactions kept landing mid-resolve)"
+        ) from last_err
     saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -335,9 +490,10 @@ def refresh_sample_by_view_exactly_once(
 def compact_staged_batches(
     spark: SparkSession,
     path: str,
+    lease_ttl_sec: float = 600.0,
     _crash_after_fold: bool = False,
     _crash_after_log: bool = False,
-) -> None:
+) -> bool:
     """Fold the staged batch directories into one fresh base batch —
     crash-atomic, and safe to run alongside live refreshes.
 
@@ -368,54 +524,71 @@ def compact_staged_batches(
     so a crash at ANY point — or a recompute interleaving with steps
     3–5 — sees each batch's content exactly once: via its original dir
     until the log commit, via the fold after it. Concurrent REFRESHES
-    are safe; run at most one compactor at a time (two concurrent
-    compactors could race the shared log). The ``_crash_*`` keywords
-    are test hooks that abort after the named step so the crash windows
-    stay provable.
+    are safe; concurrent COMPACTORS are fenced by a lease —
+    ``_compaction.lock`` created atomically (``FileSystem.create`` with
+    overwrite=false) before step 1 and removed after step 5. A second
+    compactor finding a live lock returns ``False`` without touching
+    anything; a lock older than ``lease_ttl_sec`` is a crashed holder's
+    leftovers (the protocol is crash-atomic, so takeover is safe) and
+    is broken. Returns ``True`` when the lease was held and the
+    protocol ran (including the nothing-to-fold no-op). The
+    ``_crash_*`` keywords are test hooks that abort after the named
+    step — simulating a dead process, so they LEAVE the lock in place;
+    recovery runs take it over via the TTL rule.
     """
     staged = _staged_dir(path)
     if not _view_exists(spark, staged):
-        return
-    jvm, fs = _hadoop_fs(spark, staged)
-    log = _read_compaction_log(spark, staged)
-    committed = _committed_batch_dirs(spark, staged)
-    superseded_ever = {b for e in log for b in e["superseded"]}
-    claimed = {e["fold_id"] for e in log}
-    # Step 1a: finish logged deletes.
-    for bid in sorted(superseded_ever & set(committed)):
-        fs.delete(jvm.org.apache.hadoop.fs.Path(committed.pop(bid)), True)
-    # Step 1b: drop unclaimed folds (crash between fold write and log
-    # commit; the originals are intact and win).
-    for bid in [b for b in committed if b < 0 and b not in claimed]:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(committed.pop(bid)), True)
-    if len(committed) < 2:
-        return  # nothing to fold
-    # Steps 2-3: fold the observed committed dirs into a fresh id.
-    all_staged = spark.read.option("basePath", staged).parquet(
-        *committed.values()
-    )
-    fold_id = min(min(committed), min(claimed, default=0), 0) - 1
-    folded = _merge(all_staged.drop("batch_id"), [
-        c for c in all_staged.columns
-        if c not in ("bucket_ts", "batch_id", _PDATE,
-                     "n", "dsum", "vmin", "vmax", "first", "last")
-    ]).withColumn(_PDATE, F.to_date("bucket_ts"))
-    materialized = folded.localCheckpoint(eager=True)
-    materialized.write.partitionBy(_PDATE).mode("overwrite").parquet(
-        f"{staged}/batch_id={fold_id}"
-    )
-    if _crash_after_fold:
-        return
-    # Step 4: the commit point.
-    _write_compaction_log(
-        spark, staged,
-        log + [{"fold_id": fold_id, "superseded": sorted(committed)}],
-    )
-    if _crash_after_log:
-        return
-    # Step 5: delete superseded dirs.
-    for d in committed.values():
-        fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+        return False
+    if not _acquire_compaction_lease(spark, staged, lease_ttl_sec):
+        return False
+    crashed = False
+    try:
+        jvm, fs = _hadoop_fs(spark, staged)
+        log = _read_compaction_log(spark, staged)
+        committed = _committed_batch_dirs(spark, staged)
+        superseded_ever = {b for e in log for b in e["superseded"]}
+        claimed = {e["fold_id"] for e in log}
+        # Step 1a: finish logged deletes.
+        for bid in sorted(superseded_ever & set(committed)):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(committed.pop(bid)), True)
+        # Step 1b: drop unclaimed folds (crash between fold write and log
+        # commit; the originals are intact and win).
+        for bid in [b for b in committed if b < 0 and b not in claimed]:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(committed.pop(bid)), True)
+        if len(committed) < 2:
+            return True  # nothing to fold
+        # Steps 2-3: fold the observed committed dirs into a fresh id.
+        all_staged = spark.read.option("basePath", staged).parquet(
+            *committed.values()
+        )
+        fold_id = min(min(committed), min(claimed, default=0), 0) - 1
+        folded = _merge(all_staged.drop("batch_id"), [
+            c for c in all_staged.columns
+            if c not in ("bucket_ts", "batch_id", _PDATE,
+                         "n", "dsum", "vmin", "vmax", "first", "last")
+        ]).withColumn(_PDATE, F.to_date("bucket_ts"))
+        materialized = folded.localCheckpoint(eager=True)
+        materialized.write.partitionBy(_PDATE).mode("overwrite").parquet(
+            f"{staged}/batch_id={fold_id}"
+        )
+        if _crash_after_fold:
+            crashed = True
+            return True
+        # Step 4: the commit point.
+        _write_compaction_log(
+            spark, staged,
+            log + [{"fold_id": fold_id, "superseded": sorted(committed)}],
+        )
+        if _crash_after_log:
+            crashed = True
+            return True
+        # Step 5: delete superseded dirs.
+        for d in committed.values():
+            fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+        return True
+    finally:
+        if not crashed:
+            _release_compaction_lease(spark, staged)
 
 
 def maintain_sample_by_view(

@@ -244,11 +244,19 @@ def list_partitions(spark: SparkSession, path: str, ts_col: str) -> list[str]:
 
     A directory listing through the Hadoop FileSystem that owns ``path``
     (local in tests, hdfs/s3a/gs/abfs on a cluster) — never a data scan.
+
+    A missing or not-yet-written table is an EMPTY table here, not an
+    error: retention (``drop_partitions`` / ``enforce_ttl``) is
+    idempotent by contract, so re-running it after every partition was
+    dropped — or before the first write landed — must be a no-op, not a
+    raw ``FileNotFoundException`` out of py4j.
     """
     pcol = ts_col + PARTITION_SUFFIX
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
     prefix = pcol + "="
     out = []
     for status in fs.listStatus(hpath):

@@ -1718,8 +1718,10 @@ def test_matview_compaction_crash_before_log_commit(spark, tmp_path):
         map(tuple, read_sample_by_view(spark, path).collect())
     ) == want
     # Re-running compaction recovers: the unclaimed fold is discarded,
-    # the originals fold into a fresh base, the view is untouched.
-    compact_staged_batches(spark, path)
+    # the originals fold into a fresh base, the view is untouched. The
+    # dead holder's lease is still on disk — lease_ttl_sec=0 makes it
+    # immediately stale, exercising the takeover rule.
+    assert compact_staged_batches(spark, path, lease_ttl_sec=0.0)
     ids = {
         r[0]
         for r in spark.read.option("basePath", _staged_dir(path))
@@ -1767,8 +1769,9 @@ def test_matview_compaction_interleaved_refresh_not_lost(spark, tmp_path):
     ) == want
     # The compactor "resumes" (re-run): finishes the logged deletes,
     # then folds {previous fold, batch 3} into a fresh base. Nothing
-    # lost, nothing doubled.
-    compact_staged_batches(spark, path)
+    # lost, nothing doubled. The crashed holder's lease is taken over
+    # via lease_ttl_sec=0 (immediately stale).
+    assert compact_staged_batches(spark, path, lease_ttl_sec=0.0)
     ids = {
         r[0]
         for r in spark.read.option("basePath", _staged_dir(path))
@@ -1821,6 +1824,205 @@ def test_matview_compaction_skips_uncommitted_batch_dir(spark, tmp_path):
     assert sorted(
         map(tuple, read_sample_by_view(spark, path).collect())
     ) == want
+
+
+def test_matview_compactor_lease_mutual_exclusion(spark, tmp_path):
+    """Round-9 verdict task #4: two compactors can't race the shared
+    log. A second compactor finding a live lease no-ops (returns False,
+    staged dirs untouched); after release it proceeds; a STALE lease
+    (crashed holder) is taken over under lease_ttl_sec."""
+    from questdb_etl_jobs_spark.operators import matview as mv
+
+    df = _mv_rows(spark)
+    path = str(tmp_path / "mv")
+    for i in range(3):
+        mv.refresh_sample_by_view_exactly_once(
+            spark, df.filter(F.hour("ts") % 3 == i), path, i,
+            "ts", "day", "v", ["k"],
+        )
+    staged = mv._staged_dir(path)
+    # First "compactor" holds the lease (acquired out-of-band, as if
+    # mid-protocol in another process).
+    assert mv._acquire_compaction_lease(spark, staged, 600.0)
+    ids_before = {
+        r[0]
+        for r in spark.read.option("basePath", staged)
+        .parquet(staged).select("batch_id").distinct().collect()
+    }
+    # Second compactor: live lock → no-op, nothing folded or deleted.
+    assert mv.compact_staged_batches(spark, path) is False
+    ids_after = {
+        r[0]
+        for r in spark.read.option("basePath", staged)
+        .parquet(staged).select("batch_id").distinct().collect()
+    }
+    assert ids_after == ids_before == {0, 1, 2}
+    # Holder releases → compaction proceeds and folds.
+    mv._release_compaction_lease(spark, staged)
+    assert mv.compact_staged_batches(spark, path) is True
+    ids = {
+        r[0]
+        for r in spark.read.option("basePath", staged)
+        .parquet(staged).select("batch_id").distinct().collect()
+    }
+    assert ids == {-1}
+    # Crashed-holder takeover: plant a lock, ttl=0 makes it stale.
+    assert mv._acquire_compaction_lease(spark, staged, 600.0)
+    assert mv.compact_staged_batches(spark, path, lease_ttl_sec=0.0) is True
+
+
+def test_matview_compaction_log_is_versioned_never_absent(spark, tmp_path):
+    """Round-9 ADVICE (matview.py:287): the log commit must never pass
+    through a no-log state. Commits write monotonically versioned
+    files; the highest version wins; legacy unversioned logs read as
+    version 0 and are GC'd by the next commit."""
+    import json
+    import os
+
+    from questdb_etl_jobs_spark.operators import matview as mv
+
+    df = _mv_rows(spark)
+    path = str(tmp_path / "mv")
+    for i in range(3):
+        mv.refresh_sample_by_view_exactly_once(
+            spark, df.filter(F.hour("ts") % 3 == i), path, i,
+            "ts", "day", "v", ["k"],
+        )
+    staged = mv._staged_dir(path)
+    assert mv.compact_staged_batches(spark, path)
+    logs = [f for f in os.listdir(staged) if f.startswith("_compaction_log")]
+    assert logs == ["_compaction_log.1.json"]
+    # Second compaction (fold + one late batch): version bumps to 2 and
+    # version 1 is GC'd only after 2 exists — never zero logs on disk.
+    late = spark.createDataFrame(
+        [(_ts("2024-01-01 23:00:00"), "t", 99.0)],
+        "ts timestamp, k string, v double",
+    )
+    mv.refresh_sample_by_view_exactly_once(
+        spark, late, path, 3, "ts", "day", "v", ["k"]
+    )
+    assert mv.compact_staged_batches(spark, path)
+    logs = [f for f in os.listdir(staged) if f.startswith("_compaction_log")]
+    assert logs == ["_compaction_log.2.json"]
+    ver, entries = mv._read_compaction_log_versioned(spark, staged)
+    assert ver == 2 and len(entries) == 2
+    # Legacy unversioned file (round-9 layout) reads as version 0...
+    legacy_dir = tmp_path / "legacy__batches"
+    legacy_dir.mkdir()
+    (legacy_dir / "_compaction_log.json").write_text(
+        json.dumps([{"fold_id": -1, "superseded": [0, 1]}])
+    )
+    ver0, entries0 = mv._read_compaction_log_versioned(
+        spark, str(legacy_dir)
+    )
+    assert ver0 == 0 and entries0[0]["fold_id"] == -1
+    # ...and the next commit supersedes it with version 1, GC'ing it.
+    mv._write_compaction_log(spark, str(legacy_dir), entries0)
+    names = sorted(
+        f for f in os.listdir(legacy_dir) if f.startswith("_compaction_log")
+    )
+    assert names == ["_compaction_log.1.json"]
+
+
+def test_matview_refresh_stable_snapshot_under_compaction_race(
+    spark, tmp_path, monkeypatch
+):
+    """Round-9 ADVICE (matview.py:313): a compactor's fold+log commit
+    landing BETWEEN the refresh's log read and dir listing must not
+    drop the superseded batches from the recompute. The log→list→log
+    sandwich detects the torn snapshot and re-resolves."""
+    from questdb_etl_jobs_spark.operators import matview as mv
+
+    df = _mv_rows(spark)
+    path = str(tmp_path / "mv")
+    for i in range(3):
+        mv.refresh_sample_by_view_exactly_once(
+            spark, df.filter(F.hour("ts") % 3 == i), path, i,
+            "ts", "day", "v", ["k"],
+        )
+    staged = mv._staged_dir(path)
+    # Pre-compaction snapshot = what a torn reader would see.
+    pre_log = mv._read_compaction_log_versioned(spark, staged)
+    pre_committed = dict(mv._committed_batch_dirs(spark, staged))
+    # Compactor commits its fold + log; deletes pending (originals
+    # linger) — the exact window the ADVICE describes.
+    mv.compact_staged_batches(spark, path, _crash_after_log=True)
+    real_log = mv._read_compaction_log_versioned
+    real_list = mv._committed_batch_dirs
+    calls = {"log": 0, "list": 0}
+
+    def torn_log(spark_, staged_):
+        calls["log"] += 1
+        return pre_log if calls["log"] == 1 else real_log(spark_, staged_)
+
+    def torn_list(spark_, staged_):
+        calls["list"] += 1
+        if calls["list"] == 1:
+            return dict(pre_committed)  # stale: fold dir missing
+        return real_list(spark_, staged_)
+
+    monkeypatch.setattr(mv, "_read_compaction_log_versioned", torn_log)
+    monkeypatch.setattr(mv, "_committed_batch_dirs", torn_list)
+    late = spark.createDataFrame(
+        [(_ts("2024-01-01 23:00:00"), "t", 99.0)],
+        "ts timestamp, k string, v double",
+    )
+    mv.refresh_sample_by_view_exactly_once(
+        spark, late, path, 3, "ts", "day", "v", ["k"]
+    )
+    assert calls["log"] >= 3  # torn snapshot was detected and retried
+    want = _mv_reference(spark, df.union(late), tmp_path, "mv_ref")
+    assert sorted(
+        map(tuple, mv.read_sample_by_view(spark, path).collect())
+    ) == want
+
+
+def test_matview_refresh_descriptive_error_without_success_marker(
+    spark, tmp_path, monkeypatch
+):
+    """Round-9 ADVICE (matview.py:178): with _SUCCESS markers disabled
+    (mapreduce.fileoutputcommitter.marksuccessfuljobs=false) every
+    staged dir is invisible; the refresh must fail with an error that
+    names the marker requirement, not an opaque empty-parquet error."""
+    import pytest
+
+    from questdb_etl_jobs_spark.operators import matview as mv
+
+    df = _mv_rows(spark)
+    path = str(tmp_path / "mv")
+    hconf = spark._jsc.hadoopConfiguration()
+    saved = hconf.get("mapreduce.fileoutputcommitter.marksuccessfuljobs")
+    hconf.set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+    try:
+        with pytest.raises(RuntimeError, match="_SUCCESS"):
+            mv.refresh_sample_by_view_exactly_once(
+                spark, df, path, 0, "ts", "day", "v", ["k"]
+            )
+    finally:
+        if saved is None:
+            hconf.unset("mapreduce.fileoutputcommitter.marksuccessfuljobs")
+        else:
+            hconf.set(
+                "mapreduce.fileoutputcommitter.marksuccessfuljobs", saved
+            )
+
+
+def test_retention_missing_table_is_noop(spark, tmp_path):
+    """Round-9 ADVICE (designated.py:472): retention against a missing
+    or fully-dropped table is an idempotent no-op, not a raw
+    FileNotFoundException."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        drop_partitions,
+        enforce_ttl,
+        list_partitions,
+    )
+
+    ghost = str(tmp_path / "never_written")
+    assert list_partitions(spark, ghost, "ts") == []
+    assert drop_partitions(
+        spark, ghost, "ts", older_than="2024-06-01"
+    ) == []
+    assert enforce_ttl(spark, ghost, "ts", 7, "2024-06-01") == []
 
 
 def test_matview_refresh_raises_on_unreadable_existing_view(spark, tmp_path):

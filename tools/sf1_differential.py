@@ -589,26 +589,48 @@ def merge_summaries(prev: dict, new: dict) -> dict:
     the disclosed runs folded in; every per-run series is kept."""
     merged = dict(new)
     queries: dict[str, dict] = {}
-    for label, ntiers in new["queries"].items():
-        ptiers = prev.get("queries", {}).get(label)
+    # UNION of labels and tier tags from BOTH artifacts (round-9
+    # ADVICE): a query or cell present only in the previous artifact —
+    # e.g. an sf100 shape cell from a run the new one produced with
+    # --skip-sf10 — is carried through unchanged, never silently
+    # dropped.
+    prev_queries = prev.get("queries", {})
+    for label in list(new["queries"]) + [
+        q for q in prev_queries if q not in new["queries"]
+    ]:
+        ntiers = new["queries"].get(label)
+        ptiers = prev_queries.get(label)
         if not ptiers:
             queries[label] = ntiers
             continue
+        if not ntiers:
+            queries[label] = ptiers
+            continue
         out: dict[str, dict] = {}
-        for tag, cell in ntiers.items():
-            if tag == "fit":
-                continue
+        tags = [t for t in ntiers if t != "fit"] + [
+            t for t in ptiers if t not in ntiers and t != "fit"
+        ]
+        for tag in tags:
+            cell = ntiers.get(tag)
             pcell = ptiers.get(tag)
+            if cell is None:  # prev-only cell: carry through unchanged
+                out[tag] = pcell
+                continue
             if not isinstance(cell, dict) or not isinstance(pcell, dict):
                 out[tag] = cell
                 continue
             base_tag = tag.split("_")[0] if "_" in tag else None
             if base_tag in TIERS:  # layout shape cell (e.g. sf10_bucketed)
-                duck_base = min(
-                    ntiers[base_tag]["duckdb_sec"],
-                    ptiers.get(base_tag, ntiers[base_tag])["duckdb_sec"],
+                bases = [
+                    t[base_tag]["duckdb_sec"]
+                    for t in (ntiers, ptiers)
+                    if isinstance(t.get(base_tag), dict)
+                ]
+                out[tag] = (
+                    _merge_cell(pcell, cell, min(bases))
+                    if bases
+                    else _merge_cell(pcell, cell)
                 )
-                out[tag] = _merge_cell(pcell, cell, duck_base)
             else:
                 out[tag] = _merge_cell(pcell, cell)
         _refit(out)
