@@ -104,7 +104,6 @@ _PRIORITY: tuple[str, ...] = (
     "q50_fingerprint",            # EXT text
     "q51_multimodal_decode",      # U2 multimodal
     "q53_udaf_geomean",           # U3
-    "q55_from_json",              # F9
     "q58_lang_id_confusion",      # EXT text
     "q61_csv_sink_roundtrip",     # S5
     "q63_session_window",         # R3
@@ -122,6 +121,11 @@ _PRIORITY: tuple[str, ...] = (
     "q157_tdigest_quantiles",     # A3 A5 U2 (mergeable t-digest sketch)
     "q164_cusum_drift",           # W2 W3 F7 (CUSUM closed form)
     "q145_ema_stream_replay",     # R1 R6 U2 W2 (stateful streaming EMA)
+    # Round-10 rotation (VERDICT r9 task #5): q55 ceded its slot — its
+    # only id, F9, stays covered in-window by q42 — so the streaming
+    # near-dup admission gate (R5 + the LSH dedup path under an exact
+    # brute-force Jaccard oracle) joins the hard signal.
+    "q167_stream_dedup_admit",    # R1 R5 R6 U4 J4 EXT (admission gate)
 )
 
 

@@ -2769,3 +2769,98 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q169 — retention DDL via the QuestDB dialect (DROP PARTITION WHERE /
+#        LIST + SET TTL as SQL strings)
+# ---------------------------------------------------------------------------
+#
+# Round-9 verdict task #7: q168 proved the retention OPERATOR
+# (plans/designated.py:drop_partitions/enforce_ttl); this query proves
+# the QuestDB-native SPELLING (``ALTER TABLE … DROP PARTITION WHERE
+# timestamp < '…'`` / ``DROP PARTITION LIST '…'`` / ``SET TTL n DAYS``,
+# the lifecycle DDL of the reference's table family,
+# sql/create-table.sql:1) lowers onto it through sql/dialect.questdb_ddl.
+# Each statement's return (the dates it dropped) is cross-checked inside
+# the callable against a relational expectation computed from the data
+# itself — a mis-parsed cutoff, a TTL anchored at the wrong as_of, or a
+# LIST that deletes a survivor raises before the differential even runs;
+# the oracle then recomputes the surviving aggregate relationally.
+# SET TTL enforces against the table's newest partition date (QuestDB
+# evaluates TTL against the most recent timestamp): 22 days back from
+# 2024-01-30 keeps days >= 01-08.
+
+_Q169_ORACLE = """
+WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events
+),
+mx AS (SELECT MAX(CAST(ts AS DATE)) AS md FROM e),
+kept AS (
+  SELECT e.ts, e.user_id, e.value FROM e, mx
+  WHERE CAST(e.ts AS DATE) >= DATE '2024-01-05'
+    AND CAST(e.ts AS DATE) <> DATE '2024-01-20'
+    AND CAST(e.ts AS DATE) >= mx.md - 22
+)
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM kept GROUP BY day ORDER BY day
+"""
+
+
+@dq("q169_retention_dialect_ddl", oracle=_Q169_ORACLE,
+    covers="S6,O1,A1,A2,EXT")
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+    import shutil as _shutil
+
+    from questdb_etl_jobs_spark.plans.designated import write_designated_ts
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    path = "/tmp/spark_graft_q169_retention_sql"
+    _shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    write_designated_ts(ev, path, "ts", mode="overwrite")
+    tables = {"retained_events": path}
+
+    days = sorted(
+        r[0].isoformat()
+        for r in ev.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    d1 = questdb_ddl(
+        spark,
+        "ALTER TABLE retained_events DROP PARTITION "
+        "WHERE ts < '2024-01-05T06:00:00';",
+        tables,
+    )
+    assert d1 == [d for d in days if d < "2024-01-05"], d1
+    d2 = questdb_ddl(
+        spark,
+        "ALTER TABLE retained_events DROP PARTITION LIST '2024-01-20'",
+        tables,
+    )
+    assert d2 == [d for d in days if d == "2024-01-20"], d2
+    d3 = questdb_ddl(
+        spark, "ALTER TABLE retained_events SET TTL 22 DAYS", tables
+    )
+    ttl_cut = (
+        _dt.date.fromisoformat(days[-1]) - _dt.timedelta(days=22)
+    ).isoformat()
+    assert d3 == [
+        d for d in days if "2024-01-05" <= d < ttl_cut
+    ], (d3, ttl_cut)
+
+    kept = spark.read.parquet(path)
+    return (
+        kept.groupBy(
+            F.date_format(F.col("ts_pdate"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("users"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .orderBy("day")
+    )

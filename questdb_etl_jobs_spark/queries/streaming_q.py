@@ -1058,7 +1058,7 @@ def _q167_oracle() -> str:
 
 
 @dq("q167_stream_dedup_admit", oracle=_q167_oracle,
-    covers="R1,R6,U4,J4,EXT")
+    covers="R1,R5,R6,U4,J4,EXT")
 def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the mutated corpus through the streaming admission gate;
     return the admitted doc_ids (docstring above for semantics)."""

@@ -745,3 +745,191 @@ def questdb_sql(
     if leftover.strip():
         raise QuestDBSQLError(f"unsupported fragment: {leftover.strip()!r}")
     return df
+
+
+# ---------------------------------------------------------------------------
+# ALTER TABLE retention DDL (QuestDB data-lifecycle spellings)
+# ---------------------------------------------------------------------------
+
+_ALTER_DROP_WHERE_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s+"
+    r"DROP\s+PARTITION\s+WHERE\s+(?P<col>[A-Za-z_]\w*)\s*"
+    r"(?P<op><=?)\s*'(?P<lit>[^']+)'\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_LIST_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s+"
+    r"DROP\s+PARTITION\s+LIST\s+(?P<list>'[^']+'(?:\s*,\s*'[^']+')*)\s*$",
+    re.IGNORECASE,
+)
+_ALTER_SET_TTL_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s+"
+    r"SET\s+TTL\s+(?P<n>\d+)\s+(?P<unit>[A-Za-z]+)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _ddl_table_path(table: str, tables: dict[str, str]) -> tuple[str, str]:
+    name = table.strip().strip("'")
+    if name not in tables:
+        raise QuestDBSQLError(
+            f"unknown table {name!r}: retention DDL needs a table→path "
+            f"mapping (known: {sorted(tables)})"
+        )
+    return name, tables[name]
+
+
+def _ddl_ts_col(
+    spark: SparkSession, name: str, path: str, designated: dict[str, str]
+) -> str | None:
+    """Designated-ts column of a retention target, or ``None`` when the
+    table is missing/empty (every partition already dropped) — the
+    caller no-ops, keeping retention idempotent after a full drop."""
+    from questdb_etl_jobs_spark.plans.designated import infer_designated_ts
+
+    if name in designated:
+        return designated[name]
+    try:
+        columns = spark.read.parquet(path).columns
+    except Exception:
+        return None  # missing dir or no readable files: empty table
+    ts = infer_designated_ts(columns)
+    if ts is None:
+        raise QuestDBSQLError(
+            f"table {name!r} has no designated timestamp (pass it via "
+            "the designated mapping, or write the table with "
+            "write_designated_ts)"
+        )
+    return ts
+
+
+def questdb_ddl(
+    spark: SparkSession,
+    sql: str,
+    tables: dict[str, str],
+    designated: dict[str, str] | None = None,
+) -> list[str]:
+    """Execute a QuestDB retention DDL string against a designated-ts
+    table on disk, lowering onto :mod:`plans.designated`:
+
+    =============================================  =======================
+    QuestDB statement                              Lowering
+    =============================================  =======================
+    ``ALTER TABLE t DROP PARTITION WHERE ts < 'x'``  ``drop_partitions
+                                                     (older_than=x)``
+    ``ALTER TABLE t DROP PARTITION LIST 'd', ...``   ``drop_partitions
+                                                     (partition_list=…)``
+    ``ALTER TABLE t SET TTL n DAYS|WEEKS``           ``enforce_ttl`` with
+                                                     ``as_of`` = the
+                                                     table's newest
+                                                     partition date
+    =============================================  =======================
+
+    ``tables`` maps table name → storage path (QuestDB resolves this
+    from its own catalog; this engine's tables are paths). The
+    designated timestamp comes from ``designated`` or is inferred from
+    the ``<col>_pdate`` storage convention. Returns the partition dates
+    actually dropped (sorted), ``[]`` for a no-op — retention is a
+    directory-level operation and stays idempotent, so re-running any
+    statement is safe.
+
+    Scope is explicit, mirroring :func:`questdb_sql`'s contract: the
+    WHERE form accepts ``<designated_ts> < '<ISO literal>'`` only
+    (QuestDB's partition-drop predicate over the designated timestamp;
+    ``<=`` of a pure date literal is the same whole-day semantics and
+    accepted), LIST takes ``YYYY-MM-DD`` literals, and TTL units are
+    DAY(S)/WEEK(S) — HOUR/MONTH/YEAR TTLs don't land on this engine's
+    day-granular partition directories and raise rather than
+    approximate. SET TTL here ENFORCES the policy once against the
+    table's current newest partition (QuestDB evaluates TTL against the
+    most recent timestamp on ingest); wire it into the ingest path for
+    continuous enforcement.
+    """
+    import datetime as _dt
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        drop_partitions,
+        enforce_ttl,
+        list_partitions,
+    )
+
+    designated = designated or {}
+    text = sql.strip().rstrip(";").strip()
+
+    m = _ALTER_DROP_WHERE_RE.match(text)
+    if m:
+        name, path = _ddl_table_path(m.group("table"), tables)
+        ts_col = _ddl_ts_col(spark, name, path, designated)
+        if ts_col is None:
+            return []
+        if m.group("col").lower() != ts_col.lower():
+            raise QuestDBSQLError(
+                f"DROP PARTITION WHERE must predicate the designated "
+                f"timestamp {ts_col!r}, got {m.group('col')!r}"
+            )
+        lit = m.group("lit").strip().replace("T", " ")
+        try:
+            cutoff = _dt.datetime.fromisoformat(lit)
+        except ValueError as exc:
+            raise QuestDBSQLError(
+                f"unsupported DROP PARTITION literal {m.group('lit')!r} "
+                "(ISO date/timestamp expected)"
+            ) from exc
+        if m.group("op") == "<=":
+            # '<= <pure date>' drops that whole day too; a timestamp
+            # with time-of-day under <= is ambiguous at partition
+            # granularity — refuse rather than guess.
+            if cutoff != _dt.datetime.combine(
+                cutoff.date(), _dt.time.min
+            ):
+                raise QuestDBSQLError(
+                    "DROP PARTITION WHERE <= needs a pure date literal "
+                    "(partition granularity is a day)"
+                )
+            cutoff = cutoff + _dt.timedelta(days=1)
+        return drop_partitions(spark, path, ts_col, older_than=cutoff)
+
+    m = _ALTER_DROP_LIST_RE.match(text)
+    if m:
+        name, path = _ddl_table_path(m.group("table"), tables)
+        ts_col = _ddl_ts_col(spark, name, path, designated)
+        if ts_col is None:
+            return []
+        dates = [
+            d.strip().strip("'") for d in _split_items(m.group("list"))
+        ]
+        for d in dates:
+            try:
+                _dt.date.fromisoformat(d)
+            except ValueError as exc:
+                raise QuestDBSQLError(
+                    f"DROP PARTITION LIST entry {d!r} is not YYYY-MM-DD"
+                ) from exc
+        return drop_partitions(spark, path, ts_col, partition_list=dates)
+
+    m = _ALTER_SET_TTL_RE.match(text)
+    if m:
+        name, path = _ddl_table_path(m.group("table"), tables)
+        ts_col = _ddl_ts_col(spark, name, path, designated)
+        if ts_col is None:
+            return []
+        unit = m.group("unit").upper()
+        if unit in ("DAY", "DAYS"):
+            days = int(m.group("n"))
+        elif unit in ("WEEK", "WEEKS"):
+            days = 7 * int(m.group("n"))
+        else:
+            raise QuestDBSQLError(
+                f"SET TTL unit {m.group('unit')!r} unsupported: this "
+                "engine's partitions are day directories — use DAYS or "
+                "WEEKS"
+            )
+        existing = list_partitions(spark, path, ts_col)
+        if not existing:
+            return []
+        return enforce_ttl(spark, path, ts_col, days, existing[-1])
+
+    raise QuestDBSQLError(
+        f"unsupported DDL statement: {text!r} (supported: ALTER TABLE "
+        "… DROP PARTITION WHERE/LIST, ALTER TABLE … SET TTL n DAYS)"
+    )

@@ -595,3 +595,121 @@ def test_having_filters_aggregates(spark, trades):
         "SELECT sym, count() n FROM trades WHERE qty > 150 GROUP BY sym",
         {"trades": "ts"}).collect() if r.n > 1}
     assert got and got == exact
+
+
+# ---------------------------------------------------------------------------
+# Retention DDL: ALTER TABLE … DROP PARTITION WHERE / LIST, SET TTL
+# ---------------------------------------------------------------------------
+
+
+def _retention_table(spark, tmp_path, name="t"):
+    from questdb_etl_jobs_spark.plans.designated import write_designated_ts
+
+    rows = [
+        (datetime(2024, 1, d, h, 0), f"u{d % 3}", float(d * 10 + h))
+        for d in range(1, 11)
+        for h in (0, 12)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, k string, v double")
+    path = str(tmp_path / name)
+    write_designated_ts(df, path, "ts", mode="overwrite")
+    return path
+
+
+def test_ddl_drop_partition_where(spark, tmp_path):
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    path = _retention_table(spark, tmp_path)
+    dropped = questdb_ddl(
+        spark,
+        "ALTER TABLE t DROP PARTITION WHERE ts < '2024-01-04T09:00:00';",
+        {"t": path},
+    )
+    # Whole days strictly before the cutoff; the partially-covered
+    # 01-04 survives (QuestDB partition-granularity semantics).
+    assert dropped == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    days = {
+        r[0].isoformat()
+        for r in spark.read.parquet(path)
+        .select(F.to_date("ts")).distinct().collect()
+    }
+    assert min(days) == "2024-01-04" and len(days) == 7
+
+
+def test_ddl_drop_partition_where_le_date(spark, tmp_path):
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    path = _retention_table(spark, tmp_path)
+    dropped = questdb_ddl(
+        spark,
+        "ALTER TABLE t DROP PARTITION WHERE ts <= '2024-01-03'",
+        {"t": path},
+    )
+    assert dropped == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    # <= with a time-of-day is ambiguous at day granularity: refused.
+    with pytest.raises(QuestDBSQLError, match="pure date"):
+        questdb_ddl(
+            spark,
+            "ALTER TABLE t DROP PARTITION WHERE ts <= '2024-01-05T06:00:00'",
+            {"t": path},
+        )
+
+
+def test_ddl_drop_partition_list_idempotent(spark, tmp_path):
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    path = _retention_table(spark, tmp_path)
+    stmt = (
+        "ALTER TABLE t DROP PARTITION LIST '2024-01-02', '2024-01-07', "
+        "'2024-02-28'"
+    )
+    assert questdb_ddl(spark, stmt, {"t": path}) == [
+        "2024-01-02", "2024-01-07",
+    ]
+    # Re-run: every named dir already gone or never existed → no-op.
+    assert questdb_ddl(spark, stmt, {"t": path}) == []
+
+
+def test_ddl_set_ttl_anchors_at_newest_partition(spark, tmp_path):
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    path = _retention_table(spark, tmp_path)
+    # Newest partition is 2024-01-10; TTL 3 days keeps >= 01-07.
+    dropped = questdb_ddl(
+        spark, "ALTER TABLE t SET TTL 3 DAYS", {"t": path}
+    )
+    assert dropped == [f"2024-01-0{d}" for d in range(1, 7)]
+    # WEEKS lowers to 7n days; everything already inside → no-op.
+    assert questdb_ddl(spark, "ALTER TABLE t SET TTL 1 WEEK", {"t": path}) == []
+
+
+def test_ddl_errors_are_loud_and_specific(spark, tmp_path):
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    path = _retention_table(spark, tmp_path)
+    with pytest.raises(QuestDBSQLError, match="unknown table"):
+        questdb_ddl(
+            spark, "ALTER TABLE ghost SET TTL 3 DAYS", {"t": path}
+        )
+    with pytest.raises(QuestDBSQLError, match="designated"):
+        questdb_ddl(
+            spark,
+            "ALTER TABLE t DROP PARTITION WHERE k < '2024-01-03'",
+            {"t": path},
+        )
+    with pytest.raises(QuestDBSQLError, match="DAYS or"):
+        questdb_ddl(spark, "ALTER TABLE t SET TTL 2 MONTHS", {"t": path})
+    with pytest.raises(QuestDBSQLError, match="unsupported DDL"):
+        questdb_ddl(spark, "ALTER TABLE t ADD COLUMN x INT", {"t": path})
+    with pytest.raises(QuestDBSQLError, match="ISO"):
+        questdb_ddl(
+            spark,
+            "ALTER TABLE t DROP PARTITION WHERE ts < 'dateadd(d,-3,now())'",
+            {"t": path},
+        )
+    # A fully-dropped table stays a no-op (idempotence contract).
+    questdb_ddl(
+        spark, "ALTER TABLE t DROP PARTITION WHERE ts < '2030-01-01'",
+        {"t": path},
+    )
+    assert questdb_ddl(spark, "ALTER TABLE t SET TTL 1 DAY", {"t": path}) == []
