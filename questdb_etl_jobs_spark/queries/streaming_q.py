@@ -819,9 +819,10 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
 # once with a NULL confirm id. NULL emission is gated on SETTLEDNESS
 # (both watermarks past left_ts + tolerance), so the replay appends one
 # sentinel row per side dated a day beyond the last real event to push
-# the watermark across the whole tail, and drains eviction with a
-# second availableNow pass on the same checkpoint (the first pass's
-# final watermark is only acted on by the next planned micro-batch).
+# the watermark across the whole tail, and drains eviction through
+# stream_join.replay_settled (which owns the same-checkpoint double
+# pass: the first pass's final watermark is only acted on by the next
+# planned micro-batch).
 # The CPython oracle brute-forces per-item matched-pair and unmatched-
 # row counts over the same rows, so both faces of the outer semantics
 # (multiplicity AND the NULL tail) are value-checked.
@@ -874,6 +875,7 @@ def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; count matched pairs and settled NULL rows per item."""
     from questdb_etl_jobs_spark.streaming.stream_join import (
         interval_stream_join,
+        replay_settled,
     )
 
     work = tempfile.mkdtemp(prefix="q166_ssleft_")
@@ -937,20 +939,13 @@ def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
             tolerance="30 minutes", on=["item_id"], how="left_outer",
         )
 
-        def run_pass() -> None:
-            q = (
-                joined.select("item_id", "row_id", "c_row_id")
-                .writeStream.format("parquet")
-                .option("path", f"{work}/out")
-                .option("checkpointLocation", f"{work}/ckpt")
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(300)
-
-        run_pass()
-        run_pass()  # drain: evict-and-emit acts on the final watermark
+        # replay_settled owns the two-pass drain: the first pass's
+        # final watermark is only acted on by the next planned batch.
+        replay_settled(
+            joined.select("item_id", "row_id", "c_row_id"),
+            out_path=f"{work}/out",
+            checkpoint_path=f"{work}/ckpt",
+        )
         rows_out = (
             spark.read.parquet(f"{work}/out")
             .filter(F.col("item_id") >= 0)

@@ -148,3 +148,54 @@ def asof_stream_join(
         *[c for c in left.columns if c != left_ts],
         *[F.col(f"__m.{c}").alias(c) for c in payload_cols],
     )
+
+
+def replay_settled(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    timeout_sec: float = 300.0,
+    passes: int = 2,
+) -> None:
+    """Drain a BOUNDED replay of a watermarked streaming DataFrame to a
+    parquet sink until its event-time tail is settled.
+
+    The eviction-timing idiom the left-outer interval join needs, owned
+    here so callers don't rediscover it (round-9 verdict task #6): an
+    ``availableNow`` pass computes its final watermark at the END of its
+    last micro-batch, and state eviction — which is what EMITS a
+    left-outer NULL row or a closing aggregate — only acts on that
+    watermark in the NEXT planned micro-batch. A single pass therefore
+    leaves the final watermark's evictions sitting in the state store;
+    re-running on the SAME checkpoint plans one more (possibly empty)
+    batch whose eviction step flushes them. Two passes settle any
+    single-stage stateful plan; deeper chains (e.g. join → windowed agg,
+    each holding back one watermark's worth) can pass ``passes=3+``.
+
+    Callers still own INPUT settledness: the watermark only crosses the
+    last real event if something later arrives, so bounded replays
+    append a sentinel row per side dated beyond ``max(ts) + tolerance``
+    (filter it from the output). This helper owns the drain; the
+    sentinel stays with input construction, which knows the schema.
+
+    Raises ``TimeoutError`` if any pass outlives ``timeout_sec`` —
+    a hung replay must fail loudly, not return a half-drained result
+    that reads as wrong data downstream.
+    """
+    if passes < 1:
+        raise ValueError("passes must be >= 1")
+    for i in range(passes):
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint_path)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"replay_settled pass {i + 1}/{passes} exceeded "
+                f"{timeout_sec}s"
+            )

@@ -1477,3 +1477,90 @@ def test_maintain_dedup_corpus_admits_only_novel(spark, tmp_path):
     assert len(row.signature) == 32 and len(row["__sh"]) > 0
     # Admitted text survives untouched in the corpus.
     assert corpus.filter("doc_id = 1").head().text == base
+
+
+def test_replay_settled_drains_left_outer_null_tail(spark, tmp_path):
+    """replay_settled owns q166's drain idiom: after it returns, the
+    left-outer interval join's NULL-extended rows — which a single
+    availableNow pass leaves stuck in the state store (eviction acts on
+    the final watermark only in the NEXT planned batch) — are in the
+    sink. A one-pass replay of the same inputs misses them."""
+    import csv as _csv
+    import os as _os
+
+    import pytest
+
+    from questdb_etl_jobs_spark.streaming.stream_join import (
+        interval_stream_join,
+        replay_settled,
+    )
+
+    def stage_inputs(base):
+        left_dir, right_dir = base / "left", base / "right"
+        left_dir.mkdir(parents=True), right_dir.mkdir(parents=True)
+        # q166's replay shape: one file per micro-batch, sentinel rows
+        # in their own FINAL file so the last data-bearing batch's
+        # watermark advance is what must get drained.
+        # Row 1 has a confirm 5 min later (inside ±30 min); row 2 none.
+        lfiles = [
+            [(1, 1, "2024-01-01T00:00:00"), (1, 2, "2024-01-01T03:00:00")],
+            [(-1, -1, "2024-01-03T00:00:00")],  # sentinel: settle tail
+        ]
+        rfiles = [
+            [(1, 101, "2024-01-01T00:05:00")],
+            [(-1, -101, "2024-01-03T00:00:00")],  # sentinel
+        ]
+        for d, files in ((left_dir, lfiles), (right_dir, rfiles)):
+            for i, rows in enumerate(files):
+                with open(d / f"in{i}.csv", "w", newline="") as fh:
+                    _csv.writer(fh).writerows(rows)
+                _os.utime(
+                    d / f"in{i}.csv",
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+        left = (
+            spark.readStream.schema("item_id int, row_id int, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .csv(str(left_dir))
+        )
+        right = (
+            spark.readStream.schema(
+                "item_id int, c_row_id int, c_ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .csv(str(right_dir))
+        )
+        return interval_stream_join(
+            left, right, left_ts="ts", right_ts="c_ts",
+            tolerance="30 minutes", on=["item_id"], how="left_outer",
+        ).select("item_id", "row_id", "c_row_id")
+
+    # Settled: both left rows out, row 2 NULL-extended exactly once.
+    joined = stage_inputs(tmp_path / "a")
+    replay_settled(
+        joined, str(tmp_path / "a_out"), str(tmp_path / "a_ckpt")
+    )
+    got = {
+        (r.row_id, r.c_row_id)
+        for r in spark.read.parquet(str(tmp_path / "a_out"))
+        .filter("item_id >= 0").collect()
+    }
+    assert got == {(1, 101), (2, None)}
+
+    # Exactly-once on the sink: re-draining the SAME checkpoint plans
+    # no new data and appends nothing — the helper is safe to re-run
+    # after a crash without duplicating settled rows. (Whether ONE pass
+    # happens to drain depends on Spark's no-data-batch scheduling and
+    # the input's batch shape — q166 at replay scale needs the second
+    # pass — so the helper's contract is post-state, not pass count.)
+    replay_settled(
+        joined, str(tmp_path / "a_out"), str(tmp_path / "a_ckpt")
+    )
+    rows_after = (
+        spark.read.parquet(str(tmp_path / "a_out"))
+        .filter("item_id >= 0").count()
+    )
+    assert rows_after == len(got)
+
+    with pytest.raises(ValueError):
+        replay_settled(joined, "x", "y", passes=0)
