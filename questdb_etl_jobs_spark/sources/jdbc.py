@@ -7,12 +7,14 @@ parallel JDBC writer: N executors × batchsize-row inserts instead of one
 row per network round trip.
 
 No QuestDB (nor a Postgres JDBC driver) is present in the test
-environment, so this module only *builds* the writer; tests cover option
-construction, and the e2e path is exercised against the parquet
-designated-ts sink instead (plans/designated.py). The fully-verified
-network sink is the ILP twin (sources/ilp.py) — QuestDB's documented
-high-throughput ingest path, plain text over TCP, golden-tested here
-against a loopback socket server.
+environment, but Spark's own distribution ships Apache Derby (its Hive
+metastore backend), so the writer IS executed end-to-end in tests
+against ``jdbc:derby:memory:`` — same ``df.write.format("jdbc")`` code
+path, batched partition-parallel appends, write → read-back → value
+equality (tests/test_sinks.py). Only the PG-wire dialect specifics
+remain untested here; the fully-verified network sink is the ILP twin
+(sources/ilp.py) — QuestDB's documented high-throughput ingest path,
+plain text over TCP, golden-tested against a loopback socket server.
 """
 
 from __future__ import annotations
@@ -29,15 +31,19 @@ def jdbc_options(
     user: str = "admin",
     password: str = "quest",
     batchsize: int = 10_000,
+    driver: str = "org.postgresql.Driver",
 ) -> dict[str, str]:
     """JDBC writer options for a QuestDB table (pure — unit-testable
-    without a JVM or database)."""
+    without a JVM or database). ``driver`` defaults to the PG-wire
+    driver QuestDB speaks; tests swap in Derby's embedded driver
+    (shipped inside Spark's own distribution for the Hive metastore) to
+    execute the writer end-to-end with zero extra dependencies."""
     return {
         "url": url,
         "dbtable": table,
         "user": user,
         "password": password,
-        "driver": "org.postgresql.Driver",
+        "driver": driver,
         "batchsize": str(batchsize),
         "isolationLevel": "NONE",
     }
