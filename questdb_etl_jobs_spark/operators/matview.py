@@ -304,44 +304,133 @@ def _write_compaction_log(
         fs.delete(jvm.org.apache.hadoop.fs.Path(old_path), False)
 
 
+def _lock_token(jvm, fs, staged: str) -> str | None:
+    """Current holder token stored in ``_compaction.lock``, or None if
+    no lock exists (released, or mid-takeover)."""
+    try:
+        line = _read_lock_line(jvm, fs, f"{staged}/{_COMPACTION_LOCK}")
+    except Exception as exc:
+        if "FileNotFoundException" in str(exc):
+            return None
+        raise
+    return line
+
+
+def _read_lock_line(jvm, fs, path: str) -> str:
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(
+            fs.open(jvm.org.apache.hadoop.fs.Path(path)), "UTF-8"
+        )
+    )
+    try:
+        return reader.readLine() or ""
+    finally:
+        reader.close()
+
+
 def _acquire_compaction_lease(
     spark: SparkSession, staged: str, lease_ttl_sec: float
-) -> bool:
-    """Best-effort single-compactor lease: atomically create
-    ``_compaction.lock`` (``FileSystem.create`` with overwrite=false —
-    a single round trip that either creates or throws, on HDFS and
-    local paths alike). A live lock means another compactor holds the
-    lease → return False (caller no-ops; the next scheduled compaction
-    picks the work up). A lock whose modification time is older than
-    ``lease_ttl_sec`` is a CRASHED holder's leftovers — the fold/log/
-    delete protocol is crash-atomic on its own, so takeover is safe:
-    delete the stale lock and try the create once more."""
-    import time
+) -> str | None:
+    """Single-compactor lease: atomically create ``_compaction.lock``
+    (``FileSystem.create`` with overwrite=false — a single round trip
+    that either creates or throws, on HDFS and local paths alike) whose
+    body is a unique holder TOKEN, returned on success. A live lock
+    means another compactor holds the lease → return None (caller
+    no-ops; the next scheduled compaction picks the work up).
+
+    A lock whose modification time is older than ``lease_ttl_sec`` —
+    which :func:`_renew_compaction_lease` keeps fresh between protocol
+    steps for a live holder — is a CRASHED holder's leftovers. Takeover
+    claims it ATOMICALLY by renaming the stale lock to a taker-unique
+    tombstone: of N racing takers exactly one rename succeeds (rename
+    of a now-missing source returns false), so the delete-then-create
+    double-acquire window the round-10 ADVICE flagged cannot occur. The
+    winner deletes its tombstone and retries the create; losers fall
+    back to the next attempt and find the winner's fresh lock. Failures
+    from ``create`` other than already-exists re-raise — a transient
+    IO/RPC error is an error, not "lock held"."""
+    import uuid
 
     jvm, fs = _hadoop_fs(spark, staged)
     lock = jvm.org.apache.hadoop.fs.Path(f"{staged}/{_COMPACTION_LOCK}")
-    for _ in range(2):
+    token = uuid.uuid4().hex
+    for _ in range(3):
         try:
             stream = fs.create(lock, False)
             try:
-                stream.write(bytearray(b"compaction lease"))
+                stream.write(bytearray(token.encode("utf-8")))
             finally:
                 stream.close()
-            return True
-        except Exception:
+            return token
+        except Exception as exc:
+            msg = str(exc)
+            if (
+                "FileAlreadyExistsException" not in msg
+                and "already exists" not in msg.lower()
+            ):
+                raise
             try:
                 st = fs.getFileStatus(lock)
-            except Exception:
-                continue  # holder released between create and stat
+            except Exception as stat_exc:
+                if "FileNotFoundException" in str(stat_exc):
+                    continue  # holder released between create and stat
+                raise
+            import time
+
             age = time.time() - st.getModificationTime() / 1000.0
             if age <= lease_ttl_sec:
-                return False
-            fs.delete(lock, False)  # stale: take over, retry create
-    return False
+                return None
+            # Stale: atomic claim via rename-to-unique, then retry the
+            # create. A losing rename means another taker (or a holder
+            # release) got there first — loop and re-evaluate.
+            tomb = jvm.org.apache.hadoop.fs.Path(
+                f"{staged}/{_COMPACTION_LOCK}.expired.{token}"
+            )
+            if fs.rename(lock, tomb):
+                fs.delete(tomb, False)
+    return None
 
 
-def _release_compaction_lease(spark: SparkSession, staged: str) -> None:
+def _renew_compaction_lease(
+    spark: SparkSession, staged: str, token: str
+) -> None:
+    """Heartbeat + holdership check, called between protocol steps and
+    before every destructive one: verify ``_compaction.lock`` still
+    carries OUR token, then bump its mtime so a live-but-slow holder
+    never reads as stale at the next taker's TTL check. Raises
+    RuntimeError when the lease was lost — a taker claimed the lock
+    after an expiry this holder outlived — which aborts the protocol
+    BEFORE the log commit / deletes, so a lost fold dir is the worst
+    case (it reads as unclaimed and the next compaction GCs it; the
+    original staged dirs remain authoritative throughout)."""
+    import time
+
     jvm, fs = _hadoop_fs(spark, staged)
+    current = _lock_token(jvm, fs, staged)
+    if current != token:
+        raise RuntimeError(
+            f"compaction lease on {staged} lost: lock "
+            f"{'vanished' if current is None else 'claimed by another holder'}"
+            f" — aborting before any destructive step (size lease_ttl_sec "
+            "above the slowest single protocol step to avoid takeovers of "
+            "live holders)"
+        )
+    fs.setTimes(
+        jvm.org.apache.hadoop.fs.Path(f"{staged}/{_COMPACTION_LOCK}"),
+        int(time.time() * 1000),
+        -1,
+    )
+
+
+def _release_compaction_lease(
+    spark: SparkSession, staged: str, token: str | None = None
+) -> None:
+    """Drop the lease. With ``token``, only OUR lock is deleted — after
+    a TTL takeover the lock belongs to the taker, and deleting it would
+    hand a third compactor a free acquire."""
+    jvm, fs = _hadoop_fs(spark, staged)
+    if token is not None and _lock_token(jvm, fs, staged) != token:
+        return
     fs.delete(
         jvm.org.apache.hadoop.fs.Path(f"{staged}/{_COMPACTION_LOCK}"), False
     )
@@ -445,7 +534,18 @@ def refresh_sample_by_view_exactly_once(
         ver2, log2 = _read_compaction_log_versioned(spark, staged)
         if (ver1, log) != (ver2, log2):
             continue  # compactor committed mid-snapshot: re-resolve
-        if int(batch_id) not in committed:
+        # The just-staged batch may legitimately be absent from the
+        # listing if a concurrent compactor already folded it (listed
+        # it, committed its log, step-5-deleted the dir) — then some
+        # log entry's ``superseded`` claims it and the fold carries its
+        # content, so the recompute below still sees it exactly once.
+        # Only a batch in NEITHER place indicates the missing-_SUCCESS
+        # committer misconfiguration.
+        folded_away = {b for e in log for b in e["superseded"]}
+        if (
+            int(batch_id) not in committed
+            and int(batch_id) not in folded_away
+        ):
             raise RuntimeError(
                 f"staged batch_id={int(batch_id)} was just written to "
                 f"{staged} but is missing from the committed listing. "
@@ -526,12 +626,19 @@ def compact_staged_batches(
     until the log commit, via the fold after it. Concurrent REFRESHES
     are safe; concurrent COMPACTORS are fenced by a lease —
     ``_compaction.lock`` created atomically (``FileSystem.create`` with
-    overwrite=false) before step 1 and removed after step 5. A second
-    compactor finding a live lock returns ``False`` without touching
-    anything; a lock older than ``lease_ttl_sec`` is a crashed holder's
-    leftovers (the protocol is crash-atomic, so takeover is safe) and
-    is broken. Returns ``True`` when the lease was held and the
-    protocol ran (including the nothing-to-fold no-op). The
+    overwrite=false) before step 1 and removed after step 5, carrying a
+    holder token. A second compactor finding a live lock returns
+    ``False`` without touching anything. The holder HEARTBEATS the lock
+    (mtime renewal + token check) between protocol steps and before
+    every destructive one, so only a lock whose holder stopped renewing
+    for ``lease_ttl_sec`` — a genuinely dead process, not a slow fold —
+    reads as stale; takeover claims it by an atomic rename-to-unique
+    (exactly one of N racing takers wins), and a holder that WAS taken
+    over aborts at its next token check, before its log commit could
+    claim a fold whose originals the taker may fold independently.
+    Size ``lease_ttl_sec`` above the slowest single protocol step (the
+    fold), not the whole protocol. Returns ``True`` when the lease was
+    held and the protocol ran (including the nothing-to-fold no-op). The
     ``_crash_*`` keywords are test hooks that abort after the named
     step — simulating a dead process, so they LEAVE the lock in place;
     recovery runs take it over via the TTL rule.
@@ -539,7 +646,8 @@ def compact_staged_batches(
     staged = _staged_dir(path)
     if not _view_exists(spark, staged):
         return False
-    if not _acquire_compaction_lease(spark, staged, lease_ttl_sec):
+    token = _acquire_compaction_lease(spark, staged, lease_ttl_sec)
+    if token is None:
         return False
     crashed = False
     try:
@@ -557,6 +665,8 @@ def compact_staged_batches(
             fs.delete(jvm.org.apache.hadoop.fs.Path(committed.pop(bid)), True)
         if len(committed) < 2:
             return True  # nothing to fold
+        # Heartbeat after recovery, before the (long) fold.
+        _renew_compaction_lease(spark, staged, token)
         # Steps 2-3: fold the observed committed dirs into a fresh id.
         all_staged = spark.read.option("basePath", staged).parquet(
             *committed.values()
@@ -574,6 +684,13 @@ def compact_staged_batches(
         if _crash_after_fold:
             crashed = True
             return True
+        # Re-verify holdership AFTER the fold (the slowest step) and
+        # BEFORE the commit point: if a taker claimed the lease while
+        # the fold ran, abort here — the unclaimed fold dir is GC'd by
+        # the taker's step 1b and the originals stay authoritative.
+        # Committing blind would let two compactors' step-5 deletes
+        # destroy both copies of a batch.
+        _renew_compaction_lease(spark, staged, token)
         # Step 4: the commit point.
         _write_compaction_log(
             spark, staged,
@@ -582,13 +699,17 @@ def compact_staged_batches(
         if _crash_after_log:
             crashed = True
             return True
+        # Holdership check before the destructive step 5. Raising here
+        # is safe: the log already claims the fold, so the next
+        # compactor's step 1a finishes these deletes.
+        _renew_compaction_lease(spark, staged, token)
         # Step 5: delete superseded dirs.
         for d in committed.values():
             fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
         return True
     finally:
         if not crashed:
-            _release_compaction_lease(spark, staged)
+            _release_compaction_lease(spark, staged, token)
 
 
 def maintain_sample_by_view(

@@ -33,6 +33,7 @@ def write_designated_ts(
     ts_col: str,
     mode: str = "append",
     file_format: str = "parquet",
+    ttl_days: int | None = None,
 ) -> str:
     """Write ``df`` as a designated-timestamp table at ``path``.
 
@@ -41,6 +42,18 @@ def write_designated_ts(
     ``file_format`` is any columnar source with file-level stats —
     parquet (default) or orc; the convention (date partition dirs +
     in-file time order + min/max pruning) is format-agnostic.
+
+    ``ttl_days`` is QuestDB's evaluate-on-ingest ``SET TTL`` semantics
+    wired into the write path: after the write commits, every partition
+    older than ``ttl_days`` before the table's NEWEST partition is
+    dropped (:func:`enforce_ttl` with ``as_of`` = the newest partition
+    date — the table's most recent timestamp at day granularity, read
+    from the directory listing, no scan). Enforcement is post-commit
+    and idempotent, so a crash between write and enforcement just
+    leaves expired partitions for the next ingest to drop — rows age
+    out continuously as successive ingests advance the newest
+    partition, matching QuestDB's lifecycle rather than a one-shot
+    statement-time enforcement.
     """
     pcol = ts_col + PARTITION_SUFFIX
     # Sort key MUST lead with the partition column: FileFormatWriter
@@ -56,6 +69,11 @@ def write_designated_ts(
         .format(file_format)
         .save(path)
     )
+    if ttl_days is not None:
+        spark = df.sparkSession
+        existing = list_partitions(spark, path, ts_col)
+        if existing:
+            enforce_ttl(spark, path, ts_col, ttl_days, existing[-1])
     return pcol
 
 
@@ -285,9 +303,15 @@ def drop_partitions(
 
     ``older_than`` drops partitions at DAY granularity: a directory is
     dropped iff its whole day lies strictly before the cutoff, so a
-    cutoff with a time-of-day keeps the partially-covered day (QuestDB
-    semantics: a partition is dropped only when the predicate holds for
-    the partition, and the active partition is refused). ``partition_list``
+    cutoff with a time-of-day KEEPS the partially-covered day. This is
+    a deliberate, conservative DIVERGENCE from QuestDB, which evaluates
+    the WHERE predicate against the partition timestamp (the
+    partition's start) and therefore drops the partial day too
+    (``ts < '2024-01-05T06:00'`` drops the 2024-01-05 partition
+    upstream, keeps it here — this engine never deletes rows the
+    predicate doesn't cover). A port from QuestDB retains one extra
+    day per mid-day cutoff; floor the cutoff to the partition start to
+    reproduce upstream behavior exactly. ``partition_list``
     is the explicit ``LIST`` form (``YYYY-MM-DD`` strings; missing dirs
     are ignored — the operation is idempotent by construction, safe to
     re-run after a partial failure).

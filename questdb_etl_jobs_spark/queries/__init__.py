@@ -77,7 +77,6 @@ _PRIORITY: tuple[str, ...] = (
     "q14_theta_self_join_suppliers",  # J5
     "q15_interval_join_events",   # J6
     "q16_asof_join",              # J7
-    "q21_distinct_users_per_type",  # A2
     "q22_rollup_orders",          # A4
     "q23_stats_by_type",          # A5
     "q25_collect_types_per_user", # A6
@@ -126,6 +125,12 @@ _PRIORITY: tuple[str, ...] = (
     # near-dup admission gate (R5 + the LSH dedup path under an exact
     # brute-force Jaccard oracle) joins the hard signal.
     "q167_stream_dedup_admit",    # R1 R5 R6 U4 J4 EXT (admission gate)
+    # Round-11 rotation (VERDICT r10 task #7): q21 ceded its slot — its
+    # only id, A2, stays covered in-window by q74's exact-count column —
+    # so the retention surface (DROP PARTITION WHERE/LIST + SET TTL via
+    # the QuestDB DDL dialect) runs under the driver's own oracle for
+    # the first time.
+    "q169_retention_dialect_ddl", # S6 O1 A1 A2 EXT (retention DDL)
 )
 
 

@@ -2825,6 +2825,12 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_designated_ts(ev, path, "ts", mode="overwrite")
     tables = {"retained_events": path}
 
+    # In-query cross-checks raise explicitly (not bare `assert`) so
+    # they fire before the differential even under `python -O`.
+    def _check(cond: bool, detail: object) -> None:
+        if not cond:
+            raise AssertionError(f"q169 retention cross-check: {detail!r}")
+
     days = sorted(
         r[0].isoformat()
         for r in ev.select(F.to_date("ts").alias("d")).distinct().collect()
@@ -2835,22 +2841,23 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE ts < '2024-01-05T06:00:00';",
         tables,
     )
-    assert d1 == [d for d in days if d < "2024-01-05"], d1
+    _check(d1 == [d for d in days if d < "2024-01-05"], d1)
     d2 = questdb_ddl(
         spark,
         "ALTER TABLE retained_events DROP PARTITION LIST '2024-01-20'",
         tables,
     )
-    assert d2 == [d for d in days if d == "2024-01-20"], d2
+    _check(d2 == [d for d in days if d == "2024-01-20"], d2)
     d3 = questdb_ddl(
         spark, "ALTER TABLE retained_events SET TTL 22 DAYS", tables
     )
     ttl_cut = (
         _dt.date.fromisoformat(days[-1]) - _dt.timedelta(days=22)
     ).isoformat()
-    assert d3 == [
-        d for d in days if "2024-01-05" <= d < ttl_cut
-    ], (d3, ttl_cut)
+    _check(
+        d3 == [d for d in days if "2024-01-05" <= d < ttl_cut],
+        (d3, ttl_cut),
+    )
 
     kept = spark.read.parquet(path)
     return (
@@ -2864,3 +2871,114 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q170 — TTL on the INGEST path: rows age out across successive ingests
+# ---------------------------------------------------------------------------
+#
+# QuestDB evaluates ``SET TTL`` against the table's most recent timestamp
+# ON INGEST — retention is a property of the write path, not a one-shot
+# DDL statement. q169 exercised the DDL spelling (statement-time
+# enforcement); this closes the lifecycle gap the round-10 verdict named:
+# ``write_designated_ts(..., ttl_days=10)`` enforces post-commit on every
+# ingest, so the horizon ADVANCES as data lands. The replay ingests the
+# events history in two chronological ingests under TTL 10 DAYS and
+# snapshots the table after each: after ingest 1 (days ≤ 01-15) the
+# newest partition is 01-15 and days < 01-05 are already gone; ingest 2
+# (days ≥ 01-16) moves the newest partition to the history's last day,
+# aging out days 01-05..01-15 *that ingest 1 had retained*. The oracle
+# recomputes both snapshots relationally; phase 1 rows prove the early
+# days were present before ingest 2 expired them — a statement-time-only
+# implementation cannot produce this pair from the same table.
+
+_Q170_ORACLE = """
+WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+mx AS (SELECT CAST(MAX(ts) AS DATE) AS last_day FROM e),
+p1 AS (
+  SELECT CAST(1 AS INT) AS phase,
+         CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM e
+  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-15'
+  GROUP BY 2
+),
+p2 AS (
+  SELECT CAST(2 AS INT) AS phase,
+         CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM e, mx
+  WHERE CAST(ts AS DATE) >= mx.last_day - 10
+  GROUP BY 2
+)
+SELECT * FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+ORDER BY phase, day
+"""
+
+
+@dq("q170_ttl_on_ingest", oracle=_Q170_ORACLE, covers="S6,O1,A1,EXT")
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+    import shutil as _shutil
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        list_partitions,
+        write_designated_ts,
+    )
+
+    def _check(cond: bool, detail: object) -> None:
+        if not cond:
+            raise AssertionError(f"q170 TTL-on-ingest cross-check: {detail!r}")
+
+    path = "/tmp/spark_graft_q170_ttl_ingest"
+    _shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+
+    def snapshot(phase: int) -> list:
+        kept = spark.read.parquet(path)
+        return [
+            (phase, r["day"], r["n"], r["cents"])
+            for r in kept.groupBy(
+                F.date_format(F.col("ts_pdate"), "yyyy-MM-dd").alias("day")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(F.col("value") * 100).cast("long")
+                ).alias("cents"),
+            )
+            .collect()
+        ]
+
+    # Ingest 1: history through 01-15 under TTL 10 DAYS — enforcement
+    # runs post-commit against the newest partition (01-15), so days
+    # before 01-05 never survive the first ingest.
+    write_designated_ts(
+        ev.filter(F.col("ts") < F.lit("2024-01-16 00:00:00")),
+        path, "ts", mode="overwrite", ttl_days=10,
+    )
+    parts1 = list_partitions(spark, path, "ts")
+    _check(parts1 and parts1[0] == "2024-01-05" and parts1[-1] == "2024-01-15",
+           parts1)
+    rows = snapshot(1)
+
+    # Ingest 2: the rest of the history lands; the newest partition
+    # advances to the history's last day and enforcement ages out the
+    # days ingest 1 retained — continuous lifecycle, same table.
+    write_designated_ts(
+        ev.filter(F.col("ts") >= F.lit("2024-01-16 00:00:00")),
+        path, "ts", mode="append", ttl_days=10,
+    )
+    parts2 = list_partitions(spark, path, "ts")
+    ttl_floor = (
+        _dt.date.fromisoformat(parts2[-1]) - _dt.timedelta(days=10)
+    ).isoformat()
+    _check(parts2 and parts2[0] == ttl_floor, (parts2, ttl_floor))
+    rows += snapshot(2)
+
+    out = spark.createDataFrame(
+        rows, "phase int, day string, n long, cents long"
+    )
+    return out.orderBy("phase", "day")

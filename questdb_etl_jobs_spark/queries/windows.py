@@ -250,6 +250,45 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q171 — top-k via the partition-max threshold prune (O2 scale face)
+# ---------------------------------------------------------------------------
+#
+# Same answer as q34 under the same oracle, computed by
+# operators/topk.topk_by_threshold: a single-column threshold pass
+# certifies a lower bound t for the k-th largest value, then the wide
+# decode runs only over ``l_extendedprice >= t`` — pushed to the parquet
+# scan, so row groups below t are skipped without decoding. At the sf100
+# lineitem tier this is the difference between ~3.6 s (plain bounded-heap
+# top-k, scan-bound) and ~1.3 s (below the embedded baseline's full
+# Top-N rescan); see SCALE_DIFF.json dq34_topk.sf100_pruned. Exactness
+# is structural (the prune only removes rows provably outside the
+# answer) and the differential gates it against the identical SQL.
+
+@dq(
+    "q171_topk_threshold_prune",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 4) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+    covers="O2,EXT",
+)
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.topk import topk_by_threshold
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    top = topk_by_threshold(
+        lineitem, "l_extendedprice", 10,
+        tiebreak=["l_orderkey", "l_linenumber"],
+    )
+    return top.select(
+        "l_orderkey", "l_linenumber",
+        F.round("l_extendedprice", 4).alias("price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q35 — set operators: UNION distinct / INTERSECT / EXCEPT (T2, DQ-35)
 # ---------------------------------------------------------------------------
 

@@ -784,15 +784,30 @@ def _ddl_ts_col(
 ) -> str | None:
     """Designated-ts column of a retention target, or ``None`` when the
     table is missing/empty (every partition already dropped) — the
-    caller no-ops, keeping retention idempotent after a full drop."""
+    caller no-ops, keeping retention idempotent after a full drop.
+
+    Only path-absence reads as "empty table": any other read failure
+    (permissions, corrupt footer, transient FS error) re-raises, so a
+    retention statement that could not inspect its target surfaces the
+    error instead of reporting a successful no-op."""
     from questdb_etl_jobs_spark.plans.designated import infer_designated_ts
+    from questdb_etl_jobs_spark.sources.fs import hadoop_path_exists
 
     if name in designated:
         return designated[name]
+    if not hadoop_path_exists(spark, path):
+        return None  # missing dir: every partition already dropped
     try:
         columns = spark.read.parquet(path).columns
-    except Exception:
-        return None  # missing dir or no readable files: empty table
+    except Exception as exc:
+        # An existing dir holding zero parquet footers (all partitions
+        # dropped, stray markers left) is the same empty-table no-op;
+        # everything else is a real error.
+        if "PATH_NOT_FOUND" in str(exc) or "UNABLE_TO_INFER_SCHEMA" in str(
+            exc
+        ):
+            return None
+        raise
     ts = infer_designated_ts(columns)
     if ts is None:
         raise QuestDBSQLError(
@@ -837,13 +852,20 @@ def questdb_ddl(
     WHERE form accepts ``<designated_ts> < '<ISO literal>'`` only
     (QuestDB's partition-drop predicate over the designated timestamp;
     ``<=`` of a pure date literal is the same whole-day semantics and
-    accepted), LIST takes ``YYYY-MM-DD`` literals, and TTL units are
+    accepted). Boundary divergence, documented not hidden: a ``<``
+    cutoff with a time-of-day KEEPS the partially-covered day here,
+    while QuestDB — which evaluates the predicate against the partition
+    START timestamp — drops it; see :func:`plans.designated.
+    drop_partitions`. LIST takes ``YYYY-MM-DD`` literals, and TTL units are
     DAY(S)/WEEK(S) — HOUR/MONTH/YEAR TTLs don't land on this engine's
     day-granular partition directories and raise rather than
     approximate. SET TTL here ENFORCES the policy once against the
     table's current newest partition (QuestDB evaluates TTL against the
-    most recent timestamp on ingest); wire it into the ingest path for
-    continuous enforcement.
+    most recent timestamp on ingest); for CONTINUOUS evaluate-on-ingest
+    enforcement pass ``ttl_days`` to ``plans.designated.
+    write_designated_ts`` (batch ingest) or ``streaming.upsert.
+    maintain_upsert_table`` (per micro-batch) — the horizon then
+    advances with every ingest, exercised oracle-paired by q170.
     """
     import datetime as _dt
 

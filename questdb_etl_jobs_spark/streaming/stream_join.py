@@ -170,13 +170,21 @@ def replay_settled(
     re-running on the SAME checkpoint plans one more (possibly empty)
     batch whose eviction step flushes them. Two passes settle any
     single-stage stateful plan; deeper chains (e.g. join → windowed agg,
-    each holding back one watermark's worth) can pass ``passes=3+``.
+    each holding back one watermark's worth) need one pass per held-back
+    stage — ``passes=3`` settles the two-stage chain, test-verified
+    against an oracle-known answer in tests/test_streaming.py
+    (test_replay_settled_passes3_drains_chained_stateful_plan).
 
     Callers still own INPUT settledness: the watermark only crosses the
     last real event if something later arrives, so bounded replays
     append a sentinel row per side dated beyond ``max(ts) + tolerance``
     (filter it from the output). This helper owns the drain; the
     sentinel stays with input construction, which knows the schema.
+    Filter sentinels AFTER reading the sink, never inside the streaming
+    plan: a deterministic filter there is pushed by Catalyst past the
+    EventTimeWatermark node into the source scan, so the watermark
+    tracker never observes the sentinel's event time and the tail never
+    settles (test-demonstrated in the chained-plan drain test).
 
     Raises ``TimeoutError`` if any pass outlives ``timeout_sec`` —
     a hung replay must fail loudly, not return a half-drained result

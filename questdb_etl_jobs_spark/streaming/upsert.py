@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-from questdb_etl_jobs_spark.plans.designated import upsert_designated_ts
+from questdb_etl_jobs_spark.plans.designated import (
+    enforce_ttl,
+    list_partitions,
+    upsert_designated_ts,
+)
 
 
 def maintain_upsert_table(
@@ -32,15 +36,30 @@ def maintain_upsert_table(
     ts: str,
     keys: list[str],
     available_now: bool = True,
+    ttl_days: int | None = None,
 ) -> StreamingQuery:
     """Continuously merge ``stream`` into a designated-ts table at
-    ``table_path`` with dedup-upsert semantics on ``(ts, keys)``."""
+    ``table_path`` with dedup-upsert semantics on ``(ts, keys)``.
+
+    ``ttl_days`` is QuestDB's evaluate-on-ingest ``SET TTL`` wired into
+    the streaming path: after each micro-batch's merge commits,
+    partitions older than ``ttl_days`` before the table's newest
+    partition are dropped (directory deletes off the partition listing,
+    no scan — see :func:`plans.designated.enforce_ttl`). Enforcement is
+    idempotent and post-commit, so a replayed batch re-drops nothing
+    and a crash between merge and enforcement self-heals on the next
+    batch; the retention horizon advances continuously with ingest,
+    QuestDB's lifecycle semantics rather than one-shot DDL."""
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        if not batch.isEmpty():
-            upsert_designated_ts(
-                batch.sparkSession, batch, table_path, ts, keys
-            )
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        upsert_designated_ts(spark, batch, table_path, ts, keys)
+        if ttl_days is not None:
+            existing = list_partitions(spark, table_path, ts)
+            if existing:
+                enforce_ttl(spark, table_path, ts, ttl_days, existing[-1])
 
     writer = (
         stream.writeStream.foreachBatch(write_batch)

@@ -713,3 +713,30 @@ def test_ddl_errors_are_loud_and_specific(spark, tmp_path):
         {"t": path},
     )
     assert questdb_ddl(spark, "ALTER TABLE t SET TTL 1 DAY", {"t": path}) == []
+
+
+def test_ddl_unreadable_table_raises_not_noop(spark, tmp_path):
+    """Round-10 ADVICE (dialect.py:795): only path-ABSENCE reads as an
+    empty table. An existing dir whose parquet cannot be read (corrupt
+    footer standing in for permission/transient-FS errors) must surface
+    the error — a retention statement that did nothing must not report
+    a successful no-op."""
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    bad = tmp_path / "t"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"these bytes are not parquet")
+    with pytest.raises(Exception, match="(?i)footer|parquet|corrupt"):
+        questdb_ddl(
+            spark,
+            "ALTER TABLE t DROP PARTITION WHERE ts < '2030-01-01'",
+            {"t": str(bad)},
+        )
+    # An existing-but-fileless dir is still the empty-table no-op.
+    empty = tmp_path / "e"
+    empty.mkdir()
+    assert questdb_ddl(
+        spark,
+        "ALTER TABLE e DROP PARTITION WHERE ts < '2030-01-01'",
+        {"e": str(empty)},
+    ) == []

@@ -1871,6 +1871,97 @@ def test_matview_compactor_lease_mutual_exclusion(spark, tmp_path):
     assert mv.compact_staged_batches(spark, path, lease_ttl_sec=0.0) is True
 
 
+def test_matview_lease_heartbeat_prevents_live_takeover(spark, tmp_path):
+    """Round-10 ADVICE (matview.py lease): the lease must distinguish a
+    SLOW holder from a DEAD one. A holder heartbeats (mtime renewal +
+    token check) between protocol steps, so a concurrent compactor's
+    TTL check sees a fresh lock and no-ops even when the lease is older
+    than lease_ttl_sec in wall-clock terms; takeover fires only after
+    the holder stops renewing. A dispossessed holder's next heartbeat
+    raises BEFORE any destructive step, and its token-checked release
+    cannot delete the taker's lock."""
+    import os
+    import time as _time
+
+    import pytest
+
+    from questdb_etl_jobs_spark.operators import matview as mv
+
+    df = _mv_rows(spark)
+    path = str(tmp_path / "mv")
+    for i in range(2):
+        mv.refresh_sample_by_view_exactly_once(
+            spark, df.filter(F.hour("ts") % 2 == i), path, i,
+            "ts", "day", "v", ["k"],
+        )
+    staged = mv._staged_dir(path)
+    t1 = mv._acquire_compaction_lease(spark, staged, 600.0)
+    assert t1
+    lock = os.path.join(staged, "_compaction.lock")
+    old = _time.time() - 7200
+    os.utime(lock, (old, old))
+    # The slow-but-live holder renews between protocol steps…
+    mv._renew_compaction_lease(spark, staged, t1)
+    # …so a concurrent compactor sees a FRESH lock: no takeover.
+    assert mv._acquire_compaction_lease(spark, staged, 600.0) is None
+    assert mv.compact_staged_batches(spark, path, lease_ttl_sec=600.0) is False
+    jvm, fs = mv._hadoop_fs(spark, staged)
+    assert mv._lock_token(jvm, fs, staged) == t1
+    # Dead holder: renewals stop, the lock ages out → takeover wins…
+    os.utime(lock, (old, old))
+    t2 = mv._acquire_compaction_lease(spark, staged, 600.0)
+    assert t2 and t2 != t1
+    # …and the dispossessed holder aborts at its next heartbeat,
+    # before its log commit / deletes could race the taker's.
+    with pytest.raises(RuntimeError, match="lease.*lost"):
+        mv._renew_compaction_lease(spark, staged, t1)
+    # Token-checked release: t1's release leaves the taker's lock.
+    mv._release_compaction_lease(spark, staged, t1)
+    assert mv._lock_token(jvm, fs, staged) == t2
+    mv._release_compaction_lease(spark, staged, t2)
+    assert mv._lock_token(jvm, fs, staged) is None
+
+
+def test_matview_refresh_batch_folded_mid_refresh_proceeds(
+    spark, tmp_path, monkeypatch
+):
+    """Round-10 ADVICE (matview.py:448): a concurrent compactor that
+    folds the just-staged batch between the refresh's stage write and
+    its committed-dir listing makes the batch vanish from the listing —
+    but its content lives in the logged fold, so the refresh must
+    PROCEED through the fold, not raise the missing-_SUCCESS
+    misconfiguration error."""
+    from questdb_etl_jobs_spark.operators import matview as mv
+
+    df = _mv_rows(spark)
+    path = str(tmp_path / "mv")
+    mv.refresh_sample_by_view_exactly_once(
+        spark, df.filter(F.hour("ts") < 3), path, 0, "ts", "day", "v", ["k"]
+    )
+    real_list = mv._committed_batch_dirs
+    fired = {"done": False}
+
+    def list_after_compactor(spark_, staged_):
+        # First listing of the second refresh: a compactor lands first,
+        # folding batch 0 AND the just-staged batch 1 (log committed,
+        # dirs step-5-deleted) — the exact interleaving the ADVICE
+        # describes.
+        if not fired["done"]:
+            fired["done"] = True
+            assert mv.compact_staged_batches(spark_, path) is True
+        return real_list(spark_, staged_)
+
+    monkeypatch.setattr(mv, "_committed_batch_dirs", list_after_compactor)
+    mv.refresh_sample_by_view_exactly_once(
+        spark, df.filter(F.hour("ts") >= 3), path, 1, "ts", "day", "v", ["k"]
+    )
+    assert fired["done"]
+    want = _mv_reference(spark, df, tmp_path, "mv_ref_folded_mid")
+    assert sorted(
+        map(tuple, mv.read_sample_by_view(spark, path).collect())
+    ) == want
+
+
 def test_matview_compaction_log_is_versioned_never_absent(spark, tmp_path):
     """Round-9 ADVICE (matview.py:287): the log commit must never pass
     through a no-log state. Commits write monotonically versioned
@@ -2426,3 +2517,80 @@ def test_generate_purchases_matches_mirror_and_reference_shape(spark):
         assert ts.hour == 11 and ts.strftime("%Y-%m-%d") == "2021-03-21"
         assert price_by_item.setdefault(item, price) == price
     assert [t for *_, t in got] == sorted(t for *_, t in got)
+
+
+# ---------------------------------------------------------------------------
+# Top-k via partition-max threshold prune (operators/topk.py)
+# ---------------------------------------------------------------------------
+
+
+def test_topk_threshold_prune_equals_plain_topk(spark):
+    """The prune only removes rows provably outside the answer, so the
+    result is bit-identical to the plain bounded-heap top-k — checked on
+    real data (lineitem) for several k, including k larger than the
+    partition count (fallback path: no certified bound, plain plan)."""
+    from questdb_etl_jobs_spark.operators.topk import topk_by_threshold
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    for k in (1, 10, 200):
+        plain = (
+            li.orderBy(
+                F.desc("l_extendedprice"),
+                F.asc("l_orderkey"),
+                F.asc("l_linenumber"),
+            )
+            .limit(k)
+            .collect()
+        )
+        pruned = topk_by_threshold(
+            li, "l_extendedprice", k,
+            tiebreak=["l_orderkey", "l_linenumber"],
+        ).collect()
+        assert pruned == plain, f"k={k}"
+    with pytest.raises(ValueError):
+        topk_by_threshold(li, "l_extendedprice", 0)
+
+
+def test_topk_threshold_prune_null_and_tie_safety(spark):
+    """Ties AT the threshold survive the prune (>= keeps them all for
+    the tiebreak to order), and a mostly-NULL value column falls back to
+    the plain plan when fewer than k partitions certify a bound —
+    NULL-extended answers are never silently filtered away."""
+    from questdb_etl_jobs_spark.operators.topk import topk_by_threshold
+
+    rows = [(i, float(v)) for i, v in enumerate([5, 9, 9, 9, 7, 9, 1, 3])]
+    df = spark.createDataFrame(rows, "id int, v double").repartition(4)
+    got = topk_by_threshold(df, "v", 4, tiebreak=["id"]).collect()
+    assert [(r.v, r.id) for r in got] == [
+        (9.0, 1), (9.0, 2), (9.0, 3), (9.0, 5)
+    ]
+    # 2 non-null rows spread over many partitions, k=3: the k-th
+    # partition max is NULL -> no certified bound -> fallback includes
+    # the NULL rows the filter would have dropped.
+    sparse = spark.createDataFrame(
+        [(1, 4.0), (2, None), (3, 8.0), (4, None), (5, None), (6, None)],
+        "id int, v double",
+    ).repartition(6)
+    got = topk_by_threshold(sparse, "v", 3, tiebreak=["id"]).collect()
+    assert [(r.v, r.id) for r in got] == [(8.0, 3), (4.0, 1), (None, 2)]
+
+
+def test_topk_threshold_prune_filter_reaches_scan(spark, tmp_path):
+    """The second pass's threshold predicate must reach the parquet
+    scan (PushedFilters) — that is the whole point at 100 TB: row
+    groups whose stats-max falls below the bound are skipped without
+    decoding the wide columns."""
+    from questdb_etl_jobs_spark.operators.topk import topk_by_threshold
+
+    path = str(tmp_path / "t")
+    spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 997 * 1.0).alias("v")
+    ).repartition(8).write.parquet(path)
+    df = spark.read.parquet(path)
+    # k must stay below the SCAN partition count (the reader may pack
+    # the 8 files into fewer splits) or the operator correctly falls
+    # back to the plain, unpruned plan.
+    out = topk_by_threshold(df, "v", 3, tiebreak=["id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(v), GreaterThanOrEqual(v" in plan

@@ -1564,3 +1564,88 @@ def test_replay_settled_drains_left_outer_null_tail(spark, tmp_path):
 
     with pytest.raises(ValueError):
         replay_settled(joined, "x", "y", passes=0)
+
+
+def test_replay_settled_passes3_drains_chained_stateful_plan(
+    spark, tmp_path
+):
+    """Backs the replay_settled docstring's deeper-chain claim with an
+    actual chain: left-outer interval join → tumbling windowed agg (two
+    watermark-holding stateful stages). Each stage releases a
+    watermark's worth of state only in the NEXT planned batch, so the
+    chain needs an extra pass over the single-stage case; ``passes=3``
+    must land the fully-settled, oracle-known answer, and re-draining
+    the same checkpoint must append nothing."""
+    import csv as _csv
+    import os as _os
+
+    from questdb_etl_jobs_spark.streaming.stream_join import (
+        interval_stream_join,
+        replay_settled,
+    )
+
+    left_dir, right_dir = tmp_path / "left", tmp_path / "right"
+    left_dir.mkdir(), right_dir.mkdir()
+    # Same replay shape as the single-stage test: one file per
+    # micro-batch, sentinels in their own final file. Left row at 00:00
+    # has a confirm 5 min later; the 03:00 row has none (NULL-extended).
+    lfiles = [
+        [(1, 1, "2024-01-01T00:00:00"), (1, 2, "2024-01-01T03:00:00")],
+        [(-1, -1, "2024-01-03T00:00:00")],
+    ]
+    rfiles = [
+        [(1, 101, "2024-01-01T00:05:00")],
+        [(-1, -101, "2024-01-03T00:00:00")],
+    ]
+    for d, files in ((left_dir, lfiles), (right_dir, rfiles)):
+        for i, rows in enumerate(files):
+            with open(d / f"in{i}.csv", "w", newline="") as fh:
+                _csv.writer(fh).writerows(rows)
+            _os.utime(
+                d / f"in{i}.csv", (1_700_000_000 + i, 1_700_000_000 + i)
+            )
+    left = (
+        spark.readStream.schema("item_id int, row_id int, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(left_dir))
+    )
+    right = (
+        spark.readStream.schema("item_id int, c_row_id int, c_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(right_dir))
+    )
+    joined = interval_stream_join(
+        left, right, left_ts="ts", right_ts="c_ts",
+        tolerance="30 minutes", on=["item_id"], how="left_outer",
+    )
+    # NOTE: the sentinel rows must NOT be filtered inside the streaming
+    # plan — a deterministic `filter("item_id >= 0")` here gets pushed
+    # by Catalyst past the EventTimeWatermark node into the CSV scan,
+    # so the watermark tracker never observes the sentinels' event
+    # times and the tail never settles. Sentinels flow through join and
+    # agg (their own far-future window simply stays unclosed in state)
+    # and are excluded when READING the sink.
+    hourly = (
+        joined.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("c_row_id").alias("n_matched"),
+        )
+        .select(F.col("w.start").alias("hour_ts"), "n", "n_matched")
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    replay_settled(hourly, out, ckpt, passes=3)
+    got = {
+        (r.hour_ts.isoformat(), r.n, r.n_matched)
+        for r in spark.read.parquet(out)
+        .filter("hour_ts < '2024-01-02'").collect()
+    }
+    assert got == {
+        ("2024-01-01T00:00:00", 1, 1),
+        ("2024-01-01T03:00:00", 1, 0),
+    }
+    # Exactly-once: a fourth drain of the same checkpoint adds nothing.
+    replay_settled(hourly, out, ckpt, passes=1)
+    assert (
+        spark.read.parquet(out).filter("hour_ts < '2024-01-02'").count() == 2
+    )

@@ -57,13 +57,21 @@ sys.path.insert(0, "/root/repo")
 from tools.stress_scale import BASE, OUT, synthesize, synthesize_big  # noqa: E402
 
 OUT100 = "/tmp/spark_graft_sf10"
+SF100_LINEITEM = "/tmp/spark_graft_sf100_lineitem"
 
-#: tier tag -> (dir, relative data scale vs sf0.1)
+#: tier tag -> (dir, relative data scale vs sf0.1). ``sf100`` is a
+#: lineitem-only tier (tools/stress_scale.synthesize_lineitem_only):
+#: only dq20/dq34 — the lineitem-only headliners — are timed there (see
+#: :func:`_lineitem_sf100`); the all-query interleaved loop excludes it.
 TIERS: dict[str, tuple[str, float]] = {
     "sf0.1": (BASE, 1.0),
     "sf1": (OUT, 10.0),
     "sf10": (OUT100, 100.0),
+    "sf100": (SF100_LINEITEM, 1000.0),
 }
+
+#: tiers the all-query interleaved loop runs (sf100 is query-specific).
+FULL_TIERS = ("sf0.1", "sf1", "sf10")
 
 # DuckDB equivalents of the five headline DQs — semantically identical to
 # the Spark bench variants (plain double arithmetic, same predicates, same
@@ -408,6 +416,157 @@ def _matview_dq25(spark, sf_dir: str, raw_entry: dict) -> dict:
     }
 
 
+def _lineitem_sf100(spark, results: dict) -> None:
+    """dq20/dq34 at the lineitem-only sf100 tier (1000× sf0.1; 600M
+    rows) — the third fit point that settles dq20's marginal.
+
+    The committed two-point [sf1, sf10] fit put dq20's asymptotic ratio
+    at 2.09×, but its slope numerators are ~0.3 s against a per-boot
+    noise floor of ~0.05-0.1 s per cell. Here the data term is ~4 s
+    (Spark) / ~2 s (DuckDB) — 10-20× above noise — and ``_refit``'s
+    two-largest-tiers rule makes [sf10, sf100] the committed fit, so
+    the settled number is measured in whole seconds on one boot.
+
+    Protocol matches the main loop: interleaved engines, 1 discarded
+    warmup round + ``ROUNDS`` recorded rounds, per-cell best, row-count
+    cross-check per round. Cells land as ``results[label]["sf100"]``
+    with full run series, plus a ``decomp`` block for dq20 that splits
+    the Spark and DuckDB times into scan+filter+count (decode one
+    column, no agg values) vs the full 6-column aggregation — the
+    where-does-the-marginal-go decomposition the round-10 verdict asked
+    for if the ratio stays above 2×."""
+    from pyspark.sql import functions as F
+
+    from questdb_etl_jobs_spark.sources.tables import load_table
+    from tools.stress_scale import synthesize_lineitem_only
+
+    t0 = time.perf_counter()
+    synthesize_lineitem_only(spark, SF100_LINEITEM, factor=1000, mult=1024)
+    synth = round(time.perf_counter() - t0, 1)
+    print(f"# sf100 lineitem synthesis: {synth}s", file=sys.stderr)
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF100_LINEITEM}/lineitem.parquet/**/*.parquet')"
+    )
+    heads = _spark_headline()
+    labels = ("dq20_pricing_summary", "dq34_topk")
+    cells = {lab: {"spark": [], "duck": [], "rows": -1} for lab in labels}
+    for rnd in range(ROUNDS + 1):
+        recorded = rnd > 0
+        for lab in labels:
+            s_sec, s_rows = _time_spark(spark, heads[lab], SF100_LINEITEM)
+            d_sec, d_rows = _time_duck(con, DUCK_SQL[lab])
+            if s_rows != d_rows:
+                raise SystemExit(
+                    f"row mismatch {lab}@sf100: spark={s_rows} duck={d_rows}"
+                )
+            if recorded:
+                cells[lab]["spark"].append(round(s_sec, 4))
+                cells[lab]["duck"].append(round(d_sec, 4))
+                cells[lab]["rows"] = s_rows
+    for lab in labels:
+        s_sec, d_sec = min(cells[lab]["spark"]), min(cells[lab]["duck"])
+        results[lab]["sf100"] = {
+            "spark_sec": s_sec,
+            "duckdb_sec": d_sec,
+            "ratio": round(s_sec / d_sec, 2),
+            "rows": cells[lab]["rows"],
+            "synth_sec": synth,
+            "spark_runs": cells[lab]["spark"],
+            "duckdb_runs": cells[lab]["duck"],
+        }
+        print(
+            f"sf100  {lab:22s} spark={s_sec:7.3f}s duckdb={d_sec:7.3f}s "
+            f"ratio={s_sec / d_sec:6.2f} rows={cells[lab]['rows']}",
+            file=sys.stderr,
+        )
+
+    # Decomposition: same filter, count-only (decodes l_shipdate alone,
+    # no agg arithmetic) vs the full dq20 — the difference is column
+    # decode + hash-agg update cost, the scan term is the count-only
+    # time. Best-of-3, interleaved.
+    li = load_table(spark, SF100_LINEITEM, "lineitem")
+    count_only = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    duck_count = (
+        "SELECT count(*) AS n FROM lineitem "
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'"
+    )
+    best_s, best_d = float("inf"), float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        count_only.collect()
+        best_s = min(best_s, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        con.execute(duck_count).fetchall()
+        best_d = min(best_d, time.perf_counter() - t0)
+    con.close()
+    full = results["dq20_pricing_summary"]["sf100"]
+    full["decomp"] = {
+        "spark_scan_count_sec": round(best_s, 4),
+        "duckdb_scan_count_sec": round(best_d, 4),
+        "spark_agg_delta_sec": round(full["spark_sec"] - best_s, 4),
+        "duckdb_agg_delta_sec": round(full["duckdb_sec"] - best_d, 4),
+    }
+    print(
+        f"sf100  dq20 decomp: scan+count spark={best_s:.3f}s "
+        f"duck={best_d:.3f}s (full-agg delta "
+        f"spark={full['decomp']['spark_agg_delta_sec']:.3f}s "
+        f"duck={full['decomp']['duckdb_agg_delta_sec']:.3f}s)",
+        file=sys.stderr,
+    )
+
+    # Plan-aware cell, same convention as dq10's bucketed / dq25's
+    # matview lines: the raw bounded-heap cell above stays disclosed;
+    # this records the engine's DEPLOYED top-k plan — the partition-max
+    # threshold prune (operators/topk.py, q171) whose wide decode only
+    # touches rows provably able to appear in the answer. Same data,
+    # same answer (cross-checked against the raw cell row-for-row).
+    from questdb_etl_jobs_spark.operators.topk import topk_by_threshold
+
+    def q34_pruned(spark_, sf_dir_):
+        li2 = load_table(spark_, sf_dir_, "lineitem")
+        return topk_by_threshold(
+            li2, "l_extendedprice", 10,
+            tiebreak=["l_orderkey", "l_linenumber"],
+        ).select(
+            "l_orderkey", "l_linenumber",
+            F.round("l_extendedprice", 4).alias("price"),
+        )
+
+    raw_rows = sorted(
+        map(tuple, heads["dq34_topk"](spark, SF100_LINEITEM).collect())
+    )
+    best_p, runs_p = float("inf"), []
+    pruned_rows = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pruned_rows = q34_pruned(spark, SF100_LINEITEM).collect()
+        dt = time.perf_counter() - t0
+        best_p = min(best_p, dt)
+        runs_p.append(round(dt, 4))
+    assert sorted(map(tuple, pruned_rows)) == raw_rows, (
+        "threshold-pruned top-k diverged from the plain plan at sf100"
+    )
+    duck100 = results["dq34_topk"]["sf100"]["duckdb_sec"]
+    results["dq34_topk"]["sf100_pruned"] = {
+        "spark_sec": round(best_p, 4),
+        "ratio": round(best_p / duck100, 2),
+        "rows": len(pruned_rows),
+        "spark_runs": runs_p,
+    }
+    print(
+        f"sf100  dq34 threshold-pruned: run={best_p:.3f}s "
+        f"ratio-vs-raw-duckdb={best_p / duck100:.2f}",
+        file=sys.stderr,
+    )
+
+
 SF100_EVENTS = "/tmp/spark_graft_sf100_events"
 
 
@@ -681,10 +840,67 @@ def main() -> None:
         i = argv.index("--merge")
         merge_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    sf100_only = "--sf100-only" in argv
+    argv = [a for a in argv if a != "--sf100-only"]
     out_path = next((a for a in argv if not a.startswith("--")), None)
 
     spark = get_spark(app_name="sf1-differential")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if sf100_only:
+        # Fast path for re-measuring ONLY the lineitem sf100 cells (the
+        # third fit point) on a fresh quiet boot, merged into a prior
+        # artifact via --merge: control probes + _lineitem_sf100, no
+        # sf1/sf10 synthesis or all-query rounds.
+        heads = _spark_headline()
+        heads["dq20_pricing_summary"](spark, BASE).collect()  # warm
+        con = _duck_connection(BASE)
+        con.execute("SELECT count(*) FROM lineitem").fetchall()
+        control = {}
+        drift_terms = []
+        for label, base_sec in CONTROL_BASELINE.items():
+            best = float("inf")
+            for _ in range(ROUNDS + 1):
+                best = min(best, _time_duck(con, DUCK_SQL[label])[0])
+            control[f"{label}_duck_sec"] = round(best, 4)
+            control[f"{label}_baseline_sec"] = base_sec
+            drift_terms.append(best / base_sec)
+        control["drift_vs_baseline"] = round(
+            math.exp(
+                sum(math.log(r) for r in drift_terms) / len(drift_terms)
+            ), 3,
+        )
+        con.close()
+        results = {"dq20_pricing_summary": {}, "dq34_topk": {}}
+        _lineitem_sf100(spark, results)
+        summary = {
+            "metric": "scale_differential",
+            "protocol": {
+                "rounds_recorded": ROUNDS,
+                "warmup_rounds": 1,
+                "interleaved": True,
+                "per_cell": "best-of-rounds, per-round series recorded",
+                "scope": "sf100-lineitem cells only",
+            },
+            "control": control,
+            "queries": results,
+        }
+        if merge_path:
+            with open(merge_path) as fh:
+                prev = json.load(fh)
+            summary = merge_summaries(prev, summary)
+            print(
+                f"# merged with {merge_path}: runs_merged="
+                f"{summary['runs_merged']}",
+                file=sys.stderr,
+            )
+        out = json.dumps(summary)
+        print(out)
+        if out_path:
+            with open(out_path, "w") as fh:
+                fh.write(out + "\n")
+        return
+
     t0 = time.perf_counter()
     synthesize(spark)
     if not skip_sf10:
@@ -694,7 +910,10 @@ def main() -> None:
     heads = _spark_headline()
     heads["dq20_pricing_summary"](spark, BASE).collect()  # warm off the clock
 
-    tiers = {k: v for k, v in TIERS.items() if not (skip_sf10 and k == "sf10")}
+    tiers = {
+        k: v for k, v in TIERS.items()
+        if k in FULL_TIERS and not (skip_sf10 and k == "sf10")
+    }
     cons = {tag: _duck_connection(d) for tag, (d, _) in tiers.items()}
     for con in cons.values():
         con.execute("SELECT count(*) FROM lineitem").fetchall()  # warm
@@ -789,6 +1008,10 @@ def main() -> None:
         results["dq25_hourly_bucket"]["sf100_matview_events"] = (
             _matview_dq25_sf100(spark)
         )
+        # The third fit point for the lineitem-only headliners — after
+        # this, _refit's two-largest-tiers rule commits the [sf10,
+        # sf100] slope for dq20/dq34 (the data-dominated regime).
+        _lineitem_sf100(spark, results)
 
     # Marginal per-unit-data cost per engine: the two-point slope between
     # the two LARGEST tiers of the same best-of numbers the raw ratios
