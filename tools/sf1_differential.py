@@ -567,6 +567,81 @@ def _lineitem_sf100(spark, results: dict) -> None:
     )
 
 
+def _relational_sf100(spark, results: dict) -> None:
+    """dq10/dq30 at the sf100 tier — the same third fit point
+    dq20/dq34 got from :func:`_lineitem_sf100`, for the two headliners
+    whose committed fits still rest on [sf1, sf10] small-tier slopes.
+
+    ``synthesize_orders_into`` adds a 150M-row ``orders`` to the cached
+    lineitem-only tier with the SAME key remapping (mult=1024), so
+    dq10's fact-fact equi-join matches replica-to-replica exactly as
+    BASE does, while customer/nation stay BASE-sized (broadcastable
+    dims — the 100 TB shape). dq10 here is the genuinely hard regime:
+    a 600M ⋈ 150M shuffle join against DuckDB's in-memory hash join.
+    dq30's per-custkey window partitions deepen 1000× while its rn<=3
+    output stays ~3 rows per key — the window sort term dominates.
+
+    Protocol matches :func:`_lineitem_sf100`: interleaved engines, one
+    discarded warmup round + ``ROUNDS`` recorded, per-cell best,
+    row-count cross-check every round. Cells land as
+    ``results[label]["sf100"]`` so ``_refit``'s two-largest-tiers rule
+    commits the [sf10, sf100] slope."""
+    from tools.stress_scale import (
+        synthesize_lineitem_only,
+        synthesize_orders_into,
+    )
+
+    t0 = time.perf_counter()
+    synthesize_lineitem_only(spark, SF100_LINEITEM, factor=1000, mult=1024)
+    synthesize_orders_into(spark, SF100_LINEITEM, factor=1000, mult=1024)
+    synth = round(time.perf_counter() - t0, 1)
+    print(f"# sf100 orders synthesis: {synth}s", file=sys.stderr)
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation"):
+        src = f"{SF100_LINEITEM}/{t}.parquet"
+        glob = f"{src}/**/*.parquet" if os.path.isdir(src) else src
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')"
+        )
+    heads = _spark_headline()
+    labels = ("dq10_join_revenue", "dq30_window_rank")
+    cells = {lab: {"spark": [], "duck": [], "rows": -1} for lab in labels}
+    for rnd in range(ROUNDS + 1):
+        recorded = rnd > 0
+        for lab in labels:
+            s_sec, s_rows = _time_spark(spark, heads[lab], SF100_LINEITEM)
+            d_sec, d_rows = _time_duck(con, DUCK_SQL[lab])
+            if s_rows != d_rows:
+                raise SystemExit(
+                    f"row mismatch {lab}@sf100: spark={s_rows} duck={d_rows}"
+                )
+            if recorded:
+                cells[lab]["spark"].append(round(s_sec, 4))
+                cells[lab]["duck"].append(round(d_sec, 4))
+                cells[lab]["rows"] = s_rows
+        print(f"# relational sf100 round {rnd} done", file=sys.stderr)
+    con.close()
+    for lab in labels:
+        s_sec, d_sec = min(cells[lab]["spark"]), min(cells[lab]["duck"])
+        results[lab]["sf100"] = {
+            "spark_sec": s_sec,
+            "duckdb_sec": d_sec,
+            "ratio": round(s_sec / d_sec, 2),
+            "rows": cells[lab]["rows"],
+            "synth_sec": synth,
+            "spark_runs": cells[lab]["spark"],
+            "duckdb_runs": cells[lab]["duck"],
+        }
+        print(
+            f"sf100  {lab:22s} spark={s_sec:7.3f}s duckdb={d_sec:7.3f}s "
+            f"ratio={s_sec / d_sec:6.2f} rows={cells[lab]['rows']}",
+            file=sys.stderr,
+        )
+
+
 SF100_EVENTS = "/tmp/spark_graft_sf100_events"
 
 
@@ -841,13 +916,17 @@ def main() -> None:
         merge_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     sf100_only = "--sf100-only" in argv
-    argv = [a for a in argv if a != "--sf100-only"]
+    sf100_relational = "--sf100-relational-only" in argv
+    argv = [
+        a for a in argv
+        if a not in ("--sf100-only", "--sf100-relational-only")
+    ]
     out_path = next((a for a in argv if not a.startswith("--")), None)
 
     spark = get_spark(app_name="sf1-differential")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if sf100_only:
+    if sf100_only or sf100_relational:
         # Fast path for re-measuring ONLY the lineitem sf100 cells (the
         # third fit point) on a fresh quiet boot, merged into a prior
         # artifact via --merge: control probes + _lineitem_sf100, no
@@ -871,8 +950,14 @@ def main() -> None:
             ), 3,
         )
         con.close()
-        results = {"dq20_pricing_summary": {}, "dq34_topk": {}}
-        _lineitem_sf100(spark, results)
+        if sf100_relational:
+            results = {"dq10_join_revenue": {}, "dq30_window_rank": {}}
+            _relational_sf100(spark, results)
+            scope = "sf100-relational cells only (dq10/dq30)"
+        else:
+            results = {"dq20_pricing_summary": {}, "dq34_topk": {}}
+            _lineitem_sf100(spark, results)
+            scope = "sf100-lineitem cells only"
         summary = {
             "metric": "scale_differential",
             "protocol": {
@@ -880,7 +965,7 @@ def main() -> None:
                 "warmup_rounds": 1,
                 "interleaved": True,
                 "per_cell": "best-of-rounds, per-round series recorded",
-                "scope": "sf100-lineitem cells only",
+                "scope": scope,
             },
             "control": control,
             "queries": results,

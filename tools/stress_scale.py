@@ -269,6 +269,47 @@ def synthesize_lineitem_only(spark, out: str, factor: int, mult: int) -> None:
     open(os.path.join(out, "_DONE"), "w").close()
 
 
+def synthesize_orders_into(spark, out: str, factor: int, mult: int) -> None:
+    """Add ``orders`` (plus the BASE ``customer``/``nation`` dims) to an
+    existing lineitem-only tier so dq10/dq30 get the same third fit
+    point dq20/dq34 already have (factor=1000 ≈ sf100: 150M orders).
+
+    Key remapping MUST mirror :func:`synthesize_lineitem_only` — replica
+    r maps o_orderkey → k·mult + r with the SAME mult — so the sf100
+    lineitem⋈orders equi-join matches replica-to-replica exactly as the
+    base data does (per-order lineitem cardinality preserved).
+    o_custkey is untouched: per-customer order fan-in grows ``factor``×,
+    the realistic dimension-skew direction (same convention as
+    :func:`synthesize_big`), and customer/nation stay BASE-sized so the
+    dim joins remain broadcastable — the 100 TB shape. dq30 reads only
+    orders; its per-custkey window partitions deepen ``factor``× while
+    the rn<=3 output stays fixed per key.
+
+    Guarded by its own ``_DONE_ORDERS`` marker (the lineitem tier's
+    ``_DONE`` already exists in ``out``); writes nothing else."""
+    if os.path.exists(os.path.join(out, "_DONE_ORDERS")):
+        return
+    assert mult >= factor, "replica multiplier must exceed factor"
+    assert os.path.exists(os.path.join(out, "_DONE")), (
+        "synthesize the lineitem tier first — orders must share its "
+        "key remapping"
+    )
+    from questdb_etl_jobs_spark.sources.tables import invalidate_tables, load_table
+
+    invalidate_tables(spark, out)
+    replicas = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__r")
+    df = load_table(spark, BASE, "orders").select("*", replicas)
+    df = df.withColumn("o_orderkey", F.col("o_orderkey") * mult + F.col("__r"))
+    _sharded(df.drop("__r"), "orders").write.mode("overwrite").parquet(
+        f"{out}/orders.parquet"
+    )
+    for name in ("customer", "nation"):
+        load_table(spark, BASE, name).write.mode("overwrite").parquet(
+            f"{out}/{name}.parquet"
+        )
+    open(os.path.join(out, "_DONE_ORDERS"), "w").close()
+
+
 def _headline():
     from questdb_etl_jobs_spark.operators.dedup import (
         dup_clusters,
