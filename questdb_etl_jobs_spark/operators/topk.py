@@ -44,7 +44,7 @@ decision, k rows collected — bounded by k, never by data size).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -74,3 +74,93 @@ def topk_by_threshold(
         # Certified superset: every answer row has value >= t.
         df = df.filter(F.col(value_col) >= F.lit(maxima[-1]["__m"]))
     return df.orderBy(*order).limit(k)
+
+
+def topk_per_key(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    k: int,
+    tiebreak: list[str] | None = None,
+    rank_col: str | None = None,
+    broadcast_thresholds: bool = True,
+) -> DataFrame:
+    """Exact per-group top-k (``row_number() OVER (PARTITION BY keys
+    ORDER BY value_col DESC, *tiebreak) <= k``) with a grouped
+    partition-max threshold prune — the per-key face of
+    :func:`topk_by_threshold`.
+
+    The plain window form shuffles EVERY row on ``keys`` and sorts full
+    partitions just to keep k of each — at deep-group shapes (a billion
+    rows over a million groups: keep the best-k documents per domain,
+    the top-k orders per customer) the shuffle+sort of rows that can
+    never appear in the answer dominates. This operator certifies a
+    per-group lower bound first, so only plausible rows reach the
+    exchange:
+
+    1. **Grouped threshold pass** — scan only ``keys + [value_col]`` and
+       aggregate ``max(value_col)`` by ``(spark_partition_id(), *keys)``.
+       ``spark_partition_id()`` is constant within a map task, so the
+       partial aggregate collapses each input partition to one row per
+       group it contains before the exchange — the shuffle carries
+       O(partitions × groups-per-partition) rows, not the data. The
+       k-th largest partition max ``t_g`` of group g (row_number over
+       the tiny maxima table) is a certified bound: the k distinct
+       partitions whose g-maxima are ≥ t_g each hold a row of g at or
+       above it, so g's k-th largest value ≥ t_g.
+    2. **Pruned exact pass** — join the threshold table back (broadcast
+       by default: one row per certified group) and keep rows with
+       ``value_col >= t_g`` (ties kept), then run the plain window over
+       the survivors. Groups with fewer than k non-null partition maxima
+       get no threshold and keep all rows — the window still sizes them
+       exactly.
+
+    Rows with NULL ``value_col`` sort last on both faces (Spark's
+    ``desc`` default); a certified group provably has k non-null rows,
+    so dropping its null rows in the prune is exact, and uncertified
+    groups keep theirs for the window to order.
+
+    Determinism/exactness: the prune only removes rows provably outside
+    the answer, so the result is bit-identical to the plain window face
+    (equivalence-tested under ties, nulls, sparse groups, and k larger
+    than the group).
+
+    Scale posture: pass 1 is a narrow-column scan whose shuffle is the
+    group directory, not the data; pass 2's survivor exchange carries
+    ~k rows per (group × contributing partition) instead of the full
+    fact table. Set ``broadcast_thresholds=False`` when the group
+    cardinality is too large to broadcast — the threshold join then
+    shuffles, but only ``keys + t_g`` wide. ``rank_col`` optionally
+    exposes the per-group row_number in the result.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    tiebreak = list(tiebreak or [])
+    order = [F.desc(value_col)] + [F.asc(c) for c in tiebreak]
+
+    per_pid_max = (
+        df.select(*keys, value_col)
+        .groupBy(F.spark_partition_id().alias("__pid"), *keys)
+        .agg(F.max(value_col).alias("__m"))
+    )
+    w_maxima = Window.partitionBy(*keys).orderBy(F.desc("__m"))
+    thresholds = (
+        per_pid_max.withColumn("__r", F.row_number().over(w_maxima))
+        .filter((F.col("__r") == k) & F.col("__m").isNotNull())
+        .select(*keys, F.col("__m").alias("__t"))
+    )
+    if broadcast_thresholds:
+        thresholds = F.broadcast(thresholds)
+    survivors = (
+        df.join(thresholds, on=keys, how="left")
+        .filter(F.col("__t").isNull() | (F.col(value_col) >= F.col("__t")))
+        .select(*df.columns)  # the equi-join hoists key columns first
+    )
+    w_exact = Window.partitionBy(*keys).orderBy(*order)
+    ranked = survivors.withColumn(
+        rank_col or "__rank", F.row_number().over(w_exact)
+    )
+    ranked = ranked.filter(F.col(rank_col or "__rank") <= k)
+    return ranked if rank_col else ranked.drop("__rank")

@@ -2594,3 +2594,125 @@ def test_topk_threshold_prune_filter_reaches_scan(spark, tmp_path):
     out = topk_by_threshold(df, "v", 3, tiebreak=["id"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(v), GreaterThanOrEqual(v" in plan
+
+
+def _plain_topk_per_key(df, keys, value_col, k, tiebreak):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(value_col), *[F.asc(c) for c in tiebreak]
+    )
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )
+
+
+def test_topk_per_key_equals_plain_window(spark):
+    """The grouped prune only removes rows provably outside each
+    group's answer, so the result is bit-identical to the plain
+    window face — checked on real data (orders per custkey) for
+    several k and both threshold-join strategies."""
+    from questdb_etl_jobs_spark.operators.topk import topk_per_key
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    key = lambda r: (r.o_custkey, r.o_orderkey)
+    for k in (1, 3):
+        for bcast in (True, False):
+            plain = sorted(
+                _plain_topk_per_key(
+                    orders, ["o_custkey"], "o_totalprice", k,
+                    ["o_orderkey"],
+                ).collect(),
+                key=key,
+            )
+            pruned = sorted(
+                topk_per_key(
+                    orders, ["o_custkey"], "o_totalprice", k,
+                    tiebreak=["o_orderkey"], broadcast_thresholds=bcast,
+                ).collect(),
+                key=key,
+            )
+            assert pruned == plain, f"k={k} bcast={bcast}"
+    with pytest.raises(ValueError):
+        topk_per_key(orders, ["o_custkey"], "o_totalprice", 0)
+    with pytest.raises(ValueError):
+        topk_per_key(orders, [], "o_totalprice", 1)
+
+
+def test_topk_per_key_ties_nulls_sparse_groups(spark):
+    """Groups smaller than k keep all their rows (no certificate, the
+    window sizes them exactly, NULL values included); ties AT a
+    group's threshold all survive for the tiebreak to order; rank_col
+    exposes the per-group row_number."""
+    from questdb_etl_jobs_spark.operators.topk import topk_per_key
+
+    rows = [
+        # group 'a': deep, with a tie at the k=2 boundary value 9
+        ("a", 1, 9.0), ("a", 2, 9.0), ("a", 3, 9.0), ("a", 4, 5.0),
+        ("a", 5, 1.0), ("a", 6, None),
+        # group 'b': fewer non-null rows than k -> NULL row must appear
+        ("b", 7, 4.0), ("b", 8, None),
+        # group 'c': exactly one row
+        ("c", 9, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, id int, v double")
+    for parts in (1, 4, 16):
+        got = topk_per_key(
+            df.repartition(parts), ["g"], "v", 2,
+            tiebreak=["id"], rank_col="rn",
+        ).collect()
+        assert sorted((r.g, r.id, r.v, r.rn) for r in got) == [
+            ("a", 1, 9.0, 1), ("a", 2, 9.0, 2),
+            ("b", 7, 4.0, 1), ("b", 8, None, 2),
+            ("c", 9, 2.0, 1),
+        ], f"parts={parts}"
+
+
+def test_topk_per_key_randomized_equivalence(spark):
+    """Property-style sweep: random values with heavy duplication and
+    NULLs over skewed group sizes, several partition layouts — the
+    pruned face must match the plain window bit-for-bit."""
+    import random
+
+    from questdb_etl_jobs_spark.operators.topk import topk_per_key
+
+    rng = random.Random(11)
+    rows = []
+    for g in range(40):
+        depth = rng.choice([1, 2, 3, 8, 50, 200])
+        for i in range(depth):
+            v = None if rng.random() < 0.1 else float(rng.randrange(20))
+            rows.append((g, len(rows), v))
+    df = spark.createDataFrame(rows, "g int, id long, v double")
+    for parts, k in ((3, 1), (7, 4), (32, 10)):
+        d = df.repartition(parts)
+        plain = sorted(
+            _plain_topk_per_key(d, ["g"], "v", k, ["id"]).collect(),
+            key=lambda r: (r.g, r.id),
+        )
+        pruned = sorted(
+            topk_per_key(d, ["g"], "v", k, tiebreak=["id"]).collect(),
+            key=lambda r: (r.g, r.id),
+        )
+        assert pruned == plain, f"parts={parts} k={k}"
+
+
+def test_topk_per_key_plan_shape(spark):
+    """The scale contract in the plan: stage 1's grouped maxima carry a
+    map-side partial aggregate keyed by (spark_partition_id, keys) —
+    the exchange moves the group directory, not the data — and the
+    threshold joins back as a broadcast by default."""
+    from questdb_etl_jobs_spark.operators.topk import topk_per_key
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    out = topk_per_key(
+        orders, ["o_custkey"], "o_totalprice", 3, tiebreak=["o_orderkey"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SPARK_PARTITION_ID" in plan
+    assert "partial_max" in plan
+    assert "BroadcastHashJoin" in plan
