@@ -170,19 +170,25 @@ def fixed_size_sample(
     keyed hash (ties by key) and keep the first k. Reproducible across
     engines/reruns like the other samplers; adding NEW rows to a stratum
     can displace old members (k is fixed — that's the contract), but
-    never reorders survivors relative to each other. One shuffle on
-    ``strata_col``; rank-then-filter prunes before any downstream work.
-    """
-    from pyspark.sql.window import Window
+    never reorders survivors relative to each other.
 
-    w = Window.partitionBy(strata_col).orderBy(
-        sample_bucket(key, salt).asc(), F.col(key).asc()
+    Scale posture: routed through the grouped threshold prune
+    (operators/topk.topk_per_key on the negated bucket), so the stratum
+    exchange carries only rows at or below each stratum's certified
+    k-th-smallest-partition-min bucket — not the corpus. Bit-identical
+    to the plain ``row_number() <= k`` window (the prune is
+    answer-preserving by construction).
+    """
+    from questdb_etl_jobs_spark.operators.topk import topk_per_key
+
+    pruned = topk_per_key(
+        df.withColumn("__negbucket", -sample_bucket(key, salt)),
+        [strata_col],
+        "__negbucket",
+        k,
+        tiebreak=[key],
     )
-    return (
-        df.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    return pruned.drop("__negbucket")
 
 
 def weighted_sample_topk(
@@ -215,3 +221,44 @@ def weighted_sample_topk(
         .limit(k)
         .drop("__pri")
     )
+
+
+def weighted_sample_per_key(
+    df: DataFrame,
+    strata: list[str],
+    key: str,
+    weight: Column | str,
+    k: int,
+    salt: int = 0,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Per-stratum weighted sampling without replacement — the grouped
+    face of :func:`weighted_sample_topk`: an independent
+    Efraimidis–Spirakis exponential race inside every ``strata`` cell
+    (sample the k best-weighted documents per domain/language, not per
+    corpus). Same determinism contract: priority ``-ln(u) / w`` with
+    ``u`` from the content-keyed hash, so the draw is a pure function of
+    (key, salt) and reproducible across engines, partitionings, reruns.
+
+    Plan shape: priority is codegen'd arithmetic on the scan, and the
+    per-stratum k-smallest runs through the grouped threshold prune
+    (operators/topk.topk_per_key on the negated priority) — the stratum
+    exchange carries only certified-plausible rows, never the corpus.
+    IEEE negation is exact, so ordering by ``-priority DESC`` is
+    bit-identical to ``priority ASC``.
+    """
+    from questdb_etl_jobs_spark.operators.topk import topk_per_key
+
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = (sample_bucket(key, salt) + F.lit(1)).cast("double") / F.lit(
+        float(RESOLUTION)
+    )
+    pruned = topk_per_key(
+        df.withColumn("__negpri", F.log(u) / w.cast("double")),
+        strata,
+        "__negpri",
+        k,
+        tiebreak=[key],
+        rank_col=rank_col,
+    )
+    return pruned.drop("__negpri")

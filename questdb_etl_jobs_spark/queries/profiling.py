@@ -772,6 +772,53 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q174 — per-stratum weighted sampling (grouped A-ES exponential race)
+# ---------------------------------------------------------------------------
+#
+# q124's race run independently inside every language cell — the
+# curation contract "sample k docs per domain, biased by length/quality"
+# rather than k per corpus. The Spark face is
+# functions/sampling.weighted_sample_per_key, which routes the
+# per-stratum k-smallest-priority through the grouped threshold prune
+# (operators/topk.topk_per_key): the stratum exchange carries only rows
+# at or above each cell's certified bound, never the corpus. The oracle
+# replays the identical priority arithmetic in a windowed rank; IEEE
+# negation makes the two orderings bit-identical.
+
+_Q174_ORACLE = """
+SELECT lang, doc_id, n_chars, rn
+FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY -ln((((doc_id * 2654435761) % 10000) + 1) / 10000.0)
+                      / CAST(n_chars AS DOUBLE),
+                    doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= 3
+ORDER BY lang, rn
+"""
+
+
+@dq("q174_weighted_sample_per_lang", oracle=_Q174_ORACLE, covers="O2,W1,EXT")
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.functions.sampling import (
+        weighted_sample_per_key,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    kept = weighted_sample_per_key(
+        docs, ["lang"], "doc_id", "n_chars", k=3, rank_col="rn"
+    )
+    return kept.select(
+        "lang", "doc_id", "n_chars", F.col("rn").cast("long").alias("rn")
+    ).orderBy("lang", "rn")
+
+
+# ---------------------------------------------------------------------------
 # q125 — incremental LATEST ON maintenance: snapshot + delta merge
 # ---------------------------------------------------------------------------
 #

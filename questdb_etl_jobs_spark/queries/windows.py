@@ -289,6 +289,202 @@ def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q172 — per-key top-k via the grouped threshold prune (W1/O2 scale face)
+# ---------------------------------------------------------------------------
+#
+# The per-group analogue of q171: q30's row_number-rank core (top-3
+# orders per customer) computed by operators/topk.topk_per_key instead
+# of the full window. The plain face shuffles every order on o_custkey
+# and sorts entire partitions to keep 3 of each; the pruned face first
+# aggregates max(o_totalprice) by (spark_partition_id, o_custkey) —
+# partial agg collapses each map task to one row per customer it sees,
+# so the exchange carries the group directory, not the data — derives
+# each group's certified 3rd-largest-partition-max bound, and runs the
+# exact window only over rows at or above it. Bit-identical to the
+# window form by construction (the prune removes only rows provably
+# outside the answer); the differential gates both against the same SQL.
+
+@dq(
+    "q172_topk_per_key_prune",
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    covers="W1,O2,EXT",
+)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.topk import topk_per_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    top = topk_per_key(
+        orders, ["o_custkey"], "o_totalprice", 3,
+        tiebreak=["o_orderkey"], rank_col="rn",
+    )
+    return top.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("totalprice"),
+        F.col("rn").cast("long").alias("rn"),
+    ).orderBy("o_custkey", "rn")
+
+
+# ---------------------------------------------------------------------------
+# q175 — dq30's FULL rank family on the pruned path (W1 scale face)
+# ---------------------------------------------------------------------------
+#
+# q30's complete output — row_number + rank + dense_rank + ntile(4) —
+# without ever shuffling the fact table on o_custkey. The plain face
+# sorts every order twice inside its window partitions just to emit the
+# rn<=3 survivors; this face decomposes the four functions into what
+# each actually needs:
+#
+# - rn: the grouped threshold prune (topk_per_key) — the exchange
+#   carries only certified-plausible rows;
+# - rank()/dense_rank() over o_orderpriority: exact from the per-
+#   (custkey, priority) count table (customers × 5 rows): rank is the
+#   cumulative count below the priority +1, dense is its row_number;
+# - ntile(4): pure arithmetic from the group size n and rn — ntile
+#   gives the first n%4 buckets ceil(n/4) rows, so the bucket of rn is
+#   closed-form.
+#
+# Both stats shuffles carry the group directory (map-side partial
+# count), and the survivor join is a broadcast. Bit-identical to q30
+# under the same oracle; the differential gates it. This is dq30's
+# 100 TB shape: no full-data exchange anywhere in the plan.
+
+@dq(
+    "q175_rank_family_pruned",
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS totalprice,
+           rn, prio_rank, prio_dense, tile
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER w_price AS rn,
+             RANK() OVER w_prio AS prio_rank,
+             DENSE_RANK() OVER w_prio AS prio_dense,
+             NTILE(4) OVER w_price AS tile
+      FROM orders
+      WINDOW w_price AS (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey),
+             w_prio  AS (PARTITION BY o_custkey ORDER BY o_orderpriority)
+    )
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    covers="W1,O2,EXT",
+)
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.topk import topk_per_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    top3 = topk_per_key(
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice", "o_orderpriority"
+        ),
+        ["o_custkey"],
+        "o_totalprice",
+        3,
+        tiebreak=["o_orderkey"],
+        rank_col="rn",
+    )
+
+    # Per-(custkey, priority) directory: rank/dense_rank inputs and the
+    # group size n. groupBy's partial agg collapses map tasks before the
+    # exchange; every window below runs over customers × priorities rows.
+    w_prio = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    w_all = Window.partitionBy("o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stats = (
+        orders.groupBy("o_custkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "o_custkey",
+            "o_orderpriority",
+            (F.sum("cnt").over(w_prio) - F.col("cnt") + 1).alias(
+                "prio_rank"
+            ),
+            F.row_number().over(w_prio).alias("prio_dense"),
+            F.sum("cnt").over(w_all).alias("n"),
+        )
+    )
+
+    joined = top3.join(
+        F.broadcast(stats), ["o_custkey", "o_orderpriority"], "inner"
+    )
+    # ntile(4) closed form: the first n%4 buckets get n//4+1 rows. With
+    # n < 4 the first branch always holds (rem == n), so the //base
+    # division below base == 0 is never evaluated on a kept row.
+    base = (F.col("n") / 4).cast("long")
+    rem = F.col("n") % 4
+    big = rem * (base + 1)
+    tile = F.when(
+        F.col("rn") <= big,
+        ((F.col("rn") + base) / (base + 1)).cast("long"),
+    ).otherwise(rem + ((F.col("rn") - big + base - 1) / base).cast("long"))
+    return joined.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("totalprice"),
+        F.col("rn").cast("long").alias("rn"),
+        F.col("prio_rank").cast("long").alias("prio_rank"),
+        F.col("prio_dense").cast("long").alias("prio_dense"),
+        tile.cast("long").alias("tile"),
+    ).orderBy("o_custkey", "rn")
+
+
+# ---------------------------------------------------------------------------
+# q173 — best-k-per-group curation face of topk_per_key (EXT curation)
+# ---------------------------------------------------------------------------
+#
+# The training-data-curation shape the operator exists for: keep the
+# best k documents per (lang, source) cell by a quality proxy (n_chars
+# here; any scored column works). Multi-key grouping exercises the
+# composite-key path of the grouped threshold prune; at corpus scale the
+# group directory (langs × sources) is tiny next to the documents table,
+# so the prune's threshold join broadcasts and the survivor exchange
+# carries ~k rows per (cell × contributing partition).
+
+@dq(
+    "q173_best_docs_per_cell",
+    oracle="""
+    SELECT lang, source, doc_id, n_chars, rn
+    FROM (
+      SELECT lang, source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= 2
+    ORDER BY lang, source, rn
+    """,
+    covers="O2,EXT",
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.topk import topk_per_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = topk_per_key(
+        docs, ["lang", "source"], "n_chars", 2,
+        tiebreak=["doc_id"], rank_col="rn",
+    )
+    return top.select(
+        "lang",
+        "source",
+        "doc_id",
+        "n_chars",
+        F.col("rn").cast("long").alias("rn"),
+    ).orderBy("lang", "source", "rn")
+
+
+# ---------------------------------------------------------------------------
 # q35 — set operators: UNION distinct / INTERSECT / EXCEPT (T2, DQ-35)
 # ---------------------------------------------------------------------------
 

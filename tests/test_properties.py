@@ -365,6 +365,52 @@ def test_sampling_operators_match_python_models(spark, rows, budget, k):
     assert got_fixed == sorted(want_fixed)
 
 
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_weighted_rows, k=st.integers(1, 5), salt=st.integers(0, 3))
+def test_weighted_sample_per_key_matches_python_model(spark, rows, k, salt):
+    """weighted_sample_per_key vs the brute-force Efraimidis-Spirakis
+    model run independently per stratum: priority -ln(u)/w with u from
+    the Knuth content hash, k smallest per group, ties by id — the
+    pruned grouped-top-k path must reproduce it exactly, including the
+    exposed rank column."""
+    import math
+
+    from questdb_etl_jobs_spark.functions.sampling import (
+        RESOLUTION,
+        weighted_sample_per_key,
+    )
+
+    knuth = 2654435761
+    # zero weights divide by zero in the priority; the model and the
+    # operator agree only for positive weights (the documented domain)
+    rows = [(i, g, max(1, w)) for i, g, w in rows]
+    df = spark.createDataFrame(rows, "id long, grp long, w long")
+
+    got = sorted(
+        (r.grp, r.id, r.rn)
+        for r in weighted_sample_per_key(
+            df, ["grp"], "id", "w", k, salt=salt, rank_col="rn"
+        ).collect()
+    )
+
+    want = []
+    for g in {r[1] for r in rows}:
+        members = [(i, w) for i, gg, w in rows if gg == g]
+
+        def pri(item):
+            i, w = item
+            u = (((i + salt) * knuth) % RESOLUTION + 1) / RESOLUTION
+            return (-math.log(u) / w, i)
+
+        for rn, (i, _w) in enumerate(sorted(members, key=pri)[:k], 1):
+            want.append((g, i, rn))
+    assert got == sorted(want)
+
+
 _scd_rows = st.lists(
     st.tuples(st.integers(0, 2), st.sampled_from("ABC"), st.integers(0, 40)),
     min_size=1,

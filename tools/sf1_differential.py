@@ -642,6 +642,82 @@ def _relational_sf100(spark, results: dict) -> None:
         )
 
 
+def _dq30_pruned_sf100(spark, results: dict) -> None:
+    """dq30's DEPLOYED plan at the sf100 tier — the pruned rank family
+    (queries/windows.q175: grouped threshold prune for rn, the
+    per-(custkey, priority) count directory for rank/dense_rank,
+    closed-form ntile from the group size) — disclosed next to the raw
+    window cell exactly as ``dq34_topk.sf100_pruned`` discloses the
+    threshold-pruned top-k. The full answer (all four window functions)
+    is cross-checked row-for-row against the plain window face on the
+    same tier before any timing is recorded, and DuckDB's full-window
+    time is re-measured on this boot so the cell's ratio is same-boot
+    rather than borrowed from another run."""
+    from tools.stress_scale import (
+        synthesize_lineitem_only,
+        synthesize_orders_into,
+    )
+
+    synthesize_lineitem_only(spark, SF100_LINEITEM, factor=1000, mult=1024)
+    synthesize_orders_into(spark, SF100_LINEITEM, factor=1000, mult=1024)
+
+    from questdb_etl_jobs_spark.queries import spark_queries
+
+    registry = spark_queries()
+    plain_fn = registry["q30_rank_top3_orders"]
+    pruned_fn = registry["q175_rank_family_pruned"]
+
+    import duckdb
+
+    con = duckdb.connect()
+    src = f"{SF100_LINEITEM}/orders.parquet"
+    glob = f"{src}/**/*.parquet" if os.path.isdir(src) else src
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{glob}')")
+
+    raw_rows = sorted(
+        map(tuple, plain_fn(spark, SF100_LINEITEM).collect())
+    )
+    cells = {"spark": [], "duck": [], "rows": -1}
+    for rnd in range(ROUNDS + 1):
+        recorded = rnd > 0
+        t0 = time.perf_counter()
+        pruned_rows = pruned_fn(spark, SF100_LINEITEM).collect()
+        s_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        d_rows = len(con.execute(DUCK_SQL["dq30_window_rank"]).fetchall())
+        d_sec = time.perf_counter() - t0
+        if d_rows != len(pruned_rows):
+            raise SystemExit(
+                f"row mismatch dq30_pruned@sf100: spark={len(pruned_rows)} "
+                f"duck={d_rows}"
+            )
+        if recorded:
+            cells["spark"].append(round(s_sec, 4))
+            cells["duck"].append(round(d_sec, 4))
+            cells["rows"] = len(pruned_rows)
+        print(f"# dq30-pruned sf100 round {rnd} done", file=sys.stderr)
+    con.close()
+    assert sorted(map(tuple, pruned_rows)) == raw_rows, (
+        "pruned rank family diverged from the plain window plan at sf100"
+    )
+    s_sec, d_sec = min(cells["spark"]), min(cells["duck"])
+    results["dq30_window_rank"]["sf100_pruned"] = {
+        "spark_sec": s_sec,
+        "duckdb_sec": d_sec,
+        "ratio": round(s_sec / d_sec, 2),
+        "rows": cells["rows"],
+        "plain_crosscheck": True,
+        "spark_runs": cells["spark"],
+        "duckdb_runs": cells["duck"],
+    }
+    print(
+        f"sf100  dq30 pruned rank family: spark={s_sec:7.3f}s "
+        f"duckdb={d_sec:7.3f}s ratio={s_sec / d_sec:6.2f} "
+        f"rows={cells['rows']}",
+        file=sys.stderr,
+    )
+
+
 SF100_EVENTS = "/tmp/spark_graft_sf100_events"
 
 
@@ -917,16 +993,21 @@ def main() -> None:
         argv = argv[:i] + argv[i + 2:]
     sf100_only = "--sf100-only" in argv
     sf100_relational = "--sf100-relational-only" in argv
+    sf100_dq30_pruned = "--sf100-dq30-pruned-only" in argv
     argv = [
         a for a in argv
-        if a not in ("--sf100-only", "--sf100-relational-only")
+        if a not in (
+            "--sf100-only",
+            "--sf100-relational-only",
+            "--sf100-dq30-pruned-only",
+        )
     ]
     out_path = next((a for a in argv if not a.startswith("--")), None)
 
     spark = get_spark(app_name="sf1-differential")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if sf100_only or sf100_relational:
+    if sf100_only or sf100_relational or sf100_dq30_pruned:
         # Fast path for re-measuring ONLY the lineitem sf100 cells (the
         # third fit point) on a fresh quiet boot, merged into a prior
         # artifact via --merge: control probes + _lineitem_sf100, no
@@ -950,7 +1031,11 @@ def main() -> None:
             ), 3,
         )
         con.close()
-        if sf100_relational:
+        if sf100_dq30_pruned:
+            results = {"dq30_window_rank": {}}
+            _dq30_pruned_sf100(spark, results)
+            scope = "sf100 dq30 pruned-rank-family cell only"
+        elif sf100_relational:
             results = {"dq10_join_revenue": {}, "dq30_window_rank": {}}
             _relational_sf100(spark, results)
             scope = "sf100-relational cells only (dq10/dq30)"
