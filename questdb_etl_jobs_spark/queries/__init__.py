@@ -73,7 +73,12 @@ _PRIORITY: tuple[str, ...] = (
     "q09_quarantine_split",       # P4 R6
     "q10_join_revenue_by_nation", # J1 J2 F7
     "q11_left_join_order_counts", # J3
-    "q12_semi_join_customers",    # J4
+    # Round-11 rotation #2: q12 ceded its slot — its only id, J4, stays
+    # covered in-window by q167's anti-join admission gate — so the
+    # round's flagship scale face (the grouped threshold prune behind
+    # q172-q175, dq30's full rank family with zero full-data exchange)
+    # runs under the driver's own oracle in the round it shipped.
+    "q175_rank_family_pruned",    # W1 O2 EXT (grouped prune, full family)
     "q14_theta_self_join_suppliers",  # J5
     "q15_interval_join_events",   # J6
     "q16_asof_join",              # J7

@@ -1104,3 +1104,77 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i,) for i in admitted], "doc_id bigint"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q176 — streaming exact top-k per key replay (bounded leaderboard state)
+# ---------------------------------------------------------------------------
+#
+# streaming/topk_stream.py under the oracle: the hourly exports replay
+# one-per-trigger, each key's state carries exactly k (row_id, price)
+# pairs plus the absorbed-row count, and the FINAL emission per key must
+# be the exact top-3 purchases by (price DESC, row_id) over the whole
+# fixture — VALUE-exact (the q161 protocol: values ride through state
+# verbatim, max-k-of-a-set is batch-boundary independent, so the oracle
+# recomputes in CPython and prices compare bit-for-bit via the quoted
+# repr → DOUBLE cast).
+
+_Q176_K = 3
+
+
+def _q176_oracle() -> str:
+    by_item: dict[int, list[tuple[float, int]]] = {}
+    counts: dict[int, int] = {}
+    for item, rid, _ts, price in _replay_rows_with_ids():
+        by_item.setdefault(item, []).append((price, rid))
+        counts[item] = counts.get(item, 0) + 1
+    rows = []
+    for item in sorted(by_item):
+        best = sorted(by_item[item], key=lambda t: t[1])
+        best.sort(key=lambda t: t[0], reverse=True)
+        for rn, (price, rid) in enumerate(best[:_Q176_K], 1):
+            rows.append(f"({item}, {rn}, {rid}, '{price!r}', {counts[item]})")
+    values = ",\n      ".join(rows)
+    return f"""
+    SELECT CAST(item_id AS INTEGER) AS item_id,
+           CAST(rn AS INTEGER) AS rn,
+           CAST(row_id AS BIGINT) AS row_id,
+           CAST(price AS DOUBLE) AS price,
+           CAST(n_seen AS BIGINT) AS n_seen
+    FROM (VALUES
+      {values}
+    ) AS t(item_id, rn, row_id, price, n_seen)
+    ORDER BY item_id, rn
+    """
+
+
+@dq("q176_topk_stream_replay", oracle=_q176_oracle, covers="R1,R6,U2,O2,W1")
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the hourly exports through the streaming per-key top-k and
+    return each key's final leaderboard emission."""
+    from questdb_etl_jobs_spark.streaming.topk_stream import (
+        topk_per_key_stream,
+    )
+
+    rows_out = _run_replay_stream(
+        spark,
+        lambda s: topk_per_key_stream(
+            s, "item_id", "price", "row_id", _Q176_K
+        ),
+        result_col=None, out_col=None, prefix="q176_topk_stream_", raw=True,
+    )
+    # Final emission per key = the rows stamped with its largest
+    # n_seen (n_seen strictly grows with every batch that touches the
+    # key, and emission only happens on touched batches).
+    best_n: dict[int, int] = {}
+    for r in rows_out:
+        best_n[r.item_id] = max(best_n.get(r.item_id, 0), r.n_seen)
+    final = [
+        (r.item_id, r.rn, r.row_id, r.price, r.n_seen)
+        for r in rows_out
+        if r.n_seen == best_n[r.item_id]
+    ]
+    return spark.createDataFrame(
+        final, "item_id int, rn int, row_id bigint, price double, "
+        "n_seen bigint"
+    ).orderBy("item_id", "rn")

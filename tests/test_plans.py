@@ -8,6 +8,7 @@ storage.
 
 from __future__ import annotations
 
+import re
 from datetime import datetime
 
 from pyspark.sql import functions as F
@@ -646,3 +647,29 @@ def test_drop_partitions_retention(spark, tmp_path):
 
     with pytest.raises(ValueError, match="exactly one"):
         drop_partitions(spark, path, "ts")
+
+
+def test_q175_pruned_rank_family_plan(spark):
+    """dq30's pruned rank family never exchanges the full fact table:
+    the two orders scans are column-pruned to exactly what each pass
+    needs (keys+value for the prune, keys+priority for the rank
+    directory), every pre-window exchange is fed by a map-side partial
+    aggregate or the threshold filter, the directory and threshold join
+    back as broadcasts, and the row path stays JVM-side."""
+    from questdb_etl_jobs_spark.queries import spark_queries
+
+    df = spark_queries()["q175_rank_family_pruned"](spark, SF_SMALL)
+    plan = plan_string(df)
+    # Narrow scans: no orders scan decodes more than the columns its
+    # pass needs — the wide read the plain window pays is gone.
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    order_scans = [s for s in scans if "o_custkey" in s]
+    assert order_scans, plan
+    assert all(len(s.split(",")) <= 4 for s in order_scans), order_scans
+    # The group-directory aggregations combine map-side.
+    assert "partial_max" in plan
+    assert "partial_count" in plan
+    # Threshold and rank directory join back as broadcasts.
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # No Python in the row path.
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1649,3 +1649,73 @@ def test_replay_settled_passes3_drains_chained_stateful_plan(
     assert (
         spark.read.parquet(out).filter("hour_ts < '2024-01-02'").count() == 2
     )
+
+
+def test_topk_stream_equals_batch_topk(spark, tmp_path):
+    """The streaming leaderboard's final per-key emission is identical
+    to the batch per-key top-k over the same rows: max-k-of-a-set is
+    batch-boundary independent, values ride through state verbatim, and
+    a later batch must EVICT earlier winners (the fixture plants the
+    global best rows in the last file). State carries exactly k pairs
+    per key; n_seen counts raw rows, not pruned survivors."""
+    import csv as _csv
+    import os as _os
+
+    from questdb_etl_jobs_spark.streaming.topk_stream import (
+        topk_per_key_stream,
+    )
+
+    # 3 keys x 300 rows; values permuted so each file holds some of
+    # every key's range, and the final file holds the global maxima
+    # (ids 880+, values 880+) that must displace earlier state. Ties
+    # abound (v = i // 3 duplicates every value 3x) to exercise the
+    # (value DESC, id ASC) tiebreak across batches.
+    rows = [(i % 3, i, (i // 3 if i < 880 else 10_000 + i)) for i in range(900)]
+    src = tmp_path / "topk_src"
+    src.mkdir()
+    for fi in range(3):
+        with open(src / f"{fi}.csv", "w", newline="") as fh:
+            _csv.writer(fh).writerows(rows[fi * 300:(fi + 1) * 300])
+        _os.utime(src / f"{fi}.csv",
+                  (1_700_000_000 + fi, 1_700_000_000 + fi))
+
+    stream = (
+        spark.readStream.schema("k int, id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        topk_per_key_stream(stream, "k", "v", "id", k=4)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "topk_out"))
+        .option("checkpointLocation", str(tmp_path / "topk_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(str(tmp_path / "topk_out")).collect()
+
+    # Final emission per key = max n_seen; must equal the Python model.
+    best_n = {}
+    for r in out:
+        best_n[r.k] = max(best_n.get(r.k, 0), r.n_seen)
+    got = sorted(
+        (r.k, r.rn, r.id, r.v, r.n_seen)
+        for r in out
+        if r.n_seen == best_n[r.k]
+    )
+    want = []
+    for g in range(3):
+        members = [(v, i) for kk, i, v in rows if kk == g]
+        members.sort(key=lambda t: t[1])
+        members.sort(key=lambda t: t[0], reverse=True)
+        want.extend(
+            (g, rn, i, v, 300) for rn, (v, i) in enumerate(members[:4], 1)
+        )
+    assert got == sorted(want)
+    # Every intermediate emission is k-bounded per (key, batch).
+    per_batch = {}
+    for r in out:
+        per_batch[(r.k, r.n_seen)] = per_batch.get((r.k, r.n_seen), 0) + 1
+    assert max(per_batch.values()) <= 4

@@ -117,8 +117,14 @@ def synthesize(spark) -> None:
     vlit = F.array(*[F.lit(w) for w in sorted(vocab)])
 
     def remix(df, i):
+        # n_chars mirrors the base table's invariant (== length(text),
+        # verified on the driver data) so schema-complete queries run
+        # against the tier unchanged.
         if i == 0:
-            return df.select("doc_id", "lang", "source", "text")
+            return df.select(
+                "doc_id", "lang", "source", "text",
+                F.length("text").cast("long").alias("n_chars"),
+            )
         toks = F.split("text", " ")
         remixed = F.array_join(
             F.transform(
@@ -138,6 +144,7 @@ def synthesize(spark) -> None:
             "lang",
             "source",
             remixed.alias("text"),
+            F.length(remixed).cast("long").alias("n_chars"),
         )
 
     write("documents", remix)
@@ -359,6 +366,13 @@ def _headline():
         "haversine_track": registry["q153_haversine_track"],
         "geohash_cells": registry["q155_geohash_cells"],
         "tdigest": registry["q157_tdigest_quantiles"],
+        # Round-11 operators: the grouped threshold prune (orders grow
+        # 10x at constant customer keys -> 10x deeper groups, the shape
+        # the prune exists for), dq30's full rank family on that prune,
+        # and the per-stratum weighted race over 10x documents.
+        "topk_per_key": registry["q172_topk_per_key_prune"],
+        "rank_family_pruned": registry["q175_rank_family_pruned"],
+        "weighted_sample_per_key": registry["q174_weighted_sample_per_lang"],
     }
 
 
