@@ -172,17 +172,26 @@ def fixed_size_sample(
     can displace old members (k is fixed — that's the contract), but
     never reorders survivors relative to each other.
 
+    NULL ``key`` rows are EXCLUDED from the draw (module-wide sampler
+    contract — a content-keyed draw is undefined for a null key). Until
+    round 11 this face accidentally let null-key rows occupy sample
+    slots ahead of every hashed row (ASC-nulls-first ordering); that
+    was never a contract, no oracle covers it, and the explicit filter
+    replaces it with a stated rule.
+
     Scale posture: routed through the grouped threshold prune
     (operators/topk.topk_per_key on the negated bucket), so the stratum
     exchange carries only rows at or below each stratum's certified
     k-th-smallest-partition-min bucket — not the corpus. Bit-identical
-    to the plain ``row_number() <= k`` window (the prune is
-    answer-preserving by construction).
+    to the plain ``row_number() <= k`` window over the same (non-null-
+    key) rows — the prune is answer-preserving by construction.
     """
     from questdb_etl_jobs_spark.operators.topk import topk_per_key
 
     pruned = topk_per_key(
-        df.withColumn("__negbucket", -sample_bucket(key, salt)),
+        df.filter(F.col(key).isNotNull()).withColumn(
+            "__negbucket", -sample_bucket(key, salt)
+        ),
         [strata_col],
         "__negbucket",
         k,
@@ -209,6 +218,12 @@ def weighted_sample_topk(
     global top-k is TakeOrdered (per-partition heaps + driver merge of k
     rows) — no global sort, no shuffle of non-survivors. At 100 TB this
     is a map-side pass over the corpus emitting k rows per partition.
+
+    NULL ``key`` rows are EXCLUDED from the draw (module-wide sampler
+    contract): a null key hashes to a null priority, which Spark's ASC
+    ordering would seat ahead of every real draw while the SQL oracle's
+    NULLS-LAST default would not — the explicit filter replaces that
+    engine-dependent accident with a stated rule.
     """
     w = F.col(weight) if isinstance(weight, str) else weight
     u = (sample_bucket(key, salt) + F.lit(1)).cast("double") / F.lit(
@@ -216,7 +231,8 @@ def weighted_sample_topk(
     )
     priority = -F.log(u) / w.cast("double")
     return (
-        df.withColumn("__pri", priority)
+        df.filter(F.col(key).isNotNull())
+        .withColumn("__pri", priority)
         .orderBy(F.col("__pri").asc(), F.col(key).asc())
         .limit(k)
         .drop("__pri")
@@ -246,6 +262,10 @@ def weighted_sample_per_key(
     exchange carries only certified-plausible rows, never the corpus.
     IEEE negation is exact, so ordering by ``-priority DESC`` is
     bit-identical to ``priority ASC``.
+
+    NULL ``key`` rows are EXCLUDED from the draw (module-wide sampler
+    contract, stated filter — same rule as :func:`weighted_sample_topk`
+    and :func:`fixed_size_sample`).
     """
     from questdb_etl_jobs_spark.operators.topk import topk_per_key
 
@@ -254,7 +274,9 @@ def weighted_sample_per_key(
         float(RESOLUTION)
     )
     pruned = topk_per_key(
-        df.withColumn("__negpri", F.log(u) / w.cast("double")),
+        df.filter(F.col(key).isNotNull()).withColumn(
+            "__negpri", F.log(u) / w.cast("double")
+        ),
         strata,
         "__negpri",
         k,

@@ -425,15 +425,43 @@ def _renew_compaction_lease(
 def _release_compaction_lease(
     spark: SparkSession, staged: str, token: str | None = None
 ) -> None:
-    """Drop the lease. With ``token``, only OUR lock is deleted — after
-    a TTL takeover the lock belongs to the taker, and deleting it would
-    hand a third compactor a free acquire."""
+    """Drop the lease. With ``token``, release must only ever remove OUR
+    lock — after a TTL takeover the lock belongs to the taker, and
+    deleting it would hand a third compactor a free acquire. A
+    check-then-delete would leave exactly that gap (a taker can rename
+    our stale lock and create its own between our token read and our
+    delete), so release claims atomically the same way takeover does:
+    rename the lock to a releaser-unique tombstone, inspect the
+    tombstone's token, and either delete it (ours) or rename it back
+    (we momentarily displaced a new holder's lock; restoring it
+    re-fences that holder's renew checks). If the rename-back loses —
+    yet another lock appeared in the window — the tombstone is deleted
+    and the displaced holder's next ``_renew_compaction_lease`` aborts
+    its protocol before any destructive step, the fail-safe direction.
+    """
     jvm, fs = _hadoop_fs(spark, staged)
-    if token is not None and _lock_token(jvm, fs, staged) != token:
+    lock = jvm.org.apache.hadoop.fs.Path(f"{staged}/{_COMPACTION_LOCK}")
+    if token is None:
+        fs.delete(lock, False)
         return
-    fs.delete(
-        jvm.org.apache.hadoop.fs.Path(f"{staged}/{_COMPACTION_LOCK}"), False
+    tomb = jvm.org.apache.hadoop.fs.Path(
+        f"{staged}/{_COMPACTION_LOCK}.release.{token}"
     )
+    try:
+        renamed = fs.rename(lock, tomb)
+    except Exception as exc:
+        # Local FS raises on a missing source where HDFS returns false.
+        if "FileNotFoundException" in str(exc):
+            return
+        raise
+    if not renamed:
+        return  # lock already gone (takeover in flight or released)
+    owner = _read_lock_line(jvm, fs, f"{staged}/{_COMPACTION_LOCK}"
+                            f".release.{token}")
+    if owner == token:
+        fs.delete(tomb, False)
+    elif not fs.rename(tomb, lock):
+        fs.delete(tomb, False)
 
 
 def _live_staged_ids(

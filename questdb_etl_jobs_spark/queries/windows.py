@@ -416,8 +416,19 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    joined = top3.join(
-        F.broadcast(stats), ["o_custkey", "o_orderpriority"], "inner"
+    # Null-safe on the priority: a NULL o_orderpriority forms its own
+    # directory row (Spark's ASC window seats nulls first, exactly like
+    # q30's w_prio), and eqNullSafe keeps such top-3 rows — a plain
+    # equi-join would silently drop them (NULL never equals NULL).
+    joined = (
+        top3.join(
+            F.broadcast(stats),
+            (top3["o_custkey"] == stats["o_custkey"])
+            & top3["o_orderpriority"].eqNullSafe(stats["o_orderpriority"]),
+            "inner",
+        )
+        .drop(stats["o_custkey"])
+        .drop(stats["o_orderpriority"])
     )
     # ntile(4) closed form: the first n%4 buckets get n//4+1 rows. With
     # n < 4 the first branch always holds (rem == n), so the //base

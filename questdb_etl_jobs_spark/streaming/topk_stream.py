@@ -29,6 +29,12 @@ associative and commutative — the final state is independent of batch
 boundaries and arrival order, so the replay gate checks it VALUE-exact
 against a CPython recomputation over the whole fixture.
 
+NULL values: rows with a NULL ``value`` count toward ``n_seen`` but
+never enter the leaderboard (stated contract — the batch face's
+"fill trailing ranks with nulls when a group has < k non-null rows"
+behavior is meaningless for a live leaderboard, and NaN comparisons
+would make the merge order-dependent).
+
 State size: exactly ``k`` (id, value) pairs + 2 counters per key —
 independent of stream volume, the bounded-state contract every
 streaming operator in this package holds.
@@ -74,11 +80,31 @@ def topk_per_key_stream(
             if not len(pdf):
                 continue
             counts = pdf.groupby(key, sort=False)[order_id].size()
+            # NULL values never enter the leaderboard (Python/NaN sort
+            # order is undefined; the batch face's trailing-null-fill
+            # contract is meaningless for a live leaderboard) — but
+            # they DO count toward n_seen, so keys whose batch slice is
+            # all-null still ship one null-valued carrier row for the
+            # bookkeeping; merge() absorbs __n and drops the carrier.
+            nn = pdf.dropna(subset=[value])
             out = (
-                pdf.sort_values([value, order_id], ascending=[False, True])
+                nn.sort_values([value, order_id], ascending=[False, True])
                 .groupby(key, sort=False)
                 .head(k)[cols]
                 .copy()
+            )
+            missing = counts.index.difference(pd.unique(out[key]))
+            if len(missing):
+                carriers = (
+                    pdf[pdf[key].isin(missing)]
+                    .groupby(key, sort=False)
+                    .head(1)[cols]
+                    .copy()
+                )
+                carriers[value] = None
+                out = pd.concat([out, carriers], ignore_index=True)
+            out[value] = out[value].astype(object).where(
+                out[value].notna(), None
             )
             out["__n"] = 0
             firsts = out.groupby(key, sort=False).head(1).index
@@ -107,7 +133,8 @@ def topk_per_key_stream(
             n, best = 0, []
         for pdf in pdfs:
             n += int(pdf["__n"].sum())
-            best.extend(zip(pdf[value].tolist(), pdf[order_id].tolist()))
+            live = pdf[pdf[value].notna()]
+            best.extend(zip(live[value].tolist(), live[order_id].tolist()))
         # Exact top-k under (value DESC, order_id ASC): sort by id
         # ascending first, then stable-sort by value descending.
         best.sort(key=lambda t: t[1])

@@ -2716,3 +2716,59 @@ def test_topk_per_key_plan_shape(spark):
     assert "SPARK_PARTITION_ID" in plan
     assert "partial_max" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_rank_family_pruned_handles_null_priorities(spark, tmp_path):
+    """q175 must stay bit-identical to q30's Spark face when
+    o_orderpriority is NULL for some rows: the directory join is
+    null-safe (a plain equi-join would silently drop null-priority
+    top-3 rows) and the directory window seats nulls first, exactly
+    like the plain w_prio."""
+    from questdb_etl_jobs_spark.queries import spark_queries
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    src = load_table(spark, SF_SMALL, "orders")
+    mod = src.withColumn(
+        "o_orderpriority",
+        F.when(
+            F.pmod("o_orderkey", F.lit(10)) == 0, F.lit(None)
+        ).otherwise(F.col("o_orderpriority")),
+    )
+    d = str(tmp_path / "nullprio")
+    mod.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    reg = spark_queries()
+    plain = sorted(map(tuple, reg["q30_rank_top3_orders"](spark, d).collect()))
+    pruned = sorted(
+        map(tuple, reg["q175_rank_family_pruned"](spark, d).collect())
+    )
+    assert plain == pruned and len(plain) > 0
+
+
+def test_matview_lease_release_is_token_atomic(spark, tmp_path):
+    """A dispossessed holder's release must never remove the NEW
+    holder's lock (the check-then-delete gap): release claims by
+    rename-to-tombstone, sees the foreign token, and puts the lock
+    BACK; releasing with one's own token removes it; releasing a
+    vanished lock is a no-op."""
+    from questdb_etl_jobs_spark.operators import matview as mv
+
+    df = _mv_rows(spark)
+    path = str(tmp_path / "mv")
+    mv.refresh_sample_by_view_exactly_once(
+        spark, df, path, 0, "ts", "day", "v", ["k"]
+    )
+    staged = mv._staged_dir(path)
+    jvm, fs = mv._hadoop_fs(spark, staged)
+
+    # New holder B owns the lock; old holder A releases with its stale
+    # token → lock must survive, still carrying B.
+    token_b = mv._acquire_compaction_lease(spark, staged, 600.0)
+    assert token_b
+    mv._release_compaction_lease(spark, staged, token="stale-token-a")
+    assert mv._lock_token(jvm, fs, staged) == token_b
+    # B's own release removes it.
+    mv._release_compaction_lease(spark, staged, token=token_b)
+    assert mv._lock_token(jvm, fs, staged) is None
+    # Releasing again (lock vanished) is a no-op, not an error.
+    mv._release_compaction_lease(spark, staged, token=token_b)
+    assert mv._lock_token(jvm, fs, staged) is None

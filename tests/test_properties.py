@@ -784,3 +784,30 @@ def test_cusum_closed_form_matches_loop(spark, series, target, slack):
         state[k] = (sp, sn)
         gp, gn = got[i]
         assert abs(gp - sp) < 1e-6 and abs(gn - sn) < 1e-6, (i, k, v)
+
+
+def test_samplers_exclude_null_keys(spark):
+    """Module-wide sampler contract: a content-keyed draw is undefined
+    for a NULL key, so null-key rows are excluded — stated filter, not
+    the engine-dependent nulls-first ordering accident the window faces
+    inherited from Spark's ASC default."""
+    from questdb_etl_jobs_spark.functions.sampling import (
+        fixed_size_sample,
+        weighted_sample_per_key,
+        weighted_sample_topk,
+    )
+
+    rows = [(None, 0, 5), (1, 0, 5), (2, 0, 5), (3, 0, 5), (None, 1, 5)]
+    df = spark.createDataFrame(rows, "id long, grp long, w long")
+
+    got_fixed = {r.id for r in fixed_size_sample(df, "id", "grp", 2).collect()}
+    got_global = {
+        r.id for r in weighted_sample_topk(df, "id", "w", 4).collect()
+    }
+    got_grouped = {
+        r.id
+        for r in weighted_sample_per_key(df, ["grp"], "id", "w", 4).collect()
+    }
+    assert None not in got_fixed and len(got_fixed) == 2
+    assert got_global == {1, 2, 3}
+    assert got_grouped == {1, 2, 3}

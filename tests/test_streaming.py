@@ -1671,11 +1671,19 @@ def test_topk_stream_equals_batch_topk(spark, tmp_path):
     # abound (v = i // 3 duplicates every value 3x) to exercise the
     # (value DESC, id ASC) tiebreak across batches.
     rows = [(i % 3, i, (i // 3 if i < 880 else 10_000 + i)) for i in range(900)]
+    # NULL values count toward n_seen but never enter the leaderboard
+    # (stated contract); key 2's slice of file 0 is null-heavy so a
+    # batch ships null carriers alongside real candidates.
+    nulls = {5, 8, 11, 14, 17}
+    rows = [(k_, i, None if i in nulls else v) for k_, i, v in rows]
     src = tmp_path / "topk_src"
     src.mkdir()
     for fi in range(3):
         with open(src / f"{fi}.csv", "w", newline="") as fh:
-            _csv.writer(fh).writerows(rows[fi * 300:(fi + 1) * 300])
+            _csv.writer(fh).writerows(
+                (k_, i, "" if v is None else v)
+                for k_, i, v in rows[fi * 300:(fi + 1) * 300]
+            )
         _os.utime(src / f"{fi}.csv",
                   (1_700_000_000 + fi, 1_700_000_000 + fi))
 
@@ -1707,7 +1715,7 @@ def test_topk_stream_equals_batch_topk(spark, tmp_path):
     )
     want = []
     for g in range(3):
-        members = [(v, i) for kk, i, v in rows if kk == g]
+        members = [(v, i) for kk, i, v in rows if kk == g and v is not None]
         members.sort(key=lambda t: t[1])
         members.sort(key=lambda t: t[0], reverse=True)
         want.extend(

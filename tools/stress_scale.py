@@ -79,7 +79,17 @@ def _replicate(df, i: int, key_shifts: dict[str, int], ts_shift: str | None):
 
 def synthesize(spark) -> None:
     if os.path.exists(os.path.join(OUT, "_DONE")):
-        return
+        # Self-heal stale tiers: a _DONE left by a pre-round-11 run
+        # lacks documents.n_chars, and the schema-complete headline
+        # queries would crash instead of re-synthesizing.
+        names = spark.read.parquet(f"{OUT}/documents.parquet").schema.names
+        if "n_chars" in names:
+            return
+        print(
+            "# stale 10x tier (documents lacks n_chars) - resynthesizing",
+            file=sys.stderr,
+        )
+        os.remove(os.path.join(OUT, "_DONE"))
     shutil.rmtree(OUT, ignore_errors=True)
     os.makedirs(OUT, exist_ok=True)
     from questdb_etl_jobs_spark.sources.tables import invalidate_tables, load_table
