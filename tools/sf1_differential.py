@@ -416,6 +416,59 @@ def _matview_dq25(spark, sf_dir: str, raw_entry: dict) -> dict:
     }
 
 
+def _sf100_duck_connection(tables):
+    """Fresh DuckDB connection with views over the sf100 tier's tables
+    (directory or single-file parquet both supported)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        path = f"{SF100_LINEITEM}/{t}.parquet"
+        glob = f"{path}/**/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")
+    return con
+
+
+def _interleaved_sf100_cells(spark, con, pairs, tag="sf100"):
+    """The one-boot interleaved measurement loop every sf100 fast path
+    shares: 1 discarded warmup round + ``ROUNDS`` recorded, engines
+    back-to-back within a cell, per-round row-count cross-check,
+    per-cell best with the full run series kept. ``pairs`` maps
+    label -> (spark_fn, duck_sql); returns {label: cell_dict}."""
+    cells = {lab: {"spark": [], "duck": [], "rows": -1} for lab in pairs}
+    for rnd in range(ROUNDS + 1):
+        recorded = rnd > 0
+        for lab, (fn, sql) in pairs.items():
+            s_sec, s_rows = _time_spark(spark, fn, SF100_LINEITEM)
+            d_sec, d_rows = _time_duck(con, sql)
+            if s_rows != d_rows:
+                raise SystemExit(
+                    f"row mismatch {lab}@{tag}: spark={s_rows} duck={d_rows}"
+                )
+            if recorded:
+                cells[lab]["spark"].append(round(s_sec, 4))
+                cells[lab]["duck"].append(round(d_sec, 4))
+                cells[lab]["rows"] = s_rows
+        print(f"# {tag} round {rnd} done", file=sys.stderr)
+    out = {}
+    for lab, c in cells.items():
+        s_sec, d_sec = min(c["spark"]), min(c["duck"])
+        out[lab] = {
+            "spark_sec": s_sec,
+            "duckdb_sec": d_sec,
+            "ratio": round(s_sec / d_sec, 2),
+            "rows": c["rows"],
+            "spark_runs": c["spark"],
+            "duckdb_runs": c["duck"],
+        }
+        print(
+            f"{tag}  {lab:22s} spark={s_sec:7.3f}s duckdb={d_sec:7.3f}s "
+            f"ratio={s_sec / d_sec:6.2f} rows={c['rows']}",
+            file=sys.stderr,
+        )
+    return out
+
+
 def _lineitem_sf100(spark, results: dict) -> None:
     """dq20/dq34 at the lineitem-only sf100 tier (1000× sf0.1; 600M
     rows) — the third fit point that settles dq20's marginal.
@@ -445,45 +498,14 @@ def _lineitem_sf100(spark, results: dict) -> None:
     synth = round(time.perf_counter() - t0, 1)
     print(f"# sf100 lineitem synthesis: {synth}s", file=sys.stderr)
 
-    import duckdb
-
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW lineitem AS SELECT * FROM "
-        f"read_parquet('{SF100_LINEITEM}/lineitem.parquet/**/*.parquet')"
-    )
+    con = _sf100_duck_connection(["lineitem"])
     heads = _spark_headline()
-    labels = ("dq20_pricing_summary", "dq34_topk")
-    cells = {lab: {"spark": [], "duck": [], "rows": -1} for lab in labels}
-    for rnd in range(ROUNDS + 1):
-        recorded = rnd > 0
-        for lab in labels:
-            s_sec, s_rows = _time_spark(spark, heads[lab], SF100_LINEITEM)
-            d_sec, d_rows = _time_duck(con, DUCK_SQL[lab])
-            if s_rows != d_rows:
-                raise SystemExit(
-                    f"row mismatch {lab}@sf100: spark={s_rows} duck={d_rows}"
-                )
-            if recorded:
-                cells[lab]["spark"].append(round(s_sec, 4))
-                cells[lab]["duck"].append(round(d_sec, 4))
-                cells[lab]["rows"] = s_rows
-    for lab in labels:
-        s_sec, d_sec = min(cells[lab]["spark"]), min(cells[lab]["duck"])
-        results[lab]["sf100"] = {
-            "spark_sec": s_sec,
-            "duckdb_sec": d_sec,
-            "ratio": round(s_sec / d_sec, 2),
-            "rows": cells[lab]["rows"],
-            "synth_sec": synth,
-            "spark_runs": cells[lab]["spark"],
-            "duckdb_runs": cells[lab]["duck"],
-        }
-        print(
-            f"sf100  {lab:22s} spark={s_sec:7.3f}s duckdb={d_sec:7.3f}s "
-            f"ratio={s_sec / d_sec:6.2f} rows={cells[lab]['rows']}",
-            file=sys.stderr,
-        )
+    pairs = {
+        lab: (heads[lab], DUCK_SQL[lab])
+        for lab in ("dq20_pricing_summary", "dq34_topk")
+    }
+    for lab, cell in _interleaved_sf100_cells(spark, con, pairs).items():
+        results[lab]["sf100"] = {**cell, "synth_sec": synth}
 
     # Decomposition: same filter, count-only (decodes l_shipdate alone,
     # no agg arithmetic) vs the full dq20 — the difference is column
@@ -597,49 +619,18 @@ def _relational_sf100(spark, results: dict) -> None:
     synth = round(time.perf_counter() - t0, 1)
     print(f"# sf100 orders synthesis: {synth}s", file=sys.stderr)
 
-    import duckdb
-
-    con = duckdb.connect()
-    for t in ("lineitem", "orders", "customer", "nation"):
-        src = f"{SF100_LINEITEM}/{t}.parquet"
-        glob = f"{src}/**/*.parquet" if os.path.isdir(src) else src
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')"
-        )
+    con = _sf100_duck_connection(["lineitem", "orders", "customer", "nation"])
     heads = _spark_headline()
-    labels = ("dq10_join_revenue", "dq30_window_rank")
-    cells = {lab: {"spark": [], "duck": [], "rows": -1} for lab in labels}
-    for rnd in range(ROUNDS + 1):
-        recorded = rnd > 0
-        for lab in labels:
-            s_sec, s_rows = _time_spark(spark, heads[lab], SF100_LINEITEM)
-            d_sec, d_rows = _time_duck(con, DUCK_SQL[lab])
-            if s_rows != d_rows:
-                raise SystemExit(
-                    f"row mismatch {lab}@sf100: spark={s_rows} duck={d_rows}"
-                )
-            if recorded:
-                cells[lab]["spark"].append(round(s_sec, 4))
-                cells[lab]["duck"].append(round(d_sec, 4))
-                cells[lab]["rows"] = s_rows
-        print(f"# relational sf100 round {rnd} done", file=sys.stderr)
+    pairs = {
+        lab: (heads[lab], DUCK_SQL[lab])
+        for lab in ("dq10_join_revenue", "dq30_window_rank")
+    }
+    cells = _interleaved_sf100_cells(
+        spark, con, pairs, tag="relational sf100"
+    )
     con.close()
-    for lab in labels:
-        s_sec, d_sec = min(cells[lab]["spark"]), min(cells[lab]["duck"])
-        results[lab]["sf100"] = {
-            "spark_sec": s_sec,
-            "duckdb_sec": d_sec,
-            "ratio": round(s_sec / d_sec, 2),
-            "rows": cells[lab]["rows"],
-            "synth_sec": synth,
-            "spark_runs": cells[lab]["spark"],
-            "duckdb_runs": cells[lab]["duck"],
-        }
-        print(
-            f"sf100  {lab:22s} spark={s_sec:7.3f}s duckdb={d_sec:7.3f}s "
-            f"ratio={s_sec / d_sec:6.2f} rows={cells[lab]['rows']}",
-            file=sys.stderr,
-        )
+    for lab, cell in cells.items():
+        results[lab]["sf100"] = {**cell, "synth_sec": synth}
 
 
 def _dq30_pruned_sf100(spark, results: dict) -> None:
@@ -667,55 +658,26 @@ def _dq30_pruned_sf100(spark, results: dict) -> None:
     plain_fn = registry["q30_rank_top3_orders"]
     pruned_fn = registry["q175_rank_family_pruned"]
 
-    import duckdb
-
-    con = duckdb.connect()
-    src = f"{SF100_LINEITEM}/orders.parquet"
-    glob = f"{src}/**/*.parquet" if os.path.isdir(src) else src
-    con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{glob}')")
-
-    raw_rows = sorted(
-        map(tuple, plain_fn(spark, SF100_LINEITEM).collect())
+    con = _sf100_duck_connection(["orders"])
+    # Value cross-check BEFORE any timing: the pruned face must match
+    # the plain window face row-for-row on this tier.
+    raw_rows = sorted(map(tuple, plain_fn(spark, SF100_LINEITEM).collect()))
+    pruned_rows = sorted(
+        map(tuple, pruned_fn(spark, SF100_LINEITEM).collect())
     )
-    cells = {"spark": [], "duck": [], "rows": -1}
-    for rnd in range(ROUNDS + 1):
-        recorded = rnd > 0
-        t0 = time.perf_counter()
-        pruned_rows = pruned_fn(spark, SF100_LINEITEM).collect()
-        s_sec = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        d_rows = len(con.execute(DUCK_SQL["dq30_window_rank"]).fetchall())
-        d_sec = time.perf_counter() - t0
-        if d_rows != len(pruned_rows):
-            raise SystemExit(
-                f"row mismatch dq30_pruned@sf100: spark={len(pruned_rows)} "
-                f"duck={d_rows}"
-            )
-        if recorded:
-            cells["spark"].append(round(s_sec, 4))
-            cells["duck"].append(round(d_sec, 4))
-            cells["rows"] = len(pruned_rows)
-        print(f"# dq30-pruned sf100 round {rnd} done", file=sys.stderr)
-    con.close()
-    assert sorted(map(tuple, pruned_rows)) == raw_rows, (
+    assert pruned_rows == raw_rows, (
         "pruned rank family diverged from the plain window plan at sf100"
     )
-    s_sec, d_sec = min(cells["spark"]), min(cells["duck"])
-    results["dq30_window_rank"]["sf100_pruned"] = {
-        "spark_sec": s_sec,
-        "duckdb_sec": d_sec,
-        "ratio": round(s_sec / d_sec, 2),
-        "rows": cells["rows"],
-        "plain_crosscheck": True,
-        "spark_runs": cells["spark"],
-        "duckdb_runs": cells["duck"],
-    }
-    print(
-        f"sf100  dq30 pruned rank family: spark={s_sec:7.3f}s "
-        f"duckdb={d_sec:7.3f}s ratio={s_sec / d_sec:6.2f} "
-        f"rows={cells['rows']}",
-        file=sys.stderr,
+    cells = _interleaved_sf100_cells(
+        spark, con,
+        {"dq30_pruned": (pruned_fn, DUCK_SQL["dq30_window_rank"])},
+        tag="dq30-pruned sf100",
     )
+    con.close()
+    results["dq30_window_rank"]["sf100_pruned"] = {
+        **cells["dq30_pruned"],
+        "plain_crosscheck": True,
+    }
 
 
 SF100_EVENTS = "/tmp/spark_graft_sf100_events"
