@@ -370,3 +370,54 @@ def enforce_ttl(
         as_of = as_of.date()
     cutoff = as_of - _dt.timedelta(days=ttl_days)
     return drop_partitions(spark, path, ts_col, older_than=cutoff)
+
+
+def show_partitions(spark: SparkSession, path: str, ts_col: str) -> DataFrame:
+    """QuestDB ``SHOW PARTITIONS FROM <table>`` twin over a designated-ts
+    table: one row per day partition with QuestDB's data-derivable
+    columns — ``part_index`` (0-based position in timestamp order),
+    ``partition_by`` (always ``'DAY'``: this engine's designated tables
+    are day directories), ``name`` (``YYYY-MM-DD``), ``min_ts`` /
+    ``max_ts`` (observed bounds — QuestDB's minTimestamp/maxTimestamp),
+    and ``num_rows``.
+
+    Divergence, documented not hidden: QuestDB also reports storage
+    facts (diskSize, readOnly, attached…) straight from its catalog;
+    those are filesystem attributes here, not query results, so they are
+    out of this face. The scan reads exactly two columns (the partition
+    value rides on the directory name, the bounds need ``ts_col``), the
+    per-partition aggregate partial-combines map-side, and the
+    ``part_index`` window runs over the partition DIRECTORY (one row per
+    day), never the data. A missing table is an empty listing — same
+    idempotence contract as :func:`list_partitions`.
+    """
+    from pyspark.sql.window import Window
+
+    from questdb_etl_jobs_spark.sources.fs import hadoop_path_exists
+
+    pcol = ts_col + PARTITION_SUFFIX
+    schema = (
+        f"part_index int, partition_by string, name string, "
+        f"min_ts timestamp, max_ts timestamp, num_rows bigint"
+    )
+    if not hadoop_path_exists(spark, path):
+        return spark.createDataFrame([], schema)
+    per_day = (
+        spark.read.parquet(path)
+        .select(F.col(pcol), F.col(ts_col))
+        .groupBy(pcol)
+        .agg(
+            F.min(ts_col).alias("min_ts"),
+            F.max(ts_col).alias("max_ts"),
+            F.count(F.lit(1)).alias("num_rows"),
+        )
+    )
+    w = Window.orderBy(pcol)
+    return per_day.select(
+        (F.row_number().over(w) - 1).cast("int").alias("part_index"),
+        F.lit("DAY").alias("partition_by"),
+        F.date_format(F.col(pcol), "yyyy-MM-dd").alias("name"),
+        "min_ts",
+        "max_ts",
+        "num_rows",
+    ).orderBy("part_index")

@@ -1679,3 +1679,108 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return agg.orderBy("bucket_ts")
+
+
+# ---------------------------------------------------------------------------
+# q177 — distributed k-means over embeddings (EXT clustering)
+# ---------------------------------------------------------------------------
+#
+# Topic-aware curation needs cluster structure (cluster-balanced sampling /
+# mixing). operators/clustering.py runs Lloyd iterations where assignment
+# is a zero-shuffle codegen projection (centroids as plan literals) and the
+# update shuffle is bounded by partitions × k × dim regardless of corpus
+# size. Determinism protocol: init = k lowest vec_ids; component means via
+# the decimal sum of ROUND(x,4) terms (order-independent) divided once in
+# CPython; distances fold in array order (pure IEEE); ties break to the
+# lowest centroid index. The oracle replays the identical arithmetic in
+# CPython over the same parquet — assignments and distances must match
+# bit-for-bit (dist gated at 4 decimals via the repr-round shim).
+
+_KM_K = 4
+_KM_ITERS = 3
+
+
+def _q177_mirror() -> list[tuple[int, int, str]]:
+    """(vec_id, cluster, sq_dist4-as-str) — exact CPython replay."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+        f"'{ORACLE_SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    vecs = [(int(vid), [float(x) for x in v]) for vid, v in rows]
+    dim = len(vecs[0][1])
+    q4 = Decimal("0.0001")
+
+    def sqd(vec: list[float], cen: list[float]) -> float:
+        acc = 0.0
+        for a, b in zip(vec, cen):
+            acc = acc + (a - b) * (a - b)
+        return acc
+
+    def assign(cens: list[list[float]]) -> list[tuple[int, int, float]]:
+        out = []
+        for vid, v in vecs:
+            dists = [sqd(v, c) for c in cens]
+            best = dists.index(min(dists))
+            out.append((vid, best, dists[best]))
+        return out
+
+    centroids = [list(v) for _vid, v in vecs[:_KM_K]]
+    for _ in range(_KM_ITERS):
+        assigned = assign(centroids)
+        sums: dict[int, list[Decimal]] = {}
+        counts: dict[int, int] = {}
+        for (vid, cl, _d), (_vid2, v) in zip(assigned, vecs):
+            s = sums.setdefault(cl, [Decimal(0)] * dim)
+            counts[cl] = counts.get(cl, 0) + 1
+            for p, x in enumerate(v):
+                s[p] += Decimal(repr(x)).quantize(q4, ROUND_HALF_UP)
+        centroids = [
+            [float(sums[c][p]) / counts[c] for p in range(dim)]
+            if c in counts
+            else list(centroids[c])
+            for c in range(_KM_K)
+        ]
+    final = assign(centroids)
+    return [
+        (
+            vid,
+            cl,
+            str(Decimal(repr(d)).quantize(q4, ROUND_HALF_UP)),
+        )
+        for vid, cl, d in final
+    ]
+
+
+def _q177_oracle() -> str:
+    values = ",\n      ".join(
+        f"({vid}, {cl}, {d4})" for vid, cl, d4 in _q177_mirror()
+    )
+    return f"""
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS INT) AS cluster,
+           CAST(sq_dist4 AS DOUBLE) AS sq_dist4
+    FROM (VALUES
+      {values}
+    ) AS t(vec_id, cluster, sq_dist4)
+    ORDER BY vec_id
+    """
+
+
+@dq("q177_kmeans_clusters", oracle=_q177_oracle, covers="EXT,F8,U1,A1")
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.operators.clustering import (
+        kmeans_fit,
+        kmeans_transform,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = kmeans_fit(emb, k=_KM_K, iterations=_KM_ITERS)
+    out = kmeans_transform(emb, model)
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.round("sq_dist", 4).alias("sq_dist4"),
+    ).orderBy("vec_id")

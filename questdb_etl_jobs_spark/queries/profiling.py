@@ -3029,3 +3029,52 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "phase int, day string, n long, cents long"
     )
     return out.orderBy("phase", "day")
+
+
+# ---------------------------------------------------------------------------
+# q178 — SHOW PARTITIONS: the retention family's catalog face
+# ---------------------------------------------------------------------------
+#
+# q168-q170 mutate partitions; this is how an operator INSPECTS them
+# (QuestDB `SHOW PARTITIONS FROM t`). The dialect statement lowers onto
+# plans/designated.show_partitions: a two-column pruned scan whose
+# per-day aggregate partial-combines map-side, then a row_number over
+# the day DIRECTORY (one row per partition, never the data). The oracle
+# recomputes the listing relationally from the same events; agreement
+# proves the written partition layout (directory names, per-day bounds,
+# row counts) matches the designated-ts contract exactly. QuestDB's
+# storage-only columns (diskSize, attached, ...) are catalog attributes,
+# not query results, and stay out of both faces (documented in the
+# operator docstring).
+
+_Q178_ORACLE = """
+WITH d AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         MIN(CAST(ts AS TIMESTAMP)) AS min_ts,
+         MAX(CAST(ts AS TIMESTAMP)) AS max_ts,
+         COUNT(*) AS num_rows
+  FROM events GROUP BY day
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS INT) AS part_index,
+       'DAY' AS partition_by,
+       CAST(day AS VARCHAR) AS name,
+       min_ts, max_ts,
+       CAST(num_rows AS BIGINT) AS num_rows
+FROM d ORDER BY part_index
+"""
+
+
+@dq("q178_show_partitions", oracle=_Q178_ORACLE, covers="S6,A1,W1,EXT")
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from questdb_etl_jobs_spark.plans.designated import write_designated_ts
+    from questdb_etl_jobs_spark.sql.dialect import questdb_show
+
+    path = "/tmp/spark_graft_q178_show_partitions"
+    _shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    write_designated_ts(ev, path, "ts", mode="overwrite")
+    return questdb_show(
+        spark, "SHOW PARTITIONS FROM shown_events;", {"shown_events": path}
+    )

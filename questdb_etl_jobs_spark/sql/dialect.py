@@ -955,3 +955,44 @@ def questdb_ddl(
         f"unsupported DDL statement: {text!r} (supported: ALTER TABLE "
         "… DROP PARTITION WHERE/LIST, ALTER TABLE … SET TTL n DAYS)"
     )
+
+
+_SHOW_PARTITIONS_RE = re.compile(
+    r"^SHOW\s+PARTITIONS\s+FROM\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s*$",
+    re.IGNORECASE,
+)
+
+
+def questdb_show(
+    spark: SparkSession,
+    sql: str,
+    tables: dict[str, str],
+    designated: dict[str, str] | None = None,
+) -> DataFrame:
+    """Execute a QuestDB metadata statement against a designated-ts table
+    on disk. Currently ``SHOW PARTITIONS FROM <table>`` — the catalog
+    face of the retention family (q168–q170 mutate partitions; this is
+    how an operator inspects them). Lowers onto
+    :func:`plans.designated.show_partitions`; same table→path and
+    designated-ts resolution contract as :func:`questdb_ddl`, and the
+    same missing/empty-table tolerance (an empty listing, not an error).
+    """
+    from questdb_etl_jobs_spark.plans.designated import show_partitions
+
+    designated = designated or {}
+    text = sql.strip().rstrip(";").strip()
+    m = _SHOW_PARTITIONS_RE.match(text)
+    if not m:
+        raise QuestDBSQLError(
+            f"unsupported SHOW statement: {text!r} "
+            "(supported: SHOW PARTITIONS FROM <table>)"
+        )
+    name, path = _ddl_table_path(m.group("table"), tables)
+    ts_col = _ddl_ts_col(spark, name, path, designated)
+    if ts_col is None:
+        return spark.createDataFrame(
+            [],
+            "part_index int, partition_by string, name string, "
+            "min_ts timestamp, max_ts timestamp, num_rows bigint",
+        )
+    return show_partitions(spark, path, ts_col)

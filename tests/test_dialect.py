@@ -740,3 +740,51 @@ def test_ddl_unreadable_table_raises_not_noop(spark, tmp_path):
         "ALTER TABLE e DROP PARTITION WHERE ts < '2030-01-01'",
         {"e": str(empty)},
     ) == []
+
+
+# ---------------------------------------------------------------------------
+# SHOW PARTITIONS — the retention family's catalog face
+# ---------------------------------------------------------------------------
+
+def test_show_partitions_lists_layout_with_bounds(spark, tmp_path):
+    from questdb_etl_jobs_spark.plans.designated import write_designated_ts
+    from questdb_etl_jobs_spark.sql.dialect import questdb_show
+
+    df = spark.createDataFrame(
+        [
+            ("2024-03-01 08:00:00", 1),
+            ("2024-03-01 17:30:00", 2),
+            ("2024-03-03 00:00:01", 3),
+        ],
+        "ts_raw string, v int",
+    ).select(F.to_timestamp("ts_raw").alias("ts"), "v")
+    path = str(tmp_path / "t")
+    write_designated_ts(df, path, "ts")
+    rows = questdb_show(
+        spark, "SHOW PARTITIONS FROM t", {"t": path}
+    ).collect()
+    assert [(r["part_index"], r["name"], r["num_rows"]) for r in rows] == [
+        (0, "2024-03-01", 2),
+        (1, "2024-03-03", 1),
+    ]
+    assert all(r["partition_by"] == "DAY" for r in rows)
+    assert rows[0]["min_ts"].hour == 8 and rows[0]["max_ts"].hour == 17
+
+
+def test_show_partitions_missing_table_is_empty_listing(spark, tmp_path):
+    from questdb_etl_jobs_spark.sql.dialect import questdb_show
+
+    out = questdb_show(
+        spark, "SHOW PARTITIONS FROM nope", {"nope": str(tmp_path / "nope")}
+    )
+    assert out.count() == 0
+    assert out.columns == [
+        "part_index", "partition_by", "name", "min_ts", "max_ts", "num_rows",
+    ]
+
+
+def test_show_unsupported_statement_raises(spark, tmp_path):
+    from questdb_etl_jobs_spark.sql.dialect import QuestDBSQLError, questdb_show
+
+    with pytest.raises(QuestDBSQLError, match="unsupported SHOW"):
+        questdb_show(spark, "SHOW TABLES", {"t": str(tmp_path)})

@@ -2772,3 +2772,89 @@ def test_matview_lease_release_is_token_atomic(spark, tmp_path):
     # Releasing again (lock vanished) is a no-op, not an error.
     mv._release_compaction_lease(spark, staged, token=token_b)
     assert mv._lock_token(jvm, fs, staged) is None
+
+
+# ---------------------------------------------------------------------------
+# operators/clustering.py — distributed Lloyd k-means
+# ---------------------------------------------------------------------------
+
+def test_kmeans_separates_obvious_blobs(spark):
+    """Two well-separated 2-D blobs, k=2 seeded from the two lowest ids
+    (one per blob): every point lands with its blob and the centroids
+    converge to the blob means."""
+    from questdb_etl_jobs_spark.operators.clustering import (
+        kmeans_fit,
+        kmeans_transform,
+    )
+
+    rows = [
+        (0, [0.0, 0.0]), (2, [0.1, -0.1]), (4, [-0.1, 0.1]),
+        (1, [10.0, 10.0]), (3, [10.1, 9.9]), (5, [9.9, 10.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    model = kmeans_fit(df, k=2, iterations=2)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_transform(df, model).collect()
+    }
+    assert got[0] == got[2] == got[4] == 0
+    assert got[1] == got[3] == got[5] == 1
+    assert abs(model.centroids[0][0] - 0.0) < 1e-9
+    assert abs(model.centroids[1][0] - 10.0) < 1e-9
+
+
+def test_kmeans_tie_breaks_to_lowest_centroid_index(spark):
+    from questdb_etl_jobs_spark.operators.clustering import assign_clusters
+
+    df = spark.createDataFrame(
+        [(1, [5.0, 5.0])], "vec_id bigint, embedding array<double>"
+    )
+    # Equidistant from both centroids -> first minimum wins (index 0).
+    out = assign_clusters(df, [[0.0, 0.0], [10.0, 10.0]]).collect()
+    assert out[0]["cluster"] == 0
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    from questdb_etl_jobs_spark.operators.clustering import (
+        _update_centroids,
+        assign_clusters,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.2, 0.2])],
+        "vec_id bigint, embedding array<double>",
+    )
+    far = [100.0, 100.0]  # nothing assigns here
+    assigned = assign_clusters(df, [[0.0, 0.0], far])
+    new = _update_centroids(assigned, [[0.0, 0.0], far], "embedding", "cluster")
+    assert new[1] == far                      # empty cluster retained
+    assert abs(new[0][0] - 0.1) < 1e-9        # mean of 0.0 and 0.2
+
+
+def test_kmeans_k_exceeding_rows_raises(spark):
+    import pytest as _pytest
+
+    from questdb_etl_jobs_spark.operators.clustering import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(1, [0.0])], "vec_id bigint, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="exceeds input row count"):
+        kmeans_fit(df, k=5, iterations=1)
+
+
+def test_kmeans_assignment_is_zero_shuffle_projection(spark, tmp_path):
+    """The assignment pass must not exchange: centroids are plan
+    literals, the winner is computed per-row in the scan stage."""
+    from questdb_etl_jobs_spark.operators.clustering import assign_clusters
+    from questdb_etl_jobs_spark.plans.inspect import plan_string
+
+    src = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(i, [float(i), float(-i)]) for i in range(100)],
+        "vec_id bigint, embedding array<double>",
+    ).write.parquet(src)
+    df = assign_clusters(
+        spark.read.parquet(src), [[0.0, 0.0], [50.0, -50.0]]
+    )
+    assert "Exchange" not in plan_string(df)
