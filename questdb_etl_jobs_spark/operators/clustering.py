@@ -69,6 +69,11 @@ def assign_clusters(
     squared L2; ties go to the lowest index (``array_position`` returns
     the FIRST occurrence of the minimum). ``dist_col`` (optional) carries
     the winning squared distance.
+
+    NULL vectors carry a NULL cluster (the distance fold propagates the
+    null through ``array_min``/``array_position``) — same excluded-by-
+    contract stance as the deterministic samplers: they never join a
+    centroid's mean (:func:`_update_centroids` skips the NULL group).
     """
     vec = F.col(vec_col).cast("array<double>")
     dists = F.array(*[_sq_dist(vec, c) for c in centroids])
@@ -110,6 +115,8 @@ def _update_centroids(
     )
     by_cluster: dict[int, dict[int, tuple[Decimal, int]]] = {}
     for row in sums:
+        if row[cluster_col] is None:  # NULL vectors: excluded by contract
+            continue
         by_cluster.setdefault(row[cluster_col], {})[row["pos"]] = (
             row["s"],
             row["n"],
@@ -145,6 +152,7 @@ def kmeans_fit(
         raise ValueError("k must be >= 1")
     seed_rows = (
         df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .filter(F.col(vec_col).isNotNull())  # NULLs excluded by contract
         .orderBy(id_col)
         .limit(k)
         .collect()

@@ -402,8 +402,19 @@ def show_partitions(spark: SparkSession, path: str, ts_col: str) -> DataFrame:
     )
     if not hadoop_path_exists(spark, path):
         return spark.createDataFrame([], schema)
+    try:
+        table = spark.read.parquet(path)
+    except Exception as exc:
+        # Every partition dropped (dir of stray markers, zero footers) is
+        # the same empty listing; real read errors re-raise (the
+        # _ddl_ts_col contract).
+        if "UNABLE_TO_INFER_SCHEMA" in str(exc) or "PATH_NOT_FOUND" in str(
+            exc
+        ):
+            return spark.createDataFrame([], schema)
+        raise
     per_day = (
-        spark.read.parquet(path)
+        table
         .select(F.col(pcol), F.col(ts_col))
         .groupBy(pcol)
         .agg(

@@ -89,7 +89,12 @@ _PRIORITY: tuple[str, ...] = (
     "q74_kmv_distinct",           # A3 (value-verified KMV twin of q27's HLL)
     "q29_unpivot_stats",          # U4 T1
     "q30_rank_top3_orders",       # W1
-    "q31_lag_lead_gaps",          # W2
+    # Round-11 rotation #3: q31 ceded its slot — W2 stays covered
+    # in-window by q164 (lag/CUSUM) and q145 (stateful EMA) — so the
+    # round's new clustering family (distributed Lloyd k-means under a
+    # bit-exact CPython mirror) runs under the driver's own oracle in
+    # the round it shipped.
+    "q177_kmeans_clusters",       # EXT clustering, F8 U1
     "q32_moving_avg",             # W3
     "q33_latest_event_per_user",  # W4
     "q34_topk_lineitems",         # O2

@@ -1178,3 +1178,167 @@ def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
         final, "item_id int, rn int, row_id bigint, price double, "
         "n_seen bigint"
     ).orderBy("item_id", "rn")
+
+
+# ---------------------------------------------------------------------------
+# q179 — streaming sequential k-means replay (EXT clustering, streaming twin)
+# ---------------------------------------------------------------------------
+#
+# The clustering family's streaming face (batch Lloyd: q177): embeddings
+# arrive in five vec_id-ordered parquet files replayed one per trigger
+# (ascending mtimes), and streaming/kmeans_stream.py folds each
+# micro-batch MacQueen-style — assign against the CURRENT centroids,
+# move every centroid to the running mean of everything it has absorbed
+# so far. State is k × dim decimal sums + k counts; per-batch cost is
+# one zero-shuffle assignment projection + a partitions × k × dim
+# exchange. The oracle replays the identical fold sequentially in
+# CPython (same decimal protocol, same array-order distance folds, same
+# lowest-index tie-break), so batch boundaries, state carry-over, and
+# the final corpus assignment are all value-gated bit-for-bit.
+
+_Q179_K = 4
+_Q179_FILES = 5
+
+
+def _q179_chunks() -> list[list[tuple[int, list[float]]]]:
+    import duckdb
+
+    from questdb_etl_jobs_spark.queries.llm import ORACLE_SF_DIR
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+        f"'{ORACLE_SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    vecs = [(int(vid), [float(x) for x in v]) for vid, v in rows]
+    per = -(-len(vecs) // _Q179_FILES)  # ceil
+    return [vecs[i * per : (i + 1) * per] for i in range(_Q179_FILES)]
+
+
+def _q179_mirror() -> list[tuple[int, int, str]]:
+    """(vec_id, cluster, sq_dist4) after the sequential replay — exact
+    CPython twin of kmeans_stream_fit + the final assignment."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q4 = Decimal("0.0001")
+    chunks = _q179_chunks()
+    allv = [x for ch in chunks for x in ch]
+    dim = len(allv[0][1])
+
+    def sqd(vec: list[float], cen: list[float]) -> float:
+        acc = 0.0
+        for a, b in zip(vec, cen):
+            acc = acc + (a - b) * (a - b)
+        return acc
+
+    centroids = [list(v) for _vid, v in allv[:_Q179_K]]
+    sums = [[Decimal(0)] * dim for _ in range(_Q179_K)]
+    counts = [0] * _Q179_K
+    for chunk in chunks:
+        # assign the whole batch against the centroids current at entry
+        batch_assign = []
+        for vid, v in chunk:
+            dists = [sqd(v, c) for c in centroids]
+            batch_assign.append(dists.index(min(dists)))
+        for (vid, v), cl in zip(chunk, batch_assign):
+            counts[cl] += 1
+            for p, x in enumerate(v):
+                sums[cl][p] += Decimal(repr(x)).quantize(q4, ROUND_HALF_UP)
+        for c in range(_Q179_K):
+            if counts[c] > 0:
+                centroids[c] = [
+                    float(sums[c][p]) / counts[c] for p in range(dim)
+                ]
+    out = []
+    for vid, v in allv:
+        dists = [sqd(v, c) for c in centroids]
+        best = dists.index(min(dists))
+        out.append(
+            (
+                vid,
+                best,
+                str(Decimal(repr(dists[best])).quantize(q4, ROUND_HALF_UP)),
+            )
+        )
+    return out
+
+
+def _q179_oracle() -> str:
+    values = ",\n      ".join(
+        f"({vid}, {cl}, {d4})" for vid, cl, d4 in _q179_mirror()
+    )
+    return f"""
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS INT) AS cluster,
+           CAST(sq_dist4 AS DOUBLE) AS sq_dist4
+    FROM (VALUES
+      {values}
+    ) AS t(vec_id, cluster, sq_dist4)
+    ORDER BY vec_id
+    """
+
+
+@dq("q179_kmeans_stream_replay", oracle=_q179_oracle,
+    covers="R1,R6,U1,EXT")
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from questdb_etl_jobs_spark.operators.clustering import assign_clusters
+    from questdb_etl_jobs_spark.streaming.kmeans_stream import kmeans_stream_fit
+
+    chunks = _q179_chunks()
+    seed = [list(v) for _vid, v in (chunks[0])[:_Q179_K]]
+
+    work = tempfile.mkdtemp(prefix="q179_kmeans_stream_")
+    try:
+        src = f"{work}/arrivals"
+        os.makedirs(src)
+        base = time.time() - 1000
+        for i, chunk in enumerate(chunks):
+            path = f"{src}/chunk_{i:03d}.parquet"
+            pq.write_table(
+                pa.table(
+                    {
+                        "vec_id": pa.array(
+                            [vid for vid, _v in chunk], type=pa.int64()
+                        ),
+                        "embedding": pa.array(
+                            [v for _vid, v in chunk],
+                            type=pa.list_(pa.float64()),
+                        ),
+                    }
+                ),
+                path,
+            )
+            os.utime(path, (base + i, base + i))  # pin arrival order
+        state = kmeans_stream_fit(
+            spark,
+            src,
+            "vec_id bigint, embedding array<double>",
+            seed,
+            checkpoint_dir=f"{work}/ckpt",
+        )
+        if state.n_batches != _Q179_FILES:
+            raise AssertionError(
+                f"q179 expected {_Q179_FILES} micro-batches, "
+                f"got {state.n_batches}"
+            )
+        corpus = spark.read.parquet(src)
+        final = assign_clusters(
+            corpus, state.centroids, dist_col="sq_dist"
+        )
+        rows = (
+            final.select(
+                "vec_id",
+                F.col("cluster").cast("int").alias("cluster"),
+                F.round("sq_dist", 4).alias("sq_dist4"),
+            )
+            .orderBy("vec_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "vec_id bigint, cluster int, sq_dist4 double"
+    )

@@ -788,3 +788,22 @@ def test_show_unsupported_statement_raises(spark, tmp_path):
 
     with pytest.raises(QuestDBSQLError, match="unsupported SHOW"):
         questdb_show(spark, "SHOW TABLES", {"t": str(tmp_path)})
+
+
+def test_show_partitions_after_full_drop_is_empty_listing(spark, tmp_path):
+    """All partitions dropped (dir of stray markers, zero parquet
+    footers) reads as an empty listing, same contract as questdb_ddl."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        drop_partitions,
+        write_designated_ts,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_show
+
+    df = spark.createDataFrame(
+        [("2024-03-01 08:00:00", 1)], "ts_raw string, v int"
+    ).select(F.to_timestamp("ts_raw").alias("ts"), "v")
+    path = str(tmp_path / "t")
+    write_designated_ts(df, path, "ts")
+    drop_partitions(spark, path, "ts", older_than="2030-01-01")
+    out = questdb_show(spark, "SHOW PARTITIONS FROM t", {"t": path})
+    assert out.count() == 0

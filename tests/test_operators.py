@@ -2858,3 +2858,31 @@ def test_kmeans_assignment_is_zero_shuffle_projection(spark, tmp_path):
         spark.read.parquet(src), [[0.0, 0.0], [50.0, -50.0]]
     )
     assert "Exchange" not in plan_string(df)
+
+
+def test_kmeans_null_vectors_excluded_by_contract(spark):
+    """NULL vectors: NULL cluster in the assignment projection, never a
+    seed, never part of a centroid mean (posexplode drops them before
+    the update aggregate)."""
+    from questdb_etl_jobs_spark.operators.clustering import (
+        _update_centroids,
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None), (1, [0.0, 0.0]), (2, [0.2, 0.2]), (3, [10.0, 10.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    assigned = assign_clusters(df, [[0.0, 0.0], [10.0, 10.0]])
+    by_id = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert by_id[0] is None and by_id[1] == 0 and by_id[3] == 1
+    new = _update_centroids(
+        assigned, [[0.0, 0.0], [10.0, 10.0]], "embedding", "cluster"
+    )
+    assert abs(new[0][0] - 0.1) < 1e-9   # mean of the two real c0 rows
+    assert new[1] == [10.0, 10.0]
+    # The NULL row (lowest vec_id) must not become a seed.
+    model = kmeans_fit(df, k=2, iterations=1)
+    assert model.centroids != [None, None]
+    assert len(model.centroids) == 2 and model.centroids[0] is not None

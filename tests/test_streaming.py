@@ -1727,3 +1727,81 @@ def test_topk_stream_equals_batch_topk(spark, tmp_path):
     for r in out:
         per_batch[(r.k, r.n_seen)] = per_batch.get((r.k, r.n_seen), 0) + 1
     assert max(per_batch.values()) <= 4
+
+
+# ---------------------------------------------------------------------------
+# streaming/kmeans_stream.py — sequential (MacQueen) k-means fold
+# ---------------------------------------------------------------------------
+
+def test_kmeans_stream_assigns_against_updated_centroids(spark):
+    """The sequential contract: a batch-2 point that is closer to seed
+    centroid 1 must still land in cluster 0 because batch 1 already
+    moved centroid 0 toward it — proving assignment uses the running
+    state, not the seeds."""
+    from questdb_etl_jobs_spark.streaming.kmeans_stream import (
+        absorb_batch,
+        init_stream_state,
+    )
+
+    state = init_stream_state([[0.0, 0.0], [10.0, 10.0]])
+    b1 = spark.createDataFrame(
+        [(1, [4.0, 4.0]), (2, [4.0, 4.0]), (3, [4.0, 4.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    absorb_batch(state, b1)
+    assert state.centroids[0] == [4.0, 4.0]
+    assert state.centroids[1] == [10.0, 10.0]  # absorbed nothing: seed kept
+    # [6,6] is closer to seed c1 (32 < 72) but closer to updated c0 (8).
+    b2 = spark.createDataFrame(
+        [(4, [6.0, 6.0])], "vec_id bigint, embedding array<double>"
+    )
+    absorb_batch(state, b2)
+    assert state.counts == [4, 0]
+    assert state.centroids[0] == [4.5, 4.5]
+    assert state.n_batches == 2
+
+
+def test_kmeans_stream_fit_replays_files_in_arrival_order(spark, tmp_path):
+    """End-to-end AvailableNow replay: one file per trigger, ascending
+    mtimes; the final state equals the sequential fold of the two
+    batches (same numbers as the unit above)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from questdb_etl_jobs_spark.streaming.kmeans_stream import kmeans_stream_fit
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    base = time.time() - 100
+    batches = [
+        [(1, [4.0, 4.0]), (2, [4.0, 4.0]), (3, [4.0, 4.0])],
+        [(4, [6.0, 6.0])],
+    ]
+    for i, rows in enumerate(batches):
+        p = str(src / f"chunk_{i:03d}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [r[1] for r in rows], pa.list_(pa.float64())
+                    ),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (base + i, base + i))
+    state = kmeans_stream_fit(
+        spark,
+        str(src),
+        "vec_id bigint, embedding array<double>",
+        [[0.0, 0.0], [10.0, 10.0]],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert state.n_batches == 2
+    assert state.counts == [4, 0]
+    assert state.centroids[0] == [4.5, 4.5]
+    assert state.centroids[1] == [10.0, 10.0]

@@ -167,6 +167,46 @@ def synthesize(spark) -> None:
     open(os.path.join(OUT, "_DONE"), "w").close()
 
 
+def synthesize_embeddings(spark) -> None:
+    """10× embeddings for the clustering family's scale check: replica i
+    rotates each vector's components left by i positions (pure codegen
+    slice+concat — distinct vectors with the same norm and coordinate
+    distribution, so centroid geometry stays honest instead of
+    collapsing into 10-way exact clones) and remaps vec_id (k·16+i).
+    Guarded by its own ``_DONE_EMB`` marker so a pre-existing tier
+    self-heals without a full re-synthesis."""
+    marker = os.path.join(OUT, "_DONE_EMB")
+    if os.path.exists(marker):
+        return
+    from questdb_etl_jobs_spark.sources.tables import invalidate_tables, load_table
+
+    invalidate_tables(spark, OUT)
+    base = load_table(spark, BASE, "embeddings")
+    dim = len(base.select("embedding").first()["embedding"])
+    parts = []
+    for i in range(FACTOR):
+        emb = F.col("embedding")
+        rot = (
+            emb
+            if i == 0
+            else F.concat(F.slice(emb, i + 1, dim - i), F.slice(emb, 1, i))
+        )
+        parts.append(
+            base.select(
+                (F.col("vec_id") * 16 + F.lit(i)).alias("vec_id"),
+                rot.alias("embedding"),
+                "label",
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df.repartition(8).write.mode("overwrite").parquet(
+        f"{OUT}/embeddings.parquet"
+    )
+    open(marker, "w").close()
+
+
 def synthesize_big(spark, out: str, factor: int, mult: int) -> None:
     """Relational-table synthesis at arbitrary ``factor`` (e.g. 100 ≈ sf10).
 
@@ -383,6 +423,12 @@ def _headline():
         "topk_per_key": registry["q172_topk_per_key_prune"],
         "rank_family_pruned": registry["q175_rank_family_pruned"],
         "weighted_sample_per_key": registry["q174_weighted_sample_per_lang"],
+        # Round-11 wave 2: the full distributed Lloyd fit (3 iterations
+        # + final assignment) over 10x embeddings (rotation remix, 20k
+        # vectors) - per-iteration cost is one assignment projection +
+        # a partitions x k x dim exchange, so the ratio reads the
+        # assignment scan's growth.
+        "kmeans_fit": registry["q177_kmeans_clusters"],
     }
 
 
@@ -393,10 +439,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.perf_counter()
     synthesize(spark)
+    synthesize_embeddings(spark)
     print(f"# synthesis: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    only = {a for a in sys.argv[1:] if not a.endswith(".json")}
     results: dict[str, dict] = {}
     for label, fn in _headline().items():
+        if only and label not in only:
+            continue
         per_sf = {}
         for tag, sf_dir in (("1x", BASE), ("10x", OUT)):
             best = float("inf")
@@ -414,8 +464,9 @@ def main() -> None:
 
     out = json.dumps({"factor": FACTOR, "queries": results})
     print(out)
-    if len(sys.argv) > 1:
-        with open(sys.argv[1], "w") as fh:
+    json_args = [a for a in sys.argv[1:] if a.endswith(".json")]
+    if json_args:
+        with open(json_args[0], "w") as fh:
             fh.write(out + "\n")
 
 
