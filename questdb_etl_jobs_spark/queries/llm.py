@@ -1784,3 +1784,84 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").cast("int").alias("cluster"),
         F.round("sq_dist", 4).alias("sq_dist4"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q180 — cluster-balanced sampling (EXT clustering × sampling composition)
+# ---------------------------------------------------------------------------
+#
+# The reason the clustering family exists in a curation engine: sample a
+# FIXED number of examples per topic cluster (cluster-balanced eval sets
+# / mixing), not per corpus. Composition of two verified operators:
+# q177's Lloyd fit assigns every embedding a cluster (zero-shuffle
+# projection), then functions/sampling.weighted_sample_per_key runs an
+# independent deterministic draw inside every cluster (uniform weights
+# here, so the A-ES priority -ln(u)/1 is a monotone function of the
+# content-keyed hash bucket). The oracle replays the k-means mirror for
+# assignments and ranks by the INTEGER hash bucket (descending — -ln is
+# decreasing) with the sampler's vec_id tie-break: order-isomorphic to
+# the float priority, so the cross-engine check is exact integer
+# arithmetic end to end.
+
+_Q180_SAMPLE_K = 5
+
+
+def _q180_mirror() -> list[tuple[int, int, int]]:
+    """(cluster, vec_id, rn): per-cluster uniform A-ES draw over the
+    mirrored k-means assignment."""
+    by_cluster: dict[int, list[int]] = {}
+    for vid, cl, _d4 in _q177_mirror():
+        by_cluster.setdefault(cl, []).append(vid)
+    out = []
+    for cl in sorted(by_cluster):
+        members = by_cluster[cl]
+        # priority asc == bucket desc (p = -ln((bucket+1)/10000)/1),
+        # ties by vec_id asc — the sampler's stated order.
+        members.sort(key=lambda v: (-((v * 2654435761) % 10000), v))
+        for rn, vid in enumerate(members[:_Q180_SAMPLE_K], start=1):
+            out.append((cl, vid, rn))
+    return out
+
+
+def _q180_oracle() -> str:
+    values = ",\n      ".join(
+        f"({cl}, {vid}, {rn})" for cl, vid, rn in _q180_mirror()
+    )
+    return f"""
+    SELECT CAST(cluster AS INT) AS cluster,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(rn AS BIGINT) AS rn
+    FROM (VALUES
+      {values}
+    ) AS t(cluster, vec_id, rn)
+    ORDER BY cluster, rn
+    """
+
+
+@dq("q180_cluster_balanced_sample", oracle=_q180_oracle,
+    covers="EXT,O2,W1,F8")
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.functions.sampling import (
+        weighted_sample_per_key,
+    )
+    from questdb_etl_jobs_spark.operators.clustering import (
+        kmeans_fit,
+        kmeans_transform,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = kmeans_fit(emb, k=_KM_K, iterations=_KM_ITERS)
+    assigned = kmeans_transform(emb, model, dist_col=None).select(
+        F.col("cluster").cast("int").alias("cluster"), "vec_id"
+    )
+    kept = weighted_sample_per_key(
+        assigned,
+        ["cluster"],
+        "vec_id",
+        F.lit(1.0),
+        k=_Q180_SAMPLE_K,
+        rank_col="rn",
+    )
+    return kept.select(
+        "cluster", "vec_id", F.col("rn").cast("long").alias("rn")
+    ).orderBy("cluster", "rn")

@@ -53,10 +53,11 @@ IDS: list[tuple[str, str]] = [
 
 #: Ids with no registry query, and why (verified elsewhere).
 NO_QUERY: dict[str, str] = {
-    "S4": "env-blocked (no JDBC driver jar/DB in the sandbox); "
-          "sources/jdbc.py, batched partition-parallel writer; the ILP "
-          "twin (sources/ilp.py) is golden-tested against a loopback "
-          "server",
+    "S4": "EXECUTED end-to-end in tests: batched partition-parallel "
+          "append to embedded Derby in-JVM + second append + read-back "
+          "equality (tests/test_sinks.py); the ILP twin (sources/ilp.py) "
+          "is golden-tested against a loopback server; only PG-wire "
+          "dialect specifics remain env-blocked",
     "R7": "env-blocked, DECISION committed (streaming/transform_state.py "
           "docstring): the state protocol needs the google.protobuf "
           "runtime, absent here; vendoring a stub = reimplementing "

@@ -38,6 +38,9 @@ HEADLINE: dict[str, str] = {
     "q152_dialect_sample_by_from_to": "FROM-TO range bound lands in PushedFilters; anchored bucket is integer-µs codegen",
     "q153_haversine_track": "window + per-key sum share ONE hash exchange (2nd Exchange is the DQ output sort); codegen trig, zero Python nodes",
     "q155_geohash_cells": "geohash encode is pure projection — the only exchange is the 1024-cell aggregate",
+    # Round 11 wave 2:
+    "q177_kmeans_clusters": "final k-means assignment is a zero-shuffle codegen projection (centroids are plan literals); the only exchange is the output sort",
+    "q178_show_partitions": "partition listing reads 2 columns; per-day agg partial-combines map-side, the window runs over the day directory",
 }
 
 SALIENT = re.compile(
