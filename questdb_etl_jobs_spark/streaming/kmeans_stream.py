@@ -124,5 +124,12 @@ def kmeans_stream_fit(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # Partial state is NOT a fit — fail loudly rather than hand back
+        # centroids missing the tail of the stream.
+        q.stop()
+        raise TimeoutError(
+            f"kmeans_stream_fit: replay did not settle within "
+            f"{timeout_sec}s ({state.n_batches} micro-batches absorbed)"
+        )
     return state

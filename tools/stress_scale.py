@@ -207,6 +207,67 @@ def synthesize_embeddings(spark) -> None:
     open(marker, "w").close()
 
 
+OUT_DOCS100 = "/tmp/spark_graft_docs100"
+
+
+def synthesize_documents_100x(spark) -> None:
+    """100× documents tier (≈500k remixed docs) for the dedup family's
+    third scaling point: same vocab-preserving xxhash remix as the 10×
+    tier (replica i rewrites token (t, p) → vocab[xxh(t, p, i)]), 100
+    replicas, so near-dup density stays corpus-like instead of
+    collapsing into clone clusters. Own ``_DONE`` marker; 32 sharded
+    files (row-group parallelism for the scan)."""
+    marker = os.path.join(OUT_DOCS100, "_DONE")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(OUT_DOCS100, ignore_errors=True)
+    os.makedirs(OUT_DOCS100, exist_ok=True)
+    from questdb_etl_jobs_spark.sources.tables import invalidate_tables, load_table
+
+    invalidate_tables(spark, OUT_DOCS100)
+    docs = load_table(spark, BASE, "documents")
+    vocab = [
+        r["w"]
+        for r in docs.select(
+            F.explode(F.split("text", " ")).alias("w")
+        ).distinct().collect()
+        if r["w"]
+    ]
+    vlit = F.array(*[F.lit(w) for w in sorted(vocab)])
+    replicas = F.explode(F.sequence(F.lit(0), F.lit(100 - 1))).alias("__r")
+    base = docs.select("doc_id", "lang", "source", "text", replicas)
+    toks = F.split("text", " ")
+    remixed = F.array_join(
+        F.transform(
+            toks,
+            lambda t, p: F.element_at(
+                vlit,
+                (
+                    F.pmod(F.xxhash64(t, p, F.col("__r")), F.lit(len(vocab)))
+                    + 1
+                ).cast("int"),
+            ),
+        ),
+        " ",
+    )
+    out = base.select(
+        (F.col("doc_id") + F.col("__r") * F.lit(100_000)).alias("doc_id"),
+        "lang",
+        "source",
+        F.when(F.col("__r") == 0, F.col("text")).otherwise(remixed).alias(
+            "text"
+        ),
+    )
+    out = out.select(
+        "doc_id", "lang", "source", "text",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    out.repartitionByRange(FILES, "doc_id").write.mode("overwrite").parquet(
+        f"{OUT_DOCS100}/documents.parquet"
+    )
+    open(marker, "w").close()
+
+
 def synthesize_big(spark, out: str, factor: int, mult: int) -> None:
     """Relational-table synthesis at arbitrary ``factor`` (e.g. 100 ≈ sf10).
 
@@ -432,11 +493,73 @@ def _headline():
     }
 
 
+def docs100_main(spark) -> None:
+    """Third scaling point for the dedup family: 1× / 10× / 100×
+    documents (5k / 50k / ~500k). Prints one JSON line with per-tier
+    best-of-2 times and step ratios (a linear pipeline reads ≈10 per
+    decade once the fixed cost amortizes; a pair-explosion reads ≫10)."""
+    from questdb_etl_jobs_spark.operators.dedup import (
+        dup_clusters,
+        exact_dedup,
+        near_dup_pairs,
+    )
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    t0 = time.perf_counter()
+    synthesize(spark)
+    synthesize_documents_100x(spark)
+    print(f"# synthesis: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    def near_dup(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return near_dup_pairs(
+            docs.select("doc_id", "text"), "doc_id", "text", threshold=0.7
+        )
+
+    def clusters(spark, sf_dir):
+        return dup_clusters(near_dup(spark, sf_dir), "doc_id_a", "doc_id_b")
+
+    def exact(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return exact_dedup(docs, on=["lang", "source"], id_col="doc_id")
+
+    ops = {
+        "near_dup_pairs": near_dup,
+        "dup_clusters": clusters,
+        "exact_dedup": exact,
+    }
+    tiers = (("1x", BASE), ("10x", OUT), ("100x", OUT_DOCS100))
+    results: dict[str, dict] = {}
+    for label, fn in ops.items():
+        per = {}
+        for tag, sf_dir in tiers:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            per[tag] = round(best, 3)
+        per["ratio_10x"] = round(per["10x"] / per["1x"], 2)
+        per["ratio_100x_step"] = round(per["100x"] / per["10x"], 2)
+        results[label] = per
+        print(
+            f"{label:18s} 1x={per['1x']:7.3f}s 10x={per['10x']:7.3f}s "
+            f"100x={per['100x']:8.3f}s step={per['ratio_100x_step']}",
+            file=sys.stderr,
+        )
+    print(json.dumps({"metric": "docs100_dedup_scale", "queries": results}))
+
+
 def main() -> None:
     from questdb_etl_jobs_spark.session import get_spark
 
     spark = get_spark(app_name="stress-scale")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--docs100" in sys.argv:
+        docs100_main(spark)
+        return
     t0 = time.perf_counter()
     synthesize(spark)
     synthesize_embeddings(spark)
