@@ -1277,3 +1277,72 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("dur_total_us").cast("double"),
         ).alias("twap"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q181 — recursive-CTE date spine gap fill (Spark 4 WITH RECURSIVE surface)
+# ---------------------------------------------------------------------------
+#
+# The SQL-text face of SAMPLE BY FILL(0)'s grid densify (q66 is the
+# operator face): a WITH RECURSIVE spine generates every day between the
+# sparse series' observed bounds (UNION ALL recursion on a strictly
+# increasing date — the terminating shape Spark 4 supports; UNION
+# distinct recursion is not yet available, q.v. the engine's
+# UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE error) and a LEFT JOIN fills the
+# missing days with zeros. Both faces run structurally the same SQL —
+# the oracle is the DuckDB spelling of the identical recursion, so this
+# verifies at every sf, not just the Python-pinned gate. The filtered
+# series (error events with value > 250) is genuinely gappy at sf0.01
+# (17 rows over 14 of 30 days).
+
+_Q181_FILTER = "event_type = 'error' AND value > 250.0"
+
+_Q181_ORACLE = f"""
+WITH RECURSIVE f AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE {_Q181_FILTER}
+), bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM f
+), spine(day) AS (
+  SELECT lo FROM bounds WHERE lo IS NOT NULL
+  UNION ALL
+  SELECT day + INTERVAL 1 DAY FROM spine WHERE day < (SELECT hi FROM bounds)
+), per_day AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+         {sum4("value", "sum_value")}
+  FROM f GROUP BY day
+)
+SELECT CAST(s.day AS DATE) AS day,
+       CAST(COALESCE(p.n, 0) AS BIGINT) AS n,
+       COALESCE(p.sum_value, 0.0) AS sum_value
+FROM spine s LEFT JOIN per_day p ON s.day = p.day
+ORDER BY day
+"""
+
+
+@dq("q181_recursive_date_spine", oracle=_Q181_ORACLE, covers="A7,F5,T1,J3")
+def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text surface (the q37 precedent): the engine accepts the
+    recursive spine as a Spark SQL string over a registered view."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("__q181_ev")
+    return spark.sql(f"""
+    WITH RECURSIVE f AS (
+      SELECT ts, value FROM __q181_ev WHERE {_Q181_FILTER}
+    ), bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM f
+    ), spine(day) AS (
+      SELECT lo FROM bounds WHERE lo IS NOT NULL
+      UNION ALL
+      SELECT date_add(day, 1) FROM spine
+      WHERE day < (SELECT hi FROM bounds)
+    ), per_day AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+             {sum4("value", "sum_value")}
+      FROM f GROUP BY day
+    )
+    SELECT s.day AS day,
+           COALESCE(p.n, 0) AS n,
+           COALESCE(p.sum_value, 0.0D) AS sum_value
+    FROM spine s LEFT JOIN per_day p ON s.day = p.day
+    ORDER BY day
+    """)

@@ -807,3 +807,27 @@ def test_show_partitions_after_full_drop_is_empty_listing(spark, tmp_path):
     drop_partitions(spark, path, "ts", older_than="2030-01-01")
     out = questdb_show(spark, "SHOW PARTITIONS FROM t", {"t": path})
     assert out.count() == 0
+
+
+def test_recursive_spine_empty_series_yields_empty_fill(spark):
+    """The q181 recursion's base is guarded (lo IS NOT NULL): a filter
+    matching nothing must produce an EMPTY fill, not a single NULL-day
+    row."""
+    spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1.0)], "ts_raw string, value double"
+    ).select(
+        F.to_timestamp("ts_raw").alias("ts"), "value"
+    ).createOrReplaceTempView("__spine_empty_ev")
+    out = spark.sql("""
+    WITH RECURSIVE f AS (
+      SELECT ts, value FROM __spine_empty_ev WHERE value > 99.0
+    ), bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM f
+    ), spine(day) AS (
+      SELECT lo FROM bounds WHERE lo IS NOT NULL
+      UNION ALL
+      SELECT date_add(day, 1) FROM spine WHERE day < (SELECT hi FROM bounds)
+    )
+    SELECT day FROM spine
+    """)
+    assert out.count() == 0
