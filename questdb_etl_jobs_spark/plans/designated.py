@@ -432,3 +432,51 @@ def show_partitions(spark: SparkSession, path: str, ts_col: str) -> DataFrame:
         "max_ts",
         "num_rows",
     ).orderBy("part_index")
+
+
+#: Spark SQL type → QuestDB type name (the subset this engine's tables
+#: use; QuestDB SHOW COLUMNS reports ITS type names, so the catalog
+#: face maps rather than leaking Spark spellings).
+_QUESTDB_TYPE = {
+    "string": "STRING",
+    "int": "INT",
+    "bigint": "LONG",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP",
+    "date": "DATE",
+    "binary": "BINARY",
+}
+
+
+def show_columns(spark: SparkSession, path: str, ts_col: str | None = None
+                 ) -> DataFrame:
+    """QuestDB ``SHOW COLUMNS FROM <table>`` twin: one row per column
+    with the QuestDB type name and the ``designated`` flag (QuestDB
+    marks its designated timestamp in the column listing; here it is
+    recovered from the ``<col>_pdate`` storage convention or passed
+    explicitly). The partition bookkeeping column itself is layout, not
+    schema, and is not listed. Array/map/struct columns report their
+    Spark simpleString uppercased — QuestDB has no analogue and hiding
+    them would misreport the table. Schema-only: reads parquet footers,
+    never data."""
+    table = spark.read.parquet(path)
+    ts = ts_col or infer_designated_ts(table.columns)
+    rows = []
+    for f in table.schema.fields:
+        if f.name.endswith(PARTITION_SUFFIX) and f.name[
+            : -len(PARTITION_SUFFIX)
+        ] in table.columns:
+            continue
+        simple = f.dataType.simpleString()
+        rows.append(
+            (
+                f.name,
+                _QUESTDB_TYPE.get(simple, simple.upper()),
+                f.name == ts,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "column_name string, column_type string, designated boolean"
+    )

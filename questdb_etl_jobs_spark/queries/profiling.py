@@ -3078,3 +3078,47 @@ def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
     return questdb_show(
         spark, "SHOW PARTITIONS FROM shown_events;", {"shown_events": path}
     )
+
+
+# ---------------------------------------------------------------------------
+# q182 — SHOW COLUMNS: the catalog family's schema face
+# ---------------------------------------------------------------------------
+#
+# QuestDB `SHOW COLUMNS FROM t` reports ITS type names and marks the
+# designated timestamp; plans/designated.show_columns maps Spark types
+# into the QuestDB name space (STRING/INT/LONG/DOUBLE/TIMESTAMP/...),
+# recovers the designated flag from the <col>_pdate storage convention,
+# and keeps the bookkeeping partition column out of the listing (it is
+# layout, not schema). Schema-only — parquet footers, zero data scan.
+# The expected listing is a schema fact independent of sf, so the
+# oracle is a plain VALUES table and this face verifies at every scale.
+
+_Q182_ORACLE = """
+SELECT column_name, column_type, designated
+FROM (VALUES
+  ('ts', 'TIMESTAMP', TRUE),
+  ('user_id', 'LONG', FALSE),
+  ('event_type', 'STRING', FALSE),
+  ('value', 'DOUBLE', FALSE)
+) AS t(column_name, column_type, designated)
+ORDER BY column_name
+"""
+
+
+@dq("q182_show_columns", oracle=_Q182_ORACLE, covers="S6,EXT")
+def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from questdb_etl_jobs_spark.plans.designated import write_designated_ts
+    from questdb_etl_jobs_spark.sql.dialect import questdb_show
+
+    path = "/tmp/spark_graft_q182_show_columns"
+    _shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type", "value"
+    )
+    write_designated_ts(ev, path, "ts", mode="overwrite")
+    listing = questdb_show(
+        spark, "SHOW COLUMNS FROM typed_events", {"typed_events": path}
+    )
+    return listing.orderBy("column_name")

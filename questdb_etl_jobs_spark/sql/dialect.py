@@ -977,15 +977,35 @@ def questdb_show(
     designated-ts resolution contract as :func:`questdb_ddl`, and the
     same missing/empty-table tolerance (an empty listing, not an error).
     """
-    from questdb_etl_jobs_spark.plans.designated import show_partitions
+    from questdb_etl_jobs_spark.plans.designated import (
+        show_columns,
+        show_partitions,
+    )
 
     designated = designated or {}
     text = sql.strip().rstrip(";").strip()
+    m = _SHOW_COLUMNS_RE.match(text)
+    if m:
+        from questdb_etl_jobs_spark.sources.fs import hadoop_path_exists
+
+        name, path = _ddl_table_path(m.group("table"), tables)
+        if not hadoop_path_exists(spark, path):
+            # Missing table: empty listing, same contract as the other
+            # catalog faces.
+            return spark.createDataFrame(
+                [], "column_name string, column_type string, designated boolean"
+            )
+        # Unlike retention, SHOW COLUMNS is defined for non-designated
+        # tables too — the explicit mapping wins, otherwise the storage
+        # convention is consulted inside show_columns (no error when
+        # neither marks a designated ts; the flag is just false).
+        return show_columns(spark, path, designated.get(name))
     m = _SHOW_PARTITIONS_RE.match(text)
     if not m:
         raise QuestDBSQLError(
             f"unsupported SHOW statement: {text!r} "
-            "(supported: SHOW PARTITIONS FROM <table>)"
+            "(supported: SHOW PARTITIONS FROM <table>, "
+            "SHOW COLUMNS FROM <table>)"
         )
     name, path = _ddl_table_path(m.group("table"), tables)
     ts_col = _ddl_ts_col(spark, name, path, designated)
@@ -996,3 +1016,9 @@ def questdb_show(
             "min_ts timestamp, max_ts timestamp, num_rows bigint",
         )
     return show_partitions(spark, path, ts_col)
+
+
+_SHOW_COLUMNS_RE = re.compile(
+    r"^SHOW\s+COLUMNS\s+FROM\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s*$",
+    re.IGNORECASE,
+)

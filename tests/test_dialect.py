@@ -831,3 +831,35 @@ def test_recursive_spine_empty_series_yields_empty_fill(spark):
     SELECT day FROM spine
     """)
     assert out.count() == 0
+
+
+def test_show_columns_non_designated_table_lists_all_false(spark, tmp_path):
+    """SHOW COLUMNS works on tables without a designated ts (unlike
+    retention): every designated flag is simply false."""
+    from questdb_etl_jobs_spark.sql.dialect import questdb_show
+
+    path = str(tmp_path / "plain")
+    spark.createDataFrame(
+        [(1, "a", 2.0)], "k bigint, s string, v double"
+    ).write.parquet(path)
+    rows = {
+        r["column_name"]: (r["column_type"], r["designated"])
+        for r in questdb_show(
+            spark, "SHOW COLUMNS FROM plain", {"plain": path}
+        ).collect()
+    }
+    assert rows == {
+        "k": ("LONG", False),
+        "s": ("STRING", False),
+        "v": ("DOUBLE", False),
+    }
+
+
+def test_show_columns_missing_table_is_empty(spark, tmp_path):
+    from questdb_etl_jobs_spark.sql.dialect import questdb_show
+
+    out = questdb_show(
+        spark, "SHOW COLUMNS FROM gone", {"gone": str(tmp_path / "gone")}
+    )
+    assert out.count() == 0
+    assert out.columns == ["column_name", "column_type", "designated"]
