@@ -110,7 +110,11 @@ _PRIORITY: tuple[str, ...] = (
     "q46_exact_dedup",            # EXT dedup
     "q48_simhash_hamming",        # EXT dedup
     "q49_text_quality",           # EXT text
-    "q50_fingerprint",            # EXT text
+    # Round-11 rotation #4: q50 ceded its slot — EXT text stays covered
+    # in-window by q40/q49/q58 — so the round's composition face
+    # (k-means topic assignment × per-stratum A-ES draw, exact integer
+    # arithmetic end to end) runs under the driver's own oracle.
+    "q180_cluster_balanced_sample",  # EXT clustering × sampling, O2 W1
     "q51_multimodal_decode",      # U2 multimodal
     "q53_udaf_geomean",           # U3
     "q58_lang_id_confusion",      # EXT text
