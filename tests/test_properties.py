@@ -811,3 +811,44 @@ def test_samplers_exclude_null_keys(spark):
     assert None not in got_fixed and len(got_fixed) == 2
     assert got_global == {1, 2, 3}
     assert got_grouped == {1, 2, 3}
+
+
+# ---------------------------------------------------------------------------
+# k-means assignment == brute-force argmin (operators/clustering.py)
+# ---------------------------------------------------------------------------
+
+_vec2 = st.tuples(
+    st.integers(-50, 50), st.integers(-50, 50)
+).map(lambda t: [float(t[0]) / 4, float(t[1]) / 4])
+
+_points = st.lists(_vec2, min_size=1, max_size=20)
+_cents = st.lists(_vec2, min_size=1, max_size=4)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(points=_points, cents=_cents)
+def test_kmeans_assignment_matches_bruteforce(spark, points, cents):
+    """assign_clusters equals a sequential brute-force argmin with the
+    stated first-minimum tie-break, on arbitrary (including duplicated
+    and coincident-centroid) inputs. Quarter-integer coordinates make
+    every distance exact in binary, so ties are REAL and the tie-break
+    is genuinely exercised."""
+    from questdb_etl_jobs_spark.operators.clustering import assign_clusters
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(points)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(df, cents).collect()
+    }
+    for i, v in enumerate(points):
+        dists = [
+            sum((a - b) * (a - b) for a, b in zip(v, c)) for c in cents
+        ]
+        assert got[i] == dists.index(min(dists)), (v, cents, dists)
