@@ -384,7 +384,11 @@ def show_partitions(spark: SparkSession, path: str, ts_col: str) -> DataFrame:
     Divergence, documented not hidden: QuestDB also reports storage
     facts (diskSize, readOnly, attached…) straight from its catalog;
     those are filesystem attributes here, not query results, so they are
-    out of this face. The scan reads exactly two columns (the partition
+    out of this face. The column NAMES are also deliberately snake_cased
+    (QuestDB spells them ``index``/``partitionBy``/``minTimestamp``/
+    ``maxTimestamp``/``numRows``) — ``index`` collides with too many SQL
+    surfaces to re-export verbatim, and one convention covers both
+    catalog faces. The scan reads exactly two columns (the partition
     value rides on the directory name, the bounds need ``ts_col``), the
     per-partition aggregate partial-combines map-side, and the
     ``part_index`` window runs over the partition DIRECTORY (one row per
@@ -456,7 +460,9 @@ def show_columns(spark: SparkSession, path: str, ts_col: str | None = None
     with the QuestDB type name and the ``designated`` flag (QuestDB
     marks its designated timestamp in the column listing; here it is
     recovered from the ``<col>_pdate`` storage convention or passed
-    explicitly). The partition bookkeeping column itself is layout, not
+    explicitly). Column names are snake_cased vs QuestDB's
+    ``column``/``type``/``designated`` — deliberate, matching
+    :func:`show_partitions`' convention (only ``designated`` coincides). The partition bookkeeping column itself is layout, not
     schema, and is not listed. Array/map/struct columns report their
     Spark simpleString uppercased — QuestDB has no analogue and hiding
     them would misreport the table. Schema-only: reads parquet footers,

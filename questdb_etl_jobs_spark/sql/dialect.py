@@ -961,6 +961,10 @@ _SHOW_PARTITIONS_RE = re.compile(
     r"^SHOW\s+PARTITIONS\s+FROM\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s*$",
     re.IGNORECASE,
 )
+_SHOW_COLUMNS_RE = re.compile(
+    r"^SHOW\s+COLUMNS\s+FROM\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s*$",
+    re.IGNORECASE,
+)
 
 
 def questdb_show(
@@ -999,7 +1003,23 @@ def questdb_show(
         # tables too — the explicit mapping wins, otherwise the storage
         # convention is consulted inside show_columns (no error when
         # neither marks a designated ts; the flag is just false).
-        return show_columns(spark, path, designated.get(name))
+        try:
+            return show_columns(spark, path, designated.get(name))
+        except Exception as exc:
+            # A dir holding zero parquet footers (every partition
+            # dropped, stray markers left) is the same empty listing the
+            # missing-table branch returns — the docstring's tolerance
+            # contract covers both catalog faces. Real read errors
+            # re-raise (the _ddl_ts_col convention).
+            if "UNABLE_TO_INFER_SCHEMA" in str(exc) or "PATH_NOT_FOUND" in str(
+                exc
+            ):
+                return spark.createDataFrame(
+                    [],
+                    "column_name string, column_type string, "
+                    "designated boolean",
+                )
+            raise
     m = _SHOW_PARTITIONS_RE.match(text)
     if not m:
         raise QuestDBSQLError(
@@ -1016,9 +1036,3 @@ def questdb_show(
             "min_ts timestamp, max_ts timestamp, num_rows bigint",
         )
     return show_partitions(spark, path, ts_col)
-
-
-_SHOW_COLUMNS_RE = re.compile(
-    r"^SHOW\s+COLUMNS\s+FROM\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s*$",
-    re.IGNORECASE,
-)

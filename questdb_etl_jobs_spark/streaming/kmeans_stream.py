@@ -82,11 +82,24 @@ def absorb_batch(
         )
         .collect()
     )
-    batch_counts = [0] * len(state.centroids)
+    k = len(state.centroids)
+    batch_counts = [0] * k
     for r in rows:
-        state.sums[r["cluster"]][r["pos"]] += r["s"]
+        c = r["cluster"]
+        if c is None:
+            # NULL or dim-mismatched vectors assign a NULL cluster
+            # (zip_with pads the short side with nulls, the distance
+            # fold propagates) yet still posexplode — skip them here,
+            # mirroring _update_centroids' excluded-by-contract stance,
+            # instead of letting a None index raise mid-fold.
+            continue
+        if not 0 <= c < k:
+            # A negative id would WRAP via Python indexing and silently
+            # corrupt the last centroid; fail loudly instead.
+            raise ValueError(f"cluster id {c} outside [0, {k})")
+        state.sums[c][r["pos"]] += r["s"]
         if r["pos"] == 0:
-            batch_counts[r["cluster"]] = r["n"]
+            batch_counts[c] = r["n"]
     for c, n in enumerate(batch_counts):
         state.counts[c] += n
     for c in range(len(state.centroids)):

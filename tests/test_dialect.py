@@ -863,3 +863,24 @@ def test_show_columns_missing_table_is_empty(spark, tmp_path):
     )
     assert out.count() == 0
     assert out.columns == ["column_name", "column_type", "designated"]
+
+
+def test_show_columns_after_full_drop_is_empty_listing(spark, tmp_path):
+    """Every partition dropped (dir exists, zero parquet footers): SHOW
+    COLUMNS returns the empty 3-column listing, the same tolerance
+    contract the SHOW PARTITIONS branch already honors."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        drop_partitions,
+        write_designated_ts,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_show
+
+    df = spark.createDataFrame(
+        [("2024-03-01 08:00:00", 1)], "ts_raw string, v int"
+    ).select(F.to_timestamp("ts_raw").alias("ts"), "v")
+    path = str(tmp_path / "t")
+    write_designated_ts(df, path, "ts")
+    drop_partitions(spark, path, "ts", older_than="2030-01-01")
+    out = questdb_show(spark, "SHOW COLUMNS FROM t", {"t": path})
+    assert out.count() == 0
+    assert out.columns == ["column_name", "column_type", "designated"]

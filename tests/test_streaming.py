@@ -1761,6 +1761,31 @@ def test_kmeans_stream_assigns_against_updated_centroids(spark):
     assert state.n_batches == 2
 
 
+def test_kmeans_stream_null_and_mismatched_vectors_skipped(spark):
+    """A NULL embedding — or one whose length mismatches the centroid
+    dim (zip_with pads with nulls → NULL cluster) — must be excluded
+    from the fold, mirroring the batch path's _update_centroids
+    contract, not raise a TypeError mid-absorb."""
+    from questdb_etl_jobs_spark.streaming.kmeans_stream import (
+        absorb_batch,
+        init_stream_state,
+    )
+
+    state = init_stream_state([[0.0, 0.0], [10.0, 10.0]])
+    batch = spark.createDataFrame(
+        [
+            (1, [4.0, 4.0]),
+            (2, None),          # NULL vector
+            (3, [1.0]),         # dim mismatch -> NULL cluster
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    absorb_batch(state, batch)
+    assert state.counts == [1, 0]
+    assert state.centroids[0] == [4.0, 4.0]
+    assert state.centroids[1] == [10.0, 10.0]
+
+
 def test_kmeans_stream_fit_replays_files_in_arrival_order(spark, tmp_path):
     """End-to-end AvailableNow replay: one file per trigger, ascending
     mtimes; the final state equals the sequential fold of the two

@@ -566,8 +566,20 @@ def main() -> None:
     print(f"# synthesis: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     only = {a for a in sys.argv[1:] if not a.endswith(".json")}
+    heads = _headline()
+    unknown = only - set(heads)
+    if unknown:
+        # A positional arg that is neither a .json output path nor a
+        # registry label benches nothing — say so instead of silently
+        # writing an empty artifact (the pre-round-11 CLI treated any
+        # non-.json arg as an output path).
+        print(
+            f"# WARNING: filter labels match no headline entry and are "
+            f"ignored: {sorted(unknown)} (known: {sorted(heads)})",
+            file=sys.stderr,
+        )
     results: dict[str, dict] = {}
-    for label, fn in _headline().items():
+    for label, fn in heads.items():
         if only and label not in only:
             continue
         per_sf = {}
