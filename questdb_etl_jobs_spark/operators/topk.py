@@ -83,7 +83,7 @@ def topk_per_key(
     k: int,
     tiebreak: list[str] | None = None,
     rank_col: str | None = None,
-    broadcast_thresholds: bool = True,
+    broadcast_thresholds: bool | None = None,
 ) -> DataFrame:
     """Exact per-group top-k (``row_number() OVER (PARTITION BY keys
     ORDER BY value_col DESC, *tiebreak) <= k``) with a grouped
@@ -128,9 +128,22 @@ def topk_per_key(
     Scale posture: pass 1 is a narrow-column scan whose shuffle is the
     group directory, not the data; pass 2's survivor exchange carries
     ~k rows per (group × contributing partition) instead of the full
-    fact table. Set ``broadcast_thresholds=False`` when the group
-    cardinality is too large to broadcast — the threshold join then
-    shuffles, but only ``keys + t_g`` wide. ``rank_col`` optionally
+    fact table.
+
+    ``broadcast_thresholds`` is SIZE-AWARE by default (``None``): no
+    join-strategy hint is attached, so Catalyst's size estimate — the
+    threshold table inherits the narrow ``keys + [value_col]``
+    projection's estimate — picks broadcast only under
+    ``autoBroadcastJoinThreshold``, and AQE's runtime replan converts a
+    shuffled plan to broadcast once the materialized directory proves
+    small. One certified row per group means the directory is tiny for
+    dimension-like keys (a million groups ≈ MBs: broadcast) but a
+    driver/executor memory cliff for user-chosen high-cardinality keys
+    (10⁸+ groups at ~20 bytes/row is GBs: must shuffle) — exactly the
+    call runtime statistics should make, not a hardcoded hint.
+    ``True`` forces the broadcast hint (known-small group count);
+    ``False`` pins a shuffled merge join (known-huge; the join then
+    moves only ``keys + t_g``-wide rows). ``rank_col`` optionally
     exposes the per-group row_number in the result.
     """
     if k < 1:
@@ -151,8 +164,10 @@ def topk_per_key(
         .filter((F.col("__r") == k) & F.col("__m").isNotNull())
         .select(*keys, F.col("__m").alias("__t"))
     )
-    if broadcast_thresholds:
+    if broadcast_thresholds is True:
         thresholds = F.broadcast(thresholds)
+    elif broadcast_thresholds is False:
+        thresholds = thresholds.hint("merge")
     survivors = (
         df.join(thresholds, on=keys, how="left")
         .filter(F.col("__t").isNull() | (F.col(value_col) >= F.col("__t")))
