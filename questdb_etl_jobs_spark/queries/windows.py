@@ -452,6 +452,50 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q183 — dq34's SQL text through the dialect front-end (routed prune)
+# ---------------------------------------------------------------------------
+#
+# Round-12 closing of the q171 loop: q34 is the DataFrame face, q171 the
+# library-call face, and this is the QUERY-SURFACE face — the exact SQL
+# string a reference-console user types (reference README.md:366 runs
+# console SQL verbatim), submitted through questdb_sql. The dialect's
+# _TOPK_SHAPE_RE pulls the scan-bound ``ORDER BY col DESC LIMIT k``
+# shape off the spark.sql passthrough and plans it via
+# operators/topk.topk_by_threshold, so SQL users get the certified
+# prune (committed 0.55× DuckDB at the 600M-row tier) instead of the
+# plain heap's 2.40× asymptote. Same oracle as q34/q171: all three
+# faces are bit-identical by construction and the differential gates it.
+
+_Q183_SQL = (
+    "SELECT l_orderkey, l_linenumber, l_extendedprice FROM __q183_lineitem "
+    "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10"
+)
+
+
+@dq(
+    "q183_dialect_topk_routed",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 4) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+    covers="O2,EXT",
+)
+def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "__q183_lineitem"
+    )
+    out = questdb_sql(spark, _Q183_SQL)
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round("l_extendedprice", 4).alias("price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q173 — best-k-per-group curation face of topk_per_key (EXT curation)
 # ---------------------------------------------------------------------------
 #

@@ -33,6 +33,12 @@ QuestDB construct                      Lowering
                                        filters the aliased aggregates)
 ``LIMIT -n`` (tail) / ``LIMIT lo,hi``  reversed-order ``limit`` + re-sort
                                        / ``offset(lo).limit(hi−lo)``
+``ORDER BY c DESC [,tie] LIMIT n``     ``operators.topk.
+(scan-bound shape)                     topk_by_threshold`` — the
+                                       certified partition-max prune;
+                                       its threshold pass runs ONE
+                                       bounded Spark job at call time
+                                       (after full query validation)
 ``FROM long_sequence(n)``              ``spark.range`` (x = 1..n)
 ``timestamp_sequence('t0', step)``     integer-µs codegen off ``x``
 anything else                          ``spark.sql`` passthrough (full
@@ -146,6 +152,24 @@ _AGG_RE = re.compile(
     re.IGNORECASE,
 )
 _COL_RE = re.compile(r"^([\w\.]+)(?:\s+(?:AS\s+)?(\w+))?$", re.IGNORECASE)
+#: The scan-bound top-k shape the dialect routes through the certified
+#: threshold prune (operators/topk.py): plain-column projection over one
+#: table, optional simple WHERE, ``ORDER BY <col> DESC [, tie [ASC]]*
+#: LIMIT n``. DELIBERATELY conservative — the WHERE body is a tempered
+#: dot that refuses subqueries/joins/grouping keywords, so no standard-
+#: SQL query the dialect can't lower is ever pulled off the spark.sql
+#: passthrough (misrouting one would turn a valid query into a parse
+#: error; not matching one merely keeps the plain TakeOrdered plan).
+_TOPK_SHAPE_RE = re.compile(
+    r"^SELECT\s+(?!DISTINCT\b|ALL\b)"
+    r"(?:\*|[\w.]+(?:\s+(?:AS\s+)?\w+)?(?:\s*,\s*[\w.]+(?:\s+(?:AS\s+)?\w+)?)*)"
+    r"\s+FROM\s+\w+"
+    r"(?:\s+WHERE\s+(?:(?!\b(?:GROUP|HAVING|SAMPLE|LATEST|JOIN|UNION"
+    r"|WINDOW|SELECT|OVER|ORDER|LIMIT)\b).)+)?"
+    r"\s+ORDER\s+BY\s+\w+\s+DESC(?:\s*,\s*\w+(?:\s+ASC)?)*"
+    r"\s+LIMIT\s+\d+$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _parse_fill_spec(fill_spec: str, value_cols: list[str]) -> dict:
@@ -344,6 +368,12 @@ def questdb_sql(
         or re.search(r"\bcount\s*\(\s*\)", text, re.IGNORECASE)
         or (limit_m and int(limit_m.group(1)) < 0)
         or (limit_m and limit_m.group(2) is not None)
+        # The scan-bound top-k shape: not dialect *sugar*, but the
+        # dialect path plans it via the certified threshold prune
+        # (0.55× DuckDB at the 600M-row tier vs 2.40× for the plain
+        # heap — see the route below), so SQL users get the deployed
+        # plan instead of spark.sql's TakeOrdered.
+        or _TOPK_SHAPE_RE.match(text)
     )
     if not has_dialect:
         return spark.sql(text)
@@ -375,6 +405,26 @@ def questdb_sql(
     if group_m and sample_m:
         # SAMPLE BY *is* the grouping; QuestDB rejects the combo too.
         raise QuestDBSQLError("GROUP BY cannot combine with SAMPLE BY")
+
+    # Safety: every recognized span must account for the rest of the
+    # query — any leftover character is an unsupported construct, and the
+    # query fails loudly instead of running half-interpreted. Matched
+    # character SPANS are marked consumed (not textual replace, which
+    # would eat an identical earlier occurrence, e.g. inside a WHERE
+    # string literal). Validated BEFORE any lowering so no Spark work —
+    # in particular the top-k route's call-time threshold job — ever
+    # runs for a query that would be rejected.
+    consumed = bytearray(len(rest))
+    for m in (join_m, where_m, latest_m, sample_m, group_m, having_m,
+              order_m, limit_m):
+        if m:
+            for i in range(m.start(), m.end()):
+                consumed[i] = 1
+    leftover = "".join(
+        ch for i, ch in enumerate(rest) if not consumed[i]
+    )
+    if leftover.strip():
+        raise QuestDBSQLError(f"unsupported fragment: {leftover.strip()!r}")
 
     seq_m = _LONG_SEQ_RE.match(table.strip())
     if seq_m:
@@ -675,13 +725,61 @@ def questdb_sql(
     if having_m and sample_m:
         df = df.filter(F.expr(having_m.group(1).strip()))
 
+    order_items: list[tuple[str, str]] = []
     order_cols: list[Column] = []
     if order_m:
         for item in _split_items(order_m.group(1).strip()):
             m = re.match(r"^(.*?)(?:\s+(ASC|DESC))?$", item, re.IGNORECASE)
             expr, direction = m.group(1).strip(), (m.group(2) or "ASC").upper()
+            order_items.append((expr, direction))
             c = F.expr(expr)
             order_cols.append(c.desc() if direction == "DESC" else c.asc())
+
+    # Top-k route (the deployed 100 TB plan): ``ORDER BY <col> DESC
+    # [, tiebreak ASC ...] LIMIT k`` over a bare scan (no join / LATEST
+    # ON / SAMPLE BY / aggregation; plain-column projection only) lowers
+    # onto operators.topk.topk_by_threshold — the certified partition-max
+    # prune whose wide decode touches only rows provably able to appear
+    # in the answer (committed 0.55× DuckDB at the 600M-row tier vs
+    # 2.40× for the plain bounded-heap plan; SCALE_DIFF.json
+    # ``dq34_topk.sf100_pruned``). Bit-identical to the plain lowering
+    # by construction (the prune only removes rows outside the answer).
+    #
+    # CONTRACT: the route's threshold pass runs a Spark job AT CALL
+    # TIME (a bounded k-row collect — a driver-side plan decision, never
+    # data-sized). questdb_sql therefore validates the ENTIRE query
+    # before lowering (see the fragment check above), so a rejected
+    # query never triggers the job; callers composing questdb_sql
+    # lazily inside pipelines should know the returned DataFrame's
+    # threshold literal is fixed at build time.
+    _ident = r"[A-Za-z_]\w*"
+    routable = bool(
+        order_items
+        and limit_m
+        and limit_m.group(2) is None
+        and int(limit_m.group(1)) > 0
+        and order_items[0][1] == "DESC"
+        and all(d == "ASC" for _, d in order_items[1:])
+        and all(re.fullmatch(_ident, e) for e, _ in order_items)
+        and all(e in df.columns for e, _ in order_items)
+        and not (join_m or latest_m or sample_m or group_m or having_m)
+        and not any(_AGG_RE.match(it) for it in _split_items(select_list))
+        and (
+            select_list.strip() == "*"
+            or all(_COL_RE.match(it) for it in _split_items(select_list))
+        )
+    )
+    if routable:
+        from questdb_etl_jobs_spark.operators.topk import topk_by_threshold
+
+        return topk_by_threshold(
+            df,
+            order_items[0][0],
+            int(limit_m.group(1)),
+            tiebreak=[e for e, _ in order_items[1:]],
+        )
+
+    if order_m:
         df = df.orderBy(*order_cols)
 
     if limit_m and limit_m.group(2) is not None:
@@ -727,23 +825,6 @@ def questdb_sql(
                     "negative LIMIT needs an ORDER BY or a designated ts"
                 )
 
-    # Safety: every recognized span must account for the rest of the
-    # query — any leftover character is an unsupported construct, and the
-    # query fails loudly instead of running half-interpreted. Matched
-    # character SPANS are marked consumed (not textual replace, which
-    # would eat an identical earlier occurrence, e.g. inside a WHERE
-    # string literal).
-    consumed = bytearray(len(rest))
-    for m in (join_m, where_m, latest_m, sample_m, group_m, having_m,
-              order_m, limit_m):
-        if m:
-            for i in range(m.start(), m.end()):
-                consumed[i] = 1
-    leftover = "".join(
-        ch for i, ch in enumerate(rest) if not consumed[i]
-    )
-    if leftover.strip():
-        raise QuestDBSQLError(f"unsupported fragment: {leftover.strip()!r}")
     return df
 
 

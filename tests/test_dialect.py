@@ -222,6 +222,117 @@ def test_latest_on_where_split(spark, trades):
     assert len(rows) == 1 and rows[0].price == 13.0
 
 
+# ---------------------------------------------------------------------------
+# Top-k route: ORDER BY <col> DESC LIMIT n plans via the threshold prune
+# ---------------------------------------------------------------------------
+
+def test_topk_route_plan_and_equivalence(spark):
+    """Round-12 task #1 (VERDICT r11): a scan-bound ``ORDER BY col DESC
+    LIMIT k`` — dq34's exact SQL shape — must plan via
+    topk_by_threshold, not the plain 2.40×-asymptote heap. The physical
+    plan carries the certified threshold as a PUSHED parquet filter
+    (which also proves the call-time threshold pass ran: the literal
+    only exists after its bounded collect), and the answer is
+    bit-identical to the plain lowering."""
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    from conftest import SF_SMALL
+
+    import re as _re
+
+    lineitem = load_table(spark, SF_SMALL, "lineitem")
+    # sf0.001's scan is ONE partition, so certification needs k <= 1
+    # there; the pushed-filter proof uses LIMIT 1 on the raw parquet
+    # view, the k=10 equivalence uses a 16-partition view (the filter
+    # then sits above the exchange instead of inside PushedFilters).
+    lineitem.createOrReplaceTempView("lineitem_v")
+    one = questdb_sql(
+        spark,
+        "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem_v "
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 1",
+    )
+    plan1 = one._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(l_extendedprice" in plan1, plan1
+    assert "TakeOrderedAndProject" in plan1  # still the bounded-heap top-k
+
+    lineitem.repartition(16).createOrReplaceTempView("lineitem_v16")
+    out = questdb_sql(
+        spark,
+        "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem_v16 "
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"l_extendedprice#\d+ >= ", plan), plan
+    plain = (
+        lineitem.orderBy(
+            F.desc("l_extendedprice"), F.asc("l_orderkey"),
+            F.asc("l_linenumber"),
+        )
+        .limit(10)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r) for r in plain.collect()
+    ]
+
+
+def test_topk_route_applies_where_and_renames(spark, trades):
+    """The route composes with the dialect's WHERE (interval sugar
+    included) and plain-column renames; result order is the total
+    (value DESC, tiebreak ASC) order."""
+    out = questdb_sql(
+        spark,
+        "SELECT sym, qty AS quantity, price FROM trades "
+        "WHERE ts IN '2024-01-02' ORDER BY price DESC, sym LIMIT 3",
+        {"trades": "ts"},
+    )
+    rows = [(r.sym, r.quantity, r.price) for r in out.collect()]
+    assert rows == [("AAA", 203, 23.0), ("BBB", 203, 23.0),
+                    ("AAA", 201, 21.0)]
+
+
+def test_topk_route_rejects_invalid_query_before_any_job(spark, trades):
+    """The eager-pass contract: full query validation precedes lowering,
+    so a rejected query never triggers the threshold job. The
+    unsupported fragment raises even though the table name does not
+    resolve — proof no table was touched before validation."""
+    with pytest.raises(QuestDBSQLError, match="unsupported fragment"):
+        questdb_sql(
+            spark,
+            "SELECT * FROM no_such_table LATEST ON ts PARTITION BY sym "
+            "EXCEPT SELECT 1 ORDER BY qty DESC LIMIT 5",
+            {"no_such_table": "ts"},
+        )
+
+
+def test_topk_shape_gate_leaves_standard_sql_untouched(spark, trades):
+    """Conservative gate: shapes the dialect cannot lower — DISTINCT,
+    aggregation between FROM and ORDER BY, subqueries in WHERE,
+    ascending order, window functions — stay on the spark.sql
+    passthrough and still run correctly."""
+    q1 = questdb_sql(
+        spark,
+        "SELECT DISTINCT sym FROM trades ORDER BY sym DESC LIMIT 2",
+    )
+    assert [r.sym for r in q1.collect()] == ["BBB", "AAA"]
+    q2 = questdb_sql(
+        spark,
+        "SELECT sym, max(price) AS p FROM trades GROUP BY sym "
+        "ORDER BY p DESC LIMIT 1",
+    )
+    assert [tuple(r) for r in q2.collect()] == [("BBB", 23.0)]
+    q3 = questdb_sql(
+        spark,
+        "SELECT sym, price FROM trades WHERE price > "
+        "(SELECT avg(price) FROM trades) ORDER BY price DESC LIMIT 2",
+    )
+    assert [r.price for r in q3.collect()] == [23.0, 23.0]
+    q4 = questdb_sql(
+        spark, "SELECT sym, price FROM trades ORDER BY price ASC LIMIT 2"
+    )
+    assert [r.price for r in q4.collect()] == [10.0, 10.0]
+
+
 def test_leftover_uses_spans_not_text(spark, trades):
     """A WHERE string literal that textually repeats a later clause must
     not confuse the unsupported-fragment accounting (round-6 advisor:
