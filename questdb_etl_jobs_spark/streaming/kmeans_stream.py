@@ -10,7 +10,10 @@ cumulative component sums + k counts — sketch-sized, independent of
 stream length — and lives driver-side across micro-batches (the same
 place the stream's centroids must be broadcast from anyway; foreachBatch
 batches run strictly in sequence, so the fold order is the arrival
-order by construction).
+order by construction) — journaled per absorbed batch into the
+checkpoint dir so a killed fit resumes bit-identically instead of
+silently refitting the tail (see the journal notes above
+:func:`kmeans_stream_fit`).
 
 Per micro-batch cost mirrors one Lloyd iteration over the batch:
 assignment is the zero-shuffle codegen projection from
@@ -29,6 +32,8 @@ replays bit-identically in sequential CPython.
 
 from __future__ import annotations
 
+import json
+import re
 from dataclasses import dataclass
 from decimal import Decimal
 
@@ -110,6 +115,108 @@ def absorb_batch(
     state.n_batches += 1
 
 
+# ---------------------------------------------------------------------------
+# Restart-durable operator state (round-12; VERDICT r11 task #2)
+# ---------------------------------------------------------------------------
+#
+# Spark's file-source checkpoint makes a RESTARTED query skip
+# already-processed files — so an in-memory-only fold would silently
+# resume from zeroed sums and return centroids fit to the TAIL of the
+# stream. The fix is the matview-log pattern (operators/matview.py):
+# after every absorbed batch the full operator state — exact Decimal
+# sums, counts, bit-exact float-hex centroids, the absorbed batch id —
+# is journaled to ``<checkpoint>/_kmeans_state/kmeans_state.<v>.json``
+# via temp-file + rename to a FRESH versioned name (atomic on every
+# Hadoop FileSystem; a reader sees version v or v+1, never a torn
+# file). On start the highest version restores, and a replayed micro-
+# batch (Spark re-runs the last uncommitted one after a crash) is
+# recognized by ``batch_id <= last absorbed`` and skipped — the fold
+# stays exactly-once. State is k × dim decimals: journal writes are
+# sketch-sized, never data-sized.
+
+_STATE_DIR = "_kmeans_state"
+_STATE_RE = re.compile(r"^kmeans_state\.(\d+)\.json$")
+
+
+def _hadoop(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _save_state(
+    spark: SparkSession, checkpoint_dir: str, state: StreamKMeansState,
+    batch_id: int,
+) -> None:
+    sdir = f"{checkpoint_dir.rstrip('/')}/{_STATE_DIR}"
+    jvm, fs = _hadoop(spark, sdir)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(sdir))
+    payload = json.dumps(
+        {
+            "batch_id": batch_id,
+            "n_batches": state.n_batches,
+            "counts": state.counts,
+            "sums": [[str(d) for d in row] for row in state.sums],
+            "centroids_hex": [
+                [x.hex() for x in c] for c in state.centroids
+            ],
+        }
+    ).encode()
+    final = f"{sdir}/kmeans_state.{state.n_batches}.json"
+    tmp = jvm.org.apache.hadoop.fs.Path(final + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+    if not fs.rename(tmp, jvm.org.apache.hadoop.fs.Path(final)):
+        raise IOError(f"could not commit kmeans state journal {final}")
+
+
+def _load_latest_state(
+    spark: SparkSession, checkpoint_dir: str
+) -> tuple[StreamKMeansState, int] | None:
+    """Highest-versioned journaled state and its last absorbed batch id,
+    or ``None`` when no journal exists."""
+    from questdb_etl_jobs_spark.sources.fs import hadoop_path_exists
+
+    sdir = f"{checkpoint_dir.rstrip('/')}/{_STATE_DIR}"
+    if not hadoop_path_exists(spark, sdir):
+        return None
+    jvm, fs = _hadoop(spark, sdir)
+    versions: list[tuple[int, str]] = []
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(sdir)):
+        m = _STATE_RE.match(st.getPath().getName())
+        if m:
+            versions.append((int(m.group(1)), str(st.getPath())))
+    if not versions:
+        return None
+    _, path = max(versions)
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        while True:
+            line = reader.readLine()
+            if line is None:
+                break
+            lines.append(line)
+    finally:
+        stream.close()
+    doc = json.loads("\n".join(lines))
+    state = StreamKMeansState(
+        centroids=[
+            [float.fromhex(x) for x in c] for c in doc["centroids_hex"]
+        ],
+        sums=[[Decimal(s) for s in row] for row in doc["sums"]],
+        counts=[int(n) for n in doc["counts"]],
+        n_batches=int(doc["n_batches"]),
+    )
+    return state, int(doc["batch_id"])
+
+
 def kmeans_stream_fit(
     spark: SparkSession,
     source_dir: str,
@@ -122,11 +229,54 @@ def kmeans_stream_fit(
 ) -> StreamKMeansState:
     """Replay a directory of vector files (ascending-mtime arrival order,
     ``max_files_per_trigger`` per micro-batch, AvailableNow) through the
-    sequential k-means fold and return the final state."""
-    state = init_stream_state(init_centroids)
+    sequential k-means fold and return the final state.
 
-    def on_batch(batch_df, _batch_id: int) -> None:
+    RESTART-SAFE: operator state is journaled per absorbed batch next to
+    Spark's own checkpoint (see the module-level journal notes), so a
+    killed fit re-invoked with the same ``checkpoint_dir`` (and the same
+    ``init_centroids``) resumes bit-identically — Spark skips the files
+    it already processed, the journal restores the sums they
+    contributed, and a replayed uncommitted batch is deduplicated by
+    batch id. A checkpoint dir that carries Spark progress but NO
+    journal (e.g. written by a pre-journal build) raises rather than
+    silently fitting the tail of the stream."""
+    from questdb_etl_jobs_spark.sources.fs import hadoop_path_exists
+
+    restored = _load_latest_state(spark, checkpoint_dir)
+    if restored is None:
+        if hadoop_path_exists(
+            spark, f"{checkpoint_dir.rstrip('/')}/offsets"
+        ):
+            raise RuntimeError(
+                "kmeans_stream_fit: checkpoint dir "
+                f"{checkpoint_dir!r} carries Spark stream progress but "
+                "no operator-state journal — resuming would skip the "
+                "absorbed files' contributions and fit only the tail. "
+                "Use a fresh checkpoint dir to refit from scratch."
+            )
+        state = init_stream_state(init_centroids)
+        last_absorbed = -1
+    else:
+        state, last_absorbed = restored
+        if len(state.centroids) != len(init_centroids) or len(
+            state.centroids[0]
+        ) != len(init_centroids[0]):
+            raise ValueError(
+                "kmeans_stream_fit: journaled state shape "
+                f"{len(state.centroids)}x{len(state.centroids[0])} does "
+                f"not match init_centroids "
+                f"{len(init_centroids)}x{len(init_centroids[0])}"
+            )
+
+    def on_batch(batch_df, batch_id: int) -> None:
+        nonlocal last_absorbed
+        if batch_id <= last_absorbed:
+            # Spark replays the last uncommitted micro-batch after a
+            # crash; its sums are already in the journaled state.
+            return
         absorb_batch(state, batch_df, vec_col=vec_col)
+        _save_state(spark, checkpoint_dir, state, batch_id)
+        last_absorbed = batch_id
 
     q = (
         spark.readStream.schema(schema)
@@ -139,7 +289,8 @@ def kmeans_stream_fit(
     )
     if not q.awaitTermination(timeout_sec):
         # Partial state is NOT a fit — fail loudly rather than hand back
-        # centroids missing the tail of the stream.
+        # centroids missing the tail of the stream. (The journal makes
+        # the partial fit RESUMABLE with the same checkpoint dir.)
         q.stop()
         raise TimeoutError(
             f"kmeans_stream_fit: replay did not settle within "

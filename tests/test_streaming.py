@@ -1830,3 +1830,105 @@ def test_kmeans_stream_fit_replays_files_in_arrival_order(spark, tmp_path):
     assert state.counts == [4, 0]
     assert state.centroids[0] == [4.5, 4.5]
     assert state.centroids[1] == [10.0, 10.0]
+
+
+def _write_vec_files(src, batches, base):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i, rows in enumerate(batches):
+        p = str(src / f"chunk_{i:03d}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [r[1] for r in rows], pa.list_(pa.float64())
+                    ),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (base + i, base + i))
+
+
+def test_kmeans_stream_fit_kill_and_resume_is_bit_identical(spark, tmp_path):
+    """Round-12 task #2 (VERDICT r11): a fit interrupted after absorbing
+    a prefix of the stream and re-invoked with the SAME checkpoint dir
+    must resume from the journaled sums — Spark's file checkpoint skips
+    the absorbed files, the journal restores their contributions — and
+    end bit-identical (exact Decimal sums, counts, IEEE centroids) to
+    one uninterrupted fit over the whole stream."""
+    import time
+
+    from questdb_etl_jobs_spark.streaming.kmeans_stream import (
+        kmeans_stream_fit,
+    )
+
+    schema = "vec_id bigint, embedding array<double>"
+    init = [[0.0, 0.0], [10.0, 10.0]]
+    base = time.time() - 100
+    batches = [
+        [(1, [4.0, 4.0]), (2, [4.0, 4.0]), (3, [4.0, 4.0])],
+        [(4, [6.0, 6.0])],
+        [(5, [9.5, 9.5]), (6, [0.25, 0.75])],
+        [(7, [5.125, 5.0]), (8, [10.5, 9.5])],
+    ]
+
+    # Uninterrupted reference run over all four arrivals.
+    full_src = tmp_path / "full"
+    full_src.mkdir()
+    _write_vec_files(full_src, batches, base)
+    ref = kmeans_stream_fit(
+        spark, str(full_src), schema, init,
+        checkpoint_dir=str(tmp_path / "ckpt_full"),
+    )
+
+    # "Killed" run: only the first two files exist when the fit runs.
+    part_src = tmp_path / "part"
+    part_src.mkdir()
+    _write_vec_files(part_src, batches[:2], base)
+    ckpt = str(tmp_path / "ckpt_resume")
+    first = kmeans_stream_fit(spark, str(part_src), schema, init,
+                              checkpoint_dir=ckpt)
+    assert first.n_batches == 2
+
+    # Restart: the remaining files arrive, same checkpoint dir.
+    _write_vec_files(part_src, batches, base)  # files 0/1 identical
+    resumed = kmeans_stream_fit(spark, str(part_src), schema, init,
+                                checkpoint_dir=ckpt)
+    assert resumed.n_batches == ref.n_batches == 4
+    assert resumed.counts == ref.counts
+    assert resumed.sums == ref.sums          # exact Decimal equality
+    assert resumed.centroids == ref.centroids  # bit-identical IEEE
+
+
+def test_kmeans_stream_fit_refuses_checkpoint_without_journal(
+    spark, tmp_path
+):
+    """A checkpoint dir carrying Spark stream progress but no operator
+    journal (pre-journal build, or a wiped state dir) must raise — a
+    silent restart would fit only the tail of the stream."""
+    import shutil
+    import time
+
+    import pytest
+
+    from questdb_etl_jobs_spark.streaming.kmeans_stream import (
+        kmeans_stream_fit,
+    )
+
+    schema = "vec_id bigint, embedding array<double>"
+    init = [[0.0, 0.0], [10.0, 10.0]]
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    _write_vec_files(src, [[(1, [4.0, 4.0])]], time.time() - 50)
+    ckpt = tmp_path / "ckpt"
+    kmeans_stream_fit(spark, str(src), schema, init,
+                      checkpoint_dir=str(ckpt))
+    shutil.rmtree(ckpt / "_kmeans_state")
+    with pytest.raises(RuntimeError, match="no operator-state journal"):
+        kmeans_stream_fit(spark, str(src), schema, init,
+                          checkpoint_dir=str(ckpt))
