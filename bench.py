@@ -85,7 +85,35 @@ def _headline():
         "haversine": "q153_haversine_track",
         "geohash_cells": "q155_geohash_cells",
         "tdigest": "q157_tdigest_quantiles",
+        # Round-12 additions (exclude from total-vs-r11 deltas): the
+        # round-11 operator family — threshold-pruned top-k (plain and
+        # per-key), the per-stratum weighted race, the full Lloyd fit —
+        # plus the dialect-routed top-k face and the k-means|| init
+        # path, so regressions in the new operators show per-round.
+        "topk_threshold_prune": "q171_topk_threshold_prune",
+        "topk_per_key_prune": "q172_topk_per_key_prune",
+        "weighted_sample_per_key": "q174_weighted_sample_per_lang",
+        "dialect_topk_routed": "q183_dialect_topk_routed",
+        "kmeans_fit": "q177_kmeans_clusters",
+        "kmeans_pll_init": _kmeans_pll_init,
     }
+
+
+def _kmeans_pll_init(spark, sf_dir):
+    """Full quality-path clustering: k-means|| oversampling init +
+    3-iteration Lloyd + final assignment (the deployment shape; the
+    oracle face q177 keeps the mirrorable lowest-id init)."""
+    from questdb_etl_jobs_spark.operators.clustering import (
+        kmeans_fit,
+        kmeans_parallel_init,
+        kmeans_transform,
+    )
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = kmeans_parallel_init(emb, k=8)
+    model = kmeans_fit(emb, k=8, iterations=3, init_centroids=init)
+    return kmeans_transform(emb, model).select("vec_id", "cluster")
 
 
 def _dup_clusters_lsh(spark, sf_dir):

@@ -139,31 +139,209 @@ def kmeans_fit(
     iterations: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    init_centroids: list[list[float]] | None = None,
 ) -> KMeansModel:
     """Deterministic distributed Lloyd fit.
 
-    Init = the vectors of the k lowest ``id_col`` rows (a deterministic,
-    oracle-mirrorable seed — k-means++ would need a sequential random
-    scan that no differential oracle could replay exactly). Each
+    Default init = the vectors of the k lowest ``id_col`` rows (a
+    deterministic, oracle-mirrorable seed — k-means++ would need a
+    sequential random scan that no differential oracle could replay
+    exactly). Pass ``init_centroids`` (e.g. from
+    :func:`kmeans_parallel_init`) for a quality-aware start — the
+    bench/deployment path; the oracle face keeps the default. Each
     iteration is one assignment projection + one sketch-sized update
     shuffle; the driver holds only the k × dim directory.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    seed_rows = (
-        df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-        .filter(F.col(vec_col).isNotNull())  # NULLs excluded by contract
-        .orderBy(id_col)
-        .limit(k)
-        .collect()
-    )
-    if len(seed_rows) < k:
-        raise ValueError(f"k={k} exceeds input row count {len(seed_rows)}")
-    centroids = [[float(x) for x in r["v"]] for r in seed_rows]
+    if init_centroids is not None:
+        if len(init_centroids) != k:
+            raise ValueError(
+                f"init_centroids has {len(init_centroids)} rows for k={k}"
+            )
+        centroids = [[float(x) for x in c] for c in init_centroids]
+    else:
+        seed_rows = (
+            df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+            .filter(F.col(vec_col).isNotNull())  # NULLs excluded by contract
+            .orderBy(id_col)
+            .limit(k)
+            .collect()
+        )
+        if len(seed_rows) < k:
+            raise ValueError(
+                f"k={k} exceeds input row count {len(seed_rows)}"
+            )
+        centroids = [[float(x) for x in r["v"]] for r in seed_rows]
     for _ in range(iterations):
         assigned = assign_clusters(df, centroids, vec_col=vec_col)
         centroids = _update_centroids(assigned, centroids, vec_col, "cluster")
     return KMeansModel(centroids=centroids, iterations=iterations)
+
+
+def kmeans_inertia(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> float:
+    """Sum of squared distances to the nearest centroid (the k-means
+    objective) — one zero-shuffle assignment projection + a scalar agg.
+    NULL vectors are excluded by contract (their distance is NULL and
+    ``sum`` skips it)."""
+    assigned = assign_clusters(
+        df, centroids, vec_col=vec_col, dist_col="__d"
+    )
+    row = assigned.agg(F.sum("__d").alias("s")).collect()[0]
+    return float(row["s"]) if row["s"] is not None else 0.0
+
+
+def kmeans_parallel_init(
+    df: DataFrame,
+    k: int,
+    rounds: int = 3,
+    oversample: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    lloyd_iterations: int = 10,
+) -> list[list[float]]:
+    """Scalable k-means|| style initialization (Bahmani et al., VLDB'12
+    "Scalable k-means++") — the QUALITY init for real curation fits.
+
+    The naive lowest-id init (:func:`kmeans_fit`'s default) is the
+    oracle face: deterministic and mirrorable in sequential CPython,
+    but quality-blind — adjacent-id seeds can start k centroids inside
+    one dense region. k-means++ fixes quality but is inherently
+    sequential (k dependent passes). k-means|| is the distributed
+    answer: a few rounds of INDEPENDENT oversampling proportional to
+    d²(x, C), then a driver-side weighted reduce of the ~rounds×l
+    candidates down to k. Per round: one assignment-style distance
+    projection (zero shuffle, centroids as plan literals) + a scalar
+    agg for the normalizer + a filter whose survivors are ~l rows — the
+    driver only ever holds the candidate directory, never data.
+
+    DETERMINISTIC twist (this engine's differential protocol): the
+    Bernoulli draw uses a content-keyed xxhash64 uniform over
+    ``(id_col, round)`` instead of ``rand()`` — same candidates
+    regardless of partitioning — and the driver-side reduce replaces
+    weighted k-means++'s random seeding with the max-weight candidate
+    followed by farthest-point (weight × d²) selection, then
+    ``lloyd_iterations`` of weighted Lloyd over the candidate set.
+    Fully reproducible run-to-run; still bench-path-only because the
+    candidate draw depends on float sums no SQL oracle replays.
+
+    Returns k centroids for :func:`kmeans_fit`'s ``init_centroids``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    l = oversample if oversample is not None else 2 * k  # noqa: E741
+    pts = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).filter(F.col(vec_col).isNotNull())
+
+    # Seed: the lowest-id vector (deterministic, one bounded collect).
+    seed = pts.orderBy("__id").limit(1).collect()
+    if not seed:
+        raise ValueError("kmeans_parallel_init: no non-null vectors")
+    centers: list[list[float]] = [[float(x) for x in seed[0]["__v"]]]
+
+    for rnd in range(rounds):
+        dmin = F.array_min(
+            F.array(*[_sq_dist(F.col("__v"), c) for c in centers])
+        )
+        scored = pts.select("__id", "__v", dmin.alias("__d"))
+        # Normalizer via the decimal protocol (order-independent sum of
+        # pre-rounded terms), so the Bernoulli thresholds — and hence
+        # the candidate set — are identical on ANY partition layout.
+        psi_row = scored.agg(
+            F.sum(F.round("__d", 6).cast("decimal(38,6)")).alias("psi")
+        ).collect()[0]
+        psi = float(psi_row["psi"]) if psi_row["psi"] else 0.0
+        if psi <= 0.0:
+            break  # every point coincides with a center already
+        # Content-keyed uniform in [0, 1): same draw on any layout.
+        u = (
+            F.pmod(F.xxhash64("__id", F.lit(rnd)), F.lit(1 << 31))
+            / F.lit(float(1 << 31))
+        )
+        picked = scored.filter(
+            u < (F.col("__d") * F.lit(float(l)) / F.lit(psi))
+        ).select("__id", "__v").collect()
+        existing = {tuple(c) for c in centers}
+        for r in sorted(picked, key=lambda r: r["__id"]):
+            v = [float(x) for x in r["__v"]]
+            if tuple(v) not in existing:
+                existing.add(tuple(v))
+                centers.append(v)
+
+    # Weights: how many points each candidate wins — one grouped count
+    # over the zero-shuffle assignment (the group directory is at most
+    # len(centers) rows).
+    weights = [0] * len(centers)
+    for r in (
+        assign_clusters(pts, centers, vec_col="__v")
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ):
+        if r["cluster"] is not None:
+            weights[r["cluster"]] = int(r["n"])
+
+    return _weighted_reduce(centers, weights, k, lloyd_iterations)
+
+
+def _sq(a: list[float], b: list[float]) -> float:
+    return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+
+def _weighted_reduce(
+    centers: list[list[float]], weights: list[int], k: int, iters: int
+) -> list[list[float]]:
+    """Driver-side deterministic reduce of the candidate directory to k
+    centroids: max-weight start, farthest-point (weight × d²) additions,
+    then weighted Lloyd. Candidate count is ~rounds × oversample —
+    directory-sized, never data-sized."""
+    if len(centers) <= k:
+        # Too few distinct candidates (tiny input): pad deterministically
+        # by repeating in candidate order — kmeans_fit's Lloyd rounds
+        # keep duplicates stable (empty clusters retain their centroid).
+        out = [list(c) for c in centers]
+        i = 0
+        while len(out) < k:
+            out.append(list(centers[i % len(centers)]))
+            i += 1
+        return out
+    chosen = [max(range(len(centers)), key=lambda i: (weights[i], -i))]
+    while len(chosen) < k:
+        best, best_score = -1, (-1.0, 0)
+        for i in range(len(centers)):
+            if i in chosen:
+                continue
+            d = min(_sq(centers[i], centers[j]) for j in chosen)
+            score = (weights[i] * d, -i)
+            if score > best_score:
+                best, best_score = i, score
+        chosen.append(best)
+    cents = [list(centers[i]) for i in chosen]
+    dim = len(cents[0])
+    for _ in range(iters):
+        sums = [[0.0] * dim for _ in range(k)]
+        cnts = [0] * k
+        for c, w in zip(centers, weights):
+            if w == 0:
+                continue
+            j = min(range(k), key=lambda j: (_sq(c, cents[j]), j))
+            cnts[j] += w
+            for p in range(dim):
+                sums[j][p] += w * c[p]
+        nxt = [
+            [s / n for s in row] if n else list(prev)
+            for row, n, prev in zip(sums, cnts, cents)
+        ]
+        if nxt == cents:
+            break
+        cents = nxt
+    return cents
 
 
 def kmeans_transform(

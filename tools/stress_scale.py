@@ -552,6 +552,54 @@ def docs100_main(spark) -> None:
     print(json.dumps({"metric": "docs100_dedup_scale", "queries": results}))
 
 
+def kmeans_init_quality_main(spark) -> None:
+    """Fit-quality cell for the k-means|| init (round-12 VERDICT task
+    #5): at 1× and 10× embeddings, fit k=8 Lloyd (3 iterations) from
+    the naive lowest-id seed and from kmeans_parallel_init, and report
+    both inertias (sum of squared distances — the k-means objective)
+    plus wall times. The oracle face keeps the naive init (CPython-
+    mirrorable); this cell documents what the quality path buys."""
+    from questdb_etl_jobs_spark.operators.clustering import (
+        kmeans_fit,
+        kmeans_inertia,
+        kmeans_parallel_init,
+    )
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    t0 = time.perf_counter()
+    synthesize(spark)
+    synthesize_embeddings(spark)
+    print(f"# synthesis: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    results: dict[str, dict] = {}
+    for tag, sf_dir in (("1x", BASE), ("10x", OUT)):
+        emb = load_table(spark, sf_dir, "embeddings")
+        t0 = time.perf_counter()
+        naive = kmeans_fit(emb, k=8, iterations=3)
+        t_naive = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        init = kmeans_parallel_init(emb, k=8)
+        seeded = kmeans_fit(emb, k=8, iterations=3, init_centroids=init)
+        t_pll = round(time.perf_counter() - t0, 3)
+        i_naive = kmeans_inertia(emb, naive.centroids)
+        i_pll = kmeans_inertia(emb, seeded.centroids)
+        results[tag] = {
+            "inertia_naive_init": round(i_naive, 2),
+            "inertia_pll_init": round(i_pll, 2),
+            "inertia_ratio_pll_vs_naive": round(i_pll / i_naive, 4),
+            "fit_sec_naive": t_naive,
+            "fit_sec_pll": t_pll,
+        }
+        print(
+            f"kmeans-init {tag}: naive inertia={i_naive:.1f} "
+            f"({t_naive}s) k-means|| inertia={i_pll:.1f} ({t_pll}s) "
+            f"ratio={i_pll / i_naive:.4f}",
+            file=sys.stderr,
+        )
+    print(json.dumps({"metric": "kmeans_init_quality", "k": 8,
+                      "iterations": 3, "tiers": results}))
+
+
 def main() -> None:
     from questdb_etl_jobs_spark.session import get_spark
 
@@ -559,6 +607,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if "--docs100" in sys.argv:
         docs100_main(spark)
+        return
+    if "--kmeans-init" in sys.argv:
+        kmeans_init_quality_main(spark)
         return
     t0 = time.perf_counter()
     synthesize(spark)
