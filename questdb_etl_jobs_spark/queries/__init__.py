@@ -16,6 +16,19 @@ rounded to 4 (sums routed through DECIMAL(28,4) of pre-rounded terms so
 double accumulation order can't shift the 4th decimal); timestamps at µs
 precision; arrays joined to strings. Column names are aliased identically
 on both sides — the driver's comparator hashes columns by name.
+
+Callable-oracle scale attributes (consumed by tools/verify_local.py's
+10× pass; the driver always builds at the default sf0.01):
+
+- ``fn.sf_invariant = True`` — the oracle is valid at ANY sf: either a
+  pure SQL generator over the registered views, or the query's Spark
+  face never reads the sf tables (fixture replays, generators).
+- ``fn.sf_parametric = True`` — the builder accepts ``sf_dir`` and
+  recomputes its mirror over that tier; ``oracle_queries(sf_dir=...)``
+  passes it through. Cheap mirrors (hash/generator family) carry this
+  so their 10× behavior is measured, not taken on faith.
+- ``fn.sf_pin_reason = "..."`` — neither of the above: the skip line at
+  non-default sf states WHY (replay pinning, mirror cost), per query.
 """
 
 from __future__ import annotations
@@ -170,11 +183,21 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {spec.name: spec.spark_fn for spec in _ordered()}
 
 
-def oracle_queries() -> dict[str, str]:
+def oracle_queries(sf_dir: str | None = None) -> dict[str, str]:
+    """Oracle SQL per query. ``sf_dir`` reaches only the builders marked
+    ``sf_parametric`` (their mirrors recompute over that tier); every
+    other callable builds exactly as the driver does."""
     _load()
     out: dict[str, str] = {}
     for spec in _ordered():
-        out[spec.name] = spec.oracle() if callable(spec.oracle) else spec.oracle
+        o = spec.oracle
+        if callable(o):
+            if sf_dir is not None and getattr(o, "sf_parametric", False):
+                out[spec.name] = o(sf_dir)
+            else:
+                out[spec.name] = o()
+        else:
+            out[spec.name] = o
     return out
 
 

@@ -348,6 +348,17 @@ def _q47_oracle() -> str:
     """
 
 
+# 10×-pass pin, cost not convention: the mirror verifies EXACT Jaccard
+# over every candidate pair, and the boilerplate-heavy synthetic
+# vocabulary makes the pair count grow superlinearly with the corpus —
+# minutes of CPython at sf0.1 (same pair-explosion the LSH bench path
+# documents in bench.py's _dup_clusters_lsh note).
+_q47_oracle.sf_pin_reason = (
+    "CPython exact-Jaccard pair mirror — candidate pairs grow "
+    "superlinearly on the synthetic vocabulary (minutes at sf0.1)"
+)
+
+
 @dq("q47_near_dup_minhash_lsh", oracle=_q47_oracle, covers="EXT,U4,A1,J1")
 def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -394,13 +405,13 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
 # simhash bit vectors independently — the sketch is fully verified, not
 # rows-only.
 
-def _q48_oracle() -> str:
+def _q48_oracle(sf_dir: str = ORACLE_SF_DIR) -> str:
     import duckdb
 
     from questdb_etl_jobs_spark.queries._xxhash import simhash_bits_py
 
     rows = duckdb.sql(
-        f"SELECT doc_id, text FROM '{ORACLE_SF_DIR}/documents.parquet'"
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
         " ORDER BY doc_id"
     ).fetchall()
     sims = {doc_id: simhash_bits_py(text) for doc_id, text in rows}
@@ -418,6 +429,10 @@ def _q48_oracle() -> str:
     ) AS t(doc_id, ham)
     ORDER BY doc_id
     """
+
+
+# Linear simhash mirror over the tier's own documents: sf-parametric.
+_q48_oracle.sf_parametric = True
 
 
 @dq("q48_simhash_hamming", oracle=_q48_oracle, covers="EXT,F8")
@@ -493,6 +508,11 @@ def _q49_oracle() -> str:
     """
 
 
+# Pure SQL generator over the registered `documents` view — no baked
+# values; valid at every sf.
+_q49_oracle.sf_invariant = True
+
+
 @dq("q49_text_quality", oracle=_q49_oracle, covers="F6,EXT")
 def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sort-early: orderBy BEFORE the metric projection. A sort above an
@@ -548,11 +568,11 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
 # derives width/height from the payload's sha256, so CPython can recompute
 # the expected output independently (the q02 VALUES-oracle pattern).
 
-def _q51_oracle() -> str:
+def _q51_oracle(sf_dir: str = ORACLE_SF_DIR) -> str:
     import duckdb
 
     rows = duckdb.sql(
-        f"SELECT doc_id, text FROM '{ORACLE_SF_DIR}/documents.parquet'"
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
         " WHERE doc_id < 100 ORDER BY doc_id"
     ).fetchall()
     out = []
@@ -575,6 +595,10 @@ def _q51_oracle() -> str:
     ) AS t(doc_id, media_type, n_bytes, width, height)
     ORDER BY doc_id
     """
+
+
+# 100-doc sha256 mirror over the tier's own documents: sf-parametric.
+_q51_oracle.sf_parametric = True
 
 
 @dq("q51_multimodal_decode", oracle=_q51_oracle, covers="U2,EXT")
@@ -828,6 +852,14 @@ def _q57_oracle() -> str:
     """
 
 
+# Same pair-explosion pin as q47 (exact n-gram Jaccard over all
+# candidate pairs in CPython).
+_q57_oracle.sf_pin_reason = (
+    "CPython exact n-gram-Jaccard pair mirror — pair count grows "
+    "superlinearly on the synthetic vocabulary (minutes at sf0.1)"
+)
+
+
 @dq("q57_ngram_jaccard_exact", oracle=_q57_oracle, covers="EXT,U4,A1,J1")
 def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -880,6 +912,11 @@ def _q58_oracle() -> str:
     GROUP BY lang, lang_guess
     ORDER BY lang, lang_guess
     """
+
+
+# Pure SQL generator over the registered `documents` view: valid at
+# every sf.
+_q58_oracle.sf_invariant = True
 
 
 @dq("q58_lang_id_confusion", oracle=_q58_oracle, covers="EXT,F6,A1")
@@ -946,14 +983,14 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounds the shortest decimal repr; the mirror uses
 # Decimal(repr(x)) + HALF_UP (see _protocol.spark_round4 notes).
 
-def _q62_oracle() -> str:
+def _q62_oracle(sf_dir: str = ORACLE_SF_DIR) -> str:
     import duckdb
     from decimal import ROUND_HALF_UP, Decimal
 
     import numpy as np
 
     rows = duckdb.sql(
-        f"SELECT doc_id, text FROM '{ORACLE_SF_DIR}/documents.parquet'"
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
         " WHERE doc_id < 100 ORDER BY doc_id"
     ).fetchall()
     out = []
@@ -980,6 +1017,11 @@ def _q62_oracle() -> str:
     ) AS t(doc_id, f0, n_frames)
     ORDER BY doc_id
     """
+
+
+# 100-doc sha256/float32 mirror over the tier's own documents:
+# sf-parametric.
+_q62_oracle.sf_parametric = True
 
 
 @dq("q62_multimodal_pipeline", oracle=_q62_oracle, covers="U2,EXT")
@@ -1086,6 +1128,11 @@ def _q64_oracle() -> str:
     QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
     ORDER BY doc_id
     """
+
+
+# Pure SQL generator over the registered `documents` view: valid at
+# every sf.
+_q64_oracle.sf_invariant = True
 
 
 @dq("q64_curation_pipeline", oracle=_q64_oracle, covers="EXT,F6,A1,W1")
@@ -1204,6 +1251,14 @@ def _q67_oracle() -> str:
     ) AS t(node, cluster, csize)
     ORDER BY doc_id
     """
+
+
+# Same pair-explosion pin as q47/q57: the union-find mirror consumes
+# the exact pair edge list, which is the superlinear term.
+_q67_oracle.sf_pin_reason = (
+    "CPython union-find over the exact pair edge list — edge count "
+    "grows superlinearly on the synthetic vocabulary (minutes at sf0.1)"
+)
 
 
 @dq("q67_dup_clusters", oracle=_q67_oracle, covers="EXT,J1,A1,U4")
@@ -1700,7 +1755,7 @@ _KM_K = 4
 _KM_ITERS = 3
 
 
-def _q177_mirror() -> list[tuple[int, int, str]]:
+def _q177_mirror(sf_dir: str = ORACLE_SF_DIR) -> list[tuple[int, int, str]]:
     """(vec_id, cluster, sq_dist4-as-str) — exact CPython replay."""
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -1708,7 +1763,7 @@ def _q177_mirror() -> list[tuple[int, int, str]]:
 
     rows = duckdb.sql(
         f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
-        f"'{ORACLE_SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+        f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id"
     ).fetchall()
     vecs = [(int(vid), [float(x) for x in v]) for vid, v in rows]
     dim = len(vecs[0][1])
@@ -1755,9 +1810,9 @@ def _q177_mirror() -> list[tuple[int, int, str]]:
     ]
 
 
-def _q177_oracle() -> str:
+def _q177_oracle(sf_dir: str = ORACLE_SF_DIR) -> str:
     values = ",\n      ".join(
-        f"({vid}, {cl}, {d4})" for vid, cl, d4 in _q177_mirror()
+        f"({vid}, {cl}, {d4})" for vid, cl, d4 in _q177_mirror(sf_dir)
     )
     return f"""
     SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS INT) AS cluster,
@@ -1767,6 +1822,11 @@ def _q177_oracle() -> str:
     ) AS t(vec_id, cluster, sq_dist4)
     ORDER BY vec_id
     """
+
+
+# Sequential CPython Lloyd mirror over the tier's own embeddings (n×k×dim
+# per iteration): sf-parametric.
+_q177_oracle.sf_parametric = True
 
 
 @dq("q177_kmeans_clusters", oracle=_q177_oracle, covers="EXT,F8,U1,A1")
@@ -1806,11 +1866,11 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q180_SAMPLE_K = 5
 
 
-def _q180_mirror() -> list[tuple[int, int, int]]:
+def _q180_mirror(sf_dir: str = ORACLE_SF_DIR) -> list[tuple[int, int, int]]:
     """(cluster, vec_id, rn): per-cluster uniform A-ES draw over the
     mirrored k-means assignment."""
     by_cluster: dict[int, list[int]] = {}
-    for vid, cl, _d4 in _q177_mirror():
+    for vid, cl, _d4 in _q177_mirror(sf_dir):
         by_cluster.setdefault(cl, []).append(vid)
     out = []
     for cl in sorted(by_cluster):
@@ -1823,9 +1883,9 @@ def _q180_mirror() -> list[tuple[int, int, int]]:
     return out
 
 
-def _q180_oracle() -> str:
+def _q180_oracle(sf_dir: str = ORACLE_SF_DIR) -> str:
     values = ",\n      ".join(
-        f"({cl}, {vid}, {rn})" for cl, vid, rn in _q180_mirror()
+        f"({cl}, {vid}, {rn})" for cl, vid, rn in _q180_mirror(sf_dir)
     )
     return f"""
     SELECT CAST(cluster AS INT) AS cluster,
@@ -1836,6 +1896,11 @@ def _q180_oracle() -> str:
     ) AS t(cluster, vec_id, rn)
     ORDER BY cluster, rn
     """
+
+
+# Composition of the sf-parametric k-means mirror and integer-exact
+# sampling arithmetic: sf-parametric.
+_q180_oracle.sf_parametric = True
 
 
 @dq("q180_cluster_balanced_sample", oracle=_q180_oracle,

@@ -1377,6 +1377,10 @@ def _q134_oracle() -> str:
     """
 
 
+# Fixture-bound (purchases_small.jsonl): identical at every sf.
+_q134_oracle.sf_invariant = True
+
+
 @dq("q134_jsonl_ingest", oracle=_q134_oracle, covers="S2,F1,P3,F3,F4,EXT")
 def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
     from questdb_etl_jobs_spark.pipeline import (
@@ -2421,6 +2425,11 @@ def _q155_oracle() -> str:
     """
 
 
+# Pure SQL generator over the registered `events` view: valid at
+# every sf.
+_q155_oracle.sf_invariant = True
+
+
 @dq("q155_geohash_cells", oracle=_q155_oracle, covers="F7,F6,A1,EXT")
 def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
     from questdb_etl_jobs_spark.functions.geo import geohash_encode
@@ -2662,6 +2671,11 @@ def _q163_oracle() -> str:
     ) AS t(item_id, n, qty_total, price, n_buyers)
     ORDER BY item_id
     """
+
+
+# Generator-bound: both faces replay mirror_purchases(_Q163_N), no sf
+# table is read — identical at every sf.
+_q163_oracle.sf_invariant = True
 
 
 @dq("q163_purchase_generator", oracle=_q163_oracle, covers="S2,F1,F7,EXT")

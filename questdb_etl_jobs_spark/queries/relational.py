@@ -803,7 +803,7 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q74_K = 32
 
 
-def _q74_oracle() -> str:
+def _q74_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     import struct
 
     import duckdb
@@ -811,8 +811,7 @@ def _q74_oracle() -> str:
     from questdb_etl_jobs_spark.queries._xxhash import xxh64_signed
 
     rows = duckdb.sql(
-        "SELECT event_type, user_id FROM "
-        "'/root/testdata/sf0.01/events.parquet'"
+        f"SELECT event_type, user_id FROM '{sf_dir}/events.parquet'"
     ).fetchall()
     by_type: dict[str, set[int]] = {}
     for etype, uid in rows:
@@ -839,6 +838,10 @@ def _q74_oracle() -> str:
     ) AS t(event_type, kth_hash, n_min, est_distinct)
     ORDER BY event_type
     """
+
+
+# Cheap XXH64 mirror over the tier's own events: sf-parametric.
+_q74_oracle.sf_parametric = True
 
 
 @dq("q74_kmv_distinct", oracle=_q74_oracle, covers="A3,A2,W1")

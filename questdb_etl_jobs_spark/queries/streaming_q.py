@@ -28,6 +28,26 @@ from questdb_etl_jobs_spark.queries import dq
 from questdb_etl_jobs_spark.queries._protocol import PURCHASES_HOURLY_DIR
 
 
+#: 10×-pass skip reason shared by the replay family (tools/
+#: verify_local.py prints it): these faces re-process a FIXED arrival
+#: sequence — fixture exports or sf0.01-derived chunks, one file per
+#: trigger — because the trajectory under test is a function of arrival
+#: order, not of data volume. Re-running at another sf would compare
+#: the same stream against the same oracle: a pass with no new scale
+#: evidence. Their scale posture is covered by the operators' batch
+#: twins (EMA/CUSUM/t-digest/KMV/top-k all have sf-scaling batch faces)
+#: and the state-size bounds asserted in tests/test_streaming.py.
+_REPLAY_PIN = (
+    "arrival-order fixture replay — identical at every sf; scale "
+    "posture covered by the operator's batch twin"
+)
+
+
+def _pin(fn, reason: str = _REPLAY_PIN):
+    fn.sf_pin_reason = reason
+    return fn
+
+
 def _expected_hourly() -> dict[str, tuple[int, int]]:
     """(hour ISO → (n_rows, total_price)) recomputed from the fixtures."""
     out: dict[str, list[int]] = defaultdict(lambda: [0, 0])
@@ -57,7 +77,7 @@ def _q60_oracle() -> str:
     """
 
 
-@dq("q60_streaming_replay", oracle=_q60_oracle, covers="R1,R2,R4,R5,R6,S6,S1,O3")
+@dq("q60_streaming_replay", oracle=_pin(_q60_oracle), covers="R1,R2,R4,R5,R6,S6,S1,O3")
 def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the hourly exports through the streaming pipeline, then
     aggregate the landed designated-ts table per hour."""
@@ -130,6 +150,10 @@ def _q61_oracle() -> str:
     """
 
 
+# Fixture-bound (PURCHASES_SMALL roundtrip): identical at every sf.
+_q61_oracle.sf_invariant = True
+
+
 @dq("q61_csv_sink_roundtrip", oracle=_q61_oracle, covers="S5,F1,O1")
 def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anonymize the fixture export, write it with the CSV sink (sorted,
@@ -196,6 +220,10 @@ def _q86_oracle() -> str:
     ) AS t(file_name, file_size, n_rows)
     ORDER BY file_name
     """
+
+
+# Fixture-bound (PURCHASES_HOURLY_DIR stat walk): identical at every sf.
+_q86_oracle.sf_invariant = True
 
 
 @dq("q86_metadata_source_gate", oracle=_q86_oracle, covers="S7,S2,P1,P2")
@@ -381,7 +409,7 @@ def _counter_step(
 
 @dq(
     "q145_ema_stream_replay",
-    oracle=lambda: _replay_oracle(_ema_step, "ema4"),
+    oracle=_pin(lambda: _replay_oracle(_ema_step, "ema4")),
     covers="R1,R6,U2,W2",
 )
 def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,7 +429,7 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @dq(
     "q150_counter_stream_replay",
-    oracle=lambda: _replay_oracle(_counter_step, "inc4"),
+    oracle=_pin(lambda: _replay_oracle(_counter_step, "inc4")),
     covers="R1,R6,U2,W2",
 )
 def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -454,7 +482,7 @@ def _q159_oracle() -> str:
     """
 
 
-@dq("q159_tdigest_stream_replay", oracle=_q159_oracle, covers="R1,R6,U2,A3")
+@dq("q159_tdigest_stream_replay", oracle=_pin(_q159_oracle), covers="R1,R6,U2,A3")
 def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the hourly exports through the streaming t-digest and gate
     its final per-key estimates against the full value set."""
@@ -531,7 +559,7 @@ def _q160_oracle() -> str:
     """
 
 
-@dq("q160_heavy_hitters_stream", oracle=_q160_oracle, covers="R1,R6,U2,O2")
+@dq("q160_heavy_hitters_stream", oracle=_pin(_q160_oracle), covers="R1,R6,U2,O2")
 def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the hourly exports through the streaming MG sketch and
     return the final top-10 emission."""
@@ -612,7 +640,7 @@ def _q161_oracle() -> str:
     """
 
 
-@dq("q161_kmv_stream_replay", oracle=_q161_oracle, covers="R1,R6,U2,A3")
+@dq("q161_kmv_stream_replay", oracle=_pin(_q161_oracle), covers="R1,R6,U2,A3")
 def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the hourly exports through the streaming KMV sketch and
     return the final per-key state (bit-exact vs the batch mirror)."""
@@ -687,7 +715,7 @@ def _q162_oracle() -> str:
     """
 
 
-@dq("q162_stream_stream_interval_join", oracle=_q162_oracle,
+@dq("q162_stream_stream_interval_join", oracle=_pin(_q162_oracle),
     covers="R1,R3,R4,J6")
 def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay both feeds one-file-per-trigger through the watermarked
@@ -790,7 +818,7 @@ def _cusum_step(prev, x: float):
 
 @dq(
     "q165_cusum_stream_replay",
-    oracle=lambda: _replay_oracle(_cusum_step, "cusum4"),
+    oracle=_pin(lambda: _replay_oracle(_cusum_step, "cusum4")),
     covers="R1,R6,U2,W3",
 )
 def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -868,7 +896,7 @@ def _q166_oracle() -> str:
     """
 
 
-@dq("q166_stream_interval_left_join", oracle=_q166_oracle,
+@dq("q166_stream_interval_left_join", oracle=_pin(_q166_oracle),
     covers="R1,R3,R4,J3,J6")
 def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay both feeds through the LEFT OUTER watermarked interval
@@ -1052,7 +1080,7 @@ def _q167_oracle() -> str:
     """
 
 
-@dq("q167_stream_dedup_admit", oracle=_q167_oracle,
+@dq("q167_stream_dedup_admit", oracle=_pin(_q167_oracle),
     covers="R1,R5,R6,U4,J4,EXT")
 def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the mutated corpus through the streaming admission gate;
@@ -1148,7 +1176,7 @@ def _q176_oracle() -> str:
     """
 
 
-@dq("q176_topk_stream_replay", oracle=_q176_oracle, covers="R1,R6,U2,O2,W1")
+@dq("q176_topk_stream_replay", oracle=_pin(_q176_oracle), covers="R1,R6,U2,O2,W1")
 def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the hourly exports through the streaming per-key top-k and
     return each key's final leaderboard emission."""
@@ -1276,7 +1304,7 @@ def _q179_oracle() -> str:
     """
 
 
-@dq("q179_kmeans_stream_replay", oracle=_q179_oracle,
+@dq("q179_kmeans_stream_replay", oracle=_pin(_q179_oracle),
     covers="R1,R6,U1,EXT")
 def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time

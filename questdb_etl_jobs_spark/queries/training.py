@@ -341,13 +341,13 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (resumable exports). One shuffle (partition by shard); each shard's
 # order check is compressed into (n_docs, first_doc, Σ pos·doc_id) —
 # any dropped/reordered doc changes the checksum. Oracle: the CPython
-# XXH64 mirror recomputes the full assignment (pinned to the driver's
-# sf0.01 like every Python-computed oracle).
+# XXH64 mirror recomputes the full assignment (sf-parametric: the 10×
+# differential rebuilds it over its own tier).
 
 _Q81_SHARDS = 16
 
 
-def _q81_oracle() -> str:
+def _q81_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     import struct
 
     import duckdb
@@ -355,7 +355,7 @@ def _q81_oracle() -> str:
     from questdb_etl_jobs_spark.queries._xxhash import xxh64_signed
 
     rows = duckdb.sql(
-        "SELECT doc_id FROM '/root/testdata/sf0.01/documents.parquet'"
+        f"SELECT doc_id FROM '{sf_dir}/documents.parquet'"
     ).fetchall()
     hashed = sorted(
         (xxh64_signed(struct.pack("<q", d)), d) for (d,) in rows
@@ -378,6 +378,10 @@ def _q81_oracle() -> str:
     ) AS t(shard, n_docs, first_doc, checksum)
     ORDER BY shard
     """
+
+
+# Cheap XXH64 mirror over the tier's own doc ids: sf-parametric.
+_q81_oracle.sf_parametric = True
 
 
 @dq("q81_shard_shuffle", oracle=_q81_oracle, covers="EXT,W1,A1")

@@ -64,27 +64,34 @@ def main() -> int:
         )
 
     sq = spark_queries()
-    oq = oracle_queries()
-    pinned: set[str] = set()
+    oq = oracle_queries(SF_DIR)
+    pinned: dict[str, str] = {}
     if SF_DIR.rstrip("/") != "/root/testdata/sf0.01":
         from questdb_etl_jobs_spark.queries import REGISTRY
 
-        # Callable oracles default to sf0.01-pinned (most bake Python-
-        # computed values from that sf into the SQL); pure SQL generators
-        # opt out via an `sf_invariant = True` attribute (e.g. the
-        # z-order ladder oracles, q95/q102).
+        # Callable oracles default to sf0.01-pinned (they bake Python-
+        # computed values from that sf into the SQL) unless they are
+        # marked `sf_invariant` (pure SQL generators / fixture-bound
+        # queries whose Spark face never reads the sf tables) or
+        # `sf_parametric` (their mirror recomputes over SF_DIR — the
+        # call above already built them there). Remaining pins state a
+        # per-query reason via `sf_pin_reason`.
         pinned = {
-            n
+            n: getattr(
+                spec.oracle, "sf_pin_reason",
+                "Python-computed oracle pinned to sf0.01",
+            )
             for n, spec in REGISTRY.items()
             if callable(spec.oracle)
             and not getattr(spec.oracle, "sf_invariant", False)
+            and not getattr(spec.oracle, "sf_parametric", False)
         }
     failures = 0
     for name, fn in sq.items():
         if only and name not in only:
             continue
         if name in pinned:
-            print(f"skip {name}: Python-computed oracle pinned to sf0.01")
+            print(f"skip {name}: {pinned[name]}")
             continue
         try:
             sdf = fn(spark, SF_DIR)
