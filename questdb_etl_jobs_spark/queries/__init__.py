@@ -96,11 +96,18 @@ _PRIORITY: tuple[str, ...] = (
     "q15_interval_join_events",   # J6
     "q16_asof_join",              # J7
     "q22_rollup_orders",          # A4
-    "q23_stats_by_type",          # A5
+    # Round-12 rotation #1: q23 ceded its slot — A5 stays covered
+    # in-window by q157's t-digest quantiles — so SHOW PARTITIONS (the
+    # retention family's catalog face, never driver-verified before)
+    # runs under the driver's own oracle.
+    "q178_show_partitions",       # S6 A1 W1 EXT (catalog face)
     "q25_collect_types_per_user", # A6
     "q26_hourly_bucket_agg",      # A7 R2
     "q74_kmv_distinct",           # A3 (value-verified KMV twin of q27's HLL)
-    "q29_unpivot_stats",          # U4 T1
+    # Round-12 rotation #2: q29 ceded its slot — U4 stays covered
+    # in-window by q47/q57/q167, and T1 moves to the incoming q181 —
+    # so the Spark 4 recursive-CTE date spine joins the hard signal.
+    "q181_recursive_date_spine",  # A7 F5 T1 J3 (recursive CTE)
     "q30_rank_top3_orders",       # W1
     # Round-11 rotation #3: q31 ceded its slot — W2 stays covered
     # in-window by q164 (lag/CUSUM) and q145 (stateful EMA) — so the
@@ -111,6 +118,13 @@ _PRIORITY: tuple[str, ...] = (
     "q32_moving_avg",             # W3
     "q33_latest_event_per_user",  # W4
     "q34_topk_lineitems",         # O2
+    # Round-12 rotation #3: q48 ceded its slot — EXT dedup stays
+    # covered in-window by q46/q47/q57, F8 by q41/q177 — so the
+    # dialect-ROUTED top-k (the round's headline: SQL text planned via
+    # the certified threshold prune, bit-identical to q34 under the
+    # same oracle) runs under the driver's own oracle in the round the
+    # routing shipped.
+    "q183_dialect_topk_routed",   # O2 EXT (routed prune, SQL surface)
     "q35_set_ops_users",          # T2
     "q40_top_words",              # F6
     "q41_vector_math",            # F8 F11
@@ -121,7 +135,6 @@ _PRIORITY: tuple[str, ...] = (
                                   #     no covering query inside the window)
     "q45_cosine_topk",            # EXT similarity
     "q46_exact_dedup",            # EXT dedup
-    "q48_simhash_hamming",        # EXT dedup
     "q49_text_quality",           # EXT text
     # Round-11 rotation #4: q50 ceded its slot — EXT text stays covered
     # in-window by q40/q49/q58 — so the round's composition face
@@ -130,7 +143,11 @@ _PRIORITY: tuple[str, ...] = (
     "q180_cluster_balanced_sample",  # EXT clustering × sampling, O2 W1
     "q51_multimodal_decode",      # U2 multimodal
     "q53_udaf_geomean",           # U3
-    "q58_lang_id_confusion",      # EXT text
+    # Round-12 rotation #4: q58 ceded its slot — EXT text stays covered
+    # in-window by q40/q49, F6 by q40/q49, A1 by q08/q10 — so
+    # TTL-on-ingest (the continuous evaluate-on-ingest retention face,
+    # q170) runs under the driver's own oracle.
+    "q170_ttl_on_ingest",         # S6 O1 A1 EXT (TTL-on-ingest)
     "q61_csv_sink_roundtrip",     # S5
     "q63_session_window",         # R3
     "q80_decontaminate",          # EXT composite
