@@ -680,6 +680,66 @@ def _dq30_pruned_sf100(spark, results: dict) -> None:
     }
 
 
+def _dialect_routed_sf100(spark, results: dict) -> None:
+    """dq34 submitted as SQL TEXT through the dialect front-end at the
+    sf100 tier — the round-12 routing's own scale cell, disclosed next
+    to ``sf100`` (plain heap) and ``sf100_pruned`` (library call). The
+    routed face should match the pruned cell modulo the one extra
+    bounded threshold job questdb_sql runs at call time (plan-build:
+    single-column scan + k-row collect, included in the timing — the
+    honest end-to-end cost a SQL user pays). Rows are cross-checked
+    against the plain plan before any timing."""
+    from pyspark.sql import functions as F
+
+    from questdb_etl_jobs_spark.sources.tables import load_table
+    from questdb_etl_jobs_spark.sql.dialect import questdb_sql
+    from tools.stress_scale import synthesize_lineitem_only
+
+    t0 = time.perf_counter()
+    synthesize_lineitem_only(spark, SF100_LINEITEM, factor=1000, mult=1024)
+    synth = round(time.perf_counter() - t0, 1)
+    print(f"# sf100 lineitem synthesis: {synth}s", file=sys.stderr)
+
+    def routed(spark_, sf_dir_):
+        load_table(spark_, sf_dir_, "lineitem").createOrReplaceTempView(
+            "__sf100_lineitem"
+        )
+        out = questdb_sql(
+            spark_,
+            "SELECT l_orderkey, l_linenumber, l_extendedprice "
+            "FROM __sf100_lineitem "
+            "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber "
+            "LIMIT 10",
+        )
+        return out.select(
+            "l_orderkey", "l_linenumber",
+            F.round("l_extendedprice", 4).alias("price"),
+        )
+
+    heads = _spark_headline()
+    raw_rows = sorted(
+        map(tuple, heads["dq34_topk"](spark, SF100_LINEITEM).collect())
+    )
+    routed_rows = sorted(
+        map(tuple, routed(spark, SF100_LINEITEM).collect())
+    )
+    assert routed_rows == raw_rows, (
+        "dialect-routed top-k diverged from the plain plan at sf100"
+    )
+    con = _sf100_duck_connection(["lineitem"])
+    cells = _interleaved_sf100_cells(
+        spark, con,
+        {"dq34_dialect_routed": (routed, DUCK_SQL["dq34_topk"])},
+        tag="dq34-routed sf100",
+    )
+    con.close()
+    results["dq34_topk"]["sf100_dialect_routed"] = {
+        **cells["dq34_dialect_routed"],
+        "plain_crosscheck": True,
+        "synth_sec": synth,
+    }
+
+
 SF100_EVENTS = "/tmp/spark_graft_sf100_events"
 
 
@@ -956,12 +1016,14 @@ def main() -> None:
     sf100_only = "--sf100-only" in argv
     sf100_relational = "--sf100-relational-only" in argv
     sf100_dq30_pruned = "--sf100-dq30-pruned-only" in argv
+    sf100_dialect_routed = "--sf100-dialect-routed-only" in argv
     argv = [
         a for a in argv
         if a not in (
             "--sf100-only",
             "--sf100-relational-only",
             "--sf100-dq30-pruned-only",
+            "--sf100-dialect-routed-only",
         )
     ]
     out_path = next((a for a in argv if not a.startswith("--")), None)
@@ -969,7 +1031,8 @@ def main() -> None:
     spark = get_spark(app_name="sf1-differential")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if sf100_only or sf100_relational or sf100_dq30_pruned:
+    if (sf100_only or sf100_relational or sf100_dq30_pruned
+            or sf100_dialect_routed):
         # Fast path for re-measuring ONLY the lineitem sf100 cells (the
         # third fit point) on a fresh quiet boot, merged into a prior
         # artifact via --merge: control probes + _lineitem_sf100, no
@@ -993,7 +1056,11 @@ def main() -> None:
             ), 3,
         )
         con.close()
-        if sf100_dq30_pruned:
+        if sf100_dialect_routed:
+            results = {"dq34_topk": {}}
+            _dialect_routed_sf100(spark, results)
+            scope = "sf100 dq34 dialect-routed cell only"
+        elif sf100_dq30_pruned:
             results = {"dq30_window_rank": {}}
             _dq30_pruned_sf100(spark, results)
             scope = "sf100 dq30 pruned-rank-family cell only"
