@@ -53,26 +53,48 @@ def topk_by_threshold(
     value_col: str,
     k: int,
     tiebreak: list[str] | None = None,
+    ascending: bool = False,
 ) -> DataFrame:
     """Exact ``ORDER BY value_col DESC, *tiebreak LIMIT k`` via the
     two-pass threshold prune. Returns the k rows as a DataFrame with
-    ``df``'s full schema in the deterministic total order."""
+    ``df``'s full schema in the deterministic total order.
+
+    ``ascending=True`` is the symmetric BOTTOM-k (``ORDER BY value_col
+    ASC``): pass 1 reduces each partition to its MIN, the k-th smallest
+    partition minimum certifies an upper bound, and the prune keeps
+    ``value_col <= t`` — PLUS all NULL rows, because Spark's ``asc``
+    seats nulls FIRST, so null rows can legitimately occupy answer
+    positions (the OR-of-IsNull filter still reaches the parquet scan:
+    row groups with stats-min above ``t`` and no nulls are skipped).
+    The descending face needs no null branch — ``desc`` seats nulls
+    last and a certified k non-null rows above ``t`` proves no null can
+    place."""
     if k < 1:
         raise ValueError("k must be >= 1")
     tiebreak = list(tiebreak or [])
-    order = [F.desc(value_col)] + [F.asc(c) for c in tiebreak]
+    head = F.asc(value_col) if ascending else F.desc(value_col)
+    order = [head] + [F.asc(c) for c in tiebreak]
 
-    maxima = (
+    extremum = F.min(value_col) if ascending else F.max(value_col)
+    extrema = (
         df.select(value_col)
         .groupBy(F.spark_partition_id().alias("__pid"))
-        .agg(F.max(value_col).alias("__m"))
-        .orderBy(F.desc("__m"))
+        .agg(extremum.alias("__m"))
+        .orderBy(F.asc("__m") if ascending else F.desc("__m"))
         .limit(k)
         .collect()
     )
-    if len(maxima) >= k and maxima[-1]["__m"] is not None:
-        # Certified superset: every answer row has value >= t.
-        df = df.filter(F.col(value_col) >= F.lit(maxima[-1]["__m"]))
+    if len(extrema) >= k and extrema[-1]["__m"] is not None:
+        t = F.lit(extrema[-1]["__m"])
+        if ascending:
+            # Certified superset: answer rows are NULL (sorted first) or
+            # have value <= t.
+            df = df.filter(
+                F.col(value_col).isNull() | (F.col(value_col) <= t)
+            )
+        else:
+            # Certified superset: every answer row has value >= t.
+            df = df.filter(F.col(value_col) >= t)
     return df.orderBy(*order).limit(k)
 
 
@@ -84,11 +106,16 @@ def topk_per_key(
     tiebreak: list[str] | None = None,
     rank_col: str | None = None,
     broadcast_thresholds: bool | None = None,
+    ascending: bool = False,
 ) -> DataFrame:
     """Exact per-group top-k (``row_number() OVER (PARTITION BY keys
     ORDER BY value_col DESC, *tiebreak) <= k``) with a grouped
     partition-max threshold prune — the per-key face of
-    :func:`topk_by_threshold`.
+    :func:`topk_by_threshold`. ``ascending=True`` is the symmetric
+    per-group BOTTOM-k (grouped partition-MIN pass, ``<= t_g`` prune
+    keeping each group's NULL rows — Spark's ``asc`` seats nulls first,
+    so they can occupy answer positions; see
+    :func:`topk_by_threshold`'s null notes).
 
     The plain window form shuffles EVERY row on ``keys`` and sorts full
     partitions just to keep k of each — at deep-group shapes (a billion
@@ -151,14 +178,24 @@ def topk_per_key(
     if not keys:
         raise ValueError("keys must be non-empty")
     tiebreak = list(tiebreak or [])
-    order = [F.desc(value_col)] + [F.asc(c) for c in tiebreak]
+    head = F.asc(value_col) if ascending else F.desc(value_col)
+    order = [head] + [F.asc(c) for c in tiebreak]
 
+    extremum = F.min(value_col) if ascending else F.max(value_col)
     per_pid_max = (
         df.select(*keys, value_col)
         .groupBy(F.spark_partition_id().alias("__pid"), *keys)
-        .agg(F.max(value_col).alias("__m"))
+        .agg(extremum.alias("__m"))
     )
-    w_maxima = Window.partitionBy(*keys).orderBy(F.desc("__m"))
+    w_maxima = Window.partitionBy(*keys).orderBy(
+        F.asc("__m") if ascending else F.desc("__m")
+    )
+    # Ascending certification note: `asc` seats NULL minima (all-null
+    # partitions) FIRST in the window, and each such partition holds at
+    # least one null row — a legitimate front-of-answer row — so a
+    # non-null k-th entry still certifies k answer-region rows
+    # (nulls ∪ values <= t_g). A null k-th entry fails isNotNull and
+    # the group keeps all rows, exactly like the sparse-group case.
     thresholds = (
         per_pid_max.withColumn("__r", F.row_number().over(w_maxima))
         .filter((F.col("__r") == k) & F.col("__m").isNotNull())
@@ -168,9 +205,14 @@ def topk_per_key(
         thresholds = F.broadcast(thresholds)
     elif broadcast_thresholds is False:
         thresholds = thresholds.hint("merge")
+    keep = (
+        (F.col(value_col).isNull() | (F.col(value_col) <= F.col("__t")))
+        if ascending
+        else (F.col(value_col) >= F.col("__t"))
+    )
     survivors = (
         df.join(thresholds, on=keys, how="left")
-        .filter(F.col("__t").isNull() | (F.col(value_col) >= F.col("__t")))
+        .filter(F.col("__t").isNull() | keep)
         .select(*df.columns)  # the equi-join hoists key columns first
     )
     w_exact = Window.partitionBy(*keys).orderBy(*order)

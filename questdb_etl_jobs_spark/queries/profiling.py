@@ -3136,3 +3136,43 @@ def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "SHOW COLUMNS FROM typed_events", {"typed_events": path}
     )
     return listing.orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# q185 — SHOW TABLES: the catalog family's listing face (round 12)
+# ---------------------------------------------------------------------------
+#
+# QuestDB `SHOW TABLES` lists the catalog; this engine's catalog is the
+# caller's table→path mapping, filtered to names whose storage exists
+# (a fully-dropped table still lists as an empty TABLE — only a missing
+# path means no table; exercised by the dropped/missing unit test).
+# Pure metadata — existence probes only, zero data scan. The expected
+# listing is a catalog fact independent of sf, so the oracle is a plain
+# VALUES table and this face verifies at every scale.
+
+_Q185_ORACLE = """
+SELECT table_name
+FROM (VALUES
+  ('shown_a'), ('shown_b'), ('shown_c')
+) AS t(table_name)
+ORDER BY table_name
+"""
+
+
+@dq("q185_show_tables", oracle=_Q185_ORACLE, covers="S6,EXT")
+def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    from questdb_etl_jobs_spark.plans.designated import write_designated_ts
+    from questdb_etl_jobs_spark.sql.dialect import questdb_show
+
+    base = "/tmp/spark_graft_q185_show_tables"
+    _shutil.rmtree(base, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select("ts", "value").limit(10)
+    tables = {}
+    for name in ("shown_a", "shown_b", "shown_c"):
+        path = f"{base}/{name}"
+        write_designated_ts(ev, path, "ts", mode="overwrite")
+        tables[name] = path
+    tables["never_written"] = f"{base}/never_written"
+    return questdb_show(spark, "SHOW TABLES;", tables)

@@ -496,6 +496,48 @@ def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q184 — bottom-k through the dialect (ASC face of the routed prune)
+# ---------------------------------------------------------------------------
+#
+# The symmetric face of q183: ``ORDER BY <col> ASC LIMIT k`` routes
+# through topk_by_threshold(ascending=True) — pass 1 reduces each
+# partition to its MIN, the k-th smallest partition minimum certifies
+# an upper bound, and the pruned pass keeps ``<= t`` (plus NULLs, which
+# Spark's asc seats first; l_extendedprice carries none, and the
+# null-bearing cases are unit-tested). Bottom-k is the curation shape
+# for "worst documents by quality score" sweeps; this face proves the
+# SQL surface plans it pruned too.
+
+_Q184_SQL = (
+    "SELECT l_orderkey, l_linenumber, l_extendedprice FROM __q184_lineitem "
+    "ORDER BY l_extendedprice ASC, l_orderkey, l_linenumber LIMIT 10"
+)
+
+
+@dq(
+    "q184_dialect_bottomk_routed",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 4) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice ASC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+    covers="O2,EXT",
+)
+def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "__q184_lineitem"
+    )
+    out = questdb_sql(spark, _Q184_SQL)
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round("l_extendedprice", 4).alias("price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q173 — best-k-per-group curation face of topk_per_key (EXT curation)
 # ---------------------------------------------------------------------------
 #

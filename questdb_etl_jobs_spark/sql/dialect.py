@@ -33,12 +33,13 @@ QuestDB construct                      Lowering
                                        filters the aliased aggregates)
 ``LIMIT -n`` (tail) / ``LIMIT lo,hi``  reversed-order ``limit`` + re-sort
                                        / ``offset(lo).limit(hi−lo)``
-``ORDER BY c DESC [,tie] LIMIT n``     ``operators.topk.
+``ORDER BY c DESC|ASC [,tie] LIMIT n`` ``operators.topk.
 (scan-bound shape)                     topk_by_threshold`` — the
-                                       certified partition-max prune;
-                                       its threshold pass runs ONE
-                                       bounded Spark job at call time
-                                       (after full query validation)
+                                       certified partition-extremum
+                                       prune (max for DESC, min for
+                                       ASC); its threshold pass runs
+                                       ONE bounded Spark job at call
+                                       time (after full validation)
 ``FROM long_sequence(n)``              ``spark.range`` (x = 1..n)
 ``timestamp_sequence('t0', step)``     integer-µs codegen off ``x``
 anything else                          ``spark.sql`` passthrough (full
@@ -166,10 +167,40 @@ _TOPK_SHAPE_RE = re.compile(
     r"\s+FROM\s+\w+"
     r"(?:\s+WHERE\s+(?:(?!\b(?:GROUP|HAVING|SAMPLE|LATEST|JOIN|UNION"
     r"|WINDOW|SELECT|OVER|ORDER|LIMIT)\b).)+)?"
-    r"\s+ORDER\s+BY\s+\w+\s+DESC(?:\s*,\s*\w+(?:\s+ASC)?)*"
+    r"\s+ORDER\s+BY\s+\w+(?:\s+(?:DESC|ASC))?(?:\s*,\s*\w+(?:\s+ASC)?)*"
     r"\s+LIMIT\s+\d+$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _topk_shape_matches(text: str) -> bool:
+    """True iff ``text`` is the scan-bound top-k shape AND the dialect
+    can lower it without semantic loss. Beyond the regex, every ORDER
+    BY column must be an OUTPUT column of the projection — standard SQL
+    may sort by a non-projected column, which the dialect's
+    project-then-sort lowering cannot express; such queries stay on the
+    spark.sql passthrough."""
+    m = _TOPK_SHAPE_RE.match(text)
+    if not m:
+        return False
+    main = _MAIN_RE.match(text)
+    if not main:
+        return False
+    select_list = main.group("select").strip()
+    if select_list == "*":
+        return True
+    out_names = set()
+    for item in _split_items(select_list):
+        c = _COL_RE.match(item)
+        if not c:
+            return False
+        out_names.add((c.group(2) or c.group(1).split(".")[-1]).lower())
+    order_m = _ORDER_RE.search(main.group("rest"))
+    for item in _split_items(order_m.group(1).strip()):
+        col = re.match(r"^(\w+)", item).group(1).lower()
+        if col not in out_names:
+            return False
+    return True
 
 
 def _parse_fill_spec(fill_spec: str, value_cols: list[str]) -> dict:
@@ -373,7 +404,7 @@ def questdb_sql(
         # (0.55× DuckDB at the 600M-row tier vs 2.40× for the plain
         # heap — see the route below), so SQL users get the deployed
         # plan instead of spark.sql's TakeOrdered.
-        or _TOPK_SHAPE_RE.match(text)
+        or _topk_shape_matches(text)
     )
     if not has_dialect:
         return spark.sql(text)
@@ -735,15 +766,16 @@ def questdb_sql(
             c = F.expr(expr)
             order_cols.append(c.desc() if direction == "DESC" else c.asc())
 
-    # Top-k route (the deployed 100 TB plan): ``ORDER BY <col> DESC
+    # Top-k route (the deployed 100 TB plan): ``ORDER BY <col> DESC|ASC
     # [, tiebreak ASC ...] LIMIT k`` over a bare scan (no join / LATEST
     # ON / SAMPLE BY / aggregation; plain-column projection only) lowers
-    # onto operators.topk.topk_by_threshold — the certified partition-max
-    # prune whose wide decode touches only rows provably able to appear
-    # in the answer (committed 0.55× DuckDB at the 600M-row tier vs
-    # 2.40× for the plain bounded-heap plan; SCALE_DIFF.json
-    # ``dq34_topk.sf100_pruned``). Bit-identical to the plain lowering
-    # by construction (the prune only removes rows outside the answer).
+    # onto operators.topk.topk_by_threshold — the certified partition-
+    # extremum prune whose wide decode touches only rows provably able
+    # to appear in the answer (committed 0.55× DuckDB at the 600M-row
+    # tier vs 2.40× for the plain bounded-heap plan; SCALE_DIFF.json
+    # ``dq34_topk.sf100_pruned``; the ASC face is the symmetric
+    # partition-min bound). Bit-identical to the plain lowering by
+    # construction (the prune only removes rows outside the answer).
     #
     # CONTRACT: the route's threshold pass runs a Spark job AT CALL
     # TIME (a bounded k-row collect — a driver-side plan decision, never
@@ -758,7 +790,6 @@ def questdb_sql(
         and limit_m
         and limit_m.group(2) is None
         and int(limit_m.group(1)) > 0
-        and order_items[0][1] == "DESC"
         and all(d == "ASC" for _, d in order_items[1:])
         and all(re.fullmatch(_ident, e) for e, _ in order_items)
         and all(e in df.columns for e, _ in order_items)
@@ -777,6 +808,7 @@ def questdb_sql(
             order_items[0][0],
             int(limit_m.group(1)),
             tiebreak=[e for e, _ in order_items[1:]],
+            ascending=order_items[0][1] == "ASC",
         )
 
     if order_m:
@@ -1046,6 +1078,7 @@ _SHOW_COLUMNS_RE = re.compile(
     r"^SHOW\s+COLUMNS\s+FROM\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s*$",
     re.IGNORECASE,
 )
+_SHOW_TABLES_RE = re.compile(r"^SHOW\s+TABLES\s*$", re.IGNORECASE)
 
 
 def questdb_show(
@@ -1054,13 +1087,15 @@ def questdb_show(
     tables: dict[str, str],
     designated: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Execute a QuestDB metadata statement against a designated-ts table
-    on disk. Currently ``SHOW PARTITIONS FROM <table>`` — the catalog
+    """Execute a QuestDB metadata statement: ``SHOW TABLES`` (the
+    catalog listing — one ``table_name`` row per mapping entry whose
+    storage exists), ``SHOW PARTITIONS FROM <table>`` — the catalog
     face of the retention family (q168–q170 mutate partitions; this is
-    how an operator inspects them). Lowers onto
-    :func:`plans.designated.show_partitions`; same table→path and
-    designated-ts resolution contract as :func:`questdb_ddl`, and the
-    same missing/empty-table tolerance (an empty listing, not an error).
+    how an operator inspects them) — and ``SHOW COLUMNS FROM <table>``.
+    Lowers onto :func:`plans.designated.show_partitions` /
+    ``show_columns``; same table→path and designated-ts resolution
+    contract as :func:`questdb_ddl`, and the same missing/empty-table
+    tolerance (an empty listing, not an error).
     """
     from questdb_etl_jobs_spark.plans.designated import (
         show_columns,
@@ -1069,6 +1104,20 @@ def questdb_show(
 
     designated = designated or {}
     text = sql.strip().rstrip(";").strip()
+    if _SHOW_TABLES_RE.match(text):
+        # QuestDB SHOW TABLES lists the catalog; this engine's catalog
+        # IS the table→path mapping, filtered to tables whose storage
+        # exists (a fully-dropped directory is still an empty TABLE —
+        # only a missing path means no table). One row per name, the
+        # QuestDB 8 column spelling.
+        from questdb_etl_jobs_spark.sources.fs import hadoop_path_exists
+
+        names = sorted(
+            n for n, p in tables.items() if hadoop_path_exists(spark, p)
+        )
+        return spark.createDataFrame(
+            [(n,) for n in names], "table_name string"
+        )
     m = _SHOW_COLUMNS_RE.match(text)
     if m:
         from questdb_etl_jobs_spark.sources.fs import hadoop_path_exists
@@ -1105,7 +1154,7 @@ def questdb_show(
     if not m:
         raise QuestDBSQLError(
             f"unsupported SHOW statement: {text!r} "
-            "(supported: SHOW PARTITIONS FROM <table>, "
+            "(supported: SHOW TABLES, SHOW PARTITIONS FROM <table>, "
             "SHOW COLUMNS FROM <table>)"
         )
     name, path = _ddl_table_path(m.group("table"), tables)

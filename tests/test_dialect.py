@@ -308,8 +308,8 @@ def test_topk_route_rejects_invalid_query_before_any_job(spark, trades):
 def test_topk_shape_gate_leaves_standard_sql_untouched(spark, trades):
     """Conservative gate: shapes the dialect cannot lower — DISTINCT,
     aggregation between FROM and ORDER BY, subqueries in WHERE,
-    ascending order, window functions — stay on the spark.sql
-    passthrough and still run correctly."""
+    window functions — stay on the spark.sql passthrough and still run
+    correctly."""
     q1 = questdb_sql(
         spark,
         "SELECT DISTINCT sym FROM trades ORDER BY sym DESC LIMIT 2",
@@ -327,10 +327,29 @@ def test_topk_shape_gate_leaves_standard_sql_untouched(spark, trades):
         "(SELECT avg(price) FROM trades) ORDER BY price DESC LIMIT 2",
     )
     assert [r.price for r in q3.collect()] == [23.0, 23.0]
+    # Sorting by a NON-projected column is legal SQL that the dialect's
+    # project-then-sort lowering cannot express — must stay passthrough.
     q4 = questdb_sql(
-        spark, "SELECT sym, price FROM trades ORDER BY price ASC LIMIT 2"
+        spark,
+        "SELECT sym FROM trades WHERE sym = 'AAA' "
+        "ORDER BY price DESC LIMIT 1",
     )
-    assert [r.price for r in q4.collect()] == [10.0, 10.0]
+    assert [r.sym for r in q4.collect()] == ["AAA"]
+
+
+def test_topk_route_ascending_bottom_k(spark, trades):
+    """Round-12 wave 2: the ASC face routes through the symmetric
+    partition-MIN prune (bottom-k) — explicit ASC and bare (default
+    ASC) both; results identical to the plain lowering."""
+    for order_spec in ("price ASC", "price"):
+        out = questdb_sql(
+            spark,
+            f"SELECT sym, price FROM trades ORDER BY {order_spec}, "
+            "sym LIMIT 3",
+        )
+        assert [(r.sym, r.price) for r in out.collect()] == [
+            ("AAA", 10.0), ("BBB", 10.0), ("AAA", 11.0),
+        ]
 
 
 def test_leftover_uses_spans_not_text(spark, trades):
@@ -898,7 +917,34 @@ def test_show_unsupported_statement_raises(spark, tmp_path):
     from questdb_etl_jobs_spark.sql.dialect import QuestDBSQLError, questdb_show
 
     with pytest.raises(QuestDBSQLError, match="unsupported SHOW"):
-        questdb_show(spark, "SHOW TABLES", {"t": str(tmp_path)})
+        questdb_show(spark, "SHOW USERS", {"t": str(tmp_path)})
+
+
+def test_show_tables_lists_existing_storage_only(spark, tmp_path):
+    """SHOW TABLES = the mapping filtered to existing storage: a
+    missing path is no table; a fully-dropped (empty) directory still
+    lists — the DROP PARTITION family leaves an empty TABLE behind."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        drop_partitions,
+        write_designated_ts,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_show
+
+    df = spark.createDataFrame(
+        [("2024-03-01 08:00:00", 1)], "ts_raw string, v int"
+    ).select(F.to_timestamp("ts_raw").alias("ts"), "v")
+    kept = str(tmp_path / "kept")
+    dropped = str(tmp_path / "dropped")
+    write_designated_ts(df, kept, "ts")
+    write_designated_ts(df, dropped, "ts")
+    drop_partitions(spark, dropped, "ts", older_than="2030-01-01")
+    tables = {
+        "kept": kept,
+        "dropped": dropped,
+        "missing": str(tmp_path / "never_written"),
+    }
+    rows = questdb_show(spark, "SHOW TABLES", tables).collect()
+    assert [r.table_name for r in rows] == ["dropped", "kept"]
 
 
 def test_show_partitions_after_full_drop_is_empty_listing(spark, tmp_path):

@@ -2596,6 +2596,81 @@ def test_topk_threshold_prune_filter_reaches_scan(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(v), GreaterThanOrEqual(v" in plan
 
 
+def test_bottomk_threshold_prune_equals_plain_asc(spark):
+    """ascending=True (bottom-k): the partition-MIN bound prunes to
+    `<= t` plus all NULL rows (Spark asc seats nulls FIRST, so nulls
+    legitimately occupy answer positions) — bit-identical to the plain
+    ascending sort across partition layouts, with and without nulls."""
+    from questdb_etl_jobs_spark.operators.topk import topk_by_threshold
+
+    rows = [(i, float(v)) for i, v in enumerate([5, 9, 2, 2, 7, 2, 1, 3])]
+    rows += [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    for parts in (1, 4, 16):
+        d = df.repartition(parts)
+        for k in (1, 3, 5):
+            plain = d.orderBy(F.asc("v"), F.asc("id")).limit(k).collect()
+            pruned = topk_by_threshold(
+                d, "v", k, tiebreak=["id"], ascending=True
+            ).collect()
+            assert pruned == plain, f"parts={parts} k={k}"
+    # Nulls sort first: the k=1 answer IS a null row.
+    got = topk_by_threshold(df, "v", 1, tiebreak=["id"], ascending=True)
+    assert [(r.id, r.v) for r in got.collect()] == [(100, None)]
+
+
+def test_bottomk_threshold_prune_filter_reaches_scan(spark, tmp_path):
+    """The ascending prune's (IsNull OR <= t) predicate must still reach
+    the parquet scan so stats-min-above-t row groups are skipped."""
+    from questdb_etl_jobs_spark.operators.topk import topk_by_threshold
+
+    path = str(tmp_path / "t_asc")
+    spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 997 * 1.0).alias("v")
+    ).repartition(8).write.parquet(path)
+    df = spark.read.parquet(path)
+    out = topk_by_threshold(df, "v", 3, tiebreak=["id"], ascending=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LessThanOrEqual(v" in plan and "IsNull(v)" in plan, plan
+
+
+def test_topk_per_key_ascending_equals_plain_window(spark):
+    """Per-group bottom-k: grouped partition-min certification, nulls
+    kept in certified groups (asc seats them first) — bit-identical to
+    the plain ascending window under ties, nulls, sparse groups."""
+    import random
+
+    from pyspark.sql import Window
+
+    from questdb_etl_jobs_spark.operators.topk import topk_per_key
+
+    rng = random.Random(7)
+    rows = []
+    for g in range(30):
+        depth = rng.choice([1, 2, 5, 40, 150])
+        for _ in range(depth):
+            v = None if rng.random() < 0.15 else float(rng.randrange(12))
+            rows.append((g, len(rows), v))
+    df = spark.createDataFrame(rows, "g int, id long, v double")
+    for parts, k in ((3, 1), (8, 4)):
+        d = df.repartition(parts)
+        w = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+        plain = sorted(
+            d.withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") <= k)
+            .drop("__rank")
+            .collect(),
+            key=lambda r: (r.g, r.id),
+        )
+        pruned = sorted(
+            topk_per_key(
+                d, ["g"], "v", k, tiebreak=["id"], ascending=True
+            ).collect(),
+            key=lambda r: (r.g, r.id),
+        )
+        assert pruned == plain, f"parts={parts} k={k}"
+
+
 def _plain_topk_per_key(df, keys, value_col, k, tiebreak):
     from pyspark.sql import Window
 
