@@ -47,7 +47,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """Equivalent ANSI SQL per query, runnable by DuckDB on the same
-    parquet tables. Every ``queries()`` key is present (165/165)."""
+    parquet tables. Every ``queries()`` key is present — the registry
+    enforces oracle pairing structurally (queries/__init__.dq)."""
     from questdb_etl_jobs_spark.queries import oracle_queries
 
     return oracle_queries()
