@@ -3176,3 +3176,67 @@ def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables[name] = path
     tables["never_written"] = f"{base}/never_written"
     return questdb_show(spark, "SHOW TABLES;", tables)
+
+
+# ---------------------------------------------------------------------------
+# q186 — QuestDB time scalars through the dialect (round 12 wave 3)
+# ---------------------------------------------------------------------------
+#
+# The console spellings a QuestDB user actually types — dateadd,
+# datediff, timestamp_floor, to_timezone — run verbatim through
+# questdb_sql: sql/dialect.rewrite_questdb_scalars lowers them onto
+# Spark SQL (timestampadd/timestampdiff/integer-µs stride floor/
+# from_utc_timestamp) BEFORE path selection, so they work on the
+# passthrough path (this query: standard GROUP BY) and inside dialect
+# clauses alike. The oracle recomputes every face in DuckDB's own
+# vocabulary: epoch-µs stride arithmetic for the floor, interval
+# arithmetic for dateadd/to_timezone (Europe/Berlin = CET in January),
+# exact aligned-quotient hours for the datediff composition.
+
+_Q186_SQL = """
+SELECT timestamp_floor('15m', ts) AS bucket_ts,
+       count(*) AS n,
+       to_timezone(min(ts), 'Europe/Berlin') AS local_first,
+       dateadd('h', 2, min(ts)) AS first_plus_2h,
+       datediff('h', timestamp_floor('d', min(ts)),
+                timestamp_floor('h', max(ts))) AS span_h
+FROM __q186_events
+WHERE event_type = 'click'
+GROUP BY 1
+ORDER BY 1
+"""
+
+_Q186_ORACLE = """
+WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'click'
+), g AS (
+  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000)
+           AS bucket_ts,
+         COUNT(*) AS n,
+         MIN(ts) AS mn,
+         MAX(ts) AS mx
+  FROM e GROUP BY 1
+)
+SELECT bucket_ts,
+       n,
+       mn + INTERVAL 1 HOUR AS local_first,
+       mn + INTERVAL 2 HOUR AS first_plus_2h,
+       (epoch_us(make_timestamp((epoch_us(mx) // 3600000000)
+                                * 3600000000))
+        - epoch_us(make_timestamp((epoch_us(mn) // 86400000000)
+                                  * 86400000000))) // 3600000000
+         AS span_h
+FROM g
+ORDER BY bucket_ts
+"""
+
+
+@dq("q186_dialect_time_scalars", oracle=_Q186_ORACLE, covers="F5,F7,A1,EXT")
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q186_events"
+    )
+    return questdb_sql(spark, _Q186_SQL)

@@ -41,6 +41,10 @@ QuestDB construct                      Lowering
                                        ONE bounded Spark job at call
                                        time (after full validation)
 ``FROM long_sequence(n)``              ``spark.range`` (x = 1..n)
+``dateadd/datediff/timestamp_floor/``  Spark SQL rewrites (see
+``timestamp_ceil/to_timezone/to_utc``  :func:`rewrite_questdb_scalars`)
+                                       — applied to EVERY query,
+                                       passthrough included
 ``timestamp_sequence('t0', step)``     integer-µs codegen off ``x``
 anything else                          ``spark.sql`` passthrough (full
                                        Spark SQL)
@@ -201,6 +205,168 @@ def _topk_shape_matches(text: str) -> bool:
         if col not in out_names:
             return False
     return True
+
+
+_QDB_FN_RE = re.compile(
+    r"\b(dateadd|datediff|timestamp_floor|timestamp_ceil|to_timezone"
+    r"|to_utc)\s*\(",
+    re.IGNORECASE,
+)
+_STRIDE_RE = re.compile(r"^'(\d*)([smhdwMy])'$")
+_UNIT_WORD = {
+    "s": "SECOND", "m": "MINUTE", "h": "HOUR", "d": "DAY",
+    "w": "WEEK", "M": "MONTH", "y": "YEAR",
+}
+_STRIDE_US = {
+    "s": 1_000_000,
+    "m": 60_000_000,
+    "h": 3_600_000_000,
+    "d": 86_400_000_000,
+    "w": 604_800_000_000,
+}
+
+
+def _find_call(text: str, start: int) -> tuple[int, int, int] | None:
+    """Next QuestDB scalar call OUTSIDE string literals, as
+    ``(match_start, args_start, args_end)`` with args_end at the
+    matching close paren. ``None`` when no further call exists."""
+    i = start
+    n = len(text)
+    while i < n:
+        q = text.find("'", i)
+        m = _QDB_FN_RE.search(text, i)
+        if not m:
+            return None
+        if q != -1 and q < m.start():
+            # skip the quoted literal entirely
+            close = text.find("'", q + 1)
+            i = n if close < 0 else close + 1
+            continue
+        depth, j = 1, m.end()
+        while j < n and depth:
+            ch = text[j]
+            if ch == "'":
+                close = text.find("'", j + 1)
+                j = n if close < 0 else close + 1
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise QuestDBSQLError(
+                f"unbalanced parentheses after {m.group(1)}("
+            )
+        return m.start(), m.end(), j - 1
+    return None
+
+
+def rewrite_questdb_scalars(text: str) -> str:
+    """Rewrite QuestDB's time scalar-function spellings into Spark SQL:
+
+    =====================================  ==============================
+    QuestDB call                           Spark rewrite
+    =====================================  ==============================
+    ``dateadd('h', n, ts)``                ``timestampadd(HOUR, n, ts)``
+    ``datediff('d', a, b)``                ``abs(timestampdiff(DAY, a,
+                                           b))`` (QuestDB counts full
+                                           periods as an ABSOLUTE value)
+    ``timestamp_floor('15m', ts)``         integer-µs stride floor
+                                           (``u − pmod(u, S)``); 1M/1y
+                                           via ``date_trunc``
+    ``timestamp_ceil('15m', ts)``          ``u + pmod(−u, S)`` (exact
+                                           boundaries stay put); 1M/1y
+                                           via trunc-compare-add
+    ``to_timezone(ts, tz)``                ``from_utc_timestamp(ts, tz)``
+    ``to_utc(ts, tz)``                     ``to_utc_timestamp(ts, tz)``
+    =====================================  ==============================
+
+    String literals are never rewritten (the scanner skips them), and
+    the 3-arg QuestDB ``dateadd``/``datediff`` are distinguished from
+    Spark's own 2-arg date functions by arity + the leading unit
+    literal — a 2-arg call passes through untouched with Spark
+    semantics. Arguments are rewritten recursively, so nested calls
+    (``dateadd('d', 1, timestamp_floor('h', ts))``) work. Divergence,
+    documented not hidden: ``datediff`` on month/year counts complete
+    calendar periods via ``timestampdiff``, which matches QuestDB on
+    boundaries but can differ by one on partial-period edge cases
+    around month ends.
+    """
+    pos = 0
+    while True:
+        hit = _find_call(text, pos)
+        if hit is None:
+            return text
+        mstart, astart, aend = hit
+        name = text[mstart:astart].split("(")[0].strip().lower()
+        args = [
+            rewrite_questdb_scalars(a.strip())
+            for a in _split_items(text[astart:aend])
+        ]
+        repl = _rewrite_one_scalar(name, args, text[mstart : aend + 1])
+        if repl is None:
+            # Not the QuestDB shape (e.g. Spark's own 2-arg datediff):
+            # keep the original text but continue past it — its args
+            # were still recursively rewritten.
+            inner = ", ".join(args)
+            repl = f"{name}({inner})"
+        text = text[:mstart] + repl + text[aend + 1 :]
+        pos = mstart + len(repl)
+
+
+def _rewrite_one_scalar(
+    name: str, args: list[str], original: str
+) -> str | None:
+    if name in ("dateadd", "datediff"):
+        if len(args) != 3:
+            return None  # Spark's own 2-arg functions: pass through
+        m = re.match(r"^'([smhdwMy])'$", args[0])
+        if not m:
+            return None
+        word = _UNIT_WORD[m.group(1)]
+        if name == "dateadd":
+            return f"timestampadd({word}, {args[1]}, {args[2]})"
+        return f"abs(timestampdiff({word}, {args[1]}, {args[2]}))"
+    if name in ("timestamp_floor", "timestamp_ceil"):
+        if len(args) != 2:
+            raise QuestDBSQLError(f"{name} takes 2 arguments: {original!r}")
+        m = _STRIDE_RE.match(args[0])
+        if not m:
+            raise QuestDBSQLError(
+                f"{name} needs a stride literal like '15m': {original!r}"
+            )
+        n, unit = int(m.group(1) or "1"), m.group(2)
+        ts = args[1]
+        if unit in _STRIDE_US:
+            s = n * _STRIDE_US[unit]
+            u = f"unix_micros({ts})"
+            if name == "timestamp_floor":
+                return f"timestamp_micros({u} - pmod({u}, {s}))"
+            return f"timestamp_micros({u} + pmod(-{u}, {s}))"
+        if n != 1:
+            raise QuestDBSQLError(
+                f"{name}: month/year strides support n=1 only "
+                f"(got {args[0]})"
+            )
+        word = "month" if unit == "M" else "year"
+        if name == "timestamp_floor":
+            return f"date_trunc('{word}', {ts})"
+        # ceil: exact boundaries stay; otherwise next period start.
+        return (
+            f"(CASE WHEN date_trunc('{word}', {ts}) = {ts} THEN {ts} "
+            f"ELSE date_trunc('{word}', timestampadd("
+            f"{word.upper()}, 1, {ts})) END)"
+        )
+    if name == "to_timezone":
+        if len(args) != 2:
+            raise QuestDBSQLError(f"to_timezone takes 2 arguments: {original!r}")
+        return f"from_utc_timestamp({args[0]}, {args[1]})"
+    if name == "to_utc":
+        if len(args) != 2:
+            raise QuestDBSQLError(f"to_utc takes 2 arguments: {original!r}")
+        return f"to_utc_timestamp({args[0]}, {args[1]})"
+    return None
 
 
 def _parse_fill_spec(fill_spec: str, value_cols: list[str]) -> dict:
@@ -384,6 +550,10 @@ def questdb_sql(
     """
     designated = designated or {}
     text = sql.strip().rstrip(";").strip()
+    # QuestDB time scalars (dateadd/datediff/timestamp_floor/…) rewrite
+    # to Spark SQL FIRST, so they work on the passthrough path and in
+    # every dialect clause alike; string literals are never touched.
+    text = rewrite_questdb_scalars(text)
 
     limit_m = _LIMIT_RE.search(text)
     has_dialect = bool(
@@ -847,10 +1017,16 @@ def questdb_sql(
                 ]
                 df = df.orderBy(*reversed_cols).limit(-n).orderBy(*order_cols)
             elif ts is not None and ts in df.columns:
-                df = (
-                    df.orderBy(F.col(ts).desc())
-                    .limit(-n)
-                    .orderBy(F.col(ts).asc())
+                # The tail's inner step IS the scan-bound top-k shape
+                # (ORDER BY ts DESC LIMIT |n|): plan it via the
+                # certified prune — at scale "last N rows" only decodes
+                # the row groups whose ts-max clears the bound.
+                from questdb_etl_jobs_spark.operators.topk import (
+                    topk_by_threshold,
+                )
+
+                df = topk_by_threshold(df, ts, -n).orderBy(
+                    F.col(ts).asc()
                 )
             else:
                 raise QuestDBSQLError(

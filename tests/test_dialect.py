@@ -145,6 +145,33 @@ def test_negative_limit_is_tail(spark, trades):
     assert got == [201, 203]  # last two rows in ts order, ascending
 
 
+def test_negative_limit_tail_routes_through_prune(spark, tmp_path):
+    """The designated-ts tail's inner step plans via topk_by_threshold:
+    on a parquet table the certified ts bound reaches PushedFilters, so
+    'last N rows' skips row groups whose ts-max falls below it."""
+    path = str(tmp_path / "tail_events")
+    spark.range(0, 5_000).select(
+        F.col("id"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(secs=F.col("id").cast("double"))).alias("ts"),
+    ).repartition(8).write.parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("tail_events")
+    # k must stay <= the SCAN partition count (the reader packs the 8
+    # small files into one split here), so the pushed-filter proof uses
+    # LIMIT -1; larger tails on few splits correctly fall back.
+    out = questdb_sql(
+        spark, "SELECT * FROM tail_events LIMIT -1", {"tail_events": "ts"}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(ts" in plan, plan
+    assert [r.id for r in out.collect()] == [4999]
+    # Correctness of a deeper tail on the same table (fallback path).
+    deep = questdb_sql(
+        spark, "SELECT * FROM tail_events LIMIT -5", {"tail_events": "ts"}
+    )
+    assert [r.id for r in deep.collect()] == [4995, 4996, 4997, 4998, 4999]
+
+
 def test_unsupported_fragment_raises(spark, trades):
     with pytest.raises(QuestDBSQLError, match="unsupported fragment"):
         questdb_sql(
@@ -350,6 +377,81 @@ def test_topk_route_ascending_bottom_k(spark, trades):
         assert [(r.sym, r.price) for r in out.collect()] == [
             ("AAA", 10.0), ("BBB", 10.0), ("AAA", 11.0),
         ]
+
+
+# ---------------------------------------------------------------------------
+# QuestDB time scalar-function spellings (round-12 wave 3)
+# ---------------------------------------------------------------------------
+
+def test_questdb_scalar_rewrites_pure():
+    from questdb_etl_jobs_spark.sql.dialect import rewrite_questdb_scalars
+
+    assert rewrite_questdb_scalars(
+        "SELECT dateadd('h', 2, ts) FROM t"
+    ) == "SELECT timestampadd(HOUR, 2, ts) FROM t"
+    assert rewrite_questdb_scalars(
+        "SELECT datediff('d', a, b) FROM t"
+    ) == "SELECT abs(timestampdiff(DAY, a, b)) FROM t"
+    # Nested calls rewrite inside-out.
+    assert rewrite_questdb_scalars(
+        "dateadd('d', 1, timestamp_floor('h', ts))"
+    ) == (
+        "timestampadd(DAY, 1, timestamp_micros(unix_micros(ts) - "
+        "pmod(unix_micros(ts), 3600000000)))"
+    )
+    # Spark's own 2-arg datediff is NOT the QuestDB shape: untouched.
+    assert rewrite_questdb_scalars(
+        "SELECT datediff(a, b) FROM t"
+    ) == "SELECT datediff(a, b) FROM t"
+    # String literals are never rewritten.
+    assert rewrite_questdb_scalars(
+        "SELECT \"x\" FROM t WHERE s = 'dateadd(''h'', 1, ts)'"
+    ) == "SELECT \"x\" FROM t WHERE s = 'dateadd(''h'', 1, ts)'"
+    assert rewrite_questdb_scalars(
+        "to_timezone(ts, 'Europe/Berlin')"
+    ) == "from_utc_timestamp(ts, 'Europe/Berlin')"
+    assert rewrite_questdb_scalars(
+        "to_utc(ts, 'Europe/Berlin')"
+    ) == "to_utc_timestamp(ts, 'Europe/Berlin')"
+
+
+def test_questdb_time_scalars_execute(spark, trades):
+    """The rewrites run end-to-end through questdb_sql — passthrough
+    and dialect paths alike — with QuestDB semantics: stride floor/ceil
+    on the µs grid (exact boundaries stay put under ceil), dateadd
+    shifting, datediff counting absolute full periods."""
+    out = questdb_sql(
+        spark,
+        "SELECT ts, timestamp_floor('15m', ts) AS f15, "
+        "timestamp_ceil('1h', ts) AS ch, "
+        "dateadd('h', 2, ts) AS plus2h, "
+        "datediff('d', ts, dateadd('d', 3, ts)) AS d3 "
+        "FROM trades WHERE sym = 'AAA' AND ts IN '2024-01-01'",
+        {"trades": "ts"},
+    )
+    rows = out.orderBy("ts").collect()
+    assert all(r.f15.minute == 15 and r.f15.second == 0 for r in rows)
+    # 00:15 → ceil 1h → 01:00; an exact boundary would stay put.
+    assert rows[0].ts.minute == 15 and rows[0].ch.hour == rows[0].ts.hour + 1
+    assert all(r.plus2h.hour == r.ts.hour + 2 for r in rows)
+    assert all(r.d3 == 3 for r in rows)
+    # Exact-boundary ceil stays put (midnight on the hour grid).
+    one = questdb_sql(
+        spark,
+        "SELECT timestamp_ceil('1h', timestamp_floor('1h', ts)) AS c, "
+        "timestamp_floor('1h', ts) AS f FROM trades LIMIT 1",
+    ).collect()[0]
+    assert one.c == one.f
+    # Month faces: floor truncates, ceil moves to the next month start.
+    m = questdb_sql(
+        spark,
+        "SELECT timestamp_floor('M', ts) AS fm, "
+        "timestamp_ceil('M', ts) AS cm FROM trades "
+        "WHERE ts IN '2024-01-02' LIMIT 1",
+        {"trades": "ts"},
+    ).collect()[0]
+    assert (m.fm.month, m.fm.day) == (1, 1)
+    assert (m.cm.month, m.cm.day) == (2, 1)
 
 
 def test_leftover_uses_spans_not_text(spark, trades):
