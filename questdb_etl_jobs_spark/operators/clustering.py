@@ -234,11 +234,24 @@ def kmeans_parallel_init(
     if k < 1:
         raise ValueError("k must be >= 1")
     l = oversample if oversample is not None else 2 * k  # noqa: E741
+    # The narrow (id, vec) projection is scanned ~3× per round (psi,
+    # candidate draw) plus the weights pass — cache it once (the
+    # standard k-means|| practice, e.g. MLlib caching norms) and
+    # release it before returning.
     pts = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    ).filter(F.col(vec_col).isNotNull())
+    ).filter(F.col(vec_col).isNotNull()).cache()
+    try:
+        return _parallel_init_rounds(pts, k, rounds, l, lloyd_iterations)
+    finally:
+        pts.unpersist()
 
+
+def _parallel_init_rounds(
+    pts: DataFrame, k: int, rounds: int, l: int,  # noqa: E741
+    lloyd_iterations: int,
+) -> list[list[float]]:
     # Seed: the lowest-id vector (deterministic, one bounded collect).
     seed = pts.orderBy("__id").limit(1).collect()
     if not seed:
