@@ -740,6 +740,83 @@ def _dialect_routed_sf100(spark, results: dict) -> None:
     }
 
 
+def _bottomk_sf100(spark, results: dict) -> None:
+    """The ascending (bottom-k) prune at the sf100 tier — the round-12
+    wave-2 face measured where it matters: ``ORDER BY l_extendedprice
+    ASC LIMIT 10`` over 600M rows, routed through the dialect (so the
+    cell times the SQL-surface cost end to end, call-time partition-MIN
+    pass included) vs DuckDB's ASC top-k on the same tier. Rows are
+    cross-checked against Spark's plain ascending sort before timing.
+    Recorded as ``dq34_topk.sf100_bottomk`` — disclosed next to the
+    descending cells; the two faces are symmetric by construction, this
+    proves the symmetry holds at scale."""
+    from pyspark.sql import functions as F
+
+    from questdb_etl_jobs_spark.sources.tables import load_table
+    from questdb_etl_jobs_spark.sql.dialect import questdb_sql
+    from tools.stress_scale import synthesize_lineitem_only
+
+    t0 = time.perf_counter()
+    synthesize_lineitem_only(spark, SF100_LINEITEM, factor=1000, mult=1024)
+    synth = round(time.perf_counter() - t0, 1)
+    print(f"# sf100 lineitem synthesis: {synth}s", file=sys.stderr)
+
+    def routed(spark_, sf_dir_):
+        load_table(spark_, sf_dir_, "lineitem").createOrReplaceTempView(
+            "__sf100b_lineitem"
+        )
+        out = questdb_sql(
+            spark_,
+            "SELECT l_orderkey, l_linenumber, l_extendedprice "
+            "FROM __sf100b_lineitem "
+            "ORDER BY l_extendedprice ASC, l_orderkey, l_linenumber "
+            "LIMIT 10",
+        )
+        return out.select(
+            "l_orderkey", "l_linenumber",
+            F.round("l_extendedprice", 4).alias("price"),
+        )
+
+    duck_sql = """
+        SELECT l_orderkey, l_linenumber, round(l_extendedprice, 4) AS price
+        FROM lineitem
+        ORDER BY l_extendedprice ASC, l_orderkey, l_linenumber
+        LIMIT 10
+    """
+    li = load_table(spark, SF100_LINEITEM, "lineitem")
+    plain_rows = sorted(
+        map(
+            tuple,
+            li.orderBy(
+                F.asc("l_extendedprice"), F.asc("l_orderkey"),
+                F.asc("l_linenumber"),
+            )
+            .limit(10)
+            .select(
+                "l_orderkey", "l_linenumber",
+                F.round("l_extendedprice", 4).alias("price"),
+            )
+            .collect(),
+        )
+    )
+    routed_rows = sorted(map(tuple, routed(spark, SF100_LINEITEM).collect()))
+    assert routed_rows == plain_rows, (
+        "dialect-routed bottom-k diverged from the plain ASC plan at sf100"
+    )
+    con = _sf100_duck_connection(["lineitem"])
+    cells = _interleaved_sf100_cells(
+        spark, con,
+        {"dq34_bottomk": (routed, duck_sql)},
+        tag="bottomk sf100",
+    )
+    con.close()
+    results["dq34_topk"]["sf100_bottomk"] = {
+        **cells["dq34_bottomk"],
+        "plain_crosscheck": True,
+        "synth_sec": synth,
+    }
+
+
 SF100_EVENTS = "/tmp/spark_graft_sf100_events"
 
 
@@ -1017,6 +1094,7 @@ def main() -> None:
     sf100_relational = "--sf100-relational-only" in argv
     sf100_dq30_pruned = "--sf100-dq30-pruned-only" in argv
     sf100_dialect_routed = "--sf100-dialect-routed-only" in argv
+    sf100_bottomk = "--sf100-bottomk-only" in argv
     argv = [
         a for a in argv
         if a not in (
@@ -1024,6 +1102,7 @@ def main() -> None:
             "--sf100-relational-only",
             "--sf100-dq30-pruned-only",
             "--sf100-dialect-routed-only",
+            "--sf100-bottomk-only",
         )
     ]
     out_path = next((a for a in argv if not a.startswith("--")), None)
@@ -1032,7 +1111,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     if (sf100_only or sf100_relational or sf100_dq30_pruned
-            or sf100_dialect_routed):
+            or sf100_dialect_routed or sf100_bottomk):
         # Fast path for re-measuring ONLY the lineitem sf100 cells (the
         # third fit point) on a fresh quiet boot, merged into a prior
         # artifact via --merge: control probes + _lineitem_sf100, no
@@ -1056,7 +1135,11 @@ def main() -> None:
             ), 3,
         )
         con.close()
-        if sf100_dialect_routed:
+        if sf100_bottomk:
+            results = {"dq34_topk": {}}
+            _bottomk_sf100(spark, results)
+            scope = "sf100 dq34 bottom-k (ascending prune) cell only"
+        elif sf100_dialect_routed:
             results = {"dq34_topk": {}}
             _dialect_routed_sf100(spark, results)
             scope = "sf100 dq34 dialect-routed cell only"
