@@ -955,11 +955,8 @@ def questdb_sql(
     # lazily inside pipelines should know the returned DataFrame's
     # threshold literal is fixed at build time.
     _ident = r"[A-Za-z_]\w*"
-    routable = bool(
+    shape_ok = bool(
         order_items
-        and limit_m
-        and limit_m.group(2) is None
-        and int(limit_m.group(1)) > 0
         and all(d == "ASC" for _, d in order_items[1:])
         and all(re.fullmatch(_ident, e) for e, _ in order_items)
         and all(e in df.columns for e, _ in order_items)
@@ -970,16 +967,28 @@ def questdb_sql(
             or all(_COL_RE.match(it) for it in _split_items(select_list))
         )
     )
-    if routable:
+    if shape_ok and limit_m:
         from questdb_etl_jobs_spark.operators.topk import topk_by_threshold
 
-        return topk_by_threshold(
-            df,
-            order_items[0][0],
-            int(limit_m.group(1)),
-            tiebreak=[e for e, _ in order_items[1:]],
-            ascending=order_items[0][1] == "ASC",
-        )
+        def _pruned(k: int) -> DataFrame:
+            return topk_by_threshold(
+                df,
+                order_items[0][0],
+                k,
+                tiebreak=[e for e, _ in order_items[1:]],
+                ascending=order_items[0][1] == "ASC",
+            )
+
+        if limit_m.group(2) is None and int(limit_m.group(1)) > 0:
+            return _pruned(int(limit_m.group(1)))
+        if limit_m.group(2) is not None:
+            # Pagination slice LIMIT lo, hi: rows lo+1..hi of the sorted
+            # result are a suffix of the top-hi — certify the top-hi
+            # superset once, slice it ordered. Invalid ranges fall
+            # through to the plain branch's validation error.
+            lo, hi = int(limit_m.group(1)), int(limit_m.group(2))
+            if 0 <= lo < hi:
+                return _pruned(hi).offset(lo).limit(hi - lo)
 
     if order_m:
         df = df.orderBy(*order_cols)

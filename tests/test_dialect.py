@@ -383,6 +383,81 @@ def test_topk_route_ascending_bottom_k(spark, trades):
 # QuestDB time scalar-function spellings (round-12 wave 3)
 # ---------------------------------------------------------------------------
 
+def test_limit_range_slice_routes_through_prune(spark, trades):
+    """LIMIT lo, hi over a routable ORDER BY: the top-hi superset is
+    certified once, then sliced ordered — identical rows to the plain
+    lowering for DESC and ASC heads alike."""
+    for direction, expected in (
+        ("DESC", [21.0, 21.0, 20.0]),
+        ("ASC", [11.0, 11.0, 13.0]),
+    ):
+        out = questdb_sql(
+            spark,
+            f"SELECT ts, sym, price FROM trades ORDER BY price "
+            f"{direction}, sym, ts LIMIT 2, 5",
+            {"trades": "ts"},
+        )
+        assert [r.price for r in out.collect()] == expected, direction
+
+
+def test_questdb_scalar_rewrite_properties():
+    """Property sweep for the scalar rewriter: idempotence (a rewritten
+    query contains no QuestDB spellings left to rewrite), balanced
+    parens preserved, and quoted literals byte-identical."""
+    import re as _re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from questdb_etl_jobs_spark.sql.dialect import rewrite_questdb_scalars
+
+    units = st.sampled_from(list("smhdwMy"))
+    cols = st.sampled_from(["ts", "a", "b_2"])
+
+    def call(draw_unit, inner):
+        return st.one_of(
+            st.tuples(units, inner).map(
+                lambda t: f"dateadd('{t[0]}', 3, {t[1]})"
+            ),
+            st.tuples(units, inner, inner).map(
+                lambda t: f"datediff('{t[0]}', {t[1]}, {t[2]})"
+            ),
+            st.tuples(st.sampled_from(["15m", "1h", "2d", "M"]), inner).map(
+                lambda t: f"timestamp_floor('{t[0]}', {t[1]})"
+            ),
+            st.tuples(st.sampled_from(["30s", "1h", "y"]), inner).map(
+                lambda t: f"timestamp_ceil('{t[0]}', {t[1]})"
+            ),
+            inner.map(lambda c: f"to_timezone({c}, 'Europe/Berlin')"),
+        )
+
+    exprs = st.recursive(cols, lambda inner: call(units, inner), max_leaves=6)
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        exprs,
+        st.sampled_from(
+            ["", " WHERE s = 'dateadd(''h'', 1, x)'", " WHERE q = 'M'"]
+        ),
+    )
+    def check(expr, literal_tail):
+        text = f"SELECT {expr} FROM t{literal_tail}"
+        out = rewrite_questdb_scalars(text)
+        # Idempotent: nothing QuestDB-shaped survives outside literals.
+        assert rewrite_questdb_scalars(out) == out
+        stripped = _re.sub(r"'[^']*'", "''", out)
+        assert "dateadd(" not in stripped.replace("timestampadd(", "")
+        assert "timestamp_floor" not in stripped
+        assert "timestamp_ceil" not in stripped
+        assert "to_timezone" not in stripped
+        assert stripped.count("(") == stripped.count(")")
+        # Quoted literals come through byte-identical.
+        if literal_tail:
+            assert out.endswith(literal_tail)
+
+    check()
+
+
 def test_questdb_scalar_rewrites_pure():
     from questdb_etl_jobs_spark.sql.dialect import rewrite_questdb_scalars
 
