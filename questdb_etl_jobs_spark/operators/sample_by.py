@@ -26,10 +26,39 @@ _TRUNC_UNITS = {
 #: measured ~1.6× slower over a 10M-row scan (tools/sf1_differential.py,
 #: dq25).
 _FIXED_WIDTH_US = {
+    # Sub-second units (QuestDB SAMPLE BY T/U strides) are pure epoch
+    # arithmetic by definition — no tz offset is finer than a minute.
+    "microsecond": 1,
+    "millisecond": 1_000,
     "second": 1_000_000,
     "minute": 60_000_000,
     "hour": 3_600_000_000,
 }
+
+
+#: Units legal in an "<n> <unit>s" stride via the epoch-µs floor. The
+#: single-unit date_trunc forms are CALENDAR-aligned (local-tz hour/day
+#: boundaries — hence the tz gate below), but Spark's ``window()`` —
+#: the path multi-unit strides took before — aligns to the UTC epoch
+#: unconditionally, so the integer floor is value-identical to
+#: ``window(...).start`` for EVERY fixed-width stride while staying in
+#: whole-stage codegen (no per-row struct construction).
+_STRIDE_UNIT_US = {
+    **_FIXED_WIDTH_US,
+    "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+
+def _stride_width_us(bucket: str) -> int | None:
+    import re
+
+    m = re.match(r"^(\d+)\s+([a-z]+?)s?$", bucket.strip())
+    if not m:
+        return None
+    unit = m.group(2)
+    if unit not in _STRIDE_UNIT_US:
+        return None
+    return int(m.group(1)) * _STRIDE_UNIT_US[unit]
 
 
 def _bucket_expr(spark_tz_utc: bool, ts: str, bucket: str) -> Column:
@@ -40,6 +69,13 @@ def _bucket_expr(spark_tz_utc: bool, ts: str, bucket: str) -> Column:
         return F.timestamp_micros(us - F.pmod(us, F.lit(width)))
     if bucket in _TRUNC_UNITS:
         return F.date_trunc(bucket, F.col(ts))
+    stride = _stride_width_us(bucket)
+    if stride is not None:
+        # "15 minutes" / "250 milliseconds" / "2 days": epoch-aligned by
+        # definition (window()'s own semantics) — integer floor, not the
+        # per-row window-struct path.
+        us = F.unix_micros(F.col(ts))
+        return F.timestamp_micros(us - F.pmod(us, F.lit(stride)))
     return F.window(F.col(ts), bucket).getField("start")
 
 

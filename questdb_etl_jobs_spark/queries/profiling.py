@@ -3240,3 +3240,64 @@ def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__q186_events"
     )
     return questdb_sql(spark, _Q186_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q187 — sub-second SAMPLE BY (QuestDB T/U strides, round 12 wave 3)
+# ---------------------------------------------------------------------------
+#
+# QuestDB's tick-data idiom: `SAMPLE BY 250T` (milliseconds; U =
+# microseconds). The engine lowers sub-second strides onto the same
+# integer-µs epoch floor the second/minute paths use (operators/
+# sample_by._FIXED_WIDTH_US — pure codegen, no calendar logic, no
+# window state). events.ts is second-granular, so the face first
+# derives deterministic µs jitter (event_id % 997000 µs) to make the
+# stride meaningful, registers the tick view, and runs the QuestDB
+# text verbatim. Exact outputs only (count/min/max — no float-sum
+# protocol needed); the oracle mirrors the jitter and the 250 ms floor
+# in DuckDB epoch-µs arithmetic.
+
+_Q187_SQL = (
+    "SELECT ts, count() n, min(value) vmin, max(value) vmax "
+    "FROM __q187_ticks WHERE ts IN '2024-01-10' SAMPLE BY 250T"
+)
+
+_Q187_ORACLE = """
+WITH t AS (
+  SELECT make_timestamp(epoch_us(CAST(ts AS TIMESTAMP))
+                        + event_id % 997000) AS ts,
+         value
+  FROM events
+), d AS (
+  SELECT * FROM t
+  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+    AND ts < TIMESTAMP '2024-01-11 00:00:00'
+)
+SELECT make_timestamp((epoch_us(ts) // 250000) * 250000) AS ts,
+       COUNT(*) AS n,
+       ROUND(MIN(value), 4) AS vmin,
+       ROUND(MAX(value), 4) AS vmax
+FROM d
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@dq("q187_subsecond_sample_by", oracle=_Q187_ORACLE, covers="A7,F5,F7,EXT")
+def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    ticks = load_table(spark, sf_dir, "events").select(
+        F.timestamp_micros(
+            F.unix_micros("ts") + F.col("event_id") % 997_000
+        ).alias("ts"),
+        "value",
+    )
+    ticks.createOrReplaceTempView("__q187_ticks")
+    out = questdb_sql(spark, _Q187_SQL, {"__q187_ticks": "ts"})
+    return out.select(
+        "ts",
+        "n",
+        F.round("vmin", 4).alias("vmin"),
+        F.round("vmax", 4).alias("vmax"),
+    ).orderBy("ts")

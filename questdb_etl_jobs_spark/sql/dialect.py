@@ -81,6 +81,8 @@ class QuestDBSQLError(ValueError):
 
 
 _UNIT = {
+    "U": "microsecond",
+    "T": "millisecond",
     "s": "second",
     "m": "minute",
     "h": "hour",
@@ -96,7 +98,7 @@ _LATEST_RE = re.compile(
     re.IGNORECASE,
 )
 _SAMPLE_RE = re.compile(
-    r"\bSAMPLE\s+BY\s+(\d+)([smhdwMy])"
+    r"\bSAMPLE\s+BY\s+(\d+)([smhdwMyTU])"
     r"(?:\s+FROM\s+'([^']+)'\s+TO\s+'([^']+)')?"
     r"(?:\s+FILL\s*\(\s*([^)]*?)\s*\))?"
     r"(?:\s+ALIGN\s+TO\s+(CALENDAR|FIRST\s+OBSERVATION)"

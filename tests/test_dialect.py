@@ -182,6 +182,48 @@ def test_unsupported_fragment_raises(spark, trades):
         )
 
 
+def test_sample_by_subsecond_strides(spark):
+    """QuestDB T (millis) / U (micros) strides: epoch-aligned floors in
+    pure integer-µs codegen; lowercase t/u rejected (QuestDB units are
+    case-sensitive)."""
+    import datetime as _dt
+
+    rows = [
+        (_dt.datetime(2024, 1, 1, 0, 0, 0, us), float(i))
+        for i, us in enumerate(
+            [0, 100_000, 249_999, 250_000, 740_000, 999_999]
+        )
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    df.createOrReplaceTempView("ticks")
+    out = questdb_sql(
+        spark,
+        "SELECT ts, count() n FROM ticks SAMPLE BY 250T",
+        {"ticks": "ts"},
+    )
+    got = {r.ts.microsecond: r.n for r in out.collect()}
+    assert got == {0: 3, 250_000: 1, 500_000: 1, 750_000: 1}
+    one_ms = questdb_sql(
+        spark,
+        "SELECT ts, count() n FROM ticks SAMPLE BY 1T",
+        {"ticks": "ts"},
+    )
+    assert one_ms.count() == 6  # every row its own millisecond bucket
+    micro = questdb_sql(
+        spark,
+        "SELECT ts, count() n FROM ticks SAMPLE BY 500000U",
+        {"ticks": "ts"},
+    )
+    assert {r.ts.microsecond: r.n for r in micro.collect()} == {
+        0: 4, 500_000: 2,
+    }
+    with pytest.raises(QuestDBSQLError, match="case-sensitive"):
+        questdb_sql(
+            spark, "SELECT ts, count() n FROM ticks SAMPLE BY 250t",
+            {"ticks": "ts"},
+        )
+
+
 def test_sample_by_needs_designated_ts(spark, trades):
     with pytest.raises(QuestDBSQLError, match="designated"):
         questdb_sql(spark, "SELECT ts, sum(qty) q FROM trades SAMPLE BY 1h")
