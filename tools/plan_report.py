@@ -41,6 +41,11 @@ HEADLINE: dict[str, str] = {
     # Round 11 wave 2:
     "q177_kmeans_clusters": "final k-means assignment is a zero-shuffle codegen projection (centroids are plan literals); the only exchange is the output sort",
     "q178_show_partitions": "partition listing reads 2 columns; per-day agg partial-combines map-side, the window runs over the day directory",
+    # Round 12: the routed prune family + sub-second strides.
+    "q171_topk_threshold_prune": "certified threshold in PushedFilters (GreaterThanOrEqual) when partitions certify; bounded-heap TakeOrderedAndProject on the survivors",
+    "q172_topk_per_key_prune": "grouped maxima partial-agg on SPARK_PARTITION_ID before the exchange; threshold joins back broadcast at this scale (size-aware default, no hint)",
+    "q183_dialect_topk_routed": "SQL text plans identically to the library call: pruned scan + TakeOrderedAndProject, no global sort",
+    "q187_subsecond_sample_by": "250ms buckets are integer-µs floor codegen — no window-struct node, one aggregate exchange",
 }
 
 SALIENT = re.compile(
