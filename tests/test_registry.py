@@ -74,3 +74,41 @@ def test_window_covers_value_verified_a3():
     # exact-count + accuracy-bound row pattern.
     assert "q74_kmv_distinct" in qreg._PRIORITY
     assert "q27_approx_distinct_users" in set(qreg.spark_queries())
+
+
+def test_oracle_queries_routes_sf_dir_only_to_parametric():
+    """The typed oracle-scale protocol's plumbing contract: an sf_dir
+    passed to oracle_queries reaches ONLY builders marked
+    sf_parametric; every other callable builds exactly as the driver
+    does (no argument)."""
+    calls = {}
+
+    def parametric(sf_dir="/default"):
+        calls["parametric"] = sf_dir
+        return "SELECT 1 AS x"
+
+    parametric.sf_parametric = True
+
+    def plain():
+        calls["plain"] = True
+        return "SELECT 2 AS x"
+
+    qreg._load()
+    added = []
+    try:
+        qreg.dq("q998_parametric_probe", parametric)(lambda s, d: None)
+        qreg.dq("q997_plain_probe", plain)(lambda s, d: None)
+        added = ["q998_parametric_probe", "q997_plain_probe"]
+        # A real tier path: the OTHER parametric oracles in the registry
+        # also rebuild against it (they read real parquet).
+        tier = "/root/testdata/sf0.01"
+        out = qreg.oracle_queries(tier)
+        assert calls["parametric"] == tier
+        assert calls["plain"] is True
+        assert out["q998_parametric_probe"] == "SELECT 1 AS x"
+        calls.clear()
+        qreg.oracle_queries()  # driver shape: no sf_dir
+        assert calls["parametric"] == "/default"
+    finally:
+        for n in added:
+            qreg.REGISTRY.pop(n, None)

@@ -1932,3 +1932,35 @@ def test_kmeans_stream_fit_refuses_checkpoint_without_journal(
     with pytest.raises(RuntimeError, match="no operator-state journal"):
         kmeans_stream_fit(spark, str(src), schema, init,
                           checkpoint_dir=str(ckpt))
+
+
+def test_kmeans_journal_restores_highest_version(spark, tmp_path):
+    """The state journal's version selection: multiple committed
+    versions in the checkpoint dir restore the HIGHEST, round-tripping
+    Decimal sums and float-hex centroids exactly."""
+    from decimal import Decimal
+
+    from questdb_etl_jobs_spark.streaming.kmeans_stream import (
+        StreamKMeansState,
+        _load_latest_state,
+        _save_state,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    s1 = StreamKMeansState(
+        centroids=[[1.5, -2.25]], sums=[[Decimal("3.0001"), Decimal("-4.5")]],
+        counts=[2], n_batches=1,
+    )
+    _save_state(spark, ckpt, s1, batch_id=0)
+    s2 = StreamKMeansState(
+        centroids=[[0.1 + 0.2, 7.0]],  # a value with no short repr
+        sums=[[Decimal("6.0002"), Decimal("14.0")]],
+        counts=[4], n_batches=2,
+    )
+    _save_state(spark, ckpt, s2, batch_id=1)
+    restored, last_batch = _load_latest_state(spark, ckpt)
+    assert last_batch == 1
+    assert restored.n_batches == 2
+    assert restored.counts == [4]
+    assert restored.sums == s2.sums          # exact Decimal round-trip
+    assert restored.centroids == s2.centroids  # bit-exact via float hex
