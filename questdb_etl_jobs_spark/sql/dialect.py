@@ -214,18 +214,29 @@ _QDB_FN_RE = re.compile(
     r"|to_utc)\s*\(",
     re.IGNORECASE,
 )
-_STRIDE_RE = re.compile(r"^'(\d*)([smhdwMy])'$")
+_STRIDE_RE = re.compile(r"^'(\d*)([smhdwMyTU])'$")
 _UNIT_WORD = {
     "s": "SECOND", "m": "MINUTE", "h": "HOUR", "d": "DAY",
     "w": "WEEK", "M": "MONTH", "y": "YEAR",
 }
 _STRIDE_US = {
+    "U": 1,
+    "T": 1_000,
     "s": 1_000_000,
     "m": 60_000_000,
     "h": 3_600_000_000,
     "d": 86_400_000_000,
-    "w": 604_800_000_000,
 }
+#: QuestDB weeks are MONDAY-aligned (``floorWW`` subtracts
+#: ``dayOfWeek-1``); the epoch (1970-01-01) was a Thursday, so a plain
+#: epoch pmod would silently produce Thursday-aligned buckets. Shifting
+#: by +3 days moves Monday 1969-12-29 onto the zero of the modulus, so
+#: ``v - pmod(v, 7d)`` lands on Mondays — identical to
+#: ``date_trunc('week', ts)`` for the 1-week stride (the spelling
+#: SAMPLE BY 1w lowers to), and anchoring multi-week strides at Monday
+#: 1969-12-29.
+_WEEK_US = 604_800_000_000
+_MONDAY_SHIFT_US = 3 * 86_400_000_000
 
 
 def _find_call(text: str, start: int) -> tuple[int, int, int] | None:
@@ -332,33 +343,57 @@ def _rewrite_one_scalar(
         return f"abs(timestampdiff({word}, {args[1]}, {args[2]}))"
     if name in ("timestamp_floor", "timestamp_ceil"):
         if len(args) != 2:
-            raise QuestDBSQLError(f"{name} takes 2 arguments: {original!r}")
+            return None  # not the QuestDB shape: pass through untouched
         m = _STRIDE_RE.match(args[0])
         if not m:
-            raise QuestDBSQLError(
-                f"{name} needs a stride literal like '15m': {original!r}"
-            )
+            # Unrecognized stride spelling: pass the call through rather
+            # than raising — the rewriter runs on EVERY query before path
+            # selection, so an eager raise here would reject queries that
+            # never needed the rewrite (round-12 ADVICE).
+            return None
         n, unit = int(m.group(1) or "1"), m.group(2)
         ts = args[1]
+        u = f"unix_micros({ts})"
         if unit in _STRIDE_US:
             s = n * _STRIDE_US[unit]
-            u = f"unix_micros({ts})"
             if name == "timestamp_floor":
                 return f"timestamp_micros({u} - pmod({u}, {s}))"
             return f"timestamp_micros({u} + pmod(-{u}, {s}))"
-        if n != 1:
-            raise QuestDBSQLError(
-                f"{name}: month/year strides support n=1 only "
-                f"(got {args[0]})"
+        if unit == "w":
+            # Monday-aligned (QuestDB floorWW), not epoch/Thursday: shift
+            # so Monday 1969-12-29 is the modulus zero. n=1 is value-
+            # identical to date_trunc('week', ts); multi-week strides
+            # count in Monday weeks from that same anchor.
+            s = n * _WEEK_US
+            v = f"({u} + {_MONDAY_SHIFT_US})"
+            if name == "timestamp_floor":
+                return (
+                    f"timestamp_micros({v} - pmod({v}, {s})"
+                    f" - {_MONDAY_SHIFT_US})"
+                )
+            return (
+                f"timestamp_micros({v} + pmod(-{v}, {s})"
+                f" - {_MONDAY_SHIFT_US})"
             )
-        word = "month" if unit == "M" else "year"
+        # Month/year strides (any n): whole-month arithmetic on the
+        # months-since-epoch index, floored to a multiple of the stride
+        # — calendar-exact, no fixed-width approximation.
+        months = n if unit == "M" else 12 * n
+        mm = f"((year({ts}) - 1970) * 12 + month({ts}) - 1)"
+        floor_expr = (
+            f"timestampadd(MONTH, {mm} - pmod({mm}, {months}), "
+            f"TIMESTAMP '1970-01-01 00:00:00')"
+        )
         if name == "timestamp_floor":
-            return f"date_trunc('{word}', {ts})"
+            if months == 1:
+                return f"date_trunc('month', {ts})"
+            if unit == "y" and n == 1:
+                return f"date_trunc('year', {ts})"
+            return floor_expr
         # ceil: exact boundaries stay; otherwise next period start.
         return (
-            f"(CASE WHEN date_trunc('{word}', {ts}) = {ts} THEN {ts} "
-            f"ELSE date_trunc('{word}', timestampadd("
-            f"{word.upper()}, 1, {ts})) END)"
+            f"(CASE WHEN {floor_expr} = {ts} THEN {ts} "
+            f"ELSE timestampadd(MONTH, {months}, {floor_expr}) END)"
         )
     if name == "to_timezone":
         if len(args) != 2:
@@ -507,18 +542,25 @@ def _split_latest_where(
 
 
 def _split_items(text: str) -> list[str]:
-    """Split a select/order list on top-level commas."""
-    items, depth, cur = [], 0, []
+    """Split a select/order/argument list on top-level commas.
+
+    Tracks paren depth AND string literals, so a quoted argument that
+    contains a comma (``to_utc(ts, 'a,b')``) stays one item — matching
+    the quote handling in ``_find_call`` (round-12 ADVICE)."""
+    items, depth, cur, in_str = [], 0, [], False
     for ch in text:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            items.append("".join(cur).strip())
-            cur = []
-        else:
-            cur.append(ch)
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                items.append("".join(cur).strip())
+                cur = []
+                continue
+        cur.append(ch)
     if cur and "".join(cur).strip():
         items.append("".join(cur).strip())
     return items
@@ -549,6 +591,18 @@ def questdb_sql(
     by SAMPLE BY, ASOF/LT JOIN, first/last and tail LIMIT; QuestDB keeps
     this in table metadata). Standard-SQL queries pass straight through
     to ``spark.sql``.
+
+    **Eager work on the top-k route.** Scan-bound ``ORDER BY … LIMIT``
+    shapes plan through the certified threshold prune, which runs ONE
+    small Spark job at *call* time (a per-partition extrema pass in
+    ``topk_by_threshold``) to certify the prune threshold — a deliberate
+    departure from pure lazy plan-building. The threshold literal is
+    frozen against the table's data as of this call; if the underlying
+    files change between building the DataFrame and acting on it, the
+    final ``orderBy``/``limit`` still guards correctness ONLY while the
+    frozen prune filter covers the answer rows. Re-invoke ``questdb_sql``
+    after data changes rather than caching the returned DataFrame across
+    ingests.
     """
     designated = designated or {}
     text = sql.strip().rstrip(";").strip()

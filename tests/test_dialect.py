@@ -464,12 +464,15 @@ def test_questdb_scalar_rewrite_properties():
             st.tuples(units, inner, inner).map(
                 lambda t: f"datediff('{t[0]}', {t[1]}, {t[2]})"
             ),
-            st.tuples(st.sampled_from(["15m", "1h", "2d", "M"]), inner).map(
-                lambda t: f"timestamp_floor('{t[0]}', {t[1]})"
-            ),
-            st.tuples(st.sampled_from(["30s", "1h", "y"]), inner).map(
-                lambda t: f"timestamp_ceil('{t[0]}', {t[1]})"
-            ),
+            st.tuples(
+                st.sampled_from(
+                    ["15m", "1h", "2d", "M", "w", "2w", "250T", "U", "3M"]
+                ),
+                inner,
+            ).map(lambda t: f"timestamp_floor('{t[0]}', {t[1]})"),
+            st.tuples(
+                st.sampled_from(["30s", "1h", "y", "w", "500U", "2y"]), inner
+            ).map(lambda t: f"timestamp_ceil('{t[0]}', {t[1]})"),
             inner.map(lambda c: f"to_timezone({c}, 'Europe/Berlin')"),
         )
 
@@ -530,6 +533,94 @@ def test_questdb_scalar_rewrites_pure():
     assert rewrite_questdb_scalars(
         "to_utc(ts, 'Europe/Berlin')"
     ) == "to_utc_timestamp(ts, 'Europe/Berlin')"
+
+
+def test_questdb_scalar_week_strides_monday_aligned(spark):
+    """Round-12 ADVICE (medium): 'w' strides must be MONDAY-aligned like
+    QuestDB's floorWW and date_trunc('week') — the epoch was a Thursday,
+    so a plain epoch pmod would bucket on Thursdays. Value-checked:
+    floor('w', ts) == date_trunc('week', ts) for every row, ceil lands on
+    Mondays, and the 2-week stride stays Monday-anchored."""
+    from questdb_etl_jobs_spark.sql.dialect import rewrite_questdb_scalars
+
+    rows = spark.sql(
+        rewrite_questdb_scalars(
+            "SELECT ts, timestamp_floor('w', ts) AS fw, "
+            "timestamp_ceil('w', ts) AS cw, "
+            "timestamp_floor('2w', ts) AS f2w, "
+            "date_trunc('week', ts) AS trunc_w "
+            "FROM VALUES "
+            "(TIMESTAMP '2024-01-01 00:00:00'), "  # a Monday, boundary
+            "(TIMESTAMP '2024-01-04 13:30:00'), "  # Thursday
+            "(TIMESTAMP '2024-01-07 23:59:59'), "  # Sunday
+            "(TIMESTAMP '1970-01-01 12:00:00') "   # epoch Thursday
+            "AS t(ts)"
+        )
+    ).collect()
+    for r in rows:
+        assert r.fw == r.trunc_w, r  # Monday alignment, bit-for-bit
+        assert r.fw.weekday() == 0 and r.cw.weekday() == 0
+        assert r.f2w.weekday() == 0
+        assert r.fw <= r.ts <= r.cw
+    # Exact Monday boundary: floor == ts == ceil.
+    mon = rows[0]
+    assert mon.fw == mon.ts == mon.cw
+    # Epoch Thursday floors to Monday 1969-12-29, NOT Thursday 1970-01-01.
+    assert str(rows[3].fw).startswith("1969-12-29")
+
+
+def test_questdb_scalar_subsecond_and_multimonth_strides(spark):
+    """Round-12 ADVICE (low): T (milli) and U (micro) strides, and n>1
+    month/year strides, are valid QuestDB and must rewrite; unrecognized
+    stride spellings pass through untouched instead of raising."""
+    from questdb_etl_jobs_spark.sql.dialect import rewrite_questdb_scalars
+
+    row = spark.sql(
+        rewrite_questdb_scalars(
+            "SELECT timestamp_floor('250T', ts) AS f250t, "
+            "timestamp_ceil('500U', ts) AS c500u, "
+            "timestamp_floor('3M', ts) AS f3m, "
+            "timestamp_ceil('3M', ts) AS c3m, "
+            "timestamp_floor('2y', ts) AS f2y "
+            "FROM VALUES (TIMESTAMP '2024-05-17 01:02:03.456789') AS t(ts)"
+        )
+    ).collect()[0]
+    assert row.f250t.microsecond == 250_000  # .456789 floors to .250 ms grid
+    assert row.c500u.microsecond == 457_000  # .456789 ceils to .4570 ms
+    # 3-month buckets anchor at the epoch month grid: May → Apr 1.
+    assert (row.f3m.month, row.f3m.day) == (4, 1)
+    assert (row.c3m.month, row.c3m.day) == (7, 1)
+    # 2-year buckets from 1970: 2024 is on the grid.
+    assert (row.f2y.year, row.f2y.month, row.f2y.day) == (2024, 1, 1)
+    # Month-boundary ceil stays put under a multi-month stride.
+    b = spark.sql(
+        rewrite_questdb_scalars(
+            "SELECT timestamp_ceil('3M', ts) AS c FROM VALUES "
+            "(TIMESTAMP '2024-04-01 00:00:00') AS t(ts)"
+        )
+    ).collect()[0]
+    assert (b.c.year, b.c.month, b.c.day) == (2024, 4, 1)
+    # Unrecognized stride: passes through (no eager raise).
+    weird = "SELECT timestamp_floor('5x', ts) FROM t"
+    assert rewrite_questdb_scalars(weird) == weird
+    # Wrong arity: also a pass-through, not a raise.
+    three = "SELECT timestamp_floor('1h', ts, 0) FROM t"
+    assert rewrite_questdb_scalars(three) == three
+
+
+def test_split_items_quote_aware():
+    """Round-12 ADVICE (low): a quoted argument containing a top-level
+    comma must stay ONE item — both in the generic splitter and through
+    the scalar rewriter end-to-end."""
+    from questdb_etl_jobs_spark.sql.dialect import (
+        _split_items,
+        rewrite_questdb_scalars,
+    )
+
+    assert _split_items("ts, 'a,b', f(x, y)") == ["ts", "'a,b'", "f(x, y)"]
+    assert rewrite_questdb_scalars("to_utc(ts, 'a,b')") == (
+        "to_utc_timestamp(ts, 'a,b')"
+    )
 
 
 def test_questdb_time_scalars_execute(spark, trades):
