@@ -44,8 +44,29 @@ decision, k rows collected — bounded by k, never by data size).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: tiebreak entries: a bare column name sorts ASC; ``(name, "desc")``
+#: sorts DESC (LATEST ON's deterministic-winner contract orders its
+#: tiebreak columns descending — reference-idiom `LATEST ON ts`).
+Tiebreak = "str | tuple[str, str]"
+
+
+def _tiebreak_order(tiebreak) -> list[Column]:
+    cols: list[Column] = []
+    for t in tiebreak or []:
+        if isinstance(t, str):
+            cols.append(F.asc(t))
+            continue
+        name, direction = t
+        d = str(direction).lower()
+        if d not in ("asc", "desc"):
+            raise ValueError(
+                f"tiebreak direction must be 'asc' or 'desc', got {direction!r}"
+            )
+        cols.append(F.desc(name) if d == "desc" else F.asc(name))
+    return cols
 
 
 def topk_by_threshold(
@@ -71,9 +92,8 @@ def topk_by_threshold(
     place."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    tiebreak = list(tiebreak or [])
     head = F.asc(value_col) if ascending else F.desc(value_col)
-    order = [head] + [F.asc(c) for c in tiebreak]
+    order = [head] + _tiebreak_order(tiebreak)
 
     extremum = F.min(value_col) if ascending else F.max(value_col)
     extrema = (
@@ -177,30 +197,44 @@ def topk_per_key(
         raise ValueError("k must be >= 1")
     if not keys:
         raise ValueError("keys must be non-empty")
-    tiebreak = list(tiebreak or [])
     head = F.asc(value_col) if ascending else F.desc(value_col)
-    order = [head] + [F.asc(c) for c in tiebreak]
+    order = [head] + _tiebreak_order(tiebreak)
 
     extremum = F.min(value_col) if ascending else F.max(value_col)
-    per_pid_max = (
-        df.select(*keys, value_col)
-        .groupBy(F.spark_partition_id().alias("__pid"), *keys)
-        .agg(extremum.alias("__m"))
-    )
-    w_maxima = Window.partitionBy(*keys).orderBy(
-        F.asc("__m") if ascending else F.desc("__m")
-    )
-    # Ascending certification note: `asc` seats NULL minima (all-null
-    # partitions) FIRST in the window, and each such partition holds at
-    # least one null row — a legitimate front-of-answer row — so a
-    # non-null k-th entry still certifies k answer-region rows
-    # (nulls ∪ values <= t_g). A null k-th entry fails isNotNull and
-    # the group keeps all rows, exactly like the sparse-group case.
-    thresholds = (
-        per_pid_max.withColumn("__r", F.row_number().over(w_maxima))
-        .filter((F.col("__r") == k) & F.col("__m").isNotNull())
-        .select(*keys, F.col("__m").alias("__t"))
-    )
+    if k == 1:
+        # k=1 (the LATEST ON shape): the largest partition max IS the
+        # group extremum, so the per-pid directory + row_number stage
+        # collapses to a plain groupBy — one map-side-combined exchange
+        # carrying the group directory. min/max ignore nulls, so an
+        # all-null group yields a NULL __t, drops out here, and keeps
+        # all its rows below — identical to the generic path's
+        # isNotNull gate.
+        thresholds = (
+            df.select(*keys, value_col)
+            .groupBy(*keys)
+            .agg(extremum.alias("__t"))
+            .filter(F.col("__t").isNotNull())
+        )
+    else:
+        per_pid_max = (
+            df.select(*keys, value_col)
+            .groupBy(F.spark_partition_id().alias("__pid"), *keys)
+            .agg(extremum.alias("__m"))
+        )
+        w_maxima = Window.partitionBy(*keys).orderBy(
+            F.asc("__m") if ascending else F.desc("__m")
+        )
+        # Ascending certification note: `asc` seats NULL minima (all-null
+        # partitions) FIRST in the window, and each such partition holds at
+        # least one null row — a legitimate front-of-answer row — so a
+        # non-null k-th entry still certifies k answer-region rows
+        # (nulls ∪ values <= t_g). A null k-th entry fails isNotNull and
+        # the group keeps all rows, exactly like the sparse-group case.
+        thresholds = (
+            per_pid_max.withColumn("__r", F.row_number().over(w_maxima))
+            .filter((F.col("__r") == k) & F.col("__m").isNotNull())
+            .select(*keys, F.col("__m").alias("__t"))
+        )
     if broadcast_thresholds is True:
         thresholds = F.broadcast(thresholds)
     elif broadcast_thresholds is False:

@@ -222,6 +222,86 @@ def test_latest_on_tiebreak_deterministic(spark):
     assert len(out) == 1 and out[0]["id"] == 9
 
 
+def test_latest_on_pruned_equals_plain_window(spark):
+    """Round-13: latest_on routes through the grouped threshold prune
+    (topk_per_key k=1, desc tiebreak). The prune only removes rows
+    provably below each group's max timestamp, so both faces are
+    bit-identical — under ties at the max (desc tiebreak decides),
+    NULL timestamps (desc seats them last; all-null groups stay
+    uncertified and keep their rows), and multi-partition inputs."""
+    import datetime as _dt
+    import random
+
+    rng = random.Random(13)
+    base = _dt.datetime(2024, 1, 1)
+    rows = []
+    for g in range(25):
+        depth = rng.choice([1, 2, 7, 60])
+        for _ in range(depth):
+            ts = (
+                None
+                if rng.random() < 0.12
+                else base + _dt.timedelta(seconds=rng.randrange(20))
+            )
+            rows.append((g, len(rows), ts))
+    # One all-null-ts group: the winner comes from the tiebreak alone.
+    rows += [(99, 10_001, None), (99, 10_000, None)]
+    df = spark.createDataFrame(rows, "k int, id long, ts timestamp")
+    for parts in (1, 7):
+        d = df.repartition(parts)
+        plain = sorted(
+            latest_on(d, ts="ts", key=["k"], tiebreak=["id"],
+                      prune=False).collect(),
+            key=lambda r: r.k,
+        )
+        pruned = sorted(
+            latest_on(d, ts="ts", key=["k"], tiebreak=["id"],
+                      prune=True).collect(),
+            key=lambda r: r.k,
+        )
+        assert pruned == plain, f"parts={parts}"
+        assert [r.id for r in pruned if r.k == 99] == [10_001]
+
+
+def test_latest_on_streaming_frame_uses_window_fallback(spark):
+    """A streaming frame cannot take the prune's self-join: the default
+    (prune=None) must fall back to the plain ranking window."""
+    s = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    out = latest_on(s, ts="timestamp", key=["value"])
+    assert out.isStreaming
+    assert "Join" not in out._jdf.queryExecution().logical().toString()
+
+
+def test_topk_per_key_desc_tiebreak(spark):
+    """(col, 'desc') tiebreak entries order descending inside the exact
+    window — the LATEST ON contract (higher id wins on a timestamp
+    tie) — bit-identical to the plain window spelled the same way."""
+    from pyspark.sql import Window
+
+    from questdb_etl_jobs_spark.operators.topk import topk_per_key
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 10), (1, 5.0, 20), (1, 3.0, 30), (2, 1.0, 1), (2, 1.0, 2)],
+        "g int, v double, id long",
+    ).repartition(3)
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.desc("id"))
+    plain = sorted(
+        df.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= 2)
+        .drop("__r")
+        .collect(),
+        key=lambda r: (r.g, r.id),
+    )
+    pruned = sorted(
+        topk_per_key(df, ["g"], "v", 2, tiebreak=[("id", "desc")]).collect(),
+        key=lambda r: (r.g, r.id),
+    )
+    assert pruned == plain
+    assert {(r.g, r.id) for r in pruned} == {(1, 10), (1, 20), (2, 1), (2, 2)}
+    with pytest.raises(ValueError):
+        topk_per_key(df, ["g"], "v", 1, tiebreak=[("id", "down")])
+
+
 # ---------------------------------------------------------------------------
 # Dedup family (EXT)
 # ---------------------------------------------------------------------------

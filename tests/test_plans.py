@@ -673,3 +673,39 @@ def test_q175_pruned_rank_family_plan(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     # No Python in the row path.
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_latest_on_pruned_plan_no_full_data_exchange(spark):
+    """Round-13: LATEST ON's deployed face. The threshold pass scans
+    only key+ts and combines map-side (partial_max) so its exchange
+    carries the group directory; the directory joins back as a
+    broadcast; and the only window in the plan runs over the
+    join-filtered survivors — the full fact table is never exchanged
+    on the key. Applies to both the operator and the SQL dialect's
+    LATEST ON lowering (same code path)."""
+    from questdb_etl_jobs_spark.operators.latest import latest_on
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    events = load_table(spark, SF_SMALL, "events")
+    df = latest_on(events, ts="ts", key=["user_id"], tiebreak=["event_id"])
+    plan = plan_string(df)
+    # Narrow threshold scan: one events read carries only user_id+ts.
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any(
+        sorted(c.split(":")[0] for c in s.split(",")) == ["ts", "user_id"]
+        for s in scans
+    ), scans
+    # Group-directory aggregation combines map-side before its exchange.
+    assert "partial_max" in plan, plan
+    # The directory joins back as a broadcast (size-aware default picks
+    # it here: one row per user).
+    assert "BroadcastHashJoin" in plan, plan
+    # The window's input is the survivor side of the threshold join: in
+    # the top-down plan tree the Window node prints ABOVE the join it
+    # consumes — the full fact table is never exchanged on the key
+    # before the prune.
+    tree = plan.split("\n\n")[0]
+    assert "Window" in tree, plan
+    assert tree.index("Window") < tree.index("BroadcastHashJoin"), tree
+    # No Python in the row path.
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
