@@ -56,12 +56,90 @@ def _sq_dist(vec: Column, centroid: list[float]) -> Column:
     )
 
 
+#: Envelope of the plan-literal distance path: total literal elements
+#: (centers × dim doubles) embedded in the projection. 8192 elements is
+#: ~64 KB of plan constants and a few thousand codegen expression nodes
+#: — comfortably inside Spark's whole-stage-codegen and plan-shipping
+#: budgets. Above it (curation-scale k: 10k centroids × 768 dims would
+#: be 60 MB of plan constants and millions of expression nodes — the
+#: PLAN fails before the data does), assignment switches to an
+#: Arrow-batched pandas path whose centroid matrix ships ONCE per
+#: executor as a SparkContext broadcast, still zero-shuffle, and whose
+#: accumulation order replays the literal path's left fold exactly —
+#: the two paths are bit-identical (boundary-tested).
+PLAN_LITERAL_BUDGET = 8192
+
+
+def _assign_clusters_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    cluster_col: str,
+    dist_col: str | None,
+) -> DataFrame:
+    """Broadcast + Arrow-batched nearest-centroid for large k × dim.
+
+    The centroid matrix rides a SparkContext broadcast (one transfer
+    per executor, NOT per task / per plan). Accumulation is an explicit
+    per-position loop — ``acc += (x_p - c_p)²`` over positions in array
+    order — so every double op happens in the same order as the literal
+    path's ``aggregate`` fold and the result (cluster AND distance) is
+    bit-identical; ``argmin`` returns the first minimum, matching
+    ``array_position``'s lowest-index tie-break. NULL vectors map to
+    NULL cluster/distance via pandas nullable dtypes."""
+    import numpy as np
+    import pandas as pd
+
+    bc = df.sparkSession.sparkContext.broadcast(
+        [[float(x) for x in c] for c in centroids]
+    )
+
+    @F.pandas_udf("struct<c: int, d: double>")
+    def nearest(v: pd.Series) -> pd.DataFrame:
+        cent = np.asarray(bc.value, dtype=np.float64)
+        k, dim = cent.shape
+        n = len(v)
+        cluster = np.full(n, -1, dtype=np.int64)
+        dist = np.full(n, np.nan, dtype=np.float64)
+        mask = v.notna().to_numpy()
+        if mask.any():
+            x = np.stack([np.asarray(a, dtype=np.float64) for a in v[mask]])
+            acc = np.zeros((x.shape[0], k), dtype=np.float64)
+            for p in range(dim):
+                diff = x[:, p][:, None] - cent[None, :, p]
+                acc += diff * diff
+            win = np.argmin(acc, axis=1)
+            cluster[mask] = win
+            dist[mask] = acc[np.arange(x.shape[0]), win]
+        return pd.DataFrame(
+            {
+                "c": pd.array(
+                    [int(c) if c >= 0 else None for c in cluster],
+                    dtype="Int32",
+                ),
+                "d": pd.array(
+                    [None if np.isnan(d) else float(d) for d in dist],
+                    dtype="Float64",
+                ),
+            }
+        )
+
+    struct_col = "__assign"
+    out = df.withColumn(
+        struct_col, nearest(F.col(vec_col).cast("array<double>"))
+    ).withColumn(cluster_col, F.col(f"{struct_col}.c"))
+    if dist_col is not None:
+        out = out.withColumn(dist_col, F.col(f"{struct_col}.d"))
+    return out.drop(struct_col)
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
     cluster_col: str = "cluster",
     dist_col: str | None = None,
+    literal_budget: int | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment as a zero-shuffle codegen projection.
 
@@ -74,7 +152,23 @@ def assign_clusters(
     null through ``array_min``/``array_position``) — same excluded-by-
     contract stance as the deterministic samplers: they never join a
     centroid's mean (:func:`_update_centroids` skips the NULL group).
+
+    **Scale envelope.** Centroids embed as plan literals while
+    ``centers × dim <= literal_budget`` (default
+    :data:`PLAN_LITERAL_BUDGET` = 8192 elements): zero Python, full
+    whole-stage codegen. Above the budget the assignment automatically
+    switches to :func:`_assign_clusters_arrow` — a broadcast centroid
+    matrix + vectorized Arrow batches — which is still zero-shuffle and
+    BIT-IDENTICAL to the literal path (same fold order, same
+    tie-break); only the physical strategy changes. Both faces are
+    equivalence-tested at the budget boundary.
     """
+    if literal_budget is None:
+        literal_budget = PLAN_LITERAL_BUDGET
+    if centroids and len(centroids) * len(centroids[0]) > literal_budget:
+        return _assign_clusters_arrow(
+            df, centroids, vec_col, cluster_col, dist_col
+        )
     vec = F.col(vec_col).cast("array<double>")
     dists = F.array(*[_sq_dist(vec, c) for c in centroids])
     out = df.withColumn(
@@ -259,10 +353,15 @@ def _parallel_init_rounds(
     centers: list[list[float]] = [[float(x) for x in seed[0]["__v"]]]
 
     for rnd in range(rounds):
-        dmin = F.array_min(
-            F.array(*[_sq_dist(F.col("__v"), c) for c in centers])
-        )
-        scored = pts.select("__id", "__v", dmin.alias("__d"))
+        # d²(x, C) via assign_clusters' dist face, so the init inherits
+        # the plan-literal envelope: the candidate set can grow to
+        # rounds × oversample centers, and above PLAN_LITERAL_BUDGET
+        # the distance projection switches to the broadcast/Arrow path
+        # (bit-identical fold) instead of embedding every candidate as
+        # plan literals.
+        scored = assign_clusters(
+            pts, centers, vec_col="__v", cluster_col="__c", dist_col="__d"
+        ).select("__id", "__v", "__d")
         # Normalizer via the decimal protocol (order-independent sum of
         # pre-rounded terms), so the Bernoulli thresholds — and hence
         # the candidate set — are identical on ANY partition layout.

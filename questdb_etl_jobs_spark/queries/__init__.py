@@ -92,7 +92,11 @@ _PRIORITY: tuple[str, ...] = (
     # q172-q175, dq30's full rank family with zero full-data exchange)
     # runs under the driver's own oracle in the round it shipped.
     "q175_rank_family_pruned",    # W1 O2 EXT (grouped prune, full family)
-    "q14_theta_self_join_suppliers",  # J5
+    # Round-13 rotation #1: q14 ceded its slot — its only id, J5, stays
+    # covered in-window by q56's theta-joined embedding near-dup — so
+    # SHOW TABLES (the catalog enumeration face, never driver-verified)
+    # runs under the driver's own oracle.
+    "q185_show_tables",           # S6 EXT (catalog enumeration)
     "q15_interval_join_events",   # J6
     "q16_asof_join",              # J7
     "q22_rollup_orders",          # A4
@@ -102,7 +106,12 @@ _PRIORITY: tuple[str, ...] = (
     # runs under the driver's own oracle.
     "q178_show_partitions",       # S6 A1 W1 EXT (catalog face)
     "q25_collect_types_per_user", # A6
-    "q26_hourly_bucket_agg",      # A7 R2
+    # Round-13 rotation #2: q26 ceded its slot — A7/F5 stay covered
+    # in-window by q181 and the incoming q187, R2 by q60's tumbling
+    # replay — so sub-second SAMPLE BY (T/U strides on the epoch-µs
+    # floor, never driver-verified) runs under the driver's own oracle
+    # in the round after it shipped.
+    "q187_subsecond_sample_by",   # A7 F5 F7 EXT (sub-second strides)
     "q74_kmv_distinct",           # A3 (value-verified KMV twin of q27's HLL)
     # Round-12 rotation #2: q29 ceded its slot — U4 stays covered
     # in-window by q47/q57/q167, and T1 moves to the incoming q181 —
@@ -115,9 +124,19 @@ _PRIORITY: tuple[str, ...] = (
     # bit-exact CPython mirror) runs under the driver's own oracle in
     # the round it shipped.
     "q177_kmeans_clusters",       # EXT clustering, F8 U1
-    "q32_moving_avg",             # W3
+    # Round-13 rotation #3: q32 ceded its slot — its only id, W3, stays
+    # covered in-window by q164's rolling CUSUM frames — so the QuestDB
+    # time-scalar rewriter (dateadd/datediff/timestamp_floor/ceil/
+    # to_timezone/to_utc, never driver-verified) runs under the
+    # driver's own oracle.
+    "q186_dialect_time_scalars",  # F5 F7 A1 EXT (scalar rewriter)
     "q33_latest_event_per_user",  # W4
-    "q34_topk_lineitems",         # O2
+    # Round-13 rotation #4: q34 ceded its slot — O2 stays covered
+    # in-window by q183 (routed descending prune) and the incoming
+    # q184 — so the ascending bottom-k face (dialect-routed, nulls-
+    # first prune, never driver-verified) joins the hard signal; q34
+    # itself remains the bench headline outside the window.
+    "q184_dialect_bottomk_routed",  # O2 EXT (ascending prune, SQL surface)
     # Round-12 rotation #3: q48 ceded its slot — EXT dedup stays
     # covered in-window by q46/q47/q57, F8 by q41/q177 — so the
     # dialect-ROUTED top-k (the round's headline: SQL text planned via

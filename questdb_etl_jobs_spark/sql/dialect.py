@@ -603,6 +603,34 @@ def questdb_sql(
     frozen prune filter covers the answer rows. Re-invoke ``questdb_sql``
     after data changes rather than caching the returned DataFrame across
     ingests.
+
+    **DECISION (round 13): SAMPLE BY always recomputes — matview
+    serving stays an explicit call.** A maintained SAMPLE BY view
+    (``operators/matview.py``; serve cost 0.82× raw DuckDB at the
+    sf100-events tier vs 5.6× for a raw sf10 recompute) could in
+    principle answer a matching ``(table, stride, agg)`` dialect query,
+    but this function will NOT transparently reroute to one:
+
+    1. *Freshness is a semantic, not an optimization.* A view answers
+       as of its last refresh; the registered table may be ahead. The
+       routed top-k's frozen threshold degrades to a correct-but-
+       unpruned plan under staleness — a stale view serve returns
+       WRONG buckets with nothing in the query text marking the risk.
+    2. *QuestDB parity.* QuestDB's own materialized views are named
+       tables the user queries explicitly; ``SAMPLE BY`` over the base
+       table always scans the base table. Matching that behavior keeps
+       the dialect a drop-in.
+    3. *No authoritative mapping exists here.* The dialect sees temp-
+       view names; a view store is a path with its own (ts, stride,
+       aggs, keys) config. Routing would mean a shadow catalog whose
+       entries can silently diverge from the views they describe.
+
+    Deployment recipe instead: maintain the view incrementally in the
+    ingest stream (``refresh_sample_by_view_exactly_once``) and serve
+    dashboards from ``read_sample_by_view`` explicitly; keep
+    ``questdb_sql`` SAMPLE BY for ad-hoc correctness-first queries.
+    Pinned by ``tests/test_dialect.py::
+    test_sample_by_recomputes_never_serves_view``.
     """
     designated = designated or {}
     text = sql.strip().rstrip(";").strip()

@@ -137,6 +137,15 @@ def absorb_batch(
 _STATE_DIR = "_kmeans_state"
 _STATE_RE = re.compile(r"^kmeans_state\.(\d+)\.json$")
 
+#: Journal versions retained after each commit. Each version is a FULL
+#: state snapshot (not a delta), so one surviving file is sufficient to
+#: restore; keeping a few guards against a crash mid-delete or an
+#: operator inspecting the trajectory tail. Long streams previously
+#: left one file per absorbed batch forever (round-12 VERDICT task #3)
+#: — now the journal directory is bounded at this count regardless of
+#: stream length.
+_JOURNAL_RETAIN = 3
+
 
 def _hadoop(spark: SparkSession, path: str):
     jvm = spark._jvm
@@ -171,6 +180,17 @@ def _save_state(
         out.close()
     if not fs.rename(tmp, jvm.org.apache.hadoop.fs.Path(final)):
         raise IOError(f"could not commit kmeans state journal {final}")
+    # Compaction: every snapshot is self-contained, so once version v is
+    # committed anything below v − (_JOURNAL_RETAIN − 1) is dead weight.
+    # Delete AFTER the rename (the new version is durable first; a crash
+    # between rename and delete merely leaves extra files for the next
+    # commit to reap). foreachBatch is the single writer and the only
+    # reader runs at startup, so no reader can hold an old version here.
+    floor = state.n_batches - (_JOURNAL_RETAIN - 1)
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(sdir)):
+        m = _STATE_RE.match(st.getPath().getName())
+        if m and int(m.group(1)) < floor:
+            fs.delete(st.getPath(), False)
 
 
 def _load_latest_state(

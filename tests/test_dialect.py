@@ -3,6 +3,7 @@ onto the library operators (sql/dialect.py)."""
 
 from __future__ import annotations
 
+import re
 from datetime import datetime
 
 import pytest
@@ -660,6 +661,77 @@ def test_questdb_time_scalars_execute(spark, trades):
     ).collect()[0]
     assert (m.fm.month, m.fm.day) == (1, 1)
     assert (m.cm.month, m.cm.day) == (2, 1)
+
+
+def test_sample_by_recomputes_never_serves_view(spark, tmp_path):
+    """Round-13 DECISION (VERDICT task #5): the dialect's SAMPLE BY
+    always recomputes from the registered base table — even when a
+    maintained matview for the same (table, stride, agg) shape exists
+    on disk, the plan scans the BASE table's files, never the view
+    store (a stale view serve would be a wrong answer, and QuestDB's
+    own materialized views are explicitly-named tables). Values match
+    the view's finalized answer on fresh data; after NEW rows land in
+    the base table, the dialect answer moves and the unrefreshed view
+    provably would not have."""
+    from questdb_etl_jobs_spark.operators.matview import (
+        read_sample_by_view,
+        refresh_sample_by_view,
+    )
+    from questdb_etl_jobs_spark.plans.inspect import plan_string
+
+    src = str(tmp_path / "base")
+    view_path = str(tmp_path / "view")
+    rows = [
+        (_ts(f"2024-01-01 {h:02d}:{m:02d}:00"), float(h * 10 + m))
+        for h in (0, 1, 2)
+        for m in (5, 25)
+    ]
+    spark.createDataFrame(rows, "ts timestamp, value double").write.parquet(
+        src
+    )
+    base = spark.read.parquet(src)
+    base.createOrReplaceTempView("metrics")
+    refresh_sample_by_view(
+        spark, base, view_path, ts="ts", bucket="hour", value="value",
+        keys=[],
+    )
+
+    q = (
+        "SELECT ts, avg(value) AS avg FROM metrics SAMPLE BY 1h "
+        "ALIGN TO CALENDAR"
+    )
+    out = questdb_sql(spark, q, {"metrics": "ts"})
+    plan = plan_string(out)
+    locations = re.findall(r"Location: \S+\[([^\]]*)\]", plan)
+    assert locations and all("base" in loc for loc in locations), plan
+    assert not any("view" in loc for loc in locations), plan
+    dialect_rows = {
+        r.ts: round(r.avg, 6) for r in out.collect()
+    }
+    view_rows = {
+        r.bucket_ts: round(r.avg, 6)
+        for r in read_sample_by_view(spark, view_path).collect()
+    }
+    assert dialect_rows == view_rows  # fresh view agrees, as it should
+
+    # New data lands in the base table; the view is NOT refreshed. The
+    # dialect answer must move with the table.
+    spark.createDataFrame(
+        [(_ts("2024-01-01 00:45:00"), 99.0)], "ts timestamp, value double"
+    ).write.mode("append").parquet(src)
+    spark.read.parquet(src).createOrReplaceTempView("metrics")
+    fresh = {
+        r.ts: round(r.avg, 6)
+        for r in questdb_sql(spark, q, {"metrics": "ts"}).collect()
+    }
+    h0 = _ts("2024-01-01 00:00:00")
+    assert fresh[h0] != dialect_rows[h0]
+    stale_view = {
+        r.bucket_ts: round(r.avg, 6)
+        for r in read_sample_by_view(spark, view_path).collect()
+    }
+    assert stale_view[h0] == dialect_rows[h0]  # the serve a reroute
+    # would have returned — demonstrably stale.
 
 
 def test_leftover_uses_spans_not_text(spark, trades):

@@ -222,13 +222,14 @@ def test_latest_on_tiebreak_deterministic(spark):
     assert len(out) == 1 and out[0]["id"] == 9
 
 
-def test_latest_on_pruned_equals_plain_window(spark):
-    """Round-13: latest_on routes through the grouped threshold prune
-    (topk_per_key k=1, desc tiebreak). The prune only removes rows
-    provably below each group's max timestamp, so both faces are
-    bit-identical — under ties at the max (desc tiebreak decides),
-    NULL timestamps (desc seats them last; all-null groups stay
-    uncertified and keep their rows), and multi-partition inputs."""
+def test_latest_on_strategies_bit_identical(spark):
+    """Round-13: latest_on's three physical faces — the deployed
+    max_by aggregate, the grouped threshold prune (topk_per_key k=1,
+    desc tiebreak), and the plain ranking window — must return the
+    SAME rows bit-for-bit: under ties at the max (desc tiebreak
+    decides), NULL timestamps (they lose to any real timestamp on
+    every face), all-null-ts groups (the tiebreak alone decides), and
+    multi-partition inputs. Column order is preserved too."""
     import datetime as _dt
     import random
 
@@ -243,33 +244,41 @@ def test_latest_on_pruned_equals_plain_window(spark):
                 if rng.random() < 0.12
                 else base + _dt.timedelta(seconds=rng.randrange(20))
             )
-            rows.append((g, len(rows), ts))
+            rows.append((g, len(rows), ts, rng.random()))
     # One all-null-ts group: the winner comes from the tiebreak alone.
-    rows += [(99, 10_001, None), (99, 10_000, None)]
-    df = spark.createDataFrame(rows, "k int, id long, ts timestamp")
+    rows += [(99, 10_001, None, 1.0), (99, 10_000, None, 2.0)]
+    df = spark.createDataFrame(rows, "k int, id long, ts timestamp, v double")
     for parts in (1, 7):
         d = df.repartition(parts)
-        plain = sorted(
-            latest_on(d, ts="ts", key=["k"], tiebreak=["id"],
-                      prune=False).collect(),
-            key=lambda r: r.k,
-        )
-        pruned = sorted(
-            latest_on(d, ts="ts", key=["k"], tiebreak=["id"],
-                      prune=True).collect(),
-            key=lambda r: r.k,
-        )
-        assert pruned == plain, f"parts={parts}"
-        assert [r.id for r in pruned if r.k == 99] == [10_001]
+        faces = {
+            s: sorted(
+                (
+                    tuple(r)
+                    for r in latest_on(
+                        d, ts="ts", key=["k"], tiebreak=["id"], strategy=s
+                    ).collect()
+                ),
+            )
+            for s in ("agg", "prune", "window")
+        }
+        assert faces["agg"] == faces["window"], f"parts={parts}"
+        assert faces["prune"] == faces["window"], f"parts={parts}"
+        winners = {t[0]: t[1] for t in faces["agg"]}
+        assert winners[99] == 10_001
+    assert latest_on(df, "ts", ["k"]).columns == df.columns
+    with pytest.raises(ValueError):
+        latest_on(df, "ts", ["k"], strategy="bogus")
 
 
 def test_latest_on_streaming_frame_uses_window_fallback(spark):
-    """A streaming frame cannot take the prune's self-join: the default
-    (prune=None) must fall back to the plain ranking window."""
+    """A streaming frame can take neither the max_by whole-row
+    aggregate (append-mode restrictions) nor the prune's self-join:
+    the default (strategy=None) must fall back to the ranking window."""
     s = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
     out = latest_on(s, ts="timestamp", key=["value"])
     assert out.isStreaming
-    assert "Join" not in out._jdf.queryExecution().logical().toString()
+    logical = out._jdf.queryExecution().logical().toString()
+    assert "Join" not in logical and "max_by" not in logical
 
 
 def test_topk_per_key_desc_tiebreak(spark):
@@ -3041,6 +3050,76 @@ def test_kmeans_assignment_is_zero_shuffle_projection(spark, tmp_path):
         spark.read.parquet(src), [[0.0, 0.0], [50.0, -50.0]]
     )
     assert "Exchange" not in plan_string(df)
+
+
+def test_kmeans_assignment_literal_budget_boundary(spark):
+    """Round-13: the plan-literal centroid path has a stated envelope
+    (centers × dim <= PLAN_LITERAL_BUDGET); above it assignment
+    switches to the broadcast/Arrow path automatically. At the
+    boundary the two faces must be BIT-identical — cluster id, winning
+    distance (same IEEE fold order), lowest-index tie-break, and NULL
+    propagation alike."""
+    import random
+
+    from questdb_etl_jobs_spark.operators.clustering import (
+        PLAN_LITERAL_BUDGET,
+        assign_clusters,
+    )
+    from questdb_etl_jobs_spark.plans.inspect import plan_string
+
+    rng = random.Random(131)
+    dim = 4
+    cents = [[rng.uniform(-5, 5) for _ in range(dim)] for _ in range(9)]
+    # A duplicated centroid: the tie must break to the LOWER index on
+    # both faces.
+    cents[7] = list(cents[2])
+    rows = [
+        (i, [rng.uniform(-5, 5) for _ in range(dim)]) for i in range(200)
+    ]
+    rows += [(998, list(cents[2])), (999, None)]  # exact tie + NULL vec
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).repartition(5)
+
+    # 9 × 4 = 36 elements: budget 36 keeps literals, budget 35 crosses.
+    lit = assign_clusters(df, cents, dist_col="d", literal_budget=36)
+    arrow = assign_clusters(df, cents, dist_col="d", literal_budget=35)
+    assert "ArrowEvalPython" not in plan_string(lit)
+    assert "ArrowEvalPython" in plan_string(arrow)
+    lit_rows = {r.vec_id: (r.cluster, r.d) for r in lit.collect()}
+    arrow_rows = {r.vec_id: (r.cluster, r.d) for r in arrow.collect()}
+    assert lit_rows == arrow_rows  # bit-identical: same floats, not ≈
+    assert lit_rows[998][0] == 2  # tie broke low on both faces
+    assert lit_rows[999] == (None, None)  # NULL vec: NULL cluster+dist
+    # The default envelope itself: small shapes stay JVM-side.
+    assert 9 * dim <= PLAN_LITERAL_BUDGET
+    assert "ArrowEvalPython" not in plan_string(
+        assign_clusters(df, cents, dist_col="d")
+    )
+
+
+def test_kmeans_parallel_init_inherits_literal_budget(spark, monkeypatch):
+    """The k-means|| candidate set grows to ~rounds × oversample
+    centers; its distance pass routes through assign_clusters, so
+    shrinking the budget flips the init to the Arrow path WITHOUT
+    changing the chosen centroids (bit-identical fold)."""
+    import random
+
+    import questdb_etl_jobs_spark.operators.clustering as cl
+
+    rng = random.Random(7)
+    df = spark.createDataFrame(
+        [
+            (i, [rng.gauss(c * 10.0, 1.0), rng.gauss(-c * 10.0, 1.0)])
+            for i in range(120)
+            for c in [i % 3]
+        ][:120],
+        "vec_id bigint, embedding array<double>",
+    )
+    base = cl.kmeans_parallel_init(df, k=3, rounds=2)
+    monkeypatch.setattr(cl, "PLAN_LITERAL_BUDGET", 2)
+    tiny = cl.kmeans_parallel_init(df, k=3, rounds=2)
+    assert tiny == base
 
 
 def test_kmeans_null_vectors_excluded_by_contract(spark):

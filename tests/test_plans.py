@@ -675,19 +675,48 @@ def test_q175_pruned_rank_family_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_latest_on_pruned_plan_no_full_data_exchange(spark):
-    """Round-13: LATEST ON's deployed face. The threshold pass scans
-    only key+ts and combines map-side (partial_max) so its exchange
-    carries the group directory; the directory joins back as a
-    broadcast; and the only window in the plan runs over the
-    join-filtered survivors — the full fact table is never exchanged
-    on the key. Applies to both the operator and the SQL dialect's
-    LATEST ON lowering (same code path)."""
+def test_latest_on_deployed_window_plan_bounds_exchange(spark):
+    """Round-13 (VERDICT task #1, measured resolution): LATEST ON's
+    deployed face is the ranking window, and the ruling's substance —
+    no full-data exchange on the key — holds because Spark plans a
+    map-side (partial) WindowGroupLimit BELOW the exchange: each task
+    keeps its local top row per key before shuffling, so the exchange
+    carries at most one row per (partition × key). Applies to both the
+    operator and the SQL dialect's LATEST ON lowering (same code
+    path). The prune/agg alternatives measured SLOWER at the sf100
+    high-cardinality shape (SCALE_DIFF dq33_latest_on); this test pins
+    the property that made the window win."""
     from questdb_etl_jobs_spark.operators.latest import latest_on
     from questdb_etl_jobs_spark.sources.tables import load_table
 
     events = load_table(spark, SF_SMALL, "events")
     df = latest_on(events, ts="ts", key=["user_id"], tiebreak=["event_id"])
+    plan = plan_string(df)
+    tree = plan.split("\n\n")[0]
+    # Partial + Final WindowGroupLimit pair, the partial below the
+    # exchange (tree prints top-down: the LAST occurrence is deepest).
+    assert tree.count("WindowGroupLimit") == 2, tree
+    assert "Exchange" in tree, tree
+    assert tree.index("Exchange") < tree.rindex("WindowGroupLimit"), tree
+    assert "Join" not in tree, tree
+    # No Python in the row path.
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_latest_on_prune_strategy_plan(spark):
+    """The selectable prune face (small-key-directory shapes): the
+    threshold pass scans only key+ts and combines map-side, the
+    directory joins back as a broadcast, and the window consumes the
+    join's survivor side — the fact table is never exchanged on the
+    key before the prune."""
+    from questdb_etl_jobs_spark.operators.latest import latest_on
+    from questdb_etl_jobs_spark.sources.tables import load_table
+
+    events = load_table(spark, SF_SMALL, "events")
+    df = latest_on(
+        events, ts="ts", key=["user_id"], tiebreak=["event_id"],
+        strategy="prune",
+    )
     plan = plan_string(df)
     # Narrow threshold scan: one events read carries only user_id+ts.
     scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
@@ -697,15 +726,10 @@ def test_latest_on_pruned_plan_no_full_data_exchange(spark):
     ), scans
     # Group-directory aggregation combines map-side before its exchange.
     assert "partial_max" in plan, plan
-    # The directory joins back as a broadcast (size-aware default picks
-    # it here: one row per user).
     assert "BroadcastHashJoin" in plan, plan
-    # The window's input is the survivor side of the threshold join: in
-    # the top-down plan tree the Window node prints ABOVE the join it
-    # consumes — the full fact table is never exchanged on the key
-    # before the prune.
+    # The window consumes the threshold join's survivor side: in the
+    # top-down plan tree the Window node prints ABOVE the join.
     tree = plan.split("\n\n")[0]
     assert "Window" in tree, plan
     assert tree.index("Window") < tree.index("BroadcastHashJoin"), tree
-    # No Python in the row path.
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

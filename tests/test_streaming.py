@@ -1904,6 +1904,25 @@ def test_kmeans_stream_fit_kill_and_resume_is_bit_identical(spark, tmp_path):
     assert resumed.sums == ref.sums          # exact Decimal equality
     assert resumed.centroids == ref.centroids  # bit-identical IEEE
 
+    # Round-13 task #3: the journal is COMPACTED per commit — at most
+    # _JOURNAL_RETAIN full snapshots survive regardless of stream
+    # length, and the surviving set is the newest versions (the
+    # restore-relevant ones).
+    from questdb_etl_jobs_spark.streaming.kmeans_stream import (
+        _JOURNAL_RETAIN,
+        _STATE_RE,
+    )
+
+    names = [
+        p.name
+        for p in (tmp_path / "ckpt_resume" / "_kmeans_state").iterdir()
+        if _STATE_RE.match(p.name)
+    ]
+    versions = sorted(int(_STATE_RE.match(n).group(1)) for n in names)
+    assert len(versions) <= _JOURNAL_RETAIN
+    assert versions[-1] == 4  # newest snapshot survives
+    assert versions == list(range(4 - len(versions) + 1, 5))
+
 
 def test_kmeans_stream_fit_refuses_checkpoint_without_journal(
     spark, tmp_path

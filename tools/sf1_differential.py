@@ -416,20 +416,20 @@ def _matview_dq25(spark, sf_dir: str, raw_entry: dict) -> dict:
     }
 
 
-def _sf100_duck_connection(tables):
+def _sf100_duck_connection(tables, base=None):
     """Fresh DuckDB connection with views over the sf100 tier's tables
     (directory or single-file parquet both supported)."""
     import duckdb
 
     con = duckdb.connect()
     for t in tables:
-        path = f"{SF100_LINEITEM}/{t}.parquet"
+        path = f"{base or SF100_LINEITEM}/{t}.parquet"
         glob = f"{path}/**/*.parquet" if os.path.isdir(path) else path
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")
     return con
 
 
-def _interleaved_sf100_cells(spark, con, pairs, tag="sf100"):
+def _interleaved_sf100_cells(spark, con, pairs, tag="sf100", sf_dir=None):
     """The one-boot interleaved measurement loop every sf100 fast path
     shares: 1 discarded warmup round + ``ROUNDS`` recorded, engines
     back-to-back within a cell, per-round row-count cross-check,
@@ -439,7 +439,7 @@ def _interleaved_sf100_cells(spark, con, pairs, tag="sf100"):
     for rnd in range(ROUNDS + 1):
         recorded = rnd > 0
         for lab, (fn, sql) in pairs.items():
-            s_sec, s_rows = _time_spark(spark, fn, SF100_LINEITEM)
+            s_sec, s_rows = _time_spark(spark, fn, sf_dir or SF100_LINEITEM)
             d_sec, d_rows = _time_duck(con, sql)
             if s_rows != d_rows:
                 raise SystemExit(
@@ -820,6 +820,201 @@ def _bottomk_sf100(spark, results: dict) -> None:
 SF100_EVENTS = "/tmp/spark_graft_sf100_events"
 
 
+def _latest_on_sf100(spark, results: dict) -> None:
+    """LATEST ON at the sf100 events tier (100M rows, ~1.5M users).
+    THREE Spark faces are measured against the same DuckDB full-window
+    query: the DEPLOYED ranking window (whose rn=1 filter plans a
+    map-side WindowGroupLimit — the exchange is already directory-
+    bounded), the grouped threshold prune, and the max_by whole-row
+    aggregate — so the cell records WHY the window stays the deployed
+    face at this shape, not just its number. (This round's first
+    measurement showed the prune ~2× slower here — with 1.5M keys the
+    certified directory IS the answer key set, so broadcasting it back
+    is pure overhead — and max_by's struct buffers force
+    SortAggregate. Those measurements are what kept the window
+    deployed.)
+
+    Both engines consume the LATEST ON output with a 1-row digest
+    (count + keyed sums) INSIDE the engine: the answer is ~1.5M rows,
+    and a client fetch of 1.5M Python tuples would charge DuckDB's
+    fetchall asymmetrically while hiding the operator cost this cell
+    exists to measure. Cross-checks before any timing: all three faces
+    match bit-for-bit on (user_id, event_id), and the Spark digest
+    values equal DuckDB's digest values."""
+    from pyspark.sql import functions as F
+
+    from questdb_etl_jobs_spark.operators.latest import latest_on
+    from questdb_etl_jobs_spark.sources.tables import load_table
+    from tools.stress_scale import synthesize_events_only
+
+    t0 = time.perf_counter()
+    synthesize_events_only(spark, SF100_EVENTS, factor=1000, mult=1024)
+    synth = round(time.perf_counter() - t0, 1)
+    print(f"# sf100 events synthesis: {synth}s", file=sys.stderr)
+
+    def digest(latest):
+        return latest.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("sum_eid"),
+            F.sum(F.unix_micros("ts") % F.lit(1_000_000_000)).alias(
+                "sum_ts"
+            ),
+        )
+
+    def face(strategy):
+        def fn(spark_, sf_dir_):
+            ev = load_table(spark_, sf_dir_, "events")
+            return digest(
+                latest_on(
+                    ev, ts="ts", key=["user_id"], tiebreak=["event_id"],
+                    strategy=strategy,
+                )
+            )
+
+        return fn
+
+    deployed, pruned, maxby = face("window"), face("prune"), face("agg")
+
+    duck_sql = """
+    SELECT count(*) AS n, sum(event_id) AS sum_eid,
+           sum(epoch_us(ts) % 1000000000) AS sum_ts
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """
+
+    ev = load_table(spark, SF100_EVENTS, "events")
+    rows_by_face = {
+        s: sorted(
+            map(
+                tuple,
+                latest_on(ev, "ts", ["user_id"], ["event_id"], strategy=s)
+                .select("user_id", "event_id")
+                .collect(),
+            )
+        )
+        for s in ("agg", "prune", "window")
+    }
+    assert rows_by_face["agg"] == rows_by_face["window"], (
+        "agg LATEST ON diverged from the plain window face at sf100"
+    )
+    assert rows_by_face["prune"] == rows_by_face["window"], (
+        "pruned LATEST ON diverged from the plain window face at sf100"
+    )
+    con = _sf100_duck_connection(["events"], base=SF100_EVENTS)
+    s_digest = [
+        tuple(int(v) for v in r)
+        for r in deployed(spark, SF100_EVENTS).collect()
+    ]
+    d_digest = [
+        tuple(int(v) for v in r) for r in con.execute(duck_sql).fetchall()
+    ]
+    assert s_digest == d_digest, (
+        f"LATEST ON digest mismatch: spark={s_digest} duck={d_digest}"
+    )
+    cells = _interleaved_sf100_cells(
+        spark, con,
+        {
+            "latest_window": (deployed, duck_sql),
+            "latest_pruned": (pruned, duck_sql),
+            "latest_maxby": (maxby, duck_sql),
+        },
+        tag="latest-on sf100",
+        sf_dir=SF100_EVENTS,
+    )
+    con.close()
+    results.setdefault("dq33_latest_on", {})
+    results["dq33_latest_on"]["sf100_events"] = {
+        **cells["latest_window"],
+        "deployed_face": "window (map-side WindowGroupLimit)",
+        "plain_crosscheck": True,
+        "digest_value_check": True,
+        "keys": len(rows_by_face["agg"]),
+        "synth_sec": synth,
+    }
+    results["dq33_latest_on"]["sf100_events_prune_face"] = {
+        **cells["latest_pruned"],
+        "synth_sec": synth,
+    }
+    results["dq33_latest_on"]["sf100_events_maxby_face"] = {
+        **cells["latest_maxby"],
+        "synth_sec": synth,
+    }
+
+
+def _grouped_topk_sf100(spark, results: dict) -> None:
+    """The grouped threshold prune's per-key top-k (q172's shape:
+    best-3 orders per custkey) at the sf100 orders tier (150M rows,
+    ~10k orders per customer) — round-12 VERDICT asked for a second
+    sf100 cell for the prune FAMILY beyond the rank-family face, so
+    the group-directory-shuffle claim carries a measured number at
+    depth. Cross-checked row-for-row against the plain window face on
+    the same tier before timing; DuckDB runs the registry's own q172
+    oracle SQL over the tier's orders."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import questdb_etl_jobs_spark.queries as q
+    from questdb_etl_jobs_spark.queries import spark_queries
+    from questdb_etl_jobs_spark.sources.tables import load_table
+    from tools.stress_scale import (
+        synthesize_lineitem_only,
+        synthesize_orders_into,
+    )
+
+    t0 = time.perf_counter()
+    synthesize_lineitem_only(spark, SF100_LINEITEM, factor=1000, mult=1024)
+    synthesize_orders_into(spark, SF100_LINEITEM, factor=1000, mult=1024)
+    synth = round(time.perf_counter() - t0, 1)
+    print(f"# sf100 orders synthesis: {synth}s", file=sys.stderr)
+
+    pruned_fn = spark_queries()["q172_topk_per_key_prune"]
+    duck_sql = q.REGISTRY["q172_topk_per_key_prune"].oracle
+    assert isinstance(duck_sql, str)
+
+    def plain_fn(spark_, sf_dir_):
+        orders = load_table(spark_, sf_dir_, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        return (
+            orders.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select(
+                "o_custkey",
+                "o_orderkey",
+                F.round("o_totalprice", 4).alias("totalprice"),
+                F.col("rn").cast("long").alias("rn"),
+            )
+            .orderBy("o_custkey", "rn")
+        )
+
+    raw_rows = sorted(
+        map(tuple, plain_fn(spark, SF100_LINEITEM).collect())
+    )
+    pruned_rows = sorted(
+        map(tuple, pruned_fn(spark, SF100_LINEITEM).collect())
+    )
+    assert pruned_rows == raw_rows, (
+        "grouped top-k prune diverged from the plain window at sf100"
+    )
+    con = _sf100_duck_connection(["orders"])
+    cells = _interleaved_sf100_cells(
+        spark, con,
+        {"grouped_topk": (pruned_fn, duck_sql)},
+        tag="grouped-topk sf100",
+    )
+    con.close()
+    results.setdefault("dq30_window_rank", {})
+    results["dq30_window_rank"]["sf100_grouped_topk"] = {
+        **cells["grouped_topk"],
+        "plain_crosscheck": True,
+        "synth_sec": synth,
+    }
+
+
 def _matview_dq25_sf100(spark) -> dict:
     """dq25 at an events-only sf100 tier (1000× the bar's sf0.1): the
     tier where the maintained view's FLAT serving cost meets a raw
@@ -1095,6 +1290,8 @@ def main() -> None:
     sf100_dq30_pruned = "--sf100-dq30-pruned-only" in argv
     sf100_dialect_routed = "--sf100-dialect-routed-only" in argv
     sf100_bottomk = "--sf100-bottomk-only" in argv
+    sf100_latest = "--sf100-latest-only" in argv
+    sf100_grouped_topk = "--sf100-grouped-topk-only" in argv
     argv = [
         a for a in argv
         if a not in (
@@ -1103,6 +1300,8 @@ def main() -> None:
             "--sf100-dq30-pruned-only",
             "--sf100-dialect-routed-only",
             "--sf100-bottomk-only",
+            "--sf100-latest-only",
+            "--sf100-grouped-topk-only",
         )
     ]
     out_path = next((a for a in argv if not a.startswith("--")), None)
@@ -1111,7 +1310,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     if (sf100_only or sf100_relational or sf100_dq30_pruned
-            or sf100_dialect_routed or sf100_bottomk):
+            or sf100_dialect_routed or sf100_bottomk or sf100_latest
+            or sf100_grouped_topk):
         # Fast path for re-measuring ONLY the lineitem sf100 cells (the
         # third fit point) on a fresh quiet boot, merged into a prior
         # artifact via --merge: control probes + _lineitem_sf100, no
@@ -1135,7 +1335,15 @@ def main() -> None:
             ), 3,
         )
         con.close()
-        if sf100_bottomk:
+        if sf100_latest:
+            results = {"dq33_latest_on": {}}
+            _latest_on_sf100(spark, results)
+            scope = "sf100 LATEST ON cells only (pruned + plain window)"
+        elif sf100_grouped_topk:
+            results = {"dq30_window_rank": {}}
+            _grouped_topk_sf100(spark, results)
+            scope = "sf100 grouped top-k-per-key (q172 shape) cell only"
+        elif sf100_bottomk:
             results = {"dq34_topk": {}}
             _bottomk_sf100(spark, results)
             scope = "sf100 dq34 bottom-k (ascending prune) cell only"
