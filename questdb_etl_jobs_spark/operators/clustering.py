@@ -94,8 +94,7 @@ def _assign_clusters_arrow(
         [[float(x) for x in c] for c in centroids]
     )
 
-    @F.pandas_udf("struct<c: int, d: double>")
-    def nearest(v: pd.Series) -> pd.DataFrame:
+    def _nearest(v):
         cent = np.asarray(bc.value, dtype=np.float64)
         k, dim = cent.shape
         n = len(v)
@@ -123,6 +122,11 @@ def _assign_clusters_arrow(
                 ),
             }
         )
+
+    # No type-hint inference (the module's __future__ annotations turn
+    # hints into strings): the explicit (fn, returnType) form defaults
+    # to the scalar Series→DataFrame eval type this struct return needs.
+    nearest = F.pandas_udf(_nearest, "struct<c: int, d: double>")
 
     struct_col = "__assign"
     out = df.withColumn(
