@@ -386,6 +386,133 @@ def _run_replay_stream(spark: SparkSession, op, result_col: str,
     )
 
 
+# ---------------------------------------------------------------------------
+# sf-parametric replay (round-13, VERDICT task #6): the EMA/counter
+# recurrences replayed over the TIER'S OWN events instead of the fixed
+# fixture, so the 10× pass re-fits the trajectory over 10× the rows
+# instead of printing a skip line. The tier's events (filtered to a
+# deterministic key stratum, globally (ts, event_id)-sorted) are cut
+# into _SF_REPLAY_CHUNKS sequential time slices, one file per trigger —
+# per-key state provably crosses micro-batch boundaries — and the
+# CPython mirror folds the same rows in the same global order (a
+# per-key subsequence of a global (ts, id) sort is itself sorted, and
+# the streaming operators sort each batch by exactly (ts, id), so the
+# sequential fold IS the stream's fold). Rounding stays on the
+# established repr-quantize shim (= Spark's BigDecimal-of-toString
+# ROUND(x, 4)).
+# ---------------------------------------------------------------------------
+
+_SF_REPLAY_CHUNKS = 8
+_SF_REPLAY_STRATUM = 7  # user_id % 7 == 0: ~10% of keys, every tier
+
+
+def _sf_replay_table(sf_dir: str):
+    """The replay input as an Arrow table in replay order."""
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT user_id, event_id, ts, value "
+        f"FROM read_parquet('{sf_dir}/events.parquet') "
+        f"WHERE user_id % {_SF_REPLAY_STRATUM} = 0 "
+        f"ORDER BY ts, event_id"
+    ).arrow()
+
+
+def _sf_replay_oracle(step, out_col: str, sf_dir: str) -> str:
+    """CPython fold over the tier's replay rows in global order."""
+    tbl = _sf_replay_table(sf_dir)
+    state: dict[int, float] = {}
+    out = []
+    for uid, eid, val in zip(
+        tbl["user_id"].to_pylist(),
+        tbl["event_id"].to_pylist(),
+        tbl["value"].to_pylist(),
+    ):
+        st, emitted = step(state.get(uid), float(val))
+        state[uid] = st
+        out.append((uid, eid, emitted))
+
+    def fmt(v: float | None) -> str:
+        return "NULL" if v is None else repr(v)
+
+    values = ",\n      ".join(
+        f"({uid}, {eid}, {fmt(v)})" for uid, eid, v in sorted(out)
+    )
+    return f"""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           CAST({out_col} AS DOUBLE) AS {out_col}
+    FROM (VALUES
+      {values}
+    ) AS t(user_id, event_id, {out_col})
+    ORDER BY user_id, event_id
+    """
+
+
+def _run_sf_replay_stream(spark: SparkSession, sf_dir: str, op,
+                          result_col: str, out_col: str, prefix: str,
+                          raw: bool = False):
+    """Replay the tier's stratum one-chunk-per-trigger through a
+    stateful streaming operator; returns (user_id, event_id,
+    round(result, 4)) rows — or, with ``raw``, the operator's own
+    output rows unchanged (for per-(key, batch) emissions)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    tbl = _sf_replay_table(sf_dir)
+    work = tempfile.mkdtemp(prefix=prefix)
+    try:
+        src = Path(work) / "src"
+        src.mkdir()
+        per = max(1, math.ceil(tbl.num_rows / _SF_REPLAY_CHUNKS))
+        for i in range(_SF_REPLAY_CHUNKS):
+            chunk = tbl.slice(i * per, per)
+            if chunk.num_rows == 0:
+                break
+            dst = src / f"chunk_{i:03d}.parquet"
+            pq.write_table(chunk, str(dst))
+            # Ascending mtimes pin the file-arrival replay order.
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.schema(
+                "user_id bigint, event_id bigint, ts timestamp, "
+                "value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            op(stream).writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if raw:
+            rows_out = spark.read.parquet(f"{work}/out").collect()
+        else:
+            rows_out = (
+                spark.read.parquet(f"{work}/out")
+                .select(
+                    "user_id",
+                    "event_id",
+                    F.round(result_col, 4).alias(out_col),
+                )
+                .orderBy("user_id", "event_id")
+                .collect()
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    if raw:
+        return rows_out
+    return spark.createDataFrame(
+        rows_out, f"user_id bigint, event_id bigint, {out_col} double"
+    )
+
+
 def _ema_step(prev: float | None, x: float) -> tuple[float, float]:
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -407,44 +534,76 @@ def _counter_step(
     return x, inc
 
 
+def _counter_step_4(
+    prev: float | None, x: float
+) -> tuple[float, float | None]:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    st, inc = _counter_step(prev, x)
+    if inc is None:
+        return st, None
+    return st, float(
+        Decimal(repr(inc)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+    )
+
+
+def _q145_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    return _sf_replay_oracle(_ema_step, "ema4", sf_dir)
+
+
+# The CPython mirror is a linear fold over the tier's stratum rows
+# (seconds at sf0.1): sf-parametric, not pinned (round-13 task #6).
+_q145_oracle.sf_parametric = True
+
+
 @dq(
     "q145_ema_stream_replay",
-    oracle=_pin(lambda: _replay_oracle(_ema_step, "ema4")),
+    oracle=_q145_oracle,
     covers="R1,R6,U2,W2",
 )
 def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay the hourly exports through the stateful streaming EMA
-    (streaming/ema_stream.py:35) and return the per-row trajectory."""
+    """Replay the tier's events stratum through the stateful streaming
+    EMA (streaming/ema_stream.py:35) — one time-slice chunk per
+    trigger, per-key state crossing every boundary — and return the
+    per-row trajectory."""
     from questdb_etl_jobs_spark.streaming.ema_stream import ema_stream
 
-    return _run_replay_stream(
-        spark,
+    return _run_sf_replay_stream(
+        spark, sf_dir,
         lambda s: ema_stream(
-            s, key="item_id", ts="ts", value="price",
-            alpha=0.25, id_col="row_id",
+            s, key="user_id", ts="ts", value="value",
+            alpha=0.25, id_col="event_id",
         ),
         result_col="ema", out_col="ema4", prefix="q145_ema_stream_",
     )
 
 
+def _q150_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    return _sf_replay_oracle(_counter_step_4, "inc4", sf_dir)
+
+
+_q150_oracle.sf_parametric = True
+
+
 @dq(
     "q150_counter_stream_replay",
-    oracle=_pin(lambda: _replay_oracle(_counter_step, "inc4")),
+    oracle=_q150_oracle,
     covers="R1,R6,U2,W2",
 )
 def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay the hourly exports through the stateful streaming counter
-    increase (streaming/ema_stream.py counter twin): reset-corrected
-    deltas with one carried baseline per key; the first sample per key
-    emits NULL, crossing micro-batch boundaries via the state store."""
+    """Replay the tier's events stratum through the stateful streaming
+    counter increase (streaming/ema_stream.py counter twin):
+    reset-corrected deltas with one carried baseline per key; the first
+    sample per key emits NULL, crossing micro-batch boundaries via the
+    state store."""
     from questdb_etl_jobs_spark.streaming.ema_stream import (
         counter_increase_stream,
     )
 
-    return _run_replay_stream(
-        spark,
+    return _run_sf_replay_stream(
+        spark, sf_dir,
         lambda s: counter_increase_stream(
-            s, key="item_id", ts="ts", value="price", id_col="row_id",
+            s, key="user_id", ts="ts", value="value", id_col="event_id",
         ),
         result_col="increase", out_col="inc4",
         prefix="q150_counter_stream_",
@@ -601,20 +760,23 @@ _Q161_K = 16
 _Q161_MULT = 2654435761
 
 
-def _q161_oracle() -> str:
+def _q161_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     import struct
 
     from questdb_etl_jobs_spark.queries._xxhash import xxh64_signed
 
-    by_item: dict[int, set[int]] = {}
+    tbl = _sf_replay_table(sf_dir)
+    by_key: dict[int, set[int]] = {}
     counts: dict[int, int] = {}
-    for item, rid, _ts, _p in _replay_rows_with_ids():
-        by_item.setdefault(item, set()).add((rid * _Q161_MULT) % 1000)
-        counts[item] = counts.get(item, 0) + 1
+    for uid, eid in zip(
+        tbl["user_id"].to_pylist(), tbl["event_id"].to_pylist()
+    ):
+        by_key.setdefault(uid, set()).add((eid * _Q161_MULT) % 1000)
+        counts[uid] = counts.get(uid, 0) + 1
     out = []
-    for item in sorted(by_item):
+    for uid in sorted(by_key):
         hashes = sorted(
-            xxh64_signed(struct.pack("<q", v)) for v in by_item[item]
+            xxh64_signed(struct.pack("<q", v)) for v in by_key[uid]
         )
         mins = hashes[:_Q161_K]
         kth, n_min = mins[-1], len(mins)
@@ -625,48 +787,54 @@ def _q161_oracle() -> str:
         # The estimate rides as a QUOTED string: DuckDB parses a bare
         # float literal as DECIMAL, which can drop the last ulp; the
         # string→DOUBLE cast is correctly rounded, hence bit-exact.
-        out.append(f"({item}, {counts[item]}, {kth}, {n_min}, '{est!r}')")
+        out.append(f"({uid}, {counts[uid]}, {kth}, {n_min}, '{est!r}')")
     values = ",\n      ".join(out)
     return f"""
-    SELECT CAST(item_id AS INTEGER) AS item_id,
+    SELECT CAST(user_id AS BIGINT) AS user_id,
            CAST(n_seen AS BIGINT) AS n_seen,
            CAST(kth_hash AS BIGINT) AS kth_hash,
            CAST(n_min AS INTEGER) AS n_min,
            CAST(est_distinct AS DOUBLE) AS est_distinct
     FROM (VALUES
       {values}
-    ) AS t(item_id, n_seen, kth_hash, n_min, est_distinct)
-    ORDER BY item_id
+    ) AS t(user_id, n_seen, kth_hash, n_min, est_distinct)
+    ORDER BY user_id
     """
 
 
-@dq("q161_kmv_stream_replay", oracle=_pin(_q161_oracle), covers="R1,R6,U2,A3")
+# Pure-Python XXH64 over each key's ≤1000 distinct derived values —
+# linear in the stratum: sf-parametric (round-13 task #6).
+_q161_oracle.sf_parametric = True
+
+
+@dq("q161_kmv_stream_replay", oracle=_q161_oracle, covers="R1,R6,U2,A3")
 def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay the hourly exports through the streaming KMV sketch and
-    return the final per-key state (bit-exact vs the batch mirror)."""
+    """Replay the tier's events stratum through the streaming KMV
+    sketch and return the final per-key state (bit-exact vs the
+    XXH64 batch mirror)."""
     from questdb_etl_jobs_spark.streaming.kmv_stream import kmv_distinct_stream
 
-    rows_out = _run_replay_stream(
-        spark,
+    rows_out = _run_sf_replay_stream(
+        spark, sf_dir,
         lambda s: kmv_distinct_stream(
             s.withColumn(
-                "val", (F.col("row_id") * F.lit(_Q161_MULT)) % 1000
+                "val", (F.col("event_id") * F.lit(_Q161_MULT)) % 1000
             ),
-            "item_id", "val", k=_Q161_K,
+            "user_id", "val", k=_Q161_K,
         ),
         result_col=None, out_col=None, prefix="q161_kmv_stream_", raw=True,
     )
     final: dict[int, tuple] = {}
     for r in rows_out:
-        if r.item_id not in final or r.n_seen > final[r.item_id][1]:
-            final[r.item_id] = (
-                r.item_id, r.n_seen, r.kth_hash, r.n_min, r.est_distinct
+        if r.user_id not in final or r.n_seen > final[r.user_id][1]:
+            final[r.user_id] = (
+                r.user_id, r.n_seen, r.kth_hash, r.n_min, r.est_distinct
             )
     return spark.createDataFrame(
         sorted(final.values()),
-        "item_id int, n_seen bigint, kth_hash bigint, n_min int, "
+        "user_id bigint, n_seen bigint, kth_hash bigint, n_min int, "
         "est_distinct double",
-    ).orderBy("item_id")
+    ).orderBy("user_id")
 
 
 # ---------------------------------------------------------------------------
@@ -682,44 +850,65 @@ def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so the join's match set (not just counts) determines the gated
 # per-item totals.
 
-def _q162_pairs() -> dict[int, int]:
-    rows = _replay_rows_with_ids()
-    confirms = [
-        (item, rid, ts) for item, rid, ts, _p in rows if rid % 3 == 0
-    ]
-    n_by_item: dict[int, int] = {}
-    for item, _rid, ts, _p in rows:
-        t = datetime.strptime(ts, "%Y-%m-%dT%H:%M:%S")
-        for citem, _crid, cts in confirms:
-            if citem != item:
-                continue
-            ct = datetime.strptime(cts, "%Y-%m-%dT%H:%M:%S")
-            # The confirm stream's event time is its purchase ts + 10
-            # minutes; inclusive 30-minute band on both ends (between).
-            if abs((t - ct).total_seconds() - 600) <= 1800:
-                n_by_item[item] = n_by_item.get(item, 0) + 1
-    return n_by_item
+def _q162_pairs(sf_dir: str) -> dict[int, int]:
+    """user_id -> pair count, brute-forced over the tier's stratum in
+    exact integer microseconds (the join's own arithmetic)."""
+    tbl = _sf_replay_table(sf_dir)
+    rows = list(
+        zip(
+            tbl["user_id"].to_pylist(),
+            tbl["event_id"].to_pylist(),
+            tbl["ts"].to_pylist(),
+        )
+    )
+    confirms_by_key: dict[int, list] = {}
+    for uid, eid, ts in rows:
+        if eid % 3 == 0:
+            # The confirm stream's event time is the event ts + 10 min.
+            confirms_by_key.setdefault(uid, []).append(
+                ts + timedelta(minutes=10)
+            )
+    n_by_key: dict[int, int] = {}
+    for uid, _eid, ts in rows:
+        for cts in confirms_by_key.get(uid, ()):
+            td = ts - cts
+            us = (td.days * 86_400 + td.seconds) * 10**6 + td.microseconds
+            # Inclusive 30-minute band on both ends (between).
+            if abs(us) <= 1_800_000_000:
+                n_by_key[uid] = n_by_key.get(uid, 0) + 1
+    return n_by_key
 
 
-def _q162_oracle() -> str:
+def _q162_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     values = ",\n      ".join(
-        f"({item}, {n})" for item, n in sorted(_q162_pairs().items())
+        f"({uid}, {n})" for uid, n in sorted(_q162_pairs(sf_dir).items())
     )
     return f"""
-    SELECT CAST(item_id AS INTEGER) AS item_id,
+    SELECT CAST(user_id AS BIGINT) AS user_id,
            CAST(n_pairs AS BIGINT) AS n_pairs
     FROM (VALUES
       {values}
-    ) AS t(item_id, n_pairs)
-    ORDER BY item_id
+    ) AS t(user_id, n_pairs)
+    ORDER BY user_id
     """
 
 
-@dq("q162_stream_stream_interval_join", oracle=_pin(_q162_oracle),
+# Brute-force pair mirror bounded by per-key row × confirm products —
+# ~seconds at sf0.1 on the stratum: sf-parametric (round-13 task #6).
+_q162_oracle.sf_parametric = True
+
+
+@dq("q162_stream_stream_interval_join", oracle=_q162_oracle,
     covers="R1,R3,R4,J6")
 def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay both feeds one-file-per-trigger through the watermarked
-    stream-stream interval join and count matches per item."""
+    """Replay both feeds — the tier's events stratum, and a confirm
+    feed carrying every third event delayed 10 minutes — one
+    time-slice chunk per trigger through the watermarked stream-stream
+    interval join, and count matches per user."""
+    import math
+
+    import pyarrow.parquet as pq
+
     from questdb_etl_jobs_spark.streaming.stream_join import (
         interval_stream_join,
     )
@@ -729,47 +918,58 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_dir = Path(work) / "left"
         right_dir = Path(work) / "right"
         left_dir.mkdir(), right_dir.mkdir()
-        rid = 0
-        for i, path in enumerate(
-            sorted(Path(PURCHASES_HOURLY_DIR).glob("*.csv"))
-        ):
-            lrows, rrows = [], []
-            with open(path, newline="") as fh:
-                for _email, item, _qty, price, ts in csv.reader(fh):
-                    lrows.append((item, rid, ts, price))
-                    if rid % 3 == 0:
-                        t = datetime.strptime(ts, "%Y-%m-%dT%H:%M:%S")
-                        cts = (t + timedelta(minutes=10)).strftime(
-                            "%Y-%m-%dT%H:%M:%S"
-                        )
-                        rrows.append((item, rid, cts))
-                    rid += 1
-            for d, rows in ((left_dir, lrows), (right_dir, rrows)):
-                with open(d / path.name, "w", newline="") as fh:
-                    csv.writer(fh).writerows(rows)
-                os.utime(
-                    d / path.name, (1_700_000_000 + i, 1_700_000_000 + i)
-                )
+        tbl = _sf_replay_table(sf_dir)
+        per = max(1, math.ceil(tbl.num_rows / _SF_REPLAY_CHUNKS))
+        for i in range(_SF_REPLAY_CHUNKS):
+            chunk = tbl.slice(i * per, per)
+            if chunk.num_rows == 0:
+                break
+            lpath = left_dir / f"chunk_{i:03d}.parquet"
+            pq.write_table(chunk, str(lpath))
+            import pyarrow as pa
+
+            mask = pa.array(
+                [eid % 3 == 0 for eid in chunk["event_id"].to_pylist()]
+            )
+            confirms = chunk.filter(mask)
+            rtbl = pa.table(
+                {
+                    "user_id": confirms["user_id"],
+                    "c_event_id": confirms["event_id"],
+                    "c_ts": pa.array(
+                        [
+                            t + timedelta(minutes=10)
+                            for t in confirms["ts"].to_pylist()
+                        ],
+                        type=pa.timestamp("us"),
+                    ),
+                }
+            )
+            rpath = right_dir / f"chunk_{i:03d}.parquet"
+            pq.write_table(rtbl, str(rpath))
+            for p in (lpath, rpath):
+                os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
         left = (
             spark.readStream.schema(
-                "item_id int, row_id bigint, ts timestamp, price double"
+                "user_id bigint, event_id bigint, ts timestamp, "
+                "value double"
             )
             .option("maxFilesPerTrigger", 1)
-            .csv(str(left_dir))
+            .parquet(str(left_dir))
         )
         right = (
             spark.readStream.schema(
-                "item_id int, c_row_id bigint, c_ts timestamp"
+                "user_id bigint, c_event_id bigint, c_ts timestamp"
             )
             .option("maxFilesPerTrigger", 1)
-            .csv(str(right_dir))
+            .parquet(str(right_dir))
         )
         joined = interval_stream_join(
             left, right, left_ts="ts", right_ts="c_ts",
-            tolerance="30 minutes", on=["item_id"],
+            tolerance="30 minutes", on=["user_id"],
         )
         q = (
-            joined.select("item_id", "row_id", "c_row_id")
+            joined.select("user_id", "event_id", "c_event_id")
             .writeStream.format("parquet")
             .option("path", f"{work}/out")
             .option("checkpointLocation", f"{work}/ckpt")
@@ -780,16 +980,16 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(300)
         rows_out = (
             spark.read.parquet(f"{work}/out")
-            .groupBy("item_id")
+            .groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_pairs"))
-            .orderBy("item_id")
+            .orderBy("user_id")
             .collect()
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(
-        rows_out, "item_id int, n_pairs bigint"
-    ).orderBy("item_id")
+        rows_out, "user_id bigint, n_pairs bigint"
+    ).orderBy("user_id")
 
 
 # ---------------------------------------------------------------------------
@@ -802,7 +1002,11 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
 # trajectory walks the identical recurrence (same IEEE ops, repr-round
 # shim as q145).
 
-_Q165_TARGET = 100.0
+#: events.value sits around avg≈50/median≈35, so target 50 + slack 5
+#: keeps the positive drift non-degenerate: most rows pull the sum back
+#: toward the zero floor, spikes push it up — both CUSUM branches and
+#: the state reset are exercised at every tier.
+_Q165_TARGET = 50.0
 _Q165_SLACK = 5.0
 
 
@@ -816,21 +1020,29 @@ def _cusum_step(prev, x: float):
     )
 
 
+def _q165_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    return _sf_replay_oracle(_cusum_step, "cusum4", sf_dir)
+
+
+_q165_oracle.sf_parametric = True
+
+
 @dq(
     "q165_cusum_stream_replay",
-    oracle=_pin(lambda: _replay_oracle(_cusum_step, "cusum4")),
+    oracle=_q165_oracle,
     covers="R1,R6,U2,W3",
 )
 def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay the hourly exports through the streaming CUSUM and return
-    the per-row positive-drift trajectory."""
+    """Replay the tier's events stratum through the streaming CUSUM and
+    return the per-row positive-drift trajectory (two doubles of state
+    per key crossing every micro-batch boundary)."""
     from questdb_etl_jobs_spark.streaming.ema_stream import cusum_stream
 
-    return _run_replay_stream(
-        spark,
+    return _run_sf_replay_stream(
+        spark, sf_dir,
         lambda s: cusum_stream(
-            s, key="item_id", ts="ts", value="price",
-            target=_Q165_TARGET, id_col="row_id", slack=_Q165_SLACK,
+            s, key="user_id", ts="ts", value="value",
+            target=_Q165_TARGET, id_col="event_id", slack=_Q165_SLACK,
         ),
         result_col="cusum_pos", out_col="cusum4",
         prefix="q165_cusum_stream_",
@@ -1150,44 +1362,54 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q176_K = 3
 
 
-def _q176_oracle() -> str:
-    by_item: dict[int, list[tuple[float, int]]] = {}
+def _q176_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    tbl = _sf_replay_table(sf_dir)
+    by_key: dict[int, list[tuple[float, int]]] = {}
     counts: dict[int, int] = {}
-    for item, rid, _ts, price in _replay_rows_with_ids():
-        by_item.setdefault(item, []).append((price, rid))
-        counts[item] = counts.get(item, 0) + 1
+    for uid, eid, val in zip(
+        tbl["user_id"].to_pylist(),
+        tbl["event_id"].to_pylist(),
+        tbl["value"].to_pylist(),
+    ):
+        by_key.setdefault(uid, []).append((float(val), eid))
+        counts[uid] = counts.get(uid, 0) + 1
     rows = []
-    for item in sorted(by_item):
-        best = sorted(by_item[item], key=lambda t: t[1])
+    for uid in sorted(by_key):
+        best = sorted(by_key[uid], key=lambda t: t[1])
         best.sort(key=lambda t: t[0], reverse=True)
-        for rn, (price, rid) in enumerate(best[:_Q176_K], 1):
-            rows.append(f"({item}, {rn}, {rid}, '{price!r}', {counts[item]})")
+        for rn, (val, eid) in enumerate(best[:_Q176_K], 1):
+            rows.append(f"({uid}, {rn}, {eid}, '{val!r}', {counts[uid]})")
     values = ",\n      ".join(rows)
     return f"""
-    SELECT CAST(item_id AS INTEGER) AS item_id,
+    SELECT CAST(user_id AS BIGINT) AS user_id,
            CAST(rn AS INTEGER) AS rn,
-           CAST(row_id AS BIGINT) AS row_id,
-           CAST(price AS DOUBLE) AS price,
+           CAST(event_id AS BIGINT) AS event_id,
+           CAST(value AS DOUBLE) AS value,
            CAST(n_seen AS BIGINT) AS n_seen
     FROM (VALUES
       {values}
-    ) AS t(item_id, rn, row_id, price, n_seen)
-    ORDER BY item_id, rn
+    ) AS t(user_id, rn, event_id, value, n_seen)
+    ORDER BY user_id, rn
     """
 
 
-@dq("q176_topk_stream_replay", oracle=_pin(_q176_oracle), covers="R1,R6,U2,O2,W1")
+# Per-key sort of the stratum rows — linear-log in the tier:
+# sf-parametric (round-13 task #6).
+_q176_oracle.sf_parametric = True
+
+
+@dq("q176_topk_stream_replay", oracle=_q176_oracle, covers="R1,R6,U2,O2,W1")
 def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay the hourly exports through the streaming per-key top-k and
-    return each key's final leaderboard emission."""
+    """Replay the tier's events stratum through the streaming per-key
+    top-k and return each key's final leaderboard emission."""
     from questdb_etl_jobs_spark.streaming.topk_stream import (
         topk_per_key_stream,
     )
 
-    rows_out = _run_replay_stream(
-        spark,
+    rows_out = _run_sf_replay_stream(
+        spark, sf_dir,
         lambda s: topk_per_key_stream(
-            s, "item_id", "price", "row_id", _Q176_K
+            s, "user_id", "value", "event_id", _Q176_K
         ),
         result_col=None, out_col=None, prefix="q176_topk_stream_", raw=True,
     )
@@ -1196,16 +1418,16 @@ def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key, and emission only happens on touched batches).
     best_n: dict[int, int] = {}
     for r in rows_out:
-        best_n[r.item_id] = max(best_n.get(r.item_id, 0), r.n_seen)
+        best_n[r.user_id] = max(best_n.get(r.user_id, 0), r.n_seen)
     final = [
-        (r.item_id, r.rn, r.row_id, r.price, r.n_seen)
+        (r.user_id, r.rn, r.event_id, r.value, r.n_seen)
         for r in rows_out
-        if r.n_seen == best_n[r.item_id]
+        if r.n_seen == best_n[r.user_id]
     ]
     return spark.createDataFrame(
-        final, "item_id int, rn int, row_id bigint, price double, "
+        final, "user_id bigint, rn int, event_id bigint, value double, "
         "n_seen bigint"
-    ).orderBy("item_id", "rn")
+    ).orderBy("user_id", "rn")
 
 
 # ---------------------------------------------------------------------------
