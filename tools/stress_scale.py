@@ -596,6 +596,57 @@ def kmeans_init_quality_main(spark) -> None:
             f"ratio={i_pll / i_naive:.4f}",
             file=sys.stderr,
         )
+    # CLUSTERED adversarial cell (round-13 task #8): the unit test's
+    # shape — every lowest id inside ONE blob, the pathological
+    # ordering for the naive seed — at tier scale (100k rows, 8 blobs,
+    # 8 dims), so the init's quality win is MEASURED where it matters,
+    # not only asserted on 48 rows. Ids come in per-blob blocks, so the
+    # k lowest ids all sit in blob 0; blob centers are axis-aligned 100
+    # apart with content-keyed jitter (deterministic, layout-free).
+    n, kk, dim = 100_000, 8, 8
+    blob = (F.col("id") * kk / n).cast("int")
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda p: (
+            F.when(
+                p == F.pmod(blob, F.lit(dim)),
+                blob.cast("double") * 100.0,
+            ).otherwise(0.0)
+            + F.pmod(F.xxhash64(F.col("id"), p), F.lit(1000)).cast(
+                "double"
+            )
+            / 2000.0
+        ),
+    )
+    clustered = spark.range(n).select(
+        F.col("id").alias("vec_id"), emb.alias("embedding")
+    ).cache()
+    clustered.count()
+    t0 = time.perf_counter()
+    naive = kmeans_fit(clustered, k=kk, iterations=3)
+    t_naive = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    init = kmeans_parallel_init(clustered, k=kk)
+    seeded = kmeans_fit(clustered, k=kk, iterations=3, init_centroids=init)
+    t_pll = round(time.perf_counter() - t0, 3)
+    i_naive = kmeans_inertia(clustered, naive.centroids)
+    i_pll = kmeans_inertia(clustered, seeded.centroids)
+    clustered.unpersist()
+    results["clustered_100k"] = {
+        "rows": n,
+        "blobs": kk,
+        "inertia_naive_init": round(i_naive, 2),
+        "inertia_pll_init": round(i_pll, 2),
+        "inertia_ratio_pll_vs_naive": round(i_pll / i_naive, 4),
+        "fit_sec_naive": t_naive,
+        "fit_sec_pll": t_pll,
+    }
+    print(
+        f"kmeans-init clustered_100k: naive inertia={i_naive:.1f} "
+        f"({t_naive}s) k-means|| inertia={i_pll:.1f} ({t_pll}s) "
+        f"ratio={i_pll / i_naive:.4f}",
+        file=sys.stderr,
+    )
     print(json.dumps({"metric": "kmeans_init_quality", "k": 8,
                       "iterations": 3, "tiers": results}))
 
