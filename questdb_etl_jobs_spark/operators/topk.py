@@ -52,6 +52,28 @@ from pyspark.sql import functions as F
 #: tiebreak columns descending — reference-idiom `LATEST ON ts`).
 Tiebreak = "str | tuple[str, str]"
 
+#: Broadcast the certified-threshold directory when its MEASURED row
+#: count sits at or below this cap (~50 MB at key+double widths) —
+#: consumed by :func:`topk_per_key`'s size-MEASURED default.
+BROADCAST_GROUP_CAP = 2_000_000
+
+
+def _estimated_bytes(df: DataFrame) -> int | None:
+    """Catalyst's static sizeInBytes estimate for ``df``, or None."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats()
+                   .sizeInBytes().toString())
+    except Exception:
+        return None
+
+
+def _auto_broadcast_bytes(spark) -> int:
+    import re as _re
+
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    digits = _re.sub(r"[^0-9-]", "", str(raw)) or "-1"
+    return int(digits)
+
 
 def _tiebreak_order(tiebreak) -> list[Column]:
     cols: list[Column] = []
@@ -177,21 +199,26 @@ def topk_per_key(
     ~k rows per (group × contributing partition) instead of the full
     fact table.
 
-    ``broadcast_thresholds`` is SIZE-AWARE by default (``None``): no
-    join-strategy hint is attached, so Catalyst's size estimate — the
-    threshold table inherits the narrow ``keys + [value_col]``
-    projection's estimate — picks broadcast only under
-    ``autoBroadcastJoinThreshold``, and AQE's runtime replan converts a
-    shuffled plan to broadcast once the materialized directory proves
-    small. One certified row per group means the directory is tiny for
-    dimension-like keys (a million groups ≈ MBs: broadcast) but a
-    driver/executor memory cliff for user-chosen high-cardinality keys
-    (10⁸+ groups at ~20 bytes/row is GBs: must shuffle) — exactly the
-    call runtime statistics should make, not a hardcoded hint.
-    ``True`` forces the broadcast hint (known-small group count);
-    ``False`` pins a shuffled merge join (known-huge; the join then
-    moves only ``keys + t_g``-wide rows). ``rank_col`` optionally
-    exposes the per-group row_number in the result.
+    ``broadcast_thresholds`` is SIZE-MEASURED by default (``None``):
+    when Catalyst's static estimate already lets the threshold join
+    broadcast, the call stays fully lazy; when the estimate is too big
+    (it scales off the fact scan, so it always is past a few M input
+    rows), the bounded threshold pass runs EAGERLY at call time — one
+    narrow-scan job whose output is the group directory — and the
+    broadcast hint is applied iff the TRUE group count is at most
+    :data:`BROADCAST_GROUP_CAP`. Runtime adaptivity cannot make this
+    call: both join-input stages launch concurrently, so by the time
+    AQE sees the directory is small the fact-side shuffle write — the
+    cost the prune exists to delete — is already paid (measured 5.4 s
+    shuffled vs 2.5 s broadcast at the sf100 orders tier). One
+    certified row per group keeps dimension-like keys broadcastable
+    (a million groups ≈ MBs) while 10⁸-group directories still take
+    the shuffled join — the old size-aware contract, now measured
+    rather than estimated. ``True`` forces the broadcast hint
+    (known-small group count, no eager job); ``False`` pins a shuffled
+    merge join (known-huge; the join then moves only ``keys +
+    t_g``-wide rows). ``rank_col`` optionally exposes the per-group
+    row_number in the result.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -235,6 +262,28 @@ def topk_per_key(
             .filter((F.col("__r") == k) & F.col("__m").isNotNull())
             .select(*keys, F.col("__m").alias("__t"))
         )
+    if broadcast_thresholds is None:
+        # Size-MEASURED default (round-13). The static estimate for the
+        # directory subtree scales off the fact scan, so past a few M
+        # rows of input Catalyst plans the threshold join as a shuffled
+        # join — exchanging the FULL fact table on the keys, the exact
+        # cost this operator exists to delete — and AQE cannot undo it:
+        # both join-input stages launch concurrently, so the fact-side
+        # shuffle WRITE is already paid by the time runtime stats show
+        # the directory is tiny (measured at the sf100 orders tier:
+        # 5.4 s shuffled vs 2.5 s broadcast). When the static planner
+        # would already broadcast (estimate under the session
+        # threshold), stay fully lazy; otherwise run the BOUNDED
+        # threshold pass eagerly — one narrow-scan job, directory-sized
+        # output — and decide from the TRUE group count. The memory-
+        # cliff protection of the old size-aware contract is kept
+        # (10⁸-group directories still take the shuffled join), now
+        # measured rather than estimated. Like the routed top-k, the
+        # eager pass reflects the table's data as of THIS call.
+        est = _estimated_bytes(thresholds)
+        auto = _auto_broadcast_bytes(df.sparkSession)
+        if est is None or auto <= 0 or est > auto:
+            broadcast_thresholds = thresholds.count() <= BROADCAST_GROUP_CAP
     if broadcast_thresholds is True:
         thresholds = F.broadcast(thresholds)
     elif broadcast_thresholds is False:

@@ -2884,27 +2884,37 @@ def test_topk_per_key_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_topk_per_key_deep_groups_plan_shuffled_threshold_join(spark):
-    """Round-12 task (VERDICT r11 'what's wrong' #2): at high group
-    cardinality the threshold table is one row per group — GBs at 10⁸+
-    user-chosen keys — so the size-aware default must NOT hardcode a
-    broadcast. With an input whose size estimate exceeds
-    autoBroadcastJoinThreshold, the initial plan keeps the threshold
-    join shuffled (AQE may still convert at runtime if the materialized
-    directory proves small — that is the point: the decision belongs to
-    statistics, not the operator), without the caller flipping any flag."""
+def test_topk_per_key_deep_groups_plan_shuffled_threshold_join(spark, monkeypatch):
+    """Round-13 contract (supersedes the round-12 estimate-based pin):
+    the default is size-MEASURED. When the certified directory's TRUE
+    group count exceeds BROADCAST_GROUP_CAP — GBs at 10⁸+ user-chosen
+    keys — the threshold join is pinned shuffled (merge), never a
+    hardcoded broadcast; when the measured count fits (here: an input
+    whose estimate is too big for the static planner but whose
+    certified directory is tiny), the join IS broadcast — the decision
+    belongs to the measured directory, not to an estimate that scales
+    off the fact scan."""
+    import questdb_etl_jobs_spark.operators.topk as topk_mod
     from questdb_etl_jobs_spark.operators.topk import topk_per_key
 
-    # spark.range has exact size stats: 4M rows × 8 B = 32 MB > the
-    # 10 MB default autoBroadcastJoinThreshold; every id its own group.
-    deep = spark.range(4_000_000).select(
-        F.col("id").alias("g"), (F.col("id") % 97).cast("double").alias("v")
-    )
-    out = topk_per_key(deep, ["g"], "v", 2)
+    # 400k certified groups (two rows per group, spread across
+    # partitions), cap lowered to 100k: measured count > cap → merge.
+    deep = spark.range(800_000).select(
+        (F.col("id") % 400_000).alias("g"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    ).repartition(8)
+    monkeypatch.setattr(topk_mod, "BROADCAST_GROUP_CAP", 100_000)
+    out = topk_per_key(deep, ["g"], "v", 1)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
-    # Forcing the hint still works for known-small group counts.
+    # Same input, honest cap: the measured 400k-row directory fits and
+    # the join broadcasts even though the static estimate said no.
+    monkeypatch.setattr(topk_mod, "BROADCAST_GROUP_CAP", 2_000_000)
+    sized = topk_per_key(deep, ["g"], "v", 1)
+    splan = sized._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in splan, splan
+    # Forcing the hint still works and skips the eager pass.
     forced = topk_per_key(deep, ["g"], "v", 2, broadcast_thresholds=True)
     fplan = forced._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in fplan

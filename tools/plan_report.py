@@ -43,9 +43,12 @@ HEADLINE: dict[str, str] = {
     "q178_show_partitions": "partition listing reads 2 columns; per-day agg partial-combines map-side, the window runs over the day directory",
     # Round 12: the routed prune family + sub-second strides.
     "q171_topk_threshold_prune": "certified threshold in PushedFilters (GreaterThanOrEqual) when partitions certify; bounded-heap TakeOrderedAndProject on the survivors",
-    "q172_topk_per_key_prune": "grouped maxima partial-agg on SPARK_PARTITION_ID before the exchange; threshold joins back broadcast at this scale (size-aware default, no hint)",
+    "q172_topk_per_key_prune": "grouped maxima partial-agg on SPARK_PARTITION_ID before the exchange; threshold joins back BROADCAST via the size-MEASURED default (true directory count, not the fact-scan estimate)",
     "q183_dialect_topk_routed": "SQL text plans identically to the library call: pruned scan + TakeOrderedAndProject, no global sort",
     "q187_subsecond_sample_by": "250ms buckets are integer-µs floor codegen — no window-struct node, one aggregate exchange",
+    # Round 13: LATEST ON deployed face + the scalar rewriter.
+    "q33_latest_event_per_user": "LATEST ON = ranking window whose rn=1 filter plans a map-side WindowGroupLimit below the exchange: at most one row per (partition × key) shuffles",
+    "q186_dialect_time_scalars": "QuestDB time scalars rewrite to codegen expressions (timestampadd/pmod epoch floors): zero Python nodes, one aggregate exchange",
 }
 
 SALIENT = re.compile(

@@ -1007,8 +1007,12 @@ def _grouped_topk_sf100(spark, results: dict) -> None:
         tag="grouped-topk sf100",
     )
     con.close()
-    results.setdefault("dq30_window_rank", {})
-    results["dq30_window_rank"]["sf100_grouped_topk"] = {
+    # Own label (NOT a tag under dq30_window_rank): q172 answers a
+    # DIFFERENT query than dq30's four-function window, so the merge's
+    # shape-cell re-ratio against dq30's DuckDB base would overstate it
+    # — this cell's ratio is against its own simple-window oracle.
+    results.setdefault("dq172_grouped_topk", {})
+    results["dq172_grouped_topk"]["sf100"] = {
         **cells["grouped_topk"],
         "plain_crosscheck": True,
         "synth_sec": synth,
@@ -1340,7 +1344,7 @@ def main() -> None:
             _latest_on_sf100(spark, results)
             scope = "sf100 LATEST ON cells only (pruned + plain window)"
         elif sf100_grouped_topk:
-            results = {"dq30_window_rank": {}}
+            results = {"dq172_grouped_topk": {}}
             _grouped_topk_sf100(spark, results)
             scope = "sf100 grouped top-k-per-key (q172 shape) cell only"
         elif sf100_bottomk:
