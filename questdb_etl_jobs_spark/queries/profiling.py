@@ -3301,3 +3301,86 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("vmin", 4).alias("vmin"),
         F.round("vmax", 4).alias("vmax"),
     ).orderBy("ts")
+
+
+# ---------------------------------------------------------------------------
+# q188 — QuestDB compensated sums (ksum / nsum, round 13)
+# ---------------------------------------------------------------------------
+#
+# QuestDB ships Kahan (`ksum`) and Neumaier (`nsum`) compensated double
+# sums because a plain parallel SUM(double) accumulates order-dependent
+# error — yet the compensated forms are STILL order-dependent in the
+# last ulps across parallel runs. The dialect lowers both onto this
+# engine's exact-decimal float-sum protocol (sql/dialect._agg_column):
+# error-free on the 4-decimal quantized grid and order-independent by
+# construction — the property the compensation is reaching for, made
+# exact — so the same query text is reproducible run-to-run AND
+# cross-engine. The oracle runs the identical protocol in DuckDB.
+
+_Q188_SQL = (
+    "SELECT l_returnflag, ksum(l_extendedprice) AS ks, "
+    "nsum(l_discount) AS ns, count() AS n "
+    "FROM __q188_lineitem GROUP BY l_returnflag"
+)
+
+_Q188_ORACLE = """
+SELECT l_returnflag,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice, 4) AS DECIMAL(28,4)))
+                  AS DOUBLE), 4) AS ks,
+       ROUND(CAST(SUM(CAST(ROUND(l_discount, 4) AS DECIMAL(28,4)))
+                  AS DOUBLE), 4) AS ns,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@dq("q188_dialect_ksum_nsum", oracle=_Q188_ORACLE, covers="A1,F7,EXT")
+def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "__q188_lineitem"
+    )
+    return questdb_sql(spark, _Q188_SQL).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q189 — QuestDB vwap aggregate (round 13)
+# ---------------------------------------------------------------------------
+#
+# QuestDB's `vwap(price, qty)` = sum(price*qty)/sum(qty) — the
+# volume-weighted average price every market dashboard leans on (the
+# engine's q72 computes the same quantity longhand; this is the
+# function-spelling face). Both sums route through the decimal
+# protocol; the quotient stays un-rounded (one IEEE division of
+# identical operands is bit-identical cross-engine — the avg4
+# rationale in queries/_protocol.py).
+
+_Q189_SQL = (
+    "SELECT l_returnflag, vwap(l_extendedprice, l_quantity) AS vw, "
+    "count() AS n FROM __q189_lineitem GROUP BY l_returnflag"
+)
+
+_Q189_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(ROUND(l_extendedprice * l_quantity, 4)
+                     AS DECIMAL(28,4))) AS DOUBLE)
+       / CAST(SUM(CAST(ROUND(l_quantity, 4) AS DECIMAL(28,4)))
+              AS DOUBLE) AS vw,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@dq("q189_dialect_vwap", oracle=_Q189_ORACLE, covers="A1,F7,EXT")
+def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "__q189_lineitem"
+    )
+    return questdb_sql(spark, _Q189_SQL).orderBy("l_returnflag")

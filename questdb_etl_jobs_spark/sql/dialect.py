@@ -97,6 +97,11 @@ _LATEST_RE = re.compile(
     r"(\w+(?:\s*,\s*\w+)*)",
     re.IGNORECASE,
 )
+#: Legacy pre-6.3 spelling: ``LATEST BY <keys>`` (designated ts
+#: implicit). Normalized to the modern form in questdb_sql.
+_LATEST_BY_RE = re.compile(
+    r"\bLATEST\s+BY\s+(\w+(?:\s*,\s*\w+)*)", re.IGNORECASE
+)
 _SAMPLE_RE = re.compile(
     r"\bSAMPLE\s+BY\s+(\d+)([smhdwMyTU])"
     r"(?:\s+FROM\s+'([^']+)'\s+TO\s+'([^']+)')?"
@@ -154,10 +159,15 @@ _IN_INTERVAL_LIST_RE = re.compile(
     re.IGNORECASE,
 )
 _AGG_RE = re.compile(
-    r"^(sum|avg|min|max|count|first|last)\s*\(\s*(\*|[\w\.]*)\s*\)"
+    r"^(sum|avg|min|max|count|first|last|ksum|nsum|vwap)"
+    r"\s*\(\s*(\*|[\w\.]*(?:\s*,\s*[\w\.]+)?)\s*\)"
     r"(?:\s+(?:AS\s+)?(\w+))?$",
     re.IGNORECASE,
 )
+#: QuestDB aggregate spellings Spark SQL lacks: their presence routes a
+#: query through the dialect aggregate parser even when nothing else in
+#: the text is dialectal (spark.sql would reject the function name).
+_QDB_AGG_RE = re.compile(r"\b(ksum|nsum|vwap)\s*\(", re.IGNORECASE)
 _COL_RE = re.compile(r"^([\w\.]+)(?:\s+(?:AS\s+)?(\w+))?$", re.IGNORECASE)
 #: The scan-bound top-k shape the dialect routes through the certified
 #: threshold prune (operators/topk.py): plain-column projection over one
@@ -566,6 +576,17 @@ def _split_items(text: str) -> list[str]:
     return items
 
 
+def _default_agg_alias(fn: str, arg: str) -> str:
+    """Identifier-safe default alias (vwap's two-arg form included)."""
+    return re.sub(r"\W+", "_", f"{fn}_{arg}").strip("_")
+
+
+def _sum4_col(term: Column) -> Column:
+    """The repo's order-independent float-sum protocol as a Column:
+    exact decimal accumulation of 4-decimal-quantized terms."""
+    return F.sum(F.round(term, 4).cast("decimal(28,4)")).cast("double")
+
+
 def _agg_column(fn: str, arg: str, alias: str, ts: str) -> Column:
     fn = fn.lower()
     if fn == "count":
@@ -575,6 +596,28 @@ def _agg_column(fn: str, arg: str, alias: str, ts: str) -> Column:
         col = F.min_by(arg, F.col(ts))
     elif fn == "last":
         col = F.max_by(arg, F.col(ts))
+    elif fn in ("ksum", "nsum"):
+        # QuestDB's Kahan (ksum) / Neumaier (nsum) compensated sums
+        # exist to tame floating-point error on large double sums —
+        # and are still ORDER-dependent (parallel QuestDB runs can
+        # disagree in the last ulps). This engine lowers both onto its
+        # exact-decimal float-sum protocol: error-FREE on the 4-decimal
+        # quantized grid and order-independent by construction — a
+        # strictly stronger guarantee than running compensation, and
+        # reproducible cross-engine (the property compensated sums are
+        # reaching for). Rounded to the protocol's 4 decimals.
+        col = F.round(_sum4_col(F.col(arg)), 4)
+    elif fn == "vwap":
+        parts = [s.strip() for s in arg.split(",")]
+        if len(parts) != 2 or not all(parts):
+            raise QuestDBSQLError(
+                f"vwap takes two column arguments, got {arg!r}"
+            )
+        price, qty = parts
+        # sum(price*qty)/sum(qty), both sums through the decimal
+        # protocol; the quotient stays un-rounded (one IEEE division of
+        # identical operands — the avg4 rationale in _protocol.py).
+        col = _sum4_col(F.col(price) * F.col(qty)) / _sum4_col(F.col(qty))
     else:
         col = getattr(F, fn)(arg)
     return col.alias(alias)
@@ -638,6 +681,25 @@ def questdb_sql(
     # to Spark SQL FIRST, so they work on the passthrough path and in
     # every dialect clause alike; string literals are never touched.
     text = rewrite_questdb_scalars(text)
+    # Legacy spelling (QuestDB pre-6.3): `LATEST BY <keys>` — the
+    # designated timestamp is implicit from table metadata. Normalize
+    # to the modern `LATEST ON <ts> PARTITION BY <keys>` so one lowering
+    # serves both generations of query text.
+    legacy_m = _LATEST_BY_RE.search(text)
+    if legacy_m:
+        main_m = _MAIN_RE.match(text)
+        l_table = main_m.group("table") if main_m else None
+        l_ts = designated.get(l_table) if l_table else None
+        if not l_ts:
+            raise QuestDBSQLError(
+                "legacy LATEST BY needs the table's designated timestamp "
+                f"(pass designated={{'{l_table or '<table>'}': '<ts>'}})"
+            )
+        text = (
+            text[: legacy_m.start()]
+            + f"LATEST ON {l_ts} PARTITION BY {legacy_m.group(1)}"
+            + text[legacy_m.end():]
+        )
 
     limit_m = _LIMIT_RE.search(text)
     has_dialect = bool(
@@ -651,6 +713,9 @@ def questdb_sql(
         # Bare count() is QuestDB's count(*): Spark SQL rejects it, so
         # its presence routes through the dialect aggregate parser.
         or re.search(r"\bcount\s*\(\s*\)", text, re.IGNORECASE)
+        # QuestDB-only aggregate spellings (ksum/nsum/vwap): Spark SQL
+        # has no such functions, so the dialect parser must take them.
+        or _QDB_AGG_RE.search(text)
         or (limit_m and int(limit_m.group(1)) < 0)
         or (limit_m and limit_m.group(2) is not None)
         # The scan-bound top-k shape: not dialect *sugar*, but the
@@ -840,7 +905,7 @@ def questdb_sql(
             if agg:
                 fn, arg, alias = agg.groups()
                 aggs.append(
-                    _agg_column(fn, arg, alias or f"{fn}_{arg}".rstrip("*_"), ts)
+                    _agg_column(fn, arg, alias or _default_agg_alias(fn, arg), ts)
                 )
             elif col and col.group(1) == ts:
                 bucket_alias = col.group(2) or ts
@@ -983,7 +1048,7 @@ def questdb_sql(
                         f"{fn}() needs a designated timestamp for {table!r}"
                     )
                 aggs.append(
-                    _agg_column(fn, arg, alias or f"{fn}_{arg}".rstrip("*_"), ts)
+                    _agg_column(fn, arg, alias or _default_agg_alias(fn, arg), ts)
                 )
             elif col:
                 keys.append(col.group(1))

@@ -1423,3 +1423,67 @@ def test_show_columns_after_full_drop_is_empty_listing(spark, tmp_path):
     out = questdb_show(spark, "SHOW COLUMNS FROM t", {"t": path})
     assert out.count() == 0
     assert out.columns == ["column_name", "column_type", "designated"]
+
+
+def test_questdb_ksum_nsum_vwap_aggregates(spark, trades):
+    """Round-13: QuestDB's compensated sums (ksum/nsum) and vwap
+    aggregate. Their presence alone routes a query through the dialect
+    parser (Spark SQL has no such functions); ksum/nsum lower onto the
+    exact-decimal sum protocol (order-independent — stronger than
+    running compensation), vwap = decimal-sum(price*qty) /
+    decimal-sum(qty) with an exact IEEE quotient — in GROUP BY and
+    SAMPLE BY alike."""
+    out = {
+        r.sym: (r.ks, r.vw, r.n)
+        for r in questdb_sql(
+            spark,
+            "SELECT sym, ksum(price) AS ks, vwap(price, qty) AS vw, "
+            "count() AS n FROM trades GROUP BY sym",
+        ).collect()
+    }
+    rows = [(s, float(10 * d + h), d * 100 + h)
+            for d in (1, 2) for h in (0, 1, 3) for s in ("AAA", "BBB")]
+    for sym in ("AAA", "BBB"):
+        mine = [(p, q) for s, p, q in rows if s == sym]
+        ks = round(sum(p for p, _ in mine), 4)
+        vw = sum(p * q for p, q in mine) / sum(q for _, q in mine)
+        assert out[sym][0] == ks
+        assert abs(out[sym][1] - vw) < 1e-9
+        assert out[sym][2] == len(mine)
+    # SAMPLE BY face: vwap per hour bucket.
+    hourly = questdb_sql(
+        spark,
+        "SELECT ts, vwap(price, qty) AS vw FROM trades "
+        "WHERE sym = 'AAA' SAMPLE BY 1h ALIGN TO CALENDAR",
+        {"trades": "ts"},
+    ).collect()
+    assert len(hourly) == 6 and all(r.vw is not None for r in hourly)
+    # nsum spelling lowers identically to ksum (both: exact protocol).
+    ns = questdb_sql(
+        spark, "SELECT nsum(price) AS s FROM trades"
+    ).collect()[0]
+    assert ns.s == round(sum(p for _s, p, _q in rows), 4)
+    # Arity errors fail loudly, not as mis-parsed columns.
+    with pytest.raises(QuestDBSQLError, match="vwap takes two"):
+        questdb_sql(spark, "SELECT vwap(price) AS v FROM trades")
+
+
+def test_legacy_latest_by_spelling(spark, trades):
+    """QuestDB's pre-6.3 `LATEST BY <keys>` (designated ts implicit)
+    normalizes to the modern LATEST ON lowering — same rows, same
+    WHERE split semantics; without a designated mapping it raises with
+    the fix spelled out."""
+    modern = sorted(
+        map(tuple, questdb_sql(
+            spark, "SELECT * FROM trades LATEST ON ts PARTITION BY sym",
+            {"trades": "ts"},
+        ).collect())
+    )
+    legacy = sorted(
+        map(tuple, questdb_sql(
+            spark, "SELECT * FROM trades LATEST BY sym", {"trades": "ts"}
+        ).collect())
+    )
+    assert legacy == modern and len(legacy) == 2
+    with pytest.raises(QuestDBSQLError, match="designated timestamp"):
+        questdb_sql(spark, "SELECT * FROM trades LATEST BY sym")
