@@ -3384,3 +3384,49 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__q189_lineitem"
     )
     return questdb_sql(spark, _Q189_SQL).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q190 — QuestDB regex-match operators, SYMBOL casts, to_str (round 13)
+# ---------------------------------------------------------------------------
+#
+# The symbol-column idioms QuestDB consoles lean on: `col ~ 'regex'` /
+# `col !~ 'regex'` (Spark parses a bare ~ as bitwise NOT, so the
+# dialect rewrites them to regexp_like before any path sees the text),
+# `CAST(x AS SYMBOL)` (SYMBOL is an interned string; lowered to
+# STRING), and `to_str(ts, 'yyyy-MM-dd')` (Java-style pattern —
+# date_format's own language). The rewrites are literal-aware; the
+# oracle spells the same predicates in DuckDB's dialect
+# (regexp_matches / strftime).
+
+_Q190_SQL = (
+    "SELECT CAST(event_type AS SYMBOL) AS etype, "
+    "to_str(ts, 'yyyy-MM-dd') AS day, COUNT(*) AS n, "
+    "ROUND(MIN(value), 4) AS vmin, ROUND(MAX(value), 4) AS vmax "
+    "FROM __q190_events "
+    "WHERE event_type ~ '^(click|view)$' AND event_type !~ 'purch' "
+    "GROUP BY etype, day"
+)
+
+_Q190_ORACLE = """
+SELECT event_type AS etype,
+       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+       COUNT(*) AS n,
+       ROUND(MIN(value), 4) AS vmin,
+       ROUND(MAX(value), 4) AS vmax
+FROM events
+WHERE regexp_matches(event_type, '^(click|view)$')
+  AND NOT regexp_matches(event_type, 'purch')
+GROUP BY 1, 2
+ORDER BY etype, day
+"""
+
+
+@dq("q190_dialect_regex_symbol", oracle=_Q190_ORACLE, covers="F6,F5,A1,EXT")
+def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q190_events"
+    )
+    return questdb_sql(spark, _Q190_SQL).orderBy("etype", "day")

@@ -221,9 +221,18 @@ def _topk_shape_matches(text: str) -> bool:
 
 _QDB_FN_RE = re.compile(
     r"\b(dateadd|datediff|timestamp_floor|timestamp_ceil|to_timezone"
-    r"|to_utc)\s*\(",
+    r"|to_utc|to_str)\s*\(",
     re.IGNORECASE,
 )
+#: QuestDB regex-match operators on symbol/string columns: ``col ~
+#: 'pat'`` / ``col !~ 'pat'``. Spark parses a bare ``~`` as bitwise NOT,
+#: so these must rewrite to regexp_like before any path sees the text.
+#: Conservative shape: identifier ~ string-literal (doubled quotes ok).
+_REGEX_MATCH_RE = re.compile(
+    r"([\w\.]+)\s*(!?~)\s*('(?:[^']|'')*')"
+)
+#: QuestDB SYMBOL is an interned string; Spark's equivalent is STRING.
+_SYMBOL_CAST_RE = re.compile(r"\bAS\s+SYMBOL\s*\)", re.IGNORECASE)
 _STRIDE_RE = re.compile(r"^'(\d*)([smhdwMyTU])'$")
 _UNIT_WORD = {
     "s": "SECOND", "m": "MINUTE", "h": "HOUR", "d": "DAY",
@@ -405,6 +414,13 @@ def _rewrite_one_scalar(
             f"(CASE WHEN {floor_expr} = {ts} THEN {ts} "
             f"ELSE timestampadd(MONTH, {months}, {floor_expr}) END)"
         )
+    if name == "to_str":
+        # QuestDB to_str(ts, 'pattern') formats with Java-style
+        # patterns — the same pattern language Spark's date_format
+        # speaks (yyyy/MM/dd/HH/mm/ss).
+        if len(args) != 2:
+            return None  # not the QuestDB shape: pass through
+        return f"date_format({args[0]}, {args[1]})"
     if name == "to_timezone":
         if len(args) != 2:
             raise QuestDBSQLError(f"to_timezone takes 2 arguments: {original!r}")
@@ -681,6 +697,27 @@ def questdb_sql(
     # to Spark SQL FIRST, so they work on the passthrough path and in
     # every dialect clause alike; string literals are never touched.
     text = rewrite_questdb_scalars(text)
+    # QuestDB regex-match operators and SYMBOL casts rewrite next (also
+    # literal-aware: a match starting inside a string literal — odd
+    # count of quotes before it, doubled quotes counting twice — is
+    # left untouched).
+    def _outside_literal(pos: int, t: str) -> bool:
+        return t.count("'", 0, pos) % 2 == 0
+
+    def _regex_repl(m: re.Match) -> str:
+        if not _outside_literal(m.start(), m.string):
+            return m.group(0)
+        call = f"regexp_like({m.group(1)}, {m.group(3)})"
+        return f"NOT {call}" if m.group(2) == "!~" else call
+
+    text = _REGEX_MATCH_RE.sub(_regex_repl, text)
+    text = _SYMBOL_CAST_RE.sub(
+        lambda m: (
+            "AS STRING)" if _outside_literal(m.start(), m.string)
+            else m.group(0)
+        ),
+        text,
+    )
     # Legacy spelling (QuestDB pre-6.3): `LATEST BY <keys>` — the
     # designated timestamp is implicit from table metadata. Normalize
     # to the modern `LATEST ON <ts> PARTITION BY <keys>` so one lowering

@@ -1487,3 +1487,25 @@ def test_legacy_latest_by_spelling(spark, trades):
     assert legacy == modern and len(legacy) == 2
     with pytest.raises(QuestDBSQLError, match="designated timestamp"):
         questdb_sql(spark, "SELECT * FROM trades LATEST BY sym")
+
+
+def test_regex_match_and_symbol_rewrites_literal_aware(spark, trades):
+    """`~` / `!~` rewrite to regexp_like (Spark parses bare ~ as
+    bitwise NOT), CAST(x AS SYMBOL) lowers to STRING, and to_str
+    formats with its Java-style pattern — all literal-aware: the same
+    shapes INSIDE a string literal come through byte-identical."""
+    out = questdb_sql(
+        spark,
+        "SELECT CAST(sym AS SYMBOL) AS s, to_str(ts, 'yyyy-MM-dd') AS d "
+        "FROM trades WHERE sym ~ '^A' AND sym !~ 'B$' ORDER BY ts LIMIT 1",
+        {"trades": "ts"},
+    ).collect()
+    assert out[0].s == "AAA" and out[0].d == "2024-01-01"
+    # Literal spans survive untouched: the predicate value CONTAINS a
+    # ~-expression and a SYMBOL cast as text.
+    lit = questdb_sql(
+        spark,
+        "SELECT count(*) AS n FROM trades "
+        "WHERE sym <> 'x ~ ''y'' AS SYMBOL)'",
+    ).collect()
+    assert lit[0].n == 12
