@@ -679,8 +679,8 @@ def test_sample_by_recomputes_never_serves_view(spark, tmp_path):
     )
     from questdb_etl_jobs_spark.plans.inspect import plan_string
 
-    src = str(tmp_path / "base")
-    view_path = str(tmp_path / "view")
+    src = str(tmp_path / "rawtbl")
+    view_path = str(tmp_path / "mview")
     rows = [
         (_ts(f"2024-01-01 {h:02d}:{m:02d}:00"), float(h * 10 + m))
         for h in (0, 1, 2)
@@ -702,9 +702,9 @@ def test_sample_by_recomputes_never_serves_view(spark, tmp_path):
     )
     out = questdb_sql(spark, q, {"metrics": "ts"})
     plan = plan_string(out)
-    locations = re.findall(r"Location: \S+\[([^\]]*)\]", plan)
-    assert locations and all("base" in loc for loc in locations), plan
-    assert not any("view" in loc for loc in locations), plan
+    locations = re.findall(r"Location: [^\n\[]*\[([^\]]*)\]", plan)
+    assert locations and all("rawtbl" in loc for loc in locations), plan
+    assert not any("mview" in loc for loc in locations), plan
     dialect_rows = {
         r.ts: round(r.avg, 6) for r in out.collect()
     }
