@@ -3430,3 +3430,61 @@ def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__q190_events"
     )
     return questdb_sql(spark, _Q190_SQL).orderBy("etype", "day")
+
+
+# ---------------------------------------------------------------------------
+# q191 — CREATE TABLE AS with designated timestamp (round 13)
+# ---------------------------------------------------------------------------
+#
+# QuestDB's table-creation idiom — `CREATE TABLE t AS (SELECT …)
+# TIMESTAMP(ts) PARTITION BY DAY` — through questdb_ddl: the SELECT
+# runs the full dialect (here a SAMPLE BY 1d rollup), the result lands
+# via write_designated_ts (day-partitioned directories, time-sorted
+# files), and the face reads the CREATED table back through
+# register_designated_table — so the round trip (dialect plan → storage
+# convention → registration → scan) is what the oracle checks, not
+# just the SELECT. Exact aggregates only (count/min/max).
+
+_Q191_SQL = (
+    "CREATE TABLE __q191_daily AS ("
+    "SELECT ts, count() AS n, min(value) AS vmin, max(value) AS vmax "
+    "FROM __q191_events SAMPLE BY 1d ALIGN TO CALENDAR"
+    ") TIMESTAMP(ts) PARTITION BY DAY"
+)
+
+_Q191_ORACLE = """
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS ts,
+       COUNT(*) AS n,
+       ROUND(MIN(value), 4) AS vmin,
+       ROUND(MAX(value), 4) AS vmax
+FROM events
+GROUP BY 1
+ORDER BY ts
+"""
+
+
+@dq("q191_dialect_ctas", oracle=_Q191_ORACLE, covers="S6,A7,O3,EXT")
+def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql import questdb_ddl
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q191_events"
+    )
+    path = tempfile.mkdtemp(prefix="q191_ctas_") + "/daily"
+    written = questdb_ddl(
+        spark, _Q191_SQL, tables={"__q191_daily": path},
+        designated={"__q191_events": "ts"},
+    )
+    assert written, "CTAS wrote no partitions"
+    created = register_designated_table(spark, "__q191_daily", path)
+    return created.select(
+        "ts",
+        "n",
+        F.round("vmin", 4).alias("vmin"),
+        F.round("vmax", 4).alias("vmax"),
+    ).orderBy("ts")

@@ -1314,6 +1314,9 @@ def questdb_ddl(
     =============================================  =======================
     QuestDB statement                              Lowering
     =============================================  =======================
+    ``CREATE TABLE t AS (SELECT …) TIMESTAMP(ts)   dialect SELECT →
+    [PARTITION BY DAY]``                           ``write_designated_ts``
+                                                   (overwrite; day dirs)
     ``ALTER TABLE t DROP PARTITION WHERE ts < 'x'``  ``drop_partitions
                                                      (older_than=x)``
     ``ALTER TABLE t DROP PARTITION LIST 'd', ...``   ``drop_partitions
@@ -1361,6 +1364,35 @@ def questdb_ddl(
 
     designated = designated or {}
     text = sql.strip().rstrip(";").strip()
+
+    m = _CREATE_TABLE_AS_RE.match(text)
+    if m:
+        # CTAS with a designated timestamp — QuestDB's table-creation
+        # idiom — lowers onto write_designated_ts: the SELECT runs
+        # through the FULL dialect (SAMPLE BY, LATEST ON, routed top-k
+        # included), the result lands date-partitioned and time-sorted
+        # at the mapped path. Returns the partition dates written.
+        name, path = _ddl_table_path(m.group("table"), tables)
+        part = (m.group("part") or "DAY").upper()
+        if part != "DAY":
+            raise QuestDBSQLError(
+                f"PARTITION BY {part} unsupported: this engine's "
+                "designated-ts partitions are day directories"
+            )
+        ts_col = m.group("ts")
+        from questdb_etl_jobs_spark.plans.designated import (
+            list_partitions,
+            write_designated_ts,
+        )
+
+        out = questdb_sql(spark, m.group("select").strip(), designated)
+        if ts_col not in out.columns:
+            raise QuestDBSQLError(
+                f"TIMESTAMP({ts_col}) names a column the SELECT does "
+                f"not produce (columns: {out.columns})"
+            )
+        write_designated_ts(out, path, ts_col, mode="overwrite")
+        return list_partitions(spark, path, ts_col)
 
     m = _ALTER_DROP_WHERE_RE.match(text)
     if m:
@@ -1436,11 +1468,19 @@ def questdb_ddl(
         return enforce_ttl(spark, path, ts_col, days, existing[-1])
 
     raise QuestDBSQLError(
-        f"unsupported DDL statement: {text!r} (supported: ALTER TABLE "
-        "… DROP PARTITION WHERE/LIST, ALTER TABLE … SET TTL n DAYS)"
+        f"unsupported DDL statement: {text!r} (supported: CREATE TABLE "
+        "… AS (…) TIMESTAMP(ts) [PARTITION BY DAY], ALTER TABLE … DROP "
+        "PARTITION WHERE/LIST, ALTER TABLE … SET TTL n DAYS)"
     )
 
 
+_CREATE_TABLE_AS_RE = re.compile(
+    r"^CREATE\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s+AS\s*"
+    r"\((?P<select>.+)\)\s*"
+    r"TIMESTAMP\s*\(\s*(?P<ts>\w+)\s*\)\s*"
+    r"(?:PARTITION\s+BY\s+(?P<part>\w+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _SHOW_PARTITIONS_RE = re.compile(
     r"^SHOW\s+PARTITIONS\s+FROM\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s*$",
     re.IGNORECASE,

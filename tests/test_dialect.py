@@ -1509,3 +1509,45 @@ def test_regex_match_and_symbol_rewrites_literal_aware(spark, trades):
         "WHERE sym <> 'x ~ ''y'' AS SYMBOL)'",
     ).collect()
     assert lit[0].n == 12
+
+
+def test_create_table_as_designated(spark, trades, tmp_path):
+    """CTAS lowers onto write_designated_ts: the dialect SELECT's
+    result lands day-partitioned at the mapped path, re-running
+    overwrites (idempotent create), PARTITION BY other than DAY and a
+    TIMESTAMP() column the SELECT doesn't produce fail loudly."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql import questdb_ddl
+
+    path = str(tmp_path / "daily")
+    ddl = (
+        "CREATE TABLE daily AS ("
+        "SELECT ts, vwap(price, qty) AS vw FROM trades "
+        "SAMPLE BY 1d ALIGN TO CALENDAR"
+        ") TIMESTAMP(ts) PARTITION BY DAY"
+    )
+    written = questdb_ddl(
+        spark, ddl, tables={"daily": path}, designated={"trades": "ts"}
+    )
+    assert written == ["2024-01-01", "2024-01-02"]
+    out = register_designated_table(spark, "daily", path)
+    assert out.count() == 2 and "vw" in out.columns
+    # Idempotent: re-running overwrites, same partitions.
+    assert questdb_ddl(
+        spark, ddl, tables={"daily": path}, designated={"trades": "ts"}
+    ) == written
+    with pytest.raises(QuestDBSQLError, match="PARTITION BY"):
+        questdb_ddl(
+            spark,
+            ddl.replace("PARTITION BY DAY", "PARTITION BY MONTH"),
+            tables={"daily": path}, designated={"trades": "ts"},
+        )
+    with pytest.raises(QuestDBSQLError, match="does not produce"):
+        questdb_ddl(
+            spark,
+            "CREATE TABLE daily AS (SELECT sym FROM trades) "
+            "TIMESTAMP(ts)",
+            tables={"daily": path},
+        )
