@@ -3465,6 +3465,7 @@ ORDER BY ts
 
 @dq("q191_dialect_ctas", oracle=_Q191_ORACLE, covers="S6,A7,O3,EXT")
 def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from questdb_etl_jobs_spark.plans.designated import (
@@ -3475,16 +3476,29 @@ def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView(
         "__q191_events"
     )
-    path = tempfile.mkdtemp(prefix="q191_ctas_") + "/daily"
-    written = questdb_ddl(
-        spark, _Q191_SQL, tables={"__q191_daily": path},
-        designated={"__q191_events": "ts"},
-    )
-    assert written, "CTAS wrote no partitions"
-    created = register_designated_table(spark, "__q191_daily", path)
-    return created.select(
-        "ts",
-        "n",
-        F.round("vmin", 4).alias("vmin"),
-        F.round("vmax", 4).alias("vmax"),
+    work = tempfile.mkdtemp(prefix="q191_ctas_")
+    try:
+        path = f"{work}/daily"
+        written = questdb_ddl(
+            spark, _Q191_SQL, tables={"__q191_daily": path},
+            designated={"__q191_events": "ts"},
+        )
+        assert written, "CTAS wrote no partitions"
+        created = register_designated_table(spark, "__q191_daily", path)
+        # Materialize before the workdir disappears: the caller (the
+        # driver) collects the returned frame AFTER this function exits.
+        rows = (
+            created.select(
+                "ts",
+                "n",
+                F.round("vmin", 4).alias("vmin"),
+                F.round("vmax", 4).alias("vmax"),
+            )
+            .orderBy("ts")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "ts timestamp, n bigint, vmin double, vmax double"
     ).orderBy("ts")
