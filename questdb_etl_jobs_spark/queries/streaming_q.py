@@ -1592,3 +1592,87 @@ def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "vec_id bigint, cluster int, sq_dist4 double"
     )
+
+
+# ---------------------------------------------------------------------------
+# q192 — streaming deterministic reservoir (exactly-k per stratum, round 13)
+# ---------------------------------------------------------------------------
+#
+# The streaming twin of functions/sampling.fixed_size_sample: maintain
+# an exactly-k-per-stratum sample LIVE as data arrives — eval-set /
+# human-review reservoirs over an unbounded feed. Composition of
+# existing certified pieces: the content-keyed Knuth bucket (the
+# sampler family's priority) rides the stream as a projection, and
+# streaming/topk_stream.topk_per_key_stream keeps each stratum's k
+# smallest buckets (negated: its contract is top-k DESC) across
+# micro-batches — state is exactly k (id, priority) pairs per stratum
+# no matter how long the stream runs. Max-k-of-a-set is batch-boundary
+# independent, so the FINAL reservoir equals the batch sampler over
+# the same rows — and the oracle is plain SQL arithmetic over the
+# tier's events (valid at any sf: the 10× pass re-fits it wholesale).
+
+_Q192_K = 4
+_Q192_STRATA = 5
+_Q192_KNUTH = 2654435761
+_Q192_RES = 10_000
+
+_Q192_ORACLE = f"""
+WITH s AS (
+  SELECT user_id % {_Q192_STRATA} AS strata, event_id,
+         (event_id * {_Q192_KNUTH}) % {_Q192_RES} AS bucket
+  FROM events
+  WHERE user_id % 7 = 0
+), r AS (
+  SELECT strata, event_id, bucket,
+         ROW_NUMBER() OVER (PARTITION BY strata
+                            ORDER BY bucket, event_id) AS rn
+  FROM s
+)
+SELECT CAST(strata AS BIGINT) AS strata,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(rn AS INTEGER) AS rn
+FROM r WHERE rn <= {_Q192_K}
+ORDER BY strata, rn
+"""
+
+
+@dq("q192_stream_reservoir", oracle=_Q192_ORACLE, covers="R1,R6,U2,O2,EXT")
+def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the tier's events stratum through the live reservoir and
+    return each stratum's FINAL sample (the q176 largest-n_seen
+    emission pattern), mapped back to (bucket, rank)."""
+    from questdb_etl_jobs_spark.streaming.topk_stream import (
+        topk_per_key_stream,
+    )
+
+    def op(s):
+        staged = s.select(
+            F.pmod(F.col("user_id"), F.lit(_Q192_STRATA)).alias("strata"),
+            "event_id",
+            (
+                -F.pmod(
+                    F.col("event_id") * F.lit(_Q192_KNUTH),
+                    F.lit(_Q192_RES),
+                )
+            ).alias("negb"),
+        )
+        return topk_per_key_stream(
+            staged, "strata", "negb", "event_id", _Q192_K
+        )
+
+    rows_out = _run_sf_replay_stream(
+        spark, sf_dir, op,
+        result_col=None, out_col=None, prefix="q192_reservoir_", raw=True,
+    )
+    best_n: dict[int, int] = {}
+    for r in rows_out:
+        best_n[r.strata] = max(best_n.get(r.strata, 0), r.n_seen)
+    final = [
+        (int(r.strata), int(r.event_id), int(-r.negb), int(r.rn))
+        for r in rows_out
+        if r.n_seen == best_n[r.strata]
+    ]
+    return spark.createDataFrame(
+        final, "strata bigint, event_id bigint, bucket bigint, rn int"
+    ).orderBy("strata", "rn")

@@ -475,6 +475,7 @@ def test_questdb_scalar_rewrite_properties():
                 st.sampled_from(["30s", "1h", "y", "w", "500U", "2y"]), inner
             ).map(lambda t: f"timestamp_ceil('{t[0]}', {t[1]})"),
             inner.map(lambda c: f"to_timezone({c}, 'Europe/Berlin')"),
+            inner.map(lambda c: f"to_str({c}, 'yyyy-MM-dd HH:mm')"),
         )
 
     exprs = st.recursive(cols, lambda inner: call(units, inner), max_leaves=6)
@@ -496,6 +497,7 @@ def test_questdb_scalar_rewrite_properties():
         assert "timestamp_floor" not in stripped
         assert "timestamp_ceil" not in stripped
         assert "to_timezone" not in stripped
+        assert "to_str" not in stripped
         assert stripped.count("(") == stripped.count(")")
         # Quoted literals come through byte-identical.
         if literal_tail:
