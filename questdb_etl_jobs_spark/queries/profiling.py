@@ -3502,3 +3502,78 @@ def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "ts timestamp, n bigint, vmin double, vmax double"
     ).orderBy("ts")
+
+
+# ---------------------------------------------------------------------------
+# q193 — INSERT INTO … SELECT (designated append, round 13)
+# ---------------------------------------------------------------------------
+#
+# The DML sibling of q191's CTAS: create a daily rollup from the first
+# half of the month, append the second half with INSERT INTO … SELECT
+# (write_designated_ts append mode — only the touched date partitions
+# gain files; the designated column comes from the table's own
+# layout), and read the UNION back through the registration path. The
+# oracle recomputes both halves' rollups over the raw events — so what
+# is checked is the append semantics (no lost originals, no double
+# counting), not just each SELECT.
+
+_Q193_ORACLE = """
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS ts,
+       COUNT(*) AS n,
+       ROUND(MIN(value), 4) AS vmin,
+       ROUND(MAX(value), 4) AS vmax
+FROM events
+GROUP BY 1
+ORDER BY ts
+"""
+
+
+@dq("q193_dialect_insert_into", oracle=_Q193_ORACLE, covers="S6,A7,O3,EXT")
+def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql import questdb_ddl
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q193_events"
+    )
+    rollup = (
+        "SELECT ts, count() AS n, min(value) AS vmin, max(value) AS vmax "
+        "FROM __q193_events WHERE ts {half} TIMESTAMP '2024-01-16 00:00:00' "
+        "SAMPLE BY 1d ALIGN TO CALENDAR"
+    )
+    work = tempfile.mkdtemp(prefix="q193_insert_")
+    try:
+        path = f"{work}/daily"
+        tables = {"__q193_daily": path}
+        questdb_ddl(
+            spark,
+            f"CREATE TABLE __q193_daily AS ({rollup.format(half='<')}) "
+            "TIMESTAMP(ts) PARTITION BY DAY",
+            tables=tables, designated={"__q193_events": "ts"},
+        )
+        questdb_ddl(
+            spark,
+            f"INSERT INTO __q193_daily {rollup.format(half='>=')}",
+            tables=tables, designated={"__q193_events": "ts"},
+        )
+        created = register_designated_table(spark, "__q193_daily", path)
+        rows = (
+            created.select(
+                "ts",
+                "n",
+                F.round("vmin", 4).alias("vmin"),
+                F.round("vmax", 4).alias("vmax"),
+            )
+            .orderBy("ts")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "ts timestamp, n bigint, vmin double, vmax double"
+    ).orderBy("ts")

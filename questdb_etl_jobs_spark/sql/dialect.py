@@ -1317,6 +1317,10 @@ def questdb_ddl(
     ``CREATE TABLE t AS (SELECT …) TIMESTAMP(ts)   dialect SELECT →
     [PARTITION BY DAY]``                           ``write_designated_ts``
                                                    (overwrite; day dirs)
+    ``INSERT INTO t SELECT …``                     dialect SELECT →
+                                                   ``write_designated_ts``
+                                                   (append; designated
+                                                   col from the layout)
     ``ALTER TABLE t DROP PARTITION WHERE ts < 'x'``  ``drop_partitions
                                                      (older_than=x)``
     ``ALTER TABLE t DROP PARTITION LIST 'd', ...``   ``drop_partitions
@@ -1394,6 +1398,37 @@ def questdb_ddl(
         write_designated_ts(out, path, ts_col, mode="overwrite")
         return list_partitions(spark, path, ts_col)
 
+    m = _INSERT_INTO_RE.match(text)
+    if m:
+        # INSERT INTO <t> SELECT … — QuestDB's DML append. The SELECT
+        # runs the full dialect; rows land through write_designated_ts
+        # in append mode (only the touched date partitions gain files;
+        # the designated-ts layout keeps time predicates prunable). The
+        # designated column comes from the existing table's layout or
+        # the designated mapping — appending cannot change it.
+        name, path = _ddl_table_path(m.group("table"), tables)
+        ts_col = _ddl_ts_col(spark, name, path, designated) or (
+            designated.get(name)
+        )
+        if ts_col is None:
+            raise QuestDBSQLError(
+                f"INSERT INTO {name!r} needs the designated timestamp "
+                "(create the table first, or pass designated=...)"
+            )
+        from questdb_etl_jobs_spark.plans.designated import (
+            list_partitions,
+            write_designated_ts,
+        )
+
+        out = questdb_sql(spark, m.group("select").strip(), designated)
+        if ts_col not in out.columns:
+            raise QuestDBSQLError(
+                f"INSERT INTO {name!r}: the SELECT does not produce the "
+                f"designated timestamp {ts_col!r} (columns: {out.columns})"
+            )
+        write_designated_ts(out, path, ts_col, mode="append")
+        return list_partitions(spark, path, ts_col)
+
     m = _ALTER_DROP_WHERE_RE.match(text)
     if m:
         name, path = _ddl_table_path(m.group("table"), tables)
@@ -1469,7 +1504,8 @@ def questdb_ddl(
 
     raise QuestDBSQLError(
         f"unsupported DDL statement: {text!r} (supported: CREATE TABLE "
-        "… AS (…) TIMESTAMP(ts) [PARTITION BY DAY], ALTER TABLE … DROP "
+        "… AS (…) TIMESTAMP(ts) [PARTITION BY DAY], INSERT INTO … "
+        "SELECT …, ALTER TABLE … DROP "
         "PARTITION WHERE/LIST, ALTER TABLE … SET TTL n DAYS)"
     )
 
@@ -1479,6 +1515,11 @@ _CREATE_TABLE_AS_RE = re.compile(
     r"\((?P<select>.+)\)\s*"
     r"TIMESTAMP\s*\(\s*(?P<ts>\w+)\s*\)\s*"
     r"(?:PARTITION\s+BY\s+(?P<part>\w+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_INTO_RE = re.compile(
+    r"^INSERT\s+INTO\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s+"
+    r"(?P<select>SELECT\b.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _SHOW_PARTITIONS_RE = re.compile(

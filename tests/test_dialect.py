@@ -1553,3 +1553,40 @@ def test_create_table_as_designated(spark, trades, tmp_path):
             "TIMESTAMP(ts)",
             tables={"daily": path},
         )
+
+
+def test_insert_into_select_appends_designated(spark, trades, tmp_path):
+    """INSERT INTO … SELECT appends through write_designated_ts: new
+    rows land in their date partitions, existing rows stay, the
+    designated column comes from the table's own layout (no mapping
+    needed after creation), and a SELECT missing the designated
+    column fails loudly."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql import questdb_ddl
+
+    path = str(tmp_path / "t")
+    tables = {"t": path}
+    questdb_ddl(
+        spark,
+        "CREATE TABLE t AS (SELECT ts, sym, price FROM trades "
+        "WHERE sym = 'AAA') TIMESTAMP(ts) PARTITION BY DAY",
+        tables=tables, designated={"trades": "ts"},
+    )
+    before = register_designated_table(spark, "t", path).count()
+    parts = questdb_ddl(
+        spark,
+        "INSERT INTO t SELECT ts, sym, price FROM trades "
+        "WHERE sym = 'BBB'",
+        tables=tables, designated={"trades": "ts"},
+    )
+    assert parts == ["2024-01-01", "2024-01-02"]
+    after = register_designated_table(spark, "t", path)
+    assert after.count() == before * 2
+    assert after.filter("sym = 'AAA'").count() == before  # originals kept
+    with pytest.raises(QuestDBSQLError, match="does not produce"):
+        questdb_ddl(
+            spark, "INSERT INTO t SELECT sym FROM trades",
+            tables=tables, designated={"trades": "ts"},
+        )
