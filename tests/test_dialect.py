@@ -1590,3 +1590,33 @@ def test_insert_into_select_appends_designated(spark, trades, tmp_path):
             spark, "INSERT INTO t SELECT sym FROM trades",
             tables=tables, designated={"trades": "ts"},
         )
+
+
+def test_ctas_runs_dialect_select_shapes(spark, trades, tmp_path):
+    """The CTAS docstring's claim: the inner SELECT runs the FULL
+    dialect — here the scan-bound routed top-k (ORDER BY … LIMIT) and
+    a LATEST ON — and the created tables hold exactly those answers."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql import questdb_ddl
+
+    topk_path = str(tmp_path / "topk")
+    questdb_ddl(
+        spark,
+        "CREATE TABLE topk AS (SELECT ts, sym, price FROM trades "
+        "ORDER BY price DESC LIMIT 3) TIMESTAMP(ts)",
+        tables={"topk": topk_path}, designated={"trades": "ts"},
+    )
+    kept = register_designated_table(spark, "topk", topk_path)
+    assert sorted(r.price for r in kept.collect()) == [21.0, 23.0, 23.0]
+
+    latest_path = str(tmp_path / "latest")
+    questdb_ddl(
+        spark,
+        "CREATE TABLE latest AS (SELECT * FROM trades "
+        "LATEST ON ts PARTITION BY sym) TIMESTAMP(ts)",
+        tables={"latest": latest_path}, designated={"trades": "ts"},
+    )
+    latest = register_designated_table(spark, "latest", latest_path)
+    assert latest.count() == 2  # one row per symbol, the newest
