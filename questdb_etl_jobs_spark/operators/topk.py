@@ -52,27 +52,57 @@ from pyspark.sql import functions as F
 #: tiebreak columns descending — reference-idiom `LATEST ON ts`).
 Tiebreak = "str | tuple[str, str]"
 
-#: Broadcast the certified-threshold directory when its MEASURED row
-#: count sits at or below this cap (~50 MB at key+double widths) —
-#: consumed by :func:`topk_per_key`'s size-MEASURED default.
+#: Broadcast the certified-threshold directory when its MEASURED size
+#: fits: at most this many rows AND at most
+#: :data:`BROADCAST_DIRECTORY_MAX_BYTES` of Arrow payload — consumed by
+#: :func:`topk_per_key`'s size-MEASURED default.
 BROADCAST_GROUP_CAP = 2_000_000
+
+#: Byte companion to the row cap (round-14 ADVICE): keys are
+#: caller-chosen, so a 2M-row directory over multi-column or long
+#: string keys can be hundreds of MB where key+double widths would be
+#: ~50 MB. The measured probe sees the directory's ACTUAL Arrow bytes,
+#: so the broadcast decision is bounded in bytes, not just rows.
+BROADCAST_DIRECTORY_MAX_BYTES = 64 * 1024 * 1024
 
 
 def _estimated_bytes(df: DataFrame) -> int | None:
-    """Catalyst's static sizeInBytes estimate for ``df``, or None."""
+    """Catalyst's static sizeInBytes estimate for ``df``, or None.
+
+    py4j converts the plan statistics' BigInt straight to a Python int
+    — no ``toString()`` round-trip (round-14 cleanup)."""
     try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats()
-                   .sizeInBytes().toString())
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
     except Exception:
         return None
 
 
 def _auto_broadcast_bytes(spark) -> int:
-    import re as _re
+    """The session's ``autoBroadcastJoinThreshold`` in BYTES, read
+    through Spark's own conf accessor so '10MB'-style byte strings
+    parse as bytes (round-14 ADVICE fix: the old digit-strip read
+    '10MB' as 10). Negative means auto-broadcast is disabled."""
+    try:
+        return int(spark._jconf.autoBroadcastJoinThreshold())
+    except Exception:
+        raw = str(
+            spark.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        ).strip().lower()
+        import re as _re
 
-    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    digits = _re.sub(r"[^0-9-]", "", str(raw)) or "-1"
-    return int(digits)
+        m = _re.match(r"^(-?\d+)\s*(b|k|kb|m|mb|g|gb|t|tb|p|pb)?$", raw)
+        if not m:
+            return -1
+        mult = {
+            None: 1, "b": 1, "k": 1024, "kb": 1024,
+            "m": 1024**2, "mb": 1024**2, "g": 1024**3, "gb": 1024**3,
+            "t": 1024**4, "tb": 1024**4, "p": 1024**5, "pb": 1024**5,
+        }[m.group(2)]
+        return int(m.group(1)) * mult
 
 
 def _tiebreak_order(tiebreak) -> list[Column]:
@@ -200,25 +230,28 @@ def topk_per_key(
     fact table.
 
     ``broadcast_thresholds`` is SIZE-MEASURED by default (``None``):
-    when Catalyst's static estimate already lets the threshold join
-    broadcast, the call stays fully lazy; when the estimate is too big
-    (it scales off the fact scan, so it always is past a few M input
-    rows), the bounded threshold pass runs EAGERLY at call time — one
-    narrow-scan job whose output is the group directory — and the
-    broadcast hint is applied iff the TRUE group count is at most
-    :data:`BROADCAST_GROUP_CAP`. Runtime adaptivity cannot make this
-    call: both join-input stages launch concurrently, so by the time
-    AQE sees the directory is small the fact-side shuffle write — the
-    cost the prune exists to delete — is already paid (measured 5.4 s
-    shuffled vs 2.5 s broadcast at the sf100 orders tier). One
-    certified row per group keeps dimension-like keys broadcastable
-    (a million groups ≈ MBs) while 10⁸-group directories still take
-    the shuffled join — the old size-aware contract, now measured
-    rather than estimated. ``True`` forces the broadcast hint
-    (known-small group count, no eager job); ``False`` pins a shuffled
-    merge join (known-huge; the join then moves only ``keys +
-    t_g``-wide rows). ``rank_col`` optionally exposes the per-group
-    row_number in the result.
+    when the session has auto-broadcasting DISABLED (negative
+    threshold) the merge join is pinned — the operator never hints a
+    broadcast the user turned off; when Catalyst's static estimate
+    already lets the threshold join broadcast, the call stays fully
+    lazy; when the estimate is too big (it scales off the fact scan,
+    so it always is past a few M input rows), the bounded threshold
+    pass runs EAGERLY at call time — ONE narrow-scan job that pulls at
+    most :data:`BROADCAST_GROUP_CAP` + 1 directory rows to the driver
+    via Arrow. A directory that fits the row cap AND
+    :data:`BROADCAST_DIRECTORY_MAX_BYTES` (measured Arrow bytes, so
+    wide multi-column / long-string keys are bounded too) is rebuilt
+    as a LOCAL relation the join consumes directly — the extrema
+    subtree executes exactly once; a directory past either cap takes
+    the shuffled merge join. Runtime adaptivity cannot make this call:
+    both join-input stages launch concurrently, so by the time AQE
+    sees the directory is small the fact-side shuffle write — the cost
+    the prune exists to delete — is already paid (measured 5.4 s
+    shuffled vs 2.5 s broadcast at the sf100 orders tier). ``True``
+    forces the broadcast hint (known-small group count, no eager job);
+    ``False`` pins a shuffled merge join (known-huge; the join then
+    moves only ``keys + t_g``-wide rows). ``rank_col`` optionally
+    exposes the per-group row_number in the result.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -263,27 +296,62 @@ def topk_per_key(
             .select(*keys, F.col("__m").alias("__t"))
         )
     if broadcast_thresholds is None:
-        # Size-MEASURED default (round-13). The static estimate for the
-        # directory subtree scales off the fact scan, so past a few M
-        # rows of input Catalyst plans the threshold join as a shuffled
-        # join — exchanging the FULL fact table on the keys, the exact
-        # cost this operator exists to delete — and AQE cannot undo it:
-        # both join-input stages launch concurrently, so the fact-side
-        # shuffle WRITE is already paid by the time runtime stats show
-        # the directory is tiny (measured at the sf100 orders tier:
-        # 5.4 s shuffled vs 2.5 s broadcast). When the static planner
-        # would already broadcast (estimate under the session
-        # threshold), stay fully lazy; otherwise run the BOUNDED
-        # threshold pass eagerly — one narrow-scan job, directory-sized
-        # output — and decide from the TRUE group count. The memory-
-        # cliff protection of the old size-aware contract is kept
-        # (10⁸-group directories still take the shuffled join), now
-        # measured rather than estimated. Like the routed top-k, the
-        # eager pass reflects the table's data as of THIS call.
-        est = _estimated_bytes(thresholds)
+        # Size-MEASURED default (round-13, localized round-14). The
+        # static estimate for the directory subtree scales off the fact
+        # scan, so past a few M rows of input Catalyst plans the
+        # threshold join as a shuffled join — exchanging the FULL fact
+        # table on the keys, the exact cost this operator exists to
+        # delete — and AQE cannot undo it: both join-input stages
+        # launch concurrently, so the fact-side shuffle WRITE is
+        # already paid by the time runtime stats show the directory is
+        # tiny (measured at the sf100 orders tier: 5.4 s shuffled vs
+        # 2.5 s broadcast). Decision ladder:
+        #
+        # - auto-broadcast DISABLED (threshold < 0): honor the session
+        #   config — pin the merge join (the directory side still moves
+        #   only keys+__t rows), never measure our way into a hint that
+        #   overrides the user.
+        # - static estimate already under the session threshold: stay
+        #   fully LAZY; the planner broadcasts on its own.
+        # - otherwise: ONE bounded eager job — `limit(cap+1).toArrow()`
+        #   pulls at most cap+1 directory rows to the driver. If the
+        #   directory fits the row AND byte caps, it is rebuilt as a
+        #   LOCAL relation so the join consumes the materialization the
+        #   probe already paid (round-13 ran a discarded `count()` and
+        #   re-executed the whole narrow extrema pass in the join —
+        #   twice over the fact table); past either cap the probe's
+        #   rows are dropped and the join is pinned shuffled (the
+        #   memory-cliff protection: 10⁸-group or wide-key directories
+        #   never broadcast). Like the routed top-k, the eager probe
+        #   freezes the table's data as of THIS call.
         auto = _auto_broadcast_bytes(df.sparkSession)
-        if est is None or auto <= 0 or est > auto:
-            broadcast_thresholds = thresholds.count() <= BROADCAST_GROUP_CAP
+        if auto <= 0:
+            broadcast_thresholds = False
+        else:
+            est = _estimated_bytes(thresholds)
+            if est is None or est > auto:
+                spark = df.sparkSession
+                try:
+                    probe = thresholds.limit(
+                        BROADCAST_GROUP_CAP + 1
+                    ).toArrow()
+                except Exception:
+                    # Arrow-unfriendly directory type: fall back to the
+                    # round-13 count decision (pays the subtree twice).
+                    broadcast_thresholds = (
+                        thresholds.count() <= BROADCAST_GROUP_CAP
+                    )
+                else:
+                    if (
+                        probe.num_rows <= BROADCAST_GROUP_CAP
+                        and probe.nbytes <= BROADCAST_DIRECTORY_MAX_BYTES
+                    ):
+                        thresholds = spark.createDataFrame(
+                            probe, schema=thresholds.schema
+                        )
+                        broadcast_thresholds = True
+                    else:
+                        broadcast_thresholds = False
     if broadcast_thresholds is True:
         thresholds = F.broadcast(thresholds)
     elif broadcast_thresholds is False:

@@ -2897,10 +2897,13 @@ def test_topk_per_key_deep_groups_plan_shuffled_threshold_join(spark, monkeypatc
     import questdb_etl_jobs_spark.operators.topk as topk_mod
     from questdb_etl_jobs_spark.operators.topk import topk_per_key
 
-    # 400k certified groups (two rows per group, spread across
-    # partitions), cap lowered to 100k: measured count > cap → merge.
-    deep = spark.range(800_000).select(
-        (F.col("id") % 400_000).alias("g"),
+    # 800k certified groups (two rows per group, spread across
+    # partitions; the narrow projection's static estimate ~19 MB sits
+    # ABOVE the 10 MB session threshold now that the threshold parses
+    # correctly — round-14), cap lowered to 100k: measured count > cap
+    # → merge.
+    deep = spark.range(1_600_000).select(
+        (F.col("id") % 800_000).alias("g"),
         (F.col("id") % 97).cast("double").alias("v"),
     ).repartition(8)
     monkeypatch.setattr(topk_mod, "BROADCAST_GROUP_CAP", 100_000)
@@ -2908,7 +2911,7 @@ def test_topk_per_key_deep_groups_plan_shuffled_threshold_join(spark, monkeypatc
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
-    # Same input, honest cap: the measured 400k-row directory fits and
+    # Same input, honest cap: the measured 800k-row directory fits and
     # the join broadcasts even though the static estimate said no.
     monkeypatch.setattr(topk_mod, "BROADCAST_GROUP_CAP", 2_000_000)
     sized = topk_per_key(deep, ["g"], "v", 1)
@@ -2918,6 +2921,83 @@ def test_topk_per_key_deep_groups_plan_shuffled_threshold_join(spark, monkeypatc
     forced = topk_per_key(deep, ["g"], "v", 2, broadcast_thresholds=True)
     fplan = forced._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in fplan
+
+
+def test_topk_per_key_measured_path_runs_subtree_once(spark):
+    """Round-14 contract: on the measured-broadcast path the eager
+    probe IS the materialization the join consumes — the directory
+    comes back into the plan as a LOCAL relation, so the narrow
+    extrema pass over the fact table executes exactly ONCE (round 13
+    ran a discarded count() and the join re-executed the subtree).
+    Pinned by plan shape: the executed plan carries a LocalTableScan
+    on the build side and NO threshold aggregate anywhere (k=1's
+    directory agg would otherwise show as partial_max)."""
+    from questdb_etl_jobs_spark.operators.topk import topk_per_key
+
+    deep = spark.range(1_600_000).select(
+        (F.col("id") % 800_000).alias("g"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    ).repartition(8)
+    out = topk_per_key(deep, ["g"], "v", 1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_max" not in plan, plan
+    # And the localized directory is the REAL one: result bit-equal to
+    # the plain window face.
+    plain = sorted(
+        _plain_topk_per_key(deep, ["g"], "v", 1, []).collect(),
+        key=lambda r: r.g,
+    )
+    got = sorted(out.collect(), key=lambda r: r.g)
+    assert got == plain
+
+
+def test_topk_per_key_honors_disabled_auto_broadcast(spark):
+    """Round-14 ADVICE: `autoBroadcastJoinThreshold = -1` is a user
+    decision — the measured default must NOT measure its way into a
+    broadcast hint that overrides it. The threshold join pins merge
+    (and no eager probe job runs: the plan keeps the lazy directory
+    aggregate)."""
+    from questdb_etl_jobs_spark.operators.topk import topk_per_key
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        deep = spark.range(100_000).select(
+            (F.col("id") % 50_000).alias("g"),
+            (F.col("id") % 97).cast("double").alias("v"),
+        ).repartition(8)
+        out = topk_per_key(deep, ["g"], "v", 1)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "partial_max" in plan, plan  # lazy subtree, no probe
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_auto_broadcast_bytes_parses_unit_suffixes(spark):
+    """Round-14 ADVICE fix: '10MB'-style conf strings must parse as
+    bytes (the old digit-strip read '10MB' as 10 bytes, killing the
+    documented lazy branch)."""
+    from questdb_etl_jobs_spark.operators.topk import _auto_broadcast_bytes
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    try:
+        for raw, want in (
+            ("10485760", 10_485_760),
+            ("10MB", 10 * 1024 * 1024),
+            ("512k", 512 * 1024),
+            ("1g", 1024**3),
+            ("-1", -1),
+        ):
+            spark.conf.set(key, raw)
+            assert _auto_broadcast_bytes(spark) == want, raw
+    finally:
+        spark.conf.set(key, old)
 
 
 def test_rank_family_pruned_handles_null_priorities(spark, tmp_path):
