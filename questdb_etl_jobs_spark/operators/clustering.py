@@ -85,8 +85,12 @@ def _assign_clusters_arrow(
     order — so every double op happens in the same order as the literal
     path's ``aggregate`` fold and the result (cluster AND distance) is
     bit-identical; ``argmin`` returns the first minimum, matching
-    ``array_position``'s lowest-index tie-break. NULL vectors map to
-    NULL cluster/distance via pandas nullable dtypes."""
+    ``array_position``'s lowest-index tie-break. Malformed vectors —
+    NULL, wrong length, or containing NULL/non-finite elements — map to
+    NULL cluster/distance, mirroring :func:`assign_clusters`' literal
+    contract (round-14 ADVICE: Arrow's list<double> transfer turns NULL
+    elements into NaN, so the mask is the only way to keep the faces
+    identical; np.stack would otherwise raise on ragged rows)."""
     import numpy as np
     import pandas as pd
 
@@ -100,7 +104,14 @@ def _assign_clusters_arrow(
         n = len(v)
         cluster = np.full(n, -1, dtype=np.int64)
         dist = np.full(n, np.nan, dtype=np.float64)
-        mask = v.notna().to_numpy()
+
+        def _ok(a) -> bool:
+            if a is None or len(a) != dim:
+                return False
+            arr = np.asarray(a, dtype=np.float64)
+            return bool(np.isfinite(arr).all())
+
+        mask = np.fromiter((_ok(a) for a in v), dtype=bool, count=n)
         if mask.any():
             x = np.stack([np.asarray(a, dtype=np.float64) for a in v[mask]])
             acc = np.zeros((x.shape[0], k), dtype=np.float64)
@@ -152,10 +163,17 @@ def assign_clusters(
     the FIRST occurrence of the minimum). ``dist_col`` (optional) carries
     the winning squared distance.
 
-    NULL vectors carry a NULL cluster (the distance fold propagates the
-    null through ``array_min``/``array_position``) — same excluded-by-
+    Malformed vectors carry a NULL cluster/distance — same excluded-by-
     contract stance as the deterministic samplers: they never join a
     centroid's mean (:func:`_update_centroids` skips the NULL group).
+    Malformed = NULL vector, length ≠ the centroid dim, a NULL element
+    (the distance fold propagates the null through
+    ``array_min``/``array_position``), or a non-finite element (NaN/±Inf
+    — guarded explicitly on BOTH faces, round-14: Arrow's list<double>
+    transfer collapses NULL elements into NaN, so without the shared
+    non-finite→NULL rule the two faces could not stay bit-identical,
+    and an Inf element would otherwise let an Inf mean poison the next
+    iteration's centroids).
 
     **Scale envelope.** Centroids embed as plan literals while
     ``centers × dim <= literal_budget`` (default
@@ -175,12 +193,29 @@ def assign_clusters(
         )
     vec = F.col(vec_col).cast("array<double>")
     dists = F.array(*[_sq_dist(vec, c) for c in centroids])
+    # NULL vectors / wrong lengths / NULL elements already propagate to
+    # NULL through the fold (zip_with pads ragged arrays with null);
+    # non-finite elements need the explicit guard — a NaN distance
+    # would otherwise match itself in array_position (Spark's NaN=NaN)
+    # and land in cluster 0.
+    finite = ~F.exists(
+        vec,
+        lambda x: x.isNotNull()
+        & (
+            F.isnan(x)
+            | (x == F.lit(float("inf")))
+            | (x == F.lit(float("-inf")))
+        ),
+    )
     out = df.withColumn(
         cluster_col,
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        F.when(
+            finite,
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        ),
     )
     if dist_col is not None:
-        out = out.withColumn(dist_col, F.array_min(dists))
+        out = out.withColumn(dist_col, F.when(finite, F.array_min(dists)))
     return out
 
 

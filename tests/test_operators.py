@@ -3167,6 +3167,17 @@ def test_kmeans_assignment_literal_budget_boundary(spark):
         (i, [rng.uniform(-5, 5) for _ in range(dim)]) for i in range(200)
     ]
     rows += [(998, list(cents[2])), (999, None)]  # exact tie + NULL vec
+    # Round-14 ADVICE: malformed vectors must hit the NULL bucket on
+    # BOTH faces — NULL element, NaN element, Inf element, ragged
+    # lengths (Arrow turns NULL elements into NaN and np.stack raises
+    # on ragged rows, so the Arrow face needs an explicit mask).
+    rows += [
+        (990, [1.0, None, 1.0, 1.0]),
+        (991, [1.0, float("nan"), 1.0, 1.0]),
+        (992, [1.0, float("inf"), 1.0, 1.0]),
+        (993, [1.0, 1.0, 1.0]),  # shorter than dim
+        (994, [1.0, 1.0, 1.0, 1.0, 1.0]),  # longer than dim
+    ]
     df = spark.createDataFrame(
         rows, "vec_id bigint, embedding array<double>"
     ).repartition(5)
@@ -3181,6 +3192,8 @@ def test_kmeans_assignment_literal_budget_boundary(spark):
     assert lit_rows == arrow_rows  # bit-identical: same floats, not ≈
     assert lit_rows[998][0] == 2  # tie broke low on both faces
     assert lit_rows[999] == (None, None)  # NULL vec: NULL cluster+dist
+    for bad in (990, 991, 992, 993, 994):  # malformed: NULL bucket
+        assert lit_rows[bad] == (None, None), bad
     # The default envelope itself: small shapes stay JVM-side.
     assert 9 * dim <= PLAN_LITERAL_BUDGET
     assert "ArrowEvalPython" not in plan_string(
