@@ -3354,7 +3354,9 @@ def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
 # volume-weighted average price every market dashboard leans on (the
 # engine's q72 computes the same quantity longhand; this is the
 # function-spelling face). Both sums route through the decimal
-# protocol; the quotient stays un-rounded (one IEEE division of
+# protocol AND are gated on the (price, qty) pair being non-null —
+# QuestDB skips the pair when either argument is null (round-14
+# ADVICE); the quotient stays un-rounded (one IEEE division of
 # identical operands is bit-identical cross-engine — the avg4
 # rationale in queries/_protocol.py).
 
@@ -3365,10 +3367,14 @@ _Q189_SQL = (
 
 _Q189_ORACLE = """
 SELECT l_returnflag,
-       CAST(SUM(CAST(ROUND(l_extendedprice * l_quantity, 4)
-                     AS DECIMAL(28,4))) AS DOUBLE)
-       / CAST(SUM(CAST(ROUND(l_quantity, 4) AS DECIMAL(28,4)))
-              AS DOUBLE) AS vw,
+       CAST(SUM(CASE WHEN l_extendedprice IS NOT NULL
+                      AND l_quantity IS NOT NULL
+                     THEN CAST(ROUND(l_extendedprice * l_quantity, 4)
+                               AS DECIMAL(28,4)) END) AS DOUBLE)
+       / CAST(SUM(CASE WHEN l_extendedprice IS NOT NULL
+                        AND l_quantity IS NOT NULL
+                       THEN CAST(ROUND(l_quantity, 4)
+                                 AS DECIMAL(28,4)) END) AS DOUBLE) AS vw,
        COUNT(*) AS n
 FROM lineitem
 GROUP BY l_returnflag

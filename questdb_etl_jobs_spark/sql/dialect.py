@@ -633,7 +633,14 @@ def _agg_column(fn: str, arg: str, alias: str, ts: str) -> Column:
         # sum(price*qty)/sum(qty), both sums through the decimal
         # protocol; the quotient stays un-rounded (one IEEE division of
         # identical operands — the avg4 rationale in _protocol.py).
-        col = _sum4_col(F.col(price) * F.col(qty)) / _sum4_col(F.col(qty))
+        # QuestDB's vwap skips the PAIR when either argument is null —
+        # gate BOTH sums on the pair (round-14 ADVICE: an ungated
+        # denominator counted qty rows whose price was null, inflating
+        # the quotient).
+        pair = F.col(price).isNotNull() & F.col(qty).isNotNull()
+        col = _sum4_col(
+            F.when(pair, F.col(price) * F.col(qty))
+        ) / _sum4_col(F.when(pair, F.col(qty)))
     else:
         col = getattr(F, fn)(arg)
     return col.alias(alias)
@@ -690,6 +697,25 @@ def questdb_sql(
     ``questdb_sql`` SAMPLE BY for ad-hoc correctness-first queries.
     Pinned by ``tests/test_dialect.py::
     test_sample_by_recomputes_never_serves_view``.
+
+    **Numeric divergences from QuestDB** (deliberate, round-14 ADVICE:
+    surfaced here so dialect users see them without reading lowering
+    code):
+
+    - ``ksum``/``nsum`` are NOT compensated IEEE double sums. They
+      lower onto this engine's exact-decimal float-sum protocol —
+      ``SUM(CAST(ROUND(x, 4) AS DECIMAL(28,4)))`` — which is error-free
+      and order-independent on the 4-decimal grid (the reproducibility
+      compensated sums only approximate), but QUANTIZES: terms smaller
+      in magnitude than 5e-5 round to zero and vanish from the sum
+      entirely. Data whose signal lives below 1e-4 needs a plain
+      ``sum`` (IEEE, order-dependent) instead.
+    - ``vwap``'s two sums share the same 4-decimal grid (same caveat);
+      its null handling matches QuestDB (a row is skipped when either
+      argument is null).
+    - ``avg``/aggregate quotients divide the two protocol sums once in
+      IEEE — bit-identical cross-engine because both operands are
+      exact.
     """
     designated = designated or {}
     text = sql.strip().rstrip(";").strip()

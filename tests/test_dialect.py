@@ -1470,6 +1470,35 @@ def test_questdb_ksum_nsum_vwap_aggregates(spark, trades):
         questdb_sql(spark, "SELECT vwap(price) AS v FROM trades")
 
 
+def test_vwap_skips_pair_when_either_argument_null(spark):
+    """Round-14 ADVICE: QuestDB's vwap skips the PAIR when either
+    argument is null. A row with NULL price but non-NULL qty must not
+    inflate the denominator (and NULL qty with non-NULL price must not
+    touch the numerator); an all-null group divides 0-row sums and
+    yields NULL."""
+    spark.createDataFrame(
+        [
+            ("A", 10.0, 2.0),
+            ("A", None, 100.0),   # must NOT count 100 into sum(qty)
+            ("A", 30.0, 4.0),
+            ("A", 50.0, None),    # must NOT count price into numerator
+            ("B", None, 5.0),
+            ("B", 7.0, None),     # group with no complete pair -> NULL
+        ],
+        "sym string, price double, qty double",
+    ).createOrReplaceTempView("nulltrades")
+    out = {
+        r.sym: r.vw
+        for r in questdb_sql(
+            spark,
+            "SELECT sym, vwap(price, qty) AS vw "
+            "FROM nulltrades GROUP BY sym",
+        ).collect()
+    }
+    assert out["A"] == (10.0 * 2.0 + 30.0 * 4.0) / (2.0 + 4.0)
+    assert out["B"] is None
+
+
 def test_legacy_latest_by_spelling(spark, trades):
     """QuestDB's pre-6.3 `LATEST BY <keys>` (designated ts implicit)
     normalizes to the modern LATEST ON lowering — same rows, same
