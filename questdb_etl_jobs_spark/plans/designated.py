@@ -26,6 +26,74 @@ from pyspark.sql import functions as F
 
 PARTITION_SUFFIX = "_pdate"
 
+#: Sidecar carrying a bare `CREATE TABLE(col type, …)` declaration —
+#: the catalog-less answer to "what is an EMPTY table's schema?". A
+#: table created with rows (write_designated_ts / CTAS) needs no
+#: sidecar: parquet footers + the ``<col>_pdate`` layout ARE the
+#: catalog. The leading underscore keeps Spark's file index from
+#: treating it as data (reference sql/create-table.sql:1 declares the
+#: schema before any row exists; QuestDB holds it in table metadata).
+TABLE_META_FILE = "_qdb_table_meta.json"
+
+
+def write_table_meta(
+    spark: SparkSession,
+    path: str,
+    columns: list[tuple[str, str, str]],
+    ts_col: str,
+) -> None:
+    """Persist a declared-schema sidecar at ``path`` —
+    ``columns`` = (name, spark_type, questdb_type) in declared order.
+    Write-temp + rename, same commit discipline as the matview log."""
+    import json
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(hpath)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/{TABLE_META_FILE}.tmp")
+    final = jvm.org.apache.hadoop.fs.Path(f"{path}/{TABLE_META_FILE}")
+    payload = {
+        "designated": ts_col,
+        "columns": [
+            {"name": n, "spark_type": st, "questdb_type": qt}
+            for n, st, qt in columns
+        ],
+    }
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        stream.close()
+    if not fs.rename(tmp, final):
+        raise IOError(f"could not commit table meta at {final}")
+
+
+def read_table_meta(spark: SparkSession, path: str) -> dict | None:
+    """The declared-schema sidecar at ``path``, or None. Shape:
+    ``{"designated": str, "columns": [{"name", "spark_type",
+    "questdb_type"}, ...]}``."""
+    import json
+
+    jvm = spark._jvm
+    meta = jvm.org.apache.hadoop.fs.Path(f"{path}/{TABLE_META_FILE}")
+    fs = meta.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(meta):
+        return None
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(meta), "UTF-8")
+    )
+    try:
+        lines = []
+        while True:
+            line = reader.readLine()
+            if line is None:
+                break
+            lines.append(line)
+    finally:
+        reader.close()
+    return json.loads("\n".join(lines))
+
 
 def write_designated_ts(
     df: DataFrame,

@@ -3583,3 +3583,116 @@ def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "ts timestamp, n bigint, vmin double, vmax double"
     ).orderBy("ts")
+
+
+# ---------------------------------------------------------------------------
+# q194 — the reference's own SQL text, replayed verbatim (round 14)
+# ---------------------------------------------------------------------------
+#
+# The drop-in-dialect gate: a user porting the reference runs its one
+# .sql file FIRST. This query replays the reference's statements
+# end-to-end through questdb_ddl:
+#
+#   1. reference sql/create-table.sql:1, VERBATIM — bare column-list
+#      `CREATE TABLE purchases(buyer STRING, …) timestamp(purchase_date)`
+#      → declared-schema sidecar (the empty table's catalog).
+#   2. reference cloud_function.py:84-88's DML shape — `INSERT INTO
+#      purchases(…) VALUES(…)` with the inline
+#      `to_timestamp(:purchase_date, 'yyyy-MM-ddTHH:mm:ss')` (bind
+#      params bound to literals, exactly what reaches the engine; the
+#      scalar rewriter quotes the bare T for Spark's formatter). One
+#      single-tuple statement and one multi-tuple statement.
+#   3. the ETL append — anonymize-then-append (cloud_function.py's
+#      process_record → write_to_db flow) as INSERT INTO … SELECT with
+#      a sha-256 buyer (sha-1 parity itself is q02's CPython-golden
+#      surface; DuckDB ships no sha1, and the oracle must run the same
+#      hash).
+#
+# The read-back (registration → scan) is what the oracle checks: no
+# lost rows, no double-typed columns, NULL fill on the partial column
+# list, declared INT types surviving the append path.
+
+_Q194_CREATE = (  # /root/reference/sql/create-table.sql:1 VERBATIM
+    "CREATE TABLE purchases(buyer STRING, item_id INT, quantity INT, "
+    "price INT, purchase_date TIMESTAMP) timestamp(purchase_date);"
+)
+
+_Q194_INSERT_ONE = (
+    "INSERT INTO purchases(buyer, item_id, quantity, price, purchase_date) "
+    "VALUES('carol', 11, 2, 30, "
+    "to_timestamp('2022-03-04T10:11:12', 'yyyy-MM-ddTHH:mm:ss'));"
+)
+
+_Q194_INSERT_MANY = (
+    "INSERT INTO purchases(buyer, item_id, quantity, price, purchase_date) "
+    "VALUES"
+    "('dave', 12, 1, 45, "
+    "to_timestamp('2022-03-05T01:02:03', 'yyyy-MM-ddTHH:mm:ss')), "
+    "('erin', 13, 3, 20, "
+    "to_timestamp('2022-03-05T04:05:06', 'yyyy-MM-ddTHH:mm:ss'))"
+)
+
+_Q194_ETL_APPEND = (
+    "INSERT INTO purchases(buyer, item_id, quantity, price, purchase_date) "
+    "SELECT sha2(o_orderpriority, 256), CAST(o_custkey % 1000 AS INT), "
+    "CAST(o_orderkey % 50 + 1 AS INT), "
+    "CAST(FLOOR(o_totalprice) AS INT), CAST(o_orderdate AS TIMESTAMP) "
+    "FROM __q194_orders WHERE o_orderkey % 7 = 0"
+)
+
+_Q194_ORACLE = """
+SELECT buyer, item_id, quantity, price, purchase_date FROM (
+  SELECT * FROM (VALUES
+    ('carol', 11, 2, 30, TIMESTAMP '2022-03-04 10:11:12'),
+    ('dave', 12, 1, 45, TIMESTAMP '2022-03-05 01:02:03'),
+    ('erin', 13, 3, 20, TIMESTAMP '2022-03-05 04:05:06')
+  ) AS v(buyer, item_id, quantity, price, purchase_date)
+  UNION ALL
+  SELECT sha256(o_orderpriority),
+         CAST(o_custkey % 1000 AS INTEGER),
+         CAST(o_orderkey % 50 + 1 AS INTEGER),
+         CAST(FLOOR(o_totalprice) AS INTEGER),
+         CAST(o_orderdate AS TIMESTAMP)
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+ORDER BY purchase_date, buyer, item_id
+"""
+
+
+@dq("q194_reference_sql_replay", oracle=_Q194_ORACLE, covers="S6,F4,O3,EXT")
+def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql import questdb_ddl
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "__q194_orders"
+    )
+    work = tempfile.mkdtemp(prefix="q194_refsql_")
+    try:
+        tables = {"purchases": f"{work}/purchases"}
+        assert questdb_ddl(spark, _Q194_CREATE, tables) == []
+        questdb_ddl(spark, _Q194_INSERT_ONE, tables)
+        questdb_ddl(spark, _Q194_INSERT_MANY, tables)
+        questdb_ddl(spark, _Q194_ETL_APPEND, tables)
+        created = register_designated_table(
+            spark, "purchases", tables["purchases"]
+        )
+        rows = (
+            created.select(
+                "buyer", "item_id", "quantity", "price", "purchase_date"
+            )
+            .orderBy("purchase_date", "buyer", "item_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "buyer string, item_id int, quantity int, price int, "
+        "purchase_date timestamp",
+    ).orderBy("purchase_date", "buyer", "item_id")

@@ -221,7 +221,7 @@ def _topk_shape_matches(text: str) -> bool:
 
 _QDB_FN_RE = re.compile(
     r"\b(dateadd|datediff|timestamp_floor|timestamp_ceil|to_timezone"
-    r"|to_utc|to_str)\s*\(",
+    r"|to_utc|to_str|to_timestamp)\s*\(",
     re.IGNORECASE,
 )
 #: QuestDB regex-match operators on symbol/string columns: ``col ~
@@ -312,6 +312,9 @@ def rewrite_questdb_scalars(text: str) -> str:
                                            via trunc-compare-add
     ``to_timezone(ts, tz)``                ``from_utc_timestamp(ts, tz)``
     ``to_utc(ts, tz)``                     ``to_utc_timestamp(ts, tz)``
+    ``to_str(ts, 'pattern')``              ``date_format(ts, 'pattern')``
+    ``to_timestamp(s, '…T…')``             bare-``T`` pattern quoted for
+                                           Spark's DateTimeFormatter
     =====================================  ==============================
 
     String literals are never rewritten (the scanner skips them), and
@@ -421,6 +424,27 @@ def _rewrite_one_scalar(
         if len(args) != 2:
             return None  # not the QuestDB shape: pass through
         return f"date_format({args[0]}, {args[1]})"
+    if name == "to_timestamp":
+        # QuestDB to_timestamp(str, 'pattern') speaks Java-style
+        # patterns EXCEPT that a literal 'T' separator appears unquoted
+        # (the reference's one DML statement, cloud_function.py:88:
+        # 'yyyy-MM-ddTHH:mm:ss'); Spark's DateTimeFormatter rejects a
+        # bare T, so quote it. Patterns without a bare T are already
+        # Spark-compatible and pass through untouched, as do 1-arg and
+        # non-literal-pattern calls (Spark's own spellings).
+        if len(args) != 2:
+            return None
+        m = re.match(r"^'(.*)'$", args[1], re.DOTALL)
+        if (
+            not m
+            or "T" not in m.group(1)
+            or "''" in m.group(1)  # embedded quotes: too odd to touch
+        ):
+            return None
+        # The DateTimeFormatter quote is a literal ' INSIDE a SQL
+        # string literal, so it lands SQL-doubled: '…dd''T''HH…'.
+        fmt = m.group(1).replace("T", "''T''")
+        return f"to_timestamp({args[0]}, '{fmt}')"
     if name == "to_timezone":
         if len(args) != 2:
             raise QuestDBSQLError(f"to_timezone takes 2 arguments: {original!r}")
@@ -1278,6 +1302,31 @@ _ALTER_SET_TTL_RE = re.compile(
     re.IGNORECASE,
 )
 
+#: QuestDB column type → Spark type: the SHOW COLUMNS map in reverse
+#: (plans/designated._QUESTDB_TYPE), plus QuestDB-only types lowered to
+#: their closest Spark shape — SYMBOL is an interned string (the q190
+#: cast stance), UUID/LONG256/IPV4 carry as their canonical string
+#: forms.
+_QDB_TO_SPARK_TYPE = {
+    "STRING": "string",
+    "SYMBOL": "string",
+    "VARCHAR": "string",
+    "CHAR": "string",
+    "UUID": "string",
+    "LONG256": "string",
+    "IPV4": "string",
+    "INT": "int",
+    "LONG": "bigint",
+    "SHORT": "smallint",
+    "BYTE": "tinyint",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "BOOLEAN": "boolean",
+    "TIMESTAMP": "timestamp",
+    "DATE": "date",
+    "BINARY": "binary",
+}
+
 
 def _ddl_table_path(table: str, tables: dict[str, str]) -> tuple[str, str]:
     name = table.strip().strip("'")
@@ -1287,6 +1336,64 @@ def _ddl_table_path(table: str, tables: dict[str, str]) -> tuple[str, str]:
             f"mapping (known: {sorted(tables)})"
         )
     return name, tables[name]
+
+
+def _parquet_has_footers(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` holds at least one readable parquet footer
+    (schema-only probe; a missing/empty dir reads as False)."""
+    try:
+        return bool(spark.read.parquet(path).columns)
+    except Exception:
+        return False
+
+
+def _ddl_declared_schema(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    designated: dict[str, str],
+) -> tuple[list[tuple[str, str]], str]:
+    """INSERT-target schema: ``([(column, spark_type), …], ts_col)``.
+
+    The declared-schema sidecar (bare column-list CREATE TABLE) is
+    authoritative when present; otherwise the parquet footers minus the
+    partition bookkeeping column (tables born from CTAS /
+    write_designated_ts). Raises when the table does not exist — an
+    INSERT needs a table."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        PARTITION_SUFFIX,
+        infer_designated_ts,
+        read_table_meta,
+    )
+
+    meta = read_table_meta(spark, path)
+    if meta is not None:
+        cols = [(c["name"], c["spark_type"]) for c in meta["columns"]]
+        return cols, designated.get(name, meta["designated"])
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception as exc:
+        raise QuestDBSQLError(
+            f"table {name!r} does not exist at {path} — run CREATE "
+            "TABLE first (INSERT cannot invent a schema)"
+        ) from exc
+    names = [f.name for f in schema.fields]
+    cols = [
+        (f.name, f.dataType.simpleString())
+        for f in schema.fields
+        if not (
+            f.name.endswith(PARTITION_SUFFIX)
+            and f.name[: -len(PARTITION_SUFFIX)] in names
+        )
+    ]
+    ts = designated.get(name) or infer_designated_ts(names)
+    if ts is None:
+        raise QuestDBSQLError(
+            f"table {name!r} has no designated timestamp (pass it via "
+            "the designated mapping, or write the table with "
+            "write_designated_ts)"
+        )
+    return cols, ts
 
 
 def _ddl_ts_col(
@@ -1307,6 +1414,13 @@ def _ddl_ts_col(
         return designated[name]
     if not hadoop_path_exists(spark, path):
         return None  # missing dir: every partition already dropped
+    from questdb_etl_jobs_spark.plans.designated import read_table_meta
+
+    meta = read_table_meta(spark, path)
+    if meta is not None:
+        # Bare column-list CREATE TABLE declared the designated ts in
+        # the sidecar — authoritative even before the first row lands.
+        return meta["designated"]
     try:
         columns = spark.read.parquet(path).columns
     except Exception as exc:
@@ -1340,13 +1454,23 @@ def questdb_ddl(
     =============================================  =======================
     QuestDB statement                              Lowering
     =============================================  =======================
+    ``CREATE TABLE t(col TYPE, …) TIMESTAMP(ts)    declared schema →
+    [PARTITION BY DAY]`` (the reference's own      ``_qdb_table_meta``
+    statement, sql/create-table.sql:1;             sidecar (the empty
+    IF NOT EXISTS accepted)                        table's catalog)
     ``CREATE TABLE t AS (SELECT …) TIMESTAMP(ts)   dialect SELECT →
     [PARTITION BY DAY]``                           ``write_designated_ts``
                                                    (overwrite; day dirs)
-    ``INSERT INTO t SELECT …``                     dialect SELECT →
+    ``INSERT INTO t [(cols)] VALUES (…), (…)``     typed VALUES relation
+    (the reference's DML,                          aligned to the declared
+    cloud_function.py:84-88, inline                schema →
+    ``to_timestamp`` included)                     ``write_designated_ts``
+                                                   (append)
+    ``INSERT INTO t [(cols)] SELECT …``            dialect SELECT →
                                                    ``write_designated_ts``
                                                    (append; designated
-                                                   col from the layout)
+                                                   col from the layout;
+                                                   cols match positionally)
     ``ALTER TABLE t DROP PARTITION WHERE ts < 'x'``  ``drop_partitions
                                                      (older_than=x)``
     ``ALTER TABLE t DROP PARTITION LIST 'd', ...``   ``drop_partitions
@@ -1424,6 +1548,136 @@ def questdb_ddl(
         write_designated_ts(out, path, ts_col, mode="overwrite")
         return list_partitions(spark, path, ts_col)
 
+    m = _CREATE_TABLE_COLS_RE.match(text)
+    if m:
+        # Bare column-list CREATE TABLE — the reference's own creation
+        # statement (reference sql/create-table.sql:1: `CREATE TABLE
+        # purchases(buyer STRING, …) timestamp(purchase_date)`). No
+        # rows exist yet, so the declared schema + designated ts land
+        # in the _qdb_table_meta.json sidecar (QuestDB's table
+        # metadata, made a storage convention); the first INSERT/append
+        # writes the designated layout against it. Returns [] — no
+        # partitions exist.
+        from questdb_etl_jobs_spark.plans.designated import (
+            read_table_meta,
+            write_table_meta,
+        )
+
+        name, path = _ddl_table_path(m.group("table"), tables)
+        part = (m.group("part") or "DAY").upper()
+        if part != "DAY":
+            raise QuestDBSQLError(
+                f"PARTITION BY {part} unsupported: this engine's "
+                "designated-ts partitions are day directories"
+            )
+        cols: list[tuple[str, str, str]] = []
+        for item in _split_items(m.group("cols")):
+            cm = re.match(
+                r"^([A-Za-z_]\w*)\s+([A-Za-z_]\w*)\s*$", item.strip()
+            )
+            if not cm:
+                raise QuestDBSQLError(
+                    f"unsupported column declaration {item.strip()!r} "
+                    "(expected '<name> <type>'; SYMBOL capacity/index "
+                    "qualifiers are QuestDB storage tuning with no "
+                    "Spark analogue — declare the bare type)"
+                )
+            cname, qtype = cm.group(1), cm.group(2).upper()
+            stype = _QDB_TO_SPARK_TYPE.get(qtype)
+            if stype is None:
+                raise QuestDBSQLError(
+                    f"unsupported QuestDB column type {qtype!r} for "
+                    f"{cname!r} (known: {sorted(_QDB_TO_SPARK_TYPE)})"
+                )
+            cols.append((cname, stype, qtype))
+        ts_col = m.group("ts")
+        declared = {n: s for n, s, _ in cols}
+        if ts_col not in declared:
+            raise QuestDBSQLError(
+                f"TIMESTAMP({ts_col}) names a column the table does "
+                f"not declare (columns: {[n for n, _, _ in cols]})"
+            )
+        if declared[ts_col] != "timestamp":
+            raise QuestDBSQLError(
+                f"designated column {ts_col!r} must be TIMESTAMP, "
+                f"got {declared[ts_col]!r}"
+            )
+        from questdb_etl_jobs_spark.sources.fs import hadoop_path_exists
+
+        exists = hadoop_path_exists(spark, path) and (
+            read_table_meta(spark, path) is not None
+            or _parquet_has_footers(spark, path)
+        )
+        if exists:
+            if m.group("ifnx"):
+                return []
+            raise QuestDBSQLError(
+                f"table {name!r} already exists at {path} "
+                "(use CREATE TABLE IF NOT EXISTS to no-op)"
+            )
+        write_table_meta(spark, path, cols, ts_col)
+        return []
+
+    m = _INSERT_VALUES_RE.match(text)
+    if m:
+        # INSERT INTO <t> [(cols)] VALUES (…), (…) — the reference's
+        # one DML statement (reference cloud_function.py:84-88, with
+        # its inline to_timestamp(:…, 'yyyy-MM-ddTHH:mm:ss') — the
+        # scalar rewriter quotes the bare T). The tuples evaluate as a
+        # Spark VALUES relation, align to the declared schema (absent
+        # columns become typed NULLs, QuestDB's fill), and land through
+        # write_designated_ts append — typed single-row appends reuse
+        # the exact batch path, no special ingest lane.
+        name, path = _ddl_table_path(m.group("table"), tables)
+        schema_cols, ts_col = _ddl_declared_schema(
+            spark, name, path, designated
+        )
+        declared_names = [n for n, _ in schema_cols]
+        insert_cols = (
+            [c.strip() for c in m.group("cols").split(",")]
+            if m.group("cols")
+            else declared_names
+        )
+        unknown = [c for c in insert_cols if c not in declared_names]
+        if unknown:
+            raise QuestDBSQLError(
+                f"INSERT INTO {name!r}: unknown column(s) {unknown} "
+                f"(declared: {declared_names})"
+            )
+        tuples = rewrite_questdb_scalars(m.group("tuples"))
+        try:
+            values = spark.sql(
+                f"SELECT * FROM VALUES {tuples} AS "
+                f"__qdb_values({', '.join(insert_cols)})"
+            )
+        except Exception as exc:
+            raise QuestDBSQLError(
+                f"INSERT INTO {name!r}: VALUES tuples do not evaluate "
+                f"({exc})"
+            ) from exc
+        aligned = values.select(
+            *[
+                F.col(n).cast(t).alias(n)
+                if n in insert_cols
+                else F.lit(None).cast(t).alias(n)
+                for n, t in schema_cols
+            ]
+        )
+        if ts_col not in insert_cols or aligned.filter(
+            F.col(ts_col).isNull()
+        ).count():
+            raise QuestDBSQLError(
+                f"INSERT INTO {name!r}: designated timestamp "
+                f"{ts_col!r} must be present and non-null in every row "
+                "(QuestDB rejects null designated timestamps)"
+            )
+        from questdb_etl_jobs_spark.plans.designated import (
+            write_designated_ts,
+        )
+
+        write_designated_ts(aligned, path, ts_col, mode="append")
+        return list_partitions(spark, path, ts_col)
+
     m = _INSERT_INTO_RE.match(text)
     if m:
         # INSERT INTO <t> SELECT … — QuestDB's DML append. The SELECT
@@ -1447,6 +1701,43 @@ def questdb_ddl(
         )
 
         out = questdb_sql(spark, m.group("select").strip(), designated)
+        if m.group("cols"):
+            # QuestDB matches the SELECT's output to the column list
+            # POSITIONALLY; rename, then align to the declared schema.
+            listed = [c.strip() for c in m.group("cols").split(",")]
+            if len(listed) != len(out.columns):
+                raise QuestDBSQLError(
+                    f"INSERT INTO {name!r}: column list has "
+                    f"{len(listed)} names but the SELECT produces "
+                    f"{len(out.columns)} columns"
+                )
+            out = out.toDF(*listed)
+        from questdb_etl_jobs_spark.plans.designated import read_table_meta
+
+        if read_table_meta(spark, path) is not None:
+            # Declared-schema table: absent columns fill as typed
+            # NULLs, present ones cast to their declared types so
+            # appended files never fork the parquet schema.
+            schema_cols, _ = _ddl_declared_schema(
+                spark, name, path, designated
+            )
+            unknown = [
+                c for c in out.columns
+                if c not in [n for n, _ in schema_cols]
+            ]
+            if unknown:
+                raise QuestDBSQLError(
+                    f"INSERT INTO {name!r}: unknown column(s) {unknown} "
+                    f"(declared: {[n for n, _ in schema_cols]})"
+                )
+            out = out.select(
+                *[
+                    F.col(n).cast(t).alias(n)
+                    if n in out.columns
+                    else F.lit(None).cast(t).alias(n)
+                    for n, t in schema_cols
+                ]
+            )
         if ts_col not in out.columns:
             raise QuestDBSQLError(
                 f"INSERT INTO {name!r}: the SELECT does not produce the "
@@ -1530,7 +1821,9 @@ def questdb_ddl(
 
     raise QuestDBSQLError(
         f"unsupported DDL statement: {text!r} (supported: CREATE TABLE "
-        "… AS (…) TIMESTAMP(ts) [PARTITION BY DAY], INSERT INTO … "
+        "[IF NOT EXISTS] … (col TYPE, …) TIMESTAMP(ts) [PARTITION BY "
+        "DAY], CREATE TABLE … AS (…) TIMESTAMP(ts) [PARTITION BY DAY], "
+        "INSERT INTO … [(cols)] VALUES (…), INSERT INTO … [(cols)] "
         "SELECT …, ALTER TABLE … DROP "
         "PARTITION WHERE/LIST, ALTER TABLE … SET TTL n DAYS)"
     )
@@ -1544,8 +1837,28 @@ _CREATE_TABLE_AS_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_INTO_RE = re.compile(
-    r"^INSERT\s+INTO\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s+"
+    r"^INSERT\s+INTO\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s*"
+    r"(?:\((?P<cols>[^()]*)\)\s*)?"
     r"(?P<select>SELECT\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+#: Bare column-list CREATE TABLE — the reference's own table-creation
+#: statement (reference sql/create-table.sql:1). Distinct from the CTAS
+#: regex: the paren follows the table name directly, no AS.
+_CREATE_TABLE_COLS_RE = re.compile(
+    r"^CREATE\s+TABLE\s+(?:(?P<ifnx>IF\s+NOT\s+EXISTS)\s+)?"
+    r"(?P<table>[A-Za-z_][\w.]*|'[^']+')\s*"
+    r"\((?P<cols>.+)\)\s*"
+    r"TIMESTAMP\s*\(\s*(?P<ts>\w+)\s*\)\s*"
+    r"(?:PARTITION\s+BY\s+(?P<part>\w+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+#: INSERT INTO … VALUES — the reference's one DML shape
+#: (reference cloud_function.py:84-88). Multi-tuple accepted.
+_INSERT_VALUES_RE = re.compile(
+    r"^INSERT\s+INTO\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s*"
+    r"(?:\((?P<cols>[^()]*)\)\s*)?"
+    r"VALUES\s*(?P<tuples>\(.+\))\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _SHOW_PARTITIONS_RE = re.compile(
@@ -1606,6 +1919,24 @@ def questdb_show(
             # catalog faces.
             return spark.createDataFrame(
                 [], "column_name string, column_type string, designated boolean"
+            )
+        from questdb_etl_jobs_spark.plans.designated import read_table_meta
+
+        meta = read_table_meta(spark, path)
+        if meta is not None:
+            # Declared-schema table (bare column-list CREATE): the
+            # sidecar IS the catalog — list it even before the first
+            # row lands (appends align to it, so it never goes stale).
+            return spark.createDataFrame(
+                [
+                    (
+                        c["name"],
+                        c["questdb_type"],
+                        c["name"] == meta["designated"],
+                    )
+                    for c in meta["columns"]
+                ],
+                "column_name string, column_type string, designated boolean",
             )
         # Unlike retention, SHOW COLUMNS is defined for non-designated
         # tables too — the explicit mapping wins, otherwise the storage

@@ -1649,3 +1649,218 @@ def test_ctas_runs_dialect_select_shapes(spark, trades, tmp_path):
     )
     latest = register_designated_table(spark, "latest", latest_path)
     assert latest.count() == 2  # one row per symbol, the newest
+
+
+def test_reference_sql_text_replays_verbatim(spark, tmp_path):
+    """Round-14: the reference's OWN statements must parse — the
+    drop-in story starts with its one .sql file. Bare column-list
+    CREATE TABLE (reference sql/create-table.sql:1, verbatim) lands a
+    declared-schema sidecar; the reference's DML shape
+    (cloud_function.py:84-88: INSERT INTO … VALUES with inline
+    to_timestamp over the bare-T pattern) appends a typed row through
+    write_designated_ts; SHOW COLUMNS lists the declared schema before
+    any row exists."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl, questdb_show
+
+    tables = {"purchases": str(tmp_path / "purchases")}
+    create = (
+        "CREATE TABLE purchases(buyer STRING, item_id INT, quantity INT, "
+        "price INT, purchase_date TIMESTAMP) timestamp(purchase_date);"
+    )  # /root/reference/sql/create-table.sql:1 VERBATIM
+    assert questdb_ddl(spark, create, tables) == []
+    cols = questdb_show(
+        spark, "SHOW COLUMNS FROM purchases", tables
+    ).collect()
+    assert [(r.column_name, r.column_type, r.designated) for r in cols] == [
+        ("buyer", "STRING", False),
+        ("item_id", "INT", False),
+        ("quantity", "INT", False),
+        ("price", "INT", False),
+        ("purchase_date", "TIMESTAMP", True),
+    ]
+    ins = (
+        "INSERT INTO purchases(buyer, item_id, quantity, price, "
+        "purchase_date) VALUES('ab12', 7, 2, 30, "
+        "to_timestamp('2022-03-04T10:00:00', 'yyyy-MM-ddTHH:mm:ss'));"
+    )  # the reference's DML with bind params bound to literals
+    assert questdb_ddl(spark, ins, tables) == ["2022-03-04"]
+    got = register_designated_table(
+        spark, "purchases", tables["purchases"]
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.buyer, r.item_id, r.quantity, r.price) == ("ab12", 7, 2, 30)
+    assert r.purchase_date.isoformat() == "2022-03-04T10:00:00"
+    # declared INT types survive the append
+    reg = dict(
+        register_designated_table(spark, "purchases", tables["purchases"])
+        .dtypes
+    )
+    assert reg["item_id"] == "int" and reg["price"] == "int"
+
+
+def test_create_table_cols_contract(spark, tmp_path):
+    """IF NOT EXISTS no-ops on an existing table; a duplicate bare
+    CREATE raises; unknown types, missing designated column,
+    non-TIMESTAMP designated, and qualifier-laden declarations raise
+    loudly naming the fragment."""
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"t": str(tmp_path / "t")}
+    create = "CREATE TABLE t(a STRING, ts TIMESTAMP) TIMESTAMP(ts)"
+    questdb_ddl(spark, create, tables)
+    assert (
+        questdb_ddl(
+            spark,
+            "CREATE TABLE IF NOT EXISTS t(a STRING, ts TIMESTAMP) "
+            "TIMESTAMP(ts)",
+            tables,
+        )
+        == []
+    )
+    with pytest.raises(QuestDBSQLError, match="already exists"):
+        questdb_ddl(spark, create, tables)
+    with pytest.raises(QuestDBSQLError, match="unsupported QuestDB column"):
+        questdb_ddl(
+            spark, "CREATE TABLE u(a GEOHASH, ts TIMESTAMP) TIMESTAMP(ts)",
+            {"u": str(tmp_path / "u")},
+        )
+    with pytest.raises(QuestDBSQLError, match="does not declare"):
+        questdb_ddl(
+            spark, "CREATE TABLE u(a STRING) TIMESTAMP(ts)",
+            {"u": str(tmp_path / "u")},
+        )
+    with pytest.raises(QuestDBSQLError, match="must be TIMESTAMP"):
+        questdb_ddl(
+            spark, "CREATE TABLE u(a STRING, ts INT) TIMESTAMP(ts)",
+            {"u": str(tmp_path / "u")},
+        )
+    with pytest.raises(QuestDBSQLError, match="unsupported column"):
+        questdb_ddl(
+            spark,
+            "CREATE TABLE u(s SYMBOL CAPACITY 256, ts TIMESTAMP) "
+            "TIMESTAMP(ts)",
+            {"u": str(tmp_path / "u")},
+        )
+    # SYMBOL itself (bare) lowers to string.
+    questdb_ddl(
+        spark, "CREATE TABLE v(s SYMBOL, ts TIMESTAMP) TIMESTAMP(ts)",
+        {"v": str(tmp_path / "v")},
+    )
+
+
+def test_insert_values_alignment_nulls_and_errors(spark, tmp_path):
+    """Partial column lists fill the absent columns with typed NULLs
+    (QuestDB's fill); multi-tuple inserts land in one append; unknown
+    columns, a missing table, and a NULL designated timestamp raise."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"t": str(tmp_path / "t")}
+    questdb_ddl(
+        spark,
+        "CREATE TABLE t(a STRING, n INT, ts TIMESTAMP) TIMESTAMP(ts)",
+        tables,
+    )
+    days = questdb_ddl(
+        spark,
+        "INSERT INTO t(a, ts) VALUES"
+        "('x', TIMESTAMP '2024-01-01 01:00:00'),"
+        "('y', TIMESTAMP '2024-01-02 02:00:00')",
+        tables,
+    )
+    assert days == ["2024-01-01", "2024-01-02"]
+    got = sorted(
+        (r.a, r.n, r.ts.isoformat())
+        for r in register_designated_table(spark, "t", tables["t"]).collect()
+    )
+    assert got == [
+        ("x", None, "2024-01-01T01:00:00"),
+        ("y", None, "2024-01-02T02:00:00"),
+    ]
+    with pytest.raises(QuestDBSQLError, match="unknown column"):
+        questdb_ddl(
+            spark, "INSERT INTO t(bogus, ts) VALUES(1, now())", tables
+        )
+    with pytest.raises(QuestDBSQLError, match="must be present and non-null"):
+        questdb_ddl(spark, "INSERT INTO t(a, n) VALUES('x', 1)", tables)
+    with pytest.raises(QuestDBSQLError, match="must be present and non-null"):
+        questdb_ddl(
+            spark,
+            "INSERT INTO t(a, ts) VALUES('x', CAST(NULL AS TIMESTAMP))",
+            tables,
+        )
+    with pytest.raises(QuestDBSQLError, match="does not exist"):
+        questdb_ddl(
+            spark,
+            "INSERT INTO missing(a, ts) VALUES('x', now())",
+            {"missing": str(tmp_path / "missing")},
+        )
+
+
+def test_insert_select_column_list_positional(spark, tmp_path):
+    """INSERT INTO t(cols) SELECT … matches the SELECT output to the
+    column list POSITIONALLY (QuestDB semantics) and fills undeclared
+    columns with typed NULLs on declared-schema tables; an arity
+    mismatch raises."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"t": str(tmp_path / "t")}
+    questdb_ddl(
+        spark,
+        "CREATE TABLE t(a STRING, n INT, ts TIMESTAMP) TIMESTAMP(ts)",
+        tables,
+    )
+    spark.createDataFrame(
+        [("p", "2024-02-01 00:00:01")], "s string, d string"
+    ).createOrReplaceTempView("__ins_src")
+    questdb_ddl(
+        spark,
+        "INSERT INTO t(a, ts) SELECT s, CAST(d AS TIMESTAMP) "
+        "FROM __ins_src",
+        tables,
+    )
+    got = register_designated_table(spark, "t", tables["t"]).collect()
+    assert [(r.a, r.n) for r in got] == [("p", None)]
+    with pytest.raises(QuestDBSQLError, match="column list has"):
+        questdb_ddl(
+            spark,
+            "INSERT INTO t(a, n, ts) SELECT s, CAST(d AS TIMESTAMP) "
+            "FROM __ins_src",
+            tables,
+        )
+
+
+def test_to_timestamp_bare_T_pattern_rewrite():
+    """QuestDB's 'yyyy-MM-ddTHH:mm:ss' pattern (the reference's one
+    DML format literal) gets its bare T quoted for Spark's formatter —
+    SQL-doubled inside the string literal; Spark-compatible patterns
+    and 1-arg calls pass through."""
+    from questdb_etl_jobs_spark.sql.dialect import rewrite_questdb_scalars
+
+    out = rewrite_questdb_scalars(
+        "to_timestamp('2022-03-04T10:00:00', 'yyyy-MM-ddTHH:mm:ss')"
+    )
+    assert out == (
+        "to_timestamp('2022-03-04T10:00:00', 'yyyy-MM-dd''T''HH:mm:ss')"
+    )
+    # No bare T: untouched semantics (pass through).
+    same = rewrite_questdb_scalars(
+        "to_timestamp(d, 'yyyy-MM-dd HH:mm:ss')"
+    )
+    assert "yyyy-MM-dd HH:mm:ss" in same
+    # Already-quoted T: left alone.
+    pre = rewrite_questdb_scalars(
+        "to_timestamp(d, 'yyyy-MM-dd''T''HH:mm:ss')"
+    )
+    assert pre.count("'T'") == 1
+    # 1-arg Spark spelling: pass through.
+    assert "to_timestamp(d)" in rewrite_questdb_scalars("to_timestamp(d)")
