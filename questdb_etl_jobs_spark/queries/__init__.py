@@ -78,14 +78,29 @@ def dq(name: str, oracle: str | Callable[[], str], covers: str = ""):
 # ``tools/verify_local.py`` (full-registry differential run; committed
 # report in CORRECTNESS_FULL.md).
 _PRIORITY: tuple[str, ...] = (
-    "q01_csv_ingest_cast",        # S2 F3 P3
+    # Round-14 rotation #1: q01 ceded its slot — S2 stays covered
+    # in-window by q86's metadata-gated CSV source, F3/P3 by q02 — so
+    # the reference's OWN SQL text (bare column-list CREATE TABLE +
+    # INSERT INTO … VALUES with the inline bare-T to_timestamp,
+    # replayed verbatim through questdb_ddl) runs under the driver's
+    # own oracle in the round it shipped.
+    "q194_reference_sql_replay",  # S6 F4 O3 EXT (reference SQL verbatim)
     "q02_pipeline_anonymize",     # F1 U1 F4
-    "q03_events_scan_order",      # S3 O1
+    # Round-14 rotation #2: q03 ceded its slot — S3 stays covered
+    # in-window by q59's partitioned IVF scan, O1 by q61/q169/q170 — so
+    # CTAS with a designated timestamp (the QuestDB table-creation
+    # idiom, full round trip through the storage convention) joins the
+    # hard signal.
+    "q191_dialect_ctas",          # S6 A7 O3 EXT (CTAS round trip)
     "q07_event_filter",           # P1 P2 P4
     "q08_case_banding",           # F10 A1
     "q09_quarantine_split",       # P4 R6
     "q10_join_revenue_by_nation", # J1 J2 F7
-    "q11_left_join_order_counts", # J3
+    # Round-14 rotation #3: q11 ceded its slot — its only id, J3,
+    # stays covered in-window by q181's recursive-spine left join — so
+    # the QuestDB compensated-sum spellings (ksum/nsum on the exact
+    # decimal protocol) run under the driver's own oracle.
+    "q188_dialect_ksum_nsum",     # A1 F7 EXT (compensated-sum spellings)
     # Round-11 rotation #2: q12 ceded its slot — its only id, J4, stays
     # covered in-window by q167's anti-join admission gate — so the
     # round's flagship scale face (the grouped threshold prune behind
@@ -145,7 +160,11 @@ _PRIORITY: tuple[str, ...] = (
     # routing shipped.
     "q183_dialect_topk_routed",   # O2 EXT (routed prune, SQL surface)
     "q35_set_ops_users",          # T2
-    "q40_top_words",              # F6
+    # Round-14 rotation #4: q40 ceded its slot — F6 stays covered
+    # in-window by q49/q80, U4 by q47/q57/q80/q167 — so the streaming
+    # deterministic reservoir (exactly-k per stratum, batch-equivalent)
+    # joins the hard signal.
+    "q192_stream_reservoir",      # R1 R6 U2 O2 EXT (streaming reservoir)
     "q41_vector_math",            # F8 F11
     "q42_json_extract",           # F9
     "q05_hash_family",            # F2 (q44 ceded its slot in round 9 —
