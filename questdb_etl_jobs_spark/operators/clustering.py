@@ -391,20 +391,64 @@ def _parallel_init_rounds(
         raise ValueError("kmeans_parallel_init: no non-null vectors")
     centers: list[list[float]] = [[float(x) for x in seed[0]["__v"]]]
 
-    for rnd in range(rounds):
-        # d²(x, C) via assign_clusters' dist face, so the init inherits
-        # the plan-literal envelope: the candidate set can grow to
-        # rounds × oversample centers, and above PLAN_LITERAL_BUDGET
-        # the distance projection switches to the broadcast/Arrow path
-        # (bit-identical fold) instead of embedding every candidate as
-        # plan literals.
-        scored = assign_clusters(
+    # Incremental nearest-center state (round-14; the MLlib k-means||
+    # layout): one cached (__id, __v, __c, __d) frame carries each
+    # point's winning center and d²(x, C). A round only computes
+    # distances to the centers IT added — the growing prefix is never
+    # re-scored (the round-13 shape recomputed d² to every center twice
+    # per round: once for psi, once for the draw) — and the final
+    # weights pass is a pure groupBy with ZERO distance work.
+    # Bit-identical to full re-scoring: the strict-< running update
+    # keeps the earlier (lower-index) center on ties, exactly
+    # array_position's first-minimum, and the d² folds are the same
+    # doubles assign_clusters would produce (it IS assign_clusters,
+    # batch by batch); malformed vectors carry NULL __c/__d through
+    # every update (NULL never wins a strict <), matching the one-shot
+    # face's NULL bucket.
+    cur = (
+        assign_clusters(
             pts, centers, vec_col="__v", cluster_col="__c", dist_col="__d"
-        ).select("__id", "__v", "__d")
+        )
+        .select("__id", "__v", "__c", "__d")
+        .cache()
+    )
+    scored_from = len(centers)  # centers[:scored_from] are in `cur`
+
+    def _advance(state: DataFrame) -> DataFrame:
+        """Fold the not-yet-scored center batch into the state. The
+        batch rides assign_clusters, so the init inherits the
+        plan-literal envelope (above PLAN_LITERAL_BUDGET the batch
+        distances switch to the broadcast/Arrow path, same fold)."""
+        batch = centers[scored_from:]
+        if not batch:
+            return state
+        beats = F.col("__nd") < F.col("__d")
+        nxt = (
+            assign_clusters(
+                state, batch, vec_col="__v",
+                cluster_col="__nc", dist_col="__nd",
+            )
+            .select(
+                "__id",
+                "__v",
+                F.when(beats, F.col("__nc") + F.lit(scored_from))
+                .otherwise(F.col("__c"))
+                .alias("__c"),
+                F.when(beats, F.col("__nd"))
+                .otherwise(F.col("__d"))
+                .alias("__d"),
+            )
+            .cache()
+        )
+        nxt.count()  # materialize BEFORE dropping the parent cache
+        state.unpersist()
+        return nxt
+
+    for rnd in range(rounds):
         # Normalizer via the decimal protocol (order-independent sum of
         # pre-rounded terms), so the Bernoulli thresholds — and hence
         # the candidate set — are identical on ANY partition layout.
-        psi_row = scored.agg(
+        psi_row = cur.agg(
             F.sum(F.round("__d", 6).cast("decimal(38,6)")).alias("psi")
         ).collect()[0]
         psi = float(psi_row["psi"]) if psi_row["psi"] else 0.0
@@ -415,7 +459,7 @@ def _parallel_init_rounds(
             F.pmod(F.xxhash64("__id", F.lit(rnd)), F.lit(1 << 31))
             / F.lit(float(1 << 31))
         )
-        picked = scored.filter(
+        picked = cur.filter(
             u < (F.col("__d") * F.lit(float(l)) / F.lit(psi))
         ).select("__id", "__v").collect()
         existing = {tuple(c) for c in centers}
@@ -424,19 +468,19 @@ def _parallel_init_rounds(
             if tuple(v) not in existing:
                 existing.add(tuple(v))
                 centers.append(v)
+        cur = _advance(cur)
+        scored_from = len(centers)
 
-    # Weights: how many points each candidate wins — one grouped count
-    # over the zero-shuffle assignment (the group directory is at most
-    # len(centers) rows).
+    # Weights: how many points each candidate wins — the state already
+    # holds every point's winner, so this is one grouped count over the
+    # cache (directory-sized exchange, no distance computation).
     weights = [0] * len(centers)
     for r in (
-        assign_clusters(pts, centers, vec_col="__v")
-        .groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        cur.groupBy("__c").agg(F.count(F.lit(1)).alias("n")).collect()
     ):
-        if r["cluster"] is not None:
-            weights[r["cluster"]] = int(r["n"])
+        if r["__c"] is not None:
+            weights[r["__c"]] = int(r["n"])
+    cur.unpersist()
 
     return _weighted_reduce(centers, weights, k, lloyd_iterations)
 
