@@ -307,6 +307,25 @@ def _mutated_corpus(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").unionByName(mutated)
 
 
+#: Sub-stratum modulus for the superlinear CPython pair mirrors at
+#: non-driver tiers (round-14, VERDICT r13 item 3): keeping base docs
+#: with ``doc_id % 37 == 0`` bounds the all-pairs term (the mirror is
+#: O(corpus²) set algebra) while preserving every known near-dup pair —
+#: the mutation chains are REBUILT from the kept bases in both faces,
+#: so each kept doc still meets its mutated twins.
+_PAIR_STRATUM_MOD = 37
+
+
+def _pair_stratum(sf_dir: str) -> int | None:
+    """``None`` at the driver tier (sf0.01: full corpus, driver hashes
+    pinned); the bounded sub-stratum modulus at any larger tier."""
+    return (
+        None
+        if sf_dir.rstrip("/").endswith("sf0.01")
+        else _PAIR_STRATUM_MOD
+    )
+
+
 def _py_shingles(text: str, n: int = 3) -> frozenset[str]:
     """CPython mirror of operators.dedup.word_shingles (set semantics)."""
     toks = text.split(" ")
@@ -314,12 +333,14 @@ def _py_shingles(text: str, n: int = 3) -> frozenset[str]:
     return frozenset(" ".join(toks[i : i + n]) for i in range(count))
 
 
-def _q47_oracle() -> str:
+def _q47_oracle(sf_dir: str = ORACLE_SF_DIR) -> str:
     import duckdb
 
+    mod = _pair_stratum(sf_dir)
+    where = f" WHERE doc_id % {mod} = 0" if mod else ""
     rows = duckdb.sql(
-        f"SELECT doc_id, text FROM '{ORACLE_SF_DIR}/documents.parquet'"
-        " ORDER BY doc_id"
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+        f"{where} ORDER BY doc_id"
     ).fetchall()
     corpus: list[tuple[int, frozenset[str]]] = []
     for doc_id, text in rows:
@@ -348,20 +369,22 @@ def _q47_oracle() -> str:
     """
 
 
-# 10×-pass pin, cost not convention: the mirror verifies EXACT Jaccard
-# over every candidate pair, and the boilerplate-heavy synthetic
-# vocabulary makes the pair count grow superlinearly with the corpus —
-# minutes of CPython at sf0.1 (same pair-explosion the LSH bench path
-# documents in bench.py's _dup_clusters_lsh note).
-_q47_oracle.sf_pin_reason = (
-    "CPython exact-Jaccard pair mirror — candidate pairs grow "
-    "superlinearly on the synthetic vocabulary (minutes at sf0.1)"
-)
+# sf-parametric via the bounded sub-stratum (round-14; previously a
+# 10×-pass pin): the mirror verifies EXACT Jaccard over every pair, and
+# the boilerplate-heavy synthetic vocabulary makes the pair count grow
+# superlinearly with the corpus — minutes of CPython over the FULL
+# sf0.1 corpus (the same pair-explosion bench.py's _dup_clusters_lsh
+# note documents), seconds over the doc_id % 37 stratum both faces
+# share at non-driver tiers.
+_q47_oracle.sf_parametric = True
 
 
 @dq("q47_near_dup_minhash_lsh", oracle=_q47_oracle, covers="EXT,U4,A1,J1")
 def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    mod = _pair_stratum(sf_dir)
+    if mod:
+        docs = docs.filter(F.col("doc_id") % mod == 0)
     corpus = _mutated_corpus(docs)
     # One fused aggregation feeds both the banding branch and the verify
     # joins (reused exchange, single shingle construction — see
@@ -817,12 +840,14 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
 # construction (a pair with jaccard >= 0.8 > 0 shares a shingle), so the
 # oracle is a plain brute-force over all pairs.
 
-def _q57_oracle() -> str:
+def _q57_oracle(sf_dir: str = ORACLE_SF_DIR) -> str:
     import duckdb
 
+    mod = _pair_stratum(sf_dir)
+    where = f" WHERE doc_id % {mod} = 0" if mod else ""
     rows = duckdb.sql(
-        f"SELECT doc_id, text FROM '{ORACLE_SF_DIR}/documents.parquet'"
-        " ORDER BY doc_id"
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+        f"{where} ORDER BY doc_id"
     ).fetchall()
     corpus: list[tuple[int, frozenset[str]]] = []
     for doc_id, text in rows:
@@ -852,17 +877,17 @@ def _q57_oracle() -> str:
     """
 
 
-# Same pair-explosion pin as q47 (exact n-gram Jaccard over all
-# candidate pairs in CPython).
-_q57_oracle.sf_pin_reason = (
-    "CPython exact n-gram-Jaccard pair mirror — pair count grows "
-    "superlinearly on the synthetic vocabulary (minutes at sf0.1)"
-)
+# Same pair-explosion shape as q47; sf-parametric via the shared
+# bounded sub-stratum (round-14; previously a 10×-pass pin).
+_q57_oracle.sf_parametric = True
 
 
 @dq("q57_ngram_jaccard_exact", oracle=_q57_oracle, covers="EXT,U4,A1,J1")
 def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    mod = _pair_stratum(sf_dir)
+    if mod:
+        docs = docs.filter(F.col("doc_id") % mod == 0)
     corpus = _mutated_corpus(docs)
     pairs = ngram_jaccard_pairs(
         corpus,
@@ -1196,12 +1221,14 @@ def _chained_corpus(docs: DataFrame) -> DataFrame:
     return base.unionByName(m1).unionByName(m2)
 
 
-def _q67_oracle() -> str:
+def _q67_oracle(sf_dir: str = ORACLE_SF_DIR) -> str:
     import duckdb
 
+    mod = _pair_stratum(sf_dir)
+    where = f" WHERE doc_id % {mod} = 0" if mod else ""
     rows = duckdb.sql(
-        f"SELECT doc_id, text FROM '{ORACLE_SF_DIR}/documents.parquet'"
-        " ORDER BY doc_id"
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+        f"{where} ORDER BY doc_id"
     ).fetchall()
 
     def drop_first(t: str) -> str:
@@ -1253,17 +1280,18 @@ def _q67_oracle() -> str:
     """
 
 
-# Same pair-explosion pin as q47/q57: the union-find mirror consumes
-# the exact pair edge list, which is the superlinear term.
-_q67_oracle.sf_pin_reason = (
-    "CPython union-find over the exact pair edge list — edge count "
-    "grows superlinearly on the synthetic vocabulary (minutes at sf0.1)"
-)
+# Same pair-explosion shape as q47/q57 (the union-find mirror consumes
+# the exact pair edge list); sf-parametric via the shared bounded
+# sub-stratum (round-14; previously a 10×-pass pin).
+_q67_oracle.sf_parametric = True
 
 
 @dq("q67_dup_clusters", oracle=_q67_oracle, covers="EXT,J1,A1,U4")
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    mod = _pair_stratum(sf_dir)
+    if mod:
+        docs = docs.filter(F.col("doc_id") % mod == 0)
     corpus = _chained_corpus(docs)
     edges = ngram_jaccard_pairs(
         corpus,
