@@ -170,8 +170,23 @@ def register_designated_table(
     :func:`write_designated_ts` as a temp view. The partition column
     travels with the view, so :func:`infer_designated_ts` (and the
     QuestDB SQL dialect) recover the designated timestamp without
-    caller plumbing."""
-    df = spark.read.format(file_format).load(path)
+    caller plumbing.
+
+    Declared-schema tables (a ``_qdb_table_meta.json`` sidecar from a
+    bare column-list CREATE) read with the DECLARED schema instead of
+    footer inference: an empty or truncated table still registers with
+    its columns, and a column added by ``ALTER TABLE … ADD COLUMN``
+    comes back as NULL for rows written before the widening — parquet
+    fills explicit-schema columns absent from a file with NULLs."""
+    meta = read_table_meta(spark, path)
+    if meta is not None and file_format == "parquet":
+        fields = ", ".join(
+            f"{c['name']} {c['spark_type']}" for c in meta["columns"]
+        )
+        pcol = meta["designated"] + PARTITION_SUFFIX
+        df = spark.read.schema(f"{fields}, {pcol} date").parquet(path)
+    else:
+        df = spark.read.format(file_format).load(path)
     df.createOrReplaceTempView(name)
     return df
 

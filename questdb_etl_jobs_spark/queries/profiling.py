@@ -3696,3 +3696,80 @@ def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
         "buyer string, item_id int, quantity int, price int, "
         "purchase_date timestamp",
     ).orderBy("purchase_date", "buyer", "item_id")
+
+
+# ---------------------------------------------------------------------------
+# q195 — table lifecycle: TRUNCATE, ALTER ADD COLUMN, DROP (round 14)
+# ---------------------------------------------------------------------------
+#
+# The catalog statements that complete q194's CREATE/INSERT story —
+# QuestDB's table lifecycle run end-to-end through questdb_ddl:
+#
+#   CREATE (declared schema) → INSERT → TRUNCATE (data gone, schema
+#   kept — the sidecar is the catalog) → INSERT fresh rows → ALTER
+#   TABLE ADD COLUMN (declared schema widens; pre-ALTER rows read back
+#   NULL in the new column) → INSERT with the new column → read back.
+#
+# A second scratch table is DROPped and must vanish from SHOW TABLES
+# while the survivor stays listed — asserted in-face (the returned
+# frame is the lifecycle table's final contents; every value is a
+# constant, so the oracle is a pure VALUES relation and valid at any
+# sf).
+
+_Q195_ORACLE = """
+SELECT * FROM (VALUES
+  ('after-truncate', 1, TIMESTAMP '2024-05-01 08:00:00', NULL),
+  ('widened',        2, TIMESTAMP '2024-05-02 09:30:00', 7.5)
+) AS t(a, n, ts, extra)
+ORDER BY ts
+"""
+
+
+@dq("q195_table_lifecycle", oracle=_Q195_ORACLE, covers="S6,O3,EXT")
+def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql import questdb_ddl
+    from questdb_etl_jobs_spark.sql.dialect import questdb_show
+
+    work = tempfile.mkdtemp(prefix="q195_lifecycle_")
+    try:
+        tables = {"t": f"{work}/t", "scratch": f"{work}/scratch"}
+        ddl = lambda s: questdb_ddl(spark, s, tables)  # noqa: E731
+        ddl("CREATE TABLE t(a STRING, n INT, ts TIMESTAMP) TIMESTAMP(ts)")
+        ddl("CREATE TABLE scratch(x INT, ts TIMESTAMP) TIMESTAMP(ts)")
+        ddl(
+            "INSERT INTO t(a, n, ts) VALUES"
+            "('doomed', 0, TIMESTAMP '2024-04-01 00:00:00')"
+        )
+        ddl("TRUNCATE TABLE t")
+        ddl(
+            "INSERT INTO t(a, n, ts) VALUES"
+            "('after-truncate', 1, TIMESTAMP '2024-05-01 08:00:00')"
+        )
+        ddl("ALTER TABLE t ADD COLUMN extra DOUBLE")
+        ddl(
+            "INSERT INTO t(a, n, ts, extra) VALUES"
+            "('widened', 2, TIMESTAMP '2024-05-02 09:30:00', 7.5)"
+        )
+        ddl("DROP TABLE scratch")
+        listed = {
+            r.table_name
+            for r in questdb_show(spark, "SHOW TABLES", tables).collect()
+        }
+        assert listed == {"t"}, f"catalog after DROP: {listed}"
+        rows = (
+            register_designated_table(spark, "t", tables["t"])
+            .select("a", "n", "ts", "extra")
+            .orderBy("ts")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "a string, n int, ts timestamp, extra double"
+    ).orderBy("ts")

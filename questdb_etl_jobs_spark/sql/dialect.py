@@ -1338,6 +1338,58 @@ def _ddl_table_path(table: str, tables: dict[str, str]) -> tuple[str, str]:
     return name, tables[name]
 
 
+def _ensure_table_meta(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    designated: dict[str, str],
+) -> dict:
+    """The declared-schema sidecar for ``name``, materializing one from
+    the parquet footers when the table was born with rows (CTAS /
+    write_designated_ts) — TRUNCATE and ADD COLUMN need a catalog that
+    survives the data files. Raises when the table does not exist."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        PARTITION_SUFFIX,
+        _QUESTDB_TYPE,
+        infer_designated_ts,
+        read_table_meta,
+        write_table_meta,
+    )
+
+    meta = read_table_meta(spark, path)
+    if meta is not None:
+        return meta
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception as exc:
+        raise QuestDBSQLError(
+            f"table {name!r} does not exist at {path}"
+        ) from exc
+    names = [f.name for f in schema.fields]
+    ts = designated.get(name) or infer_designated_ts(names)
+    if ts is None:
+        raise QuestDBSQLError(
+            f"table {name!r} has no designated timestamp (pass it via "
+            "the designated mapping)"
+        )
+    cols = [
+        (
+            f.name,
+            f.dataType.simpleString(),
+            _QUESTDB_TYPE.get(
+                f.dataType.simpleString(), f.dataType.simpleString().upper()
+            ),
+        )
+        for f in schema.fields
+        if not (
+            f.name.endswith(PARTITION_SUFFIX)
+            and f.name[: -len(PARTITION_SUFFIX)] in names
+        )
+    ]
+    write_table_meta(spark, path, cols, ts)
+    return read_table_meta(spark, path)
+
+
 def _parquet_has_footers(spark: SparkSession, path: str) -> bool:
     """True when ``path`` holds at least one readable parquet footer
     (schema-only probe; a missing/empty dir reads as False)."""
@@ -1471,6 +1523,16 @@ def questdb_ddl(
                                                    (append; designated
                                                    col from the layout;
                                                    cols match positionally)
+    ``DROP TABLE [IF EXISTS] t``                   recursive directory
+                                                   delete (catalog = the
+                                                   table→path mapping)
+    ``TRUNCATE TABLE t``                           data files deleted,
+                                                   schema kept (sidecar
+                                                   materialized from
+                                                   footers first)
+    ``ALTER TABLE t ADD COLUMN c TYPE``            declared schema widens;
+                                                   pre-ALTER rows read
+                                                   NULL in the new column
     ``ALTER TABLE t DROP PARTITION WHERE ts < 'x'``  ``drop_partitions
                                                      (older_than=x)``
     ``ALTER TABLE t DROP PARTITION LIST 'd', ...``   ``drop_partitions
@@ -1819,12 +1881,81 @@ def questdb_ddl(
             return []
         return enforce_ttl(spark, path, ts_col, days, existing[-1])
 
+    m = _DROP_TABLE_RE.match(text)
+    if m:
+        # DROP TABLE — the engine's catalog is the table→path mapping,
+        # so dropping is a recursive directory delete (data, layout,
+        # sidecar alike). Missing table: IF EXISTS no-ops, the bare
+        # form raises (QuestDB errors on a missing table).
+        from questdb_etl_jobs_spark.sources.fs import hadoop_path_exists
+
+        name, path = _ddl_table_path(m.group("table"), tables)
+        if not hadoop_path_exists(spark, path):
+            if m.group("ifx"):
+                return []
+            raise QuestDBSQLError(f"table {name!r} does not exist at {path}")
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+        return []
+
+    m = _TRUNCATE_TABLE_RE.match(text)
+    if m:
+        # TRUNCATE TABLE — delete every data file/partition dir but
+        # KEEP the table: the declared-schema sidecar survives (for a
+        # table born with rows it is materialized from the footers
+        # FIRST, so the schema + designated ts outlive the data —
+        # QuestDB's truncate keeps table metadata).
+        name, path = _ddl_table_path(m.group("table"), tables)
+        _ensure_table_meta(spark, name, path, designated)
+        from questdb_etl_jobs_spark.plans.designated import TABLE_META_FILE
+
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        for st in fs.listStatus(hpath):
+            if st.getPath().getName() != TABLE_META_FILE:
+                fs.delete(st.getPath(), True)
+        return []
+
+    m = _ALTER_ADD_COLUMN_RE.match(text)
+    if m:
+        # ALTER TABLE … ADD COLUMN — appends to the declared schema
+        # (sidecar materialized from footers first if needed). Existing
+        # files keep their narrower schema; the declared-schema read
+        # path (register_designated_table) fills the new column with
+        # NULLs for pre-ALTER rows, and every later INSERT aligns to
+        # the widened declaration — QuestDB's add-column semantics.
+        from questdb_etl_jobs_spark.plans.designated import write_table_meta
+
+        name, path = _ddl_table_path(m.group("table"), tables)
+        meta = _ensure_table_meta(spark, name, path, designated)
+        col, qtype = m.group("col"), m.group("type").upper()
+        stype = _QDB_TO_SPARK_TYPE.get(qtype)
+        if stype is None:
+            raise QuestDBSQLError(
+                f"unsupported QuestDB column type {qtype!r} for {col!r} "
+                f"(known: {sorted(_QDB_TO_SPARK_TYPE)})"
+            )
+        if col in [c["name"] for c in meta["columns"]]:
+            raise QuestDBSQLError(
+                f"column {col!r} already exists on table {name!r}"
+            )
+        cols = [
+            (c["name"], c["spark_type"], c["questdb_type"])
+            for c in meta["columns"]
+        ] + [(col, stype, qtype)]
+        write_table_meta(spark, path, cols, meta["designated"])
+        return []
+
     raise QuestDBSQLError(
         f"unsupported DDL statement: {text!r} (supported: CREATE TABLE "
         "[IF NOT EXISTS] … (col TYPE, …) TIMESTAMP(ts) [PARTITION BY "
         "DAY], CREATE TABLE … AS (…) TIMESTAMP(ts) [PARTITION BY DAY], "
         "INSERT INTO … [(cols)] VALUES (…), INSERT INTO … [(cols)] "
-        "SELECT …, ALTER TABLE … DROP "
+        "SELECT …, DROP TABLE [IF EXISTS] …, TRUNCATE TABLE …, ALTER "
+        "TABLE … ADD COLUMN c TYPE, ALTER TABLE … DROP "
         "PARTITION WHERE/LIST, ALTER TABLE … SET TTL n DAYS)"
     )
 
@@ -1860,6 +1991,22 @@ _INSERT_VALUES_RE = re.compile(
     r"(?:\((?P<cols>[^()]*)\)\s*)?"
     r"VALUES\s*(?P<tuples>\(.+\))\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+#: Table-lifecycle statements (QuestDB catalog ops; the engine's
+#: catalog is the table→path mapping, so these are directory-level).
+_DROP_TABLE_RE = re.compile(
+    r"^DROP\s+TABLE\s+(?:(?P<ifx>IF\s+EXISTS)\s+)?"
+    r"(?P<table>[A-Za-z_][\w.]*|'[^']+')\s*$",
+    re.IGNORECASE,
+)
+_TRUNCATE_TABLE_RE = re.compile(
+    r"^TRUNCATE\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s*$",
+    re.IGNORECASE,
+)
+_ALTER_ADD_COLUMN_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s+"
+    r"ADD\s+COLUMN\s+(?P<col>[A-Za-z_]\w*)\s+(?P<type>[A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
 )
 _SHOW_PARTITIONS_RE = re.compile(
     r"^SHOW\s+PARTITIONS\s+FROM\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s*$",

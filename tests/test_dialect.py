@@ -1864,3 +1864,70 @@ def test_to_timestamp_bare_T_pattern_rewrite():
     assert pre.count("'T'") == 1
     # 1-arg Spark spelling: pass through.
     assert "to_timestamp(d)" in rewrite_questdb_scalars("to_timestamp(d)")
+
+
+def test_table_lifecycle_drop_truncate_add_column(spark, tmp_path):
+    """Round-14 lifecycle statements: TRUNCATE keeps the schema (the
+    sidecar is materialized from footers first for tables born with
+    rows), ADD COLUMN widens the declaration and pre-ALTER rows read
+    back NULL, DROP TABLE removes the directory (IF EXISTS no-ops on a
+    missing table, the bare form raises); the widened declared read
+    registers empty tables with their full schema."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+        write_designated_ts,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"t": str(tmp_path / "t"), "b": str(tmp_path / "b")}
+    questdb_ddl(
+        spark,
+        "CREATE TABLE t(a STRING, ts TIMESTAMP) TIMESTAMP(ts)",
+        tables,
+    )
+    questdb_ddl(
+        spark,
+        "INSERT INTO t(a, ts) VALUES('x', TIMESTAMP '2024-01-01 01:00:00')",
+        tables,
+    )
+    questdb_ddl(spark, "TRUNCATE TABLE t", tables)
+    got = register_designated_table(spark, "t", tables["t"])
+    assert got.count() == 0
+    assert got.columns == ["a", "ts", "ts_pdate"]  # schema survives
+    questdb_ddl(spark, "ALTER TABLE t ADD COLUMN extra LONG", tables)
+    questdb_ddl(
+        spark,
+        "INSERT INTO t(a, ts) VALUES('y', TIMESTAMP '2024-01-02 01:00:00')",
+        tables,
+    )
+    questdb_ddl(
+        spark,
+        "INSERT INTO t(a, ts, extra) VALUES"
+        "('z', TIMESTAMP '2024-01-03 01:00:00', 9)",
+        tables,
+    )
+    rows = sorted(
+        (r.a, r.extra)
+        for r in register_designated_table(spark, "t", tables["t"]).collect()
+    )
+    assert rows == [("y", None), ("z", 9)]
+    with pytest.raises(QuestDBSQLError, match="already exists"):
+        questdb_ddl(spark, "ALTER TABLE t ADD COLUMN extra LONG", tables)
+    # A footers-born table (no sidecar): TRUNCATE materializes one, and
+    # ADD COLUMN works on it too.
+    df = spark.createDataFrame(
+        [("p", "2024-02-01 00:00:00")], "v string, raw string"
+    ).select("v", F.to_timestamp("raw").alias("ts"))
+    write_designated_ts(df, tables["b"], "ts")
+    questdb_ddl(spark, "ALTER TABLE b ADD COLUMN w INT", tables)
+    b = register_designated_table(spark, "b", tables["b"])
+    assert [(r.v, r.w) for r in b.collect()] == [("p", None)]
+    questdb_ddl(spark, "TRUNCATE TABLE b", tables)
+    assert register_designated_table(spark, "b", tables["b"]).count() == 0
+    # DROP semantics.
+    questdb_ddl(spark, "DROP TABLE b", tables)
+    with pytest.raises(QuestDBSQLError, match="does not exist"):
+        questdb_ddl(spark, "DROP TABLE b", tables)
+    assert questdb_ddl(spark, "DROP TABLE IF EXISTS b", tables) == []
+    with pytest.raises(QuestDBSQLError, match="does not exist"):
+        questdb_ddl(spark, "TRUNCATE TABLE b", tables)

@@ -944,6 +944,168 @@ def _latest_on_sf100(spark, results: dict) -> None:
     }
 
 
+def _asof_sf100(spark, results: dict) -> None:
+    """The as-of join family's first scale-differential cell (round-14,
+    VERDICT r13 item 2: the one flagship operator with no tier
+    evidence). Shape: the sf100 events tier (100M left rows, ~1.5M
+    users) ASOF-joined to a ~10M-row ``signups`` right side over the
+    same user space — each event meets its latest prior signup, ~13% of
+    events precede their user's first signup and exercise the left-join
+    NULL path. DuckDB's NATIVE ``ASOF LEFT JOIN`` is the oracle — the
+    embedded engine's own specialized operator, not a window rewrite.
+
+    TWO Spark faces are measured (the LATEST ON treatment — measure the
+    alternatives, keep the winner deployed, state the regime): the
+    DEPLOYED union + ordered-window carry (ONE exchange of left∪right
+    hash-partitioned by user; PLANS.md's cost model) and the bucketed
+    hot-key face (partitions the carry window by (user, day) with a
+    per-bucket summary carry — two extra directory-sized shuffles,
+    built for keys whose row count exceeds one task, which this tier's
+    ~66 rows/user shape does NOT have; its number documents why the
+    plain face stays deployed at normal key density).
+
+    The 100M-row join output is consumed INSIDE each engine by a 1-row
+    digest (count + matched-count + keyed sums — a client fetch of 100M
+    tuples would measure the FFI, not the join). Cross-checks before
+    timing: both Spark faces match the digest AND match row-for-row on
+    a deterministic ~150-user stratum, where DuckDB's native ASOF rows
+    are compared too."""
+    from pyspark.sql import functions as F
+
+    from questdb_etl_jobs_spark.operators.asof import asof_join
+    from questdb_etl_jobs_spark.sources.tables import load_table
+    from tools.stress_scale import (
+        synthesize_events_only,
+        synthesize_signups_into,
+    )
+
+    t0 = time.perf_counter()
+    synthesize_events_only(spark, SF100_EVENTS, factor=1000, mult=1024)
+    synthesize_signups_into(spark, SF100_EVENTS, factor=1000, mult=1024)
+    synth = round(time.perf_counter() - t0, 1)
+    print(f"# sf100 events+signups synthesis: {synth}s", file=sys.stderr)
+
+    def face(bucket):
+        def fn(spark_, sf_dir_):
+            ev = load_table(spark_, sf_dir_, "events")
+            sg = load_table(spark_, sf_dir_, "signups").select(
+                "signup_id", "user_id", "ts"
+            )
+            joined = asof_join(
+                ev.select("event_id", "user_id", "ts"),
+                sg, on="ts", by=["user_id"], bucket=bucket,
+            )
+            return joined.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count("signup_id").alias("matched"),
+                F.sum(F.col("event_id") % F.lit(1_000_003)).alias(
+                    "sum_eid"
+                ),
+                F.sum(
+                    F.unix_micros(F.col("ts_right"))
+                    % F.lit(1_000_000_000)
+                ).alias("sum_sts"),
+            )
+
+        return fn
+
+    deployed, bucketed = face(None), face("1 day")
+
+    duck_sql = """
+    SELECT count(*) AS n, count(s.signup_id) AS matched,
+           sum(e.event_id % 1000003) AS sum_eid,
+           sum(epoch_us(s.ts) % 1000000000) AS sum_sts
+    FROM events e ASOF LEFT JOIN signups s
+      ON e.user_id = s.user_id AND e.ts >= s.ts
+    """
+
+    con = _sf100_duck_connection(["events", "signups"], base=SF100_EVENTS)
+    s_digest = [
+        tuple(int(v) for v in r)
+        for r in deployed(spark, SF100_EVENTS).collect()
+    ]
+    b_digest = [
+        tuple(int(v) for v in r)
+        for r in bucketed(spark, SF100_EVENTS).collect()
+    ]
+    d_digest = [
+        tuple(int(v) for v in r) for r in con.execute(duck_sql).fetchall()
+    ]
+    assert s_digest == b_digest == d_digest, (
+        f"as-of digest mismatch: plain={s_digest} bucketed={b_digest} "
+        f"duck={d_digest}"
+    )
+
+    # Row-level crosscheck on a deterministic user stratum (~150 users,
+    # ~10k rows): plain face, bucketed face, and DuckDB's native ASOF
+    # must agree tuple-for-tuple.
+    def stratum_rows(bucket):
+        ev = load_table(spark, SF100_EVENTS, "events").filter(
+            F.col("user_id") % 9973 == 0
+        )
+        sg = load_table(spark, SF100_EVENTS, "signups").select(
+            "signup_id", "user_id", "ts"
+        )
+        return sorted(
+            map(
+                tuple,
+                asof_join(
+                    ev.select("event_id", "user_id", "ts"),
+                    sg, on="ts", by=["user_id"], bucket=bucket,
+                )
+                .select("user_id", "event_id", "signup_id")
+                .collect(),
+            )
+        )
+
+    duck_stratum = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+        SELECT e.user_id, e.event_id, s.signup_id
+        FROM events e ASOF LEFT JOIN signups s
+          ON e.user_id = s.user_id AND e.ts >= s.ts
+        WHERE e.user_id % 9973 = 0
+        """
+            ).fetchall(),
+        )
+    )
+    plain_stratum = stratum_rows(None)
+    assert plain_stratum == stratum_rows("1 day"), (
+        "bucketed as-of diverged from the plain face on the stratum"
+    )
+    assert plain_stratum == duck_stratum, (
+        "Spark as-of diverged from DuckDB native ASOF on the stratum"
+    )
+
+    cells = _interleaved_sf100_cells(
+        spark, con,
+        {
+            "asof_union_window": (deployed, duck_sql),
+            "asof_bucketed": (bucketed, duck_sql),
+        },
+        tag="asof sf100",
+        sf_dir=SF100_EVENTS,
+    )
+    con.close()
+    results.setdefault("dq15_asof", {})
+    results["dq15_asof"]["sf100_events"] = {
+        **cells["asof_union_window"],
+        "deployed_face": "union + ordered-window carry (one exchange)",
+        "oracle": "DuckDB native ASOF LEFT JOIN",
+        "plain_crosscheck": True,
+        "digest_value_check": True,
+        "matched_rows": s_digest[0][1],
+        "left_rows": s_digest[0][0],
+        "synth_sec": synth,
+    }
+    results["dq15_asof"]["sf100_events_bucketed_face"] = {
+        **cells["asof_bucketed"],
+        "synth_sec": synth,
+    }
+
+
 def _grouped_topk_sf100(spark, results: dict) -> None:
     """The grouped threshold prune's per-key top-k (q172's shape:
     best-3 orders per custkey) at the sf100 orders tier (150M rows,
@@ -1296,6 +1458,7 @@ def main() -> None:
     sf100_bottomk = "--sf100-bottomk-only" in argv
     sf100_latest = "--sf100-latest-only" in argv
     sf100_grouped_topk = "--sf100-grouped-topk-only" in argv
+    sf100_asof = "--sf100-asof-only" in argv
     argv = [
         a for a in argv
         if a not in (
@@ -1306,6 +1469,7 @@ def main() -> None:
             "--sf100-bottomk-only",
             "--sf100-latest-only",
             "--sf100-grouped-topk-only",
+            "--sf100-asof-only",
         )
     ]
     out_path = next((a for a in argv if not a.startswith("--")), None)
@@ -1315,7 +1479,7 @@ def main() -> None:
 
     if (sf100_only or sf100_relational or sf100_dq30_pruned
             or sf100_dialect_routed or sf100_bottomk or sf100_latest
-            or sf100_grouped_topk):
+            or sf100_grouped_topk or sf100_asof):
         # Fast path for re-measuring ONLY the lineitem sf100 cells (the
         # third fit point) on a fresh quiet boot, merged into a prior
         # artifact via --merge: control probes + _lineitem_sf100, no
@@ -1339,7 +1503,11 @@ def main() -> None:
             ), 3,
         )
         con.close()
-        if sf100_latest:
+        if sf100_asof:
+            results = {"dq15_asof": {}}
+            _asof_sf100(spark, results)
+            scope = "sf100 as-of join cells only (union-window + bucketed)"
+        elif sf100_latest:
             results = {"dq33_latest_on": {}}
             _latest_on_sf100(spark, results)
             scope = "sf100 LATEST ON cells only (pruned + plain window)"

@@ -709,3 +709,56 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def synthesize_signups_into(spark, out: str, factor: int, mult: int) -> None:
+    """Add a right-side ``signups`` table to an existing events tier for
+    the as-of join cell (factor=1000 ≈ sf100: ~10M rows over the SAME
+    remapped user space as events — each user keeps the BASE stratum's
+    ~10 prior rows, the latest-prior-signup shape).
+
+    Derived from the BASE events' ``event_id % 10 == 0`` stratum,
+    deduped to one row per (user_id, ts) — the as-of operator's and
+    DuckDB ASOF JOIN's shared determinism caveat — then replicated with
+    the SAME key/ts remapping as :func:`synthesize_events_only`, so
+    replica r's signups precede replica r's events exactly as the base
+    data does (match density is scale-invariant; ~13% of left rows stay
+    unmatched and exercise the left-join NULL path). Guarded by its own
+    ``_DONE_SIGNUPS`` marker."""
+    if os.path.exists(os.path.join(out, "_DONE_SIGNUPS")):
+        return
+    assert mult >= factor, "replica multiplier must exceed factor"
+    assert os.path.exists(os.path.join(out, "_DONE")), (
+        "synthesize the events tier first — signups must share its "
+        "key remapping"
+    )
+    from pyspark.sql import Window
+
+    from questdb_etl_jobs_spark.sources.tables import invalidate_tables, load_table
+
+    invalidate_tables(spark, out)
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    base = (
+        load_table(spark, BASE, "events")
+        .filter(F.col("event_id") % 10 == 0)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("event_id").alias("signup_id"),
+            "user_id",
+            "ts",
+            F.col("value").alias("plan_value"),
+        )
+    )
+    replicas = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__r")
+    df = base.select("*", replicas)
+    for c in ("signup_id", "user_id"):
+        df = df.withColumn(c, F.col(c) * mult + F.col("__r"))
+    df = df.withColumn(
+        "ts",
+        F.col("ts") + F.make_interval(secs=F.col("__r").cast("double") / 2.0),
+    )
+    df.drop("__r").repartitionByRange(FILES, "ts").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/signups.parquet")
+    open(os.path.join(out, "_DONE_SIGNUPS"), "w").close()
