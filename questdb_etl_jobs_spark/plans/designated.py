@@ -65,6 +65,12 @@ def write_table_meta(
         stream.write(bytearray(json.dumps(payload).encode("utf-8")))
     finally:
         stream.close()
+    # Hadoop rename does not overwrite: drop the superseded sidecar
+    # first (ALTER … ADD COLUMN rewrites it). DDL is single-writer —
+    # a concurrent reader hitting the instant between delete and
+    # rename falls back to footer inference, same as a pre-sidecar
+    # table.
+    fs.delete(final, False)
     if not fs.rename(tmp, final):
         raise IOError(f"could not commit table meta at {final}")
 

@@ -3718,8 +3718,10 @@ def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q195_ORACLE = """
 SELECT * FROM (VALUES
-  ('after-truncate', 1, TIMESTAMP '2024-05-01 08:00:00', NULL),
-  ('widened',        2, TIMESTAMP '2024-05-02 09:30:00', 7.5)
+  ('after-truncate', 1, TIMESTAMP '2024-05-01 08:00:00',
+   CAST(NULL AS DOUBLE)),
+  ('widened',        2, TIMESTAMP '2024-05-02 09:30:00',
+   CAST(7.5 AS DOUBLE))
 ) AS t(a, n, ts, extra)
 ORDER BY ts
 """
