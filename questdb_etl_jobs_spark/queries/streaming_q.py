@@ -1450,27 +1450,29 @@ _Q179_K = 4
 _Q179_FILES = 5
 
 
-def _q179_chunks() -> list[list[tuple[int, list[float]]]]:
+def _q179_chunks(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> list[list[tuple[int, list[float]]]]:
     import duckdb
-
-    from questdb_etl_jobs_spark.queries.llm import ORACLE_SF_DIR
 
     rows = duckdb.sql(
         f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
-        f"'{ORACLE_SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+        f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id"
     ).fetchall()
     vecs = [(int(vid), [float(x) for x in v]) for vid, v in rows]
     per = -(-len(vecs) // _Q179_FILES)  # ceil
     return [vecs[i * per : (i + 1) * per] for i in range(_Q179_FILES)]
 
 
-def _q179_mirror() -> list[tuple[int, int, str]]:
+def _q179_mirror(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> list[tuple[int, int, str]]:
     """(vec_id, cluster, sq_dist4) after the sequential replay — exact
     CPython twin of kmeans_stream_fit + the final assignment."""
     from decimal import ROUND_HALF_UP, Decimal
 
     q4 = Decimal("0.0001")
-    chunks = _q179_chunks()
+    chunks = _q179_chunks(sf_dir)
     allv = [x for ch in chunks for x in ch]
     dim = len(allv[0][1])
 
@@ -1512,9 +1514,9 @@ def _q179_mirror() -> list[tuple[int, int, str]]:
     return out
 
 
-def _q179_oracle() -> str:
+def _q179_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     values = ",\n      ".join(
-        f"({vid}, {cl}, {d4})" for vid, cl, d4 in _q179_mirror()
+        f"({vid}, {cl}, {d4})" for vid, cl, d4 in _q179_mirror(sf_dir)
     )
     return f"""
     SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS INT) AS cluster,
@@ -1526,7 +1528,14 @@ def _q179_oracle() -> str:
     """
 
 
-@dq("q179_kmeans_stream_replay", oracle=_pin(_q179_oracle),
+# The MacQueen mirror is a linear fold over the tier's own embeddings
+# (seconds at sf0.1) and the arrival files are BUILT from those same
+# rows — both faces re-derive per tier: sf-parametric, not pinned
+# (round-14; previously carried the fixed-arrival pin).
+_q179_oracle.sf_parametric = True
+
+
+@dq("q179_kmeans_stream_replay", oracle=_q179_oracle,
     covers="R1,R6,U1,EXT")
 def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time
@@ -1537,7 +1546,7 @@ def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
     from questdb_etl_jobs_spark.operators.clustering import assign_clusters
     from questdb_etl_jobs_spark.streaming.kmeans_stream import kmeans_stream_fit
 
-    chunks = _q179_chunks()
+    chunks = _q179_chunks(sf_dir)
     seed = [list(v) for _vid, v in (chunks[0])[:_Q179_K]]
 
     work = tempfile.mkdtemp(prefix="q179_kmeans_stream_")
