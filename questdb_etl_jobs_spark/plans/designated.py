@@ -41,10 +41,14 @@ def write_table_meta(
     path: str,
     columns: list[tuple[str, str, str]],
     ts_col: str,
+    dedup_keys: list[str] | None = None,
 ) -> None:
     """Persist a declared-schema sidecar at ``path`` —
-    ``columns`` = (name, spark_type, questdb_type) in declared order.
-    Write-temp + rename, same commit discipline as the matview log."""
+    ``columns`` = (name, spark_type, questdb_type) in declared order;
+    ``dedup_keys`` (optional) is QuestDB's ``DEDUP UPSERT KEYS`` list
+    (designated ts included) — the dialect's INSERT paths route through
+    :func:`upsert_designated_ts` when present. Write-temp + rename,
+    same commit discipline as the matview log."""
     import json
 
     jvm = spark._jvm
@@ -60,6 +64,8 @@ def write_table_meta(
             for n, st, qt in columns
         ],
     }
+    if dedup_keys:
+        payload["dedup_keys"] = list(dedup_keys)
     stream = fs.create(tmp, True)
     try:
         stream.write(bytearray(json.dumps(payload).encode("utf-8")))
@@ -262,6 +268,26 @@ def read_designated_ts(
     return df.drop(pcol)
 
 
+def dedup_within_batch(
+    batch: DataFrame, ts_col: str, keys: list[str]
+) -> DataFrame:
+    """Within-batch ``(ts, keys)`` duplicates resolve to the max over
+    the value columns — dedup applies on EVERY insert, including into
+    an empty table (content-deterministic: Spark DataFrames have no
+    arrival order to honor, so the tiebreak must be a pure function of
+    the data). Shared by :func:`upsert_designated_ts` and the dialect's
+    declared DEDUP UPSERT KEYS insert path."""
+    vcols = [c for c in batch.columns if c not in (*keys, ts_col)]
+    if not vcols:
+        return batch.dropDuplicates([ts_col, *keys])
+    return (
+        batch.groupBy(ts_col, *keys)
+        .agg(F.max(F.struct(*[F.col(c) for c in vcols])).alias("__w"))
+        .select(ts_col, *keys, *[f"__w.{c}" for c in vcols])
+        .select(*batch.columns)
+    )
+
+
 def upsert_designated_ts(
     spark: SparkSession,
     batch: DataFrame,
@@ -291,17 +317,7 @@ def upsert_designated_ts(
     batchd = batch.withColumn(pcol, F.to_date(F.col(ts_col)))
 
     def dedup_batch(b: DataFrame) -> DataFrame:
-        """Within-batch (ts, keys) duplicates: max over value columns —
-        dedup applies on EVERY insert, including into an empty table."""
-        vcols = [c for c in batch.columns if c not in (*keys, ts_col)]
-        if not vcols:
-            return b.dropDuplicates([ts_col, *keys])
-        return (
-            b.groupBy(ts_col, *keys)
-            .agg(F.max(F.struct(*[F.col(c) for c in vcols])).alias("__w"))
-            .select(ts_col, *keys, *[f"__w.{c}" for c in vcols])
-            .select(*batch.columns)
-        )
+        return dedup_within_batch(b, ts_col, keys)
 
     from questdb_etl_jobs_spark.sources.fs import hadoop_path_exists
 
@@ -312,7 +328,17 @@ def upsert_designated_ts(
         # first-write (that would drop the history on the next step's
         # dynamic overwrite).
         return write_designated_ts(dedup_batch(batch), path, ts_col)
-    existing = spark.read.parquet(path)
+    meta = read_table_meta(spark, path)
+    if meta is not None:
+        # Declared-schema table: read with the declaration so files
+        # written before an ALTER … ADD COLUMN merge with NULLs instead
+        # of whichever footer inference happens to pick.
+        fields = ", ".join(
+            f"{c['name']} {c['spark_type']}" for c in meta["columns"]
+        )
+        existing = spark.read.schema(f"{fields}, {pcol} date").parquet(path)
+    else:
+        existing = spark.read.parquet(path)
 
     dates = [r[0] for r in batchd.select(pcol).distinct().collect()]
     cols = [c for c in existing.columns]

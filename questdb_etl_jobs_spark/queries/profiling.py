@@ -3775,3 +3775,95 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "a string, n int, ts timestamp, extra double"
     ).orderBy("ts")
+
+
+# ---------------------------------------------------------------------------
+# q196 — declared DEDUP UPSERT KEYS honored by dialect INSERTs (round 14)
+# ---------------------------------------------------------------------------
+#
+# QuestDB's WAL-table dedup declaration — `CREATE TABLE … TIMESTAMP(ts)
+# PARTITION BY DAY WAL DEDUP UPSERT KEYS(ts, sym)` — wired through the
+# declared-schema sidecar: every dialect INSERT (VALUES and SELECT
+# alike) routes through upsert_designated_ts, so rows matching an
+# existing (ts, sym) REPLACE it (partition-scoped merge — only touched
+# date partitions rewrite), within-batch duplicates resolve
+# content-deterministically (max over the value struct), and the WAL
+# keyword itself is tolerated as the storage detail it is. The replay:
+#
+#   INSERT #1 seeds A@T1, B@T1, A@T2
+#   INSERT #2 re-states A@T1 with new values (replaced, not appended)
+#             and adds C@T2
+#   INSERT #3 carries a within-batch duplicate D@T3 (max-struct winner)
+#   INSERT #4 is an INSERT … SELECT re-stating B@T1 (replaced through
+#             the same routing)
+#
+# Every final value is a constant → pure-VALUES oracle, valid at any sf.
+
+_Q196_ORACLE = """
+SELECT * FROM (VALUES
+  ('A', CAST(9.0 AS DOUBLE), 90, TIMESTAMP '2024-06-01 10:00:00'),
+  ('B', CAST(7.0 AS DOUBLE), 70, TIMESTAMP '2024-06-01 10:00:00'),
+  ('A', CAST(0.5 AS DOUBLE), 5,  TIMESTAMP '2024-06-02 11:00:00'),
+  ('C', CAST(3.0 AS DOUBLE), 30, TIMESTAMP '2024-06-02 11:00:00'),
+  ('D', CAST(4.5 AS DOUBLE), 45, TIMESTAMP '2024-06-03 12:00:00')
+) AS t(sym, price, qty, ts)
+ORDER BY ts, sym
+"""
+
+
+@dq("q196_dedup_upsert_declared", oracle=_Q196_ORACLE, covers="S6,O3,EXT")
+def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql import questdb_ddl
+
+    work = tempfile.mkdtemp(prefix="q196_dedup_")
+    try:
+        tables = {"trades": f"{work}/trades"}
+        ddl = lambda s: questdb_ddl(spark, s, tables)  # noqa: E731
+        ddl(
+            "CREATE TABLE trades(sym SYMBOL, price DOUBLE, qty INT, "
+            "ts TIMESTAMP) TIMESTAMP(ts) PARTITION BY DAY WAL "
+            "DEDUP UPSERT KEYS(ts, sym)"
+        )
+        t1, t2, t3 = (
+            "TIMESTAMP '2024-06-01 10:00:00'",
+            "TIMESTAMP '2024-06-02 11:00:00'",
+            "TIMESTAMP '2024-06-03 12:00:00'",
+        )
+        ddl(
+            "INSERT INTO trades(sym, price, qty, ts) VALUES"
+            f"('A', 1.0, 10, {t1}), ('B', 2.0, 20, {t1}), "
+            f"('A', 0.5, 5, {t2})"
+        )
+        ddl(
+            "INSERT INTO trades(sym, price, qty, ts) VALUES"
+            f"('A', 9.0, 90, {t1}), ('C', 3.0, 30, {t2})"
+        )
+        ddl(
+            "INSERT INTO trades(sym, price, qty, ts) VALUES"
+            f"('D', 4.0, 40, {t3}), ('D', 4.5, 45, {t3})"
+        )
+        spark.sql(
+            "SELECT 'B' AS sym, CAST(7.0 AS DOUBLE) AS price, "
+            "70 AS qty, TIMESTAMP '2024-06-01 10:00:00' AS ts"
+        ).createOrReplaceTempView("__q196_restate")
+        ddl(
+            "INSERT INTO trades(sym, price, qty, ts) "
+            "SELECT sym, price, qty, ts FROM __q196_restate"
+        )
+        rows = (
+            register_designated_table(spark, "trades", tables["trades"])
+            .select("sym", "price", "qty", "ts")
+            .orderBy("ts", "sym")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "sym string, price double, qty int, ts timestamp"
+    ).orderBy("ts", "sym")

@@ -1390,6 +1390,44 @@ def _ensure_table_meta(
     return read_table_meta(spark, path)
 
 
+def _ddl_insert_land(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    ts_col: str,
+    df: DataFrame,
+) -> list[str]:
+    """Land an INSERT batch: plain designated append, or — when the
+    declared schema carries ``DEDUP UPSERT KEYS`` — QuestDB's
+    deduplicating upsert (rows matching an existing (ts, keys) replace
+    it; within-batch duplicates resolve content-deterministically).
+    Returns the table's partition dates."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        dedup_within_batch,
+        list_partitions,
+        read_table_meta,
+        upsert_designated_ts,
+        write_designated_ts,
+    )
+
+    meta = read_table_meta(spark, path)
+    dkeys = (meta or {}).get("dedup_keys")
+    if dkeys:
+        others = [k for k in dkeys if k != ts_col]
+        if _parquet_has_footers(spark, path):
+            upsert_designated_ts(spark, df, path, ts_col, others)
+        else:
+            # First rows into a declared dedup table: nothing to merge
+            # against, but within-batch duplicates still resolve.
+            write_designated_ts(
+                dedup_within_batch(df, ts_col, others),
+                path, ts_col, mode="append",
+            )
+    else:
+        write_designated_ts(df, path, ts_col, mode="append")
+    return list_partitions(spark, path, ts_col)
+
+
 def _parquet_has_footers(spark: SparkSession, path: str) -> bool:
     """True when ``path`` holds at least one readable parquet footer
     (schema-only probe; a missing/empty dir reads as False)."""
@@ -1666,6 +1704,24 @@ def questdb_ddl(
             )
         from questdb_etl_jobs_spark.sources.fs import hadoop_path_exists
 
+        dedup_keys: list[str] | None = None
+        if m.group("dedup") is not None:
+            dedup_keys = [
+                k.strip() for k in m.group("dedup").split(",") if k.strip()
+            ]
+            unknown = [k for k in dedup_keys if k not in declared]
+            if unknown:
+                raise QuestDBSQLError(
+                    f"DEDUP UPSERT KEYS names undeclared column(s) "
+                    f"{unknown} (declared: {[n for n, _, _ in cols]})"
+                )
+            if ts_col not in dedup_keys:
+                raise QuestDBSQLError(
+                    "DEDUP UPSERT KEYS must include the designated "
+                    f"timestamp {ts_col!r} (QuestDB's rule: dedup is "
+                    "keyed on the designated timestamp plus the listed "
+                    "columns)"
+                )
         exists = hadoop_path_exists(spark, path) and (
             read_table_meta(spark, path) is not None
             or _parquet_has_footers(spark, path)
@@ -1677,7 +1733,7 @@ def questdb_ddl(
                 f"table {name!r} already exists at {path} "
                 "(use CREATE TABLE IF NOT EXISTS to no-op)"
             )
-        write_table_meta(spark, path, cols, ts_col)
+        write_table_meta(spark, path, cols, ts_col, dedup_keys=dedup_keys)
         return []
 
     m = _INSERT_VALUES_RE.match(text)
@@ -1733,12 +1789,7 @@ def questdb_ddl(
                 f"{ts_col!r} must be present and non-null in every row "
                 "(QuestDB rejects null designated timestamps)"
             )
-        from questdb_etl_jobs_spark.plans.designated import (
-            write_designated_ts,
-        )
-
-        write_designated_ts(aligned, path, ts_col, mode="append")
-        return list_partitions(spark, path, ts_col)
+        return _ddl_insert_land(spark, name, path, ts_col, aligned)
 
     m = _INSERT_INTO_RE.match(text)
     if m:
@@ -1805,8 +1856,7 @@ def questdb_ddl(
                 f"INSERT INTO {name!r}: the SELECT does not produce the "
                 f"designated timestamp {ts_col!r} (columns: {out.columns})"
             )
-        write_designated_ts(out, path, ts_col, mode="append")
-        return list_partitions(spark, path, ts_col)
+        return _ddl_insert_land(spark, name, path, ts_col, out)
 
     m = _ALTER_DROP_WHERE_RE.match(text)
     if m:
@@ -1946,7 +1996,10 @@ def questdb_ddl(
             (c["name"], c["spark_type"], c["questdb_type"])
             for c in meta["columns"]
         ] + [(col, stype, qtype)]
-        write_table_meta(spark, path, cols, meta["designated"])
+        write_table_meta(
+            spark, path, cols, meta["designated"],
+            dedup_keys=meta.get("dedup_keys"),
+        )
         return []
 
     raise QuestDBSQLError(
@@ -1981,7 +2034,12 @@ _CREATE_TABLE_COLS_RE = re.compile(
     r"(?P<table>[A-Za-z_][\w.]*|'[^']+')\s*"
     r"\((?P<cols>.+)\)\s*"
     r"TIMESTAMP\s*\(\s*(?P<ts>\w+)\s*\)\s*"
-    r"(?:PARTITION\s+BY\s+(?P<part>\w+))?\s*$",
+    r"(?:PARTITION\s+BY\s+(?P<part>\w+)\s*)?"
+    # WAL / BYPASS WAL is QuestDB's commit-log switch — a storage
+    # detail with no Spark analogue (parquet job commits are already
+    # atomic); tolerated and ignored.
+    r"(?:(?:BYPASS\s+)?WAL\s*)?"
+    r"(?:DEDUP\s+UPSERT\s+KEYS\s*\(\s*(?P<dedup>[^)]*)\)\s*)?$",
     re.IGNORECASE | re.DOTALL,
 )
 #: INSERT INTO … VALUES — the reference's one DML shape

@@ -1936,3 +1936,71 @@ def test_table_lifecycle_drop_truncate_add_column(spark, tmp_path):
     assert questdb_ddl(spark, "DROP TABLE IF EXISTS b", tables) == []
     with pytest.raises(QuestDBSQLError, match="does not exist"):
         questdb_ddl(spark, "TRUNCATE TABLE b", tables)
+
+
+def test_create_table_dedup_upsert_keys_contract(spark, tmp_path):
+    """Round-14: DEDUP UPSERT KEYS on a bare CREATE routes every
+    dialect INSERT through the deduplicating upsert (replace on key
+    match, within-batch max-struct winner); WAL / BYPASS WAL are
+    tolerated storage details; undeclared key columns and a key list
+    missing the designated timestamp raise; TRUNCATE keeps the dedup
+    declaration (the sidecar survives)."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        read_table_meta,
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"t": str(tmp_path / "t")}
+    questdb_ddl(
+        spark,
+        "CREATE TABLE t(sym SYMBOL, v INT, ts TIMESTAMP) TIMESTAMP(ts) "
+        "PARTITION BY DAY BYPASS WAL DEDUP UPSERT KEYS(ts, sym)",
+        tables,
+    )
+    assert read_table_meta(spark, tables["t"])["dedup_keys"] == ["ts", "sym"]
+    questdb_ddl(
+        spark,
+        "INSERT INTO t(sym, v, ts) VALUES"
+        "('a', 1, TIMESTAMP '2024-01-01 00:00:00'),"
+        "('a', 2, TIMESTAMP '2024-01-01 00:00:00')",  # within-batch dup
+        tables,
+    )
+    questdb_ddl(
+        spark,
+        "INSERT INTO t(sym, v, ts) VALUES"
+        "('a', 9, TIMESTAMP '2024-01-01 00:00:00'),"  # replaces
+        "('b', 3, TIMESTAMP '2024-01-01 00:00:00')",
+        tables,
+    )
+    rows = sorted(
+        (r.sym, r.v)
+        for r in register_designated_table(spark, "t", tables["t"]).collect()
+    )
+    assert rows == [("a", 9), ("b", 3)]
+    # TRUNCATE keeps the declaration, and the next insert still dedups.
+    questdb_ddl(spark, "TRUNCATE TABLE t", tables)
+    assert read_table_meta(spark, tables["t"])["dedup_keys"] == ["ts", "sym"]
+    questdb_ddl(
+        spark,
+        "INSERT INTO t(sym, v, ts) VALUES"
+        "('c', 1, TIMESTAMP '2024-01-02 00:00:00'),"
+        "('c', 5, TIMESTAMP '2024-01-02 00:00:00')",
+        tables,
+    )
+    got = register_designated_table(spark, "t", tables["t"]).collect()
+    assert [(r.sym, r.v) for r in got] == [("c", 5)]
+    with pytest.raises(QuestDBSQLError, match="undeclared"):
+        questdb_ddl(
+            spark,
+            "CREATE TABLE u(a STRING, ts TIMESTAMP) TIMESTAMP(ts) "
+            "DEDUP UPSERT KEYS(ts, ghost)",
+            {"u": str(tmp_path / "u")},
+        )
+    with pytest.raises(QuestDBSQLError, match="must include the designated"):
+        questdb_ddl(
+            spark,
+            "CREATE TABLE u(a STRING, ts TIMESTAMP) TIMESTAMP(ts) "
+            "DEDUP UPSERT KEYS(a)",
+            {"u": str(tmp_path / "u")},
+        )
