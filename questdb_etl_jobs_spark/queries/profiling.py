@@ -3867,3 +3867,80 @@ def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "sym string, price double, qty int, ts timestamp"
     ).orderBy("ts", "sym")
+
+
+# ---------------------------------------------------------------------------
+# q197 — catalog alterations: DROP COLUMN, DEDUP ENABLE/DISABLE (round 14)
+# ---------------------------------------------------------------------------
+#
+# The remaining ALTER statements a QuestDB operator runs on a live
+# table, replayed end-to-end: DEDUP ENABLE turns subsequent INSERTs
+# into replacing upserts (no retro-dedup of what's already stored),
+# DEDUP DISABLE reverts to plain appends (a re-stated key then lands
+# as a SECOND row), and DROP COLUMN narrows the declaration without a
+# data rewrite (explicit-schema reads simply stop selecting it; later
+# INSERTs align to the narrowed shape). Constants oracle.
+
+_Q197_ORACLE = """
+SELECT * FROM (VALUES
+  ('a', 9,  TIMESTAMP '2024-07-01 08:00:00'),
+  ('a', 5,  TIMESTAMP '2024-07-02 09:00:00'),
+  ('a', 6,  TIMESTAMP '2024-07-02 09:00:00'),
+  ('b', 4,  TIMESTAMP '2024-07-03 10:00:00')
+) AS t(sym, v, ts)
+ORDER BY ts, sym, v
+"""
+
+
+@dq("q197_catalog_alterations", oracle=_Q197_ORACLE, covers="S6,O3,EXT")
+def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql import questdb_ddl
+
+    work = tempfile.mkdtemp(prefix="q197_alter_")
+    try:
+        tables = {"t": f"{work}/t"}
+        ddl = lambda s: questdb_ddl(spark, s, tables)  # noqa: E731
+        ddl(
+            "CREATE TABLE t(sym SYMBOL, v INT, note STRING, ts TIMESTAMP) "
+            "TIMESTAMP(ts)"
+        )
+        # Plain table: a re-stated key appends.
+        ddl(
+            "INSERT INTO t(sym, v, note, ts) VALUES"
+            "('a', 1, 'x', TIMESTAMP '2024-07-01 08:00:00')"
+        )
+        # Enable dedup: the next insert REPLACES a@07-01.
+        ddl("ALTER TABLE t DEDUP ENABLE UPSERT KEYS(ts, sym)")
+        ddl(
+            "INSERT INTO t(sym, v, note, ts) VALUES"
+            "('a', 9, 'y', TIMESTAMP '2024-07-01 08:00:00'),"
+            "('a', 5, 'z', TIMESTAMP '2024-07-02 09:00:00')"
+        )
+        # Disable: the same key now lands as a SECOND row.
+        ddl("ALTER TABLE t DEDUP DISABLE")
+        ddl(
+            "INSERT INTO t(sym, v, note, ts) VALUES"
+            "('a', 6, 'w', TIMESTAMP '2024-07-02 09:00:00')"
+        )
+        # Narrow the declaration; later inserts align to it.
+        ddl("ALTER TABLE t DROP COLUMN note")
+        ddl(
+            "INSERT INTO t(sym, v, ts) VALUES"
+            "('b', 4, TIMESTAMP '2024-07-03 10:00:00')"
+        )
+        reg = register_designated_table(spark, "t", tables["t"])
+        assert "note" not in reg.columns
+        rows = (
+            reg.select("sym", "v", "ts").orderBy("ts", "sym", "v").collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "sym string, v int, ts timestamp"
+    ).orderBy("ts", "sym", "v")

@@ -1571,6 +1571,13 @@ def questdb_ddl(
     ``ALTER TABLE t ADD COLUMN c TYPE``            declared schema widens;
                                                    pre-ALTER rows read
                                                    NULL in the new column
+    ``ALTER TABLE t DROP COLUMN c``                declaration narrows; no
+                                                   data rewrite (explicit-
+                                                   schema reads ignore the
+                                                   dropped column)
+    ``ALTER TABLE t DEDUP ENABLE UPSERT            toggles the declaration
+    KEYS(…)`` / ``… DEDUP DISABLE``                the INSERT paths consult
+                                                   (no retro-dedup)
     ``ALTER TABLE t DROP PARTITION WHERE ts < 'x'``  ``drop_partitions
                                                      (older_than=x)``
     ``ALTER TABLE t DROP PARTITION LIST 'd', ...``   ``drop_partitions
@@ -1931,6 +1938,80 @@ def questdb_ddl(
             return []
         return enforce_ttl(spark, path, ts_col, days, existing[-1])
 
+    m = _ALTER_DROP_COLUMN_RE.match(text)
+    if m:
+        # ALTER TABLE … DROP COLUMN — a declaration-level drop: the
+        # sidecar loses the column, the declared read path stops
+        # selecting it (parquet explicit-schema reads ignore extra file
+        # columns, so no data rewrite), and later INSERTs align to the
+        # narrowed declaration. The designated timestamp and declared
+        # dedup keys cannot drop (QuestDB refuses both).
+        from questdb_etl_jobs_spark.plans.designated import write_table_meta
+
+        name, path = _ddl_table_path(m.group("table"), tables)
+        meta = _ensure_table_meta(spark, name, path, designated)
+        col = m.group("col")
+        if col not in [c["name"] for c in meta["columns"]]:
+            raise QuestDBSQLError(
+                f"column {col!r} does not exist on table {name!r}"
+            )
+        if col == meta["designated"]:
+            raise QuestDBSQLError(
+                f"cannot drop the designated timestamp {col!r}"
+            )
+        if col in (meta.get("dedup_keys") or []):
+            raise QuestDBSQLError(
+                f"cannot drop {col!r}: it is a declared DEDUP UPSERT "
+                "key (run ALTER TABLE … DEDUP DISABLE first)"
+            )
+        cols = [
+            (c["name"], c["spark_type"], c["questdb_type"])
+            for c in meta["columns"]
+            if c["name"] != col
+        ]
+        write_table_meta(
+            spark, path, cols, meta["designated"],
+            dedup_keys=meta.get("dedup_keys"),
+        )
+        return []
+
+    m = _ALTER_DEDUP_RE.match(text)
+    if m:
+        # ALTER TABLE … DEDUP ENABLE UPSERT KEYS(…) / DEDUP DISABLE —
+        # toggles the declaration the INSERT paths consult. Enabling
+        # does NOT retro-dedup existing rows (QuestDB's behavior:
+        # dedup applies to writes from now on).
+        from questdb_etl_jobs_spark.plans.designated import write_table_meta
+
+        name, path = _ddl_table_path(m.group("table"), tables)
+        meta = _ensure_table_meta(spark, name, path, designated)
+        cols = [
+            (c["name"], c["spark_type"], c["questdb_type"])
+            for c in meta["columns"]
+        ]
+        if m.group("disable"):
+            write_table_meta(
+                spark, path, cols, meta["designated"], dedup_keys=None
+            )
+            return []
+        keys = [k.strip() for k in m.group("keys").split(",") if k.strip()]
+        declared_names = [c["name"] for c in meta["columns"]]
+        unknown = [k for k in keys if k not in declared_names]
+        if unknown:
+            raise QuestDBSQLError(
+                f"DEDUP UPSERT KEYS names undeclared column(s) "
+                f"{unknown} (declared: {declared_names})"
+            )
+        if meta["designated"] not in keys:
+            raise QuestDBSQLError(
+                "DEDUP UPSERT KEYS must include the designated "
+                f"timestamp {meta['designated']!r}"
+            )
+        write_table_meta(
+            spark, path, cols, meta["designated"], dedup_keys=keys
+        )
+        return []
+
     m = _DROP_TABLE_RE.match(text)
     if m:
         # DROP TABLE — the engine's catalog is the table→path mapping,
@@ -2008,7 +2089,8 @@ def questdb_ddl(
         "DAY], CREATE TABLE … AS (…) TIMESTAMP(ts) [PARTITION BY DAY], "
         "INSERT INTO … [(cols)] VALUES (…), INSERT INTO … [(cols)] "
         "SELECT …, DROP TABLE [IF EXISTS] …, TRUNCATE TABLE …, ALTER "
-        "TABLE … ADD COLUMN c TYPE, ALTER TABLE … DROP "
+        "TABLE … ADD/DROP COLUMN, ALTER TABLE … DEDUP ENABLE UPSERT "
+        "KEYS(…)/DEDUP DISABLE, ALTER TABLE … DROP "
         "PARTITION WHERE/LIST, ALTER TABLE … SET TTL n DAYS)"
     )
 
@@ -2064,6 +2146,17 @@ _TRUNCATE_TABLE_RE = re.compile(
 _ALTER_ADD_COLUMN_RE = re.compile(
     r"^ALTER\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s+"
     r"ADD\s+COLUMN\s+(?P<col>[A-Za-z_]\w*)\s+(?P<type>[A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_COLUMN_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s+"
+    r"DROP\s+COLUMN\s+(?P<col>[A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DEDUP_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s+"
+    r"DEDUP\s+(?:(?P<disable>DISABLE)|ENABLE\s+UPSERT\s+KEYS\s*"
+    r"\(\s*(?P<keys>[^)]*)\))\s*$",
     re.IGNORECASE,
 )
 _SHOW_PARTITIONS_RE = re.compile(

@@ -2004,3 +2004,39 @@ def test_create_table_dedup_upsert_keys_contract(spark, tmp_path):
             "DEDUP UPSERT KEYS(a)",
             {"u": str(tmp_path / "u")},
         )
+
+
+def test_alter_drop_column_and_dedup_toggle_guards(spark, tmp_path):
+    """DROP COLUMN refuses the designated timestamp and declared dedup
+    keys; DEDUP ENABLE validates its key list like CREATE; DISABLE
+    clears the declaration so INSERTs append again."""
+    from questdb_etl_jobs_spark.plans.designated import read_table_meta
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"t": str(tmp_path / "t")}
+    questdb_ddl(
+        spark,
+        "CREATE TABLE t(sym SYMBOL, v INT, ts TIMESTAMP) TIMESTAMP(ts) "
+        "DEDUP UPSERT KEYS(ts, sym)",
+        tables,
+    )
+    with pytest.raises(QuestDBSQLError, match="designated timestamp"):
+        questdb_ddl(spark, "ALTER TABLE t DROP COLUMN ts", tables)
+    with pytest.raises(QuestDBSQLError, match="DEDUP UPSERT key"):
+        questdb_ddl(spark, "ALTER TABLE t DROP COLUMN sym", tables)
+    with pytest.raises(QuestDBSQLError, match="does not exist"):
+        questdb_ddl(spark, "ALTER TABLE t DROP COLUMN ghost", tables)
+    questdb_ddl(spark, "ALTER TABLE t DEDUP DISABLE", tables)
+    assert "dedup_keys" not in read_table_meta(spark, tables["t"])
+    questdb_ddl(spark, "ALTER TABLE t DROP COLUMN sym", tables)  # now ok
+    with pytest.raises(QuestDBSQLError, match="undeclared"):
+        questdb_ddl(
+            spark, "ALTER TABLE t DEDUP ENABLE UPSERT KEYS(ts, sym)",
+            tables,  # sym was just dropped
+        )
+    with pytest.raises(QuestDBSQLError, match="must include the designated"):
+        questdb_ddl(
+            spark, "ALTER TABLE t DEDUP ENABLE UPSERT KEYS(v)", tables
+        )
+    questdb_ddl(spark, "ALTER TABLE t DEDUP ENABLE UPSERT KEYS(ts, v)", tables)
+    assert read_table_meta(spark, tables["t"])["dedup_keys"] == ["ts", "v"]
