@@ -2040,3 +2040,87 @@ def test_alter_drop_column_and_dedup_toggle_guards(spark, tmp_path):
         )
     questdb_ddl(spark, "ALTER TABLE t DEDUP ENABLE UPSERT KEYS(ts, v)", tables)
     assert read_table_meta(spark, tables["t"])["dedup_keys"] == ["ts", "v"]
+
+
+def test_declared_type_map_round_trips_every_questdb_type(spark, tmp_path):
+    """Every QuestDB type the CREATE parser accepts must round-trip:
+    declared type → SHOW COLUMNS listing → a typed INSERT → read-back
+    Spark dtype (the q182 SHOW COLUMNS map run in reverse and forward
+    again). Values survive the trip for every column."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import (
+        _QDB_TO_SPARK_TYPE,
+        questdb_ddl,
+        questdb_show,
+    )
+
+    decls = ", ".join(
+        f"c_{q.lower()} {q}" for q in sorted(_QDB_TO_SPARK_TYPE)
+        if q != "TIMESTAMP"
+    )
+    tables = {"t": str(tmp_path / "t")}
+    questdb_ddl(
+        spark,
+        f"CREATE TABLE t({decls}, ts TIMESTAMP) TIMESTAMP(ts)",
+        tables,
+    )
+    listed = {
+        r.column_name: r.column_type
+        for r in questdb_show(
+            spark, "SHOW COLUMNS FROM t", tables
+        ).collect()
+    }
+    for q in _QDB_TO_SPARK_TYPE:
+        if q == "TIMESTAMP":
+            continue
+        assert listed[f"c_{q.lower()}"] == q, q
+    sample = {
+        "BINARY": "CAST('ab' AS BINARY)",
+        "BOOLEAN": "TRUE",
+        "BYTE": "7",
+        "CHAR": "'c'",
+        "DATE": "DATE '2024-01-02'",
+        "DOUBLE": "1.5",
+        "FLOAT": "2.5",
+        "INT": "42",
+        "IPV4": "'10.0.0.1'",
+        "LONG": "123456789012",
+        "LONG256": "'0xabc'",
+        "SHORT": "12",
+        "STRING": "'s'",
+        "SYMBOL": "'sym'",
+        "UUID": "'9f9b2131-0000-0000-0000-000000000000'",
+        "VARCHAR": "'v'",
+    }
+    cols = ", ".join(
+        f"c_{q.lower()}" for q in sorted(_QDB_TO_SPARK_TYPE)
+        if q != "TIMESTAMP"
+    )
+    vals = ", ".join(
+        sample[q] for q in sorted(_QDB_TO_SPARK_TYPE) if q != "TIMESTAMP"
+    )
+    questdb_ddl(
+        spark,
+        f"INSERT INTO t({cols}, ts) VALUES"
+        f"({vals}, TIMESTAMP '2024-01-02 03:04:05')",
+        tables,
+    )
+    got = register_designated_table(spark, "t", tables["t"])
+    dtypes = dict(got.dtypes)
+    for q, s in _QDB_TO_SPARK_TYPE.items():
+        if q == "TIMESTAMP":
+            continue
+        assert dtypes[f"c_{q.lower()}"] == s, (q, s, dtypes)
+    row = got.collect()[0]
+    assert (row.c_int, row.c_long, row.c_short, row.c_byte) == (
+        42, 123456789012, 12, 7,
+    )
+    assert (row.c_double, row.c_float) == (1.5, 2.5)
+    assert (row.c_string, row.c_symbol, row.c_char, row.c_varchar) == (
+        "s", "sym", "c", "v",
+    )
+    assert row.c_boolean is True and bytes(row.c_binary) == b"ab"
+    assert row.c_date.isoformat() == "2024-01-02"
+    assert row.ts.isoformat() == "2024-01-02T03:04:05"
