@@ -1564,6 +1564,9 @@ def questdb_ddl(
     ``DROP TABLE [IF EXISTS] t``                   recursive directory
                                                    delete (catalog = the
                                                    table→path mapping)
+    ``RENAME TABLE t TO u``                        directory move (both
+                                                   names must be mapped;
+                                                   destination free)
     ``TRUNCATE TABLE t``                           data files deleted,
                                                    schema kept (sidecar
                                                    materialized from
@@ -2031,6 +2034,35 @@ def questdb_ddl(
         fs.delete(hpath, True)
         return []
 
+    m = _RENAME_TABLE_RE.match(text)
+    if m:
+        # RENAME TABLE src TO dst — a directory move. BOTH names must
+        # be in the table→path mapping (the caller's catalog has to
+        # know the destination), the source must exist, the
+        # destination path must be free.
+        from questdb_etl_jobs_spark.sources.fs import hadoop_path_exists
+
+        src_name, src_path = _ddl_table_path(m.group("src"), tables)
+        dst_name, dst_path = _ddl_table_path(m.group("dst"), tables)
+        if not hadoop_path_exists(spark, src_path):
+            raise QuestDBSQLError(
+                f"table {src_name!r} does not exist at {src_path}"
+            )
+        if hadoop_path_exists(spark, dst_path):
+            raise QuestDBSQLError(
+                f"table {dst_name!r} already exists at {dst_path}"
+            )
+        jvm = spark._jvm
+        sp = jvm.org.apache.hadoop.fs.Path(src_path)
+        dp = jvm.org.apache.hadoop.fs.Path(dst_path)
+        fs = sp.getFileSystem(spark._jsc.hadoopConfiguration())
+        parent = dp.getParent()
+        if parent is not None:
+            fs.mkdirs(parent)
+        if not fs.rename(sp, dp):
+            raise IOError(f"could not rename {src_path} to {dst_path}")
+        return []
+
     m = _TRUNCATE_TABLE_RE.match(text)
     if m:
         # TRUNCATE TABLE — delete every data file/partition dir but
@@ -2088,7 +2120,7 @@ def questdb_ddl(
         "[IF NOT EXISTS] … (col TYPE, …) TIMESTAMP(ts) [PARTITION BY "
         "DAY], CREATE TABLE … AS (…) TIMESTAMP(ts) [PARTITION BY DAY], "
         "INSERT INTO … [(cols)] VALUES (…), INSERT INTO … [(cols)] "
-        "SELECT …, DROP TABLE [IF EXISTS] …, TRUNCATE TABLE …, ALTER "
+        "SELECT …, DROP TABLE [IF EXISTS] …, RENAME TABLE … TO …, TRUNCATE TABLE …, ALTER "
         "TABLE … ADD/DROP COLUMN, ALTER TABLE … DEDUP ENABLE UPSERT "
         "KEYS(…)/DEDUP DISABLE, ALTER TABLE … DROP "
         "PARTITION WHERE/LIST, ALTER TABLE … SET TTL n DAYS)"
@@ -2141,6 +2173,11 @@ _DROP_TABLE_RE = re.compile(
 )
 _TRUNCATE_TABLE_RE = re.compile(
     r"^TRUNCATE\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s*$",
+    re.IGNORECASE,
+)
+_RENAME_TABLE_RE = re.compile(
+    r"^RENAME\s+TABLE\s+(?P<src>[A-Za-z_][\w.]*|'[^']+')\s+TO\s+"
+    r"(?P<dst>[A-Za-z_][\w.]*|'[^']+')\s*$",
     re.IGNORECASE,
 )
 _ALTER_ADD_COLUMN_RE = re.compile(

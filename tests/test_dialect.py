@@ -2124,3 +2124,35 @@ def test_declared_type_map_round_trips_every_questdb_type(spark, tmp_path):
     assert row.c_boolean is True and bytes(row.c_binary) == b"ab"
     assert row.c_date.isoformat() == "2024-01-02"
     assert row.ts.isoformat() == "2024-01-02T03:04:05"
+
+
+def test_rename_table_moves_the_directory(spark, tmp_path):
+    """RENAME TABLE is a directory move: the destination serves the
+    data and the declared schema; renaming a missing table or onto an
+    occupied destination raises."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        read_table_meta,
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"a": str(tmp_path / "a"), "b": str(tmp_path / "b")}
+    questdb_ddl(
+        spark, "CREATE TABLE a(v INT, ts TIMESTAMP) TIMESTAMP(ts)", tables
+    )
+    questdb_ddl(
+        spark,
+        "INSERT INTO a(v, ts) VALUES(1, TIMESTAMP '2024-01-01 00:00:00')",
+        tables,
+    )
+    assert questdb_ddl(spark, "RENAME TABLE a TO b", tables) == []
+    assert read_table_meta(spark, tables["b"]) is not None
+    got = register_designated_table(spark, "b", tables["b"]).collect()
+    assert [(r.v,) for r in got] == [(1,)]
+    with pytest.raises(QuestDBSQLError, match="does not exist"):
+        questdb_ddl(spark, "RENAME TABLE a TO b", tables)
+    questdb_ddl(
+        spark, "CREATE TABLE a(v INT, ts TIMESTAMP) TIMESTAMP(ts)", tables
+    )
+    with pytest.raises(QuestDBSQLError, match="already exists"):
+        questdb_ddl(spark, "RENAME TABLE a TO b", tables)
