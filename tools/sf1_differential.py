@@ -68,6 +68,10 @@ TIERS: dict[str, tuple[str, float]] = {
     "sf1": (OUT, 10.0),
     "sf10": (OUT100, 100.0),
     "sf100": (SF100_LINEITEM, 1000.0),
+    # events-family tiers (query-specific, like sf100): the as-of cell
+    # measures both so dq15 carries a two-point marginal fit.
+    "sf10_events": ("/tmp/spark_graft_sf10_events", 100.0),
+    "sf100_events": ("/tmp/spark_graft_sf100_events", 1000.0),
 }
 
 #: tiers the all-query interleaved loop runs (sf100 is query-specific).
@@ -1104,6 +1108,41 @@ def _asof_sf100(spark, results: dict) -> None:
         **cells["asof_bucketed"],
         "synth_sec": synth,
     }
+
+    # Second fit point (10M ⋈ 1M, same shape at 1/10th the data) so the
+    # [sf10_events → sf100_events] marginal slope is measured where
+    # both engines' data terms clear their fixed costs — the same
+    # two-largest-tiers protocol the five headliners use.
+    sf10_dir = TIERS["sf10_events"][0]
+    t0 = time.perf_counter()
+    synthesize_events_only(spark, sf10_dir, factor=100, mult=1024)
+    synthesize_signups_into(spark, sf10_dir, factor=100, mult=1024)
+    synth10 = round(time.perf_counter() - t0, 1)
+    print(f"# sf10 events+signups synthesis: {synth10}s", file=sys.stderr)
+    con10 = _sf100_duck_connection(["events", "signups"], base=sf10_dir)
+    s10 = [
+        tuple(int(v) for v in r)
+        for r in deployed(spark, sf10_dir).collect()
+    ]
+    d10 = [
+        tuple(int(v) for v in r) for r in con10.execute(duck_sql).fetchall()
+    ]
+    assert s10 == d10, (
+        f"as-of digest mismatch at sf10: spark={s10} duck={d10}"
+    )
+    cells10 = _interleaved_sf100_cells(
+        spark, con10,
+        {"asof_union_window": (deployed, duck_sql)},
+        tag="asof sf10",
+        sf_dir=sf10_dir,
+    )
+    con10.close()
+    results["dq15_asof"]["sf10_events"] = {
+        **cells10["asof_union_window"],
+        "digest_value_check": True,
+        "synth_sec": synth10,
+    }
+    _refit(results["dq15_asof"])
 
 
 def _grouped_topk_sf100(spark, results: dict) -> None:
