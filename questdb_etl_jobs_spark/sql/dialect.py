@@ -1716,9 +1716,11 @@ def questdb_ddl(
 
         dedup_keys: list[str] | None = None
         if m.group("dedup") is not None:
-            dedup_keys = [
+            # dict.fromkeys: first-occurrence order, duplicates dropped
+            # (a repeated key would otherwise reach groupBy twice).
+            dedup_keys = list(dict.fromkeys(
                 k.strip() for k in m.group("dedup").split(",") if k.strip()
-            ]
+            ))
             unknown = [k for k in dedup_keys if k not in declared]
             if unknown:
                 raise QuestDBSQLError(
@@ -1997,7 +1999,9 @@ def questdb_ddl(
                 spark, path, cols, meta["designated"], dedup_keys=None
             )
             return []
-        keys = [k.strip() for k in m.group("keys").split(",") if k.strip()]
+        keys = list(dict.fromkeys(
+            k.strip() for k in m.group("keys").split(",") if k.strip()
+        ))
         declared_names = [c["name"] for c in meta["columns"]]
         unknown = [k for k in keys if k not in declared_names]
         if unknown:
