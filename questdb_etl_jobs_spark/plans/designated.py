@@ -39,12 +39,18 @@ TABLE_META_FILE = "_qdb_table_meta.json"
 def write_table_meta(
     spark: SparkSession,
     path: str,
-    columns: list[tuple[str, str, str]],
+    columns: list[tuple[str, str, str]] | list[tuple[str, str, str, str]],
     ts_col: str,
     dedup_keys: list[str] | None = None,
 ) -> None:
     """Persist a declared-schema sidecar at ``path`` —
-    ``columns`` = (name, spark_type, questdb_type) in declared order;
+    ``columns`` = (name, spark_type, questdb_type[, stored_as]) in
+    declared order; ``stored_as`` (optional 4th element) is the column's
+    PHYSICAL name in the parquet files when it differs from the declared
+    name — ``ALTER TABLE … RENAME COLUMN`` is a declaration-level move
+    (QuestDB renames in table metadata without rewriting partitions;
+    here the sidecar carries the declared→stored mapping and the
+    declared read/write paths translate at the file boundary).
     ``dedup_keys`` (optional) is QuestDB's ``DEDUP UPSERT KEYS`` list
     (designated ts included) — the dialect's INSERT paths route through
     :func:`upsert_designated_ts` when present. Write-temp + rename,
@@ -57,12 +63,16 @@ def write_table_meta(
     fs.mkdirs(hpath)
     tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/{TABLE_META_FILE}.tmp")
     final = jvm.org.apache.hadoop.fs.Path(f"{path}/{TABLE_META_FILE}")
+    cols_payload = []
+    for col in columns:
+        n, st, qt = col[0], col[1], col[2]
+        entry = {"name": n, "spark_type": st, "questdb_type": qt}
+        if len(col) > 3 and col[3] and col[3] != n:
+            entry["stored_as"] = col[3]
+        cols_payload.append(entry)
     payload = {
         "designated": ts_col,
-        "columns": [
-            {"name": n, "spark_type": st, "questdb_type": qt}
-            for n, st, qt in columns
-        ],
+        "columns": cols_payload,
     }
     if dedup_keys:
         payload["dedup_keys"] = list(dedup_keys)
@@ -105,6 +115,65 @@ def read_table_meta(spark: SparkSession, path: str) -> dict | None:
     finally:
         reader.close()
     return json.loads("\n".join(lines))
+
+
+def stored_name(col_meta: dict) -> str:
+    """A declared column's PHYSICAL parquet name — ``stored_as`` when
+    the column was renamed (``ALTER TABLE … RENAME COLUMN`` never
+    rewrites data), the declared name otherwise."""
+    return col_meta.get("stored_as", col_meta["name"])
+
+
+def meta_column_tuples(meta: dict) -> list[tuple[str, str, str, str]]:
+    """Sidecar columns as (name, spark_type, questdb_type, stored_as)
+    tuples — the shape :func:`write_table_meta` round-trips, so DDL
+    handlers can edit one entry and write the rest back unchanged."""
+    return [
+        (c["name"], c["spark_type"], c["questdb_type"], stored_name(c))
+        for c in meta["columns"]
+    ]
+
+
+def read_declared(
+    spark: SparkSession, path: str, meta: dict
+) -> DataFrame:
+    """Read a declared-schema table in DECLARED column space: explicit
+    schema over the STORED (physical) names — so an empty table still
+    has columns, pre-ALTER files fill added columns with NULLs — then
+    alias each stored name back to its declared name. The partition
+    column rides along (``<designated>_pdate``; the designated ts is
+    never renamable, so its stored name is its declared name)."""
+    fields = ", ".join(
+        f"{stored_name(c)} {c['spark_type']}" for c in meta["columns"]
+    )
+    pcol = meta["designated"] + PARTITION_SUFFIX
+    df = spark.read.schema(f"{fields}, {pcol} date").parquet(path)
+    if any(stored_name(c) != c["name"] for c in meta["columns"]):
+        df = df.select(
+            *[
+                F.col(stored_name(c)).alias(c["name"])
+                for c in meta["columns"]
+            ],
+            pcol,
+        )
+    return df
+
+
+def to_stored_names(df: DataFrame, meta: dict | None) -> DataFrame:
+    """Rename a declared-space batch to STORED names before it lands in
+    parquet — the write-side half of the rename mapping (files keep one
+    physical schema forever; only the declaration moves)."""
+    if meta is None:
+        return df
+    mapping = {c["name"]: stored_name(c) for c in meta["columns"]}
+    if all(mapping.get(c, c) == c for c in df.columns):
+        return df
+    # One-shot select, not sequential renames: a vacated declared name
+    # can be another column's stored name (rename a→b then ADD COLUMN
+    # a), and stepwise renames would collide mid-flight.
+    return df.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+    )
 
 
 def write_designated_ts(
@@ -189,14 +258,12 @@ def register_designated_table(
     footer inference: an empty or truncated table still registers with
     its columns, and a column added by ``ALTER TABLE … ADD COLUMN``
     comes back as NULL for rows written before the widening — parquet
-    fills explicit-schema columns absent from a file with NULLs."""
+    fills explicit-schema columns absent from a file with NULLs. A
+    column moved by ``ALTER TABLE … RENAME COLUMN`` reads its stored
+    (physical) name and comes back under the declared one."""
     meta = read_table_meta(spark, path)
     if meta is not None and file_format == "parquet":
-        fields = ", ".join(
-            f"{c['name']} {c['spark_type']}" for c in meta["columns"]
-        )
-        pcol = meta["designated"] + PARTITION_SUFFIX
-        df = spark.read.schema(f"{fields}, {pcol} date").parquet(path)
+        df = read_declared(spark, path, meta)
     else:
         df = spark.read.format(file_format).load(path)
     df.createOrReplaceTempView(name)
@@ -238,6 +305,197 @@ def compact_designated(
         .partitionBy(pcol)
         .parquet(dst_path)
     )
+
+
+def update_from_designated_ts(
+    spark: SparkSession,
+    path: str,
+    ts_col: str,
+    target_alias: str,
+    src: DataFrame,
+    src_alias: str,
+    assignments: list[tuple[str, str]],
+    where: str,
+) -> list[str]:
+    """QuestDB ``UPDATE t [ta] SET col = expr, … FROM src [sa] WHERE
+    join-pred`` — the join-update DML — as a partition-scoped merge.
+
+    Same scale shape as :func:`update_designated_ts`: an inner join
+    finds the date partitions holding matched rows (collects DATES,
+    never data), only those partitions are read in full, LEFT JOINed to
+    the source on the predicate, rewritten with ``CASE WHEN matched
+    THEN expr ELSE old END`` per assigned column, and dynamically
+    overwritten. Expressions and the predicate address columns through
+    the aliases (``ta.col`` / ``sa.col``; unqualified names resolve if
+    unambiguous, Spark's resolution rules).
+
+    A target row matching MORE THAN ONE source row is ambiguous — which
+    match wins would be arrival-order luck — so it raises instead of
+    guessing (detected by comparing the joined row count against the
+    touched-slice count; both are day-sized by contract). The
+    designated timestamp is not assignable, matching
+    :func:`update_designated_ts`. Returns the partition dates
+    rewritten."""
+    pcol = ts_col + PARTITION_SUFFIX
+    meta = read_table_meta(spark, path)
+    if meta is not None:
+        existing = read_declared(spark, path, meta)
+        declared_types = {
+            c["name"]: c["spark_type"] for c in meta["columns"]
+        }
+    else:
+        existing = spark.read.parquet(path)
+        declared_types = {
+            f.name: f.dataType.simpleString() for f in existing.schema.fields
+        }
+    for col, _ in assignments:
+        if col == ts_col:
+            raise ValueError(
+                f"UPDATE cannot assign the designated timestamp "
+                f"{ts_col!r} (QuestDB refuses; it also keys the "
+                "partition layout here)"
+            )
+        if col not in declared_types or col == pcol:
+            raise ValueError(
+                f"UPDATE target column {col!r} does not exist "
+                f"(columns: {[c for c in existing.columns if c != pcol]})"
+            )
+    target_cols = [c for c in existing.columns if c != pcol]
+    tgt = existing.alias(target_alias)
+    # The source carries a match marker so the LEFT JOIN can
+    # distinguish "no match" (old value) from matched NULL columns.
+    marked = src.withColumn("__qdb_matched", F.lit(1)).alias(src_alias)
+    pred = F.expr(where)
+    dates = [
+        r[0]
+        for r in tgt.join(marked, pred, "inner")
+        .select(F.col(f"{target_alias}.{pcol}"))
+        .distinct()
+        .collect()
+    ]
+    if not dates:
+        return []
+    touched = tgt.where(F.col(f"{target_alias}.{pcol}").isin(dates))
+    joined = touched.join(marked, pred, "left")
+    n_touched = touched.count()
+    n_joined = joined.count()
+    if n_joined > n_touched:
+        raise ValueError(
+            f"UPDATE … FROM is ambiguous: {n_joined - n_touched} "
+            "target row(s) match more than one source row — "
+            "deduplicate the source on the join key first"
+        )
+    assigned = dict(assignments)
+    matched = F.col(f"{src_alias}.__qdb_matched").isNotNull()
+    updated = joined.select(
+        *[
+            (
+                F.when(matched, F.expr(assigned[c]).cast(declared_types[c]))
+                .otherwise(F.col(f"{target_alias}.{c}"))
+                .alias(c)
+                if c in assigned
+                else F.col(f"{target_alias}.{c}").alias(c)
+            )
+            for c in target_cols
+        ],
+        F.col(f"{target_alias}.{pcol}").alias(pcol),
+    )
+    materialized = to_stored_names(
+        updated.localCheckpoint(eager=True), meta
+    )
+    saved = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "STATIC"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            materialized.sortWithinPartitions(pcol, ts_col)
+            .write.mode("overwrite")
+            .partitionBy(pcol)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    return sorted(str(d) for d in dates)
+
+
+def vacuum_designated(
+    spark: SparkSession,
+    path: str,
+    ts_col: str,
+) -> list[str]:
+    """QuestDB ``VACUUM TABLE`` twin: reclaim the storage debt of the
+    hourly-append model by compacting every partition directory to one
+    time-sorted file, IN PLACE (QuestDB's VACUUM reclaims superseded
+    column versions; this engine's equivalent debt is micro-batch small
+    files — at 100 TB they collapse scan parallelism into file-open
+    overhead).
+
+    Sequence: :func:`compact_designated` rewrites into a temp sibling
+    (``<path>.__vacuum``) — the read is entirely consumed before any
+    swap, so Spark never overwrites what it is reading — then the
+    declared-schema sidecar is copied in, the live directory moves to
+    ``<path>.__old``, the compacted one takes its place, detached
+    partitions (``.detached/``, invisible to the compaction read) are
+    carried over, and the old tree is deleted. Single-writer by
+    contract, like all DDL here; a crash between the two renames leaves
+    ``<path>.__old`` + ``<path>.__vacuum`` on disk and no live table —
+    recovery is one rename back, and the temp names make the state
+    obvious. Returns the partition dates compacted (``[]`` for an
+    empty table — nothing to vacuum)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    dates = list_partitions(spark, path, ts_col)
+    if not dates:
+        return []
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".__vacuum")
+    old = jvm.org.apache.hadoop.fs.Path(path + ".__old")
+    for leftover in (tmp, old):
+        if fs.exists(leftover):
+            raise IOError(
+                f"{leftover} exists — a previous vacuum crashed "
+                "mid-swap; recover it (rename back or delete) first"
+            )
+    meta = read_table_meta(spark, path)
+    if meta is not None:
+        # Declared table: compact through the DECLARED schema, not
+        # footer inference — a column ADDed after early files were
+        # written is absent from those footers, and an inference that
+        # sampled an old footer would silently drop it from the
+        # compacted output. Stored names land back in the files.
+        pcol = ts_col + PARTITION_SUFFIX
+        df = to_stored_names(read_declared(spark, path, meta), meta)
+        (
+            df.repartition(F.col(pcol))
+            .sortWithinPartitions(pcol, ts_col)
+            .write.mode("error")
+            .partitionBy(pcol)
+            .parquet(str(tmp))
+        )
+    else:
+        compact_designated(spark, path, str(tmp), ts_col)
+    meta_src = jvm.org.apache.hadoop.fs.Path(f"{path}/{TABLE_META_FILE}")
+    if fs.exists(meta_src):
+        futil = jvm.org.apache.hadoop.fs.FileUtil
+        futil.copy(
+            fs, meta_src,
+            fs, jvm.org.apache.hadoop.fs.Path(f"{tmp}/{TABLE_META_FILE}"),
+            False, spark._jsc.hadoopConfiguration(),
+        )
+    if not fs.rename(hpath, old):
+        raise IOError(f"could not move {path} aside to {old}")
+    if not fs.rename(tmp, hpath):
+        raise IOError(
+            f"could not move {tmp} into place — live table is at {old}"
+        )
+    detached = jvm.org.apache.hadoop.fs.Path(f"{old}/{DETACHED_DIR}")
+    if fs.exists(detached):
+        fs.rename(
+            detached, jvm.org.apache.hadoop.fs.Path(f"{path}/{DETACHED_DIR}")
+        )
+    fs.delete(old, True)
+    return dates
 
 
 def read_designated_ts(
@@ -332,11 +590,9 @@ def upsert_designated_ts(
     if meta is not None:
         # Declared-schema table: read with the declaration so files
         # written before an ALTER … ADD COLUMN merge with NULLs instead
-        # of whichever footer inference happens to pick.
-        fields = ", ".join(
-            f"{c['name']} {c['spark_type']}" for c in meta["columns"]
-        )
-        existing = spark.read.schema(f"{fields}, {pcol} date").parquet(path)
+        # of whichever footer inference happens to pick; renamed
+        # columns come back under their declared names.
+        existing = read_declared(spark, path, meta)
     else:
         existing = spark.read.parquet(path)
 
@@ -356,7 +612,7 @@ def upsert_designated_ts(
         .select(ts_col, *keys, pcol, *[f"__w.{c}" for c in value_cols])
         .select(*cols)  # restore original column order
     )
-    materialized = merged.localCheckpoint(eager=True)
+    materialized = to_stored_names(merged.localCheckpoint(eager=True), meta)
 
     saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -463,6 +719,221 @@ def drop_partitions(
         if fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{pcol}={d}"), True):
             dropped.append(d)
     return dropped
+
+
+#: Where detached partitions live inside the table directory. The
+#: leading dot keeps Spark's file index from listing them — a detached
+#: partition is invisible to every read until re-attached, exactly
+#: QuestDB's semantics (QuestDB renames the partition dir to
+#: ``<name>.detached`` in place; same idea, one hidden subdir here so
+#: the live directory listing stays flat).
+DETACHED_DIR = ".detached"
+
+
+def detach_partitions(
+    spark: SparkSession,
+    path: str,
+    ts_col: str,
+    dates: list[str],
+) -> list[str]:
+    """QuestDB ``ALTER TABLE … DETACH PARTITION LIST`` twin: move each
+    named date partition directory under ``<path>/.detached/`` — a pure
+    filesystem rename, no data read or rewritten (at 100 TB, detaching
+    a month is 30 directory moves). Detached partitions vanish from
+    every query (dot-dirs are invisible to Spark's file listing) but
+    keep their files byte-identical for :func:`attach_partitions`.
+
+    A named partition that does not exist raises (QuestDB errors on
+    detaching a missing partition); one already detached under the same
+    date also raises rather than silently merging two directory trees.
+    Returns the dates moved, in sorted order.
+    """
+    pcol = ts_col + PARTITION_SUFFIX
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    existing = set(list_partitions(spark, path, ts_col))
+    moved = []
+    for d in sorted(set(dates)):
+        if d not in existing:
+            raise ValueError(
+                f"cannot detach partition {d!r}: not present "
+                f"(partitions: {sorted(existing)})"
+            )
+        src = jvm.org.apache.hadoop.fs.Path(f"{path}/{pcol}={d}")
+        dst = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{DETACHED_DIR}/{pcol}={d}"
+        )
+        if fs.exists(dst):
+            raise ValueError(
+                f"partition {d!r} is already detached at {dst}"
+            )
+        fs.mkdirs(dst.getParent())
+        if not fs.rename(src, dst):
+            raise IOError(f"could not detach {src} to {dst}")
+        moved.append(d)
+    return moved
+
+
+def attach_partitions(
+    spark: SparkSession,
+    path: str,
+    ts_col: str,
+    dates: list[str],
+) -> list[str]:
+    """QuestDB ``ALTER TABLE … ATTACH PARTITION LIST`` twin: move each
+    named date partition back out of ``<path>/.detached/`` into the
+    live table — the reverse filesystem rename of
+    :func:`detach_partitions`. A date with no detached directory
+    raises; a live partition already holding that date raises (the two
+    trees must not merge). Returns the dates attached, sorted."""
+    pcol = ts_col + PARTITION_SUFFIX
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    live = set(list_partitions(spark, path, ts_col))
+    moved = []
+    for d in sorted(set(dates)):
+        src = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/{DETACHED_DIR}/{pcol}={d}"
+        )
+        if not fs.exists(src):
+            raise ValueError(
+                f"cannot attach partition {d!r}: nothing detached at {src}"
+            )
+        if d in live:
+            raise ValueError(
+                f"cannot attach partition {d!r}: a live partition "
+                "already holds that date"
+            )
+        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{pcol}={d}")
+        if not fs.rename(src, dst):
+            raise IOError(f"could not attach {src} to {dst}")
+        moved.append(d)
+    return moved
+
+
+def list_detached_partitions(
+    spark: SparkSession, path: str, ts_col: str
+) -> list[str]:
+    """Sorted dates currently sitting under ``<path>/.detached/`` — the
+    catalog face of the detach/attach pair (SHOW PARTITIONS marks
+    detached partitions in QuestDB)."""
+    pcol = ts_col + PARTITION_SUFFIX
+    jvm = spark._jvm
+    dpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{DETACHED_DIR}")
+    fs = dpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(dpath):
+        return []
+    prefix = pcol + "="
+    out = []
+    for status in fs.listStatus(dpath):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith(prefix):
+            out.append(name[len(prefix):])
+    return sorted(out)
+
+
+def update_designated_ts(
+    spark: SparkSession,
+    path: str,
+    ts_col: str,
+    assignments: list[tuple[str, str]],
+    where: str | None = None,
+) -> list[str]:
+    """QuestDB ``UPDATE t SET col = expr, … [WHERE pred]`` as a
+    partition-scoped conditional rewrite.
+
+    Scale shape (the same discipline as :func:`upsert_designated_ts`):
+    one narrow pass finds the date partitions holding matching rows
+    (predicate columns only — partition/rowgroup pruning applies when
+    the WHERE bounds the designated ts, so an interval-scoped UPDATE
+    touches an interval-sized scan), then ONLY those partitions are
+    read in full, rewritten with ``CASE WHEN pred THEN expr ELSE old
+    END`` per assigned column, and dynamically overwritten. Untouched
+    partitions are never read, listed, or rewritten — at 100 TB an
+    UPDATE over one bad day moves one day of data, QuestDB's
+    column-version rewrite made a directory operation.
+
+    ``assignments`` are (column, SQL expression) pairs evaluated in the
+    table's declared column space; each result casts to the column's
+    declared type (QuestDB casts assignment values to the column type).
+    The designated timestamp is not assignable — QuestDB refuses
+    UPDATEs of the designated timestamp, and here it additionally keys
+    the physical layout. Rows where ``where`` evaluates NULL are
+    untouched (SQL predicate semantics). Returns the partition dates
+    rewritten (``[]`` when nothing matched).
+    """
+    pcol = ts_col + PARTITION_SUFFIX
+    meta = read_table_meta(spark, path)
+    if meta is not None:
+        existing = read_declared(spark, path, meta)
+        declared_types = {
+            c["name"]: c["spark_type"] for c in meta["columns"]
+        }
+    else:
+        existing = spark.read.parquet(path)
+        declared_types = {
+            f.name: f.dataType.simpleString() for f in existing.schema.fields
+        }
+    for col, _ in assignments:
+        if col == ts_col:
+            raise ValueError(
+                f"UPDATE cannot assign the designated timestamp "
+                f"{ts_col!r} (QuestDB refuses; it also keys the "
+                "partition layout here)"
+            )
+        if col not in declared_types or col == pcol:
+            raise ValueError(
+                f"UPDATE target column {col!r} does not exist "
+                f"(columns: {[c for c in existing.columns if c != pcol]})"
+            )
+    pred = F.expr(where) if where else F.lit(True)
+    # Narrow pass: which date directories hold matching rows? Collects
+    # DATES (bounded by the table's partition count), never data rows.
+    dates = [
+        r[0]
+        for r in existing.where(pred).select(pcol).distinct().collect()
+    ]
+    if not dates:
+        return []
+    touched = existing.where(F.col(pcol).isin(dates))
+    assigned = dict(assignments)
+    updated = touched.select(
+        *[
+            (
+                F.when(pred, F.expr(assigned[c]).cast(declared_types[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in assigned
+                else F.col(c)
+            )
+            for c in existing.columns
+            if c != pcol
+        ],
+        F.col(pcol),
+    )
+    # Spark cannot overwrite partitions it is concurrently reading:
+    # materialize the rewritten slice first (day-sized by contract).
+    materialized = to_stored_names(
+        updated.localCheckpoint(eager=True), meta
+    )
+    saved = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "STATIC"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            materialized.sortWithinPartitions(pcol, ts_col)
+            .write.mode("overwrite")
+            .partitionBy(pcol)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    return sorted(str(d) for d in dates)
 
 
 def enforce_ttl(

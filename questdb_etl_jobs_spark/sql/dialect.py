@@ -221,7 +221,9 @@ def _topk_shape_matches(text: str) -> bool:
 
 _QDB_FN_RE = re.compile(
     r"\b(dateadd|datediff|timestamp_floor|timestamp_ceil|to_timezone"
-    r"|to_utc|to_str|to_timestamp)\s*\(",
+    r"|to_utc|to_str|to_timestamp"
+    r"|strpos|to_lowercase|to_uppercase"
+    r"|round_down|round_up|round_half_even)\s*\(",
     re.IGNORECASE,
 )
 #: QuestDB regex-match operators on symbol/string columns: ``col ~
@@ -315,6 +317,14 @@ def rewrite_questdb_scalars(text: str) -> str:
     ``to_str(ts, 'pattern')``              ``date_format(ts, 'pattern')``
     ``to_timestamp(s, '…T…')``             bare-``T`` pattern quoted for
                                            Spark's DateTimeFormatter
+    ``strpos(s, sub)``                     ``instr(s, sub)`` (same
+                                           1-based/0-absent/NULL rules)
+    ``to_lowercase(s)/to_uppercase(s)``    ``lower(s)`` / ``upper(s)``
+    ``round_half_even(x, s)``              ``bround(x, s)`` (banker's)
+    ``round_down(x, s)``                   toward zero:  ``sign·floor
+                                           (abs(x)·10^s)/10^s``
+    ``round_up(x, s)``                     away from zero: same with
+                                           ``ceil``
     =====================================  ==============================
 
     String literals are never rewritten (the scanner skips them), and
@@ -445,6 +455,43 @@ def _rewrite_one_scalar(
         # string literal, so it lands SQL-doubled: '…dd''T''HH…'.
         fmt = m.group(1).replace("T", "''T''")
         return f"to_timestamp({args[0]}, '{fmt}')"
+    if name == "strpos":
+        # QuestDB strpos(str, substr): 1-based position of the first
+        # occurrence, 0 when absent, NULL on NULL args — exactly
+        # Spark's instr.
+        if len(args) != 2:
+            return None
+        return f"instr({args[0]}, {args[1]})"
+    if name == "to_lowercase":
+        if len(args) != 1:
+            return None
+        return f"lower({args[0]})"
+    if name == "to_uppercase":
+        if len(args) != 1:
+            return None
+        return f"upper({args[0]})"
+    if name == "round_half_even":
+        # Banker's rounding at a decimal scale — Spark's bround,
+        # cast back to double (bround on a double literal yields
+        # decimal; QuestDB's is double → double).
+        if len(args) != 2:
+            return None
+        return f"cast(bround({args[0]}, {args[1]}) as double)"
+    if name in ("round_down", "round_up"):
+        # QuestDB rounds toward zero (down) / away from zero (up) at a
+        # decimal scale (negative scales allowed — tens, hundreds …).
+        # Spark has no spelling for either; the power-of-10 fold below
+        # matches QuestDB's own pow10-multiply-truncate evaluation on
+        # doubles (both engines share IEEE semantics, so the fold is
+        # the identical float path, not an approximation of it).
+        if len(args) != 2:
+            return None
+        x, s = args[0], args[1]
+        fold = "floor" if name == "round_down" else "ceil"
+        return (
+            f"(sign({x}) * {fold}(abs(cast({x} as double)) * "
+            f"pow(10, {s})) / pow(10, {s}))"
+        )
     if name == "to_timezone":
         if len(args) != 2:
             raise QuestDBSQLError(f"to_timezone takes 2 arguments: {original!r}")
@@ -1229,15 +1276,76 @@ def questdb_sql(
     if order_m:
         df = df.orderBy(*order_cols)
 
-    if limit_m and limit_m.group(2) is not None:
-        # QuestDB range limit: LIMIT lo, hi returns result rows
-        # lo+1 .. hi (positive bounds; the common pagination slice).
-        lo, hi = int(limit_m.group(1)), int(limit_m.group(2))
-        if lo < 0 or hi < lo:
-            raise QuestDBSQLError(
-                f"unsupported LIMIT range {lo},{hi} (need 0 <= lo <= hi)"
+    def _reversed_order_cols() -> list:
+        items = _split_items(order_m.group(1).strip())
+        out = []
+        for it in items:
+            mm = re.match(
+                r"^(.*?)(?:\s+(ASC|DESC))?$", it, re.IGNORECASE
             )
-        df = df.offset(lo).limit(hi - lo)
+            direction = (mm.group(2) or "ASC").upper()
+            c = F.expr(mm.group(1).strip())
+            out.append(c.asc() if direction == "DESC" else c.desc())
+        return out
+
+    def _tail(d: DataFrame, take: int) -> DataFrame:
+        # Last `take` rows of the result order, restored to forward
+        # order. With an ORDER BY the reversed sort+limit plans as a
+        # TakeOrdered (per-partition heap, no full sort); the bare
+        # designated-ts tail routes through the certified prune — at
+        # scale "last N rows" only decodes the row groups whose ts-max
+        # clears the bound.
+        if order_m:
+            return (
+                d.orderBy(*_reversed_order_cols())
+                .limit(take)
+                .orderBy(*order_cols)
+            )
+        if ts is not None and ts in d.columns:
+            from questdb_etl_jobs_spark.operators.topk import (
+                topk_by_threshold,
+            )
+
+            return topk_by_threshold(d, ts, take).orderBy(F.col(ts).asc())
+        raise QuestDBSQLError(
+            "negative LIMIT needs an ORDER BY or a designated ts"
+        )
+
+    def _drop_tail(d: DataFrame, k: int) -> DataFrame:
+        # Drop the last k rows of an (already bounded) forward-ordered
+        # frame: reverse, skip k, restore — all on tail-sized data.
+        if k == 0:
+            return d
+        if order_m:
+            return (
+                d.orderBy(*_reversed_order_cols())
+                .offset(k)
+                .orderBy(*order_cols)
+            )
+        return (
+            d.orderBy(F.col(ts).desc()).offset(k).orderBy(F.col(ts).asc())
+        )
+
+    if limit_m and limit_m.group(2) is not None:
+        # QuestDB range limit: LIMIT lo, hi slices the result rows
+        # python-style — positive bounds are rows lo+1 .. hi (the
+        # common pagination slice); negative bounds count from the END
+        # (LIMIT -5, -3 = the 5th- and 4th-from-last rows). The tail
+        # slice takes the last |lo| rows (bounded), then drops the last
+        # |hi| of THAT — short tables clamp at the start like a python
+        # slice would. Mixed-sign bounds need the total row count to
+        # resolve and are refused rather than silently scanned twice.
+        lo, hi = int(limit_m.group(1)), int(limit_m.group(2))
+        if 0 <= lo <= hi:
+            df = df.offset(lo).limit(hi - lo)
+        elif lo < hi < 0:
+            df = _drop_tail(_tail(df, -lo), -hi)
+        else:
+            raise QuestDBSQLError(
+                f"unsupported LIMIT range {lo},{hi} (need 0 <= lo <= hi "
+                "or lo < hi < 0; mixed-sign bounds would need a full "
+                "count)"
+            )
     elif limit_m:
         n = int(limit_m.group(1))
         if n >= 0:
@@ -1245,38 +1353,7 @@ def questdb_sql(
         else:
             # QuestDB tail: last |n| rows of the result order (default:
             # designated-ts order). Reverse, take, restore.
-            if order_m:
-                rev = [
-                    F.expr(re.match(r"^(.*?)(?:\s+(ASC|DESC))?$", it,
-                                    re.IGNORECASE).group(1).strip())
-                    for it in _split_items(order_m.group(1).strip())
-                ]
-                dirs = [
-                    (re.match(r"^(.*?)(?:\s+(ASC|DESC))?$", it,
-                              re.IGNORECASE).group(2) or "ASC").upper()
-                    for it in _split_items(order_m.group(1).strip())
-                ]
-                reversed_cols = [
-                    c.asc() if d == "DESC" else c.desc()
-                    for c, d in zip(rev, dirs)
-                ]
-                df = df.orderBy(*reversed_cols).limit(-n).orderBy(*order_cols)
-            elif ts is not None and ts in df.columns:
-                # The tail's inner step IS the scan-bound top-k shape
-                # (ORDER BY ts DESC LIMIT |n|): plan it via the
-                # certified prune — at scale "last N rows" only decodes
-                # the row groups whose ts-max clears the bound.
-                from questdb_etl_jobs_spark.operators.topk import (
-                    topk_by_threshold,
-                )
-
-                df = topk_by_threshold(df, ts, -n).orderBy(
-                    F.col(ts).asc()
-                )
-            else:
-                raise QuestDBSQLError(
-                    "negative LIMIT needs an ORDER BY or a designated ts"
-                )
+            df = _tail(df, -n)
 
     return df
 
@@ -1406,6 +1483,7 @@ def _ddl_insert_land(
         dedup_within_batch,
         list_partitions,
         read_table_meta,
+        to_stored_names,
         upsert_designated_ts,
         write_designated_ts,
     )
@@ -1415,16 +1493,21 @@ def _ddl_insert_land(
     if dkeys:
         others = [k for k in dkeys if k != ts_col]
         if _parquet_has_footers(spark, path):
+            # upsert_designated_ts reads the sidecar itself and lands
+            # stored names at its write boundary.
             upsert_designated_ts(spark, df, path, ts_col, others)
         else:
             # First rows into a declared dedup table: nothing to merge
             # against, but within-batch duplicates still resolve.
             write_designated_ts(
-                dedup_within_batch(df, ts_col, others),
+                to_stored_names(
+                    dedup_within_batch(df, ts_col, others), meta
+                ),
                 path, ts_col, mode="append",
             )
     else:
-        write_designated_ts(df, path, ts_col, mode="append")
+        write_designated_ts(to_stored_names(df, meta), path, ts_col,
+                            mode="append")
     return list_partitions(spark, path, ts_col)
 
 
@@ -1581,6 +1664,36 @@ def questdb_ddl(
     ``ALTER TABLE t DEDUP ENABLE UPSERT            toggles the declaration
     KEYS(…)`` / ``… DEDUP DISABLE``                the INSERT paths consult
                                                    (no retro-dedup)
+    ``UPDATE t SET c = expr, … [WHERE pred]``      partition-scoped
+                                                   conditional rewrite —
+                                                   only date partitions
+                                                   holding matching rows
+                                                   are read+rewritten
+                                                   (designated ts not
+                                                   assignable)
+    ``UPDATE t [ta] SET c = expr, … FROM src       partition-scoped join
+    [sa] WHERE join-pred``                         -update: matched date
+                                                   partitions LEFT JOIN
+                                                   the source; >1 match
+                                                   per target row raises
+    ``ALTER TABLE t RENAME COLUMN a TO b``         declaration-level
+                                                   move (sidecar
+                                                   ``stored_as``); no
+                                                   data rewrite, the
+                                                   designated ts is not
+                                                   renamable
+    ``ALTER TABLE t DETACH PARTITION LIST '…'``    directory move into
+                                                   the hidden
+                                                   ``.detached/`` subdir
+                                                   (invisible to reads)
+    ``ALTER TABLE t ATTACH PARTITION LIST '…'``    the reverse move
+    ``VACUUM TABLE t``                             in-place compaction:
+                                                   one time-sorted file
+                                                   per partition dir
+                                                   (the small-files
+                                                   answer to QuestDB's
+                                                   column-version
+                                                   reclaim)
     ``ALTER TABLE t DROP PARTITION WHERE ts < 'x'``  ``drop_partitions
                                                      (older_than=x)``
     ``ALTER TABLE t DROP PARTITION LIST 'd', ...``   ``drop_partitions
@@ -1969,10 +2082,12 @@ def questdb_ddl(
                 f"cannot drop {col!r}: it is a declared DEDUP UPSERT "
                 "key (run ALTER TABLE … DEDUP DISABLE first)"
             )
+        from questdb_etl_jobs_spark.plans.designated import (
+            meta_column_tuples,
+        )
+
         cols = [
-            (c["name"], c["spark_type"], c["questdb_type"])
-            for c in meta["columns"]
-            if c["name"] != col
+            t for t in meta_column_tuples(meta) if t[0] != col
         ]
         write_table_meta(
             spark, path, cols, meta["designated"],
@@ -1986,14 +2101,14 @@ def questdb_ddl(
         # toggles the declaration the INSERT paths consult. Enabling
         # does NOT retro-dedup existing rows (QuestDB's behavior:
         # dedup applies to writes from now on).
-        from questdb_etl_jobs_spark.plans.designated import write_table_meta
+        from questdb_etl_jobs_spark.plans.designated import (
+            meta_column_tuples,
+            write_table_meta,
+        )
 
         name, path = _ddl_table_path(m.group("table"), tables)
         meta = _ensure_table_meta(spark, name, path, designated)
-        cols = [
-            (c["name"], c["spark_type"], c["questdb_type"])
-            for c in meta["columns"]
-        ]
+        cols = meta_column_tuples(meta)
         if m.group("disable"):
             write_table_meta(
                 spark, path, cols, meta["designated"], dedup_keys=None
@@ -2109,25 +2224,256 @@ def questdb_ddl(
             raise QuestDBSQLError(
                 f"column {col!r} already exists on table {name!r}"
             )
-        cols = [
-            (c["name"], c["spark_type"], c["questdb_type"])
-            for c in meta["columns"]
-        ] + [(col, stype, qtype)]
+        from questdb_etl_jobs_spark.plans.designated import (
+            meta_column_tuples,
+            stored_name,
+        )
+
+        # A renamed column keeps its ORIGINAL physical name forever, so
+        # a later ADD COLUMN reusing the vacated declared name must not
+        # collide with it in the files — store the newcomer under a
+        # fresh physical name when its declared name is taken.
+        taken = {stored_name(c) for c in meta["columns"]}
+        stored = col
+        i = 0
+        while stored in taken:
+            i += 1
+            stored = f"{col}__s{i}"
+        cols = meta_column_tuples(meta) + [(col, stype, qtype, stored)]
         write_table_meta(
             spark, path, cols, meta["designated"],
             dedup_keys=meta.get("dedup_keys"),
         )
         return []
 
+    m = _VACUUM_TABLE_RE.match(text)
+    if m:
+        # VACUUM TABLE — QuestDB reclaims superseded column versions;
+        # this engine's equivalent storage debt is the hourly-append
+        # model's small files. Compacts every partition directory to
+        # one time-sorted file in place (temp-sibling write + two
+        # renames; declared-schema-aware so ALTER-ADDed columns
+        # survive), restoring the storage convention's contract: few
+        # large files, tight row-group stats, scan parallelism at the
+        # partition level.
+        from questdb_etl_jobs_spark.plans.designated import (
+            vacuum_designated,
+        )
+
+        name, path = _ddl_table_path(m.group("table"), tables)
+        ts_col = _ddl_ts_col(spark, name, path, designated)
+        if ts_col is None:
+            raise QuestDBSQLError(
+                f"table {name!r} does not exist at {path}"
+            )
+        return vacuum_designated(spark, path, ts_col)
+
+    m = _ALTER_RENAME_COLUMN_RE.match(text)
+    if m:
+        # ALTER TABLE … RENAME COLUMN old TO new — a declaration-level
+        # move, NO data rewrite (QuestDB renames in table metadata; at
+        # 100 TB a rename must not touch a byte of data). The sidecar
+        # records the column's original PHYSICAL name (`stored_as`);
+        # the declared read path aliases stored→declared, every write
+        # path renames declared→stored at the file boundary, so old and
+        # new files share one physical schema forever. The designated
+        # timestamp is not renamable here — it keys the partition
+        # directory names (QuestDB allows it; documented divergence,
+        # rewrite the table to rename its designated ts).
+        from questdb_etl_jobs_spark.plans.designated import (
+            PARTITION_SUFFIX,
+            meta_column_tuples,
+            write_table_meta,
+        )
+
+        name, path = _ddl_table_path(m.group("table"), tables)
+        meta = _ensure_table_meta(spark, name, path, designated)
+        old, new = m.group("old"), m.group("new")
+        names = [c["name"] for c in meta["columns"]]
+        if old not in names:
+            raise QuestDBSQLError(
+                f"column {old!r} does not exist on table {name!r} "
+                f"(columns: {names})"
+            )
+        if old == meta["designated"]:
+            raise QuestDBSQLError(
+                f"cannot rename the designated timestamp {old!r}: it "
+                "keys the partition directory layout (rewrite the "
+                "table to change it)"
+            )
+        if new in names:
+            raise QuestDBSQLError(
+                f"column {new!r} already exists on table {name!r}"
+            )
+        if new.endswith(PARTITION_SUFFIX):
+            raise QuestDBSQLError(
+                f"column name {new!r} would shadow the partition "
+                f"bookkeeping suffix {PARTITION_SUFFIX!r}"
+            )
+        cols = [
+            (new, st, qt, stored) if n == old else (n, st, qt, stored)
+            for n, st, qt, stored in meta_column_tuples(meta)
+        ]
+        dkeys = meta.get("dedup_keys")
+        if dkeys:
+            dkeys = [new if k == old else k for k in dkeys]
+        write_table_meta(
+            spark, path, cols, meta["designated"], dedup_keys=dkeys
+        )
+        return []
+
+    m = _ALTER_DETACH_ATTACH_RE.match(text)
+    if m:
+        # ALTER TABLE … DETACH/ATTACH PARTITION LIST — directory moves
+        # in and out of the table's hidden .detached/ subdir (QuestDB
+        # renames the partition dir in place; same shape). Detached
+        # partitions vanish from every query, keep their bytes, and
+        # re-attach with a second move — no data read either way.
+        from questdb_etl_jobs_spark.plans.designated import (
+            attach_partitions,
+            detach_partitions,
+        )
+
+        name, path = _ddl_table_path(m.group("table"), tables)
+        ts_col = _ddl_ts_col(spark, name, path, designated)
+        if ts_col is None:
+            raise QuestDBSQLError(
+                f"table {name!r} does not exist at {path}"
+            )
+        dates = [
+            d.strip().strip("'") for d in _split_items(m.group("list"))
+        ]
+        for d in dates:
+            try:
+                _dt.date.fromisoformat(d)
+            except ValueError as exc:
+                raise QuestDBSQLError(
+                    f"{m.group('verb').upper()} PARTITION LIST entry "
+                    f"{d!r} is not YYYY-MM-DD"
+                ) from exc
+        fn = (
+            detach_partitions
+            if m.group("verb").upper() == "DETACH"
+            else attach_partitions
+        )
+        try:
+            return fn(spark, path, ts_col, dates)
+        except ValueError as exc:
+            raise QuestDBSQLError(str(exc)) from exc
+
+    m = _UPDATE_FROM_RE.match(text)
+    if m:
+        # UPDATE t [ta] SET … FROM src [sa] WHERE join-pred — QuestDB's
+        # join-update. The source is a mapped designated table or a
+        # registered view; the target joins it partition-scoped (only
+        # matched date partitions rewrite), a target row matching more
+        # than one source row raises (which match wins would be
+        # arrival-order luck), unmatched rows are untouched.
+        from questdb_etl_jobs_spark.plans.designated import (
+            register_designated_table,
+            update_from_designated_ts,
+        )
+
+        name, path = _ddl_table_path(m.group("table"), tables)
+        ts_col = _ddl_ts_col(spark, name, path, designated)
+        if ts_col is None:
+            raise QuestDBSQLError(
+                f"table {name!r} does not exist at {path}"
+            )
+        talias = m.group("talias") or name
+        srcname = m.group("src")
+        salias = m.group("salias") or srcname
+        if srcname in tables:
+            src_df = register_designated_table(
+                spark, srcname, tables[srcname]
+            )
+        else:
+            try:
+                src_df = spark.table(srcname)
+            except Exception as exc:
+                raise QuestDBSQLError(
+                    f"UPDATE … FROM source {srcname!r} is neither a "
+                    "mapped table nor a registered view"
+                ) from exc
+        assignments = []
+        for item in _split_items(m.group("sets")):
+            am = re.match(
+                r"^([A-Za-z_]\w*)\s*=\s*(.+)$", item.strip(), re.DOTALL
+            )
+            if not am:
+                raise QuestDBSQLError(
+                    f"unsupported UPDATE assignment {item.strip()!r} "
+                    "(expected '<column> = <expression>')"
+                )
+            assignments.append(
+                (am.group(1), rewrite_questdb_scalars(am.group(2).strip()))
+            )
+        where = rewrite_questdb_scalars(m.group("where").strip())
+        try:
+            return update_from_designated_ts(
+                spark, path, ts_col, talias, src_df, salias,
+                assignments, where,
+            )
+        except ValueError as exc:
+            raise QuestDBSQLError(str(exc)) from exc
+
+    m = _UPDATE_RE.match(text)
+    if m:
+        # UPDATE t SET col = expr, … [WHERE pred] — QuestDB's third DML
+        # statement, lowered onto update_designated_ts: a narrow pass
+        # finds the date partitions holding matching rows, only those
+        # rewrite (dynamic partition overwrite), everything else is
+        # never read. SET expressions and the WHERE run through the
+        # same scalar/interval rewrites as queries, so `ts IN
+        # '2024-01'` prunes the rewrite to the interval's partitions.
+        from questdb_etl_jobs_spark.plans.designated import (
+            PARTITION_SUFFIX,
+            update_designated_ts,
+        )
+
+        name, path = _ddl_table_path(m.group("table"), tables)
+        ts_col = _ddl_ts_col(spark, name, path, designated)
+        if ts_col is None:
+            raise QuestDBSQLError(
+                f"table {name!r} does not exist at {path}"
+            )
+        assignments: list[tuple[str, str]] = []
+        for item in _split_items(m.group("sets")):
+            am = re.match(
+                r"^([A-Za-z_]\w*)\s*=\s*(.+)$", item.strip(), re.DOTALL
+            )
+            if not am:
+                raise QuestDBSQLError(
+                    f"unsupported UPDATE assignment {item.strip()!r} "
+                    "(expected '<column> = <expression>')"
+                )
+            assignments.append(
+                (am.group(1), rewrite_questdb_scalars(am.group(2).strip()))
+            )
+        where = m.group("where")
+        if where:
+            where = _rewrite_interval_in(
+                rewrite_questdb_scalars(where.strip()),
+                (ts_col + PARTITION_SUFFIX,),
+            )
+        try:
+            return update_designated_ts(
+                spark, path, ts_col, assignments, where
+            )
+        except ValueError as exc:
+            raise QuestDBSQLError(str(exc)) from exc
+
     raise QuestDBSQLError(
         f"unsupported DDL statement: {text!r} (supported: CREATE TABLE "
         "[IF NOT EXISTS] … (col TYPE, …) TIMESTAMP(ts) [PARTITION BY "
         "DAY], CREATE TABLE … AS (…) TIMESTAMP(ts) [PARTITION BY DAY], "
         "INSERT INTO … [(cols)] VALUES (…), INSERT INTO … [(cols)] "
-        "SELECT …, DROP TABLE [IF EXISTS] …, RENAME TABLE … TO …, TRUNCATE TABLE …, ALTER "
-        "TABLE … ADD/DROP COLUMN, ALTER TABLE … DEDUP ENABLE UPSERT "
+        "SELECT …, UPDATE … SET … [WHERE …], DROP TABLE [IF EXISTS] …, "
+        "RENAME TABLE … TO …, TRUNCATE TABLE …, ALTER "
+        "TABLE … ADD/DROP/RENAME COLUMN, ALTER TABLE … DEDUP ENABLE UPSERT "
         "KEYS(…)/DEDUP DISABLE, ALTER TABLE … DROP "
-        "PARTITION WHERE/LIST, ALTER TABLE … SET TTL n DAYS)"
+        "PARTITION WHERE/LIST, ALTER TABLE … DETACH/ATTACH PARTITION "
+        "LIST, VACUUM TABLE …, ALTER TABLE … SET TTL n DAYS)"
     )
 
 
@@ -2193,6 +2539,41 @@ _ALTER_DROP_COLUMN_RE = re.compile(
     r"^ALTER\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s+"
     r"DROP\s+COLUMN\s+(?P<col>[A-Za-z_]\w*)\s*$",
     re.IGNORECASE,
+)
+_VACUUM_TABLE_RE = re.compile(
+    r"^VACUUM\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s*$",
+    re.IGNORECASE,
+)
+_ALTER_RENAME_COLUMN_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s+"
+    r"RENAME\s+COLUMN\s+(?P<old>[A-Za-z_]\w*)\s+TO\s+"
+    r"(?P<new>[A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DETACH_ATTACH_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s+"
+    r"(?P<verb>DETACH|ATTACH)\s+PARTITION\s+LIST\s+(?P<list>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+#: UPDATE … SET … [WHERE …] — QuestDB's row-update DML. The lazy SET
+#: body + anchored optional WHERE split at the FIRST top-level WHERE
+#: keyword (a string literal containing ' WHERE ' would mis-split and
+#: fail expression parsing loudly — same caveat as the INSERT shapes).
+_UPDATE_RE = re.compile(
+    r"^UPDATE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s+SET\s+"
+    r"(?P<sets>.+?)(?:\s+WHERE\s+(?P<where>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+#: UPDATE … FROM — the join-update. Checked BEFORE _UPDATE_RE (whose
+#: lazy SET body would swallow the FROM clause into an assignment
+#: expression and fail expression parsing instead of routing here).
+_UPDATE_FROM_RE = re.compile(
+    r"^UPDATE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')"
+    r"(?:\s+(?!SET\b)(?P<talias>[A-Za-z_]\w*))?\s+SET\s+"
+    r"(?P<sets>.+?)\s+FROM\s+(?P<src>[A-Za-z_][\w.]*)"
+    r"(?:\s+(?!WHERE\b)(?P<salias>[A-Za-z_]\w*))?\s+"
+    r"WHERE\s+(?P<where>.+)$",
+    re.IGNORECASE | re.DOTALL,
 )
 _ALTER_DEDUP_RE = re.compile(
     r"^ALTER\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s+"

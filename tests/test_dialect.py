@@ -1213,12 +1213,14 @@ def test_ddl_errors_are_loud_and_specific(spark, tmp_path):
         )
     with pytest.raises(QuestDBSQLError, match="DAYS or"):
         questdb_ddl(spark, "ALTER TABLE t SET TTL 2 MONTHS", {"t": path})
-    # ADD COLUMN became a supported statement in round 14 — the
+    # RENAME COLUMN became a supported statement later in round 14 (a
+    # declaration-level move via the sidecar's stored_as mapping) — the
     # unsupported-DDL contract now uses a spelling the engine does not
-    # lower (RENAME COLUMN would need a rewrite of every data file).
+    # lower (SQUASH PARTITIONS is QuestDB storage tuning with no
+    # day-directory analogue).
     with pytest.raises(QuestDBSQLError, match="unsupported DDL"):
         questdb_ddl(
-            spark, "ALTER TABLE t RENAME COLUMN a TO b", {"t": path}
+            spark, "ALTER TABLE t SQUASH PARTITIONS", {"t": path}
         )
     with pytest.raises(QuestDBSQLError, match="ISO"):
         questdb_ddl(
@@ -2156,3 +2158,491 @@ def test_rename_table_moves_the_directory(spark, tmp_path):
     )
     with pytest.raises(QuestDBSQLError, match="already exists"):
         questdb_ddl(spark, "RENAME TABLE a TO b", tables)
+
+
+def test_update_is_partition_scoped(spark, tmp_path):
+    """UPDATE rewrites ONLY the date partitions holding matching rows:
+    the untouched partition's parquet files are byte-identical
+    afterwards (same file names — a rewrite would replace them), the
+    returned dates name exactly the touched partitions, and a no-match
+    UPDATE returns [] without writing anything."""
+    import os
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"t": str(tmp_path / "t")}
+    questdb_ddl(
+        spark,
+        "CREATE TABLE t(sym SYMBOL, v INT, note STRING, ts TIMESTAMP) "
+        "TIMESTAMP(ts)",
+        tables,
+    )
+    questdb_ddl(
+        spark,
+        "INSERT INTO t(sym, v, note, ts) VALUES "
+        "('a', 1, 'x', TIMESTAMP '2024-07-01 08:00:00'), "
+        "('b', 2, 'y', TIMESTAMP '2024-07-02 09:00:00'), "
+        "('c', 3, 'z', TIMESTAMP '2024-07-02 10:00:00')",
+        tables,
+    )
+
+    def files(date):
+        d = tmp_path / "t" / f"ts_pdate={date}"
+        return sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    before_0701 = files("2024-07-01")
+    touched = questdb_ddl(
+        spark,
+        "UPDATE t SET v = v * 10, note = to_uppercase(note) "
+        "WHERE ts IN '2024-07-02'",
+        tables,
+    )
+    assert touched == ["2024-07-02"]
+    assert files("2024-07-01") == before_0701  # never read or rewritten
+    got = (
+        register_designated_table(spark, "t", tables["t"])
+        .orderBy("ts")
+        .collect()
+    )
+    assert [(r.sym, r.v, r.note) for r in got] == [
+        ("a", 1, "x"),
+        ("b", 20, "Y"),
+        ("c", 30, "Z"),
+    ]
+    # No-match predicate: nothing returned, nothing written.
+    before_all = (files("2024-07-01"), files("2024-07-02"))
+    assert (
+        questdb_ddl(spark, "UPDATE t SET v = 0 WHERE sym = 'zzz'", tables)
+        == []
+    )
+    assert (files("2024-07-01"), files("2024-07-02")) == before_all
+    # A NULL predicate row is untouched (SQL semantics), and an
+    # assignment casts to the declared column type.
+    questdb_ddl(
+        spark,
+        "INSERT INTO t(sym, ts) VALUES "
+        "('d', TIMESTAMP '2024-07-03 11:00:00')",
+        tables,
+    )
+    questdb_ddl(spark, "UPDATE t SET v = 7.9 WHERE v IS NULL", tables)
+    got = {
+        r.sym: r.v
+        for r in register_designated_table(
+            spark, "t", tables["t"]
+        ).collect()
+    }
+    assert got["d"] == 7  # 7.9 cast to the declared INT
+    assert got["a"] == 1
+
+
+def test_update_guards(spark, tmp_path):
+    """UPDATE refuses the designated timestamp (QuestDB's rule; it also
+    keys the layout), unknown columns, and missing tables — loudly."""
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"t": str(tmp_path / "t"), "ghost": str(tmp_path / "ghost")}
+    questdb_ddl(
+        spark, "CREATE TABLE t(v INT, ts TIMESTAMP) TIMESTAMP(ts)", tables
+    )
+    questdb_ddl(
+        spark,
+        "INSERT INTO t(v, ts) VALUES (1, TIMESTAMP '2024-01-01 00:00:00')",
+        tables,
+    )
+    with pytest.raises(QuestDBSQLError, match="designated timestamp"):
+        questdb_ddl(
+            spark, "UPDATE t SET ts = TIMESTAMP '2024-01-02'", tables
+        )
+    with pytest.raises(QuestDBSQLError, match="does not exist"):
+        questdb_ddl(spark, "UPDATE t SET nope = 1", tables)
+    with pytest.raises(QuestDBSQLError, match="does not exist"):
+        questdb_ddl(spark, "UPDATE ghost SET v = 1", tables)
+    with pytest.raises(QuestDBSQLError, match="assignment"):
+        questdb_ddl(spark, "UPDATE t SET 1 + 1 WHERE v = 1", tables)
+
+
+def test_rename_column_is_declaration_level(spark, tmp_path):
+    """RENAME COLUMN never rewrites data: the physical files keep the
+    original column name (checked via footer inference), reads serve
+    the new declared name for old AND new rows, dedup keys follow the
+    rename, and the guards raise (designated ts, existing name,
+    missing column)."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        read_table_meta,
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"u": str(tmp_path / "u")}
+    questdb_ddl(
+        spark,
+        "CREATE TABLE u(sym SYMBOL, px DOUBLE, ts TIMESTAMP) "
+        "TIMESTAMP(ts) WAL DEDUP UPSERT KEYS(ts, sym)",
+        tables,
+    )
+    questdb_ddl(
+        spark,
+        "INSERT INTO u(sym, px, ts) VALUES "
+        "('A', 1.0, TIMESTAMP '2024-06-01 10:00:00')",
+        tables,
+    )
+    assert (
+        questdb_ddl(spark, "ALTER TABLE u RENAME COLUMN sym TO ticker",
+                    tables)
+        == []
+    )
+    # Physical files still carry 'sym' (no rewrite happened)…
+    physical = spark.read.parquet(tables["u"]).columns
+    assert "sym" in physical and "ticker" not in physical
+    # …but the declared read serves 'ticker', and the dedup key moved
+    # with the rename: re-stating (ts, ticker='A') REPLACES.
+    meta = read_table_meta(spark, tables["u"])
+    assert meta["dedup_keys"] == ["ts", "ticker"]
+    questdb_ddl(
+        spark,
+        "INSERT INTO u(ticker, px, ts) VALUES "
+        "('A', 9.0, TIMESTAMP '2024-06-01 10:00:00'), "
+        "('B', 2.0, TIMESTAMP '2024-06-01 10:00:00')",
+        tables,
+    )
+    got = (
+        register_designated_table(spark, "u", tables["u"])
+        .orderBy("ticker")
+        .collect()
+    )
+    assert [(r.ticker, r.px) for r in got] == [("A", 9.0), ("B", 2.0)]
+    # Guards.
+    with pytest.raises(QuestDBSQLError, match="designated timestamp"):
+        questdb_ddl(spark, "ALTER TABLE u RENAME COLUMN ts TO t2", tables)
+    with pytest.raises(QuestDBSQLError, match="already exists"):
+        questdb_ddl(spark, "ALTER TABLE u RENAME COLUMN px TO ticker",
+                    tables)
+    with pytest.raises(QuestDBSQLError, match="does not exist"):
+        questdb_ddl(spark, "ALTER TABLE u RENAME COLUMN gone TO x", tables)
+    # UPDATE targets the declared name, lands in the stored column.
+    questdb_ddl(
+        spark, "UPDATE u SET px = 0.0 WHERE ticker = 'B'", tables
+    )
+    got = {
+        r.ticker: r.px
+        for r in register_designated_table(
+            spark, "u", tables["u"]
+        ).collect()
+    }
+    assert got == {"A": 9.0, "B": 0.0}
+
+
+def test_add_column_reusing_vacated_name_gets_fresh_storage(
+    spark, tmp_path
+):
+    """Rename a→b then ADD COLUMN a: the newcomer must not collide with
+    the vacated name still living in the old files — it stores under a
+    fresh physical name and reads back correctly on both old and new
+    rows."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"t": str(tmp_path / "t")}
+    questdb_ddl(
+        spark,
+        "CREATE TABLE t(note STRING, ts TIMESTAMP) TIMESTAMP(ts)",
+        tables,
+    )
+    questdb_ddl(
+        spark,
+        "INSERT INTO t(note, ts) VALUES "
+        "('old', TIMESTAMP '2024-07-01 08:00:00')",
+        tables,
+    )
+    questdb_ddl(spark, "ALTER TABLE t RENAME COLUMN note TO label", tables)
+    questdb_ddl(spark, "ALTER TABLE t ADD COLUMN note DOUBLE", tables)
+    questdb_ddl(
+        spark,
+        "INSERT INTO t(label, note, ts) VALUES "
+        "('new', 1.5, TIMESTAMP '2024-07-02 09:00:00')",
+        tables,
+    )
+    got = (
+        register_designated_table(spark, "t", tables["t"])
+        .orderBy("ts")
+        .collect()
+    )
+    assert [(r.label, r.note) for r in got] == [("old", None), ("new", 1.5)]
+
+
+def test_detach_attach_partitions(spark, tmp_path):
+    """DETACH hides whole partitions from every read (directory move
+    into .detached/, no data touched), ATTACH restores them, both raise
+    on missing/occupied targets, and list_detached_partitions shows the
+    parked set."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        list_detached_partitions,
+        list_partitions,
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"t": str(tmp_path / "t")}
+    questdb_ddl(
+        spark, "CREATE TABLE t(v INT, ts TIMESTAMP) TIMESTAMP(ts)", tables
+    )
+    questdb_ddl(
+        spark,
+        "INSERT INTO t(v, ts) VALUES "
+        "(1, TIMESTAMP '2024-07-01 08:00:00'), "
+        "(2, TIMESTAMP '2024-07-02 09:00:00'), "
+        "(3, TIMESTAMP '2024-07-03 10:00:00')",
+        tables,
+    )
+    moved = questdb_ddl(
+        spark,
+        "ALTER TABLE t DETACH PARTITION LIST '2024-07-01', '2024-07-03'",
+        tables,
+    )
+    assert moved == ["2024-07-01", "2024-07-03"]
+    assert list_partitions(spark, tables["t"], "ts") == ["2024-07-02"]
+    assert list_detached_partitions(spark, tables["t"], "ts") == [
+        "2024-07-01",
+        "2024-07-03",
+    ]
+    got = register_designated_table(spark, "t", tables["t"]).collect()
+    assert [r.v for r in got] == [2]
+    # Re-detaching a parked date raises; detaching a missing one raises.
+    with pytest.raises(QuestDBSQLError, match="not present"):
+        questdb_ddl(
+            spark, "ALTER TABLE t DETACH PARTITION LIST '2024-07-01'",
+            tables,
+        )
+    with pytest.raises(QuestDBSQLError, match="not present"):
+        questdb_ddl(
+            spark, "ALTER TABLE t DETACH PARTITION LIST '2099-01-01'",
+            tables,
+        )
+    back = questdb_ddl(
+        spark, "ALTER TABLE t ATTACH PARTITION LIST '2024-07-01'", tables
+    )
+    assert back == ["2024-07-01"]
+    got = (
+        register_designated_table(spark, "t", tables["t"])
+        .orderBy("ts")
+        .collect()
+    )
+    assert [r.v for r in got] == [1, 2]
+    with pytest.raises(QuestDBSQLError, match="nothing detached"):
+        questdb_ddl(
+            spark, "ALTER TABLE t ATTACH PARTITION LIST '2024-07-02'",
+            tables,
+        )
+    with pytest.raises(QuestDBSQLError, match="not YYYY-MM-DD"):
+        questdb_ddl(
+            spark, "ALTER TABLE t DETACH PARTITION LIST 'yesterday'",
+            tables,
+        )
+
+
+def test_string_and_rounding_scalar_rewrites(spark):
+    """The QuestDB string/rounding scalar spellings Spark lacks:
+    strpos → instr, to_lowercase/to_uppercase → lower/upper,
+    round_half_even → bround, round_down/round_up → sign-aware
+    power-of-10 folds (toward/away from zero, negative scales
+    included). String literals are never rewritten."""
+    from questdb_etl_jobs_spark.sql.dialect import rewrite_questdb_scalars
+
+    row = spark.sql(
+        rewrite_questdb_scalars(
+            "SELECT strpos('questdb', 'st') AS p, "
+            "strpos('questdb', 'zz') AS p0, "
+            "to_lowercase('AbC') AS lo, to_uppercase('AbC') AS up, "
+            "round_half_even(2.5, 0) AS he1, "
+            "round_half_even(3.5, 0) AS he2, "
+            "round_down(2.56, 1) AS rd, round_down(-2.56, 1) AS rdn, "
+            "round_up(2.51, 1) AS ru, round_up(-2.51, 1) AS run, "
+            "round_down(1234.0, -2) AS rneg, round_up(1201.0, -2) AS runeg"
+        )
+    ).collect()[0]
+    assert (row.p, row.p0, row.lo, row.up) == (4, 0, "abc", "ABC")
+    assert (row.he1, row.he2) == (2.0, 4.0)
+    assert (row.rd, row.rdn) == (2.5, -2.5)
+    assert (row.ru, row.run) == (2.6, -2.6)
+    assert (row.rneg, row.runeg) == (1200.0, 1300.0)
+    # Literal text is untouched; Spark's own spellings pass through.
+    assert rewrite_questdb_scalars(
+        "SELECT 'strpos(a, b)' AS s"
+    ) == "SELECT 'strpos(a, b)' AS s"
+    assert "lower(x)" in rewrite_questdb_scalars("SELECT to_lowercase(x)")
+
+
+def test_vacuum_table_compacts_in_place(spark, tmp_path):
+    """VACUUM TABLE compacts every partition directory to ONE
+    time-sorted file without changing contents: the micro-batch append
+    debt (one file per INSERT per day) collapses, the declared-schema
+    sidecar survives, a column ADDed after early files were written
+    keeps its values (the compaction reads the DECLARED schema, not a
+    sampled footer), and detached partitions ride through untouched."""
+    import glob
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        list_detached_partitions,
+        read_table_meta,
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"t": str(tmp_path / "t")}
+    ddl = lambda s: questdb_ddl(spark, s, tables)  # noqa: E731
+    ddl("CREATE TABLE t(v INT, ts TIMESTAMP) TIMESTAMP(ts)")
+    for i in range(3):
+        ddl(
+            f"INSERT INTO t(v, ts) VALUES "
+            f"({i}, TIMESTAMP '2024-07-01 0{i}:00:00'), "
+            f"({i + 10}, TIMESTAMP '2024-07-02 0{i}:00:00')"
+        )
+    ddl("ALTER TABLE t ADD COLUMN extra DOUBLE")
+    ddl(
+        "INSERT INTO t(v, extra, ts) VALUES "
+        "(99, 9.9, TIMESTAMP '2024-07-01 09:00:00')"
+    )
+    ddl("ALTER TABLE t DETACH PARTITION LIST '2024-07-02'")
+
+    day1 = str(tmp_path / "t" / "ts_pdate=2024-07-01" / "*.parquet")
+    assert len(glob.glob(day1)) == 4  # one file per micro-append
+    assert ddl("VACUUM TABLE t") == ["2024-07-01"]
+    assert len(glob.glob(day1)) == 1  # compacted
+    got = (
+        register_designated_table(spark, "t", tables["t"])
+        .orderBy("ts")
+        .collect()
+    )
+    assert [(r.v, r.extra) for r in got] == [
+        (0, None), (1, None), (2, None), (99, 9.9),
+    ]
+    # In-file time order (the storage convention's contract).
+    raw = spark.read.parquet(glob.glob(day1)[0]).collect()
+    assert [r.v for r in raw] == [0, 1, 2, 99]
+    assert read_table_meta(spark, tables["t"]) is not None
+    assert list_detached_partitions(spark, tables["t"], "ts") == [
+        "2024-07-02"
+    ]
+    ddl("ALTER TABLE t ATTACH PARTITION LIST '2024-07-02'")
+    assert register_designated_table(spark, "t", tables["t"]).count() == 7
+    # Missing table raises; empty table is a no-op [].
+    with pytest.raises(QuestDBSQLError, match="does not exist"):
+        questdb_ddl(spark, "VACUUM TABLE ghost", {"ghost": str(tmp_path / "g")})
+    tables["e"] = str(tmp_path / "e")
+    ddl2 = lambda s: questdb_ddl(spark, s, tables)  # noqa: E731
+    ddl2("CREATE TABLE e(v INT, ts TIMESTAMP) TIMESTAMP(ts)")
+    assert ddl2("VACUUM TABLE e") == []
+
+
+def test_limit_negative_range_tail_slice(spark):
+    """QuestDB negative LIMIT ranges slice python-style from the END:
+    LIMIT -5,-3 is rows[-5:-3] of the result order — bounded work (the
+    tail take is a TakeOrdered of |lo| rows), short tables clamp at the
+    start, and mixed-sign bounds refuse loudly (they would need a full
+    count)."""
+    rows = [(i, float(i)) for i in range(1, 11)]
+    spark.createDataFrame(rows, "k int, v double").createOrReplaceTempView(
+        "__neg_lim"
+    )
+    q = "SELECT k, v FROM __neg_lim ORDER BY k LIMIT -5, -3"
+    assert [r.k for r in questdb_sql(spark, q).collect()] == [6, 7]
+    q = "SELECT k, v FROM __neg_lim ORDER BY k DESC LIMIT -3, -1"
+    assert [r.k for r in questdb_sql(spark, q).collect()] == [3, 2]
+    # Short table: rows[-5:-3] of 4 rows = rows[0:1].
+    spark.createDataFrame(rows[:4], "k int, v double").createOrReplaceTempView(
+        "__neg_lim4"
+    )
+    q = "SELECT k, v FROM __neg_lim4 ORDER BY k LIMIT -5, -3"
+    assert [r.k for r in questdb_sql(spark, q).collect()] == [1]
+    with pytest.raises(QuestDBSQLError, match="LIMIT range"):
+        questdb_sql(
+            spark, "SELECT k, v FROM __neg_lim ORDER BY k LIMIT -5, 3"
+        )
+
+
+def test_update_from_join_update(spark, tmp_path):
+    """UPDATE … FROM joins the source on the WHERE predicate: matched
+    rows take the source-referencing expressions, unmatched rows are
+    untouched, only matched date partitions rewrite, and a target row
+    matching more than one source row raises (which match wins would
+    be arrival-order luck)."""
+    import os
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"spreads": str(tmp_path / "spreads")}
+    ddl = lambda s: questdb_ddl(spark, s, tables)  # noqa: E731
+    ddl(
+        "CREATE TABLE spreads(sym SYMBOL, spread DOUBLE, ts TIMESTAMP) "
+        "TIMESTAMP(ts)"
+    )
+    ddl(
+        "INSERT INTO spreads(sym, spread, ts) VALUES "
+        "('A', 0.0, TIMESTAMP '2024-06-01 10:00:00'), "
+        "('B', 0.0, TIMESTAMP '2024-06-01 10:00:00'), "
+        "('C', 0.0, TIMESTAMP '2024-06-02 11:00:00'), "
+        "('D', 0.0, TIMESTAMP '2024-06-03 12:00:00')"
+    )
+    spark.sql(
+        "SELECT * FROM VALUES "
+        "('A', TIMESTAMP '2024-06-01 10:00:00', 10.0, 9.0), "
+        "('C', TIMESTAMP '2024-06-02 11:00:00', 5.0, 4.5) "
+        "AS p(sym, ts, ask, bid)"
+    ).createOrReplaceTempView("__uf_prices")
+
+    def files(date):
+        d = tmp_path / "spreads" / f"ts_pdate={date}"
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before_0603 = files("2024-06-03")
+    touched = ddl(
+        "UPDATE spreads s SET spread = p.ask - p.bid FROM __uf_prices p "
+        "WHERE s.ts = p.ts AND s.sym = p.sym"
+    )
+    assert touched == ["2024-06-01", "2024-06-02"]
+    assert files("2024-06-03") == before_0603  # unmatched day untouched
+    got = {
+        r.sym: r.spread
+        for r in register_designated_table(
+            spark, "spreads", tables["spreads"]
+        ).collect()
+    }
+    assert got == {"A": 1.0, "B": 0.0, "C": 0.5, "D": 0.0}
+    # Ambiguous source → loud error, no partial write.
+    spark.sql(
+        "SELECT * FROM VALUES "
+        "('A', TIMESTAMP '2024-06-01 10:00:00', 1.0), "
+        "('A', TIMESTAMP '2024-06-01 10:00:00', 2.0) AS p(sym, ts, ask)"
+    ).createOrReplaceTempView("__uf_dupes")
+    with pytest.raises(QuestDBSQLError, match="ambiguous"):
+        ddl(
+            "UPDATE spreads s SET spread = p.ask FROM __uf_dupes p "
+            "WHERE s.sym = p.sym AND s.ts = p.ts"
+        )
+    got2 = {
+        r.sym: r.spread
+        for r in register_designated_table(
+            spark, "spreads", tables["spreads"]
+        ).collect()
+    }
+    assert got2 == got  # nothing changed
+    with pytest.raises(QuestDBSQLError, match="designated timestamp"):
+        ddl(
+            "UPDATE spreads s SET ts = p.ts FROM __uf_prices p "
+            "WHERE s.sym = p.sym"
+        )
+    with pytest.raises(QuestDBSQLError, match="neither a mapped table"):
+        ddl(
+            "UPDATE spreads s SET spread = 1.0 FROM __uf_ghost p "
+            "WHERE s.sym = p.sym"
+        )
