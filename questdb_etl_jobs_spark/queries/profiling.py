@@ -3944,3 +3944,387 @@ def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "sym string, v int, ts timestamp"
     ).orderBy("ts", "sym", "v")
+
+
+# ---------------------------------------------------------------------------
+# q198 — UPDATE DML: partition-scoped conditional rewrite (round 14)
+# ---------------------------------------------------------------------------
+#
+# QuestDB's third DML statement (after INSERT VALUES/SELECT): `UPDATE t
+# SET col = expr, … WHERE pred`, run end-to-end through questdb_ddl
+# over REAL data — a CTAS slice of the events table updated in place.
+# The lowering (plans/designated.update_designated_ts) is the upsert's
+# scale shape: one narrow pass finds the date partitions holding
+# matching rows, ONLY those are read in full and dynamically
+# overwritten; at 100 TB an UPDATE over one bad day moves one day of
+# data. Assignments evaluate against the OLD row (standard UPDATE
+# semantics — the oracle's CASE WHEN restates them independently), a
+# NULL predicate row is untouched, and the arithmetic (value*2+1,
+# exact IEEE ops) is bit-identical cross-engine without the decimal
+# protocol.
+
+_Q198_ORACLE = """
+SELECT event_id, user_id,
+       CASE WHEN event_type = 'click' AND value > 50
+            THEN upper(event_type) ELSE event_type END AS event_type,
+       CASE WHEN event_type = 'click' AND value > 50
+            THEN value * 2 + 1 ELSE value END AS value,
+       ts
+FROM events
+WHERE event_id % 7 = 0
+ORDER BY event_id
+"""
+
+
+@dq("q198_update_dml", oracle=_Q198_ORACLE, covers="S6,O3,EXT")
+def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql import questdb_ddl
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q198_events"
+    )
+    work = tempfile.mkdtemp(prefix="q198_update_")
+    try:
+        tables = {"ev": f"{work}/ev"}
+        questdb_ddl(
+            spark,
+            "CREATE TABLE ev AS (SELECT event_id, user_id, event_type, "
+            "value, ts FROM __q198_events WHERE event_id % 7 = 0) "
+            "TIMESTAMP(ts)",
+            tables,
+        )
+        questdb_ddl(
+            spark,
+            "UPDATE ev SET event_type = to_uppercase(event_type), "
+            "value = value * 2 + 1 "
+            "WHERE event_type = 'click' AND value > 50",
+            tables,
+        )
+        rows = (
+            register_designated_table(spark, "ev", tables["ev"])
+            .select("event_id", "user_id", "event_type", "value", "ts")
+            .orderBy("event_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double, "
+        "ts timestamp",
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q199 — partition lifecycle: RENAME COLUMN + DETACH/ATTACH (round 14)
+# ---------------------------------------------------------------------------
+#
+# The remaining zero-data-movement catalog operations, over real data:
+# RENAME COLUMN is a declaration-level move (the sidecar records the
+# stored physical name; files are never rewritten — QuestDB renames in
+# table metadata), DETACH PARTITION parks whole date directories under
+# the hidden .detached/ subdir (invisible to every read), ATTACH moves
+# them back. The replay detaches the two earliest partitions and
+# re-attaches the first, so exactly the SECOND-earliest date is absent
+# from the result — the oracle computes that date independently with a
+# windowless DISTINCT/ORDER BY/OFFSET subquery.
+
+_Q199_ORACLE = """
+SELECT event_id, user_id, value AS amount, ts
+FROM events
+WHERE event_id % 5 = 0
+  AND CAST(ts AS DATE) <> (
+        SELECT CAST(ts AS DATE) AS d FROM events
+        WHERE event_id % 5 = 0
+        GROUP BY d ORDER BY d LIMIT 1 OFFSET 1)
+ORDER BY event_id
+"""
+
+
+@dq("q199_partition_lifecycle", oracle=_Q199_ORACLE, covers="S6,O3,EXT")
+def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        list_partitions,
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql import questdb_ddl
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q199_events"
+    )
+    work = tempfile.mkdtemp(prefix="q199_lifecycle_")
+    try:
+        tables = {"ev": f"{work}/ev"}
+        questdb_ddl(
+            spark,
+            "CREATE TABLE ev AS (SELECT event_id, user_id, value, ts "
+            "FROM __q199_events WHERE event_id % 5 = 0) TIMESTAMP(ts)",
+            tables,
+        )
+        questdb_ddl(
+            spark, "ALTER TABLE ev RENAME COLUMN value TO amount", tables
+        )
+        d1, d2 = list_partitions(spark, tables["ev"], "ts")[:2]
+        questdb_ddl(
+            spark,
+            f"ALTER TABLE ev DETACH PARTITION LIST '{d1}', '{d2}'",
+            tables,
+        )
+        questdb_ddl(
+            spark, f"ALTER TABLE ev ATTACH PARTITION LIST '{d1}'", tables
+        )
+        rows = (
+            register_designated_table(spark, "ev", tables["ev"])
+            .select("event_id", "user_id", "amount", "ts")
+            .orderBy("event_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, amount double, ts timestamp"
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q200 — QuestDB string/rounding scalar spellings (round 14)
+# ---------------------------------------------------------------------------
+#
+# The scalar functions QuestDB spells differently from Spark, run
+# through the dialect front-end over the documents table: strpos →
+# instr (DuckDB's native strpos is a genuinely independent oracle),
+# to_uppercase/to_lowercase → upper/lower (native both sides),
+# round_half_even → bround vs DuckDB's native round_even, and
+# round_down/round_up (toward/away from zero at a decimal scale) as
+# sign-aware power-of-10 folds — both engines evaluate the identical
+# IEEE expression, bit-identical by construction. n_chars/10 lands on
+# exact .5 fractions for trailing-5 counts, so the banker's-rounding
+# tie path is genuinely exercised.
+
+_Q200_SQL = """
+SELECT doc_id,
+       CAST(strpos(text, 'data') AS LONG) AS pos_data,
+       to_uppercase(lang) AS lang_uc,
+       to_lowercase(source) AS source_lc,
+       round_down(n_chars / 100.0, 1) AS c_down,
+       round_up(n_chars / 100.0, 1) AS c_up,
+       round_half_even(n_chars / 10.0, 0) AS c_even
+FROM __q200_documents
+WHERE doc_id % 11 = 0
+"""
+
+_Q200_ORACLE = """
+SELECT doc_id,
+       strpos(text, 'data') AS pos_data,
+       upper(lang) AS lang_uc,
+       lower(source) AS source_lc,
+       (sign(n_chars / 100.0) * floor(abs(n_chars / 100.0) * pow(10, 1))
+        / pow(10, 1)) AS c_down,
+       (sign(n_chars / 100.0) * ceil(abs(n_chars / 100.0) * pow(10, 1))
+        / pow(10, 1)) AS c_up,
+       round_even(n_chars / 10.0, 0) AS c_even
+FROM documents
+WHERE doc_id % 11 = 0
+ORDER BY doc_id
+"""
+
+
+@dq("q200_string_rounding_scalars", oracle=_Q200_ORACLE, covers="F6,F7,EXT")
+def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__q200_documents"
+    )
+    return questdb_sql(spark, _Q200_SQL).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q201 — VACUUM TABLE: in-place small-file compaction (round 14)
+# ---------------------------------------------------------------------------
+#
+# The hourly-append model leaves one file per micro-batch per day — at
+# 100 TB the classic small-files problem (scan parallelism collapses
+# into file-open overhead). QuestDB's `VACUUM TABLE` reclaims
+# superseded column versions; this engine's equivalent storage debt is
+# those micro-files, so the statement lowers to an in-place compaction
+# (temp-sibling write + two renames, declared-schema-aware): one
+# time-sorted file per partition directory afterwards — asserted
+# in-face — with contents byte-identical to the pre-vacuum table. The
+# oracle recomputes the expected contents (two CTAS/append slices of
+# events) independently.
+
+_Q201_ORACLE = """
+SELECT event_id, user_id, value, ts
+FROM events
+WHERE event_id % 9 IN (0, 3)
+ORDER BY event_id
+"""
+
+
+@dq("q201_vacuum_compaction", oracle=_Q201_ORACLE, covers="S6,O3,EXT")
+def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+    import tempfile
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql import questdb_ddl
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q201_events"
+    )
+    work = tempfile.mkdtemp(prefix="q201_vacuum_")
+    try:
+        tables = {"ev": f"{work}/ev"}
+        questdb_ddl(
+            spark,
+            "CREATE TABLE ev AS (SELECT event_id, user_id, value, ts "
+            "FROM __q201_events WHERE event_id % 9 = 0) TIMESTAMP(ts)",
+            tables,
+        )
+        questdb_ddl(
+            spark,
+            "INSERT INTO ev SELECT event_id, user_id, value, ts "
+            "FROM __q201_events WHERE event_id % 9 = 3",
+            tables,
+        )
+        questdb_ddl(spark, "VACUUM TABLE ev", tables)
+        dirs = glob.glob(f"{work}/ev/ts_pdate=*")
+        assert dirs, "vacuum left no partitions"
+        for d in dirs:
+            n = len(glob.glob(f"{d}/*.parquet"))
+            assert n == 1, f"{d} holds {n} files after VACUUM"
+        rows = (
+            register_designated_table(spark, "ev", tables["ev"])
+            .select("event_id", "user_id", "value", "ts")
+            .orderBy("event_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, value double, ts timestamp"
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q202 — negative LIMIT range: python-style tail slice (round 14)
+# ---------------------------------------------------------------------------
+#
+# QuestDB's `LIMIT -120, -20` slices rows[-120:-20] of the result order
+# — the "everything but the newest N" monitoring idiom. The lowering
+# does bounded work: the tail take is a reversed TakeOrdered of |lo|
+# rows (per-partition heap, no full sort), and the drop-last-|hi| step
+# runs on that tail-sized frame. The oracle expresses the same slice as
+# DESC LIMIT/OFFSET + re-sort — an independent formulation.
+
+_Q202_SQL = """
+SELECT event_id, ts FROM __q202_events
+WHERE event_id % 3 = 0
+ORDER BY ts, event_id
+LIMIT -120, -20
+"""
+
+_Q202_ORACLE = """
+SELECT event_id, ts FROM (
+    SELECT event_id, ts FROM events
+    WHERE event_id % 3 = 0
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 100 OFFSET 20
+)
+ORDER BY event_id
+"""
+
+
+@dq("q202_limit_negative_range", oracle=_Q202_ORACLE, covers="O2,EXT")
+def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q202_events"
+    )
+    return questdb_sql(spark, _Q202_SQL).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q203 — UPDATE … FROM: the join-update DML (round 14)
+# ---------------------------------------------------------------------------
+#
+# QuestDB's fourth DML shape — `UPDATE t SET col = expr FROM src WHERE
+# join-pred` — over real data: a CTAS slice of events gets a per-user
+# correction joined in from an aggregate view (one row per user_id, so
+# the ambiguity guard stays quiet). Partition-scoped like q198: only
+# date partitions holding matched rows rewrite; unmatched rows are
+# untouched (the oracle's LEFT JOIN + CASE WHEN restates that
+# independently). value + n is double + exact-integer — bit-identical
+# cross-engine without the decimal protocol.
+
+_Q203_ORACLE = """
+SELECT e.event_id, e.user_id,
+       CASE WHEN f.user_id IS NOT NULL THEN e.value + f.n
+            ELSE e.value END AS value,
+       e.ts
+FROM (SELECT event_id, user_id, value, ts FROM events
+      WHERE event_id % 13 = 0) e
+LEFT JOIN (SELECT user_id, CAST(count(*) AS DOUBLE) AS n FROM events
+           WHERE event_id % 13 = 1 GROUP BY user_id) f
+       ON e.user_id = f.user_id
+ORDER BY e.event_id
+"""
+
+
+@dq("q203_update_from_join", oracle=_Q203_ORACLE, covers="S6,J3,O3,EXT")
+def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql import questdb_ddl
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q203_events"
+    )
+    spark.sql(
+        "SELECT user_id, CAST(count(*) AS DOUBLE) AS n "
+        "FROM __q203_events WHERE event_id % 13 = 1 GROUP BY user_id"
+    ).createOrReplaceTempView("__q203_factors")
+    work = tempfile.mkdtemp(prefix="q203_updfrom_")
+    try:
+        tables = {"ev": f"{work}/ev"}
+        questdb_ddl(
+            spark,
+            "CREATE TABLE ev AS (SELECT event_id, user_id, value, ts "
+            "FROM __q203_events WHERE event_id % 13 = 0) TIMESTAMP(ts)",
+            tables,
+        )
+        questdb_ddl(
+            spark,
+            "UPDATE ev e SET value = e.value + f.n FROM __q203_factors f "
+            "WHERE e.user_id = f.user_id",
+            tables,
+        )
+        rows = (
+            register_designated_table(spark, "ev", tables["ev"])
+            .select("event_id", "user_id", "value", "ts")
+            .orderBy("event_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, value double, ts timestamp"
+    ).orderBy("event_id")
