@@ -1145,6 +1145,180 @@ def _asof_sf100(spark, results: dict) -> None:
     _refit(results["dq15_asof"])
 
 
+def _update_sf10(spark, results: dict) -> None:
+    """UPDATE DML's scale-differential cell (round-14 second wave; the
+    measurement habit applied to the newest mutating operator before
+    any routing folklore can form).
+
+    Shape: the sf10 events tier (10M rows, ~30 day partitions) landed
+    ONCE as a designated-ts table; the measured statement is QuestDB's
+    `UPDATE ev SET value = value + 1.0 WHERE ts IN '<one day>'` — the
+    fix-one-bad-day idiom. The Spark lowering is partition-scoped
+    (plans/designated.update_designated_ts): a narrow pass finds the
+    matching date directories, only those read and rewrite under
+    dynamic partition overwrite. DuckDB's oracle face is its NATIVE
+    row-level UPDATE on a NATIVE table built from the same parquet —
+    the embedded engine's real DML, not a SELECT rewrite.
+
+    Timing protocol: 1 discarded warmup + ROUNDS recorded, engines
+    back-to-back per round, best-of kept with the series. Each round
+    re-applies +1.0 to the same day — both engines drift identically,
+    so the post-loop stratum crosscheck (event_id % 9973, exact double
+    equality — addition of identical operands is bit-identical) also
+    proves every recorded round updated the same rows. A third face is
+    measured once for the evidence story: the NAIVE full-table rewrite
+    (read every partition, CASE WHEN, overwrite everything) that a
+    non-partition-scoped lowering would pay — its cost is the point of
+    the deployed design."""
+    import datetime as _dtm
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        PARTITION_SUFFIX,
+        list_partitions,
+        register_designated_table,
+        write_designated_ts,
+    )
+    from questdb_etl_jobs_spark.sources.tables import load_table
+    from questdb_etl_jobs_spark.sql import questdb_ddl
+    from tools.stress_scale import synthesize_events_only
+
+    sf10_dir = TIERS["sf10_events"][0]
+    t0 = time.perf_counter()
+    synthesize_events_only(spark, sf10_dir, factor=100, mult=1024)
+    synth = round(time.perf_counter() - t0, 1)
+    print(f"# sf10 events synthesis: {synth}s", file=sys.stderr)
+
+    tbl = f"{sf10_dir}/upd_table"
+    shutil.rmtree(tbl, ignore_errors=True)
+    t0 = time.perf_counter()
+    ev = load_table(spark, sf10_dir, "events").select(
+        "event_id", "user_id", "value", "ts"
+    )
+    write_designated_ts(ev, tbl, "ts", mode="overwrite")
+    build = round(time.perf_counter() - t0, 1)
+    print(f"# designated table build: {build}s", file=sys.stderr)
+    tables = {"ev": tbl}
+    dates = list_partitions(spark, tbl, "ts")
+    day = dates[len(dates) // 2]
+    nxt = str(_dtm.date.fromisoformat(day) + _dtm.timedelta(days=1))
+
+    con = _sf100_duck_connection(["events"], base=sf10_dir)
+    con.execute(
+        "CREATE TABLE ev AS SELECT event_id, user_id, value, ts "
+        "FROM events"
+    )
+    spark_upd = f"UPDATE ev SET value = value + 1.0 WHERE ts IN '{day}'"
+    duck_upd = (
+        "UPDATE ev SET value = value + 1.0 "
+        f"WHERE ts >= TIMESTAMP '{day} 00:00:00' "
+        f"AND ts < TIMESTAMP '{nxt} 00:00:00'"
+    )
+    s_runs, d_runs = [], []
+    day_rows = -1
+    for rnd in range(ROUNDS + 1):
+        t0 = time.perf_counter()
+        touched = questdb_ddl(spark, spark_upd, tables)
+        s_sec = time.perf_counter() - t0
+        assert touched == [day], touched
+        t0 = time.perf_counter()
+        con.execute(duck_upd)
+        d_sec = time.perf_counter() - t0
+        if rnd > 0:
+            s_runs.append(round(s_sec, 4))
+            d_runs.append(round(d_sec, 4))
+        print(f"# update sf10 round {rnd} done", file=sys.stderr)
+
+    # Crosscheck: after ROUNDS+1 identical updates on both engines, the
+    # updated day must agree tuple-for-tuple on the stratum (exact
+    # double equality — same parquet doubles, same additions).
+    reg = register_designated_table(spark, "ev", tbl)
+    s_rows = sorted(
+        (int(r.event_id), float(r.value))
+        for r in reg.filter(
+            (F.col("ts") >= F.lit(f"{day} 00:00:00"))
+            & (F.col("ts") < F.lit(f"{nxt} 00:00:00"))
+            & (F.col("event_id") % 9973 == 0)
+        ).select("event_id", "value").collect()
+    )
+    d_rows = sorted(
+        (int(a), float(b))
+        for a, b in con.execute(
+            "SELECT event_id, value FROM ev "
+            f"WHERE ts >= TIMESTAMP '{day} 00:00:00' "
+            f"AND ts < TIMESTAMP '{nxt} 00:00:00' "
+            "AND event_id % 9973 = 0"
+        ).fetchall()
+    )
+    assert s_rows == d_rows and s_rows, (
+        f"update stratum mismatch: {len(s_rows)} vs {len(d_rows)}"
+    )
+    day_rows = con.execute(
+        "SELECT count(*) FROM ev "
+        f"WHERE ts >= TIMESTAMP '{day} 00:00:00' "
+        f"AND ts < TIMESTAMP '{nxt} 00:00:00'"
+    ).fetchone()[0]
+    total_rows = con.execute("SELECT count(*) FROM ev").fetchone()[0]
+    con.close()
+
+    # The naive face a non-partition-scoped lowering would pay: read
+    # EVERY partition, CASE WHEN, rewrite the whole table (to a temp
+    # sibling — the live table stays intact). Measured once; it is the
+    # cost the deployed design deletes.
+    tmp = f"{sf10_dir}/upd_naive_out"
+    shutil.rmtree(tmp, ignore_errors=True)
+    pcol = "ts" + PARTITION_SUFFIX
+    t0 = time.perf_counter()
+    full = register_designated_table(spark, "ev", tbl)
+    rewritten = full.withColumn(
+        "value",
+        F.when(
+            (F.col("ts") >= F.lit(f"{day} 00:00:00"))
+            & (F.col("ts") < F.lit(f"{nxt} 00:00:00")),
+            F.col("value") + 1.0,
+        ).otherwise(F.col("value")),
+    )
+    (
+        rewritten.sortWithinPartitions(pcol, "ts")
+        .write.mode("overwrite")
+        .partitionBy(pcol)
+        .parquet(tmp)
+    )
+    naive = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(f"# naive full-rewrite face: {naive}s", file=sys.stderr)
+
+    s_best, d_best = min(s_runs), min(d_runs)
+    results.setdefault("dq198_update", {})
+    results["dq198_update"]["sf10_events"] = {
+        "spark_sec": s_best,
+        "duckdb_sec": d_best,
+        "ratio": round(s_best / d_best, 2),
+        "rows": int(day_rows),
+        "total_rows": int(total_rows),
+        "spark_runs": s_runs,
+        "duckdb_runs": d_runs,
+        "full_rewrite_sec": naive,
+        "partition_scoped_speedup_vs_naive": round(naive / s_best, 2),
+        "deployed_face": (
+            "partition-scoped conditional rewrite (narrow date probe + "
+            "dynamic partition overwrite of matched days only)"
+        ),
+        "oracle": "DuckDB native UPDATE on a native table",
+        "stratum_crosscheck": True,
+        "synth_sec": synth,
+        "table_build_sec": build,
+    }
+    print(
+        f"update sf10  partition-scoped spark={s_best:.3f}s "
+        f"duckdb={d_best:.3f}s ratio={s_best / d_best:.2f} "
+        f"naive_rewrite={naive:.3f}s day_rows={day_rows}",
+        file=sys.stderr,
+    )
+
+
 def _grouped_topk_sf100(spark, results: dict) -> None:
     """The grouped threshold prune's per-key top-k (q172's shape:
     best-3 orders per custkey) at the sf100 orders tier (150M rows,
@@ -1498,6 +1672,7 @@ def main() -> None:
     sf100_latest = "--sf100-latest-only" in argv
     sf100_grouped_topk = "--sf100-grouped-topk-only" in argv
     sf100_asof = "--sf100-asof-only" in argv
+    sf10_update = "--sf10-update-only" in argv
     argv = [
         a for a in argv
         if a not in (
@@ -1509,6 +1684,7 @@ def main() -> None:
             "--sf100-latest-only",
             "--sf100-grouped-topk-only",
             "--sf100-asof-only",
+            "--sf10-update-only",
         )
     ]
     out_path = next((a for a in argv if not a.startswith("--")), None)
@@ -1518,7 +1694,7 @@ def main() -> None:
 
     if (sf100_only or sf100_relational or sf100_dq30_pruned
             or sf100_dialect_routed or sf100_bottomk or sf100_latest
-            or sf100_grouped_topk or sf100_asof):
+            or sf100_grouped_topk or sf100_asof or sf10_update):
         # Fast path for re-measuring ONLY the lineitem sf100 cells (the
         # third fit point) on a fresh quiet boot, merged into a prior
         # artifact via --merge: control probes + _lineitem_sf100, no
@@ -1542,7 +1718,14 @@ def main() -> None:
             ), 3,
         )
         con.close()
-        if sf100_asof:
+        if sf10_update:
+            results = {"dq198_update": {}}
+            _update_sf10(spark, results)
+            scope = (
+                "sf10 UPDATE DML cell only (partition-scoped vs DuckDB "
+                "native UPDATE + naive-rewrite face)"
+            )
+        elif sf100_asof:
             results = {"dq15_asof": {}}
             _asof_sf100(spark, results)
             scope = "sf100 as-of join cells only (union-window + bucketed)"
