@@ -1205,10 +1205,33 @@ def _update_sf10(spark, results: dict) -> None:
     day = dates[len(dates) // 2]
     nxt = str(_dtm.date.fromisoformat(day) + _dtm.timedelta(days=1))
 
-    con = _sf100_duck_connection(["events"], base=sf10_dir)
+    # TWO DuckDB faces. The HEADLINE oracle is a DISK-BACKED database
+    # with an explicit CHECKPOINT after each UPDATE — the Spark face
+    # durably rewrites compressed columnar files, so the comparable
+    # embedded-engine cost is update + persist, not an in-memory row-
+    # version flip whose durability is deferred. The in-memory flip is
+    # still recorded as a labeled secondary face (it is the latency a
+    # DuckDB user FEELS transactionally, and the gap between the two
+    # numbers IS the persistence cost).
+    import duckdb as _duckdb
+
+    dbfile = f"{sf10_dir}/upd_duck.db"
+    for leftover in (dbfile, dbfile + ".wal"):
+        if os.path.exists(leftover):
+            os.remove(leftover)
+    con = _duckdb.connect(dbfile)
+    src_glob = f"{sf10_dir}/events.parquet"
+    if os.path.isdir(src_glob):
+        src_glob = f"{src_glob}/**/*.parquet"
     con.execute(
         "CREATE TABLE ev AS SELECT event_id, user_id, value, ts "
-        "FROM events"
+        f"FROM read_parquet('{src_glob}')"
+    )
+    con.execute("CHECKPOINT")
+    con_mem = _duckdb.connect()
+    con_mem.execute(
+        "CREATE TABLE ev AS SELECT event_id, user_id, value, ts "
+        f"FROM read_parquet('{src_glob}')"
     )
     spark_upd = f"UPDATE ev SET value = value + 1.0 WHERE ts IN '{day}'"
     duck_upd = (
@@ -1216,7 +1239,7 @@ def _update_sf10(spark, results: dict) -> None:
         f"WHERE ts >= TIMESTAMP '{day} 00:00:00' "
         f"AND ts < TIMESTAMP '{nxt} 00:00:00'"
     )
-    s_runs, d_runs = [], []
+    s_runs, d_runs, m_runs = [], [], []
     day_rows = -1
     for rnd in range(ROUNDS + 1):
         t0 = time.perf_counter()
@@ -1225,10 +1248,15 @@ def _update_sf10(spark, results: dict) -> None:
         assert touched == [day], touched
         t0 = time.perf_counter()
         con.execute(duck_upd)
+        con.execute("CHECKPOINT")
         d_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        con_mem.execute(duck_upd)
+        m_sec = time.perf_counter() - t0
         if rnd > 0:
             s_runs.append(round(s_sec, 4))
             d_runs.append(round(d_sec, 4))
+            m_runs.append(round(m_sec, 4))
         print(f"# update sf10 round {rnd} done", file=sys.stderr)
 
     # Crosscheck: after ROUNDS+1 identical updates on both engines, the
@@ -1262,6 +1290,10 @@ def _update_sf10(spark, results: dict) -> None:
     ).fetchone()[0]
     total_rows = con.execute("SELECT count(*) FROM ev").fetchone()[0]
     con.close()
+    con_mem.close()
+    for leftover in (dbfile, dbfile + ".wal"):
+        if os.path.exists(leftover):
+            os.remove(leftover)
 
     # The naive face a non-partition-scoped lowering would pay: read
     # EVERY partition, CASE WHEN, rewrite the whole table (to a temp
@@ -1290,7 +1322,7 @@ def _update_sf10(spark, results: dict) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
     print(f"# naive full-rewrite face: {naive}s", file=sys.stderr)
 
-    s_best, d_best = min(s_runs), min(d_runs)
+    s_best, d_best, m_best = min(s_runs), min(d_runs), min(m_runs)
     results.setdefault("dq198_update", {})
     results["dq198_update"]["sf10_events"] = {
         "spark_sec": s_best,
@@ -1300,21 +1332,29 @@ def _update_sf10(spark, results: dict) -> None:
         "total_rows": int(total_rows),
         "spark_runs": s_runs,
         "duckdb_runs": d_runs,
+        "duckdb_inmem_sec": m_best,
+        "duckdb_inmem_runs": m_runs,
         "full_rewrite_sec": naive,
         "partition_scoped_speedup_vs_naive": round(naive / s_best, 2),
         "deployed_face": (
             "partition-scoped conditional rewrite (narrow date probe + "
             "dynamic partition overwrite of matched days only)"
         ),
-        "oracle": "DuckDB native UPDATE on a native table",
+        "oracle": (
+            "DuckDB native UPDATE + CHECKPOINT on a disk-backed "
+            "database (durable like the Spark face; the in-memory "
+            "row-version flip is the secondary duckdb_inmem_sec "
+            "face — the gap between them is the persistence cost)"
+        ),
         "stratum_crosscheck": True,
         "synth_sec": synth,
         "table_build_sec": build,
     }
     print(
         f"update sf10  partition-scoped spark={s_best:.3f}s "
-        f"duckdb={d_best:.3f}s ratio={s_best / d_best:.2f} "
-        f"naive_rewrite={naive:.3f}s day_rows={day_rows}",
+        f"duckdb(durable)={d_best:.3f}s ratio={s_best / d_best:.2f} "
+        f"duckdb(inmem)={m_best:.3f}s naive_rewrite={naive:.3f}s "
+        f"day_rows={day_rows}",
         file=sys.stderr,
     )
 
