@@ -965,10 +965,15 @@ def show_partitions(spark: SparkSession, path: str, ts_col: str) -> DataFrame:
     ``partition_by`` (always ``'DAY'``: this engine's designated tables
     are day directories), ``name`` (``YYYY-MM-DD``), ``min_ts`` /
     ``max_ts`` (observed bounds — QuestDB's minTimestamp/maxTimestamp),
-    and ``num_rows``.
+    ``num_rows``, and ``attached`` (false for partitions parked by
+    :func:`detach_partitions` — QuestDB's SHOW PARTITIONS lists
+    detached partitions too, and since round 14 the detach state IS
+    data-derivable here: detached day directories live under the
+    hidden ``.detached/`` subdir and are read explicitly for their
+    bounds, a scan bounded by the detached count).
 
     Divergence, documented not hidden: QuestDB also reports storage
-    facts (diskSize, readOnly, attached…) straight from its catalog;
+    facts (diskSize, readOnly…) straight from its catalog;
     those are filesystem attributes here, not query results, so they are
     out of this face. The column NAMES are also deliberately snake_cased
     (QuestDB spells them ``index``/``partitionBy``/``minTimestamp``/
@@ -988,39 +993,58 @@ def show_partitions(spark: SparkSession, path: str, ts_col: str) -> DataFrame:
     pcol = ts_col + PARTITION_SUFFIX
     schema = (
         f"part_index int, partition_by string, name string, "
-        f"min_ts timestamp, max_ts timestamp, num_rows bigint"
+        f"min_ts timestamp, max_ts timestamp, num_rows bigint, "
+        f"attached boolean"
     )
     if not hadoop_path_exists(spark, path):
         return spark.createDataFrame([], schema)
+
+    def per_day(table, attached: bool):
+        return (
+            table
+            .select(F.col(pcol), F.col(ts_col))
+            .groupBy(pcol)
+            .agg(
+                F.min(ts_col).alias("min_ts"),
+                F.max(ts_col).alias("max_ts"),
+                F.count(F.lit(1)).alias("num_rows"),
+            )
+            .withColumn("attached", F.lit(attached))
+        )
+
     try:
-        table = spark.read.parquet(path)
+        days = per_day(spark.read.parquet(path), True)
     except Exception as exc:
         # Every partition dropped (dir of stray markers, zero footers) is
-        # the same empty listing; real read errors re-raise (the
+        # an empty live listing; real read errors re-raise (the
         # _ddl_ts_col contract).
         if "UNABLE_TO_INFER_SCHEMA" in str(exc) or "PATH_NOT_FOUND" in str(
             exc
         ):
-            return spark.createDataFrame([], schema)
-        raise
-    per_day = (
-        table
-        .select(F.col(pcol), F.col(ts_col))
-        .groupBy(pcol)
-        .agg(
-            F.min(ts_col).alias("min_ts"),
-            F.max(ts_col).alias("max_ts"),
-            F.count(F.lit(1)).alias("num_rows"),
+            days = None
+        else:
+            raise
+    if list_detached_partitions(spark, path, ts_col):
+        # basePath keeps the <pcol>=… directory parsing while reading
+        # under the hidden subdir Spark's live listing ignores.
+        detached = per_day(
+            spark.read.option(
+                "basePath", f"{path}/{DETACHED_DIR}"
+            ).parquet(f"{path}/{DETACHED_DIR}"),
+            False,
         )
-    )
+        days = detached if days is None else days.unionByName(detached)
+    if days is None:
+        return spark.createDataFrame([], schema)
     w = Window.orderBy(pcol)
-    return per_day.select(
+    return days.select(
         (F.row_number().over(w) - 1).cast("int").alias("part_index"),
         F.lit("DAY").alias("partition_by"),
         F.date_format(F.col(pcol), "yyyy-MM-dd").alias("name"),
         "min_ts",
         "max_ts",
         "num_rows",
+        "attached",
     ).orderBy("part_index")
 
 

@@ -46,6 +46,11 @@ QuestDB construct                      Lowering
                                        — applied to EVERY query,
                                        passthrough included
 ``timestamp_sequence('t0', step)``     integer-µs codegen off ``x``
+``EXPLAIN <query>``                    one row per line of the LOWERED
+                                       query's physical plan (QuestDB's
+                                       plan face; LATEST ON shows its
+                                       WindowGroupLimit, interval
+                                       search its pushed filters)
 anything else                          ``spark.sql`` passthrough (full
                                        Spark SQL)
 =====================================  ====================================
@@ -790,6 +795,25 @@ def questdb_sql(
     """
     designated = designated or {}
     text = sql.strip().rstrip(";").strip()
+    em = re.match(r"^EXPLAIN\s+(.+)$", text, re.IGNORECASE | re.DOTALL)
+    if em:
+        # QuestDB EXPLAIN: one row per plan line. The plan shown is the
+        # PHYSICAL plan of the LOWERED query — what Spark will actually
+        # run, so a LATEST ON shows its WindowGroupLimit, an interval
+        # search its PushedFilters/PartitionFilters, a routed top-k its
+        # frozen threshold filter. The inner query lowers through the
+        # full dialect first (any eager certify jobs it plans run now,
+        # same as executing it would).
+        inner = questdb_sql(spark, em.group(1), designated)
+        plan = inner._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        return spark.createDataFrame(
+            [(line,) for line in plan.rstrip("\n").split("\n")],
+            "query_plan string",
+        )
     # QuestDB time scalars (dateadd/datediff/timestamp_floor/…) rewrite
     # to Spark SQL FIRST, so they work on the passthrough path and in
     # every dialect clause alike; string literals are never touched.
@@ -1687,6 +1711,13 @@ def questdb_ddl(
                                                    ``.detached/`` subdir
                                                    (invisible to reads)
     ``ALTER TABLE t ATTACH PARTITION LIST '…'``    the reverse move
+    ``COPY t FROM 'file.csv' [WITH HEADER         declared-schema CSV
+    true|false] [TIMESTAMP col]                    import through the
+    [FORMAT 'pattern']``                           same insert path as
+                                                   every DML (dedup
+                                                   declarations apply);
+                                                   null designated ts
+                                                   aborts
     ``VACUUM TABLE t``                             in-place compaction:
                                                    one time-sorted file
                                                    per partition dir
@@ -2246,6 +2277,89 @@ def questdb_ddl(
         )
         return []
 
+    m = _COPY_FROM_RE.match(text)
+    if m:
+        # COPY t FROM '<file.csv>' [WITH HEADER true|false] [TIMESTAMP
+        # <col>] [FORMAT '<pattern>'] — QuestDB's bulk CSV import,
+        # landed through the SAME insert path as every other DML (a
+        # declared DEDUP UPSERT KEYS table dedups its import too). The
+        # declared schema types the read: HEADER true matches columns
+        # by name, false by position (the reference's own CSVs are
+        # headerless positional — sources/csv_source.py). FORMAT
+        # applies QuestDB's timestamp pattern to the designated column
+        # (bare T quoted for Spark's formatter, the same fix the
+        # scalar rewriter applies to to_timestamp). Null designated
+        # timestamps abort, QuestDB's ON ERROR ABORT default.
+        name, path = _ddl_table_path(m.group("table"), tables)
+        schema_cols, ts_col = _ddl_declared_schema(
+            spark, name, path, designated
+        )
+        opts = m.group("opts") or ""
+        hm = re.search(r"\bHEADER\s+(true|false)\b", opts, re.IGNORECASE)
+        header = bool(hm) and hm.group(1).lower() == "true"
+        tm = re.search(r"\bTIMESTAMP\s+([A-Za-z_]\w*)", opts, re.IGNORECASE)
+        fmt_m = re.search(r"\bFORMAT\s+'([^']+)'", opts, re.IGNORECASE)
+        ts_target = tm.group(1) if tm else ts_col
+        if ts_target != ts_col:
+            raise QuestDBSQLError(
+                f"COPY TIMESTAMP must name the designated column "
+                f"{ts_col!r}, got {ts_target!r}"
+            )
+        known = re.sub(
+            r"\bHEADER\s+(?:true|false)\b|\bTIMESTAMP\s+[A-Za-z_]\w*"
+            r"|\bFORMAT\s+'[^']+'",
+            "", opts, flags=re.IGNORECASE,
+        ).replace(",", " ").strip()
+        if known:
+            raise QuestDBSQLError(
+                f"unsupported COPY option(s): {known!r} (supported: "
+                "HEADER true|false, TIMESTAMP <designated col>, "
+                "FORMAT '<pattern>')"
+            )
+        # Read STRINGS, then cast through the declaration — a typed CSV
+        # read would silently null malformed cells per Spark's
+        # permissive mode; the explicit cast keeps the abort check on
+        # the designated column meaningful.
+        reader = spark.read.option("header", header)
+        raw = reader.csv(m.group("file"))
+        declared_names = [n for n, _ in schema_cols]
+        if header:
+            missing = [n for n in declared_names if n not in raw.columns]
+            if missing:
+                raise QuestDBSQLError(
+                    f"COPY INTO {name!r}: CSV header lacks declared "
+                    f"column(s) {missing}"
+                )
+            raw = raw.select(*declared_names)
+        else:
+            if len(raw.columns) != len(declared_names):
+                raise QuestDBSQLError(
+                    f"COPY INTO {name!r}: headerless CSV has "
+                    f"{len(raw.columns)} columns, table declares "
+                    f"{len(declared_names)}"
+                )
+            raw = raw.toDF(*declared_names)
+        casts = []
+        for n, t in schema_cols:
+            if n == ts_col and fmt_m:
+                # try_to_timestamp: malformed values become NULL and hit
+                # the typed abort below, instead of an ANSI-mode Spark
+                # exception mid-scan (same outcome, named error).
+                fmt = fmt_m.group(1).replace("T", "'T'")
+                casts.append(
+                    F.try_to_timestamp(F.col(n), F.lit(fmt)).alias(n)
+                )
+            else:
+                casts.append(F.col(n).cast(t).alias(n))
+        typed = raw.select(*casts)
+        if typed.filter(F.col(ts_col).isNull()).limit(1).count():
+            raise QuestDBSQLError(
+                f"COPY INTO {name!r}: designated timestamp {ts_col!r} "
+                "is null/unparsable in at least one row (ON ERROR "
+                "ABORT, QuestDB's default)"
+            )
+        return _ddl_insert_land(spark, name, path, ts_col, typed)
+
     m = _VACUUM_TABLE_RE.match(text)
     if m:
         # VACUUM TABLE — QuestDB reclaims superseded column versions;
@@ -2544,6 +2658,15 @@ _VACUUM_TABLE_RE = re.compile(
     r"^VACUUM\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s*$",
     re.IGNORECASE,
 )
+#: COPY … FROM — WITH is optional (QuestDB accepts options bare); the
+#: option body must START with a known keyword so stray text routes to
+#: the in-handler unsupported-option error, not the generic fallthrough.
+_COPY_FROM_RE = re.compile(
+    r"^COPY\s+(?P<table>[A-Za-z_][\w.]*)\s+FROM\s+'(?P<file>[^']+)'"
+    r"(?:\s+(?:WITH\s+)?(?P<opts>(?:HEADER|TIMESTAMP|FORMAT|\S+\s+\S+).*))?"
+    r"\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _ALTER_RENAME_COLUMN_RE = re.compile(
     r"^ALTER\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s+"
     r"RENAME\s+COLUMN\s+(?P<old>[A-Za-z_]\w*)\s+TO\s+"
@@ -2590,6 +2713,10 @@ _SHOW_COLUMNS_RE = re.compile(
     re.IGNORECASE,
 )
 _SHOW_TABLES_RE = re.compile(r"^SHOW\s+TABLES\s*$", re.IGNORECASE)
+_SHOW_CREATE_TABLE_RE = re.compile(
+    r"^SHOW\s+CREATE\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s*$",
+    re.IGNORECASE,
+)
 
 
 def questdb_show(
@@ -2679,12 +2806,38 @@ def questdb_show(
                     "designated boolean",
                 )
             raise
+    m = _SHOW_CREATE_TABLE_RE.match(text)
+    if m:
+        # SHOW CREATE TABLE — reconstruct the declaration from the
+        # catalog (the sidecar, materialized from footers for tables
+        # born with rows): one row, one `ddl` column, re-runnable
+        # through questdb_ddl. Declared order, QuestDB type names, the
+        # designated TIMESTAMP(…) clause, PARTITION BY DAY (the only
+        # layout this engine writes), and the DEDUP declaration when
+        # present. Renamed columns print their DECLARED names — the
+        # stored physical name is a storage detail the DDL never shows.
+        name, path = _ddl_table_path(m.group("table"), tables)
+        meta = _ensure_table_meta(spark, name, path, designated)
+        cols = ", ".join(
+            f"{c['name']} {c['questdb_type']}" for c in meta["columns"]
+        )
+        ddl = (
+            f"CREATE TABLE {name} ({cols}) "
+            f"TIMESTAMP({meta['designated']}) PARTITION BY DAY"
+        )
+        if meta.get("dedup_keys"):
+            ddl += (
+                " WAL DEDUP UPSERT KEYS("
+                + ", ".join(meta["dedup_keys"]) + ")"
+            )
+        return spark.createDataFrame([(ddl,)], "ddl string")
+
     m = _SHOW_PARTITIONS_RE.match(text)
     if not m:
         raise QuestDBSQLError(
             f"unsupported SHOW statement: {text!r} "
             "(supported: SHOW TABLES, SHOW PARTITIONS FROM <table>, "
-            "SHOW COLUMNS FROM <table>)"
+            "SHOW COLUMNS FROM <table>, SHOW CREATE TABLE <table>)"
         )
     name, path = _ddl_table_path(m.group("table"), tables)
     ts_col = _ddl_ts_col(spark, name, path, designated)

@@ -2414,6 +2414,19 @@ def test_detach_attach_partitions(spark, tmp_path):
     ]
     got = register_designated_table(spark, "t", tables["t"]).collect()
     assert [r.v for r in got] == [2]
+    # SHOW PARTITIONS marks the parked rows attached=false, with their
+    # bounds read from the detached directory (QuestDB lists detached
+    # partitions in the same statement).
+    from questdb_etl_jobs_spark.sql.dialect import questdb_show
+
+    listing = questdb_show(
+        spark, "SHOW PARTITIONS FROM t", tables
+    ).collect()
+    assert [(r.name, r.attached, r.num_rows) for r in listing] == [
+        ("2024-07-01", False, 1),
+        ("2024-07-02", True, 1),
+        ("2024-07-03", False, 1),
+    ]
     # Re-detaching a parked date raises; detaching a missing one raises.
     with pytest.raises(QuestDBSQLError, match="not present"):
         questdb_ddl(
@@ -2646,3 +2659,135 @@ def test_update_from_join_update(spark, tmp_path):
             "UPDATE spreads s SET spread = 1.0 FROM __uf_ghost p "
             "WHERE s.sym = p.sym"
         )
+
+
+def test_copy_from_csv_import(spark, tmp_path):
+    """COPY t FROM '<csv>' lands through the same insert path as every
+    DML: HEADER true matches by name, the headerless form by position,
+    FORMAT applies the QuestDB timestamp pattern (bare T quoted), a
+    declared DEDUP table dedups its import, malformed designated
+    timestamps abort with a typed error, and unknown options refuse."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"t": str(tmp_path / "t"), "d": str(tmp_path / "d")}
+    ddl = lambda s: questdb_ddl(spark, s, tables)  # noqa: E731
+    ddl("CREATE TABLE t(sym SYMBOL, v INT, ts TIMESTAMP) TIMESTAMP(ts)")
+    f1 = tmp_path / "in.csv"
+    f1.write_text(
+        "v,ts,sym\n"  # header order differs from declaration on purpose
+        "1,2024-07-01T08:00:00.123456,A\n"
+        "2,2024-07-02T09:30:00.000001,B\n"
+    )
+    assert ddl(
+        f"COPY t FROM '{f1}' WITH HEADER true "
+        "FORMAT 'yyyy-MM-ddTHH:mm:ss.SSSSSS'"
+    ) == ["2024-07-01", "2024-07-02"]
+    got = (
+        register_designated_table(spark, "t", tables["t"])
+        .orderBy("ts")
+        .collect()
+    )
+    assert [(r.sym, r.v, r.ts.microsecond) for r in got] == [
+        ("A", 1, 123456), ("B", 2, 1),
+    ]
+    # Headerless positional + declared dedup: the import dedups.
+    ddl(
+        "CREATE TABLE d(sym SYMBOL, v INT, ts TIMESTAMP) TIMESTAMP(ts) "
+        "WAL DEDUP UPSERT KEYS(ts, sym)"
+    )
+    f2 = tmp_path / "in2.csv"
+    f2.write_text(
+        "A,1,2024-07-01T08:00:00\n"
+        "A,9,2024-07-01T08:00:00\n"
+        "C,3,2024-07-03T10:00:00\n"
+    )
+    ddl(f"COPY d FROM '{f2}' FORMAT 'yyyy-MM-ddTHH:mm:ss'")
+    got = sorted(
+        (r.sym, r.v)
+        for r in register_designated_table(
+            spark, "d", tables["d"]
+        ).collect()
+    )
+    assert got == [("A", 9), ("C", 3)]
+    # Abort semantics + option guards.
+    bad = tmp_path / "bad.csv"
+    bad.write_text("X,5,not-a-time\n")
+    with pytest.raises(QuestDBSQLError, match="null/unparsable"):
+        ddl(f"COPY d FROM '{bad}' FORMAT 'yyyy-MM-ddTHH:mm:ss'")
+    with pytest.raises(QuestDBSQLError, match="unsupported COPY option"):
+        ddl(f"COPY d FROM '{f2}' WITH DELIMITER ';'")
+    with pytest.raises(QuestDBSQLError, match="lacks declared"):
+        f3 = tmp_path / "short.csv"
+        f3.write_text("sym,ts\nA,2024-07-01T08:00:00\n")
+        ddl(f"COPY t FROM '{f3}' WITH HEADER true")
+    with pytest.raises(QuestDBSQLError, match="headerless CSV has"):
+        f4 = tmp_path / "wide.csv"
+        f4.write_text("A,1,2,2024-07-01T08:00:00\n")
+        ddl(f"COPY d FROM '{f4}'")
+
+
+def test_show_create_table_round_trips(spark, tmp_path):
+    """SHOW CREATE TABLE reconstructs a re-runnable declaration from
+    the catalog: declared order and QuestDB type names, the designated
+    clause, the DEDUP declaration when present — and the emitted DDL
+    actually re-creates an equivalent table through questdb_ddl."""
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl, questdb_show
+
+    tables = {"trades": str(tmp_path / "trades"),
+              "trades2": str(tmp_path / "trades2")}
+    questdb_ddl(
+        spark,
+        "CREATE TABLE trades(sym SYMBOL, price DOUBLE, qty INT, "
+        "ts TIMESTAMP) TIMESTAMP(ts) PARTITION BY DAY WAL "
+        "DEDUP UPSERT KEYS(ts, sym)",
+        tables,
+    )
+    questdb_ddl(spark, "ALTER TABLE trades RENAME COLUMN qty TO volume",
+                tables)
+    out = questdb_show(
+        spark, "SHOW CREATE TABLE trades", tables
+    ).collect()
+    assert len(out) == 1
+    ddl = out[0].ddl
+    assert ddl == (
+        "CREATE TABLE trades (sym SYMBOL, price DOUBLE, volume INT, "
+        "ts TIMESTAMP) TIMESTAMP(ts) PARTITION BY DAY "
+        "WAL DEDUP UPSERT KEYS(ts, sym)"
+    )
+    # Re-runnable: the emitted DDL creates an equivalent table.
+    questdb_ddl(spark, ddl.replace("trades", "trades2", 1), tables)
+    cols = questdb_show(
+        spark, "SHOW COLUMNS FROM trades2", tables
+    ).collect()
+    assert [(c.column_name, c.column_type) for c in cols] == [
+        ("sym", "SYMBOL"), ("price", "DOUBLE"), ("volume", "INT"),
+        ("ts", "TIMESTAMP"),
+    ]
+
+
+def test_explain_shows_the_lowered_physical_plan(spark, trades):
+    """EXPLAIN returns one row per plan line of the LOWERED query —
+    what Spark will actually run: a LATEST ON explains to the map-side
+    WindowGroupLimit face, an interval search shows its pushed
+    time-range filters, and plain standard SQL explains too."""
+    rows = questdb_sql(
+        spark,
+        "EXPLAIN SELECT * FROM trades LATEST ON ts PARTITION BY sym",
+        {"trades": "ts"},
+    ).collect()
+    plan = "\n".join(r.query_plan for r in rows)
+    assert "WindowGroupLimit" in plan
+    rows = questdb_sql(
+        spark,
+        "EXPLAIN SELECT price FROM trades WHERE ts IN '2024-01-01'",
+        {"trades": "ts"},
+    ).collect()
+    plan = "\n".join(r.query_plan for r in rows)
+    assert "Filter" in plan and "2024-01-0" in plan
+    rows = questdb_sql(
+        spark, "EXPLAIN SELECT count(*) AS n FROM trades"
+    ).collect()
+    assert any("Aggregate" in r.query_plan for r in rows)

@@ -852,3 +852,92 @@ def test_kmeans_assignment_matches_bruteforce(spark, points, cents):
             sum((a - b) * (a - b) for a, b in zip(v, c)) for c in cents
         ]
         assert got[i] == dists.index(min(dists)), (v, cents, dists)
+
+
+_round_vals = st.lists(
+    st.floats(
+        min_value=-1e9, max_value=1e9,
+        allow_nan=False, allow_infinity=False,
+    ),
+    min_size=1, max_size=20,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=_round_vals, scale=st.integers(-3, 6))
+def test_round_down_up_rewrites_match_ieee_mirror(spark, vals, scale):
+    """The round_down/round_up rewrites equal the same IEEE formula
+    evaluated in CPython (sign * floor/ceil(|x| * 10^s) / 10^s) — JVM
+    and CPython doubles agree operation-for-operation, so any
+    divergence would be a rewrite bug, not float noise. This mirrors
+    QuestDB's own pow10-multiply evaluation on doubles; it is NOT
+    decimal rounding, and the test pins exactly that semantic."""
+    import math
+
+    from questdb_etl_jobs_spark.sql.dialect import rewrite_questdb_scalars
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, x double"
+    )
+    df.createOrReplaceTempView("__prop_round")
+    got = {
+        r.i: (r.down, r.up)
+        for r in spark.sql(
+            rewrite_questdb_scalars(
+                f"SELECT i, round_down(x, {scale}) AS down, "
+                f"round_up(x, {scale}) AS up FROM __prop_round"
+            )
+        ).collect()
+    }
+    p = math.pow(10.0, scale)
+    for i, v in enumerate(vals):
+        sign = 0.0 if v == 0 else math.copysign(1.0, v)
+        down = sign * math.floor(abs(v) * p) / p
+        up = sign * math.ceil(abs(v) * p) / p
+        assert got[i] == (down, up), (v, scale, got[i], (down, up))
+
+
+_strpos_texts = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FA0),
+        max_size=30,
+    ),
+    min_size=1, max_size=15,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_strpos_texts, needle=st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FA0),
+    min_size=1, max_size=4,
+))
+def test_strpos_rewrite_matches_python_find(spark, texts, needle):
+    """strpos → instr equals CPython's 1-based find over arbitrary BMP
+    text (QuestDB counts characters, so does Spark's instr, so does
+    str.find — surrogate-free codepoints keep all three in the same
+    unit)."""
+    from questdb_etl_jobs_spark.sql.dialect import rewrite_questdb_scalars
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, s string"
+    )
+    df.createOrReplaceTempView("__prop_strpos")
+    lit = needle.replace("'", "''")
+    got = {
+        r.i: r.p
+        for r in spark.sql(
+            rewrite_questdb_scalars(
+                f"SELECT i, strpos(s, '{lit}') AS p FROM __prop_strpos"
+            )
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == t.find(needle) + 1, (t, needle, got[i])
