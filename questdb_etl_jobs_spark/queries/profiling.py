@@ -3057,9 +3057,11 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recomputes the listing relationally from the same events; agreement
 # proves the written partition layout (directory names, per-day bounds,
 # row counts) matches the designated-ts contract exactly. QuestDB's
-# storage-only columns (diskSize, attached, ...) are catalog attributes,
+# storage-only columns (diskSize, readOnly, ...) are catalog attributes,
 # not query results, and stay out of both faces (documented in the
-# operator docstring).
+# operator docstring); `attached` joined the face in round 14's second
+# wave when DETACH PARTITION made the state data-derivable — a freshly
+# written table is all-attached, which the constant TRUE restates.
 
 _Q178_ORACLE = """
 WITH d AS (
@@ -3073,7 +3075,8 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS INT) AS part_index,
        'DAY' AS partition_by,
        CAST(day AS VARCHAR) AS name,
        min_ts, max_ts,
-       CAST(num_rows AS BIGINT) AS num_rows
+       CAST(num_rows AS BIGINT) AS num_rows,
+       TRUE AS attached
 FROM d ORDER BY part_index
 """
 
@@ -4328,3 +4331,140 @@ def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "event_id long, user_id long, value double, ts timestamp"
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q204 — COPY FROM: bulk CSV import through the declared schema (round 14)
+# ---------------------------------------------------------------------------
+#
+# QuestDB's bulk-ingest statement, exercised over real data: an events
+# slice is serialized to a headered CSV (shortest-repr doubles and
+# microsecond timestamps round-trip IEEE/µs-exactly), COPY'd into a
+# bare-declared table with the reference's bare-T timestamp pattern,
+# and read back through the designated layout. The import lands via
+# the same insert path as every DML — so a DEDUP declaration would
+# dedup it — and the oracle recomputes the slice relationally from the
+# same parquet, proving the CSV hop lost nothing.
+
+_Q204_ORACLE = """
+SELECT event_id, event_type, value, ts
+FROM events
+WHERE event_id % 17 = 0
+ORDER BY event_id
+"""
+
+
+@dq("q204_copy_from_csv", oracle=_Q204_ORACLE, covers="S2,S6,O3,EXT")
+def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    import shutil
+    import tempfile
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql import questdb_ddl
+
+    src = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 17 == 0)
+        .select("event_id", "event_type", "value", "ts")
+        .collect()
+    )
+    work = tempfile.mkdtemp(prefix="q204_copy_")
+    try:
+        csv_path = f"{work}/events_slice.csv"
+        with open(csv_path, "w") as fh:
+            fh.write("event_id,event_type,value,ts\n")
+            for r in src:
+                val = (
+                    ""
+                    if r.value is None
+                    or (isinstance(r.value, float) and math.isnan(r.value))
+                    else repr(float(r.value))
+                )
+                et = "" if r.event_type is None else r.event_type
+                fh.write(
+                    f"{r.event_id},{et},{val},"
+                    f"{r.ts:%Y-%m-%dT%H:%M:%S.%f}\n"
+                )
+        tables = {"imported": f"{work}/imported"}
+        questdb_ddl(
+            spark,
+            "CREATE TABLE imported(event_id LONG, event_type STRING, "
+            "value DOUBLE, ts TIMESTAMP) TIMESTAMP(ts)",
+            tables,
+        )
+        questdb_ddl(
+            spark,
+            f"COPY imported FROM '{csv_path}' WITH HEADER true "
+            "FORMAT 'yyyy-MM-ddTHH:mm:ss.SSSSSS'",
+            tables,
+        )
+        rows = (
+            register_designated_table(spark, "imported", tables["imported"])
+            .select("event_id", "event_type", "value", "ts")
+            .orderBy("event_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, ts timestamp"
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q205 — SHOW CREATE TABLE: the catalog's round-trip face (round 14)
+# ---------------------------------------------------------------------------
+#
+# QuestDB's SHOW CREATE TABLE reconstructs a re-runnable declaration
+# from table metadata. Here the catalog is the declared-schema sidecar,
+# so the face replays a full lifecycle — CREATE with a DEDUP
+# declaration, RENAME COLUMN (declared name surfaces, stored physical
+# name stays a storage detail), ADD COLUMN — and returns the one-row
+# DDL, which the in-face assertion also re-runs through questdb_ddl to
+# prove it is not just a string. Constants oracle, valid at any sf.
+
+_Q205_ORACLE = """
+SELECT CAST('CREATE TABLE trades (sym SYMBOL, price DOUBLE, volume INT, '
+         || 'ts TIMESTAMP, venue STRING) TIMESTAMP(ts) PARTITION BY DAY '
+         || 'WAL DEDUP UPSERT KEYS(ts, sym)' AS VARCHAR) AS ddl
+"""
+
+
+@dq("q205_show_create_table", oracle=_Q205_ORACLE, covers="S6,EXT")
+def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from questdb_etl_jobs_spark.sql import questdb_ddl
+    from questdb_etl_jobs_spark.sql.dialect import questdb_show
+
+    work = tempfile.mkdtemp(prefix="q205_showcreate_")
+    try:
+        tables = {"trades": f"{work}/trades", "again": f"{work}/again"}
+        ddl = lambda s: questdb_ddl(spark, s, tables)  # noqa: E731
+        ddl(
+            "CREATE TABLE trades(sym SYMBOL, price DOUBLE, qty INT, "
+            "ts TIMESTAMP) TIMESTAMP(ts) PARTITION BY DAY WAL "
+            "DEDUP UPSERT KEYS(ts, sym)"
+        )
+        ddl("ALTER TABLE trades RENAME COLUMN qty TO volume")
+        ddl("ALTER TABLE trades ADD COLUMN venue STRING")
+        row = questdb_show(
+            spark, "SHOW CREATE TABLE trades", tables
+        ).collect()
+        assert len(row) == 1
+        # Re-runnable, not just printable.
+        ddl(row[0].ddl.replace("trades", "again", 1))
+        cols = questdb_show(
+            spark, "SHOW COLUMNS FROM again", tables
+        ).collect()
+        assert [c.column_name for c in cols] == [
+            "sym", "price", "volume", "ts", "venue"
+        ]
+        out = [(row[0].ddl,)]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(out, "ddl string")
