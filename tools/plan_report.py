@@ -49,6 +49,9 @@ HEADLINE: dict[str, str] = {
     # Round 13: LATEST ON deployed face + the scalar rewriter.
     "q33_latest_event_per_user": "LATEST ON = ranking window whose rn=1 filter plans a map-side WindowGroupLimit below the exchange: at most one row per (partition × key) shuffles",
     "q186_dialect_time_scalars": "QuestDB time scalars rewrite to codegen expressions (timestampadd/pmod epoch floors): zero Python nodes, one aggregate exchange",
+    # Round 14 second wave: the tail-slice and scalar-wave faces.
+    "q200_string_rounding_scalars": "string/rounding spellings rewrite to codegen expressions (instr / bround / sign-aware pow-floor folds): zero Python nodes, scan reads only the referenced columns",
+    "q202_limit_negative_range": "negative LIMIT range = reversed TakeOrderedAndProject of |lo| rows (per-partition heap, no global sort); the drop-last and re-sort run on the tail-sized frame",
 }
 
 SALIENT = re.compile(
