@@ -94,7 +94,11 @@ _PRIORITY: tuple[str, ...] = (
     "q191_dialect_ctas",          # S6 A7 O3 EXT (CTAS round trip)
     "q07_event_filter",           # P1 P2 P4
     "q08_case_banding",           # F10 A1
-    "q09_quarantine_split",       # P4 R6
+    # Round-14 rotation #5: q09 ceded its slot — P4 stays covered
+    # in-window by q07, R6 by q60/q145/q167 — so UPDATE, the round's
+    # new DML statement (partition-scoped conditional rewrite), runs
+    # under the driver's own oracle in the round it shipped.
+    "q198_update_dml",            # S6 O3 EXT (UPDATE DML)
     "q10_join_revenue_by_nation", # J1 J2 F7
     # Round-14 rotation #3: q11 ceded its slot — its only id, J3,
     # stays covered in-window by q181's recursive-spine left join — so
@@ -132,7 +136,11 @@ _PRIORITY: tuple[str, ...] = (
     # in-window by q47/q57/q167, and T1 moves to the incoming q181 —
     # so the Spark 4 recursive-CTE date spine joins the hard signal.
     "q181_recursive_date_spine",  # A7 F5 T1 J3 (recursive CTE)
-    "q30_rank_top3_orders",       # W1
+    # Round-14 rotation #6: q30 ceded its slot — W1 stays covered
+    # in-window by q175's full pruned rank family and q74/q178/q180 —
+    # so UPDATE … FROM (the join-update, ambiguity-guarded) joins the
+    # hard signal in the round it shipped.
+    "q203_update_from_join",      # S6 J3 O3 EXT (join-update)
     # Round-11 rotation #3: q31 ceded its slot — W2 stays covered
     # in-window by q164 (lag/CUSUM) and q145 (stateful EMA) — so the
     # round's new clustering family (distributed Lloyd k-means under a
@@ -165,7 +173,11 @@ _PRIORITY: tuple[str, ...] = (
     # deterministic reservoir (exactly-k per stratum, batch-equivalent)
     # joins the hard signal.
     "q192_stream_reservoir",      # R1 R6 U2 O2 EXT (streaming reservoir)
-    "q41_vector_math",            # F8 F11
+    # Round-14 rotation #7: q41 ceded its slot — F8 stays covered
+    # in-window by q45/q177/q180, F11 by q45/q56 — so VACUUM TABLE
+    # (in-place small-file compaction, the 100 TB storage-debt answer)
+    # runs under the driver's own oracle in the round it shipped.
+    "q201_vacuum_compaction",     # S6 O3 EXT (VACUUM compaction)
     "q42_json_extract",           # F9
     "q05_hash_family",            # F2 (q44 ceded its slot in round 9 —
                                   #     F11 stays via q41, J5 via q14/q56 —
@@ -173,7 +185,12 @@ _PRIORITY: tuple[str, ...] = (
                                   #     no covering query inside the window)
     "q45_cosine_topk",            # EXT similarity
     "q46_exact_dedup",            # EXT dedup
-    "q49_text_quality",           # EXT text
+    # Round-14 rotation #8: q49 ceded its slot — F6 stays covered
+    # in-window by q40/q80, EXT-text by the dedup/decontaminate family
+    # — so COPY FROM (bulk CSV import through the declared schema and
+    # the shared insert path) joins the hard signal in the round it
+    # shipped.
+    "q204_copy_from_csv",         # S2 S6 O3 EXT (COPY import)
     # Round-11 rotation #4: q50 ceded its slot — EXT text stays covered
     # in-window by q40/q49/q58 — so the round's composition face
     # (k-means topic assignment × per-stratum A-ES draw, exact integer
