@@ -941,3 +941,80 @@ def test_strpos_rewrite_matches_python_find(spark, texts, needle):
     }
     for i, t in enumerate(texts):
         assert got[i] == t.find(needle) + 1, (t, needle, got[i])
+
+
+_update_table = st.lists(  # rows of (day, key, value)
+    st.tuples(st.integers(1, 4), st.integers(0, 5), st.integers(-50, 50)),
+    min_size=1, max_size=15,
+)
+_update_ops = st.lists(  # each op: (threshold, delta, day_scope or None)
+    st.tuples(
+        st.integers(-40, 40),
+        st.integers(-5, 5),
+        st.one_of(st.none(), st.integers(1, 4)),
+    ),
+    min_size=1, max_size=3,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_update_table, ops=_update_ops)
+def test_update_designated_ts_matches_row_model(
+    spark, rows, ops, tmp_path_factory
+):
+    """Any sequence of UPDATEs must leave the table equal to the
+    per-row CPython model: rows where the predicate holds take the
+    assignment (evaluated against the OLD row), NULL/false predicates
+    leave the row untouched, day-scoped predicates (the dialect's
+    `ts IN '<day>'` interval search, exercised through questdb_ddl)
+    touch only their day, and rows keep their identity across
+    partial-partition rewrites. Also pins the returned touched-dates
+    contract."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        write_designated_ts,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tmp = tmp_path_factory.mktemp("update_prop")
+    path = str(tmp / "t")
+    model = [
+        [i, k, float(v), datetime(2024, 2, d, 9, 0, 0)]
+        for i, (d, k, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        [tuple(r) for r in model], "rid long, k long, v double, ts timestamp"
+    )
+    write_designated_ts(df, path, "ts", mode="overwrite")
+
+    for thr, delta, day in ops:
+        pred_sql = f"v > {thr} AND k % 2 = 0"
+        if day is not None:
+            pred_sql += f" AND ts IN '2024-02-{day:02d}'"
+        touched = questdb_ddl(
+            spark,
+            f"UPDATE t SET v = v + k + {delta} WHERE {pred_sql}",
+            {"t": path},
+        )
+        expect_days = set()
+        for r in model:
+            hit = (
+                r[2] > thr
+                and r[1] % 2 == 0
+                and (day is None or r[3].day == day)
+            )
+            if hit:
+                expect_days.add(f"2024-02-{r[3].day:02d}")
+                r[2] = r[2] + r[1] + delta  # OLD-row evaluation order
+        assert touched == sorted(expect_days), (touched, expect_days)
+
+    got = sorted(
+        (r.rid, r.k, r.v, r.ts)
+        for r in spark.read.parquet(path)
+        .select("rid", "k", "v", "ts")
+        .collect()
+    )
+    assert got == sorted(map(tuple, model)), (got, model)
