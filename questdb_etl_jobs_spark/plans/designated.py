@@ -419,6 +419,125 @@ def update_from_designated_ts(
     return sorted(str(d) for d in dates)
 
 
+def _swap_in_place(spark, path: str, tmp_suffix: str = ".__vacuum"):
+    """The in-place rewrite commit shared by :func:`vacuum_designated`
+    and :func:`alter_column_type`: returns ``(tmp_path, commit_fn)``.
+    The caller writes the rewritten table (data + sidecar) at
+    ``tmp_path``, then calls ``commit_fn(carry_detached=...)`` — live
+    moves to ``<path>.__old``, the rewrite takes its place, detached
+    partitions optionally carry over, the old tree is deleted.
+    Leftover temp/old dirs from a crashed previous attempt raise with
+    a recovery hint before any work."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = jvm.org.apache.hadoop.fs.Path(path + tmp_suffix)
+    old = jvm.org.apache.hadoop.fs.Path(path + ".__old")
+    for leftover in (tmp, old):
+        if fs.exists(leftover):
+            raise IOError(
+                f"{leftover} exists — a previous rewrite crashed "
+                "mid-swap; recover it (rename back or delete) first"
+            )
+
+    def commit(carry_detached: bool = True) -> None:
+        if not fs.rename(hpath, old):
+            raise IOError(f"could not move {path} aside to {old}")
+        if not fs.rename(tmp, hpath):
+            raise IOError(
+                f"could not move {tmp} into place — live table is at "
+                f"{old}"
+            )
+        if carry_detached:
+            detached = jvm.org.apache.hadoop.fs.Path(
+                f"{old}/{DETACHED_DIR}"
+            )
+            if fs.exists(detached):
+                fs.rename(
+                    detached,
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{path}/{DETACHED_DIR}"
+                    ),
+                )
+        fs.delete(old, True)
+
+    return str(tmp), commit
+
+
+def alter_column_type(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    new_spark_type: str,
+    new_qdb_type: str,
+) -> list[str]:
+    """QuestDB ``ALTER TABLE t ALTER COLUMN c TYPE <T>`` — a DATA
+    REWRITE, stated plainly: unlike RENAME COLUMN (declaration-only),
+    a type change must rewrite every partition's files so the parquet
+    physical type matches the declaration (QuestDB likewise writes new
+    column versions). The rewrite is the vacuum machinery: read the
+    DECLARED schema, cast the column (Spark cast semantics — lossy
+    narrowing is the caller's explicit choice, as upstream), land
+    stored names into a temp sibling with the updated sidecar, swap.
+    Compaction rides along for free (one time-sorted file per
+    partition afterwards).
+
+    Refused: the designated timestamp (it keys the layout and must
+    stay TIMESTAMP), unknown columns, unknown target types, and tables
+    with DETACHED partitions — their files would keep the old physical
+    type and fail every read after ATTACH; attach or drop them first.
+    Returns the partition dates rewritten.
+    """
+    meta = read_table_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            "ALTER COLUMN TYPE needs the declared-schema sidecar "
+            "(materialize it first — questdb_ddl does this implicitly)"
+        )
+    ts_col = meta["designated"]
+    names = [c["name"] for c in meta["columns"]]
+    if col not in names:
+        raise ValueError(
+            f"column {col!r} does not exist (columns: {names})"
+        )
+    if col == ts_col:
+        raise ValueError(
+            f"cannot change the type of the designated timestamp "
+            f"{col!r}"
+        )
+    if list_detached_partitions(spark, path, ts_col):
+        raise ValueError(
+            "cannot ALTER COLUMN TYPE with detached partitions: their "
+            "files would keep the old physical type and fail after "
+            "ATTACH — attach or drop them first"
+        )
+    dates = list_partitions(spark, path, ts_col)
+    pcol = ts_col + PARTITION_SUFFIX
+    tmp, commit = _swap_in_place(spark, path, tmp_suffix=".__retype")
+    new_cols = [
+        (n, new_spark_type if n == col else st, new_qdb_type
+         if n == col else qt, stored)
+        for n, st, qt, stored in meta_column_tuples(meta)
+    ]
+    if dates:
+        df = read_declared(spark, path, meta).withColumn(
+            col, F.col(col).cast(new_spark_type)
+        )
+        (
+            to_stored_names(df, meta)
+            .repartition(F.col(pcol))
+            .sortWithinPartitions(pcol, ts_col)
+            .write.mode("error")
+            .partitionBy(pcol)
+            .parquet(tmp)
+        )
+    write_table_meta(
+        spark, tmp, new_cols, ts_col, dedup_keys=meta.get("dedup_keys")
+    )
+    commit(carry_detached=False)
+    return dates
+
+
 def vacuum_designated(
     spark: SparkSession,
     path: str,
@@ -449,14 +568,7 @@ def vacuum_designated(
     dates = list_partitions(spark, path, ts_col)
     if not dates:
         return []
-    tmp = jvm.org.apache.hadoop.fs.Path(path + ".__vacuum")
-    old = jvm.org.apache.hadoop.fs.Path(path + ".__old")
-    for leftover in (tmp, old):
-        if fs.exists(leftover):
-            raise IOError(
-                f"{leftover} exists — a previous vacuum crashed "
-                "mid-swap; recover it (rename back or delete) first"
-            )
+    tmp, commit = _swap_in_place(spark, path, tmp_suffix=".__vacuum")
     meta = read_table_meta(spark, path)
     if meta is not None:
         # Declared table: compact through the DECLARED schema, not
@@ -471,10 +583,10 @@ def vacuum_designated(
             .sortWithinPartitions(pcol, ts_col)
             .write.mode("error")
             .partitionBy(pcol)
-            .parquet(str(tmp))
+            .parquet(tmp)
         )
     else:
-        compact_designated(spark, path, str(tmp), ts_col)
+        compact_designated(spark, path, tmp, ts_col)
     meta_src = jvm.org.apache.hadoop.fs.Path(f"{path}/{TABLE_META_FILE}")
     if fs.exists(meta_src):
         futil = jvm.org.apache.hadoop.fs.FileUtil
@@ -483,18 +595,7 @@ def vacuum_designated(
             fs, jvm.org.apache.hadoop.fs.Path(f"{tmp}/{TABLE_META_FILE}"),
             False, spark._jsc.hadoopConfiguration(),
         )
-    if not fs.rename(hpath, old):
-        raise IOError(f"could not move {path} aside to {old}")
-    if not fs.rename(tmp, hpath):
-        raise IOError(
-            f"could not move {tmp} into place — live table is at {old}"
-        )
-    detached = jvm.org.apache.hadoop.fs.Path(f"{old}/{DETACHED_DIR}")
-    if fs.exists(detached):
-        fs.rename(
-            detached, jvm.org.apache.hadoop.fs.Path(f"{path}/{DETACHED_DIR}")
-        )
-    fs.delete(old, True)
+    commit(carry_detached=True)
     return dates
 
 

@@ -1706,6 +1706,13 @@ def questdb_ddl(
                                                    data rewrite, the
                                                    designated ts is not
                                                    renamable
+    ``ALTER TABLE t ALTER COLUMN c TYPE T``        data rewrite (cast +
+                                                   vacuum-style swap;
+                                                   QuestDB writes new
+                                                   column versions) —
+                                                   designated ts and
+                                                   detached partitions
+                                                   refuse
     ``ALTER TABLE t DETACH PARTITION LIST '…'``    directory move into
                                                    the hidden
                                                    ``.detached/`` subdir
@@ -2436,6 +2443,34 @@ def questdb_ddl(
         )
         return []
 
+    m = _ALTER_COLUMN_TYPE_RE.match(text)
+    if m:
+        # ALTER TABLE … ALTER COLUMN c TYPE T — a data rewrite, stated
+        # plainly (QuestDB writes new column versions; here every
+        # partition rewrites through the vacuum machinery with the
+        # column cast, so the parquet physical type matches the new
+        # declaration). Designated ts / unknown columns / unknown
+        # types / detached partitions refuse.
+        from questdb_etl_jobs_spark.plans.designated import (
+            alter_column_type,
+        )
+
+        name, path = _ddl_table_path(m.group("table"), tables)
+        _ensure_table_meta(spark, name, path, designated)
+        qtype = m.group("type").upper()
+        stype = _QDB_TO_SPARK_TYPE.get(qtype)
+        if stype is None:
+            raise QuestDBSQLError(
+                f"unsupported QuestDB column type {qtype!r} "
+                f"(known: {sorted(_QDB_TO_SPARK_TYPE)})"
+            )
+        try:
+            return alter_column_type(
+                spark, path, m.group("col"), stype, qtype
+            )
+        except ValueError as exc:
+            raise QuestDBSQLError(str(exc)) from exc
+
     m = _ALTER_DETACH_ATTACH_RE.match(text)
     if m:
         # ALTER TABLE … DETACH/ATTACH PARTITION LIST — directory moves
@@ -2671,6 +2706,12 @@ _ALTER_RENAME_COLUMN_RE = re.compile(
     r"^ALTER\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s+"
     r"RENAME\s+COLUMN\s+(?P<old>[A-Za-z_]\w*)\s+TO\s+"
     r"(?P<new>[A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
+_ALTER_COLUMN_TYPE_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s+"
+    r"ALTER\s+COLUMN\s+(?P<col>[A-Za-z_]\w*)\s+TYPE\s+"
+    r"(?P<type>[A-Za-z_]\w*)\s*$",
     re.IGNORECASE,
 )
 _ALTER_DETACH_ATTACH_RE = re.compile(

@@ -2791,3 +2791,74 @@ def test_explain_shows_the_lowered_physical_plan(spark, trades):
         spark, "EXPLAIN SELECT count(*) AS n FROM trades"
     ).collect()
     assert any("Aggregate" in r.query_plan for r in rows)
+
+
+def test_alter_column_type_rewrites_data(spark, tmp_path):
+    """ALTER COLUMN TYPE is an honest data rewrite: the parquet
+    physical type changes to match the new declaration (footer
+    inference agrees afterwards), values cast with Spark semantics,
+    the dedup declaration and renames survive the swap, and the
+    guards refuse the designated ts, unknown columns/types, and
+    tables with detached partitions."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        read_table_meta,
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl, questdb_show
+
+    tables = {"t": str(tmp_path / "t")}
+    ddl = lambda s: questdb_ddl(spark, s, tables)  # noqa: E731
+    ddl(
+        "CREATE TABLE t(sym SYMBOL, qty INT, ts TIMESTAMP) TIMESTAMP(ts) "
+        "WAL DEDUP UPSERT KEYS(ts, sym)"
+    )
+    ddl(
+        "INSERT INTO t(sym, qty, ts) VALUES "
+        "('a', 7, TIMESTAMP '2024-07-01 08:00:00'), "
+        "('b', 2, TIMESTAMP '2024-07-02 09:00:00')"
+    )
+    ddl("ALTER TABLE t RENAME COLUMN qty TO volume")
+    assert ddl("ALTER TABLE t ALTER COLUMN volume TYPE DOUBLE") == [
+        "2024-07-01", "2024-07-02",
+    ]
+    # Physical type changed (footer inference, no declared schema).
+    phys = {
+        f.name: f.dataType.simpleString()
+        for f in spark.read.parquet(tables["t"]).schema.fields
+    }
+    assert phys["qty"] == "double"  # stored name survives, retyped
+    got = (
+        register_designated_table(spark, "t", tables["t"])
+        .orderBy("ts")
+        .collect()
+    )
+    assert [(r.sym, r.volume) for r in got] == [("a", 7.0), ("b", 2.0)]
+    cols = questdb_show(spark, "SHOW COLUMNS FROM t", tables).collect()
+    assert [(c.column_name, c.column_type) for c in cols] == [
+        ("sym", "SYMBOL"), ("volume", "DOUBLE"), ("ts", "TIMESTAMP"),
+    ]
+    assert read_table_meta(spark, tables["t"])["dedup_keys"] == [
+        "ts", "sym",
+    ]
+    # Dedup still routes after the retype.
+    ddl(
+        "INSERT INTO t(sym, volume, ts) VALUES "
+        "('a', 9.5, TIMESTAMP '2024-07-01 08:00:00')"
+    )
+    got = {
+        r.sym: r.volume
+        for r in register_designated_table(
+            spark, "t", tables["t"]
+        ).collect()
+    }
+    assert got == {"a": 9.5, "b": 2.0}
+    # Guards.
+    with pytest.raises(QuestDBSQLError, match="designated timestamp"):
+        ddl("ALTER TABLE t ALTER COLUMN ts TYPE LONG")
+    with pytest.raises(QuestDBSQLError, match="does not exist"):
+        ddl("ALTER TABLE t ALTER COLUMN nope TYPE LONG")
+    with pytest.raises(QuestDBSQLError, match="unsupported QuestDB"):
+        ddl("ALTER TABLE t ALTER COLUMN volume TYPE BLOB")
+    ddl("ALTER TABLE t DETACH PARTITION LIST '2024-07-02'")
+    with pytest.raises(QuestDBSQLError, match="detached partitions"):
+        ddl("ALTER TABLE t ALTER COLUMN volume TYPE FLOAT")
