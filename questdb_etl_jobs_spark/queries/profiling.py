@@ -4468,3 +4468,71 @@ def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(out, "ddl string")
+
+
+# ---------------------------------------------------------------------------
+# q206 — ALTER COLUMN TYPE: the retype rewrite (round 14)
+# ---------------------------------------------------------------------------
+#
+# QuestDB's column retype over real data: a CTAS slice of events gets
+# its INT-ish value column widened to DOUBLE after a narrowing CAST at
+# creation — the rewrite casts every partition's files (vacuum-style
+# swap, so the parquet physical type matches the new declaration) and
+# the oracle restates the same two-step cast relationally. The
+# narrowing CREATE cast (DOUBLE→LONG) then widening retype (LONG→
+# DOUBLE) produces values that only match when the oracle restates
+# Spark's TRUNCATING double→long cast explicitly — DuckDB's own
+# double→BIGINT cast ROUNDS, so the oracle spells floor (equal to
+# truncation on the filtered non-negative values); the differential
+# caught exactly this divergence before the oracle stated it.
+
+_Q206_ORACLE = """
+SELECT event_id,
+       CAST(FLOOR(value) AS DOUBLE) AS value,
+       ts
+FROM events
+WHERE event_id % 19 = 0 AND value IS NOT NULL AND value >= 0
+ORDER BY event_id
+"""
+
+
+@dq("q206_alter_column_type", oracle=_Q206_ORACLE, covers="S6,O3,EXT")
+def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql import questdb_ddl
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q206_events"
+    )
+    work = tempfile.mkdtemp(prefix="q206_retype_")
+    try:
+        tables = {"ev": f"{work}/ev"}
+        questdb_ddl(
+            spark,
+            "CREATE TABLE ev AS (SELECT event_id, "
+            "CAST(value AS LONG) AS value, ts FROM __q206_events "
+            "WHERE event_id % 19 = 0 AND value IS NOT NULL "
+            "AND value >= 0) TIMESTAMP(ts)",
+            tables,
+        )
+        questdb_ddl(
+            spark, "ALTER TABLE ev ALTER COLUMN value TYPE DOUBLE",
+            tables,
+        )
+        reg = register_designated_table(spark, "ev", tables["ev"])
+        assert dict(reg.dtypes)["value"] == "double"
+        rows = (
+            reg.select("event_id", "value", "ts")
+            .orderBy("event_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_id long, value double, ts timestamp"
+    ).orderBy("event_id")
