@@ -1145,13 +1145,15 @@ def _asof_sf100(spark, results: dict) -> None:
     _refit(results["dq15_asof"])
 
 
-def _update_sf10(spark, results: dict) -> None:
-    """UPDATE DML's scale-differential cell (round-14 second wave; the
-    measurement habit applied to the newest mutating operator before
-    any routing folklore can form).
+def _update_tier_cell(spark, tier_key: str, factor: int) -> dict:
+    """One UPDATE DML scale cell at an events tier (round-14 second
+    wave; the measurement habit applied to the newest mutating operator
+    before any routing folklore can form). Called for BOTH event tiers
+    by :func:`_update_sf10` so dq198 carries the same two-largest-tiers
+    marginal fit as the read-side headliners.
 
-    Shape: the sf10 events tier (10M rows, ~30 day partitions) landed
-    ONCE as a designated-ts table; the measured statement is QuestDB's
+    Shape: the events tier (``factor``×100k rows, ~30 day partitions)
+    landed ONCE as a designated-ts table; the measured statement is QuestDB's
     `UPDATE ev SET value = value + 1.0 WHERE ts IN '<one day>'` — the
     fix-one-bad-day idiom. The Spark lowering is partition-scoped
     (plans/designated.update_designated_ts): a narrow pass finds the
@@ -1185,11 +1187,11 @@ def _update_sf10(spark, results: dict) -> None:
     from questdb_etl_jobs_spark.sql import questdb_ddl
     from tools.stress_scale import synthesize_events_only
 
-    sf10_dir = TIERS["sf10_events"][0]
+    sf10_dir = TIERS[tier_key][0]
     t0 = time.perf_counter()
-    synthesize_events_only(spark, sf10_dir, factor=100, mult=1024)
+    synthesize_events_only(spark, sf10_dir, factor=factor, mult=1024)
     synth = round(time.perf_counter() - t0, 1)
-    print(f"# sf10 events synthesis: {synth}s", file=sys.stderr)
+    print(f"# {tier_key} events synthesis: {synth}s", file=sys.stderr)
 
     tbl = f"{sf10_dir}/upd_table"
     shutil.rmtree(tbl, ignore_errors=True)
@@ -1257,7 +1259,7 @@ def _update_sf10(spark, results: dict) -> None:
             s_runs.append(round(s_sec, 4))
             d_runs.append(round(d_sec, 4))
             m_runs.append(round(m_sec, 4))
-        print(f"# update sf10 round {rnd} done", file=sys.stderr)
+        print(f"# update {tier_key} round {rnd} done", file=sys.stderr)
 
     # Crosscheck: after ROUNDS+1 identical updates on both engines, the
     # updated day must agree tuple-for-tuple on the stratum (exact
@@ -1323,8 +1325,7 @@ def _update_sf10(spark, results: dict) -> None:
     print(f"# naive full-rewrite face: {naive}s", file=sys.stderr)
 
     s_best, d_best, m_best = min(s_runs), min(d_runs), min(m_runs)
-    results.setdefault("dq198_update", {})
-    results["dq198_update"]["sf10_events"] = {
+    cell = {
         "spark_sec": s_best,
         "duckdb_sec": d_best,
         "ratio": round(s_best / d_best, 2),
@@ -1351,12 +1352,30 @@ def _update_sf10(spark, results: dict) -> None:
         "table_build_sec": build,
     }
     print(
-        f"update sf10  partition-scoped spark={s_best:.3f}s "
+        f"update {tier_key}  partition-scoped spark={s_best:.3f}s "
         f"duckdb(durable)={d_best:.3f}s ratio={s_best / d_best:.2f} "
         f"duckdb(inmem)={m_best:.3f}s naive_rewrite={naive:.3f}s "
         f"day_rows={day_rows}",
         file=sys.stderr,
     )
+    return cell
+
+
+def _update_sf10(spark, results: dict) -> None:
+    """Both UPDATE DML tier cells + the two-largest-tiers marginal fit
+    (the read-side headliners' protocol): sf10-events (10M rows) and
+    sf100-events (100M rows), each stratum-crosschecked before timing,
+    each carrying the durable-DuckDB, in-memory-DuckDB, and
+    naive-full-rewrite faces beside the deployed partition-scoped
+    number."""
+    results.setdefault("dq198_update", {})
+    results["dq198_update"]["sf10_events"] = _update_tier_cell(
+        spark, "sf10_events", 100
+    )
+    results["dq198_update"]["sf100_events"] = _update_tier_cell(
+        spark, "sf100_events", 1000
+    )
+    _refit(results["dq198_update"])
 
 
 def _grouped_topk_sf100(spark, results: dict) -> None:
