@@ -2862,3 +2862,30 @@ def test_alter_column_type_rewrites_data(spark, tmp_path):
     ddl("ALTER TABLE t DETACH PARTITION LIST '2024-07-02'")
     with pytest.raises(QuestDBSQLError, match="detached partitions"):
         ddl("ALTER TABLE t ALTER COLUMN volume TYPE FLOAT")
+
+
+def test_in_place_rewrite_refuses_crashed_leftovers(spark, tmp_path):
+    """The VACUUM/retype swap machinery refuses to run over the debris
+    of a crashed previous attempt: a lingering <path>.__old or temp
+    sibling raises with a recovery hint BEFORE any data work, so a
+    half-committed swap can never be silently buried under a second
+    rewrite."""
+    import os
+
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"t": str(tmp_path / "t")}
+    ddl = lambda s: questdb_ddl(spark, s, tables)  # noqa: E731
+    ddl("CREATE TABLE t(v INT, ts TIMESTAMP) TIMESTAMP(ts)")
+    ddl(
+        "INSERT INTO t(v, ts) VALUES (1, TIMESTAMP '2024-07-01 08:00:00')"
+    )
+    os.makedirs(str(tmp_path / "t.__old"))
+    with pytest.raises(IOError, match="crashed mid-swap"):
+        ddl("VACUUM TABLE t")
+    with pytest.raises(IOError, match="crashed mid-swap"):
+        ddl("ALTER TABLE t ALTER COLUMN v TYPE LONG")
+    os.rmdir(str(tmp_path / "t.__old"))
+    # Recovered: both rewrites run.
+    assert ddl("VACUUM TABLE t") == ["2024-07-01"]
+    assert ddl("ALTER TABLE t ALTER COLUMN v TYPE LONG") == ["2024-07-01"]
