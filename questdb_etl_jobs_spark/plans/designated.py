@@ -453,12 +453,20 @@ def _swap_in_place(spark, path: str, tmp_suffix: str = ".__vacuum"):
                 f"{old}/{DETACHED_DIR}"
             )
             if fs.exists(detached):
-                fs.rename(
-                    detached,
-                    jvm.org.apache.hadoop.fs.Path(
-                        f"{path}/{DETACHED_DIR}"
-                    ),
+                carry_dst = jvm.org.apache.hadoop.fs.Path(
+                    f"{path}/{DETACHED_DIR}"
                 )
+                # Hadoop FileSystem.rename reports failure by returning
+                # false (dest exists, parent missing, …) — an unchecked
+                # carry followed by delete(old) would silently and
+                # PERMANENTLY drop every detached partition.
+                if not fs.rename(detached, carry_dst):
+                    raise IOError(
+                        f"could not carry detached partitions {detached}"
+                        f" to {carry_dst} — old tree left intact at "
+                        f"{old}; recover the detached partitions from "
+                        "there before retrying"
+                    )
         fs.delete(old, True)
 
     return str(tmp), commit
@@ -847,6 +855,10 @@ def detach_partitions(
     A named partition that does not exist raises (QuestDB errors on
     detaching a missing partition); one already detached under the same
     date also raises rather than silently merging two directory trees.
+    The ENTIRE date list is validated before any rename, so a raised
+    error implies no partition moved — the statement is all-or-nothing
+    at the validation level (a bad entry late in the LIST does not
+    leave earlier dates already detached).
     Returns the dates moved, in sorted order.
     """
     pcol = ts_col + PARTITION_SUFFIX
@@ -855,7 +867,7 @@ def detach_partitions(
         spark._jsc.hadoopConfiguration()
     )
     existing = set(list_partitions(spark, path, ts_col))
-    moved = []
+    plan = []
     for d in sorted(set(dates)):
         if d not in existing:
             raise ValueError(
@@ -870,6 +882,9 @@ def detach_partitions(
             raise ValueError(
                 f"partition {d!r} is already detached at {dst}"
             )
+        plan.append((d, src, dst))
+    moved = []
+    for d, src, dst in plan:
         fs.mkdirs(dst.getParent())
         if not fs.rename(src, dst):
             raise IOError(f"could not detach {src} to {dst}")
@@ -888,14 +903,16 @@ def attach_partitions(
     live table — the reverse filesystem rename of
     :func:`detach_partitions`. A date with no detached directory
     raises; a live partition already holding that date raises (the two
-    trees must not merge). Returns the dates attached, sorted."""
+    trees must not merge). The whole date list is validated before any
+    rename — a raised error implies no partition moved, mirroring
+    :func:`detach_partitions`. Returns the dates attached, sorted."""
     pcol = ts_col + PARTITION_SUFFIX
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
         spark._jsc.hadoopConfiguration()
     )
     live = set(list_partitions(spark, path, ts_col))
-    moved = []
+    plan = []
     for d in sorted(set(dates)):
         src = jvm.org.apache.hadoop.fs.Path(
             f"{path}/{DETACHED_DIR}/{pcol}={d}"
@@ -910,6 +927,9 @@ def attach_partitions(
                 "already holds that date"
             )
         dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{pcol}={d}")
+        plan.append((d, src, dst))
+    moved = []
+    for d, src, dst in plan:
         if not fs.rename(src, dst):
             raise IOError(f"could not attach {src} to {dst}")
         moved.append(d)

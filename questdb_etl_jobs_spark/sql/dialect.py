@@ -156,10 +156,10 @@ _INTERVAL_LIT = (
     r"[0-9][0-9T:\-\.]*(?:;[0-9]+[smhdwMy](?:;[0-9]+[smhdwMy];[0-9]+)?)?"
 )
 _IN_INTERVAL_RE = re.compile(
-    rf"\b(\w+)\s+IN\s+'({_INTERVAL_LIT})'", re.IGNORECASE
+    rf"\b(\w+(?:\.\w+)?)\s+IN\s+'({_INTERVAL_LIT})'", re.IGNORECASE
 )
 _IN_INTERVAL_LIST_RE = re.compile(
-    rf"\b(\w+)\s+IN\s+(\(\s*'{_INTERVAL_LIT}'"
+    rf"\b(\w+(?:\.\w+)?)\s+IN\s+(\(\s*'{_INTERVAL_LIT}'"
     rf"(?:\s*,\s*'{_INTERVAL_LIT}')+\s*\))",
     re.IGNORECASE,
 )
@@ -551,13 +551,18 @@ def _rewrite_interval_in(predicate: str, columns: tuple[str, ...] = ()) -> str:
     from questdb_etl_jobs_spark.plans.designated import PARTITION_SUFFIX
 
     def expand(col: str, spans: list[tuple[str, str]]) -> str:
+        # Qualified references (`t.ts IN '2024-01'`, the join-update
+        # WHERE) keep their qualifier on both the range comparison and
+        # the pruning predicate; membership in `columns` is checked on
+        # the bare name.
+        bare = col.rpartition(".")[2]
         conds = []
         for start, end in spans:
             one = (
                 f"{col} >= TIMESTAMP '{start}' AND {col} < TIMESTAMP '{end}'"
             )
             pcol = col + PARTITION_SUFFIX
-            if pcol in columns:
+            if bare + PARTITION_SUFFIX in columns:
                 # Partition pruning per occurrence: a repeating interval
                 # (';1y;3') prunes to its own days, not the whole span.
                 one += (
@@ -1312,6 +1317,22 @@ def questdb_sql(
             out.append(c.asc() if direction == "DESC" else c.desc())
         return out
 
+    def _ts_tiebreak(d: DataFrame) -> list[str]:
+        # Deterministic tiebreaker for the bare-ts tail slice: QuestDB
+        # resolves ties by stable insertion order, which a distributed
+        # parquet layout does not carry — so ties are broken by the
+        # remaining ORDERABLE columns instead (a total order over the
+        # row's values, identical on every run and partition layout).
+        # Complex-typed columns (arrays/maps) are not comparable and
+        # are skipped.
+        atomic = ("array<", "map<", "struct<", "binary")
+        return [
+            f.name
+            for f in d.schema.fields
+            if f.name != ts
+            and not f.dataType.simpleString().startswith(atomic)
+        ]
+
     def _tail(d: DataFrame, take: int) -> DataFrame:
         # Last `take` rows of the result order, restored to forward
         # order. With an ORDER BY the reversed sort+limit plans as a
@@ -1330,7 +1351,10 @@ def questdb_sql(
                 topk_by_threshold,
             )
 
-            return topk_by_threshold(d, ts, take).orderBy(F.col(ts).asc())
+            tie = _ts_tiebreak(d)
+            return topk_by_threshold(
+                d, ts, take, tiebreak=[(c, "desc") for c in tie]
+            ).orderBy(F.col(ts).asc(), *[F.col(c).asc() for c in tie])
         raise QuestDBSQLError(
             "negative LIMIT needs an ORDER BY or a designated ts"
         )
@@ -1346,8 +1370,11 @@ def questdb_sql(
                 .offset(k)
                 .orderBy(*order_cols)
             )
+        tie = _ts_tiebreak(d)
         return (
-            d.orderBy(F.col(ts).desc()).offset(k).orderBy(F.col(ts).asc())
+            d.orderBy(F.col(ts).desc(), *[F.col(c).desc() for c in tie])
+            .offset(k)
+            .orderBy(F.col(ts).asc(), *[F.col(c).asc() for c in tie])
         )
 
     if limit_m and limit_m.group(2) is not None:
@@ -2519,6 +2546,7 @@ def questdb_ddl(
         # than one source row raises (which match wins would be
         # arrival-order luck), unmatched rows are untouched.
         from questdb_etl_jobs_spark.plans.designated import (
+            PARTITION_SUFFIX,
             register_designated_table,
             update_from_designated_ts,
         )
@@ -2557,7 +2585,14 @@ def questdb_ddl(
             assignments.append(
                 (am.group(1), rewrite_questdb_scalars(am.group(2).strip()))
             )
-        where = rewrite_questdb_scalars(m.group("where").strip())
+        # Same interval-search lowering as plain UPDATE: `ts IN
+        # '2024-01'` (bare or alias-qualified) expands to a half-open
+        # range plus the partition-pruning predicate, so an
+        # interval-scoped join-update probes only the interval's days.
+        where = _rewrite_interval_in(
+            rewrite_questdb_scalars(m.group("where").strip()),
+            (ts_col + PARTITION_SUFFIX,),
+        )
         try:
             return update_from_designated_ts(
                 spark, path, ts_col, talias, src_df, salias,

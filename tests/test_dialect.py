@@ -2889,3 +2889,132 @@ def test_in_place_rewrite_refuses_crashed_leftovers(spark, tmp_path):
     # Recovered: both rewrites run.
     assert ddl("VACUUM TABLE t") == ["2024-07-01"]
     assert ddl("ALTER TABLE t ALTER COLUMN v TYPE LONG") == ["2024-07-01"]
+
+
+def test_detach_attach_all_or_nothing(spark, tmp_path):
+    """DETACH/ATTACH PARTITION LIST validate the ENTIRE date list
+    before moving anything: a bad entry late in the list (missing,
+    already parked, already live) raises with ZERO partitions moved —
+    the statement never leaves the table half-mutated."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        list_detached_partitions,
+        list_partitions,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"t": str(tmp_path / "t")}
+    ddl = lambda s: questdb_ddl(spark, s, tables)  # noqa: E731
+    ddl("CREATE TABLE t(v INT, ts TIMESTAMP) TIMESTAMP(ts)")
+    ddl(
+        "INSERT INTO t(v, ts) VALUES "
+        "(1, TIMESTAMP '2024-07-01 08:00:00'), "
+        "(2, TIMESTAMP '2024-07-02 09:00:00')"
+    )
+    # Good first date, missing second: the good one must NOT move.
+    with pytest.raises(QuestDBSQLError, match="not present"):
+        ddl("ALTER TABLE t DETACH PARTITION LIST '2024-07-01', '2099-01-01'")
+    assert list_partitions(spark, tables["t"], "ts") == [
+        "2024-07-01",
+        "2024-07-02",
+    ]
+    assert list_detached_partitions(spark, tables["t"], "ts") == []
+    # Same contract on ATTACH: park one date, then ask for it plus a
+    # never-detached one — nothing comes back.
+    ddl("ALTER TABLE t DETACH PARTITION LIST '2024-07-01'")
+    with pytest.raises(QuestDBSQLError, match="nothing detached"):
+        ddl("ALTER TABLE t ATTACH PARTITION LIST '2024-07-01', '2024-07-02'")
+    assert list_partitions(spark, tables["t"], "ts") == ["2024-07-02"]
+    assert list_detached_partitions(spark, tables["t"], "ts") == [
+        "2024-07-01"
+    ]
+
+
+def test_update_from_interval_where(spark, tmp_path):
+    """The join-update WHERE runs through the same interval-search
+    lowering as plain UPDATE: `s.ts IN '2024-06'` (alias-qualified)
+    expands to a half-open range plus the partition-pruning predicate
+    instead of failing in Spark's parser, and only the interval's days
+    rewrite."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"px": str(tmp_path / "px")}
+    ddl = lambda s: questdb_ddl(spark, s, tables)  # noqa: E731
+    ddl("CREATE TABLE px(sym SYMBOL, v DOUBLE, ts TIMESTAMP) TIMESTAMP(ts)")
+    ddl(
+        "INSERT INTO px(sym, v, ts) VALUES "
+        "('A', 0.0, TIMESTAMP '2024-06-01 10:00:00'), "
+        "('A', 0.0, TIMESTAMP '2024-07-01 10:00:00')"
+    )
+    spark.sql(
+        "SELECT * FROM VALUES ('A', 9.0) AS p(sym, nv)"
+    ).createOrReplaceTempView("__uf_iv")
+    touched = ddl(
+        "UPDATE px s SET v = p.nv FROM __uf_iv p "
+        "WHERE s.sym = p.sym AND s.ts IN '2024-06'"
+    )
+    assert touched == ["2024-06-01"]
+    got = {
+        str(r.ts): r.v
+        for r in register_designated_table(spark, "px", tables["px"])
+        .collect()
+    }
+    assert got == {
+        "2024-06-01 10:00:00": 9.0,
+        "2024-07-01 10:00:00": 0.0,
+    }
+
+
+def test_negative_limit_tail_tie_determinism(spark, tmp_path):
+    """The bare-ts tail slice (negative LIMIT without ORDER BY) breaks
+    designated-ts ties with the remaining orderable columns — a total
+    order, so which tied rows survive the cut is identical on every
+    run and partition layout (QuestDB resolves ties by insertion
+    order, which a distributed layout cannot carry; the tiebreak
+    contract is documented in the lowering)."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"__neg_tie": str(tmp_path / "t")}
+    questdb_ddl(
+        spark,
+        "CREATE TABLE __neg_tie(sym SYMBOL, ts TIMESTAMP) TIMESTAMP(ts)",
+        tables,
+    )
+    questdb_ddl(
+        spark,
+        "INSERT INTO __neg_tie(sym, ts) VALUES "
+        "('A', TIMESTAMP '2024-06-01 10:00:00'), "
+        "('D', TIMESTAMP '2024-06-02 10:00:00'), "
+        "('B', TIMESTAMP '2024-06-02 10:00:00'), "
+        "('C', TIMESTAMP '2024-06-02 10:00:00')",
+        tables,
+    )
+    register_designated_table(spark, "__neg_tie", tables["__neg_tie"])
+    # Total order: (ts asc, sym asc) = A, B, C, D. Tail 2 = C, D —
+    # stable across repeated runs even though B/C/D tie on ts.
+    for _ in range(3):
+        got = [
+            r.sym
+            for r in questdb_sql(
+                spark,
+                "SELECT sym, ts FROM __neg_tie LIMIT -2",
+                {"__neg_tie": "ts"},
+            ).collect()
+        ]
+        assert got == ["C", "D"]
+    # Range slice rows[-3:-1] under the same total order = B, C.
+    for _ in range(3):
+        got = [
+            r.sym
+            for r in questdb_sql(
+                spark,
+                "SELECT sym, ts FROM __neg_tie LIMIT -3, -1",
+                {"__neg_tie": "ts"},
+            ).collect()
+        ]
+        assert got == ["B", "C"]
