@@ -78,52 +78,57 @@ def dq(name: str, oracle: str | Callable[[], str], covers: str = ""):
 # ``tools/verify_local.py`` (full-registry differential run; committed
 # report in CORRECTNESS_FULL.md).
 _PRIORITY: tuple[str, ...] = (
-    # Round-14 rotation #1: q01 ceded its slot — S2 stays covered
-    # in-window by q86's metadata-gated CSV source, F3/P3 by q02 — so
-    # the reference's OWN SQL text (bare column-list CREATE TABLE +
-    # INSERT INTO … VALUES with the inline bare-T to_timestamp,
-    # replayed verbatim through questdb_ddl) runs under the driver's
-    # own oracle in the round it shipped.
-    "q194_reference_sql_replay",  # S6 F4 O3 EXT (reference SQL verbatim)
+    # Round-15 rotation policy (VERDICT r14 task #1): ~10 window slots
+    # rotate per round toward queries that have never produced a driver
+    # CORRECTNESS row (the union of CORRECTNESS_r01–r14 covers 95 of
+    # 206 names). Members whose ids stay covered in-window cede first;
+    # at ~10/round the never-windowed backlog (111 names) retires in
+    # ~11 rounds. This round: the round-14 DDL/DML wave members that
+    # got their rows in r14 cede to the lifecycle wave shipped the same
+    # round (q195–q206) plus q189/q190/q193/q200/q202.
+    #
+    # Round-15 rotation #1: q194 ceded its slot (driver row in r14) —
+    # S6/O3 stay covered by the incoming lifecycle wave, F4 by q02 —
+    # so the table lifecycle (DROP/TRUNCATE/ADD COLUMN round trip)
+    # gets its first driver row.
+    "q195_table_lifecycle",       # S6 O3 EXT (lifecycle round trip)
     "q02_pipeline_anonymize",     # F1 U1 F4
-    # Round-14 rotation #2: q03 ceded its slot — S3 stays covered
-    # in-window by q59's partitioned IVF scan, O1 by q61/q169/q170 — so
-    # CTAS with a designated timestamp (the QuestDB table-creation
-    # idiom, full round trip through the storage convention) joins the
-    # hard signal.
-    "q191_dialect_ctas",          # S6 A7 O3 EXT (CTAS round trip)
+    # Round-15 rotation #2: q191 ceded its slot (driver row in r14) —
+    # S6/O3 via the lifecycle wave, A7 by q187/q181/q63 and the
+    # incoming q193 — so INSERT INTO … SELECT (bulk DML through the
+    # declared schema and designated layout) gets its first driver row.
+    "q193_dialect_insert_into",   # S6 A7 O3 EXT (INSERT INTO SELECT)
     "q07_event_filter",           # P1 P2 P4
     "q08_case_banding",           # F10 A1
-    # Round-14 rotation #5: q09 ceded its slot — P4 stays covered
-    # in-window by q07, R6 by q60/q145/q167 — so UPDATE, the round's
-    # new DML statement (partition-scoped conditional rewrite), runs
-    # under the driver's own oracle in the round it shipped.
-    "q198_update_dml",            # S6 O3 EXT (UPDATE DML)
+    # Round-15 rotation #3: q198 ceded its slot (driver row in r14) —
+    # S6/O3 via the lifecycle wave — so DEDUP UPSERT KEYS declarations
+    # (ingest-time dedup contract) get their first driver row.
+    "q196_dedup_upsert_declared", # S6 O3 EXT (DEDUP UPSERT KEYS)
     "q10_join_revenue_by_nation", # J1 J2 F7
-    # Round-14 rotation #3: q11 ceded its slot — its only id, J3,
-    # stays covered in-window by q181's recursive-spine left join — so
-    # the QuestDB compensated-sum spellings (ksum/nsum on the exact
-    # decimal protocol) run under the driver's own oracle.
-    "q188_dialect_ksum_nsum",     # A1 F7 EXT (compensated-sum spellings)
+    # Round-15 rotation #4: q188 ceded its slot (driver row in r14) —
+    # A1 by q08/q10/q177, F7 by q08/q10/q164 and the incoming q189 —
+    # so vwap (the QuestDB volume-weighted aggregate with null-pair
+    # gating) gets its first driver row.
+    "q189_dialect_vwap",          # A1 F7 EXT (vwap aggregate)
     # Round-11 rotation #2: q12 ceded its slot — its only id, J4, stays
     # covered in-window by q167's anti-join admission gate — so the
     # round's flagship scale face (the grouped threshold prune behind
     # q172-q175, dq30's full rank family with zero full-data exchange)
     # runs under the driver's own oracle in the round it shipped.
     "q175_rank_family_pruned",    # W1 O2 EXT (grouped prune, full family)
-    # Round-13 rotation #1: q14 ceded its slot — its only id, J5, stays
-    # covered in-window by q56's theta-joined embedding near-dup — so
-    # SHOW TABLES (the catalog enumeration face, never driver-verified)
-    # runs under the driver's own oracle.
-    "q185_show_tables",           # S6 EXT (catalog enumeration)
+    # Round-15 rotation #5: q185 ceded its slot (driver row in r13/r14)
+    # — S6 stays plentiful in-window — so SHOW CREATE TABLE (the
+    # round-trip catalog face: emitted DDL re-creates the table) gets
+    # its first driver row.
+    "q205_show_create_table",     # S6 EXT (SHOW CREATE round trip)
     "q15_interval_join_events",   # J6
     "q16_asof_join",              # J7
     "q22_rollup_orders",          # A4
-    # Round-12 rotation #1: q23 ceded its slot — A5 stays covered
-    # in-window by q157's t-digest quantiles — so SHOW PARTITIONS (the
-    # retention family's catalog face, never driver-verified before)
-    # runs under the driver's own oracle.
-    "q178_show_partitions",       # S6 A1 W1 EXT (catalog face)
+    # Round-15 rotation #6: q178 ceded its slot (driver row in r12–r14)
+    # — S6 via the lifecycle wave, A1 by q08/q10, W1 by q175/q33/q74 —
+    # so the QuestDB string/rounding scalar family (strpos,
+    # to_uppercase, round_down/up/half_even) gets its first driver row.
+    "q200_string_rounding_scalars",  # F6 F7 EXT (string/rounding scalars)
     "q25_collect_types_per_user", # A6
     # Round-13 rotation #2: q26 ceded its slot — A7/F5 stay covered
     # in-window by q181 and the incoming q187, R2 by q60's tumbling
@@ -136,23 +141,22 @@ _PRIORITY: tuple[str, ...] = (
     # in-window by q47/q57/q167, and T1 moves to the incoming q181 —
     # so the Spark 4 recursive-CTE date spine joins the hard signal.
     "q181_recursive_date_spine",  # A7 F5 T1 J3 (recursive CTE)
-    # Round-14 rotation #6: q30 ceded its slot — W1 stays covered
-    # in-window by q175's full pruned rank family and q74/q178/q180 —
-    # so UPDATE … FROM (the join-update, ambiguity-guarded) joins the
-    # hard signal in the round it shipped.
-    "q203_update_from_join",      # S6 J3 O3 EXT (join-update)
+    # Round-15 rotation #7: q203 ceded its slot (driver row in r14) —
+    # S6/O3 via the lifecycle wave, J3 by q181 — so catalog ALTERs
+    # (RENAME COLUMN/TABLE declaration-level alterations) get their
+    # first driver row.
+    "q197_catalog_alterations",   # S6 O3 EXT (catalog ALTERs)
     # Round-11 rotation #3: q31 ceded its slot — W2 stays covered
     # in-window by q164 (lag/CUSUM) and q145 (stateful EMA) — so the
     # round's new clustering family (distributed Lloyd k-means under a
     # bit-exact CPython mirror) runs under the driver's own oracle in
     # the round it shipped.
     "q177_kmeans_clusters",       # EXT clustering, F8 U1
-    # Round-13 rotation #3: q32 ceded its slot — its only id, W3, stays
-    # covered in-window by q164's rolling CUSUM frames — so the QuestDB
-    # time-scalar rewriter (dateadd/datediff/timestamp_floor/ceil/
-    # to_timezone/to_utc, never driver-verified) runs under the
-    # driver's own oracle.
-    "q186_dialect_time_scalars",  # F5 F7 A1 EXT (scalar rewriter)
+    # Round-15 rotation #8: q186 ceded its slot (driver row in r13/r14)
+    # — F5 by q187/q181 and the incoming q190, F7/A1 plentiful — so the
+    # regex-symbol operators (`~`/`!~` match + SAMPLE BY composition)
+    # get their first driver row.
+    "q190_dialect_regex_symbol",  # F6 F5 A1 EXT (regex symbol ops)
     "q33_latest_event_per_user",  # W4
     # Round-13 rotation #4: q34 ceded its slot — O2 stays covered
     # in-window by q183 (routed descending prune) and the incoming
@@ -160,24 +164,22 @@ _PRIORITY: tuple[str, ...] = (
     # first prune, never driver-verified) joins the hard signal; q34
     # itself remains the bench headline outside the window.
     "q184_dialect_bottomk_routed",  # O2 EXT (ascending prune, SQL surface)
-    # Round-12 rotation #3: q48 ceded its slot — EXT dedup stays
-    # covered in-window by q46/q47/q57, F8 by q41/q177 — so the
-    # dialect-ROUTED top-k (the round's headline: SQL text planned via
-    # the certified threshold prune, bit-identical to q34 under the
-    # same oracle) runs under the driver's own oracle in the round the
-    # routing shipped.
-    "q183_dialect_topk_routed",   # O2 EXT (routed prune, SQL surface)
+    # Round-15 rotation #9: q183 ceded its slot (driver row in r12–r14)
+    # — O2 stays covered by q175/q184/q192/q45 — so negative LIMIT
+    # ranges (QuestDB's python-style tail slices, now with the
+    # deterministic tie contract) get their first driver row.
+    "q202_limit_negative_range",  # O2 EXT (negative LIMIT ranges)
     "q35_set_ops_users",          # T2
     # Round-14 rotation #4: q40 ceded its slot — F6 stays covered
     # in-window by q49/q80, U4 by q47/q57/q80/q167 — so the streaming
     # deterministic reservoir (exactly-k per stratum, batch-equivalent)
     # joins the hard signal.
     "q192_stream_reservoir",      # R1 R6 U2 O2 EXT (streaming reservoir)
-    # Round-14 rotation #7: q41 ceded its slot — F8 stays covered
-    # in-window by q45/q177/q180, F11 by q45/q56 — so VACUUM TABLE
-    # (in-place small-file compaction, the 100 TB storage-debt answer)
-    # runs under the driver's own oracle in the round it shipped.
-    "q201_vacuum_compaction",     # S6 O3 EXT (VACUUM compaction)
+    # Round-15 rotation #10: q201 ceded its slot (driver row in r14) —
+    # S6/O3 via the lifecycle wave — so DETACH/ATTACH PARTITION (the
+    # partition-parking lifecycle, now all-or-nothing validated) gets
+    # its first driver row.
+    "q199_partition_lifecycle",   # S6 O3 EXT (DETACH/ATTACH)
     "q42_json_extract",           # F9
     "q05_hash_family",            # F2 (q44 ceded its slot in round 9 —
                                   #     F11 stays via q41, J5 via q14/q56 —
@@ -185,12 +187,11 @@ _PRIORITY: tuple[str, ...] = (
                                   #     no covering query inside the window)
     "q45_cosine_topk",            # EXT similarity
     "q46_exact_dedup",            # EXT dedup
-    # Round-14 rotation #8: q49 ceded its slot — F6 stays covered
-    # in-window by q40/q80, EXT-text by the dedup/decontaminate family
-    # — so COPY FROM (bulk CSV import through the declared schema and
-    # the shared insert path) joins the hard signal in the round it
-    # shipped.
-    "q204_copy_from_csv",         # S2 S6 O3 EXT (COPY import)
+    # Round-15 rotation #11: q204 ceded its slot (driver row in r14) —
+    # S2 stays covered by q86, S6/O3 via the lifecycle wave — so ALTER
+    # COLUMN TYPE (the declared-schema data rewrite through the vacuum
+    # machinery) gets its first driver row.
+    "q206_alter_column_type",     # S6 O3 EXT (ALTER COLUMN TYPE)
     # Round-11 rotation #4: q50 ceded its slot — EXT text stays covered
     # in-window by q40/q49/q58 — so the round's composition face
     # (k-means topic assignment × per-stratum A-ES draw, exact integer
