@@ -375,16 +375,18 @@ def update_from_designated_ts(
     ]
     if not dates:
         return []
-    touched = tgt.where(F.col(f"{target_alias}.{pcol}").isin(dates))
+    # ONE read of the touched days (round-15: the ambiguity detection
+    # rides the rewrite join instead of two extra counts). Each touched
+    # row gets a per-row id BELOW the join (nondeterministic, so the
+    # optimizer cannot move it above); the joined frame — projection
+    # already applied — is checkpointed in a single pass over the
+    # touched partitions, and both the ambiguity check and the write
+    # run over that materialization, never re-reading the parquet. At
+    # one bad 100 GB day this is one day-scan, not four.
+    touched = tgt.where(
+        F.col(f"{target_alias}.{pcol}").isin(dates)
+    ).withColumn("__qdb_rid", F.monotonically_increasing_id())
     joined = touched.join(marked, pred, "left")
-    n_touched = touched.count()
-    n_joined = joined.count()
-    if n_joined > n_touched:
-        raise ValueError(
-            f"UPDATE … FROM is ambiguous: {n_joined - n_touched} "
-            "target row(s) match more than one source row — "
-            "deduplicate the source on the join key first"
-        )
     assigned = dict(assignments)
     matched = F.col(f"{src_alias}.__qdb_matched").isNotNull()
     updated = joined.select(
@@ -399,10 +401,22 @@ def update_from_designated_ts(
             for c in target_cols
         ],
         F.col(f"{target_alias}.{pcol}").alias(pcol),
+        F.col("__qdb_rid"),
     )
-    materialized = to_stored_names(
-        updated.localCheckpoint(eager=True), meta
-    )
+    ck = updated.localCheckpoint(eager=True)
+    # A target row matching more than one source row appears under a
+    # duplicated rid — which match wins would be arrival-order luck, so
+    # it raises BEFORE any write (both aggregates run on the cached
+    # checkpoint; the table is untouched).
+    n_joined = ck.count()
+    n_touched = ck.select("__qdb_rid").distinct().count()
+    if n_joined > n_touched:
+        raise ValueError(
+            f"UPDATE … FROM is ambiguous: {n_joined - n_touched} "
+            "target row(s) match more than one source row — "
+            "deduplicate the source on the join key first"
+        )
+    materialized = to_stored_names(ck.drop("__qdb_rid"), meta)
     saved = spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode", "STATIC"
     )

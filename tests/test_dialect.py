@@ -3018,3 +3018,62 @@ def test_negative_limit_tail_tie_determinism(spark, tmp_path):
             ).collect()
         ]
         assert got == ["B", "C"]
+
+
+def test_update_from_single_touched_read(spark, tmp_path, monkeypatch):
+    """The join-update reads the touched day-slice ONCE (round-15): the
+    rewrite join is checkpointed in a single pass and the ambiguity
+    detection runs over that materialization — every count action in
+    the statement executes against the cached checkpoint, never a
+    parquet re-scan. (The dates probe stays: a narrow column-pruned
+    pass that collects partition DATES, not data.)"""
+    # Spark 4 splits the DataFrame API: instances are
+    # pyspark.sql.classic.dataframe.DataFrame, which overrides count —
+    # the spy must land on the concrete class.
+    import pyspark.sql.classic.dataframe as dfmod
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"uf1": str(tmp_path / "uf1")}
+    ddl = lambda s: questdb_ddl(spark, s, tables)  # noqa: E731
+    ddl("CREATE TABLE uf1(sym SYMBOL, v DOUBLE, ts TIMESTAMP) TIMESTAMP(ts)")
+    ddl(
+        "INSERT INTO uf1(sym, v, ts) VALUES "
+        "('A', 0.0, TIMESTAMP '2024-06-01 10:00:00'), "
+        "('B', 0.0, TIMESTAMP '2024-06-02 11:00:00')"
+    )
+    spark.sql(
+        "SELECT * FROM VALUES ('A', 5.0) AS p(sym, nv)"
+    ).createOrReplaceTempView("__uf_single")
+
+    count_plans = []
+    orig_count = dfmod.DataFrame.count
+
+    def spy(self):
+        count_plans.append(
+            self._jdf.queryExecution().executedPlan().toString()
+        )
+        return orig_count(self)
+
+    monkeypatch.setattr(dfmod.DataFrame, "count", spy)
+    touched = ddl(
+        "UPDATE uf1 s SET v = p.nv FROM __uf_single p WHERE s.sym = p.sym"
+    )
+    monkeypatch.undo()
+    assert touched == ["2024-06-01"]
+    assert count_plans, "the ambiguity check must run"
+    for p in count_plans:
+        assert "parquet" not in p.lower(), (
+            "a count action re-scanned parquet instead of the "
+            f"checkpoint:\n{p}"
+        )
+    got = {
+        r.sym: r.v
+        for r in register_designated_table(
+            spark, "uf1", tables["uf1"]
+        ).collect()
+    }
+    assert got == {"A": 5.0, "B": 0.0}
