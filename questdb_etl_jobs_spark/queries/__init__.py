@@ -211,7 +211,12 @@ _PRIORITY: tuple[str, ...] = (
     # Heavier composites last inside the 50-query window:
     "q47_near_dup_minhash_lsh",   # EXT dedup (LSH)
     "q56_embedding_near_dup",     # EXT similarity
-    "q57_ngram_jaccard_exact",    # EXT dedup
+    # Round-15 rotation #12: q57 ceded its slot (driver rows since the
+    # early rounds) — EXT dedup stays via q46/q47, U4 via q80/q167/q47,
+    # A1/J1 plentiful — so COPY … ON ERROR SKIP_ROW (quarantined bulk
+    # import, shipped THIS round) gets its driver row in the round it
+    # shipped.
+    "q207_copy_skip_row",         # S2 S6 O3 EXT (quarantined COPY)
     "q59_ivf_topk_exact",         # EXT similarity (IVF)
     "q60_streaming_replay",       # S1 S6 O3 R1 R4 R5
     # Round-9 rotation (VERDICT r8 task #6): redundant twins ceded their

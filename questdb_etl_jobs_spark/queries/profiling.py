@@ -4536,3 +4536,107 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "event_id long, value double, ts timestamp"
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q207 — COPY FROM … ON ERROR SKIP_ROW: quarantined bulk import (round 15)
+# ---------------------------------------------------------------------------
+#
+# QuestDB's COPY supports skip-row error semantics; this engine lowers
+# it onto its quarantine discipline (pipeline.split_quarantine,
+# reference cloud_function.py:91-95 log-and-continue): good rows land
+# through the shared insert path, offending rows park as their ORIGINAL
+# strings plus a per-column reject_reason in the <path>.__rejects side
+# relation. Exercised over real data with deterministic corruption: an
+# events slice (event_id % 23 = 0) is serialized to CSV with every
+# %115 row's value field and every %161 row's timestamp field made
+# unparsable. The face returns the landed good rows plus the
+# side-relation count, so the ORACLE verifies both the good-row set and
+# the quarantine size; the in-face assertions pin the reject reasons.
+
+_Q207_ORACLE = """
+SELECT e.event_id, e.value, e.ts,
+       (SELECT count(*) FROM events x
+         WHERE x.event_id % 23 = 0
+           AND (x.event_id % 115 = 0 OR x.event_id % 161 = 0)
+       ) AS n_rejects
+FROM events e
+WHERE e.event_id % 23 = 0
+  AND e.event_id % 115 <> 0
+  AND e.event_id % 161 <> 0
+ORDER BY e.event_id
+"""
+
+
+@dq("q207_copy_skip_row", oracle=_Q207_ORACLE, covers="S2,S6,O3,EXT")
+def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql import questdb_ddl
+
+    src = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 23 == 0)
+        .select("event_id", "value", "ts")
+        .collect()
+    )
+    work = tempfile.mkdtemp(prefix="q207_copy_skip_")
+    try:
+        csv_path = f"{work}/events_dirty.csv"
+        with open(csv_path, "w") as fh:
+            fh.write("event_id,value,ts\n")
+            for r in src:
+                val = (
+                    "#BAD#" if r.event_id % 115 == 0 else repr(float(r.value))
+                )
+                ts = (
+                    "not-a-time"
+                    if r.event_id % 161 == 0
+                    else f"{r.ts:%Y-%m-%dT%H:%M:%S.%f}"
+                )
+                fh.write(f"{r.event_id},{val},{ts}\n")
+        tables = {"landed": f"{work}/landed"}
+        questdb_ddl(
+            spark,
+            "CREATE TABLE landed(event_id LONG, value DOUBLE, "
+            "ts TIMESTAMP) TIMESTAMP(ts)",
+            tables,
+        )
+        questdb_ddl(
+            spark,
+            f"COPY landed FROM '{csv_path}' WITH HEADER true "
+            "FORMAT 'yyyy-MM-ddTHH:mm:ss.SSSSSS' ON ERROR SKIP_ROW",
+            tables,
+        )
+        rejects = spark.read.parquet(tables["landed"] + ".__rejects")
+        parked = rejects.collect()
+        # Every parked row keeps its raw strings and names the refusing
+        # column(s); rows corrupted on both fields name both.
+        for r in parked:
+            eid = int(r.event_id)
+            want = []
+            if eid % 115 == 0:
+                want.append("value: null/unparsable")
+            if eid % 161 == 0:
+                want.append("ts: null/unparsable")
+            assert r.reject_reason == ";".join(want), (eid, r.reject_reason)
+        n_rejects = len(parked)
+        rows = [
+            (r.event_id, r.value, r.ts, n_rejects)
+            for r in register_designated_table(
+                spark, "landed", tables["landed"]
+            )
+            .select("event_id", "value", "ts")
+            .orderBy("event_id")
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_id long, value double, ts timestamp, n_rejects long",
+    ).orderBy("event_id")

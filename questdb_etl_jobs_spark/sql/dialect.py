@@ -1747,11 +1747,15 @@ def questdb_ddl(
     ``ALTER TABLE t ATTACH PARTITION LIST '…'``    the reverse move
     ``COPY t FROM 'file.csv' [WITH HEADER         declared-schema CSV
     true|false] [TIMESTAMP col]                    import through the
-    [FORMAT 'pattern']``                           same insert path as
-                                                   every DML (dedup
+    [FORMAT 'pattern']                             same insert path as
+    [ON ERROR ABORT|SKIP_ROW]``                    every DML (dedup
                                                    declarations apply);
-                                                   null designated ts
-                                                   aborts
+                                                   ABORT (default)
+                                                   raises on any bad
+                                                   cell, SKIP_ROW lands
+                                                   good rows and parks
+                                                   raw bad rows in
+                                                   ``<path>.__rejects``
     ``VACUUM TABLE t``                             in-place compaction:
                                                    one time-sorted file
                                                    per partition dir
@@ -2314,16 +2318,24 @@ def questdb_ddl(
     m = _COPY_FROM_RE.match(text)
     if m:
         # COPY t FROM '<file.csv>' [WITH HEADER true|false] [TIMESTAMP
-        # <col>] [FORMAT '<pattern>'] — QuestDB's bulk CSV import,
-        # landed through the SAME insert path as every other DML (a
-        # declared DEDUP UPSERT KEYS table dedups its import too). The
-        # declared schema types the read: HEADER true matches columns
-        # by name, false by position (the reference's own CSVs are
-        # headerless positional — sources/csv_source.py). FORMAT
-        # applies QuestDB's timestamp pattern to the designated column
-        # (bare T quoted for Spark's formatter, the same fix the
-        # scalar rewriter applies to to_timestamp). Null designated
-        # timestamps abort, QuestDB's ON ERROR ABORT default.
+        # <col>] [FORMAT '<pattern>'] [ON ERROR ABORT|SKIP_ROW] —
+        # QuestDB's bulk CSV import, landed through the SAME insert
+        # path as every other DML (a declared DEDUP UPSERT KEYS table
+        # dedups its import too). The declared schema types the read:
+        # HEADER true matches columns by name, false by position (the
+        # reference's own CSVs are headerless positional —
+        # sources/csv_source.py). FORMAT applies QuestDB's timestamp
+        # pattern to the designated column (bare T quoted for Spark's
+        # formatter, the same fix the scalar rewriter applies to
+        # to_timestamp). Error modes: ABORT (default) raises on the
+        # first row with a null/unparsable designated ts or a non-null
+        # cell the declared type refuses; SKIP_ROW lands the good rows
+        # and parks the offending RAW rows (plus a per-column
+        # reject_reason) in the <path>.__rejects side relation — the
+        # engine's quarantine discipline (pipeline.split_quarantine,
+        # reference cloud_function.py:91-95 log-and-continue) applied
+        # to bulk import. SKIP_COLUMN (null the offending cell) is
+        # refused by name.
         name, path = _ddl_table_path(m.group("table"), tables)
         schema_cols, ts_col = _ddl_declared_schema(
             spark, name, path, designated
@@ -2333,6 +2345,17 @@ def questdb_ddl(
         header = bool(hm) and hm.group(1).lower() == "true"
         tm = re.search(r"\bTIMESTAMP\s+([A-Za-z_]\w*)", opts, re.IGNORECASE)
         fmt_m = re.search(r"\bFORMAT\s+'([^']+)'", opts, re.IGNORECASE)
+        em = re.search(
+            r"\bON\s+ERROR\s+(ABORT|SKIP_ROW|SKIP_COLUMN)\b",
+            opts, re.IGNORECASE,
+        )
+        on_error = em.group(1).upper() if em else "ABORT"
+        if on_error == "SKIP_COLUMN":
+            raise QuestDBSQLError(
+                "COPY ON ERROR SKIP_COLUMN (null the offending cell) is "
+                "not supported — use SKIP_ROW (quarantine the row) or "
+                "ABORT"
+            )
         ts_target = tm.group(1) if tm else ts_col
         if ts_target != ts_col:
             raise QuestDBSQLError(
@@ -2341,14 +2364,15 @@ def questdb_ddl(
             )
         known = re.sub(
             r"\bHEADER\s+(?:true|false)\b|\bTIMESTAMP\s+[A-Za-z_]\w*"
-            r"|\bFORMAT\s+'[^']+'",
+            r"|\bFORMAT\s+'[^']+'"
+            r"|\bON\s+ERROR\s+(?:ABORT|SKIP_ROW|SKIP_COLUMN)\b",
             "", opts, flags=re.IGNORECASE,
         ).replace(",", " ").strip()
         if known:
             raise QuestDBSQLError(
                 f"unsupported COPY option(s): {known!r} (supported: "
                 "HEADER true|false, TIMESTAMP <designated col>, "
-                "FORMAT '<pattern>')"
+                "FORMAT '<pattern>', ON ERROR ABORT|SKIP_ROW)"
             )
         # Read STRINGS, then cast through the declaration — a typed CSV
         # read would silently null malformed cells per Spark's
@@ -2377,22 +2401,64 @@ def questdb_ddl(
         for n, t in schema_cols:
             if n == ts_col and fmt_m:
                 # try_to_timestamp: malformed values become NULL and hit
-                # the typed abort below, instead of an ANSI-mode Spark
-                # exception mid-scan (same outcome, named error).
+                # the typed error handling below, instead of an
+                # ANSI-mode Spark exception mid-scan (same outcome,
+                # named error).
                 fmt = fmt_m.group(1).replace("T", "'T'")
                 casts.append(
                     F.try_to_timestamp(F.col(n), F.lit(fmt)).alias(n)
                 )
             else:
-                casts.append(F.col(n).cast(t).alias(n))
-        typed = raw.select(*casts)
-        if typed.filter(F.col(ts_col).isNull()).limit(1).count():
+                casts.append(F.col(n).try_cast(t).alias(n))
+        # One frame carries the raw strings AND the typed casts so the
+        # per-cell error condition (raw present, typed null) needs no
+        # second join. A row is bad when the designated ts is
+        # null/unparsable or any non-null cell refuses its declared
+        # type — an EMPTY cell in a non-ts column is a legitimate NULL,
+        # not an error (QuestDB's CSV null), so it never quarantines.
+        declared = [n for n, _ in schema_cols]
+        both = raw.select(
+            *[F.col(n).alias(f"__raw_{n}") for n in declared], *casts
+        )
+        cell_errs = [
+            (n, F.col(n).isNull())
+            if n == ts_col
+            else (n, F.col(f"__raw_{n}").isNotNull() & F.col(n).isNull())
+            for n, _ in schema_cols
+        ]
+        bad_cond = cell_errs[0][1]
+        for _, c in cell_errs[1:]:
+            bad_cond = bad_cond | c
+        if on_error == "SKIP_ROW":
+            # Quarantine: offending rows land as their ORIGINAL strings
+            # (nothing was parseable about them — keep them replayable)
+            # plus a reject_reason naming every refusing column, in the
+            # <path>.__rejects side relation. Two filter-pruned passes
+            # over the source file, zero driver-side row handling — the
+            # split stays distributed at any import size.
+            reason = F.concat_ws(
+                ";",
+                *[
+                    F.when(c, F.lit(f"{n}: null/unparsable"))
+                    for n, c in cell_errs
+                ],
+            ).alias("reject_reason")
+            rejects = both.filter(bad_cond).select(
+                *[F.col(f"__raw_{n}").alias(n) for n in declared], reason
+            )
+            rejects.write.mode("append").parquet(path + ".__rejects")
+            good = both.filter(~bad_cond).select(*declared)
+            return _ddl_insert_land(spark, name, path, ts_col, good)
+        if both.filter(bad_cond).limit(1).count():
             raise QuestDBSQLError(
                 f"COPY INTO {name!r}: designated timestamp {ts_col!r} "
-                "is null/unparsable in at least one row (ON ERROR "
-                "ABORT, QuestDB's default)"
+                "or a declared-typed cell is null/unparsable in at "
+                "least one row (ON ERROR ABORT, QuestDB's default; "
+                "use ON ERROR SKIP_ROW to quarantine instead)"
             )
-        return _ddl_insert_land(spark, name, path, ts_col, typed)
+        return _ddl_insert_land(
+            spark, name, path, ts_col, both.select(*declared)
+        )
 
     m = _VACUUM_TABLE_RE.match(text)
     if m:

@@ -3077,3 +3077,62 @@ def test_update_from_single_touched_read(spark, tmp_path, monkeypatch):
         ).collect()
     }
     assert got == {"A": 5.0, "B": 0.0}
+
+
+def test_copy_from_on_error_skip_row(spark, tmp_path):
+    """COPY … ON ERROR SKIP_ROW: good rows land through the shared
+    insert path, offending rows (bad designated ts OR a non-null cell
+    the declared type refuses) park as their ORIGINAL strings plus a
+    per-column reject_reason in the <path>.__rejects side relation —
+    replayable after repair. An empty non-ts cell is a legitimate NULL,
+    not an error. SKIP_COLUMN refuses by name; ABORT (default) now
+    aborts on ANY bad cell, not just the designated ts."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"t": str(tmp_path / "t")}
+    ddl = lambda s: questdb_ddl(spark, s, tables)  # noqa: E731
+    ddl("CREATE TABLE t(sym SYMBOL, v INT, ts TIMESTAMP) TIMESTAMP(ts)")
+    f = tmp_path / "mixed.csv"
+    f.write_text(
+        "A,1,2024-07-01T08:00:00\n"       # good
+        "B,nope,2024-07-01T09:00:00\n"    # bad v (int refuses 'nope')
+        "C,3,not-a-time\n"                # bad designated ts
+        "D,,2024-07-02T10:00:00\n"        # empty v = NULL, good
+    )
+    dates = ddl(
+        f"COPY t FROM '{f}' FORMAT 'yyyy-MM-ddTHH:mm:ss' "
+        "ON ERROR SKIP_ROW"
+    )
+    assert dates == ["2024-07-01", "2024-07-02"]
+    got = sorted(
+        (r.sym, r.v)
+        for r in register_designated_table(spark, "t", tables["t"])
+        .collect()
+    )
+    assert got == [("A", 1), ("D", None)]
+    rejects = spark.read.parquet(tables["t"] + ".__rejects").collect()
+    parked = {r.sym: (r.v, r.ts, r.reject_reason) for r in rejects}
+    assert parked == {
+        "B": ("nope", "2024-07-01T09:00:00", "v: null/unparsable"),
+        "C": ("3", "not-a-time", "ts: null/unparsable"),
+    }
+    # ABORT (default) refuses the same file — on the non-ts bad cell
+    # too, QuestDB's abort-on-any-error contract.
+    with pytest.raises(QuestDBSQLError, match="null/unparsable"):
+        ddl(f"COPY t FROM '{f}' FORMAT 'yyyy-MM-ddTHH:mm:ss'")
+    with pytest.raises(QuestDBSQLError, match="SKIP_COLUMN"):
+        ddl(
+            f"COPY t FROM '{f}' FORMAT 'yyyy-MM-ddTHH:mm:ss' "
+            "ON ERROR SKIP_COLUMN"
+        )
+    # A second SKIP_ROW import APPENDS to the side relation.
+    f2 = tmp_path / "more.csv"
+    f2.write_text("E,x,2024-07-03T11:00:00\n")
+    ddl(
+        f"COPY t FROM '{f2}' FORMAT 'yyyy-MM-ddTHH:mm:ss' "
+        "ON ERROR SKIP_ROW"
+    )
+    assert spark.read.parquet(tables["t"] + ".__rejects").count() == 3
