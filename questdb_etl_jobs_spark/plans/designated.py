@@ -441,7 +441,19 @@ def _swap_in_place(spark, path: str, tmp_suffix: str = ".__vacuum"):
     moves to ``<path>.__old``, the rewrite takes its place, detached
     partitions optionally carry over, the old tree is deleted.
     Leftover temp/old dirs from a crashed previous attempt raise with
-    a recovery hint before any work."""
+    a recovery hint before any work.
+
+    **Reader-visible gap (single-writer contract):** between the two
+    renames the table path does not exist — a concurrent reader sees a
+    missing table, and a crash in the gap leaves the live tree at
+    ``<path>.__old`` with the rewrite still at the temp sibling.
+    Recovery is one rename back (the leftover guard on the NEXT
+    attempt raises with that hint; nothing is lost — both trees are
+    intact). VACUUM/ALTER COLUMN TYPE are therefore maintenance
+    statements: run them when no reader races the table, exactly like
+    QuestDB's checkpoint-style maintenance. The contract is stated in
+    DEPLOY.md and exercised by
+    ``tests/test_dialect.py::test_swap_gap_recovery_contract``."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())

@@ -1490,9 +1490,7 @@ def _ensure_table_meta(
     try:
         schema = spark.read.parquet(path).schema
     except Exception as exc:
-        raise QuestDBSQLError(
-            f"table {name!r} does not exist at {path}"
-        ) from exc
+        raise _missing_table_error(spark, name, path) from exc
     names = [f.name for f in schema.fields]
     ts = designated.get(name) or infer_designated_ts(names)
     if ts is None:
@@ -1618,6 +1616,26 @@ def _ddl_declared_schema(
             "write_designated_ts)"
         )
     return cols, ts
+
+
+def _missing_table_error(
+    spark: SparkSession, name: str, path: str
+) -> QuestDBSQLError:
+    """The error for a statement whose target table is absent. A
+    missing table whose ``.__old`` sibling exists is a VACUUM/ALTER
+    COLUMN TYPE swap that crashed inside its two-rename gap (DEPLOY.md
+    reader contract) — that case names the one-rename recovery instead
+    of reporting a plain missing table."""
+    from questdb_etl_jobs_spark.sources.fs import hadoop_path_exists
+
+    if hadoop_path_exists(spark, path + ".__old"):
+        return QuestDBSQLError(
+            f"table {name!r} is mid-swap: {path} is absent but the "
+            f"live tree is intact at {path}.__old (a VACUUM/ALTER "
+            "COLUMN TYPE crashed between its two commit renames) — "
+            f"recover it by renaming {path}.__old back to {path}"
+        )
+    return QuestDBSQLError(f"table {name!r} does not exist at {path}")
 
 
 def _ddl_ts_col(
@@ -2215,7 +2233,7 @@ def questdb_ddl(
         if not hadoop_path_exists(spark, path):
             if m.group("ifx"):
                 return []
-            raise QuestDBSQLError(f"table {name!r} does not exist at {path}")
+            raise _missing_table_error(spark, name, path)
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -2477,9 +2495,7 @@ def questdb_ddl(
         name, path = _ddl_table_path(m.group("table"), tables)
         ts_col = _ddl_ts_col(spark, name, path, designated)
         if ts_col is None:
-            raise QuestDBSQLError(
-                f"table {name!r} does not exist at {path}"
-            )
+            raise _missing_table_error(spark, name, path)
         return vacuum_designated(spark, path, ts_col)
 
     m = _ALTER_RENAME_COLUMN_RE.match(text)
@@ -2579,9 +2595,7 @@ def questdb_ddl(
         name, path = _ddl_table_path(m.group("table"), tables)
         ts_col = _ddl_ts_col(spark, name, path, designated)
         if ts_col is None:
-            raise QuestDBSQLError(
-                f"table {name!r} does not exist at {path}"
-            )
+            raise _missing_table_error(spark, name, path)
         dates = [
             d.strip().strip("'") for d in _split_items(m.group("list"))
         ]
@@ -2620,9 +2634,7 @@ def questdb_ddl(
         name, path = _ddl_table_path(m.group("table"), tables)
         ts_col = _ddl_ts_col(spark, name, path, designated)
         if ts_col is None:
-            raise QuestDBSQLError(
-                f"table {name!r} does not exist at {path}"
-            )
+            raise _missing_table_error(spark, name, path)
         talias = m.group("talias") or name
         srcname = m.group("src")
         salias = m.group("salias") or srcname
@@ -2684,9 +2696,7 @@ def questdb_ddl(
         name, path = _ddl_table_path(m.group("table"), tables)
         ts_col = _ddl_ts_col(spark, name, path, designated)
         if ts_col is None:
-            raise QuestDBSQLError(
-                f"table {name!r} does not exist at {path}"
-            )
+            raise _missing_table_error(spark, name, path)
         assignments: list[tuple[str, str]] = []
         for item in _split_items(m.group("sets")):
             am = re.match(

@@ -3136,3 +3136,57 @@ def test_copy_from_on_error_skip_row(spark, tmp_path):
         "ON ERROR SKIP_ROW"
     )
     assert spark.read.parquet(tables["t"] + ".__rejects").count() == 3
+
+
+def test_swap_gap_recovery_contract(spark, tmp_path):
+    """The VACUUM/retype swap's documented reader-visible gap
+    (DEPLOY.md): between the two commit renames the table path does
+    not exist. This test pins the CONTRACT around that gap — a crash
+    inside it leaves the live tree intact at <path>.__old and the
+    rewrite at the temp sibling (nothing lost, reads of the table path
+    fail loudly rather than return wrong data), one rename back
+    restores the table byte-identically, and the next attempt's
+    leftover guard names the recovery."""
+    import os
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"t": str(tmp_path / "t")}
+    ddl = lambda s: questdb_ddl(spark, s, tables)  # noqa: E731
+    ddl("CREATE TABLE t(v INT, ts TIMESTAMP) TIMESTAMP(ts)")
+    ddl(
+        "INSERT INTO t(v, ts) VALUES "
+        "(1, TIMESTAMP '2024-07-01 08:00:00'), "
+        "(2, TIMESTAMP '2024-07-02 09:00:00')"
+    )
+    before = sorted(
+        (r.v, r.ts)
+        for r in register_designated_table(spark, "t", tables["t"])
+        .collect()
+    )
+    # Simulate a crash INSIDE the gap: live already moved aside, the
+    # rewrite not yet moved in (the temp sibling stands in for it).
+    os.rename(tables["t"], tables["t"] + ".__old")
+    os.makedirs(tables["t"] + ".__vacuum")
+    # The gap is reader-VISIBLE, not reader-corrupting: the path is
+    # simply absent.
+    with pytest.raises(Exception):
+        spark.read.parquet(tables["t"]).collect()
+    # The next maintenance attempt refuses with the recovery hint
+    # instead of burying the crashed state.
+    with pytest.raises(QuestDBSQLError, match="mid-swap.*recover it"):
+        ddl("VACUUM TABLE t")
+    # Recovery = one rename back; the table is byte-identical.
+    os.rmdir(tables["t"] + ".__vacuum")
+    os.rename(tables["t"] + ".__old", tables["t"])
+    after = sorted(
+        (r.v, r.ts)
+        for r in register_designated_table(spark, "t", tables["t"])
+        .collect()
+    )
+    assert after == before
+    # And maintenance runs clean after recovery.
+    assert ddl("VACUUM TABLE t") == ["2024-07-01", "2024-07-02"]
