@@ -260,8 +260,21 @@ def register_designated_table(
     comes back as NULL for rows written before the widening — parquet
     fills explicit-schema columns absent from a file with NULLs. A
     column moved by ``ALTER TABLE … RENAME COLUMN`` reads its stored
-    (physical) name and comes back under the declared one."""
+    (physical) name and comes back under the declared one.
+
+    A table with pending merge-on-read deltas (``.updates/``) registers
+    as its MERGED face automatically — a plain read of a delta-bearing
+    table would silently return stale base rows, so every read path
+    resolves through the deltas until VACUUM folds them."""
     meta = read_table_meta(spark, path)
+    if file_format == "parquet" and pending_update_seqs(spark, path):
+        ts = (meta or {}).get("designated") or infer_designated_ts(
+            spark.read.parquet(path).columns
+        )
+        if ts is not None:
+            df = read_designated_merged(spark, path, ts)
+            df.createOrReplaceTempView(name)
+            return df
     if meta is not None and file_format == "parquet":
         df = read_declared(spark, path, meta)
     else:
@@ -336,6 +349,7 @@ def update_from_designated_ts(
     designated timestamp is not assignable, matching
     :func:`update_designated_ts`. Returns the partition dates
     rewritten."""
+    assert_no_pending_updates(spark, path, "UPDATE ... FROM")
     pcol = ts_col + PARTITION_SUFFIX
     meta = read_table_meta(spark, path)
     if meta is not None:
@@ -522,6 +536,7 @@ def alter_column_type(
     type and fail every read after ATTACH; attach or drop them first.
     Returns the partition dates rewritten.
     """
+    assert_no_pending_updates(spark, path, "ALTER COLUMN TYPE")
     meta = read_table_meta(spark, path)
     if meta is None:
         raise ValueError(
@@ -604,13 +619,29 @@ def vacuum_designated(
         return []
     tmp, commit = _swap_in_place(spark, path, tmp_suffix=".__vacuum")
     meta = read_table_meta(spark, path)
-    if meta is not None:
+    pcol = ts_col + PARTITION_SUFFIX
+    if pending_update_seqs(spark, path):
+        # Merge-on-read fold: compact THROUGH the delta face, so the
+        # vacuumed tree holds the post-update rows and the .updates
+        # sidecar dies with the old tree — VACUUM is the compaction
+        # the MoR face defers to (QuestDB's column-version reclaim,
+        # same statement).
+        df = to_stored_names(
+            read_designated_merged(spark, path, ts_col), meta
+        )
+        (
+            df.repartition(F.col(pcol))
+            .sortWithinPartitions(pcol, ts_col)
+            .write.mode("error")
+            .partitionBy(pcol)
+            .parquet(tmp)
+        )
+    elif meta is not None:
         # Declared table: compact through the DECLARED schema, not
         # footer inference — a column ADDed after early files were
         # written is absent from those footers, and an inference that
         # sampled an old footer would silently drop it from the
         # compacted output. Stored names land back in the files.
-        pcol = ts_col + PARTITION_SUFFIX
         df = to_stored_names(read_declared(spark, path, meta), meta)
         (
             df.repartition(F.col(pcol))
@@ -706,6 +737,7 @@ def upsert_designated_ts(
     because Spark cannot overwrite partitions it is concurrently reading;
     the checkpoint truncates lineage off the source files first.
     """
+    assert_no_pending_updates(spark, path, "DEDUP upsert")
     pcol = ts_col + PARTITION_SUFFIX
     batchd = batch.withColumn(pcol, F.to_date(F.col(ts_col)))
 
@@ -828,6 +860,7 @@ def drop_partitions(
     cross-partition invariant to fence). Returns the dates actually
     dropped.
     """
+    assert_no_pending_updates(spark, path, "DROP PARTITION")
     if (older_than is None) == (partition_list is None):
         raise ValueError("exactly one of older_than/partition_list required")
     existing = list_partitions(spark, path, ts_col)
@@ -887,6 +920,7 @@ def detach_partitions(
     leave earlier dates already detached).
     Returns the dates moved, in sorted order.
     """
+    assert_no_pending_updates(spark, path, "DETACH PARTITION")
     pcol = ts_col + PARTITION_SUFFIX
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
@@ -1013,6 +1047,7 @@ def update_designated_ts(
     untouched (SQL predicate semantics). Returns the partition dates
     rewritten (``[]`` when nothing matched).
     """
+    assert_no_pending_updates(spark, path, "UPDATE (copy-on-write face)")
     pcol = ts_col + PARTITION_SUFFIX
     meta = read_table_meta(spark, path)
     if meta is not None:
@@ -1243,3 +1278,281 @@ def show_columns(spark: SparkSession, path: str, ts_col: str | None = None
     return spark.createDataFrame(
         rows, "column_name string, column_type string, designated boolean"
     )
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read UPDATE face (round 15)
+# ---------------------------------------------------------------------------
+#
+# The deployed UPDATE (update_designated_ts) is copy-on-write at day
+# granularity: write amplification = day-size / matched-size. This face
+# is the industry merge-on-read answer (deletion vector + delta rows,
+# the shape QuestDB's own column versioning takes — the deployment the
+# reference provisions versions column files rather than rewriting
+# days, /root/reference/README.md:64-71): an UPDATE writes ONLY the
+# matched rows (new values + the origin row identity) into a hidden
+# ``.updates/delta_<seq>/`` sidecar; reads apply the deltas — origin
+# rows masked by a broadcast anti-join scoped to the delta-bearing
+# partitions, new versions unioned in; VACUUM folds everything back to
+# a clean tree. Row identity is Spark's file-source ``_metadata``
+# column (file_path, row_index) — stable until a rewrite, which is why
+# every rewriting operation (COW UPDATE, UPDATE…FROM, ALTER COLUMN
+# TYPE, dedup upsert, DROP/DETACH PARTITION) refuses while deltas are
+# pending: fold first (VACUUM), then rewrite. Appends are safe — new
+# files carry no deltas.
+#
+# Scale shape: UPDATE cost = one filter-pruned read of the matched
+# slice + a matched-rows-sized write (vs the COW day rewrite); read
+# cost until the next VACUUM = delta listing + a broadcast anti-join
+# over ONLY the delta-bearing partitions. Whether that trade wins is a
+# measured question (tools/sf1_differential.py --sf10-update-mor;
+# SCALE_DIFF dq198_update_mor), not folklore.
+
+UPDATES_DIR = ".updates"
+_ID_FILE, _ID_POS, _ID_SEQ = "__qdb_src_file", "__qdb_src_pos", "__qdb_seq"
+
+
+def pending_update_seqs(spark: SparkSession, path: str) -> list[int]:
+    """Sorted sequence numbers of COMMITTED merge-on-read deltas under
+    ``<path>/.updates/`` (a delta dir without its ``_SUCCESS`` marker is
+    a crashed write — invisible to reads, superseded by seq allocation,
+    reclaimed by VACUUM)."""
+    jvm = spark._jvm
+    upath = jvm.org.apache.hadoop.fs.Path(f"{path}/{UPDATES_DIR}")
+    fs = upath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(upath):
+        return []
+    seqs = []
+    for status in fs.listStatus(upath):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("delta_"):
+            try:
+                seq = int(name[len("delta_"):])
+            except ValueError:
+                continue
+            if fs.exists(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{path}/{UPDATES_DIR}/{name}/_SUCCESS"
+                )
+            ):
+                seqs.append(seq)
+    return sorted(seqs)
+
+
+def _all_update_seqs(spark: SparkSession, path: str) -> list[int]:
+    """Every allocated delta seq, committed or crashed — the allocator
+    must never reuse a crashed write's number."""
+    jvm = spark._jvm
+    upath = jvm.org.apache.hadoop.fs.Path(f"{path}/{UPDATES_DIR}")
+    fs = upath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(upath):
+        return []
+    out = []
+    for status in fs.listStatus(upath):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("delta_"):
+            try:
+                out.append(int(name[len("delta_"):]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def assert_no_pending_updates(
+    spark: SparkSession, path: str, op: str
+) -> None:
+    """Rewriting operations refuse while merge-on-read deltas are
+    pending: a rewrite changes file paths, and the deltas key their
+    origin rows by (file, row) — folding first (VACUUM TABLE) is the
+    contract, dangling deltas are never silently dropped."""
+    seqs = pending_update_seqs(spark, path)
+    if seqs:
+        raise ValueError(
+            f"{op} refuses: {len(seqs)} pending merge-on-read delta(s) "
+            f"under {path}/{UPDATES_DIR} key rows by (file, row) and a "
+            "rewrite would orphan them — run VACUUM TABLE to fold the "
+            "deltas first"
+        )
+
+
+def _base_with_identity(
+    spark: SparkSession, path: str, ts_col: str
+) -> DataFrame:
+    """The base table in declared column space plus the file-source row
+    identity (``_metadata.file_path``, ``_metadata.row_index``) — read
+    in the SAME scan projection, no extra pass."""
+    pcol = ts_col + PARTITION_SUFFIX
+    meta = read_table_meta(spark, path)
+    if meta is not None:
+        fields = ", ".join(
+            f"{stored_name(c)} {c['spark_type']}" for c in meta["columns"]
+        )
+        df = spark.read.schema(f"{fields}, {pcol} date").parquet(path)
+        sel = [
+            F.col(stored_name(c)).alias(c["name"]) for c in meta["columns"]
+        ]
+    else:
+        df = spark.read.parquet(path)
+        sel = [F.col(c) for c in df.columns if c != pcol]
+    return df.select(
+        *sel,
+        F.col(pcol),
+        F.col("_metadata.file_path").alias(_ID_FILE),
+        F.col("_metadata.row_index").alias(_ID_POS),
+    )
+
+
+def _deltas_latest(
+    spark: SparkSession, path: str, ts_col: str
+) -> DataFrame | None:
+    """Latest committed delta version per origin row, in declared column
+    space, materialized once (deltas are matched-rows-sized by
+    construction; pinning them here keeps the merge plan from re-running
+    the versioning window per action)."""
+    from pyspark.sql import Window
+
+    seqs = pending_update_seqs(spark, path)
+    if not seqs:
+        return None
+    pcol = ts_col + PARTITION_SUFFIX
+    meta = read_table_meta(spark, path)
+    if meta is not None:
+        cols = meta_column_tuples(meta)
+        fields = ", ".join(f"{s} {t}" for _, t, _, s in cols)
+        schema = (
+            f"{fields}, {pcol} date, {_ID_FILE} string, "
+            f"{_ID_POS} long, {_ID_SEQ} int"
+        )
+        reader = spark.read.schema(schema)
+        sel = [F.col(s).alias(n) for n, _, _, s in cols]
+    else:
+        reader = spark.read
+        sel = None
+    df = reader.parquet(
+        *[f"{path}/{UPDATES_DIR}/delta_{s}" for s in seqs]
+    )
+    if sel is not None:
+        df = df.select(*sel, pcol, _ID_FILE, _ID_POS, _ID_SEQ)
+    w = Window.partitionBy(_ID_FILE, _ID_POS).orderBy(F.desc(_ID_SEQ))
+    latest = (
+        df.withColumn("__qdb_rn", F.row_number().over(w))
+        .filter(F.col("__qdb_rn") == 1)
+        .drop("__qdb_rn", _ID_SEQ)
+    )
+    return latest.localCheckpoint(eager=True)
+
+
+def _merged_with_identity(
+    spark: SparkSession, path: str, ts_col: str
+) -> DataFrame:
+    """The merge-on-read face WITH row identity: base rows not
+    superseded keep their own (file, pos); delta rows carry their
+    ORIGIN identity forward, so a second UPDATE over already-updated
+    rows supersedes by the same key. Partitions bearing no delta pass
+    through untouched (no join); the tombstone side is broadcast — it
+    is matched-rows-sized by construction."""
+    base = _base_with_identity(spark, path, ts_col)
+    latest = _deltas_latest(spark, path, ts_col)
+    if latest is None:
+        return base
+    pcol = ts_col + PARTITION_SUFFIX
+    delta_dates = [
+        r[0] for r in latest.select(pcol).distinct().collect()
+    ]
+    untouched = base.filter(~F.col(pcol).isin(delta_dates))
+    masked = base.filter(F.col(pcol).isin(delta_dates)).join(
+        F.broadcast(latest.select(_ID_FILE, _ID_POS)),
+        [_ID_FILE, _ID_POS],
+        "left_anti",
+    )
+    return untouched.unionByName(masked).unionByName(latest)
+
+
+def read_designated_merged(
+    spark: SparkSession, path: str, ts_col: str
+) -> DataFrame:
+    """User-facing merge-on-read read: the table as of all committed
+    deltas, identity columns dropped. With no pending deltas this is
+    exactly the plain declared read — zero overhead."""
+    if not pending_update_seqs(spark, path):
+        meta = read_table_meta(spark, path)
+        if meta is not None:
+            return read_declared(spark, path, meta)
+        return spark.read.parquet(path)
+    return _merged_with_identity(spark, path, ts_col).drop(
+        _ID_FILE, _ID_POS
+    )
+
+
+def update_designated_mor(
+    spark: SparkSession,
+    path: str,
+    ts_col: str,
+    assignments: list[tuple[str, str]],
+    where: str | None = None,
+) -> list[str]:
+    """Merge-on-read ``UPDATE t SET col = expr, … [WHERE pred]``: ONE
+    filter-pruned read of the matched slice through the current merge
+    face, a matched-rows-sized delta write, zero base bytes rewritten.
+    The designated timestamp is not assignable (it keys the layout,
+    same contract as the COW face). Returns the partition dates the
+    delta touches (read back from the delta itself — matched-rows-
+    sized, not a second base scan)."""
+    pcol = ts_col + PARTITION_SUFFIX
+    meta = read_table_meta(spark, path)
+    merged = _merged_with_identity(spark, path, ts_col)
+    declared = [
+        c for c in merged.columns
+        if c not in (pcol, _ID_FILE, _ID_POS)
+    ]
+    types = dict(
+        (c["name"], c["spark_type"]) for c in meta["columns"]
+    ) if meta is not None else {
+        f.name: f.dataType.simpleString()
+        for f in merged.schema.fields
+        if f.name in set(declared)
+    }
+    assigned = dict(assignments)
+    for col in assigned:
+        if col == ts_col:
+            raise ValueError(
+                f"UPDATE cannot assign the designated timestamp "
+                f"{ts_col!r} (QuestDB refuses; it also keys the "
+                "partition layout here)"
+            )
+        if col not in types or col == pcol:
+            raise ValueError(
+                f"UPDATE target column {col!r} does not exist "
+                f"(columns: {declared})"
+            )
+    matched = merged.filter(F.expr(where)) if where else merged
+    seq = (_all_update_seqs(spark, path) or [0])[-1] + 1
+    new_rows = matched.select(
+        *[
+            (
+                F.expr(assigned[c]).cast(types[c]).alias(c)
+                if c in assigned
+                else F.col(c)
+            )
+            for c in declared
+        ],
+        F.col(pcol),
+        F.col(_ID_FILE),
+        F.col(_ID_POS),
+        F.lit(seq).cast("int").alias(_ID_SEQ),
+    )
+    out = f"{path}/{UPDATES_DIR}/delta_{seq}"
+    to_stored_names(
+        new_rows, meta
+    ).write.mode("error").parquet(out)
+    dates = sorted(
+        str(r[0])
+        for r in spark.read.parquet(out).select(pcol).distinct().collect()
+    )
+    if not dates:
+        # Empty match: drop the empty delta rather than leaving a
+        # zero-row dir every read must list and merge against.
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(out)
+        p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+    return dates

@@ -209,7 +209,12 @@ _PRIORITY: tuple[str, ...] = (
     "q80_decontaminate",          # EXT composite
     "q86_metadata_source_gate",   # S7
     # Heavier composites last inside the 50-query window:
-    "q47_near_dup_minhash_lsh",   # EXT dedup (LSH)
+    # Round-15 rotation #13: q47 ceded its slot (driver rows since the
+    # early rounds) — EXT dedup stays via q46, U4 via q80/q167, A1/J1
+    # plentiful — so the merge-on-read UPDATE face (delta write +
+    # merged read + fold, shipped THIS round) gets its driver row in
+    # the round it shipped.
+    "q208_update_merge_on_read",  # S6 O3 EXT (MoR UPDATE face)
     "q56_embedding_near_dup",     # EXT similarity
     # Round-15 rotation #12: q57 ceded its slot (driver rows since the
     # early rounds) — EXT dedup stays via q46/q47, U4 via q80/q167/q47,

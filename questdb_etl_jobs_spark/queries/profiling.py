@@ -4640,3 +4640,105 @@ def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "event_id long, value double, ts timestamp, n_rejects long",
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q208 — merge-on-read UPDATE face: delta write + merged read (round 15)
+# ---------------------------------------------------------------------------
+#
+# The deletion-vector answer to dq198's copy-on-write day rewrite
+# (VERDICT r14 task #2): UPDATE writes ONLY the matched rows into a
+# hidden .updates/ sidecar keyed by the file-source row identity; reads
+# resolve through the deltas (stale base rows masked by a broadcast
+# anti-join scoped to delta-bearing partitions); VACUUM folds. The face
+# is exercised end to end over real data — two stacked updates (the
+# second supersedes a subset of the first by origin identity), the
+# merged read is the returned frame, and the in-face assertions prove
+# zero base files were rewritten and that the VACUUM fold lands the
+# identical relation. Oracle: DuckDB recomputes the post-update values
+# relationally from the same parquet.
+
+_Q208_ORACLE = """
+SELECT event_id,
+       CASE WHEN user_id % 20 = 3 THEN (value * 2 + 1) + 100
+            WHEN user_id % 10 = 3 THEN value * 2 + 1
+            ELSE value END AS value,
+       ts
+FROM events
+WHERE event_id % 13 = 0
+ORDER BY event_id
+"""
+
+
+@dq("q208_update_merge_on_read", oracle=_Q208_ORACLE, covers="S6,O3,EXT")
+def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        pending_update_seqs,
+        read_designated_merged,
+        update_designated_mor,
+        write_designated_ts,
+    )
+    from questdb_etl_jobs_spark.sql import questdb_ddl
+
+    work = tempfile.mkdtemp(prefix="q208_mor_")
+    try:
+        tbl = f"{work}/ev"
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 13 == 0)
+            .select("event_id", "user_id", "value", "ts")
+        )
+        write_designated_ts(ev, tbl, "ts", mode="overwrite")
+
+        def base_files():
+            out = []
+            for root, _dirs, files in os.walk(tbl):
+                if ".updates" in root:
+                    continue
+                out.extend(
+                    sorted(
+                        f for f in files if f.endswith(".parquet")
+                    )
+                )
+            return sorted(out)
+
+        before = base_files()
+        update_designated_mor(
+            spark, tbl, "ts", [("value", "value * 2 + 1")],
+            "user_id % 10 = 3",
+        )
+        update_designated_mor(
+            spark, tbl, "ts", [("value", "value + 100")],
+            "user_id % 20 = 3",
+        )
+        assert base_files() == before, "MoR rewrote base files"
+        assert pending_update_seqs(spark, tbl) == [1, 2]
+        rows = [
+            (r.event_id, r.value, r.ts)
+            for r in read_designated_merged(spark, tbl, "ts")
+            .select("event_id", "value", "ts")
+            .orderBy("event_id")
+            .collect()
+        ]
+        # The fold is part of the face's contract: VACUUM lands the
+        # identical relation in a clean tree.
+        tables = {"ev": tbl}
+        questdb_ddl(spark, "VACUUM TABLE ev", tables)
+        assert pending_update_seqs(spark, tbl) == []
+        folded = [
+            (r.event_id, r.value, r.ts)
+            for r in read_designated_merged(spark, tbl, "ts")
+            .select("event_id", "value", "ts")
+            .orderBy("event_id")
+            .collect()
+        ]
+        assert folded == rows, "VACUUM fold changed the relation"
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_id long, value double, ts timestamp"
+    ).orderBy("event_id")

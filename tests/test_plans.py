@@ -11,6 +11,7 @@ from __future__ import annotations
 import re
 from datetime import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from questdb_etl_jobs_spark.plans.designated import (
@@ -733,3 +734,182 @@ def test_latest_on_prune_strategy_plan(spark):
     assert "Window" in tree, plan
     assert tree.index("Window") < tree.index("BroadcastHashJoin"), tree
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read UPDATE face (round 15)
+# ---------------------------------------------------------------------------
+
+
+def _mor_table(spark, tmp_path, name="m"):
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {name: str(tmp_path / name)}
+    questdb_ddl(
+        spark,
+        f"CREATE TABLE {name}(sym SYMBOL, v DOUBLE, ts TIMESTAMP) "
+        "TIMESTAMP(ts)",
+        tables,
+    )
+    questdb_ddl(
+        spark,
+        f"INSERT INTO {name}(sym, v, ts) VALUES "
+        "('A', 1.0, TIMESTAMP '2024-06-01 10:00:00'), "
+        "('B', 2.0, TIMESTAMP '2024-06-01 11:00:00'), "
+        "('C', 3.0, TIMESTAMP '2024-06-02 10:00:00'), "
+        "('D', 4.0, TIMESTAMP '2024-06-03 10:00:00')",
+        tables,
+    )
+    return tables
+
+
+def test_mor_update_basic_and_stacking(spark, tmp_path):
+    """update_designated_mor writes a matched-rows-sized delta and zero
+    base bytes; reads resolve through the deltas (register auto-merges);
+    a second UPDATE over an already-updated row supersedes by origin
+    identity; VACUUM folds everything back to a clean tree."""
+    import os
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        pending_update_seqs,
+        read_designated_merged,
+        register_designated_table,
+        update_designated_mor,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = _mor_table(spark, tmp_path)
+    path = tables["m"]
+
+    def base_files():
+        out = []
+        for root, _dirs, files in os.walk(path):
+            if ".updates" in root:
+                continue
+            out.extend(
+                sorted(
+                    (os.path.join(root, f), os.path.getmtime(os.path.join(root, f)))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+            )
+        return sorted(out)
+
+    before = base_files()
+    touched = update_designated_mor(
+        spark, path, "ts", [("v", "v * 10")], "sym IN ('A', 'C')"
+    )
+    assert touched == ["2024-06-01", "2024-06-02"]
+    assert base_files() == before  # zero base bytes rewritten
+    assert pending_update_seqs(spark, path) == [1]
+    got = {
+        r.sym: r.v
+        for r in read_designated_merged(spark, path, "ts").collect()
+    }
+    assert got == {"A": 10.0, "B": 2.0, "C": 30.0, "D": 4.0}
+    # register auto-merges: the dialect SELECT sees the deltas.
+    reg = {
+        r.sym: r.v
+        for r in register_designated_table(spark, "m", path).collect()
+    }
+    assert reg == got
+    # Stacking: update an already-updated row — latest seq wins.
+    update_designated_mor(
+        spark, path, "ts", [("v", "v + 0.5")], "sym = 'A'"
+    )
+    got2 = {
+        r.sym: r.v
+        for r in read_designated_merged(spark, path, "ts").collect()
+    }
+    assert got2 == {"A": 10.5, "B": 2.0, "C": 30.0, "D": 4.0}
+    assert pending_update_seqs(spark, path) == [1, 2]
+    # Empty match: no delta left behind.
+    update_designated_mor(
+        spark, path, "ts", [("v", "0.0")], "sym = 'ZZZ'"
+    )
+    assert pending_update_seqs(spark, path) == [1, 2]
+    # VACUUM folds: clean tree, same rows, no pending deltas.
+    assert questdb_ddl(spark, "VACUUM TABLE m", tables) == [
+        "2024-06-01", "2024-06-02", "2024-06-03",
+    ]
+    assert pending_update_seqs(spark, path) == []
+    assert not os.path.exists(os.path.join(path, ".updates"))
+    folded = {
+        r.sym: r.v
+        for r in register_designated_table(spark, "m", path).collect()
+    }
+    assert folded == got2
+
+
+def test_mor_appends_safe_rewrites_guarded(spark, tmp_path):
+    """Appends compose with pending deltas (new files carry none); every
+    REWRITING operation refuses while deltas are pending — fold first —
+    and the designated ts stays unassignable on this face too."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        update_designated_mor,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = _mor_table(spark, tmp_path)
+    path = tables["m"]
+    update_designated_mor(
+        spark, path, "ts", [("v", "v * 10")], "sym = 'A'"
+    )
+    # Append lands and reads merged alongside the delta.
+    questdb_ddl(
+        spark,
+        "INSERT INTO m(sym, v, ts) VALUES "
+        "('E', 5.0, TIMESTAMP '2024-06-01 12:00:00')",
+        tables,
+    )
+    from questdb_etl_jobs_spark.plans.designated import (
+        read_designated_merged,
+    )
+
+    got = {
+        r.sym: r.v
+        for r in read_designated_merged(spark, path, "ts").collect()
+    }
+    assert got == {"A": 10.0, "B": 2.0, "C": 3.0, "D": 4.0, "E": 5.0}
+    # Rewriting ops refuse with the fold-first contract.
+    for stmt in (
+        "UPDATE m SET v = 0.0 WHERE sym = 'B'",
+        "ALTER TABLE m ALTER COLUMN v TYPE FLOAT",
+        "ALTER TABLE m DROP PARTITION LIST '2024-06-03'",
+        "ALTER TABLE m DETACH PARTITION LIST '2024-06-03'",
+    ):
+        with pytest.raises(Exception, match="pending merge-on-read"):
+            questdb_ddl(spark, stmt, tables)
+    with pytest.raises(ValueError, match="designated timestamp"):
+        update_designated_mor(
+            spark, path, "ts",
+            [("ts", "TIMESTAMP '2024-01-01 00:00:00'")], None,
+        )
+    with pytest.raises(ValueError, match="does not exist"):
+        update_designated_mor(spark, path, "ts", [("ghost", "1")], None)
+    # After the fold, the COW face runs again.
+    questdb_ddl(spark, "VACUUM TABLE m", tables)
+    assert questdb_ddl(
+        spark, "UPDATE m SET v = 0.0 WHERE sym = 'B'", tables
+    ) == ["2024-06-01"]
+
+
+def test_mor_merge_plan_scopes_to_delta_partitions(spark, tmp_path):
+    """The merge face's scale contract: partitions bearing no delta pass
+    through with NO join (plain scan branch), and the tombstone side is
+    broadcast — matched-rows-sized by construction, never a shuffle of
+    the base."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        read_designated_merged,
+        update_designated_mor,
+    )
+
+    tables = _mor_table(spark, tmp_path)
+    path = tables["m"]
+    update_designated_mor(
+        spark, path, "ts", [("v", "v * 10")], "sym = 'A'"
+    )
+    merged = read_designated_merged(spark, path, "ts")
+    plan = plan_string(merged, "formatted")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
