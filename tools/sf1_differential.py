@@ -1378,6 +1378,446 @@ def _update_sf10(spark, results: dict) -> None:
     _refit(results["dq198_update"])
 
 
+def _update_mor_tier_cell(spark, tier_key: str, factor: int) -> dict:
+    """One SELECTIVE-UPDATE scale cell comparing the two Spark UPDATE
+    faces (round-15 VERDICT task #2) against DuckDB's native UPDATE.
+
+    The statement is the merge-on-read lever case: ``UPDATE ev SET
+    value = value + 1.0 WHERE <one day> AND user_id % 97 = 7`` — ~1% of
+    one day matched, so the COW face's write amplification is
+    day-size/matched-size ≈ 97× while the MoR face writes exactly the
+    matched rows into a delta sidecar. THREE faces timed interleaved on
+    one boot (warmup + ROUNDS, best-of): MoR (update_designated_mor on
+    its own table copy), COW (the deployed dialect UPDATE on a second
+    copy), DuckDB durable native UPDATE + CHECKPOINT (plus the
+    in-memory secondary face). MoR deltas are NOT folded between
+    rounds — the per-round series shows the realistic stacking cost
+    (round k updates through k-1 pending deltas).
+
+    The trade's other half is measured in the same cell: after the last
+    round the merged READ (all pending deltas applied) and the clean
+    COW read run the same full-table aggregate back-to-back
+    (read_merged_sec vs read_clean_sec — the read tax every query pays
+    until VACUUM), and one fold is timed (fold_sec). Crosscheck before
+    any verdict: after equal rounds the MoR merged face and the COW
+    table agree tuple-for-tuple on an event_id stratum (exact double
+    equality — identical per-row operations)."""
+    import datetime as _dtm
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        list_partitions,
+        read_designated_merged,
+        register_designated_table,
+        update_designated_mor,
+        write_designated_ts,
+    )
+    from questdb_etl_jobs_spark.sources.tables import load_table
+    from questdb_etl_jobs_spark.sql import questdb_ddl
+    from tools.stress_scale import synthesize_events_only
+
+    sf_dir = TIERS[tier_key][0]
+    t0 = time.perf_counter()
+    synthesize_events_only(spark, sf_dir, factor=factor, mult=1024)
+    synth = round(time.perf_counter() - t0, 1)
+    print(f"# {tier_key} events synthesis: {synth}s", file=sys.stderr)
+
+    tbl_mor = f"{sf_dir}/upd_mor_table"
+    tbl_cow = f"{sf_dir}/upd_cow_table"
+    t0 = time.perf_counter()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "ts"
+    )
+    for tbl in (tbl_mor, tbl_cow):
+        shutil.rmtree(tbl, ignore_errors=True)
+        write_designated_ts(ev, tbl, "ts", mode="overwrite")
+    build = round(time.perf_counter() - t0, 1)
+    print(f"# designated table builds (×2): {build}s", file=sys.stderr)
+
+    dates = list_partitions(spark, tbl_mor, "ts")
+    day = dates[len(dates) // 2]
+    nxt = str(_dtm.date.fromisoformat(day) + _dtm.timedelta(days=1))
+    mor_where = (
+        f"ts >= TIMESTAMP '{day} 00:00:00' "
+        f"AND ts < TIMESTAMP '{nxt} 00:00:00' "
+        f"AND ts_pdate >= DATE '{day}' AND ts_pdate <= DATE '{nxt}' "
+        "AND user_id % 97 = 7"
+    )
+    cow_sql = (
+        "UPDATE ev SET value = value + 1.0 "
+        f"WHERE ts IN '{day}' AND user_id % 97 = 7"
+    )
+    duck_sql = (
+        "UPDATE ev SET value = value + 1.0 "
+        f"WHERE ts >= TIMESTAMP '{day} 00:00:00' "
+        f"AND ts < TIMESTAMP '{nxt} 00:00:00' AND user_id % 97 = 7"
+    )
+
+    import duckdb as _duckdb
+
+    dbfile = f"{sf_dir}/upd_mor_duck.db"
+    for leftover in (dbfile, dbfile + ".wal"):
+        if os.path.exists(leftover):
+            os.remove(leftover)
+    con = _duckdb.connect(dbfile)
+    src_glob = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src_glob):
+        src_glob = f"{src_glob}/**/*.parquet"
+    con.execute(
+        "CREATE TABLE ev AS SELECT event_id, user_id, value, ts "
+        f"FROM read_parquet('{src_glob}')"
+    )
+    con.execute("CHECKPOINT")
+    con_mem = _duckdb.connect()
+    con_mem.execute(
+        "CREATE TABLE ev AS SELECT event_id, user_id, value, ts "
+        f"FROM read_parquet('{src_glob}')"
+    )
+
+    mor_runs, cow_runs, d_runs, m_runs = [], [], [], []
+    for rnd in range(ROUNDS + 1):
+        t0 = time.perf_counter()
+        touched = update_designated_mor(
+            spark, tbl_mor, "ts", [("value", "value + 1.0")], mor_where
+        )
+        mor_sec = time.perf_counter() - t0
+        assert touched == [day], touched
+        t0 = time.perf_counter()
+        touched = questdb_ddl(spark, cow_sql, {"ev": tbl_cow})
+        cow_sec = time.perf_counter() - t0
+        assert touched == [day], touched
+        t0 = time.perf_counter()
+        con.execute(duck_sql)
+        con.execute("CHECKPOINT")
+        d_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        con_mem.execute(duck_sql)
+        m_sec = time.perf_counter() - t0
+        if rnd > 0:
+            mor_runs.append(round(mor_sec, 4))
+            cow_runs.append(round(cow_sec, 4))
+            d_runs.append(round(d_sec, 4))
+            m_runs.append(round(m_sec, 4))
+        print(
+            f"# update-mor {tier_key} round {rnd} done "
+            f"(mor={mor_sec:.2f}s cow={cow_sec:.2f}s duck={d_sec:.2f}s)",
+            file=sys.stderr,
+        )
+
+    # Crosscheck BEFORE any verdict: MoR merged face vs COW table,
+    # tuple-for-tuple on the stratum (same +1.0 applied the same number
+    # of times to the same parquet doubles — exact equality), plus the
+    # DuckDB face on the same stratum.
+    merged = read_designated_merged(spark, tbl_mor, "ts")
+    mor_rows = sorted(
+        (int(r.event_id), float(r.value))
+        for r in merged.filter(
+            (F.col("ts") >= F.lit(f"{day} 00:00:00"))
+            & (F.col("ts") < F.lit(f"{nxt} 00:00:00"))
+            & (F.col("event_id") % 9973 == 0)
+        ).select("event_id", "value").collect()
+    )
+    cow_reg = register_designated_table(spark, "ev_cow", tbl_cow)
+    cow_rows = sorted(
+        (int(r.event_id), float(r.value))
+        for r in cow_reg.filter(
+            (F.col("ts") >= F.lit(f"{day} 00:00:00"))
+            & (F.col("ts") < F.lit(f"{nxt} 00:00:00"))
+            & (F.col("event_id") % 9973 == 0)
+        ).select("event_id", "value").collect()
+    )
+    d_rows = sorted(
+        (int(a), float(b))
+        for a, b in con.execute(
+            "SELECT event_id, value FROM ev "
+            f"WHERE ts >= TIMESTAMP '{day} 00:00:00' "
+            f"AND ts < TIMESTAMP '{nxt} 00:00:00' "
+            "AND event_id % 9973 = 0"
+        ).fetchall()
+    )
+    assert mor_rows == cow_rows == d_rows and mor_rows, (
+        f"update-mor stratum mismatch: mor={len(mor_rows)} "
+        f"cow={len(cow_rows)} duck={len(d_rows)}"
+    )
+    matched_rows = con.execute(
+        "SELECT count(*) FROM ev "
+        f"WHERE ts >= TIMESTAMP '{day} 00:00:00' "
+        f"AND ts < TIMESTAMP '{nxt} 00:00:00' AND user_id % 97 = 7"
+    ).fetchone()[0]
+    day_rows = con.execute(
+        "SELECT count(*) FROM ev "
+        f"WHERE ts >= TIMESTAMP '{day} 00:00:00' "
+        f"AND ts < TIMESTAMP '{nxt} 00:00:00'"
+    ).fetchone()[0]
+    total_rows = con.execute("SELECT count(*) FROM ev").fetchone()[0]
+    con.close()
+    con_mem.close()
+    for leftover in (dbfile, dbfile + ".wal"):
+        if os.path.exists(leftover):
+            os.remove(leftover)
+
+    # Read tax: the same full-table aggregate through the merged face
+    # (ROUNDS+1 pending deltas — the realistic pre-fold state) vs the
+    # clean COW table, best-of-ROUNDS back-to-back.
+    from questdb_etl_jobs_spark.plans.designated import (
+        pending_update_seqs,
+    )
+
+    n_pending = len(pending_update_seqs(spark, tbl_mor))
+    read_merged_best = read_clean_best = float("inf")
+    for _ in range(ROUNDS):
+        t0 = time.perf_counter()
+        read_designated_merged(spark, tbl_mor, "ts").agg(
+            F.count("*"), F.sum("value")
+        ).collect()
+        read_merged_best = min(
+            read_merged_best, time.perf_counter() - t0
+        )
+        t0 = time.perf_counter()
+        cow_reg.agg(F.count("*"), F.sum("value")).collect()
+        read_clean_best = min(read_clean_best, time.perf_counter() - t0)
+
+    # One fold, timed: VACUUM folds the deltas and retires the sidecar.
+    t0 = time.perf_counter()
+    questdb_ddl(spark, "VACUUM TABLE ev", {"ev": tbl_mor})
+    fold_sec = round(time.perf_counter() - t0, 3)
+    assert pending_update_seqs(spark, tbl_mor) == []
+
+    mor_best, cow_best = min(mor_runs), min(cow_runs)
+    d_best, m_best = min(d_runs), min(m_runs)
+    cell = {
+        "spark_sec": mor_best,
+        "duckdb_sec": d_best,
+        "ratio": round(mor_best / d_best, 2),
+        "spark_cow_sec": cow_best,
+        "cow_ratio": round(cow_best / d_best, 2),
+        "mor_vs_cow_speedup": round(cow_best / mor_best, 2),
+        "matched_rows": int(matched_rows),
+        "day_rows": int(day_rows),
+        "total_rows": int(total_rows),
+        "write_amp_cow_vs_mor": round(day_rows / max(matched_rows, 1), 1),
+        "spark_runs": mor_runs,
+        "spark_cow_runs": cow_runs,
+        "duckdb_runs": d_runs,
+        "duckdb_inmem_sec": m_best,
+        "duckdb_inmem_runs": m_runs,
+        "read_merged_sec": round(read_merged_best, 4),
+        "read_clean_sec": round(read_clean_best, 4),
+        "read_tax_ratio": round(read_merged_best / read_clean_best, 2),
+        "pending_deltas_at_read": n_pending,
+        "fold_sec": fold_sec,
+        "faces": (
+            "spark_sec = merge-on-read delta write (deltas stack across "
+            "rounds, series shows the trend); spark_cow_sec = deployed "
+            "partition-scoped copy-on-write day rewrite; duckdb_sec = "
+            "durable native UPDATE + CHECKPOINT"
+        ),
+        "stratum_crosscheck": True,
+        "synth_sec": synth,
+        "table_build_sec": build,
+    }
+    print(
+        f"update-mor {tier_key}  mor={mor_best:.3f}s cow={cow_best:.3f}s "
+        f"duckdb(durable)={d_best:.3f}s matched={matched_rows} "
+        f"day={day_rows} read_tax={cell['read_tax_ratio']}x "
+        f"fold={fold_sec}s",
+        file=sys.stderr,
+    )
+    return cell
+
+
+def _update_mor_sf10(spark, results: dict) -> None:
+    """Both selective-UPDATE tier cells (sf10-events 10M rows,
+    sf100-events 100M rows) for the merge-on-read face, with the
+    two-largest-tiers marginal fit over the MoR numbers — the COW face
+    on the SAME selective statement rides in every cell, so the
+    deployment decision (BENCH.md) reads directly from the artifact."""
+    results.setdefault("dq198_update_mor", {})
+    results["dq198_update_mor"]["sf10_events"] = _update_mor_tier_cell(
+        spark, "sf10_events", 100
+    )
+    results["dq198_update_mor"]["sf100_events"] = _update_mor_tier_cell(
+        spark, "sf100_events", 1000
+    )
+    _refit(results["dq198_update_mor"])
+
+
+def _stream_topk_sf10(spark, results: dict) -> None:
+    """First STREAMING tier cell (round-15 VERDICT task #3): the
+    per-key top-k leaderboard (q176's operator,
+    streaming/topk_stream.topk_per_key_stream) replayed over a
+    10×-volume arrival sequence cut from the sf10-events tier — real
+    scale evidence for the bounded-state contract that so far rested on
+    unit tests of the state size.
+
+    Shape: the tier's replay stratum (user_id % 7 = 0, ~10% of keys —
+    the same stratum every streaming replay gate uses) in global
+    (ts, event_id) order, cut into CHUNKS files replayed
+    one-per-trigger. Recorded per batch, from the engine's own
+    StreamingQuery progress: input rows, trigger latency, and the state
+    store's row count. Bounded-state evidence: state rows equal the
+    distinct keys seen so far at EVERY batch (one applyInPandasWithState
+    row per key, each holding exactly k (id, value) pairs + 2 counters
+    — topk_stream.py's stated contract), so state is O(keys × k) and
+    independent of stream volume: the final batch absorbs the same
+    state footprint as the first. Correctness at the tier: the final
+    emission per key must match a CPython top-k recomputation over the
+    whole stratum VALUE-exactly (the q176 oracle protocol, run at this
+    tier's volume)."""
+    import math
+    import shutil
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from questdb_etl_jobs_spark.streaming.topk_stream import (
+        topk_per_key_stream,
+    )
+    from tools.stress_scale import synthesize_events_only
+
+    tier_key, factor, k, chunks_n = "sf10_events", 100, 3, 10
+    sf_dir = TIERS[tier_key][0]
+    t0 = time.perf_counter()
+    synthesize_events_only(spark, sf_dir, factor=factor, mult=1024)
+    synth = round(time.perf_counter() - t0, 1)
+
+    src_glob = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src_glob):
+        src_glob = f"{src_glob}/**/*.parquet"
+    tbl = duckdb.sql(
+        "SELECT user_id, event_id, ts, value "
+        f"FROM read_parquet('{src_glob}') "
+        "WHERE user_id % 7 = 0 ORDER BY ts, event_id"
+    ).arrow()
+    n_rows = tbl.num_rows
+    print(f"# stream-topk stratum: {n_rows} rows", file=sys.stderr)
+
+    work = tempfile.mkdtemp(prefix="stream_topk_sf10_")
+    try:
+        src = f"{work}/src"
+        os.makedirs(src)
+        per = max(1, math.ceil(n_rows / chunks_n))
+        for i in range(chunks_n):
+            chunk = tbl.slice(i * per, per)
+            if chunk.num_rows == 0:
+                break
+            dst = f"{src}/chunk_{i:03d}.parquet"
+            pq.write_table(chunk, dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.schema(
+                "user_id bigint, event_id bigint, ts timestamp, "
+                "value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.perf_counter()
+        q = (
+            topk_per_key_stream(stream, "user_id", "value", "event_id", k)
+            .writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(1800)
+        wall = round(time.perf_counter() - t0, 2)
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        batches = [
+            {
+                "input_rows": int(p["numInputRows"]),
+                "trigger_ms": int(p["durationMs"]["triggerExecution"]),
+                "state_rows": int(p["stateOperators"][0]["numRowsTotal"]),
+            }
+            for p in progress
+        ]
+
+        # Bounded-state evidence + tier-volume oracle, both from the
+        # same stratum table the stream consumed.
+        by_key: dict[int, list[tuple[float, int]]] = {}
+        counts: dict[int, int] = {}
+        for uid, eid, val in zip(
+            tbl["user_id"].to_pylist(),
+            tbl["event_id"].to_pylist(),
+            tbl["value"].to_pylist(),
+        ):
+            if val is not None:
+                by_key.setdefault(uid, []).append((float(val), eid))
+            counts[uid] = counts.get(uid, 0) + 1
+        n_keys = len(counts)
+        assert batches, "no recorded streaming progress"
+        assert all(b["state_rows"] <= n_keys for b in batches), batches
+        assert batches[-1]["state_rows"] == n_keys, (
+            batches[-1], n_keys,
+        )
+        assert all(
+            a["state_rows"] <= b["state_rows"]
+            for a, b in zip(batches, batches[1:])
+        ), "state rows must grow with keys seen, never with volume"
+
+        expect: dict[int, list[tuple[int, int, float, int]]] = {}
+        for uid, vals in by_key.items():
+            best = sorted(vals, key=lambda t: t[1])
+            best.sort(key=lambda t: t[0], reverse=True)
+            expect[uid] = [
+                (rn, eid, val, counts[uid])
+                for rn, (val, eid) in enumerate(best[:k], 1)
+            ]
+        out = spark.read.parquet(f"{work}/out").collect()
+        best_n: dict[int, int] = {}
+        for r in out:
+            best_n[r.user_id] = max(best_n.get(r.user_id, 0), r.n_seen)
+        got: dict[int, list[tuple[int, int, float, int]]] = {}
+        for r in out:
+            if r.n_seen == best_n[r.user_id] and r.value is not None:
+                got.setdefault(r.user_id, []).append(
+                    (r.rn, r.event_id, float(r.value), r.n_seen)
+                )
+        for uid in got:
+            got[uid].sort()
+        assert got == expect, (
+            f"final leaderboard mismatch: {len(got)} vs {len(expect)} keys"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    cell = {
+        "spark_sec": wall,
+        "rows": int(n_rows),
+        "rows_per_sec": int(n_rows / wall),
+        "batches": batches,
+        "distinct_keys": n_keys,
+        "k": k,
+        "state_rows_final": batches[-1]["state_rows"],
+        "state_bound": (
+            "state rows == distinct keys seen at every batch (one "
+            "applyInPandasWithState row per key, each exactly k "
+            "(id, value) pairs + 2 counters) — O(keys × k), volume-"
+            "independent; asserted per batch before this cell recorded"
+        ),
+        "oracle": (
+            "CPython exact top-k over the full tier stratum, final "
+            "emission per key compared VALUE-exactly (q176 protocol "
+            "at 10× volume) — asserted before this cell recorded"
+        ),
+        "oracle_crosscheck": True,
+        "synth_sec": synth,
+    }
+    print(
+        f"stream-topk {tier_key}  wall={wall}s rows={n_rows} "
+        f"keys={n_keys} batches={len(batches)} "
+        f"max_trigger_ms={max(b['trigger_ms'] for b in batches)}",
+        file=sys.stderr,
+    )
+    results.setdefault("dq176_stream_topk", {})
+    results["dq176_stream_topk"][tier_key] = cell
+
+
 def _grouped_topk_sf100(spark, results: dict) -> None:
     """The grouped threshold prune's per-key top-k (q172's shape:
     best-3 orders per custkey) at the sf100 orders tier (150M rows,
@@ -1732,6 +2172,8 @@ def main() -> None:
     sf100_grouped_topk = "--sf100-grouped-topk-only" in argv
     sf100_asof = "--sf100-asof-only" in argv
     sf10_update = "--sf10-update-only" in argv
+    sf10_update_mor = "--sf10-update-mor-only" in argv
+    sf10_stream_topk = "--sf10-stream-topk-only" in argv
     argv = [
         a for a in argv
         if a not in (
@@ -1744,6 +2186,8 @@ def main() -> None:
             "--sf100-grouped-topk-only",
             "--sf100-asof-only",
             "--sf10-update-only",
+            "--sf10-update-mor-only",
+            "--sf10-stream-topk-only",
         )
     ]
     out_path = next((a for a in argv if not a.startswith("--")), None)
@@ -1753,7 +2197,8 @@ def main() -> None:
 
     if (sf100_only or sf100_relational or sf100_dq30_pruned
             or sf100_dialect_routed or sf100_bottomk or sf100_latest
-            or sf100_grouped_topk or sf100_asof or sf10_update):
+            or sf100_grouped_topk or sf100_asof or sf10_update
+            or sf10_update_mor or sf10_stream_topk):
         # Fast path for re-measuring ONLY the lineitem sf100 cells (the
         # third fit point) on a fresh quiet boot, merged into a prior
         # artifact via --merge: control probes + _lineitem_sf100, no
@@ -1777,7 +2222,23 @@ def main() -> None:
             ), 3,
         )
         con.close()
-        if sf10_update:
+        if sf10_stream_topk:
+            results = {"dq176_stream_topk": {}}
+            _stream_topk_sf10(spark, results)
+            scope = (
+                "sf10-events streaming per-key top-k replay: per-batch "
+                "latency + state-store rows from engine progress, "
+                "bounded-state assertions, CPython oracle at the tier"
+            )
+        elif sf10_update_mor:
+            results = {"dq198_update_mor": {}}
+            _update_mor_sf10(spark, results)
+            scope = (
+                "sf10/sf100-events SELECTIVE UPDATE cells: merge-on-read "
+                "delta face vs deployed copy-on-write face vs DuckDB "
+                "native UPDATE, plus merged-read tax and fold cost"
+            )
+        elif sf10_update:
             results = {"dq198_update": {}}
             _update_sf10(spark, results)
             scope = (
