@@ -1644,6 +1644,136 @@ def _update_mor_sf10(spark, results: dict) -> None:
     _refit(results["dq198_update_mor"])
 
 
+def _interval_sf10(spark, results: dict) -> None:
+    """Interval-search pushdown tier cell (round-15 VERDICT task #7):
+    ``ts IN '<one day>'`` through the FULL questdb_sql path at
+    sf10-events (10M rows, ~30 day partitions) vs DuckDB's equivalent
+    range predicate over the same parquet. The dialect's rewrite is
+    claimed scan-pushdown by plan tests (q82/q156); this cell times it.
+
+    THREE faces, interleaved warmup + ROUNDS best-of: (a) the dialect
+    interval search — expands to the half-open range PLUS the
+    ``ts_pdate`` partition-pruning conjunct, so the scan lists ONE day
+    directory; (b) the same range predicate WITHOUT the partition
+    conjunct — row-group stats still skip data but every file's footer
+    is read (the pruning's marginal value, isolated); (c) DuckDB's
+    native range scan with its own zonemap skipping. Row-count and
+    exact integer-sum crosschecks per round prove all faces computed
+    the same answer."""
+    import datetime as _dtm
+    import shutil
+
+    import duckdb as _duckdb
+
+    from questdb_etl_jobs_spark.plans.designated import (
+        list_partitions,
+        register_designated_table,
+        write_designated_ts,
+    )
+    from questdb_etl_jobs_spark.sources.tables import load_table
+    from questdb_etl_jobs_spark.sql import questdb_sql
+    from tools.stress_scale import synthesize_events_only
+
+    tier_key, factor = "sf10_events", 100
+    sf_dir = TIERS[tier_key][0]
+    t0 = time.perf_counter()
+    synthesize_events_only(spark, sf_dir, factor=factor, mult=1024)
+    synth = round(time.perf_counter() - t0, 1)
+
+    tbl = f"{sf_dir}/iv_table"
+    shutil.rmtree(tbl, ignore_errors=True)
+    t0 = time.perf_counter()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "ts"
+    )
+    write_designated_ts(ev, tbl, "ts", mode="overwrite")
+    build = round(time.perf_counter() - t0, 1)
+    register_designated_table(spark, "iv_ev", tbl)
+    dates = list_partitions(spark, tbl, "ts")
+    day = dates[len(dates) // 2]
+    nxt = str(_dtm.date.fromisoformat(day) + _dtm.timedelta(days=1))
+
+    iv_sql = (
+        "SELECT count(*) AS n, sum(user_id) AS su FROM iv_ev "
+        f"WHERE ts IN '{day}'"
+    )
+    range_sql = (
+        "SELECT count(*) AS n, sum(user_id) AS su FROM iv_ev "
+        f"WHERE ts >= TIMESTAMP '{day} 00:00:00' "
+        f"AND ts < TIMESTAMP '{nxt} 00:00:00'"
+    )
+    duck_sql = (
+        "SELECT count(*) AS n, sum(user_id) AS su FROM ev "
+        f"WHERE ts >= TIMESTAMP '{day} 00:00:00' "
+        f"AND ts < TIMESTAMP '{nxt} 00:00:00'"
+    )
+    con = _duckdb.connect()
+    src_glob = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src_glob):
+        src_glob = f"{src_glob}/**/*.parquet"
+    con.execute(
+        f"CREATE VIEW ev AS SELECT * FROM read_parquet('{src_glob}')"
+    )
+    con.execute("SELECT count(*) FROM ev").fetchall()  # warm
+
+    iv_runs, rg_runs, d_runs = [], [], []
+    answer = None
+    for rnd in range(ROUNDS + 1):
+        t0 = time.perf_counter()
+        iv = questdb_sql(spark, iv_sql, {"iv_ev": "ts"}).collect()
+        iv_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rg = questdb_sql(spark, range_sql, {"iv_ev": "ts"}).collect()
+        rg_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        dk = con.execute(duck_sql).fetchall()
+        d_sec = time.perf_counter() - t0
+        got = (int(iv[0].n), int(iv[0].su))
+        assert got == (int(rg[0].n), int(rg[0].su))
+        assert got == (int(dk[0][0]), int(dk[0][1]))
+        answer = got
+        if rnd > 0:
+            iv_runs.append(round(iv_sec, 4))
+            rg_runs.append(round(rg_sec, 4))
+            d_runs.append(round(d_sec, 4))
+        print(
+            f"# interval {tier_key} round {rnd} done "
+            f"(interval={iv_sec:.3f}s range-nopcol={rg_sec:.3f}s "
+            f"duck={d_sec:.3f}s)",
+            file=sys.stderr,
+        )
+    con.close()
+    iv_best, rg_best, d_best = min(iv_runs), min(rg_runs), min(d_runs)
+    cell = {
+        "spark_sec": iv_best,
+        "duckdb_sec": d_best,
+        "ratio": round(iv_best / d_best, 2),
+        "spark_nopcol_sec": rg_best,
+        "pruning_speedup_vs_nopcol": round(rg_best / iv_best, 2),
+        "rows": int(answer[0]),
+        "sum_crosscheck": True,
+        "day": day,
+        "n_partitions": len(dates),
+        "faces": (
+            "spark_sec = dialect `ts IN '<day>'` (range + ts_pdate "
+            "partition pruning, one directory listed); "
+            "spark_nopcol_sec = same range without the partition "
+            "conjunct (row-group stats only); duckdb_sec = native "
+            "range scan with zonemap skipping"
+        ),
+        "synth_sec": synth,
+        "table_build_sec": build,
+    }
+    print(
+        f"interval {tier_key}  interval={iv_best:.3f}s "
+        f"nopcol={rg_best:.3f}s duckdb={d_best:.3f}s "
+        f"rows={answer[0]}",
+        file=sys.stderr,
+    )
+    results.setdefault("dq82_interval_search", {})
+    results["dq82_interval_search"][tier_key] = cell
+
+
 def _stream_topk_sf10(spark, results: dict) -> None:
     """First STREAMING tier cell (round-15 VERDICT task #3): the
     per-key top-k leaderboard (q176's operator,
