@@ -2304,6 +2304,7 @@ def main() -> None:
     sf10_update = "--sf10-update-only" in argv
     sf10_update_mor = "--sf10-update-mor-only" in argv
     sf10_stream_topk = "--sf10-stream-topk-only" in argv
+    sf10_interval = "--sf10-interval-only" in argv
     argv = [
         a for a in argv
         if a not in (
@@ -2318,6 +2319,7 @@ def main() -> None:
             "--sf10-update-only",
             "--sf10-update-mor-only",
             "--sf10-stream-topk-only",
+            "--sf10-interval-only",
         )
     ]
     out_path = next((a for a in argv if not a.startswith("--")), None)
@@ -2328,7 +2330,7 @@ def main() -> None:
     if (sf100_only or sf100_relational or sf100_dq30_pruned
             or sf100_dialect_routed or sf100_bottomk or sf100_latest
             or sf100_grouped_topk or sf100_asof or sf10_update
-            or sf10_update_mor or sf10_stream_topk):
+            or sf10_update_mor or sf10_stream_topk or sf10_interval):
         # Fast path for re-measuring ONLY the lineitem sf100 cells (the
         # third fit point) on a fresh quiet boot, merged into a prior
         # artifact via --merge: control probes + _lineitem_sf100, no
@@ -2352,7 +2354,15 @@ def main() -> None:
             ), 3,
         )
         con.close()
-        if sf10_stream_topk:
+        if sf10_interval:
+            results = {"dq82_interval_search": {}}
+            _interval_sf10(spark, results)
+            scope = (
+                "sf10-events interval-search pushdown cell: dialect "
+                "`ts IN '<day>'` (partition-pruned) vs the same range "
+                "without the partition conjunct vs DuckDB native range"
+            )
+        elif sf10_stream_topk:
             results = {"dq176_stream_topk": {}}
             _stream_topk_sf10(spark, results)
             scope = (
