@@ -185,7 +185,12 @@ _PRIORITY: tuple[str, ...] = (
                                   #     F11 stays via q41, J5 via q14/q56 —
                                   #     closing the one §2 id, F2, that had
                                   #     no covering query inside the window)
-    "q45_cosine_topk",            # EXT similarity
+    # Round-15 rotation #14: q45 ceded its slot (driver rows since
+    # round 1) — EXT similarity stays via q56/q59, F8 via q177/q180,
+    # O2 plentiful — so PII detection/redaction (the free-text face of
+    # the reference's anonymization stance, shipped THIS round) gets
+    # its driver row in the round it shipped.
+    "q209_pii_redaction",         # F6 U1 EXT (PII scrub)
     "q46_exact_dedup",            # EXT dedup
     # Round-15 rotation #11: q204 ceded its slot (driver row in r14) —
     # S2 stays covered by q86, S6/O3 via the lifecycle wave — so ALTER

@@ -4742,3 +4742,101 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "event_id long, value double, ts timestamp"
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q209 — PII detection + redaction over documents (round 15)
+# ---------------------------------------------------------------------------
+#
+# The free-text face of the reference's PII stance (cloud_function.py:
+# 63-66 SHA-1-anonymizes a known email column; a curation pipeline must
+# also scrub PII INSIDE document bodies). The synthetic corpus carries
+# no PII, so the query injects it deterministically — the same SQL
+# concat, keyed on doc_id arithmetic, in BOTH engines — then redacts
+# with functions/pii.py's codegen regexp chain. The oracle runs
+# DuckDB's RE2 over the identical dirty text: the comparison is a true
+# regex-semantics differential (patterns live in the Java∩RE2 subset
+# by contract), covering replacement, detection kinds, and per-family
+# span counts.
+
+_Q209_ORACLE = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' reach user' || doc_id || '@example.com'
+              || CASE WHEN doc_id % 3 = 0 THEN ' call 555-867-5309' ELSE '' END
+              || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+              || CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.1.42' ELSE '' END
+              || CASE WHEN doc_id % 11 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END
+           AS t
+  FROM documents
+  WHERE doc_id % 2 = 0
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b\d{4}(?:[ -]\d{4}){3}\b', '[CARD]', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+         '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g') AS redacted,
+       concat_ws(',',
+         CASE WHEN regexp_matches(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') THEN 'email' END,
+         CASE WHEN regexp_matches(t, '\b\d{4}(?:[ -]\d{4}){3}\b') THEN 'card' END,
+         CASE WHEN regexp_matches(t, '\b\d{3}-\d{2}-\d{4}\b') THEN 'ssn' END,
+         CASE WHEN regexp_matches(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b') THEN 'phone' END,
+         CASE WHEN regexp_matches(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b') THEN 'ipv4' END
+       ) AS kinds,
+       CAST(
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+         + len(regexp_extract_all(t, '\b\d{4}(?:[ -]\d{4}){3}\b'))
+         + len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))
+         + len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+         + len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))
+       AS BIGINT) AS n_pii
+FROM dirty
+ORDER BY doc_id
+"""
+
+
+@dq("q209_pii_redaction", oracle=_Q209_ORACLE, covers="F6,U1,EXT")
+def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.functions.pii import (
+        count_pii,
+        detect_pii_kinds,
+        redact_pii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" call 555-867-5309")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" ssn 123-45-6789")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" from 192.168.1.42")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit(" card 4111 1111 1111 1111"),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return dirty.select(
+        "doc_id",
+        redact_pii("t").alias("redacted"),
+        detect_pii_kinds("t").alias("kinds"),
+        count_pii("t").alias("n_pii"),
+    ).orderBy("doc_id")

@@ -3323,3 +3323,47 @@ def test_kmeans_parallel_init_tiny_input_pads_to_k(spark):
     assert len(init) == 2
     model = kmeans_fit(df, k=2, iterations=2, init_centroids=init)
     assert len(model.centroids) == 2
+
+
+def test_pii_redaction_families_and_order(spark):
+    """functions/pii.py: all five families redact to their tokens,
+    detection kinds follow pattern order, counts are per-family against
+    the ORIGINAL text, clean text rides through untouched, and the
+    fixed application order keeps number-shaped overlaps deterministic
+    (a phone never half-matches the ssn pattern; a card never matches
+    the phone pattern)."""
+    from questdb_etl_jobs_spark.functions.pii import (
+        count_pii,
+        detect_pii_kinds,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "mail a.b-c_d%x+1@sub.example.co today"),
+        (2, "pay 4111 1111-1111 1111 or 4111-1111-1111-1111"),
+        (3, "ssn 123-45-6789 phone 555.867.5309 and 555-867-5309"),
+        (4, "host 10.0.255.1 plus text with no pii at all"),
+        (5, "clean document, nothing to scrub 12345"),
+        (6, "two mails x@y.io z@w.ai one ip 1.2.3.4"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    got = {
+        r.id: (r.red, r.kinds, r.n)
+        for r in df.select(
+            "id",
+            redact_pii("t").alias("red"),
+            detect_pii_kinds("t").alias("kinds"),
+            count_pii("t").alias("n"),
+        ).collect()
+    }
+    assert got[1] == ("mail [EMAIL] today", "email", 1)
+    assert got[2] == ("pay [CARD] or [CARD]", "card", 2)
+    assert got[3] == (
+        "ssn [SSN] phone [PHONE] and [PHONE]", "ssn,phone", 3
+    )
+    assert got[4] == (
+        "host [IPV4] plus text with no pii at all", "ipv4", 1
+    )
+    assert got[5] == ("clean document, nothing to scrub 12345", "", 0)
+    assert got[6] == ("two mails [EMAIL] [EMAIL] one ip [IPV4]",
+                      "email,ipv4", 3)
