@@ -1018,3 +1018,91 @@ def test_update_designated_ts_matches_row_model(
         .collect()
     )
     assert got == sorted(map(tuple, model)), (got, model)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_update_table, ops=_update_ops)
+def test_update_mor_matches_row_model_and_fold(
+    spark, rows, ops, tmp_path_factory
+):
+    """The merge-on-read face under any UPDATE sequence must equal the
+    same per-row CPython model as the COW face: stacked deltas
+    supersede by origin identity (assignments evaluate against the
+    CURRENT merged row), an append mid-sequence composes (new rows
+    carry no deltas but join later predicates), the merged read shows
+    the model after every op, and the VACUUM fold lands the identical
+    relation in a clean tree with zero pending deltas."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        pending_update_seqs,
+        read_designated_merged,
+        update_designated_mor,
+        write_designated_ts,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tmp = tmp_path_factory.mktemp("update_mor_prop")
+    path = str(tmp / "t")
+    model = [
+        [i, k, float(v), datetime(2024, 2, d, 9, 0, 0)]
+        for i, (d, k, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        [tuple(r) for r in model], "rid long, k long, v double, ts timestamp"
+    )
+    write_designated_ts(df, path, "ts", mode="overwrite")
+
+    def merged_rows():
+        return sorted(
+            (r.rid, r.k, r.v, r.ts)
+            for r in read_designated_merged(spark, path, "ts")
+            .select("rid", "k", "v", "ts")
+            .collect()
+        )
+
+    for n, (thr, delta, day) in enumerate(ops):
+        if n == 1:
+            # Mid-sequence append with a delta already pending: appends
+            # compose with MoR (new files carry no deltas).
+            new_rid = 1000 + len(model)
+            model.append(
+                [new_rid, 2, 7.0, datetime(2024, 2, 2, 10, 0, 0)]
+            )
+            spark.createDataFrame(
+                [tuple(model[-1])],
+                "rid long, k long, v double, ts timestamp",
+            ).createOrReplaceTempView("__mor_prop_new")
+            questdb_ddl(
+                spark,
+                "INSERT INTO t SELECT * FROM __mor_prop_new",
+                {"t": path},
+            )
+        pred_sql = f"v > {thr} AND k % 2 = 0"
+        if day is not None:
+            pred_sql += (
+                f" AND ts >= TIMESTAMP '2024-02-{day:02d} 00:00:00' "
+                f"AND ts < TIMESTAMP '2024-02-{day + 1:02d} 00:00:00'"
+            )
+        touched = update_designated_mor(
+            spark, path, "ts", [("v", f"v + k + {delta}")], pred_sql
+        )
+        expect_days = set()
+        for r in model:
+            hit = (
+                r[2] > thr
+                and r[1] % 2 == 0
+                and (day is None or r[3].day == day)
+            )
+            if hit:
+                expect_days.add(f"2024-02-{r[3].day:02d}")
+                r[2] = r[2] + r[1] + delta
+        assert touched == sorted(expect_days), (touched, expect_days)
+        assert merged_rows() == sorted(map(tuple, model))
+
+    before_fold = merged_rows()
+    questdb_ddl(spark, "VACUUM TABLE t", {"t": path})
+    assert pending_update_seqs(spark, path) == []
+    assert merged_rows() == before_fold
