@@ -1473,14 +1473,40 @@ def read_designated_merged(
 ) -> DataFrame:
     """User-facing merge-on-read read: the table as of all committed
     deltas, identity columns dropped. With no pending deltas this is
-    exactly the plain declared read — zero overhead."""
-    if not pending_update_seqs(spark, path):
-        meta = read_table_meta(spark, path)
+    exactly the plain declared read — zero overhead.
+
+    Unlike the UPDATE path's :func:`_merged_with_identity` (which must
+    key EVERY row in case the next predicate matches it), the read face
+    computes the ``_metadata`` identity only on the delta-bearing
+    partitions — the untouched branch is the PLAIN scan, so the read
+    tax is confined to the partitions that actually have deltas."""
+    meta = read_table_meta(spark, path)
+
+    def plain() -> DataFrame:
         if meta is not None:
             return read_declared(spark, path, meta)
         return spark.read.parquet(path)
-    return _merged_with_identity(spark, path, ts_col).drop(
-        _ID_FILE, _ID_POS
+
+    latest = _deltas_latest(spark, path, ts_col)
+    if latest is None:
+        return plain()
+    pcol = ts_col + PARTITION_SUFFIX
+    delta_dates = [
+        r[0] for r in latest.select(pcol).distinct().collect()
+    ]
+    untouched = plain().filter(~F.col(pcol).isin(delta_dates))
+    masked = (
+        _base_with_identity(spark, path, ts_col)
+        .filter(F.col(pcol).isin(delta_dates))
+        .join(
+            F.broadcast(latest.select(_ID_FILE, _ID_POS)),
+            [_ID_FILE, _ID_POS],
+            "left_anti",
+        )
+        .drop(_ID_FILE, _ID_POS)
+    )
+    return untouched.unionByName(masked).unionByName(
+        latest.drop(_ID_FILE, _ID_POS)
     )
 
 
