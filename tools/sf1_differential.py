@@ -1948,6 +1948,263 @@ def _stream_topk_sf10(spark, results: dict) -> None:
     results["dq176_stream_topk"][tier_key] = cell
 
 
+def _stream_admit_sf10(spark, results: dict) -> None:
+    """Second streaming tier cell (round 15): the LSH near-dup
+    ADMISSION GATE (q167's operator, streaming/dedup_stream.py) over a
+    composite corpus ~20× the q167 fixture — the state-growth story the
+    per-key top-k cell cannot show: this operator's state is the
+    admitted INDEX (one row per novel document), so state grows with
+    novel content, never with duplicate volume, and the per-batch cost
+    driver is the index scan (latency trend across batches IS the
+    evidence).
+
+    Corpus: the sf0.1 documents (5,000) plus three deterministic
+    variant families — exact copies (ids +100000, every even base),
+    small-suffix variants (+200000, every 5th base), word-reversed
+    variants (+300000, every 3rd base) — arriving in (base, rank)
+    order cut into 10 file-arrival batches, so every variant arrives
+    with or after its base. Ground truth: ALL ≥0.8-Jaccard pairs are
+    enumerated with the batch LSH + exact integer verification (the
+    oracle-paired q47 machinery), asserted same-base-only, and a
+    CPython mirror of the gate's DOCUMENTED semantics (within-batch
+    connected-component min-id winner, cross-batch first-admitted-wins)
+    replays those pairs over the same batch boundaries — the admitted
+    set must match exactly. Recorded: per-batch trigger latency and
+    input rows, admitted/rejected counts, final index size (== admitted
+    docs — the state bound)."""
+    import math
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from questdb_etl_jobs_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        signature_and_shingles,
+    )
+    from questdb_etl_jobs_spark.sources.tables import load_table
+    from questdb_etl_jobs_spark.streaming.dedup_stream import (
+        maintain_dedup_corpus,
+    )
+
+    chunks_n = 10
+    base_docs = load_table(spark, BASE, "documents").select(
+        "doc_id", "text"
+    )
+    corpus = base_docs
+    corpus = corpus.unionByName(
+        base_docs.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    corpus = corpus.unionByName(
+        base_docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz yy xx ww")).alias("text"),
+        )
+    )
+    corpus = corpus.unionByName(
+        base_docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat_ws(
+                " ", F.reverse(F.split(F.col("text"), " "))
+            ).alias("text"),
+        )
+    )
+    ordered = corpus.withColumn(
+        "__base", F.col("doc_id") % 100000
+    ).orderBy("__base", "doc_id").drop("__base")
+    rows = ordered.collect()
+    n_docs = len(rows)
+    print(f"# stream-admit corpus: {n_docs} docs", file=sys.stderr)
+
+    # Ground truth: every >=0.8 pair in the corpus via the batch LSH +
+    # exact integer Jaccard (q47's oracle-paired machinery). Must be
+    # same-base-only, or the construction-based model is invalid.
+    fused = signature_and_shingles(
+        ordered, "doc_id", "text", 32, 3
+    ).localCheckpoint()
+    cands = lsh_candidate_pairs(
+        fused.select("doc_id", "signature"), "doc_id", 16
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size(F.array_union("__sh_a", "__sh_b"))
+    pairs = [
+        (int(r.doc_id_a), int(r.doc_id_b))
+        for r in cands.join(
+            fused.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("__sh").alias("__sh_a"),
+            ),
+            "doc_id_a",
+        )
+        .join(
+            fused.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("__sh").alias("__sh_b"),
+            ),
+            "doc_id_b",
+        )
+        .filter(5 * inter >= 4 * union)
+        .select("doc_id_a", "doc_id_b")
+        .collect()
+    ]
+    # The base corpus has GENUINE near-dups of its own (short synthetic
+    # docs over a small vocabulary collide) — the mirror below handles
+    # any pair graph, so cross-base pairs are recorded, not assumed
+    # away. The one assumption is COMPLETENESS of the pair list, which
+    # holds by construction: the gate and this ground-truth pass band
+    # the same deterministic signatures with the same banding operator,
+    # so a pair collides here iff it collides there.
+    n_cross_base = sum(
+        1 for a, b in pairs if a % 100000 != b % 100000
+    )
+    print(
+        f"# stream-admit ground truth: {len(pairs)} pairs "
+        f"({n_cross_base} cross-base)",
+        file=sys.stderr,
+    )
+
+    # CPython mirror of the gate's documented semantics over the SAME
+    # batch boundaries.
+    order_ids = [int(r.doc_id) for r in rows]
+    per = max(1, math.ceil(n_docs / chunks_n))
+    batches_ids = [
+        order_ids[i * per:(i + 1) * per] for i in range(chunks_n)
+    ]
+    nbr: dict[int, set[int]] = {}
+    for a, b in pairs:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    admitted_model: set[int] = set()
+    for chunk in batches_ids:
+        if not chunk:
+            continue
+        in_chunk = set(chunk)
+        # Within-batch connected components over the pair edges -> the
+        # min-id winner survives per component.
+        parent = {d: d for d in chunk}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            if a in in_chunk and b in in_chunk:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        comp_min: dict[int, int] = {}
+        for d in chunk:
+            r = find(d)
+            comp_min[r] = min(comp_min.get(r, d), d)
+        survivors = [d for d in chunk if comp_min[find(d)] == d]
+        # Cross-batch: first-admitted-wins against the admitted index.
+        for d in survivors:
+            if not (nbr.get(d, set()) & admitted_model):
+                admitted_model.add(d)
+
+    # Replay through the streaming gate.
+    work = tempfile.mkdtemp(prefix="stream_admit_sf10_")
+    try:
+        src = f"{work}/src"
+        os.makedirs(src)
+        for i, chunk in enumerate(batches_ids):
+            if not chunk:
+                continue
+            lo = i * per
+            tblc = pa.table(
+                {
+                    "doc_id": pa.array(
+                        [int(r.doc_id) for r in rows[lo:lo + per]],
+                        pa.int64(),
+                    ),
+                    "text": pa.array(
+                        [r.text for r in rows[lo:lo + per]], pa.string()
+                    ),
+                }
+            )
+            dst = f"{src}/chunk_{i:03d}.parquet"
+            pq.write_table(tblc, dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.perf_counter()
+        q = maintain_dedup_corpus(
+            stream,
+            corpus_path=f"{work}/corpus",
+            index_path=f"{work}/index",
+            checkpoint_path=f"{work}/ckpt",
+        )
+        q.awaitTermination(1800)
+        wall = round(time.perf_counter() - t0, 2)
+        progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        batch_stats = [
+            {
+                "input_rows": int(p["numInputRows"]),
+                "trigger_ms": int(p["durationMs"]["triggerExecution"]),
+            }
+            for p in progress
+        ]
+        admitted_got = {
+            int(r.doc_id)
+            for r in spark.read.parquet(f"{work}/corpus")
+            .select("doc_id")
+            .collect()
+        }
+        index_rows = spark.read.parquet(f"{work}/index").count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    assert admitted_got == admitted_model, (
+        f"admission mismatch: got {len(admitted_got)}, model "
+        f"{len(admitted_model)}; e.g. "
+        f"{sorted(admitted_got ^ admitted_model)[:5]}"
+    )
+    assert index_rows == len(admitted_got)
+
+    cell = {
+        "spark_sec": wall,
+        "rows": n_docs,
+        "admitted": len(admitted_got),
+        "rejected": n_docs - len(admitted_got),
+        "index_rows_final": index_rows,
+        "near_dup_pairs": len(pairs),
+        "cross_base_pairs": n_cross_base,
+        "batches": batch_stats,
+        "state_bound": (
+            "state = the admitted index, one row per NOVEL document "
+            "(index_rows_final == admitted) — grows with novel content, "
+            "never with duplicate volume; per-batch trigger latency "
+            "trend shows the index-scan cost driver"
+        ),
+        "oracle": (
+            "CPython mirror of the documented gate semantics "
+            "(within-batch component min-id winner, cross-batch "
+            "first-admitted-wins) over LSH+exact-verified ground-truth "
+            "pairs, same batch boundaries; admitted set compared as a "
+            "SET, asserted before this cell recorded"
+        ),
+        "oracle_crosscheck": True,
+    }
+    print(
+        f"stream-admit  wall={wall}s docs={n_docs} "
+        f"admitted={len(admitted_got)} rejected={cell['rejected']} "
+        f"pairs={len(pairs)}",
+        file=sys.stderr,
+    )
+    results.setdefault("dq167_stream_admit", {})
+    results["dq167_stream_admit"]["sf01_docs_composite"] = cell
+
+
 def _grouped_topk_sf100(spark, results: dict) -> None:
     """The grouped threshold prune's per-key top-k (q172's shape:
     best-3 orders per custkey) at the sf100 orders tier (150M rows,
@@ -2305,6 +2562,7 @@ def main() -> None:
     sf10_update_mor = "--sf10-update-mor-only" in argv
     sf10_stream_topk = "--sf10-stream-topk-only" in argv
     sf10_interval = "--sf10-interval-only" in argv
+    sf10_stream_admit = "--sf10-stream-admit-only" in argv
     argv = [
         a for a in argv
         if a not in (
@@ -2320,6 +2578,7 @@ def main() -> None:
             "--sf10-update-mor-only",
             "--sf10-stream-topk-only",
             "--sf10-interval-only",
+            "--sf10-stream-admit-only",
         )
     ]
     out_path = next((a for a in argv if not a.startswith("--")), None)
@@ -2330,7 +2589,8 @@ def main() -> None:
     if (sf100_only or sf100_relational or sf100_dq30_pruned
             or sf100_dialect_routed or sf100_bottomk or sf100_latest
             or sf100_grouped_topk or sf100_asof or sf10_update
-            or sf10_update_mor or sf10_stream_topk or sf10_interval):
+            or sf10_update_mor or sf10_stream_topk or sf10_interval
+            or sf10_stream_admit):
         # Fast path for re-measuring ONLY the lineitem sf100 cells (the
         # third fit point) on a fresh quiet boot, merged into a prior
         # artifact via --merge: control probes + _lineitem_sf100, no
@@ -2354,7 +2614,15 @@ def main() -> None:
             ), 3,
         )
         con.close()
-        if sf10_interval:
+        if sf10_stream_admit:
+            results = {"dq167_stream_admit": {}}
+            _stream_admit_sf10(spark, results)
+            scope = (
+                "composite-docs streaming admission-gate replay: "
+                "per-batch latency, admitted-index state bound, CPython "
+                "gate-semantics mirror over verified ground-truth pairs"
+            )
+        elif sf10_interval:
             results = {"dq82_interval_search": {}}
             _interval_sf10(spark, results)
             scope = (
