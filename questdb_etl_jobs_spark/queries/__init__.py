@@ -191,7 +191,13 @@ _PRIORITY: tuple[str, ...] = (
     # the reference's anonymization stance, shipped THIS round) gets
     # its driver row in the round it shipped.
     "q209_pii_redaction",         # F6 U1 EXT (PII scrub)
-    "q46_exact_dedup",            # EXT dedup
+    # Round-15 rotation #15: q46 ceded its slot (driver rows since
+    # round 1) — EXT dedup stays via the q56/q57-family full-reg
+    # coverage and the in-window q167 admission gate, A1/J4 plentiful —
+    # so the dialect composition pre-pass (DECLARE + CTE + FROM-
+    # subquery + SAMPLE BY + interval, shipped THIS round) gets its
+    # driver row in the round it shipped.
+    "q210_dialect_composition",   # S6 A7 F5 A1 EXT (composition)
     # Round-15 rotation #11: q204 ceded its slot (driver row in r14) —
     # S2 stays covered by q86, S6/O3 via the lifecycle wave — so ALTER
     # COLUMN TYPE (the declared-schema data rewrite through the vacuum

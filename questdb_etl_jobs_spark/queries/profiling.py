@@ -4840,3 +4840,63 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
         detect_pii_kinds("t").alias("kinds"),
         count_pii("t").alias("n_pii"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q210 — dialect composition: DECLARE + CTE + SAMPLE BY + interval (round 15)
+# ---------------------------------------------------------------------------
+#
+# Real QuestDB queries COMPOSE dialect shapes: a SAMPLE BY rolled up
+# inside a CTE, consumed by an outer GROUP BY, scoped by DECLARE
+# variables (QuestDB 8) and an interval search. Round 15's composition
+# pre-pass lowers each fragment recursively (the CTE registers as a
+# view whose single timestamp column becomes its designated ts); this
+# query exercises the full stack over real data. Exact aggregates only
+# (count / max — no float arithmetic crosses engines).
+
+_Q210_SQL = (
+    "DECLARE @month := '2024-01', @grps := 7 "
+    "WITH hourly AS ("
+    "SELECT ts, grp, max(value) AS mx, count() AS c "
+    "FROM (SELECT ts, user_id % @grps AS grp, value "
+    "FROM __q210_events) keyed "
+    "WHERE ts IN @month SAMPLE BY 1h"
+    ") "
+    "SELECT grp, max(mx) AS mmx, sum(c) AS n, count() AS n_hours "
+    "FROM hourly GROUP BY grp ORDER BY grp"
+)
+
+_Q210_ORACLE = """
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h,
+         user_id % 7 AS grp,
+         max(value) AS mx,
+         count(*) AS c
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts < TIMESTAMP '2024-02-01 00:00:00'
+  GROUP BY 1, 2
+)
+SELECT grp, max(mx) AS mmx, CAST(sum(c) AS BIGINT) AS n,
+       count(*) AS n_hours
+FROM hourly GROUP BY grp ORDER BY grp
+"""
+
+
+@dq("q210_dialect_composition", oracle=_Q210_ORACLE, covers="S6,A7,F5,A1,EXT")
+def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q210_events"
+    )
+    return (
+        questdb_sql(spark, _Q210_SQL, {"__q210_events": "ts"})
+        .select(
+            "grp",
+            "mmx",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_hours").cast("long").alias("n_hours"),
+        )
+        .orderBy("grp")
+    )

@@ -145,6 +145,151 @@ _MAIN_RE = re.compile(
     r"(?P<table>\w+(?:\s*\(\s*\d+\s*\))?)(?P<rest>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+#: Cheap "does ANY dialect construct appear anywhere in this text"
+#: probe, used only to decide whether the composition pre-pass (CTE /
+#: FROM-subquery splitting) should engage — pure-SQL compositions pass
+#: straight to spark.sql untouched. False positives are harmless (the
+#: recursive lowering of a plain-SQL fragment IS spark.sql).
+_DIALECT_MARKER_RE = re.compile(
+    r"\bSAMPLE\s+BY\b|\bLATEST\s+(?:ON|BY)\b"
+    r"|\b(?:ASOF|LT|SPLICE)\s+JOIN\b"
+    r"|\bIN\s+'|\blong_sequence\s*\(|\btimestamp_sequence\s*\("
+    r"|\bcount\s*\(\s*\)|\b(?:ksum|nsum|vwap)\s*\("
+    r"|\bLIMIT\s+-\d|\bLIMIT\s+\d+\s*,",
+    re.IGNORECASE,
+)
+
+
+def _scan_balanced(text: str, start: int) -> int | None:
+    """Index one PAST the ')' closing the '(' at ``start``; None if
+    unbalanced. Quote-aware."""
+    assert text[start] == "("
+    depth, i, n = 0, start, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            j = text.find("'", i + 1)
+            if j < 0:
+                return None
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return None
+
+
+def _split_ctes(text: str) -> tuple[list[tuple[str, str]], str] | None:
+    """Parse a top-level ``WITH a AS (…) [, b AS (…)] <outer>`` into
+    ([(name, body), …], outer); None when the text is not that shape
+    (the caller falls through to the normal path)."""
+    m = re.match(r"^WITH\s+", text, re.IGNORECASE)
+    if not m:
+        return None
+    i = m.end()
+    ctes: list[tuple[str, str]] = []
+    while True:
+        nm = re.match(
+            r"\s*([A-Za-z_]\w*)\s+AS\s*\(", text[i:], re.IGNORECASE
+        )
+        if not nm:
+            return None
+        open_at = i + nm.end() - 1
+        close = _scan_balanced(text, open_at)
+        if close is None:
+            return None
+        ctes.append((nm.group(1), text[open_at + 1:close - 1].strip()))
+        rest = text[close:].lstrip()
+        if rest.startswith(","):
+            i = close + text[close:].index(",") + 1
+            continue
+        return ctes, rest
+
+
+def _split_from_subquery(text: str) -> tuple[str, str, str] | None:
+    """Find the first quote-aware top-level ``FROM ( body ) [AS] alias``
+    and return (body, view_name, rewritten_text) with the subquery span
+    replaced by the view name; None when the text has no FROM-subquery."""
+    fm = re.search(r"\bFROM\s*\(", text, re.IGNORECASE)
+    if not fm:
+        return None
+    # Ignore a FROM inside a string literal.
+    if text.count("'", 0, fm.start()) % 2 == 1:
+        return None
+    open_at = fm.end() - 1
+    close = _scan_balanced(text, open_at)
+    if close is None:
+        return None
+    body = text[open_at + 1:close - 1].strip()
+    am = re.match(
+        r"\s*(?:AS\s+)?([A-Za-z_]\w*)", text[close:], re.IGNORECASE
+    )
+    keywords = {
+        "where", "group", "order", "limit", "sample", "latest", "join",
+        "asof", "lt", "splice", "inner", "left", "right", "cross",
+        "union", "having", "on",
+    }
+    if am and am.group(1).lower() not in keywords:
+        view = am.group(1)
+        tail = text[close + am.end():]
+    else:
+        view = f"__qdb_sub{abs(hash(body)) % 10 ** 8}"
+        tail = text[close:]
+    rewritten = text[:fm.start()] + f"FROM {view}" + tail
+    return body, view, rewritten
+
+
+def _split_declares(text: str) -> tuple[list[tuple[str, str]], str] | None:
+    """Parse QuestDB 8's ``DECLARE @a := expr [, @b := expr] <query>``
+    into ([(name, expr), …], query); None when not a DECLARE."""
+    m = re.match(r"^DECLARE\s+", text, re.IGNORECASE)
+    if not m:
+        return None
+    i = m.end()
+    # Bindings end at the first quote-aware top-level SELECT or WITH
+    # keyword (DECLARE composes with CTEs: DECLARE … WITH … SELECT …).
+    depth, n = 0, len(text)
+    sel_at = None
+    j = i
+    while j < n:
+        ch = text[j]
+        if ch == "'":
+            k = text.find("'", j + 1)
+            if k < 0:
+                return None
+            j = k + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and re.match(
+            r"(?:SELECT|WITH)\b", text[j:], re.IGNORECASE
+        ):
+            prev = text[j - 1]
+            if not (prev.isalnum() or prev == "_"):
+                sel_at = j
+                break
+        j += 1
+    if sel_at is None:
+        return None
+    bindings = []
+    for item in _split_items(text[i:sel_at].strip()):
+        bm = re.match(
+            r"^@([A-Za-z_]\w*)\s*:=\s*(.+)$", item.strip(), re.DOTALL
+        )
+        if not bm:
+            raise QuestDBSQLError(
+                f"unsupported DECLARE binding {item.strip()!r} "
+                "(expected '@name := <expression>')"
+            )
+        bindings.append((bm.group(1), bm.group(2).strip()))
+    return bindings, text[sel_at:]
 _LONG_SEQ_RE = re.compile(
     r"^long_sequence\s*\(\s*(\d+)\s*\)$", re.IGNORECASE
 )
@@ -819,6 +964,85 @@ def questdb_sql(
             [(line,) for line in plan.rstrip("\n").split("\n")],
             "query_plan string",
         )
+    # ------------------------------------------------------------------
+    # Composition pre-pass (round 15): QuestDB queries COMPOSE dialect
+    # shapes — a SAMPLE BY inside a CTE, a LATEST ON inside a FROM-
+    # subquery, DECLARE variables (QuestDB 8) — while the lowering
+    # below handles one SELECT block. Each composition splits into
+    # fragments that recurse through this same function:
+    #
+    # - DECLARE @x := <expr> … SELECT …: bindings substitute textually
+    #   (earlier bindings visible to later ones; bare literals
+    #   substitute unparenthesized so `ts IN @day` stays an interval
+    #   search); the remaining query recurses.
+    # - WITH name AS (…) [, …] SELECT …: each CTE body lowers
+    #   recursively and registers as a TEMP VIEW under its name (QuestDB
+    #   CTE names shadow tables; the temp view outlives the query —
+    #   session-scoped, documented), then the outer query recurses. If a
+    #   lowered CTE has exactly one timestamp column, it becomes the
+    #   view's designated ts for the outer query, so SAMPLE BY / LATEST
+    #   ON / ASOF over a CTE work without caller plumbing.
+    # - SELECT … FROM (subquery) [alias]: the body lowers recursively,
+    #   registers under the alias (or a synthetic name), and the outer
+    #   text rewrites to reference the view.
+    #
+    # DECLARE engages unconditionally — it is never valid Spark SQL,
+    # and the substituted text may only BECOME dialect-marked (e.g.
+    # `ts IN @day` → `ts IN '2024-01-01'`).
+    dec = _split_declares(text)
+    if dec is not None:
+        bindings, query = dec
+        resolved: list[tuple[str, str]] = []
+        for name, expr in bindings:
+            for pn, pv in resolved:
+                expr = re.sub(rf"@{pn}\b", pv, expr)
+            if not re.fullmatch(
+                r"'[^']*'|-?\d+(?:\.\d+)?", expr.strip()
+            ):
+                expr = f"({expr.strip()})"
+            resolved.append((name, expr.strip()))
+        for name, expr in sorted(
+            resolved, key=lambda b: -len(b[0])
+        ):
+            query = re.sub(rf"@{name}\b", expr, query)
+        leftover_var = re.search(r"@[A-Za-z_]\w*", query)
+        if leftover_var:
+            raise QuestDBSQLError(
+                f"undeclared variable {leftover_var.group(0)!r}"
+            )
+        return questdb_sql(spark, query, designated)
+    # The CTE/subquery pre-pass engages only when a dialect marker
+    # appears somewhere in the text — pure-SQL compositions go straight
+    # to spark.sql.
+    if _DIALECT_MARKER_RE.search(text):
+        cte = _split_ctes(text)
+        if cte is not None:
+            parts, outer = cte
+            overlay = dict(designated)
+            for name, body in parts:
+                df = questdb_sql(spark, body, overlay)
+                df.createOrReplaceTempView(name)
+                ts_cols = [
+                    f.name for f in df.schema.fields
+                    if f.dataType.simpleString().startswith("timestamp")
+                ]
+                if len(ts_cols) == 1:
+                    overlay[name] = ts_cols[0]
+            return questdb_sql(spark, outer, overlay)
+        sub = _split_from_subquery(text)
+        if sub is not None:
+            body, view, rewritten = sub
+            df = questdb_sql(spark, body, designated)
+            df.createOrReplaceTempView(view)
+            overlay = dict(designated)
+            ts_cols = [
+                f.name for f in df.schema.fields
+                if f.dataType.simpleString().startswith("timestamp")
+            ]
+            if len(ts_cols) == 1:
+                overlay[view] = ts_cols[0]
+            return questdb_sql(spark, rewritten, overlay)
+
     # QuestDB time scalars (dateadd/datediff/timestamp_floor/…) rewrite
     # to Spark SQL FIRST, so they work on the passthrough path and in
     # every dialect clause alike; string literals are never touched.

@@ -3190,3 +3190,63 @@ def test_swap_gap_recovery_contract(spark, tmp_path):
     assert after == before
     # And maintenance runs clean after recovery.
     assert ddl("VACUUM TABLE t") == ["2024-07-01", "2024-07-02"]
+
+
+def test_composition_cte_subquery_declare(spark, trades):
+    """Round-15 composition pre-pass: QuestDB queries compose dialect
+    shapes — SAMPLE BY / LATEST ON inside CTEs and FROM-subqueries,
+    DECLARE variables (QuestDB 8) — each fragment lowering recursively.
+    A CTE with exactly one timestamp column inherits it as the view's
+    designated ts, so SAMPLE BY over a CTE needs no caller plumbing.
+    Pure-SQL WITH passes straight to spark.sql; undeclared variables
+    raise loudly."""
+    # SAMPLE BY inside a CTE, aggregated outside.
+    out = questdb_sql(
+        spark,
+        "WITH hourly AS (SELECT ts, sym, avg(price) p FROM trades "
+        "SAMPLE BY 1h) SELECT sym, max(p) AS mp FROM hourly "
+        "GROUP BY sym ORDER BY sym",
+        {"trades": "ts"},
+    ).collect()
+    assert [r.sym for r in out] == sorted({r.sym for r in out})
+    # LATEST ON inside a FROM-subquery with an alias.
+    lat = questdb_sql(
+        spark,
+        "SELECT l.sym, l.price FROM (SELECT * FROM trades LATEST ON ts "
+        "PARTITION BY sym) l ORDER BY l.sym",
+        {"trades": "ts"},
+    ).collect()
+    assert len(lat) == len({r.sym for r in lat})
+    # SAMPLE BY over a CTE: the single timestamp column becomes the
+    # CTE view's designated ts automatically.
+    per_day = questdb_sql(
+        spark,
+        "WITH f AS (SELECT sym, price, ts FROM trades WHERE price > 0) "
+        "SELECT ts, count() AS c FROM f SAMPLE BY 1d ORDER BY ts",
+        {"trades": "ts"},
+    ).collect()
+    assert sum(r.c for r in per_day) == spark.table("trades").count()
+    # DECLARE: literals substitute bare (ts IN @day stays an interval
+    # search), expressions parenthesize, bindings chain in order.
+    one_day = questdb_sql(
+        spark,
+        "DECLARE @day := '2024-01-01', @cap := 1 + 1 "
+        "SELECT sym FROM trades WHERE ts IN @day AND price <= @cap "
+        "ORDER BY sym",
+        {"trades": "ts"},
+    ).collect()
+    ref = questdb_sql(
+        spark,
+        "SELECT sym FROM trades WHERE ts IN '2024-01-01' "
+        "AND price <= 2 ORDER BY sym",
+        {"trades": "ts"},
+    ).collect()
+    assert [r.sym for r in one_day] == [r.sym for r in ref]
+    with pytest.raises(QuestDBSQLError, match="undeclared variable"):
+        questdb_sql(
+            spark, "DECLARE @x := 1 SELECT @x + @ghost", {"trades": "ts"}
+        )
+    with pytest.raises(QuestDBSQLError, match="DECLARE binding"):
+        questdb_sql(
+            spark, "DECLARE @x = 1 SELECT 1 AS one", {"trades": "ts"}
+        )
