@@ -212,15 +212,20 @@ def _split_ctes(text: str) -> tuple[list[tuple[str, str]], str] | None:
 
 
 def _split_from_subquery(text: str) -> tuple[str, str, str] | None:
-    """Find the first quote-aware top-level ``FROM ( body ) [AS] alias``
-    and return (body, view_name, rewritten_text) with the subquery span
-    replaced by the view name; None when the text has no FROM-subquery."""
-    fm = re.search(r"\bFROM\s*\(", text, re.IGNORECASE)
+    """Find the first quote-aware ``FROM ( body )`` or ``… JOIN ( body )``
+    (plain or ASOF/LT/SPLICE/outer) with an optional ``[AS] alias`` and
+    return (body, view_name, rewritten_text) with the subquery span
+    replaced by the view name; None when the text has no such subquery.
+    QuestDB's classic two-sided as-of (``FROM (trades …) ASOF JOIN
+    (quotes …)``) resolves by calling this repeatedly — each pass
+    rewrites one subquery."""
+    fm = re.search(r"\b(FROM|JOIN)\s*\(", text, re.IGNORECASE)
     if not fm:
         return None
-    # Ignore a FROM inside a string literal.
+    # Ignore a keyword inside a string literal.
     if text.count("'", 0, fm.start()) % 2 == 1:
         return None
+    kw = fm.group(1).upper()
     open_at = fm.end() - 1
     close = _scan_balanced(text, open_at)
     if close is None:
@@ -240,7 +245,7 @@ def _split_from_subquery(text: str) -> tuple[str, str, str] | None:
     else:
         view = f"__qdb_sub{abs(hash(body)) % 10 ** 8}"
         tail = text[close:]
-    rewritten = text[:fm.start()] + f"FROM {view}" + tail
+    rewritten = text[:fm.start()] + f"{kw} {view}" + tail
     return body, view, rewritten
 
 

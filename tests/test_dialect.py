@@ -3250,3 +3250,55 @@ def test_composition_cte_subquery_declare(spark, trades):
         questdb_sql(
             spark, "DECLARE @x = 1 SELECT 1 AS one", {"trades": "ts"}
         )
+
+
+def test_composition_join_subqueries(spark, trades):
+    """JOIN-side subqueries compose too: the pre-pass rewrites one
+    subquery per recursion, so QuestDB's classic two-sided as-of
+    (`FROM (filtered trades) ASOF JOIN (filtered quotes)`) lowers with
+    both sides as recursively-lowered views (unqualified select list —
+    the ASOF lowering's existing contract), and a plain JOIN of a
+    SAMPLE BY subquery resolves through spark.sql."""
+    spark.sql(
+        "SELECT * FROM VALUES "
+        "('AAA', 0.5, TIMESTAMP '2024-01-01 00:10:00'), "
+        "('BBB', 2.5, TIMESTAMP '2024-01-02 03:00:00') "
+        "AS q(sym, bid, ts)"
+    ).createOrReplaceTempView("__cmp_quotes")
+    out = questdb_sql(
+        spark,
+        "SELECT sym, price, bid FROM "
+        "(SELECT sym, price, ts FROM trades WHERE price > 0) t "
+        "ASOF JOIN (SELECT sym, bid, ts FROM __cmp_quotes) q "
+        "ORDER BY sym, price",
+        {"trades": "ts", "__cmp_quotes": "ts"},
+    ).collect()
+    assert out, "two-sided as-of over subqueries must produce rows"
+    # QuestDB's bare ASOF JOIN is KEYLESS (timestamp only): every
+    # matched bid is the latest at-or-before quote across the whole
+    # quote stream.
+    all_quotes = sorted(
+        (r2.ts, float(r2.bid))
+        for r2 in spark.table("__cmp_quotes").collect()
+    )
+    trades_rows = {
+        (r.sym, float(r.price)): r.ts
+        for r in spark.table("trades").collect()
+    }
+    for r in out:
+        t_ts = trades_rows[(r.sym, float(r.price))]
+        cands = [b for ts2, b in all_quotes if ts2 <= t_ts]
+        expect = cands[-1] if cands else None
+        assert (r.bid is None) == (expect is None)
+        if expect is not None:
+            assert float(r.bid) == float(expect)
+    # Plain JOIN of a SAMPLE BY subquery.
+    daily = questdb_sql(
+        spark,
+        "SELECT a.sym, a.n, b.bid FROM "
+        "(SELECT sym, count() n, ts FROM trades SAMPLE BY 1d) a "
+        "JOIN (SELECT sym, bid, ts FROM __cmp_quotes) b "
+        "ON a.sym = b.sym ORDER BY a.sym",
+        {"trades": "ts"},
+    ).collect()
+    assert all(r.n >= 1 for r in daily)
