@@ -1290,10 +1290,14 @@ def questdb_sql(
         bucket = unit_word if int(n) == 1 else f"{n} {unit_word}s"
         keys: list[str] = []
         aggs: list[Column] = []
+        computed_keys: list[tuple[str, str]] = []
         bucket_alias = ts
         for item in _split_items(select_list):
             agg = _AGG_RE.match(item)
             col = _COL_RE.match(item)
+            expr_key = re.match(
+                r"^(.+\S)\s+AS\s+([A-Za-z_]\w*)$", item, re.IGNORECASE
+            )
             if agg:
                 fn, arg, alias = agg.groups()
                 aggs.append(
@@ -1303,10 +1307,21 @@ def questdb_sql(
                 bucket_alias = col.group(2) or ts
             elif col:
                 keys.append(col.group(1))
+            elif expr_key:
+                # Computed group key (`user_id % 7 AS grp`): QuestDB
+                # groups SAMPLE BY by any scalar select expression. The
+                # expression materializes as a column BEFORE bucketing,
+                # so it behaves exactly like a stored key (an aggregate
+                # inside it fails in Spark's analyzer, loudly).
+                computed_keys.append((expr_key.group(2), expr_key.group(1)))
+                keys.append(expr_key.group(2))
             else:
                 raise QuestDBSQLError(
-                    f"unsupported SAMPLE BY select item: {item!r}"
+                    f"unsupported SAMPLE BY select item: {item!r} "
+                    "(computed group keys need an explicit AS alias)"
                 )
+        for alias, expr in computed_keys:
+            df = df.withColumn(alias, F.expr(expr))
         from questdb_etl_jobs_spark.operators.sample_by import (
             sample_by,
             sample_by_fill,

@@ -3302,3 +3302,24 @@ def test_composition_join_subqueries(spark, trades):
         {"trades": "ts"},
     ).collect()
     assert all(r.n >= 1 for r in daily)
+
+
+def test_sample_by_computed_group_key(spark, trades):
+    """SAMPLE BY groups by computed scalar select expressions too
+    (`user_id % 7 AS grp`) — the expression materializes as a column
+    before bucketing, behaving exactly like a stored key; without an
+    explicit AS alias it refuses loudly."""
+    out = questdb_sql(
+        spark,
+        "SELECT ts, CASE WHEN price > 20 THEN 'hi' ELSE 'lo' END AS band, "
+        "count() AS c FROM trades SAMPLE BY 1d ORDER BY ts, band",
+        {"trades": "ts"},
+    ).collect()
+    assert sum(r.c for r in out) == spark.table("trades").count()
+    assert {r.band for r in out} <= {"hi", "lo"}
+    with pytest.raises(QuestDBSQLError, match="explicit AS alias"):
+        questdb_sql(
+            spark,
+            "SELECT ts, price > 20, count() c FROM trades SAMPLE BY 1d",
+            {"trades": "ts"},
+        )
