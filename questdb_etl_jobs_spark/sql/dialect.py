@@ -249,6 +249,41 @@ def _split_from_subquery(text: str) -> tuple[str, str, str] | None:
     return body, view, rewritten
 
 
+def _split_union(text: str) -> tuple[list[str], list[bool]] | None:
+    """Split a quote/paren-aware top-level ``UNION [ALL]`` chain into
+    (fragments, all_flags) — ``all_flags[i]`` is True when the i-th
+    connector is UNION ALL. None when the text has no top-level UNION."""
+    frags: list[str] = []
+    alls: list[bool] = []
+    depth, i, start, n = 0, 0, 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            j = text.find("'", i + 1)
+            i = n if j < 0 else j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = re.match(r"UNION\s+(ALL\s+)?", text[i:], re.IGNORECASE)
+            prev_ok = i == 0 or not (
+                text[i - 1].isalnum() or text[i - 1] == "_"
+            )
+            if m and prev_ok:
+                frags.append(text[start:i].strip())
+                alls.append(bool(m.group(1)))
+                i += m.end()
+                start = i
+                continue
+        i += 1
+    if not alls:
+        return None
+    frags.append(text[start:].strip())
+    return frags, alls
+
+
 def _split_declares(text: str) -> tuple[list[tuple[str, str]], str] | None:
     """Parse QuestDB 8's ``DECLARE @a := expr [, @b := expr] <query>``
     into ([(name, expr), …], query); None when not a DECLARE."""
@@ -1034,6 +1069,20 @@ def questdb_sql(
                 if len(ts_cols) == 1:
                     overlay[name] = ts_cols[0]
             return questdb_sql(spark, outer, overlay)
+        uni = _split_union(text)
+        if uni is not None:
+            # UNION [ALL] chain of dialect fragments: each side lowers
+            # recursively; connectors fold left-associatively (a plain
+            # UNION dedups the accumulated result, SQL semantics).
+            frags, alls = uni
+            out = questdb_sql(spark, frags[0], designated)
+            for frag, is_all in zip(frags[1:], alls):
+                out = out.unionByName(
+                    questdb_sql(spark, frag, designated)
+                )
+                if not is_all:
+                    out = out.distinct()
+            return out
         sub = _split_from_subquery(text)
         if sub is not None:
             body, view, rewritten = sub
@@ -1129,6 +1178,19 @@ def questdb_sql(
     table = main.group("table")
     rest = main.group("rest")
 
+    # Optional table alias (`FROM trades t SAMPLE BY …`): peel the bare
+    # identifier off the clause tail and alias the DataFrame, so
+    # qualified references (`t.sym`) resolve through the lowering.
+    table_alias = None
+    alias_m = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", rest, re.IGNORECASE)
+    if alias_m and alias_m.group(1).upper() not in (
+        "WHERE", "GROUP", "ORDER", "LIMIT", "SAMPLE", "LATEST",
+        "HAVING", "UNION", "ASOF", "LT", "SPLICE", "JOIN", "INNER",
+        "LEFT", "RIGHT", "FULL", "CROSS", "ON",
+    ):
+        table_alias = alias_m.group(1)
+        rest = rest[alias_m.end():]
+
     join_m = _JOIN_RE.search(rest)
     where_m = _WHERE_RE.search(rest)
     latest_m = _LATEST_RE.search(rest)
@@ -1178,6 +1240,8 @@ def questdb_sql(
         )
     else:
         df = spark.table(table)
+    if table_alias:
+        df = df.alias(table_alias)
     # timestamp_sequence(start, step_us): row x's timestamp is
     # start + (x-1)·step (QuestDB generates one value per output row in
     # generation order; with long_sequence that order IS x). Rewritten

@@ -174,11 +174,23 @@ def test_negative_limit_tail_routes_through_prune(spark, tmp_path):
 
 
 def test_unsupported_fragment_raises(spark, trades):
+    # Round 15: UNION ALL of dialect fragments COMPOSES now (each side
+    # lowers recursively) — the formerly-rejected shape returns rows.
+    out = questdb_sql(
+        spark,
+        "SELECT * FROM trades LATEST ON ts PARTITION BY sym "
+        "UNION ALL SELECT * FROM trades",
+        {"trades": "ts"},
+    ).collect()
+    assert len(out) == 2 + spark.table("trades").count()
+    # The loud-fragment contract stands for genuinely unsupported
+    # constructs: any unconsumed clause fails instead of running
+    # half-interpreted.
     with pytest.raises(QuestDBSQLError, match="unsupported fragment"):
         questdb_sql(
             spark,
             "SELECT * FROM trades LATEST ON ts PARTITION BY sym "
-            "UNION ALL SELECT * FROM trades",
+            "QUALIFY price > 1",
             {"trades": "ts"},
         )
 
@@ -3323,3 +3335,33 @@ def test_sample_by_computed_group_key(spark, trades):
             "SELECT ts, price > 20, count() c FROM trades SAMPLE BY 1d",
             {"trades": "ts"},
         )
+
+
+def test_composition_union_and_table_alias(spark, trades):
+    """UNION [ALL] chains of dialect fragments lower side-by-side and
+    fold left-associatively (plain UNION dedups the accumulated
+    result); a table alias in a dialect query (`FROM trades t`) aliases
+    the frame so qualified references resolve."""
+    both = questdb_sql(
+        spark,
+        "SELECT ts, count() AS c FROM trades SAMPLE BY 1d "
+        "UNION ALL SELECT ts, count() AS c FROM trades SAMPLE BY 1d",
+        {"trades": "ts"},
+    ).collect()
+    one = questdb_sql(
+        spark,
+        "SELECT ts, count() AS c FROM trades SAMPLE BY 1d "
+        "UNION SELECT ts, count() AS c FROM trades SAMPLE BY 1d",
+        {"trades": "ts"},
+    ).collect()
+    assert len(both) == 2 * len(one)
+    assert sorted(map(tuple, set(map(tuple, both)))) == sorted(
+        map(tuple, one)
+    )
+    aliased = questdb_sql(
+        spark,
+        "SELECT t.sym, count() AS c FROM trades t SAMPLE BY 1d "
+        "ORDER BY 1",
+        {"trades": "ts"},
+    ).collect()
+    assert sum(r.c for r in aliased) == spark.table("trades").count()
