@@ -985,6 +985,16 @@ def questdb_sql(
     """
     designated = designated or {}
     text = sql.strip().rstrip(";").strip()
+    # QuestDB's bare-table shorthand: a query may start with the table
+    # name directly (`trades LATEST ON ts PARTITION BY sym`, or just
+    # `trades`) — an implicit `SELECT * FROM `.
+    first_tok = re.match(r"[A-Za-z_]\w*", text)
+    if first_tok and first_tok.group(0).upper() not in (
+        "SELECT", "WITH", "DECLARE", "EXPLAIN", "SHOW", "INSERT",
+        "UPDATE", "CREATE", "ALTER", "DROP", "TRUNCATE", "VACUUM",
+        "COPY", "RENAME", "VALUES", "TABLE",
+    ):
+        text = "SELECT * FROM " + text
     em = re.match(r"^EXPLAIN\s+(.+)$", text, re.IGNORECASE | re.DOTALL)
     if em:
         # QuestDB EXPLAIN: one row per plan line. The plan shown is the
@@ -1534,12 +1544,29 @@ def questdb_sql(
                     f"GROUP BY columns {named} do not match the select "
                     f"list's non-aggregate columns {keys}"
                 )
-        df = df.groupBy(*keys).agg(*aggs)
+        having_pred = None
         if having_m:
             # Post-aggregation filter over the ALIASED aggregate columns
             # (standard HAVING semantics; aliases are in scope because
-            # the agg already ran).
-            df = df.filter(F.expr(having_m.group(1).strip()))
+            # the agg already ran). QuestDB's bare count() / count(*)
+            # may appear in the HAVING without a select alias — a
+            # hidden row-count aggregate carries it through the agg and
+            # drops after the filter.
+            having_pred = re.sub(
+                r"\bcount\s*\(\s*\)", "count(*)",
+                having_m.group(1).strip(), flags=re.IGNORECASE,
+            )
+            if re.search(r"\bcount\s*\(\s*\*\s*\)", having_pred):
+                aggs.append(F.count(F.lit(1)).alias("__qdb_having_cnt"))
+                having_pred = re.sub(
+                    r"\bcount\s*\(\s*\*\s*\)", "__qdb_having_cnt",
+                    having_pred,
+                )
+        df = df.groupBy(*keys).agg(*aggs)
+        if having_pred is not None:
+            df = df.filter(F.expr(having_pred))
+            if "__qdb_having_cnt" in df.columns:
+                df = df.drop("__qdb_having_cnt")
     elif select_list.strip() != "*":
         df = df.selectExpr(*_split_items(select_list))
 

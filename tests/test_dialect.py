@@ -3365,3 +3365,37 @@ def test_composition_union_and_table_alias(spark, trades):
         {"trades": "ts"},
     ).collect()
     assert sum(r.c for r in aliased) == spark.table("trades").count()
+
+
+def test_bare_table_shorthand_and_having_count(spark, trades):
+    """QuestDB's bare-table query shorthand (`trades LATEST ON …` with
+    the implicit SELECT * FROM) and bare count() inside HAVING (carried
+    through the agg as a hidden row count, dropped after the filter)."""
+    lat = questdb_sql(
+        spark, "trades LATEST ON ts PARTITION BY sym", {"trades": "ts"}
+    ).collect()
+    lat2 = questdb_sql(
+        spark,
+        "SELECT * FROM trades LATEST ON ts PARTITION BY sym",
+        {"trades": "ts"},
+    ).collect()
+    assert sorted(map(tuple, lat)) == sorted(map(tuple, lat2))
+    bare = questdb_sql(spark, "trades", {"trades": "ts"}).collect()
+    assert len(bare) == spark.table("trades").count()
+    seq = questdb_sql(spark, "long_sequence(3)").collect()
+    assert [r.x for r in seq] == [1, 2, 3]
+    hv = questdb_sql(
+        spark,
+        "SELECT sym, count() AS c FROM trades GROUP BY sym "
+        "HAVING count() > 1 ORDER BY sym",
+        {"trades": "ts"},
+    ).collect()
+    hv_alias = questdb_sql(
+        spark,
+        "SELECT sym, count() AS c FROM trades GROUP BY sym "
+        "HAVING c > 1 ORDER BY sym",
+        {"trades": "ts"},
+    ).collect()
+    assert [tuple(r) for r in hv] == [tuple(r) for r in hv_alias]
+    assert all(r.c > 1 for r in hv)
+    assert all(len(r) == 2 for r in hv)  # hidden count column dropped
