@@ -78,38 +78,53 @@ def dq(name: str, oracle: str | Callable[[], str], covers: str = ""):
 # ``tools/verify_local.py`` (full-registry differential run; committed
 # report in CORRECTNESS_FULL.md).
 _PRIORITY: tuple[str, ...] = (
-    # Round-15 rotation policy (VERDICT r14 task #1): ~10 window slots
-    # rotate per round toward queries that have never produced a driver
-    # CORRECTNESS row (the union of CORRECTNESS_r01–r14 covers 95 of
-    # 206 names). Members whose ids stay covered in-window cede first;
-    # at ~10/round the never-windowed backlog (111 names) retires in
-    # ~11 rounds. This round: the round-14 DDL/DML wave members that
-    # got their rows in r14 cede to the lifecycle wave shipped the same
-    # round (q195–q206) plus q189/q190/q193/q200/q202.
+    # Rotation policy (since round 15): ~10–12 window slots rotate per
+    # round toward queries that have never produced a driver
+    # CORRECTNESS row (union of CORRECTNESS_r01–r15 = 110 of 210
+    # names). Members whose ids stay covered in-window cede first,
+    # oldest never-windowed names enter first; at this rate the
+    # backlog (~88 names after round 16) retires in ~8 rounds.
+    # Round 16 rotates TWELVE slots: the q93–q104 head of the
+    # never-windowed q93–q144 band enters; the round-15 lifecycle
+    # members that got their rows in r15 (q195/q193/q196/q189/q205/
+    # q197/q202/q199/q206) and three round-1 veterans (q08/q25/q42)
+    # cede. The covering-set invariant is enforced by
+    # tests/test_registry.py::test_window_is_a_covering_set.
     #
     # Round-15 rotation #1: q194 ceded its slot (driver row in r14) —
     # S6/O3 stay covered by the incoming lifecycle wave, F4 by q02 —
     # so the table lifecycle (DROP/TRUNCATE/ADD COLUMN round trip)
     # gets its first driver row.
-    "q195_table_lifecycle",       # S6 O3 EXT (lifecycle round trip)
+    # Round-16 rotation #1: q195 ceded (driver row in r15) — S6/O3
+    # stay via q207/q208/q210/q60 — opening the q93–q144 never-windowed
+    # band (rotation policy below): the three-way deterministic
+    # train/val/test split gets its first driver row.
+    "q93_train_val_test_split",   # A1 F10 EXT (deterministic split)
     "q02_pipeline_anonymize",     # F1 U1 F4
     # Round-15 rotation #2: q191 ceded its slot (driver row in r14) —
     # S6/O3 via the lifecycle wave, A7 by q187/q181/q63 and the
     # incoming q193 — so INSERT INTO … SELECT (bulk DML through the
     # declared schema and designated layout) gets its first driver row.
-    "q193_dialect_insert_into",   # S6 A7 O3 EXT (INSERT INTO SELECT)
+    # Round-16 rotation #2: q193 ceded (driver row in r15) — A7 via
+    # q187/q210/q63 and the incoming q98/q100, S6/O3 as above.
+    "q94_fixed_size_sample",      # A1 W1 EXT (fixed-size sample)
     "q07_event_filter",           # P1 P2 P4
-    "q08_case_banding",           # F10 A1
+    # Round-16 rotation #3: q08 ceded (driver rows since round 1) —
+    # F10 via the incoming q93/q104, A1/F7 plentiful.
+    "q95_zorder_key",             # A1 F7 EXT (z-order key)
     # Round-15 rotation #3: q198 ceded its slot (driver row in r14) —
     # S6/O3 via the lifecycle wave — so DEDUP UPSERT KEYS declarations
     # (ingest-time dedup contract) get their first driver row.
-    "q196_dedup_upsert_declared", # S6 O3 EXT (DEDUP UPSERT KEYS)
+    # Round-16 rotation #4: q196 ceded (driver row in r15).
+    "q96_chunk_udtf_lateral",     # U4 EXT (chunking UDTF)
     "q10_join_revenue_by_nation", # J1 J2 F7
     # Round-15 rotation #4: q188 ceded its slot (driver row in r14) —
     # A1 by q08/q10/q177, F7 by q08/q10/q164 and the incoming q189 —
     # so vwap (the QuestDB volume-weighted aggregate with null-pair
     # gating) gets its first driver row.
-    "q189_dialect_vwap",          # A1 F7 EXT (vwap aggregate)
+    # Round-16 rotation #5: q189 ceded (driver row in r15) — A1/F7
+    # plentiful in-window.
+    "q97_variant_extract",        # F9 (variant/JSON extraction)
     # Round-11 rotation #2: q12 ceded its slot — its only id, J4, stays
     # covered in-window by q167's anti-join admission gate — so the
     # round's flagship scale face (the grouped threshold prune behind
@@ -120,7 +135,8 @@ _PRIORITY: tuple[str, ...] = (
     # — S6 stays plentiful in-window — so SHOW CREATE TABLE (the
     # round-trip catalog face: emitted DDL re-creates the table) gets
     # its first driver row.
-    "q205_show_create_table",     # S6 EXT (SHOW CREATE round trip)
+    # Round-16 rotation #6: q205 ceded (driver row in r15).
+    "q98_recursive_spine",        # A7 F5 (recursive spine)
     "q15_interval_join_events",   # J6
     "q16_asof_join",              # J7
     "q22_rollup_orders",          # A4
@@ -129,7 +145,9 @@ _PRIORITY: tuple[str, ...] = (
     # so the QuestDB string/rounding scalar family (strpos,
     # to_uppercase, round_down/up/half_even) gets its first driver row.
     "q200_string_rounding_scalars",  # F6 F7 EXT (string/rounding scalars)
-    "q25_collect_types_per_user", # A6
+    # Round-16 rotation #7: q25 ceded (driver rows since round 1) —
+    # A6 stays via the incoming q104.
+    "q99_semantic_dedup",         # A1 F11 J5 EXT (semantic dedup)
     # Round-13 rotation #2: q26 ceded its slot — A7/F5 stay covered
     # in-window by q181 and the incoming q187, R2 by q60's tumbling
     # replay — so sub-second SAMPLE BY (T/U strides on the epoch-µs
@@ -145,7 +163,8 @@ _PRIORITY: tuple[str, ...] = (
     # S6/O3 via the lifecycle wave, J3 by q181 — so catalog ALTERs
     # (RENAME COLUMN/TABLE declaration-level alterations) get their
     # first driver row.
-    "q197_catalog_alterations",   # S6 O3 EXT (catalog ALTERs)
+    # Round-16 rotation #8: q197 ceded (driver row in r15).
+    "q100_sample_by_first_obs",   # A7 F5 (ALIGN TO FIRST OBSERVATION)
     # Round-11 rotation #3: q31 ceded its slot — W2 stays covered
     # in-window by q164 (lag/CUSUM) and q145 (stateful EMA) — so the
     # round's new clustering family (distributed Lloyd k-means under a
@@ -168,7 +187,9 @@ _PRIORITY: tuple[str, ...] = (
     # — O2 stays covered by q175/q184/q192/q45 — so negative LIMIT
     # ranges (QuestDB's python-style tail slices, now with the
     # deterministic tie contract) get their first driver row.
-    "q202_limit_negative_range",  # O2 EXT (negative LIMIT ranges)
+    # Round-16 rotation #9: q202 ceded (driver row in r15) — O2 via
+    # q175/q184/q180/q192/q59.
+    "q101_decontaminate_bloom",   # F6 J4 U2 EXT (bloom decontaminate)
     "q35_set_ops_users",          # T2
     # Round-14 rotation #4: q40 ceded its slot — F6 stays covered
     # in-window by q49/q80, U4 by q47/q57/q80/q167 — so the streaming
@@ -179,8 +200,11 @@ _PRIORITY: tuple[str, ...] = (
     # S6/O3 via the lifecycle wave — so DETACH/ATTACH PARTITION (the
     # partition-parking lifecycle, now all-or-nothing validated) gets
     # its first driver row.
-    "q199_partition_lifecycle",   # S6 O3 EXT (DETACH/ATTACH)
-    "q42_json_extract",           # F9
+    # Round-16 rotation #11: q199 ceded (driver row in r15).
+    "q103_repetition_metrics",    # A1 F6 F8 EXT (repetition metrics)
+    # Round-16 rotation #10: q42 ceded (driver rows since round 1) —
+    # F9 stays via the incoming q97.
+    "q102_zorder_3d_key",         # A1 F7 EXT (3-D z-order key)
     "q05_hash_family",            # F2 (q44 ceded its slot in round 9 —
                                   #     F11 stays via q41, J5 via q14/q56 —
                                   #     closing the one §2 id, F2, that had
@@ -202,7 +226,8 @@ _PRIORITY: tuple[str, ...] = (
     # S2 stays covered by q86, S6/O3 via the lifecycle wave — so ALTER
     # COLUMN TYPE (the declared-schema data rewrite through the vacuum
     # machinery) gets its first driver row.
-    "q206_alter_column_type",     # S6 O3 EXT (ALTER COLUMN TYPE)
+    # Round-16 rotation #12: q206 ceded (driver row in r15).
+    "q104_funnel_steps",          # A1 A6 F8 F10 EXT (funnel steps)
     # Round-11 rotation #4: q50 ceded its slot — EXT text stays covered
     # in-window by q40/q49/q58 — so the round's composition face
     # (k-means topic assignment × per-stratum A-ES draw, exact integer

@@ -3411,21 +3411,29 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q190_SQL = (
     "SELECT CAST(event_type AS SYMBOL) AS etype, "
     "to_str(ts, 'yyyy-MM-dd') AS day, COUNT(*) AS n, "
-    "ROUND(MIN(value), 4) AS vmin, ROUND(MAX(value), 4) AS vmax "
+    "ROUND(MIN(value), 4) AS vmin, ROUND(MAX(value), 4) AS vmax, "
+    "CAST(MIN(strpos(props, ':')) AS LONG) AS colon_at "
     "FROM __q190_events "
     "WHERE event_type ~ '^(click|view)$' AND event_type !~ 'purch' "
+    # Backslash regex class, QuestDB literal semantics (round 16: the
+    # entry normalization owns the Spark-escape translation; without
+    # it Spark's parser eats the backslash and this predicate matches
+    # NOTHING — the oracle is a true literal-semantics differential).
+    "AND props ~ ': \\d+}' "
     "GROUP BY etype, day"
 )
 
-_Q190_ORACLE = """
+_Q190_ORACLE = r"""
 SELECT event_type AS etype,
        strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
        COUNT(*) AS n,
        ROUND(MIN(value), 4) AS vmin,
-       ROUND(MAX(value), 4) AS vmax
+       ROUND(MAX(value), 4) AS vmax,
+       CAST(MIN(strpos(props, ':')) AS BIGINT) AS colon_at
 FROM events
 WHERE regexp_matches(event_type, '^(click|view)$')
   AND NOT regexp_matches(event_type, 'purch')
+  AND regexp_matches(props, ': \d+}')
 GROUP BY 1, 2
 ORDER BY etype, day
 """
@@ -4120,12 +4128,18 @@ SELECT doc_id,
        to_lowercase(source) AS source_lc,
        round_down(n_chars / 100.0, 1) AS c_down,
        round_up(n_chars / 100.0, 1) AS c_up,
-       round_half_even(n_chars / 10.0, 0) AS c_even
+       round_half_even(n_chars / 10.0, 0) AS c_even,
+       CAST(text ~ '\\bdata\\b' AS INT) AS has_data_word,
+       CAST(length(regexp_replace(text, '\\s+', '')) AS LONG) AS n_nospace
 FROM __q200_documents
 WHERE doc_id % 11 = 0
 """
+# has_data_word / n_nospace (round 16): backslash classes (\b, \s)
+# written with QUESTDB literal semantics and mixed with strpos in one
+# query — the normalized-literal space the round-15 verdict flagged.
+# Java regex (Spark) and RE2 (DuckDB) agree on \b and \s over ASCII.
 
-_Q200_ORACLE = """
+_Q200_ORACLE = r"""
 SELECT doc_id,
        strpos(text, 'data') AS pos_data,
        upper(lang) AS lang_uc,
@@ -4134,7 +4148,10 @@ SELECT doc_id,
         / pow(10, 1)) AS c_down,
        (sign(n_chars / 100.0) * ceil(abs(n_chars / 100.0) * pow(10, 1))
         / pow(10, 1)) AS c_up,
-       round_even(n_chars / 10.0, 0) AS c_even
+       round_even(n_chars / 10.0, 0) AS c_even,
+       CAST(regexp_matches(text, '\bdata\b') AS INT) AS has_data_word,
+       CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+         AS n_nospace
 FROM documents
 WHERE doc_id % 11 = 0
 ORDER BY doc_id

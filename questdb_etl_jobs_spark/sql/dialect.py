@@ -75,6 +75,7 @@ engine uses — the dialect layer adds zero execution cost at any scale.
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -161,6 +162,60 @@ _DIALECT_MARKER_RE = re.compile(
 )
 
 
+def _normalize_string_literals(text: str) -> str:
+    """Rewrite QuestDB string-literal semantics into Spark-parseable
+    literals with the SAME meaning — applied EXACTLY ONCE at the
+    ``questdb_sql`` / ``questdb_ddl`` entry, before any other rewrite.
+
+    QuestDB treats a backslash inside a single-quoted literal as a
+    LITERAL character (``'\\d+'`` is backslash-d-plus, the regex digit
+    class) and escapes an embedded quote by doubling (``''``). Spark's
+    default parser treats ``\\`` as an ESCAPE character, so the same
+    text silently parses to a DIFFERENT string (``'\\d+'`` becomes
+    ``d+`` — digit-bearing rows vanish from a ``~`` match with no
+    error). This pass walks the text outside/inside literals with
+    QuestDB rules and doubles every backslash inside each literal, so
+    the downstream ``spark.sql`` call parses back the exact QuestDB
+    string. ``''`` is preserved as-is (both parsers agree on it).
+
+    Raises :class:`QuestDBSQLError` on an unterminated literal — a
+    clean error beats the silent re-interpretation Spark would apply.
+    """
+    if "'" not in text:
+        return text
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch != "'":
+            out.append(ch)
+            i += 1
+            continue
+        j = i + 1
+        body: list[str] = []
+        closed = False
+        while j < n:
+            c = text[j]
+            if c == "'":
+                if j + 1 < n and text[j + 1] == "'":
+                    body.append("''")
+                    j += 2
+                    continue
+                closed = True
+                j += 1
+                break
+            body.append(c)
+            j += 1
+        if not closed:
+            raise QuestDBSQLError(
+                f"unterminated string literal starting at offset {i}: "
+                f"{text[i:i + 40]!r}"
+            )
+        out.append("'" + "".join(body).replace("\\", "\\\\") + "'")
+        i = j
+    return "".join(out)
+
+
 def _scan_balanced(text: str, start: int) -> int | None:
     """Index one PAST the ')' closing the '(' at ``start``; None if
     unbalanced. Quote-aware."""
@@ -243,10 +298,112 @@ def _split_from_subquery(text: str) -> tuple[str, str, str] | None:
         view = am.group(1)
         tail = text[close + am.end():]
     else:
-        view = f"__qdb_sub{abs(hash(body)) % 10 ** 8}"
+        view = _content_view_name("__qdb_sub_", body)
         tail = text[close:]
     rewritten = text[:fm.start()] + f"{kw} {view}" + tail
     return body, view, rewritten
+
+
+def _content_view_name(prefix: str, *parts: str) -> str:
+    """Deterministic content-derived temp-view name. ``abs(hash(...))``
+    was PYTHONHASHSEED-dependent — plans differed across runs and two
+    different bodies could silently collide while one was registered;
+    an md5 over the content is stable across runs AND processes, and
+    identical content re-registering the same view is a no-op by
+    construction (round-15 verdict #3)."""
+    digest = hashlib.md5("\0".join(parts).encode("utf-8")).hexdigest()
+    return f"{prefix}{digest[:12]}"
+
+
+def _rewrite_table_ref(text: str, name: str, new: str) -> str:
+    """Replace TABLE references to ``name`` with ``new`` — quote-aware
+    (never inside a string literal), never after a ``.`` (qualified
+    column ``a.name`` keeps its qualifier), and never a function call
+    (``name(...)``). Qualified uses of the table itself (``name.col``)
+    DO rewrite, as does the token when used as an alias — consistent
+    renames keep the query meaning identical."""
+    pat = re.compile(rf"(?<![\w.]){re.escape(name)}\b")
+
+    def repl(m: re.Match) -> str:
+        if m.string.count("'", 0, m.start()) % 2 == 1:
+            return m.group(0)
+        rest = m.string[m.end():].lstrip()
+        if rest.startswith("("):
+            return m.group(0)
+        return new
+
+    return pat.sub(repl, text)
+
+
+def _strip_union_tail(
+    fragment: str,
+) -> tuple[str, list[tuple[str, bool]], int | None]:
+    """Split a top-level trailing ``ORDER BY … [LIMIT n]`` / ``LIMIT n``
+    off the LAST fragment of a UNION chain. SQL (and QuestDB) bind a
+    trailing ORDER BY / LIMIT to the WHOLE union, not the final SELECT
+    — before round 16 the clause stayed inside the fragment and
+    ``A UNION ALL B LIMIT 10`` silently returned all of A plus 10 of B.
+    Returns (fragment-without-tail, [(order expr, is_desc), …],
+    limit or None). QuestDB's tail (negative) and ``lo, hi`` range
+    limits are REFUSED here — a clean error beats a wrong answer."""
+    depth, i, n = 0, 0, len(fragment)
+    cut = None
+    while i < n:
+        ch = fragment[i]
+        if ch == "'":
+            j = fragment.find("'", i + 1)
+            i = n if j < 0 else j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = re.match(
+                r"(?:ORDER\s+BY|LIMIT)\b", fragment[i:], re.IGNORECASE
+            )
+            prev_ok = i == 0 or not (
+                fragment[i - 1].isalnum() or fragment[i - 1] == "_"
+            )
+            if m and prev_ok:
+                cut = i
+                break
+        i += 1
+    if cut is None:
+        return fragment, [], None
+    head, tail = fragment[:cut].rstrip(), fragment[cut:].strip()
+    tm = re.match(
+        r"^(?:ORDER\s+BY\s+(?P<order>.*?))?\s*"
+        r"(?:LIMIT\s+(?P<limit>.+))?$",
+        tail,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if tm is None or (not tm.group("order") and not tm.group("limit")):
+        raise QuestDBSQLError(f"unsupported union tail {tail!r}")
+    items: list[tuple[str, bool]] = []
+    if tm.group("order"):
+        for item in _split_items(tm.group("order")):
+            dm = re.match(
+                r"^(.*?)\s+(ASC|DESC)$", item.strip(),
+                re.IGNORECASE | re.DOTALL,
+            )
+            if dm:
+                items.append(
+                    (dm.group(1).strip(), dm.group(2).upper() == "DESC")
+                )
+            else:
+                items.append((item.strip(), False))
+    limit_n: int | None = None
+    if tm.group("limit"):
+        lit = tm.group("limit").strip()
+        if not re.fullmatch(r"\d+", lit):
+            raise QuestDBSQLError(
+                f"LIMIT {lit!r} after a UNION is unsupported (tail and "
+                "lo,hi range limits bind to single SELECTs — wrap the "
+                "union in a subquery to apply one)"
+            )
+        limit_n = int(lit)
+    return head, items, limit_n
 
 
 def _split_union(text: str) -> tuple[list[str], list[bool]] | None:
@@ -869,15 +1026,51 @@ def _sum4_col(term: Column) -> Column:
     return F.sum(F.round(term, 4).cast("decimal(28,4)")).cast("double")
 
 
+def _match_agg_expr(item: str) -> tuple[str, str, str | None] | None:
+    """Aggregate call whose ARGUMENT is an arbitrary expression
+    (``sum(CASE WHEN … END) AS q``) — the shape ``_AGG_RE``'s
+    simple-column grammar can't see. Returns (fn, arg, alias) when the
+    item is exactly one aggregate call (balanced parens closing at the
+    end, optional ``[AS] alias`` after), else None. Round 16: these
+    used to fall through to the computed-GROUP-KEY branch, turning the
+    aggregate into a grouping expression (analyzer error at best)."""
+    m = re.match(
+        r"^(sum|avg|min|max|count|first|last|ksum|nsum|vwap)\s*\(",
+        item, re.IGNORECASE,
+    )
+    if not m:
+        return None
+    close = _scan_balanced(item, m.end() - 1)
+    if close is None:
+        return None
+    rest = item[close:].strip()
+    alias = None
+    if rest:
+        am = re.match(r"^(?:AS\s+)?([A-Za-z_]\w*)$", rest, re.IGNORECASE)
+        if not am:
+            return None
+        alias = am.group(1)
+    return m.group(1), item[m.end():close - 1].strip(), alias
+
+
 def _agg_column(fn: str, arg: str, alias: str, ts: str) -> Column:
+    # Arguments parse through F.expr so expression args (CASE WHEN …,
+    # arithmetic) lower identically to bare column names.
     fn = fn.lower()
     if fn == "count":
-        # QuestDB spells count(*) as bare count() too.
-        col = F.count(F.lit(1)) if arg in ("*", "") else F.count(arg)
+        # QuestDB spells count(*) as bare count() too; count(DISTINCT
+        # expr) maps to Spark's distinct count.
+        dm = re.match(r"^DISTINCT\s+(.+)$", arg, re.IGNORECASE | re.DOTALL)
+        if dm:
+            col = F.count_distinct(F.expr(dm.group(1)))
+        elif arg in ("*", ""):
+            col = F.count(F.lit(1))
+        else:
+            col = F.count(F.expr(arg))
     elif fn == "first":
-        col = F.min_by(arg, F.col(ts))
+        col = F.min_by(F.expr(arg), F.col(ts))
     elif fn == "last":
-        col = F.max_by(arg, F.col(ts))
+        col = F.max_by(F.expr(arg), F.col(ts))
     elif fn in ("ksum", "nsum"):
         # QuestDB's Kahan (ksum) / Neumaier (nsum) compensated sums
         # exist to tame floating-point error on large double sums —
@@ -888,9 +1081,9 @@ def _agg_column(fn: str, arg: str, alias: str, ts: str) -> Column:
         # strictly stronger guarantee than running compensation, and
         # reproducible cross-engine (the property compensated sums are
         # reaching for). Rounded to the protocol's 4 decimals.
-        col = F.round(_sum4_col(F.col(arg)), 4)
+        col = F.round(_sum4_col(F.expr(arg)), 4)
     elif fn == "vwap":
-        parts = [s.strip() for s in arg.split(",")]
+        parts = [s.strip() for s in _split_items(arg)]
         if len(parts) != 2 or not all(parts):
             raise QuestDBSQLError(
                 f"vwap takes two column arguments, got {arg!r}"
@@ -903,12 +1096,13 @@ def _agg_column(fn: str, arg: str, alias: str, ts: str) -> Column:
         # gate BOTH sums on the pair (round-14 ADVICE: an ungated
         # denominator counted qty rows whose price was null, inflating
         # the quotient).
-        pair = F.col(price).isNotNull() & F.col(qty).isNotNull()
+        pexpr, qexpr = F.expr(price), F.expr(qty)
+        pair = pexpr.isNotNull() & qexpr.isNotNull()
         col = _sum4_col(
-            F.when(pair, F.col(price) * F.col(qty))
-        ) / _sum4_col(F.when(pair, F.col(qty)))
+            F.when(pair, pexpr * qexpr)
+        ) / _sum4_col(F.when(pair, qexpr))
     else:
-        col = getattr(F, fn)(arg)
+        col = getattr(F, fn)(F.expr(arg))
     return col.alias(alias)
 
 
@@ -916,6 +1110,8 @@ def questdb_sql(
     spark: SparkSession,
     sql: str,
     designated: dict[str, str] | None = None,
+    *,
+    _literals_normalized: bool = False,
 ) -> DataFrame:
     """Execute a QuestDB-dialect SQL string against registered views.
 
@@ -985,6 +1181,15 @@ def questdb_sql(
     """
     designated = designated or {}
     text = sql.strip().rstrip(";").strip()
+    # QuestDB→Spark string-literal normalization, EXACTLY ONCE per
+    # user-supplied text (recursive lowering calls pass fragments of
+    # the already-normalized text with _literals_normalized=True —
+    # re-normalizing would double the doubled backslashes). Must run
+    # before ANY rewrite: every route below ends in spark.sql, whose
+    # parser would otherwise eat QuestDB's literal backslashes
+    # (`s ~ '\d+'` silently matching `d+`).
+    if not _literals_normalized:
+        text = _normalize_string_literals(text)
     # QuestDB's bare-table shorthand: a query may start with the table
     # name directly (`trades LATEST ON ts PARTITION BY sym`, or just
     # `trades`) — an implicit `SELECT * FROM `.
@@ -1004,7 +1209,9 @@ def questdb_sql(
         # frozen threshold filter. The inner query lowers through the
         # full dialect first (any eager certify jobs it plans run now,
         # same as executing it would).
-        inner = questdb_sql(spark, em.group(1), designated)
+        inner = questdb_sql(
+            spark, em.group(1), designated, _literals_normalized=True
+        )
         plan = inner._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "simple"
@@ -1045,7 +1252,13 @@ def questdb_sql(
         resolved: list[tuple[str, str]] = []
         for name, expr in bindings:
             for pn, pv in resolved:
-                expr = re.sub(rf"@{pn}\b", pv, expr)
+                # Lambda replacement: the binding VALUE is raw SQL
+                # text — as a replacement STRING, a backslash (e.g.
+                # @re := '\d+' after literal normalization) would be
+                # re-interpreted as a group reference / bad escape.
+                expr = re.sub(
+                    rf"@{pn}\b", lambda m, _v=pv: _v, expr
+                )
             if not re.fullmatch(
                 r"'[^']*'|-?\d+(?:\.\d+)?", expr.strip()
             ):
@@ -1054,49 +1267,105 @@ def questdb_sql(
         for name, expr in sorted(
             resolved, key=lambda b: -len(b[0])
         ):
-            query = re.sub(rf"@{name}\b", expr, query)
+            query = re.sub(
+                rf"@{name}\b", lambda m, _v=expr: _v, query
+            )
         leftover_var = re.search(r"@[A-Za-z_]\w*", query)
         if leftover_var:
             raise QuestDBSQLError(
                 f"undeclared variable {leftover_var.group(0)!r}"
             )
-        return questdb_sql(spark, query, designated)
+        return questdb_sql(
+            spark, query, designated, _literals_normalized=True
+        )
     # The CTE/subquery pre-pass engages only when a dialect marker
     # appears somewhere in the text — pure-SQL compositions go straight
     # to spark.sql.
     if _DIALECT_MARKER_RE.search(text):
         cte = _split_ctes(text)
         if cte is not None:
+            # Each CTE body lowers recursively and registers under a
+            # CONTENT-DERIVED internal view name; references in later
+            # CTE bodies and the outer query rewrite to it. Registering
+            # under the user's CTE name (pre-round-16) permanently
+            # shadowed any same-named table/view for the REST of the
+            # session — silently serving stale CTE data to every later
+            # query. Internal names leak too (temp views, session-
+            # scoped) but collide with nothing a user can reference.
             parts, outer = cte
             overlay = dict(designated)
+            mapping: dict[str, str] = {}
             for name, body in parts:
-                df = questdb_sql(spark, body, overlay)
-                df.createOrReplaceTempView(name)
+                for user_name, internal in mapping.items():
+                    # A later CTE may reference an earlier one.
+                    body = _rewrite_table_ref(body, user_name, internal)
+                internal = _content_view_name(
+                    "__qdb_cte_", name, body
+                )
+                df = questdb_sql(
+                    spark, body, overlay, _literals_normalized=True
+                )
+                df.createOrReplaceTempView(internal)
+                mapping[name] = internal
                 ts_cols = [
                     f.name for f in df.schema.fields
                     if f.dataType.simpleString().startswith("timestamp")
                 ]
                 if len(ts_cols) == 1:
-                    overlay[name] = ts_cols[0]
-            return questdb_sql(spark, outer, overlay)
+                    overlay[internal] = ts_cols[0]
+            for user_name, internal in mapping.items():
+                outer = _rewrite_table_ref(outer, user_name, internal)
+            return questdb_sql(
+                spark, outer, overlay, _literals_normalized=True
+            )
         uni = _split_union(text)
         if uni is not None:
             # UNION [ALL] chain of dialect fragments: each side lowers
             # recursively; connectors fold left-associatively (a plain
-            # UNION dedups the accumulated result, SQL semantics).
+            # UNION dedups the accumulated result, SQL semantics). A
+            # top-level trailing ORDER BY / LIMIT binds to the WHOLE
+            # union (round-16 ADVICE — it used to stay inside the last
+            # fragment), and sides fold POSITIONALLY with the first
+            # fragment's column names (SQL unions by position; by-name
+            # folding failed analysis for differently-aliased sides).
             frags, alls = uni
-            out = questdb_sql(spark, frags[0], designated)
+            frags = list(frags)
+            frags[-1], order_items, limit_n = _strip_union_tail(
+                frags[-1]
+            )
+            out = questdb_sql(
+                spark, frags[0], designated, _literals_normalized=True
+            )
             for frag, is_all in zip(frags[1:], alls):
-                out = out.unionByName(
-                    questdb_sql(spark, frag, designated)
+                side = questdb_sql(
+                    spark, frag, designated,
+                    _literals_normalized=True,
                 )
+                if len(side.columns) != len(out.columns):
+                    raise QuestDBSQLError(
+                        f"UNION sides have {len(out.columns)} vs "
+                        f"{len(side.columns)} columns — positional "
+                        "union needs equal arity"
+                    )
+                out = out.union(side.toDF(*out.columns))
                 if not is_all:
                     out = out.distinct()
+            if order_items:
+                out = out.sort(
+                    *[
+                        F.expr(e).desc() if is_desc else F.expr(e).asc()
+                        for e, is_desc in order_items
+                    ]
+                )
+            if limit_n is not None:
+                out = out.limit(limit_n)
             return out
         sub = _split_from_subquery(text)
         if sub is not None:
             body, view, rewritten = sub
-            df = questdb_sql(spark, body, designated)
+            df = questdb_sql(
+                spark, body, designated, _literals_normalized=True
+            )
             df.createOrReplaceTempView(view)
             overlay = dict(designated)
             ts_cols = [
@@ -1105,7 +1374,9 @@ def questdb_sql(
             ]
             if len(ts_cols) == 1:
                 overlay[view] = ts_cols[0]
-            return questdb_sql(spark, rewritten, overlay)
+            return questdb_sql(
+                spark, rewritten, overlay, _literals_normalized=True
+            )
 
     # QuestDB time scalars (dateadd/datediff/timestamp_floor/…) rewrite
     # to Spark SQL FIRST, so they work on the passthrough path and in
@@ -1188,6 +1459,21 @@ def questdb_sql(
     table = main.group("table")
     rest = main.group("rest")
 
+    # SELECT DISTINCT over a dialect query: strip the keyword, lower
+    # the projection, dedup the RESULT (QuestDB applies DISTINCT to the
+    # final output). Before round 16 `DISTINCT sym` misparsed through
+    # the column grammar as column `DISTINCT` aliased `sym`. Aggregated
+    # shapes refuse — on SAMPLE BY / GROUP BY results a DISTINCT is
+    # either a no-op (keys are unique) or ambiguous.
+    distinct = False
+    dm = re.match(
+        r"^DISTINCT\b\s*(.*)$", select_list.strip(),
+        re.IGNORECASE | re.DOTALL,
+    )
+    if dm:
+        distinct = True
+        select_list = dm.group(1)
+
     # Optional table alias (`FROM trades t SAMPLE BY …`): peel the bare
     # identifier off the clause tail and alias the DataFrame, so
     # qualified references (`t.sym`) resolve through the lowering.
@@ -1212,7 +1498,10 @@ def questdb_sql(
     if having_m and not (
         group_m
         or sample_m
-        or any(_AGG_RE.match(it) for it in _split_items(select_list))
+        or any(
+            _AGG_RE.match(it) or _match_agg_expr(it)
+            for it in _split_items(select_list)
+        )
     ):
         # Implicit grouping (aggregates in the select list) counts.
         raise QuestDBSQLError("HAVING needs an aggregation to filter")
@@ -1365,18 +1654,30 @@ def questdb_sql(
         keys: list[str] = []
         aggs: list[Column] = []
         computed_keys: list[tuple[str, str]] = []
+        count_aliases: list[str] = []
         bucket_alias = ts
+        if distinct:
+            raise QuestDBSQLError(
+                "DISTINCT cannot combine with SAMPLE BY (bucket + keys "
+                "are already unique; dedup the projection instead)"
+            )
         for item in _split_items(select_list):
-            agg = _AGG_RE.match(item)
+            agg = _AGG_RE.match(item) or _match_agg_expr(item)
             col = _COL_RE.match(item)
             expr_key = re.match(
                 r"^(.+\S)\s+AS\s+([A-Za-z_]\w*)$", item, re.IGNORECASE
             )
             if agg:
-                fn, arg, alias = agg.groups()
+                fn, arg, alias = (
+                    agg.groups() if isinstance(agg, re.Match) else agg
+                )
                 aggs.append(
                     _agg_column(fn, arg, alias or _default_agg_alias(fn, arg), ts)
                 )
+                if fn.lower() == "count" and arg in ("*", ""):
+                    count_aliases.append(
+                        alias or _default_agg_alias(fn, arg)
+                    )
             elif col and col.group(1) == ts:
                 bucket_alias = col.group(2) or ts
             elif col:
@@ -1393,6 +1694,41 @@ def questdb_sql(
                 raise QuestDBSQLError(
                     f"unsupported SAMPLE BY select item: {item!r} "
                     "(computed group keys need an explicit AS alias)"
+                )
+        if not aggs:
+            raise QuestDBSQLError(
+                "SAMPLE BY needs at least one aggregate select item "
+                "(non-aggregate items become group keys; a key-only "
+                "bucketing has nothing to compute)"
+            )
+        # HAVING over SAMPLE BY: QuestDB's bare count()/count(*) may
+        # appear without a select alias — reuse a select-list count if
+        # one exists, else carry a HIDDEN row count through the agg
+        # (dropped after the filter). FILL paths can't host the hidden
+        # column (fill specs are positional over the value columns), so
+        # they require an aliased count in the select list.
+        sample_having_pred = None
+        sample_having_hidden = False
+        if having_m:
+            sample_having_pred = re.sub(
+                r"\bcount\s*\(\s*\)", "count(*)",
+                having_m.group(1).strip(), flags=re.IGNORECASE,
+            )
+            if re.search(r"\bcount\s*\(\s*\*\s*\)", sample_having_pred):
+                if count_aliases:
+                    cnt_alias = count_aliases[0]
+                elif fill_spec:
+                    raise QuestDBSQLError(
+                        "HAVING count() over SAMPLE BY ... FILL needs "
+                        "an aliased count() in the select list"
+                    )
+                else:
+                    cnt_alias = "__qdb_having_cnt"
+                    aggs.append(F.count(F.lit(1)).alias(cnt_alias))
+                    sample_having_hidden = True
+                sample_having_pred = re.sub(
+                    r"\bcount\s*\(\s*\*\s*\)", cnt_alias,
+                    sample_having_pred,
                 )
         for alias, expr in computed_keys:
             df = df.withColumn(alias, F.expr(expr))
@@ -1510,20 +1846,28 @@ def questdb_sql(
         else:
             df = sample_by(df, ts, bucket, aggs, keys, bucket_col=bucket_alias)
     elif group_m or any(
-        _AGG_RE.match(item) for item in _split_items(select_list)
+        _AGG_RE.match(item) or _match_agg_expr(item)
+        for item in _split_items(select_list)
     ):
         # Plain (non-SAMPLE BY) aggregation in a dialect query. QuestDB
         # also allows the GROUP BY clause to be OMITTED — bare select
         # columns imply the grouping — so keys come from the select
         # list's non-aggregate items; an explicit GROUP BY must name
         # exactly those (QuestDB rejects mismatches too).
+        if distinct:
+            raise QuestDBSQLError(
+                "DISTINCT cannot combine with a grouped aggregation "
+                "(group keys are already unique)"
+            )
         keys: list[str] = []
         aggs: list[Column] = []
         for item in _split_items(select_list):
-            agg = _AGG_RE.match(item)
+            agg = _AGG_RE.match(item) or _match_agg_expr(item)
             col = _COL_RE.match(item)
             if agg:
-                fn, arg, alias = agg.groups()
+                fn, arg, alias = (
+                    agg.groups() if isinstance(agg, re.Match) else agg
+                )
                 if fn.lower() in ("first", "last") and ts is None:
                     raise QuestDBSQLError(
                         f"{fn}() needs a designated timestamp for {table!r}"
@@ -1570,8 +1914,16 @@ def questdb_sql(
     elif select_list.strip() != "*":
         df = df.selectExpr(*_split_items(select_list))
 
+    if distinct:
+        # Projection path (SAMPLE BY / GROUP BY refused above): dedup
+        # the lowered projection — one shuffle on all output columns,
+        # exactly SELECT DISTINCT semantics over the dialect result.
+        df = df.distinct()
+
     if having_m and sample_m:
-        df = df.filter(F.expr(having_m.group(1).strip()))
+        df = df.filter(F.expr(sample_having_pred))
+        if sample_having_hidden:
+            df = df.drop("__qdb_having_cnt")
 
     order_items: list[tuple[str, str]] = []
     order_cols: list[Column] = []
@@ -1608,6 +1960,7 @@ def questdb_sql(
         and all(re.fullmatch(_ident, e) for e, _ in order_items)
         and all(e in df.columns for e, _ in order_items)
         and not (join_m or latest_m or sample_m or group_m or having_m)
+        and not distinct  # LIMIT must apply AFTER the dedup
         and not any(_AGG_RE.match(it) for it in _split_items(select_list))
         and (
             select_list.strip() == "*"
@@ -2163,6 +2516,12 @@ def questdb_ddl(
 
     designated = designated or {}
     text = sql.strip().rstrip(";").strip()
+    # Same once-only QuestDB→Spark literal normalization as questdb_sql
+    # (see _normalize_string_literals): every embedded SELECT, VALUES
+    # tuple list, and UPDATE SET/WHERE expression below eventually
+    # reaches spark.sql — the lowered questdb_sql calls in this function
+    # pass _literals_normalized=True so fragments are not re-doubled.
+    text = _normalize_string_literals(text)
 
     m = _CREATE_TABLE_AS_RE.match(text)
     if m:
@@ -2184,7 +2543,10 @@ def questdb_ddl(
             write_designated_ts,
         )
 
-        out = questdb_sql(spark, m.group("select").strip(), designated)
+        out = questdb_sql(
+            spark, m.group("select").strip(), designated,
+            _literals_normalized=True,
+        )
         if ts_col not in out.columns:
             raise QuestDBSQLError(
                 f"TIMESTAMP({ts_col}) names a column the SELECT does "
@@ -2360,7 +2722,10 @@ def questdb_ddl(
             write_designated_ts,
         )
 
-        out = questdb_sql(spark, m.group("select").strip(), designated)
+        out = questdb_sql(
+            spark, m.group("select").strip(), designated,
+            _literals_normalized=True,
+        )
         if m.group("cols"):
             # QuestDB matches the SELECT's output to the column list
             # POSITIONALLY; rename, then align to the declared schema.
@@ -2589,6 +2954,16 @@ def questdb_ddl(
             raise QuestDBSQLError(
                 f"table {src_name!r} does not exist at {src_path}"
             )
+        # Merge-on-read deltas key origin rows by ABSOLUTE
+        # _metadata.file_path; moving the directory would break the
+        # anti-join match and merged reads would return BOTH the stale
+        # base row and the delta row. Same refusal discipline as every
+        # other path-changing op (COW UPDATE, ALTER TYPE, DROP/DETACH).
+        from questdb_etl_jobs_spark.plans.designated import (
+            assert_no_pending_updates,
+        )
+
+        assert_no_pending_updates(spark, src_path, "RENAME TABLE")
         if hadoop_path_exists(spark, dst_path):
             raise QuestDBSQLError(
                 f"table {dst_name!r} already exists at {dst_path}"

@@ -3399,3 +3399,314 @@ def test_bare_table_shorthand_and_having_count(spark, trades):
     assert [tuple(r) for r in hv] == [tuple(r) for r in hv_alias]
     assert all(r.c > 1 for r in hv)
     assert all(len(r) == 2 for r in hv)  # hidden count column dropped
+
+
+def test_string_literal_backslash_normalization(spark):
+    """QuestDB literal semantics through the questdb_sql entry: a
+    backslash inside a single-quoted literal is a LITERAL character
+    (the round-15 silent-wrong-answer class — Spark's parser would
+    otherwise eat it, turning the regex '\\d+' into 'd+')."""
+    spark.createDataFrame(
+        [("a1b22",), ("nodigits",), ("back\\slash",), ("it's",)],
+        "s string",
+    ).createOrReplaceTempView("__lit_t")
+    # ~ with a regex class: digit-bearing row only.
+    got = [
+        r.s
+        for r in questdb_sql(
+            spark, "SELECT s FROM __lit_t WHERE s ~ '\\d+' ORDER BY s"
+        ).collect()
+    ]
+    assert got == ["a1b22"], got
+    # !~ is the complement.
+    got = [
+        r.s
+        for r in questdb_sql(
+            spark, "SELECT s FROM __lit_t WHERE s !~ '\\d+' ORDER BY s"
+        ).collect()
+    ]
+    assert got == ["back\\slash", "it's", "nodigits"], got
+    # A lone-backslash needle — the hypothesis falsifying example: a
+    # hard ParseException before the normalization pass existed.
+    got = {
+        r.s: r.p
+        for r in questdb_sql(
+            spark, "SELECT s, strpos(s, '\\') AS p FROM __lit_t"
+        ).collect()
+    }
+    assert got == {
+        "a1b22": 0, "nodigits": 0, "back\\slash": 5, "it's": 0
+    }, got
+    # Doubled-quote escape ('') is preserved — both parsers agree.
+    got = [
+        r.s
+        for r in questdb_sql(
+            spark, "SELECT s FROM __lit_t WHERE s = 'it''s'"
+        ).collect()
+    ]
+    assert got == ["it's"], got
+    # Word-boundary anchors (\b) — another Java-regex class QuestDB
+    # users type verbatim.
+    got = [
+        r.s
+        for r in questdb_sql(
+            spark, "SELECT s FROM __lit_t WHERE s ~ '\\ba1b\\d+\\b'"
+        ).collect()
+    ]
+    assert got == ["a1b22"], got
+    # regexp_replace needle with a backslash class, passthrough route.
+    got = [
+        r.x
+        for r in questdb_sql(
+            spark,
+            "SELECT regexp_replace(s, '\\d+', '#') AS x "
+            "FROM __lit_t ORDER BY x",
+        ).collect()
+    ]
+    assert "a#b#" in got, got
+    # An unterminated literal is a clean QuestDBSQLError, not a Spark
+    # re-interpretation.
+    with pytest.raises(QuestDBSQLError, match="unterminated"):
+        questdb_sql(spark, "SELECT s FROM __lit_t WHERE s = 'oops")
+
+
+def test_declare_binding_with_backslash_pattern(spark):
+    """DECLARE bindings whose VALUE contains backslashes substitute
+    literally (re.sub replacement-string escaping would corrupt
+    '\\d+' into 'd+' or raise 'bad escape')."""
+    spark.createDataFrame(
+        [("x9",), ("yy",)], "s string"
+    ).createOrReplaceTempView("__lit_d")
+    got = [
+        r.s
+        for r in questdb_sql(
+            spark,
+            "DECLARE @pat := '\\d' "
+            "SELECT s FROM __lit_d WHERE s ~ @pat",
+        ).collect()
+    ]
+    assert got == ["x9"], got
+
+
+def test_union_trailing_order_by_limit_binds_to_whole_union(
+    spark, trades
+):
+    """SQL/QuestDB bind a trailing ORDER BY / LIMIT to the WHOLE union
+    — before round 16 they stayed inside the last fragment, so
+    'A UNION ALL B LIMIT 10' silently returned all of A plus 10 of B."""
+    n = spark.table("trades").count()
+    # LIMIT over the union: 3 rows TOTAL, not len(A)+3 (the interval
+    # search marks the text dialect so the union pre-pass engages).
+    out = questdb_sql(
+        spark,
+        "SELECT sym, price FROM trades WHERE ts IN '2024-01' "
+        "UNION ALL SELECT sym, price FROM trades LIMIT 3",
+        {"trades": "ts"},
+    ).collect()
+    assert len(out) == 3, len(out)
+    # ORDER BY + LIMIT over the union: the global top, from EITHER side.
+    top = questdb_sql(
+        spark,
+        "SELECT sym, price FROM trades WHERE price < 5 "
+        "UNION ALL SELECT sym, price * 100 AS price FROM trades "
+        "WHERE ts IN '2024-01' "
+        "ORDER BY price DESC LIMIT 2",
+        {"trades": "ts"},
+    ).collect()
+    all_prices = sorted(
+        (float(r.price * 100) for r in spark.table("trades").collect()),
+        reverse=True,
+    )
+    assert [float(r.price) for r in top] == all_prices[:2]
+    # Plain trailing ORDER BY, no LIMIT: sorted union, all rows.
+    ordered = questdb_sql(
+        spark,
+        "SELECT sym FROM trades WHERE ts IN '2024-01' "
+        "UNION ALL SELECT sym FROM trades ORDER BY sym",
+        {"trades": "ts"},
+    ).collect()
+    assert len(ordered) == 2 * n
+    assert [r.sym for r in ordered] == sorted(r.sym for r in ordered)
+    # Tail/range limits after a union refuse loudly.
+    with pytest.raises(QuestDBSQLError, match="after a UNION"):
+        questdb_sql(
+            spark,
+            "SELECT sym FROM trades WHERE ts IN '2024-01' "
+            "UNION ALL SELECT sym FROM trades LIMIT -3",
+            {"trades": "ts"},
+        )
+
+
+def test_union_folds_positionally(spark, trades):
+    """SQL unions by POSITION: sides whose select lists alias columns
+    differently union under the FIRST side's names (by-name folding
+    failed analysis here before round 16); unequal arity refuses."""
+    out = questdb_sql(
+        spark,
+        "SELECT sym AS a, price FROM trades WHERE price <= 1 "
+        "UNION ALL SELECT sym AS b, qty * 1.0 AS q FROM trades "
+        "WHERE ts IN '2024-01'",
+        {"trades": "ts"},
+    )
+    assert out.columns == ["a", "price"]
+    assert out.count() > 0
+    with pytest.raises(QuestDBSQLError, match="positional union"):
+        questdb_sql(
+            spark,
+            "SELECT sym, price FROM trades WHERE ts IN '2024-01' "
+            "UNION ALL SELECT sym FROM trades",
+            {"trades": "ts"},
+        )
+
+
+def test_cte_does_not_shadow_session_views(spark, trades):
+    """A CTE named like an existing view no longer hijacks that name
+    for the rest of the session: CTEs register under content-derived
+    internal names and references rewrite (pre-round-16 the user name
+    was replaced and later queries silently read stale CTE data)."""
+    spark.createDataFrame(
+        [(1, "real")], "id int, tag string"
+    ).createOrReplaceTempView("__shadow_t")
+    out = questdb_sql(
+        spark,
+        "WITH __shadow_t AS (SELECT ts, sym, count() AS c FROM trades "
+        "SAMPLE BY 1d) SELECT sum(c) AS total FROM __shadow_t",
+        {"trades": "ts"},
+    ).collect()
+    assert out[0].total == spark.table("trades").count()
+    # The session view is untouched — NOT serving stale CTE data.
+    after = spark.table("__shadow_t").collect()
+    assert [(r.id, r.tag) for r in after] == [(1, "real")]
+
+
+def test_cte_referencing_earlier_cte(spark, trades):
+    """A CTE may reference an earlier CTE (QuestDB chains them); the
+    pre-pass rewrites the inner reference to the registered internal
+    view and the designated-ts inheritance carries through, so a
+    SAMPLE BY over the SECOND CTE still works."""
+    out = questdb_sql(
+        spark,
+        "WITH filtered AS (SELECT ts, sym, price FROM trades "
+        "WHERE price > 0), "
+        "daily AS (SELECT ts, count() AS c FROM filtered SAMPLE BY 1d) "
+        "SELECT sum(c) AS total, count() AS days FROM daily",
+        {"trades": "ts"},
+    ).collect()
+    assert out[0].total == spark.table("trades").count()
+    assert out[0].days == 2
+
+
+def test_expression_arg_aggregates(spark, trades):
+    """Aggregates whose ARGUMENT is an expression (sum(CASE WHEN …),
+    first(price + 1), vwap over exprs, count(DISTINCT x)) lower as
+    aggregates — before round 16 they fell through to the computed-
+    group-key branch and died in the analyzer."""
+    out = questdb_sql(
+        spark,
+        "SELECT ts, sum(CASE WHEN price > 20 THEN qty ELSE 0 END) AS q "
+        "FROM trades SAMPLE BY 1d ORDER BY ts",
+        {"trades": "ts"},
+    ).collect()
+    ref = spark.sql(
+        "SELECT date_trunc('day', ts) AS ts, "
+        "sum(CASE WHEN price > 20 THEN qty ELSE 0 END) AS q "
+        "FROM trades GROUP BY 1 ORDER BY ts"
+    ).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in ref]
+    grp = questdb_sql(
+        spark,
+        "SELECT sym, sum(price * qty) AS rev, "
+        "count(DISTINCT qty) AS uq FROM trades GROUP BY sym "
+        "ORDER BY sym",
+        {"trades": "ts"},
+    ).collect()
+    ref2 = spark.sql(
+        "SELECT sym, sum(price * qty) AS rev, count(DISTINCT qty) AS uq "
+        "FROM trades GROUP BY sym ORDER BY sym"
+    ).collect()
+    assert [tuple(r) for r in grp] == [tuple(r) for r in ref2]
+    # first/last with expression args stay ts-ordered min_by/max_by.
+    fl = questdb_sql(
+        spark,
+        "SELECT ts, first(price + 100) AS f, last(price * 2) AS l "
+        "FROM trades SAMPLE BY 1d ORDER BY ts",
+        {"trades": "ts"},
+    ).collect()
+    ref3 = spark.sql(
+        "SELECT date_trunc('day', ts) AS ts, "
+        "min_by(price + 100, ts) AS f, max_by(price * 2, ts) AS l "
+        "FROM trades GROUP BY 1 ORDER BY ts"
+    ).collect()
+    assert [tuple(r) for r in fl] == [tuple(r) for r in ref3]
+
+
+def test_select_distinct_lowering(spark, trades):
+    """SELECT DISTINCT over dialect queries: projection paths dedup the
+    result; aggregated shapes (SAMPLE BY / GROUP BY) refuse — their
+    keys are already unique (pre-round-16 `DISTINCT sym` misparsed as
+    column `DISTINCT` aliased `sym`)."""
+    out = questdb_sql(
+        spark,
+        "SELECT DISTINCT sym FROM trades WHERE ts IN '2024-01'",
+        {"trades": "ts"},
+    ).collect()
+    assert sorted(r.sym for r in out) == ["AAA", "BBB"]
+    lat = questdb_sql(
+        spark,
+        "SELECT DISTINCT sym FROM trades LATEST ON ts PARTITION BY sym",
+        {"trades": "ts"},
+    ).collect()
+    assert sorted(r.sym for r in lat) == ["AAA", "BBB"]
+    with pytest.raises(QuestDBSQLError, match="DISTINCT cannot combine"):
+        questdb_sql(
+            spark,
+            "SELECT DISTINCT sym, count() AS c FROM trades SAMPLE BY 1d",
+            {"trades": "ts"},
+        )
+    with pytest.raises(QuestDBSQLError, match="DISTINCT cannot combine"):
+        questdb_sql(
+            spark,
+            "SELECT DISTINCT sym, count() AS c FROM trades GROUP BY sym",
+            {"trades": "ts"},
+        )
+
+
+def test_sample_by_having_bare_count(spark, trades):
+    """HAVING with QuestDB's bare count() on the SAMPLE BY path: reuses
+    an aliased select-list count when present, else carries a hidden
+    row count through the agg and drops it after the filter."""
+    via_alias = questdb_sql(
+        spark,
+        "SELECT ts, sym, count() AS c FROM trades SAMPLE BY 1d "
+        "HAVING count() > 1 ORDER BY ts, sym",
+        {"trades": "ts"},
+    ).collect()
+    assert via_alias and all(r.c > 1 for r in via_alias)
+    hidden = questdb_sql(
+        spark,
+        "SELECT ts, sym, max(price) AS mx FROM trades SAMPLE BY 1d "
+        "HAVING count() > 1 ORDER BY ts, sym",
+        {"trades": "ts"},
+    )
+    assert hidden.columns == ["ts", "sym", "mx"]  # hidden count dropped
+    assert [
+        (r.ts, r.sym) for r in hidden.collect()
+    ] == [(r.ts, r.sym) for r in via_alias]
+    with pytest.raises(QuestDBSQLError, match="FILL needs"):
+        questdb_sql(
+            spark,
+            "SELECT ts, sym, max(price) AS mx FROM trades "
+            "SAMPLE BY 1d FILL(0) HAVING count() > 1",
+            {"trades": "ts"},
+        )
+
+
+def test_sample_by_without_aggregates_refuses(spark, trades):
+    """A SAMPLE BY whose select list has no aggregate refuses with a
+    clear message (it used to die in groupBy().agg() with an empty-
+    exprs assertion)."""
+    with pytest.raises(QuestDBSQLError, match="at least one aggregate"):
+        questdb_sql(
+            spark, "SELECT sym, price FROM trades SAMPLE BY 1d",
+            {"trades": "ts"},
+        )

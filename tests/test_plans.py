@@ -880,6 +880,11 @@ def test_mor_appends_safe_rewrites_guarded(spark, tmp_path):
     ):
         with pytest.raises(Exception, match="pending merge-on-read"):
             questdb_ddl(spark, stmt, tables)
+    # RENAME changes EVERY file path the deltas key rows by — it must
+    # refuse like the other path-changing ops (round-16 ADVICE).
+    tables_r = dict(tables, m2=tables["m"] + "__renamed")
+    with pytest.raises(Exception, match="pending merge-on-read"):
+        questdb_ddl(spark, "RENAME TABLE m TO m2", tables_r)
     with pytest.raises(ValueError, match="designated timestamp"):
         update_designated_mor(
             spark, path, "ts",

@@ -923,8 +923,12 @@ def test_strpos_rewrite_matches_python_find(spark, texts, needle):
     """strpos → instr equals CPython's 1-based find over arbitrary BMP
     text (QuestDB counts characters, so does Spark's instr, so does
     str.find — surrogate-free codepoints keep all three in the same
-    unit)."""
-    from questdb_etl_jobs_spark.sql.dialect import rewrite_questdb_scalars
+    unit). Routes through questdb_sql — the user-facing entry — so the
+    needle is embedded with QUESTDB literal rules: quotes double,
+    backslashes stay literal (the entry's normalization pass owns the
+    Spark-escape translation; hypothesis found needle='\\\\' breaking
+    the pre-normalization path, round 15)."""
+    from questdb_etl_jobs_spark.sql.dialect import questdb_sql
 
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "i int, s string"
@@ -933,10 +937,9 @@ def test_strpos_rewrite_matches_python_find(spark, texts, needle):
     lit = needle.replace("'", "''")
     got = {
         r.i: r.p
-        for r in spark.sql(
-            rewrite_questdb_scalars(
-                f"SELECT i, strpos(s, '{lit}') AS p FROM __prop_strpos"
-            )
+        for r in questdb_sql(
+            spark,
+            f"SELECT i, strpos(s, '{lit}') AS p FROM __prop_strpos",
         ).collect()
     }
     for i, t in enumerate(texts):
