@@ -1442,6 +1442,37 @@ def _deltas_latest(
     return latest.localCheckpoint(eager=True)
 
 
+def _tombstone_ids(latest: DataFrame) -> DataFrame:
+    """The (file, pos) tombstone side of the merge anti-join, with the
+    measured broadcast decision from ``operators/topk.py:316``: the
+    delta set is matched-rows-sized by construction, but nothing bounds
+    matched rows — a non-selective MoR UPDATE (WHERE matching half the
+    table) would otherwise broadcast a half-table id list to every
+    executor on EVERY read until the fold (round-16 ADVICE). ``latest``
+    is already localCheckpoint'ed, so the one-pass stats job reads the
+    materialized partitions, never the delta files again. Within the
+    row AND byte caps the ids broadcast; past either cap the anti-join
+    pins SHUFFLE_MERGE — both sides exchange on (file, pos), slower but
+    never an executor-memory cliff."""
+    from questdb_etl_jobs_spark.operators.topk import (
+        BROADCAST_DIRECTORY_MAX_BYTES,
+        BROADCAST_GROUP_CAP,
+    )
+
+    ids = latest.select(_ID_FILE, _ID_POS)
+    stats = latest.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.length(_ID_FILE)), F.lit(0)).alias("pb"),
+    ).collect()[0]
+    approx_bytes = int(stats.pb) + 24 * int(stats.n)  # pos + row overhead
+    if (
+        stats.n <= BROADCAST_GROUP_CAP
+        and approx_bytes <= BROADCAST_DIRECTORY_MAX_BYTES
+    ):
+        return F.broadcast(ids)
+    return ids.hint("merge")
+
+
 def _merged_with_identity(
     spark: SparkSession, path: str, ts_col: str
 ) -> DataFrame:
@@ -1449,8 +1480,8 @@ def _merged_with_identity(
     superseded keep their own (file, pos); delta rows carry their
     ORIGIN identity forward, so a second UPDATE over already-updated
     rows supersedes by the same key. Partitions bearing no delta pass
-    through untouched (no join); the tombstone side is broadcast — it
-    is matched-rows-sized by construction."""
+    through untouched (no join); the tombstone side broadcasts only
+    within the measured caps (see :func:`_tombstone_ids`)."""
     base = _base_with_identity(spark, path, ts_col)
     latest = _deltas_latest(spark, path, ts_col)
     if latest is None:
@@ -1461,7 +1492,7 @@ def _merged_with_identity(
     ]
     untouched = base.filter(~F.col(pcol).isin(delta_dates))
     masked = base.filter(F.col(pcol).isin(delta_dates)).join(
-        F.broadcast(latest.select(_ID_FILE, _ID_POS)),
+        _tombstone_ids(latest),
         [_ID_FILE, _ID_POS],
         "left_anti",
     )
@@ -1499,7 +1530,7 @@ def read_designated_merged(
         _base_with_identity(spark, path, ts_col)
         .filter(F.col(pcol).isin(delta_dates))
         .join(
-            F.broadcast(latest.select(_ID_FILE, _ID_POS)),
+            _tombstone_ids(latest),
             [_ID_FILE, _ID_POS],
             "left_anti",
         )

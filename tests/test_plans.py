@@ -918,3 +918,46 @@ def test_mor_merge_plan_scopes_to_delta_partitions(spark, tmp_path):
     plan = plan_string(merged, "formatted")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_mor_tombstone_broadcast_is_bounded(spark, tmp_path, monkeypatch):
+    """The merge face's tombstone anti-join broadcasts only within the
+    measured row/byte caps (operators/topk.py discipline); past a cap
+    it pins a shuffled merge join instead of shipping an unbounded id
+    list to every executor (round-16 ADVICE: a non-selective MoR
+    UPDATE could tombstone half the table)."""
+    import questdb_etl_jobs_spark.operators.topk as topk
+    from questdb_etl_jobs_spark.plans.designated import (
+        read_designated_merged,
+        update_designated_mor,
+    )
+
+    tables = _mor_table(spark, tmp_path, name="mb")
+    path = tables["mb"]
+    update_designated_mor(
+        spark, path, "ts", [("v", "v * 10")], "sym IN ('A', 'C', 'D')"
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # Within the caps (3 tombstones): broadcast anti-join.
+    merged = read_designated_merged(spark, path, "ts")
+    assert "BroadcastHashJoin" in plan(merged)
+    got = {r.sym: r.v for r in merged.collect()}
+    assert got == {"A": 10.0, "B": 2.0, "C": 30.0, "D": 40.0}
+
+    # Past the row cap: the SAME read pins a shuffled join — identical
+    # rows, no broadcast of the tombstone set.
+    monkeypatch.setattr(topk, "BROADCAST_GROUP_CAP", 2)
+    capped = read_designated_merged(spark, path, "ts")
+    p = plan(capped)
+    assert "BroadcastHashJoin" not in p, p
+    assert {r.sym: r.v for r in capped.collect()} == got
+
+    # Past the byte cap: same fallback.
+    monkeypatch.setattr(topk, "BROADCAST_GROUP_CAP", 2_000_000)
+    monkeypatch.setattr(topk, "BROADCAST_DIRECTORY_MAX_BYTES", 8)
+    capped2 = read_designated_merged(spark, path, "ts")
+    assert "BroadcastHashJoin" not in plan(capped2)
+    assert {r.sym: r.v for r in capped2.collect()} == got
