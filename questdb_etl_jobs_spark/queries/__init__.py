@@ -84,7 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     # names). Members whose ids stay covered in-window cede first,
     # oldest never-windowed names enter first; at this rate the
     # backlog (~88 names after round 16) retires in ~8 rounds.
-    # Round 16 rotates TWELVE slots: the q93–q104 head of the
+    # Round 16 rotates FOURTEEN slots (12 backlog + 2 ship-round): the q93–q104 head of the
     # never-windowed q93–q144 band enters; the round-15 lifecycle
     # members that got their rows in r15 (q195/q193/q196/q189/q205/
     # q197/q202/q199/q206) and three round-1 veterans (q08/q25/q42)
@@ -153,7 +153,12 @@ _PRIORITY: tuple[str, ...] = (
     # replay — so sub-second SAMPLE BY (T/U strides on the epoch-µs
     # floor, never driver-verified) runs under the driver's own oracle
     # in the round after it shipped.
-    "q187_subsecond_sample_by",   # A7 F5 F7 EXT (sub-second strides)
+    # Round-16 rotation #13 (ship-round): q187 ceded (driver rows in
+    # r13–r15) — A7/F5 via q98/q100/q181 and the incoming q211/q212,
+    # F7 via q10/q164/q95/q102 — so the whole-union ORDER BY/LIMIT +
+    # positional fold (shipped THIS round) gets its driver row in the
+    # round it shipped.
+    "q211_dialect_union_tail",    # T1 A7 O2 F5 EXT (union tail)
     "q74_kmv_distinct",           # A3 (value-verified KMV twin of q27's HLL)
     # Round-12 rotation #2: q29 ceded its slot — U4 stays covered
     # in-window by q47/q57/q167, and T1 moves to the incoming q181 —
@@ -221,7 +226,11 @@ _PRIORITY: tuple[str, ...] = (
     # so the dialect composition pre-pass (DECLARE + CTE + FROM-
     # subquery + SAMPLE BY + interval, shipped THIS round) gets its
     # driver row in the round it shipped.
-    "q210_dialect_composition",   # S6 A7 F5 A1 EXT (composition)
+    # Round-16 rotation #14 (ship-round): q210 ceded (driver row in
+    # r15) — S6 via q207/q208/q60/q169/q170, A7/F5/A1 plentiful — so
+    # the CTE-chain + expression-argument-aggregate composition
+    # (shipped THIS round) gets its driver row in the round it shipped.
+    "q212_dialect_cte_chain",     # A7 A1 F10 F7 EXT (CTE chain)
     # Round-15 rotation #11: q204 ceded its slot (driver row in r14) —
     # S2 stays covered by q86, S6/O3 via the lifecycle wave — so ALTER
     # COLUMN TYPE (the declared-schema data rewrite through the vacuum

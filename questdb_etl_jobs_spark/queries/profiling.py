@@ -4917,3 +4917,116 @@ def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# q211 — dialect union: whole-union ORDER BY/LIMIT, positional fold (round 16)
+# ---------------------------------------------------------------------------
+#
+# SQL (and QuestDB) bind a trailing ORDER BY / LIMIT to the WHOLE
+# union; round 16's pre-pass strips the tail off the last fragment and
+# applies it to the folded result, and sides union POSITIONALLY under
+# the first fragment's column names (the second side here aliases its
+# columns differently on purpose). The oracle spells the identical
+# union in DuckDB. Exact aggregates only (count / max — no float
+# arithmetic crosses engines); the ORDER BY covers every output column
+# so any cross-side tie at the LIMIT boundary is between identical
+# rows.
+
+_Q211_SQL = (
+    "SELECT ts, count() AS n, max(value) AS mv "
+    "FROM __q211_events WHERE ts IN '2024-01' SAMPLE BY 1d "
+    "UNION ALL "
+    "SELECT ts, CAST(0 AS LONG) AS z, value AS v "
+    "FROM __q211_events WHERE ts IN '2024-01-15' "
+    "ORDER BY ts, n, mv LIMIT 40"
+)
+
+_Q211_ORACLE = """
+WITH s1 AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+           AS ts,
+         count(*) AS n, max(value) AS mv
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+  GROUP BY 1
+), s2 AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, CAST(0 AS BIGINT) AS n,
+         value AS mv
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+)
+SELECT * FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+ORDER BY ts, n, mv LIMIT 40
+"""
+
+
+@dq("q211_dialect_union_tail", oracle=_Q211_ORACLE, covers="T1,A7,O2,F5,EXT")
+def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q211_events"
+    )
+    return questdb_sql(spark, _Q211_SQL, {"__q211_events": "ts"}).select(
+        "ts", F.col("n").cast("long").alias("n"), "mv"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q212 — dialect CTE chain + expression-argument aggregates (round 16)
+# ---------------------------------------------------------------------------
+#
+# A CTE referencing an EARLIER CTE (QuestDB chains them; the pre-pass
+# rewrites the inner reference to the registered internal view, so CTE
+# names no longer shadow session views), an aggregate whose argument
+# is an expression (ksum over CASE WHEN — pre-round-16 this misparsed
+# as a computed group key), and HAVING over the SAMPLE BY result. The
+# float sum crosses engines through the exact-decimal protocol (the
+# q189 spelling), so the differential is bit-exact.
+
+_Q212_SQL = (
+    "DECLARE @grps := 5 "
+    "WITH base AS ("
+    "SELECT ts, user_id % @grps AS grp, value "
+    "FROM __q212_events WHERE ts IN '2024-01'"
+    "), daily AS ("
+    "SELECT ts, grp, "
+    "ksum(CASE WHEN value > 100 THEN value ELSE 0 END) AS hi, "
+    "count() AS c "
+    "FROM base SAMPLE BY 1d HAVING count() > 5"
+    ") "
+    "SELECT grp, count() AS days, max(hi) AS mh, sum(c) AS n "
+    "FROM daily GROUP BY grp ORDER BY grp"
+)
+
+_Q212_ORACLE = """
+WITH base AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id % 5 AS grp, value
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+), daily AS (
+  SELECT time_bucket(INTERVAL 1 DAY, ts) AS d, grp,
+         CAST(SUM(CAST(ROUND(CASE WHEN value > 100 THEN value ELSE 0 END,
+                             4) AS DECIMAL(28,4))) AS DOUBLE) AS hi,
+         count(*) AS c
+  FROM base GROUP BY 1, 2 HAVING count(*) > 5
+)
+SELECT grp, count(*) AS days, max(hi) AS mh, CAST(sum(c) AS BIGINT) AS n
+FROM daily GROUP BY grp ORDER BY grp
+"""
+
+
+@dq("q212_dialect_cte_chain", oracle=_Q212_ORACLE, covers="A7,A1,F10,F7,EXT")
+def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q212_events"
+    )
+    return questdb_sql(spark, _Q212_SQL, {"__q212_events": "ts"}).select(
+        "grp",
+        F.col("days").cast("long").alias("days"),
+        "mh",
+        F.col("n").cast("long").alias("n"),
+    )

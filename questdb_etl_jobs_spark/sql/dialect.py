@@ -497,11 +497,16 @@ _TS_SEQ_RE = re.compile(
 _INTERVAL_LIT = (
     r"[0-9][0-9T:\-\.]*(?:;[0-9]+[smhdwMy](?:;[0-9]+[smhdwMy];[0-9]+)?)?"
 )
+#: Optional NOT (QuestDB negates interval searches with ``ts NOT IN
+#: '2024-01'``). Without the explicit group the column regex matched
+#: the word NOT itself and the rewrite emitted ``NOT >= TIMESTAMP …``
+#: — an unresolvable-routine error instead of a negated range.
 _IN_INTERVAL_RE = re.compile(
-    rf"\b(\w+(?:\.\w+)?)\s+IN\s+'({_INTERVAL_LIT})'", re.IGNORECASE
+    rf"\b(\w+(?:\.\w+)?)\s+(NOT\s+)?IN\s+'({_INTERVAL_LIT})'",
+    re.IGNORECASE,
 )
 _IN_INTERVAL_LIST_RE = re.compile(
-    rf"\b(\w+(?:\.\w+)?)\s+IN\s+(\(\s*'{_INTERVAL_LIT}'"
+    rf"\b(\w+(?:\.\w+)?)\s+(NOT\s+)?IN\s+(\(\s*'{_INTERVAL_LIT}'"
     rf"(?:\s*,\s*'{_INTERVAL_LIT}')+\s*\))",
     re.IGNORECASE,
 )
@@ -915,18 +920,24 @@ def _rewrite_interval_in(predicate: str, columns: tuple[str, ...] = ()) -> str:
         return "(" + " OR ".join(conds) + ")"
 
     def repl(m: re.Match) -> str:
-        return expand(m.group(1), interval_bounds_multi(m.group(2)))
+        cond = expand(m.group(1), interval_bounds_multi(m.group(3)))
+        # NOT IN: negate the whole range disjunction. The (redundant)
+        # pruning conjunct inside is implied by the range itself, so
+        # NOT(range AND pdate-range) == NOT(range) — still correct,
+        # merely unprunable (a complement spans every other day).
+        return f"NOT ({cond})" if m.group(2) else cond
 
     def repl_list(m: re.Match) -> str:
         # QuestDB interval LISTS: ts IN ('2024-01-01', '2024-01-03') —
         # union of each literal's spans. Only all-interval lists rewrite
         # (the regex requires the interval shape), so a value list like
         # sym IN ('AAA', 'BBB') passes through untouched.
-        col, body = m.group(1), m.group(2)
+        col, body = m.group(1), m.group(3)
         spans: list[tuple[str, str]] = []
         for lit in re.findall(r"'([^']+)'", body):
             spans.extend(interval_bounds_multi(lit))
-        return expand(col, spans)
+        cond = expand(col, spans)
+        return f"NOT ({cond})" if m.group(2) else cond
 
     predicate = _IN_INTERVAL_LIST_RE.sub(repl_list, predicate)
     return _IN_INTERVAL_RE.sub(repl, predicate)
@@ -1861,6 +1872,7 @@ def questdb_sql(
             )
         keys: list[str] = []
         aggs: list[Column] = []
+        positions: list[str | None] = []  # select position → key or None
         for item in _split_items(select_list):
             agg = _AGG_RE.match(item) or _match_agg_expr(item)
             col = _COL_RE.match(item)
@@ -1875,14 +1887,30 @@ def questdb_sql(
                 aggs.append(
                     _agg_column(fn, arg, alias or _default_agg_alias(fn, arg), ts)
                 )
+                positions.append(None)
             elif col:
                 keys.append(col.group(1))
+                positions.append(col.group(1))
             else:
                 raise QuestDBSQLError(
                     f"unsupported aggregate select item: {item!r}"
                 )
         if group_m:
-            named = [k.strip() for k in _split_items(group_m.group(1).strip())]
+            named = []
+            for g in _split_items(group_m.group(1).strip()):
+                g = g.strip()
+                if re.fullmatch(r"[1-9]\d*", g):
+                    # GROUP BY ordinal: 1-based position into the
+                    # select list, which must land on a non-aggregate
+                    # item (SQL + QuestDB semantics).
+                    idx = int(g) - 1
+                    if idx >= len(positions) or positions[idx] is None:
+                        raise QuestDBSQLError(
+                            f"GROUP BY {g} does not reference a "
+                            "non-aggregate select item"
+                        )
+                    g = positions[idx]
+                named.append(g)
             if sorted(named) != sorted(keys):
                 raise QuestDBSQLError(
                     f"GROUP BY columns {named} do not match the select "

@@ -3710,3 +3710,47 @@ def test_sample_by_without_aggregates_refuses(spark, trades):
             spark, "SELECT sym, price FROM trades SAMPLE BY 1d",
             {"trades": "ts"},
         )
+
+
+def test_not_in_interval_and_group_by_ordinal(spark, trades):
+    """`ts NOT IN '<interval>'` negates the range search (the column
+    regex used to capture the word NOT itself and emit an
+    unresolvable-routine error); GROUP BY ordinals resolve against the
+    select list's non-aggregate positions."""
+    n = spark.table("trades").count()
+    day1 = questdb_sql(
+        spark, "SELECT count() c FROM trades WHERE ts IN '2024-01-01'",
+        {"trades": "ts"},
+    ).collect()[0].c
+    rest = questdb_sql(
+        spark,
+        "SELECT count() c FROM trades WHERE ts NOT IN '2024-01-01'",
+        {"trades": "ts"},
+    ).collect()[0].c
+    assert day1 + rest == n and day1 > 0 and rest > 0
+    rest_list = questdb_sql(
+        spark,
+        "SELECT count() c FROM trades WHERE "
+        "ts NOT IN ('2024-01-01', '2024-01-09')",
+        {"trades": "ts"},
+    ).collect()[0].c
+    assert rest_list == rest
+    by_ordinal = questdb_sql(
+        spark,
+        "SELECT sym, count() AS c FROM trades WHERE ts IN '2024-01' "
+        "GROUP BY 1 ORDER BY 1",
+        {"trades": "ts"},
+    ).collect()
+    by_name = questdb_sql(
+        spark,
+        "SELECT sym, count() AS c FROM trades WHERE ts IN '2024-01' "
+        "GROUP BY sym ORDER BY sym",
+        {"trades": "ts"},
+    ).collect()
+    assert [tuple(r) for r in by_ordinal] == [tuple(r) for r in by_name]
+    with pytest.raises(QuestDBSQLError, match="non-aggregate"):
+        questdb_sql(
+            spark,
+            "SELECT sym, count() AS c FROM trades GROUP BY 2",
+            {"trades": "ts"},
+        )

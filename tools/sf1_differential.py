@@ -1774,13 +1774,22 @@ def _interval_sf10(spark, results: dict) -> None:
     results["dq82_interval_search"][tier_key] = cell
 
 
-def _stream_topk_sf10(spark, results: dict) -> None:
+def _stream_topk_sf10(
+    spark,
+    results: dict,
+    tier_key: str = "sf10_events",
+    factor: int = 100,
+    chunks_n: int = 10,
+) -> None:
     """First STREAMING tier cell (round-15 VERDICT task #3): the
     per-key top-k leaderboard (q176's operator,
     streaming/topk_stream.topk_per_key_stream) replayed over a
     10×-volume arrival sequence cut from the sf10-events tier — real
     scale evidence for the bounded-state contract that so far rested on
-    unit tests of the state size.
+    unit tests of the state size. Round 16 re-runs the same cell at the
+    sf100-events tier (``tier_key="sf100_events"``, factor=1000 — 10×
+    the rows AND ~10× the keys, so the state store is an order of
+    magnitude hotter) to pin the trigger-latency trend.
 
     Shape: the tier's replay stratum (user_id % 7 = 0, ~10% of keys —
     the same stratum every streaming replay gate uses) in global
@@ -1808,7 +1817,7 @@ def _stream_topk_sf10(spark, results: dict) -> None:
     )
     from tools.stress_scale import synthesize_events_only
 
-    tier_key, factor, k, chunks_n = "sf10_events", 100, 3, 10
+    k = 3
     sf_dir = TIERS[tier_key][0]
     t0 = time.perf_counter()
     synthesize_events_only(spark, sf_dir, factor=factor, mult=1024)
@@ -1825,7 +1834,7 @@ def _stream_topk_sf10(spark, results: dict) -> None:
     n_rows = tbl.num_rows
     print(f"# stream-topk stratum: {n_rows} rows", file=sys.stderr)
 
-    work = tempfile.mkdtemp(prefix="stream_topk_sf10_")
+    work = tempfile.mkdtemp(prefix=f"stream_topk_{tier_key}_")
     try:
         src = f"{work}/src"
         os.makedirs(src)
@@ -2394,6 +2403,9 @@ def _refit(tiers_out: dict) -> None:
         (TIERS[t][1], v["spark_sec"], v["duckdb_sec"])
         for t, v in tiers_out.items()
         if t in TIERS
+        and isinstance(v, dict)
+        and "spark_sec" in v
+        and "duckdb_sec" in v  # streaming cells carry no DuckDB side
     )
     if len(pts) < 2:
         return
@@ -2561,6 +2573,7 @@ def main() -> None:
     sf10_update = "--sf10-update-only" in argv
     sf10_update_mor = "--sf10-update-mor-only" in argv
     sf10_stream_topk = "--sf10-stream-topk-only" in argv
+    sf100_stream_topk = "--sf100-stream-topk-only" in argv
     sf10_interval = "--sf10-interval-only" in argv
     sf10_stream_admit = "--sf10-stream-admit-only" in argv
     argv = [
@@ -2577,6 +2590,7 @@ def main() -> None:
             "--sf10-update-only",
             "--sf10-update-mor-only",
             "--sf10-stream-topk-only",
+            "--sf100-stream-topk-only",
             "--sf10-interval-only",
             "--sf10-stream-admit-only",
         )
@@ -2589,8 +2603,8 @@ def main() -> None:
     if (sf100_only or sf100_relational or sf100_dq30_pruned
             or sf100_dialect_routed or sf100_bottomk or sf100_latest
             or sf100_grouped_topk or sf100_asof or sf10_update
-            or sf10_update_mor or sf10_stream_topk or sf10_interval
-            or sf10_stream_admit):
+            or sf10_update_mor or sf10_stream_topk or sf100_stream_topk
+            or sf10_interval or sf10_stream_admit):
         # Fast path for re-measuring ONLY the lineitem sf100 cells (the
         # third fit point) on a fresh quiet boot, merged into a prior
         # artifact via --merge: control probes + _lineitem_sf100, no
@@ -2637,6 +2651,17 @@ def main() -> None:
                 "sf10-events streaming per-key top-k replay: per-batch "
                 "latency + state-store rows from engine progress, "
                 "bounded-state assertions, CPython oracle at the tier"
+            )
+        elif sf100_stream_topk:
+            results = {"dq176_stream_topk": {}}
+            _stream_topk_sf10(
+                spark, results, tier_key="sf100_events", factor=1000
+            )
+            scope = (
+                "sf100-events streaming per-key top-k replay (10× the "
+                "sf10 cell's rows and ~10× its keys): per-batch latency "
+                "+ state-store rows, bounded-state assertions, CPython "
+                "oracle at the tier"
             )
         elif sf10_update_mor:
             results = {"dq198_update_mor": {}}
