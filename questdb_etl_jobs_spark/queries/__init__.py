@@ -84,7 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     # names). Members whose ids stay covered in-window cede first,
     # oldest never-windowed names enter first; at this rate the
     # backlog (~88 names after round 16) retires in ~8 rounds.
-    # Round 16 rotates FOURTEEN slots (12 backlog + 2 ship-round): the q93–q104 head of the
+    # Round 16 rotates FIFTEEN slots (12 backlog + 3 ship-round): the q93–q104 head of the
     # never-windowed q93–q144 band enters; the round-15 lifecycle
     # members that got their rows in r15 (q195/q193/q196/q189/q205/
     # q197/q202/q199/q206) and three round-1 veterans (q08/q25/q42)
@@ -195,7 +195,11 @@ _PRIORITY: tuple[str, ...] = (
     # Round-16 rotation #9: q202 ceded (driver row in r15) — O2 via
     # q175/q184/q180/q192/q59.
     "q101_decontaminate_bloom",   # F6 J4 U2 EXT (bloom decontaminate)
-    "q35_set_ops_users",          # T2
+    # Round-16 rotation #15 (ship-round): q35 ceded (driver rows since
+    # round 1) — its only id, T2, stays covered by the incoming q213,
+    # which runs the set operations through the DIALECT face (EXCEPT /
+    # INTERSECT precedence) instead of the DataFrame API.
+    "q213_dialect_set_ops",       # T2 T1 EXT (dialect set ops)
     # Round-14 rotation #4: q40 ceded its slot — F6 stays covered
     # in-window by q49/q80, U4 by q47/q57/q80/q167 — so the streaming
     # deterministic reservoir (exactly-k per stratum, batch-equivalent)

@@ -5030,3 +5030,57 @@ def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mh",
         F.col("n").cast("long").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q213 — dialect set operations: EXCEPT / INTERSECT with precedence (round 16)
+# ---------------------------------------------------------------------------
+#
+# The dialect's set-operation chain beyond UNION (round 16): INTERSECT
+# binds tighter than UNION/EXCEPT (SQL precedence — the middle
+# INTERSECT folds into its left neighbor BEFORE the outer ops), sides
+# fold positionally, EXCEPT/INTERSECT carry distinct semantics. Every
+# fragment is dialect-marked (interval searches) so the chain exercises
+# the composition pre-pass, not spark.sql's own parser; DuckDB applies
+# the identical precedence, making the oracle a true differential of
+# the fold order. Exact integer set — no float arithmetic.
+
+_Q213_SQL = (
+    "SELECT user_id FROM __q213_events WHERE ts IN '2024-01-10' "
+    "UNION "
+    "SELECT user_id FROM __q213_events WHERE ts IN '2024-01-11' "
+    "INTERSECT "
+    "SELECT user_id FROM __q213_events WHERE event_type = 'click' "
+    "AND ts IN '2024-01' "
+    "EXCEPT "
+    "SELECT user_id FROM __q213_events WHERE value > 900.0 "
+    "AND ts IN '2024-01' "
+    "ORDER BY user_id"
+)
+
+_Q213_ORACLE = """
+SELECT user_id FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'
+UNION
+SELECT user_id FROM events
+WHERE ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-12'
+INTERSECT
+SELECT user_id FROM events
+WHERE event_type = 'click'
+  AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+EXCEPT
+SELECT user_id FROM events
+WHERE value > 900.0
+  AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+ORDER BY user_id
+"""
+
+
+@dq("q213_dialect_set_ops", oracle=_Q213_ORACLE, covers="T2,T1,EXT")
+def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q213_events"
+    )
+    return questdb_sql(spark, _Q213_SQL, {"__q213_events": "ts"})

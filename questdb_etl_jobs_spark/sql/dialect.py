@@ -406,12 +406,24 @@ def _strip_union_tail(
     return head, items, limit_n
 
 
-def _split_union(text: str) -> tuple[list[str], list[bool]] | None:
-    """Split a quote/paren-aware top-level ``UNION [ALL]`` chain into
-    (fragments, all_flags) — ``all_flags[i]`` is True when the i-th
-    connector is UNION ALL. None when the text has no top-level UNION."""
+#: Top-level set-operation connectors (longest alternatives first so
+#: ``UNION ALL`` never half-matches as ``UNION``).
+_SET_OP_RE = re.compile(
+    r"(UNION\s+ALL|UNION|EXCEPT\s+ALL|EXCEPT"
+    r"|INTERSECT\s+ALL|INTERSECT)\s+",
+    re.IGNORECASE,
+)
+
+
+def _split_union(text: str) -> tuple[list[str], list[str]] | None:
+    """Split a quote/paren-aware top-level set-operation chain
+    (``UNION [ALL]`` / ``EXCEPT [ALL]`` / ``INTERSECT [ALL]``) into
+    (fragments, connectors) — ``connectors[i]`` is the normalized
+    (upper, single-space) operator between fragment i and i+1. None
+    when the text has no top-level set operation. Precedence is the
+    CALLER's job (INTERSECT binds tighter than UNION/EXCEPT)."""
     frags: list[str] = []
-    alls: list[bool] = []
+    ops: list[str] = []
     depth, i, start, n = 0, 0, 0, len(text)
     while i < n:
         ch = text[i]
@@ -424,21 +436,21 @@ def _split_union(text: str) -> tuple[list[str], list[bool]] | None:
         elif ch == ")":
             depth -= 1
         elif depth == 0:
-            m = re.match(r"UNION\s+(ALL\s+)?", text[i:], re.IGNORECASE)
+            m = _SET_OP_RE.match(text, i)
             prev_ok = i == 0 or not (
                 text[i - 1].isalnum() or text[i - 1] == "_"
             )
             if m and prev_ok:
                 frags.append(text[start:i].strip())
-                alls.append(bool(m.group(1)))
-                i += m.end()
+                ops.append(re.sub(r"\s+", " ", m.group(1).upper()))
+                i = m.end()
                 start = i
                 continue
         i += 1
-    if not alls:
+    if not ops:
         return None
     frags.append(text[start:].strip())
-    return frags, alls
+    return frags, ops
 
 
 def _split_declares(text: str) -> tuple[list[tuple[str, str]], str] | None:
@@ -575,7 +587,10 @@ _QDB_FN_RE = re.compile(
     r"\b(dateadd|datediff|timestamp_floor|timestamp_ceil|to_timezone"
     r"|to_utc|to_str|to_timestamp"
     r"|strpos|to_lowercase|to_uppercase"
-    r"|round_down|round_up|round_half_even)\s*\(",
+    r"|round_down|round_up|round_half_even"
+    r"|extract|sysdate|systimestamp"
+    r"|rnd_double|rnd_int|rnd_long|rnd_boolean|rnd_symbol|rnd_str"
+    r"|rnd_uuid4)\s*\(",
     re.IGNORECASE,
 )
 #: QuestDB regex-match operators on symbol/string columns: ``col ~
@@ -677,6 +692,18 @@ def rewrite_questdb_scalars(text: str) -> str:
                                            (abs(x)·10^s)/10^s``
     ``round_up(x, s)``                     away from zero: same with
                                            ``ceil``
+    ``extract(f FROM e)``                  ``date_part('f', e)`` (both
+                                           engines are Postgres-
+                                           compatible on field values;
+                                           the rewrite exists because
+                                           the FROM inside the call
+                                           broke the dialect's
+                                           SELECT…FROM split)
+    ``sysdate()/systimestamp()``           ``now()`` (UTC sessions)
+    ``rnd_double()/rnd_int(lo,hi,0)/…``    ``rand()``-based expressions
+                                           (:func:`_rewrite_rnd`; non-
+                                           deterministic, unsupported
+                                           shapes refuse loudly)
     =====================================  ==============================
 
     String literals are never rewritten (the scanner skips them), and
@@ -712,9 +739,86 @@ def rewrite_questdb_scalars(text: str) -> str:
         pos = mstart + len(repl)
 
 
+def _rewrite_rnd(name: str, args: list[str]) -> str:
+    """QuestDB's random-value generators (`rnd_double`, `rnd_int(lo,
+    hi, nanRate)`, `rnd_symbol('a','b')`, …) → Spark `rand()`-based
+    expressions. These are QuestDB's demo-data staples (paired with
+    long_sequence in every tutorial). NON-DETERMINISTIC by design, so
+    they cannot be oracle-paired — tests assert range/membership, not
+    values. Unsupported shapes raise (the rnd_ prefix can only be
+    QuestDB, so a loud error here never rejects a valid Spark query);
+    nanRate > 0 (QuestDB's occasional-NULL knob) is refused rather
+    than silently approximated."""
+    args = [a for a in args if a != ""]
+    if name == "rnd_double":
+        if not args or args == ["0"]:
+            return "rand()"
+        raise QuestDBSQLError(
+            f"rnd_double(nanRate={args[0]}) unsupported: only "
+            "nanRate=0 (no NULLs) lowers; wrap rand() in a CASE for "
+            "NULL injection"
+        )
+    if name == "rnd_boolean":
+        if not args:
+            return "(rand() < 0.5)"
+        raise QuestDBSQLError("rnd_boolean takes no arguments")
+    if name == "rnd_uuid4":
+        if not args:
+            return "uuid()"
+        raise QuestDBSQLError("rnd_uuid4 takes no arguments")
+    if name in ("rnd_int", "rnd_long"):
+        if len(args) == 3 and args[2] == "0":
+            lo, hi = args[0], args[1]
+            t = "int" if name == "rnd_int" else "long"
+            return (
+                f"cast(floor(rand() * (({hi}) - ({lo}) + 1)) + ({lo}) "
+                f"as {t})"
+            )
+        raise QuestDBSQLError(
+            f"{name} lowers only as {name}(lo, hi, 0) — bounded range, "
+            "nanRate=0 (the unbounded and NULL-injecting forms have no "
+            "exact Spark twin)"
+        )
+    if name in ("rnd_symbol", "rnd_str"):
+        lits = [a for a in args if re.fullmatch(r"'(?:[^']|'')*'", a)]
+        if lits and len(lits) == len(args):
+            arr = ", ".join(lits)
+            return (
+                f"element_at(array({arr}), "
+                f"cast(floor(rand() * {len(lits)}) + 1 as int))"
+            )
+        raise QuestDBSQLError(
+            f"{name} lowers only over an explicit string-literal list "
+            f"({name}('a', 'b', …)); the count/length generator forms "
+            "have no exact Spark twin"
+        )
+    raise QuestDBSQLError(f"unsupported QuestDB random generator {name}")
+
+
 def _rewrite_one_scalar(
     name: str, args: list[str], original: str
 ) -> str | None:
+    if name == "extract":
+        # QuestDB/ANSI `extract(hour FROM ts)` → date_part('hour', ts).
+        # The rewrite exists for the DIALECT parse: the FROM inside the
+        # call confused the main SELECT…FROM split, so any dialect-
+        # marked query using extract failed as an unsupported fragment.
+        if len(args) == 1:
+            m = re.match(
+                r"^(\w+)\s+FROM\s+(.+)$", args[0],
+                re.IGNORECASE | re.DOTALL,
+            )
+            if m:
+                return f"date_part('{m.group(1)}', {m.group(2)})"
+        return None
+    if name in ("sysdate", "systimestamp"):
+        # Wall-clock scalars; this engine's sessions run in UTC, where
+        # QuestDB's sysdate (server TZ) and systimestamp (UTC) agree.
+        if args == [""] or not args or args == []:
+            return "now()"
+        return None
+    if name.startswith("rnd_"):
+        return _rewrite_rnd(name, args)
     if name in ("dateadd", "datediff"):
         if len(args) != 3:
             return None  # Spark's own 2-arg functions: pass through
@@ -881,6 +985,34 @@ def _parse_fill_spec(fill_spec: str, value_cols: list[str]) -> dict:
     raise QuestDBSQLError(
         f"FILL list has {len(parts)} entries for "
         f"{len(value_cols)} aggregate columns"
+    )
+
+
+def rewrite_regex_operators(text: str) -> str:
+    """QuestDB regex-match operators and SYMBOL casts → Spark SQL:
+    ``col ~ 'pat'`` / ``col !~ 'pat'`` become regexp_like (Spark parses
+    a bare ``~`` as bitwise NOT), ``AS SYMBOL`` casts become STRING.
+    Literal-aware: a match starting inside a string literal — odd count
+    of quotes before it, doubled quotes counting twice — is left
+    untouched. Shared by the query lowering and the DDL UPDATE paths
+    (round 16: UPDATE's SET/WHERE used to miss this rewrite, so a
+    QuestDB-legal ``WHERE s ~ '…'`` was a hard parse error there)."""
+    def _outside_literal(pos: int, t: str) -> bool:
+        return t.count("'", 0, pos) % 2 == 0
+
+    def _regex_repl(m: re.Match) -> str:
+        if not _outside_literal(m.start(), m.string):
+            return m.group(0)
+        call = f"regexp_like({m.group(1)}, {m.group(3)})"
+        return f"NOT {call}" if m.group(2) == "!~" else call
+
+    text = _REGEX_MATCH_RE.sub(_regex_repl, text)
+    return _SYMBOL_CAST_RE.sub(
+        lambda m: (
+            "AS STRING)" if _outside_literal(m.start(), m.string)
+            else m.group(0)
+        ),
+        text,
     )
 
 
@@ -1331,36 +1463,63 @@ def questdb_sql(
             )
         uni = _split_union(text)
         if uni is not None:
-            # UNION [ALL] chain of dialect fragments: each side lowers
-            # recursively; connectors fold left-associatively (a plain
-            # UNION dedups the accumulated result, SQL semantics). A
-            # top-level trailing ORDER BY / LIMIT binds to the WHOLE
-            # union (round-16 ADVICE — it used to stay inside the last
-            # fragment), and sides fold POSITIONALLY with the first
-            # fragment's column names (SQL unions by position; by-name
-            # folding failed analysis for differently-aliased sides).
-            frags, alls = uni
+            # Set-operation chain of dialect fragments (UNION [ALL] /
+            # EXCEPT [ALL] / INTERSECT [ALL]): each side lowers
+            # recursively; INTERSECT binds tighter (SQL precedence),
+            # UNION/EXCEPT fold left-associatively; sides combine
+            # POSITIONALLY under the first fragment's column names (SQL
+            # set ops are positional; by-name folding failed analysis
+            # for differently-aliased sides). A top-level trailing
+            # ORDER BY / LIMIT binds to the WHOLE chain (round-16
+            # ADVICE — it used to stay inside the last fragment).
+            frags, ops = uni
             frags = list(frags)
             frags[-1], order_items, limit_n = _strip_union_tail(
                 frags[-1]
             )
-            out = questdb_sql(
-                spark, frags[0], designated, _literals_normalized=True
-            )
-            for frag, is_all in zip(frags[1:], alls):
-                side = questdb_sql(
-                    spark, frag, designated,
-                    _literals_normalized=True,
+            sides = [
+                questdb_sql(
+                    spark, frag, designated, _literals_normalized=True
                 )
-                if len(side.columns) != len(out.columns):
+                for frag in frags
+            ]
+
+            def _aligned(left: DataFrame, right: DataFrame, op: str):
+                if len(right.columns) != len(left.columns):
                     raise QuestDBSQLError(
-                        f"UNION sides have {len(out.columns)} vs "
-                        f"{len(side.columns)} columns — positional "
-                        "union needs equal arity"
+                        f"{op} sides have {len(left.columns)} vs "
+                        f"{len(right.columns)} columns — positional "
+                        "set operations need equal arity"
                     )
-                out = out.union(side.toDF(*out.columns))
-                if not is_all:
-                    out = out.distinct()
+                return right.toDF(*left.columns)
+
+            # Pass 1: fold INTERSECT runs into their left neighbor.
+            frames = [sides[0]]
+            outer_ops: list[str] = []
+            for op, side in zip(ops, sides[1:]):
+                if op.startswith("INTERSECT"):
+                    left = frames[-1]
+                    side = _aligned(left, side, op)
+                    frames[-1] = (
+                        left.intersectAll(side)
+                        if op == "INTERSECT ALL"
+                        else left.intersect(side)
+                    )
+                else:
+                    frames.append(side)
+                    outer_ops.append(op)
+            # Pass 2: UNION / EXCEPT, left-associative.
+            out = frames[0]
+            for op, side in zip(outer_ops, frames[1:]):
+                side = _aligned(out, side, op)
+                if op == "UNION ALL":
+                    out = out.union(side)
+                elif op == "UNION":
+                    out = out.union(side).distinct()
+                elif op == "EXCEPT ALL":
+                    out = out.exceptAll(side)
+                else:  # EXCEPT — set difference with dedup
+                    out = out.subtract(side)
             if order_items:
                 out = out.sort(
                     *[
@@ -1394,26 +1553,8 @@ def questdb_sql(
     # every dialect clause alike; string literals are never touched.
     text = rewrite_questdb_scalars(text)
     # QuestDB regex-match operators and SYMBOL casts rewrite next (also
-    # literal-aware: a match starting inside a string literal — odd
-    # count of quotes before it, doubled quotes counting twice — is
-    # left untouched).
-    def _outside_literal(pos: int, t: str) -> bool:
-        return t.count("'", 0, pos) % 2 == 0
-
-    def _regex_repl(m: re.Match) -> str:
-        if not _outside_literal(m.start(), m.string):
-            return m.group(0)
-        call = f"regexp_like({m.group(1)}, {m.group(3)})"
-        return f"NOT {call}" if m.group(2) == "!~" else call
-
-    text = _REGEX_MATCH_RE.sub(_regex_repl, text)
-    text = _SYMBOL_CAST_RE.sub(
-        lambda m: (
-            "AS STRING)" if _outside_literal(m.start(), m.string)
-            else m.group(0)
-        ),
-        text,
-    )
+    # literal-aware — shared with the DDL UPDATE paths).
+    text = rewrite_regex_operators(text)
     # Legacy spelling (QuestDB pre-6.3): `LATEST BY <keys>` — the
     # designated timestamp is implicit from table metadata. Normalize
     # to the modern `LATEST ON <ts> PARTITION BY <keys>` so one lowering
@@ -1742,7 +1883,9 @@ def questdb_sql(
                     sample_having_pred,
                 )
         for alias, expr in computed_keys:
-            df = df.withColumn(alias, F.expr(expr))
+            # Interval searches inside a computed key lower too (no
+            # pruning conjunct — projection context, not a scan filter).
+            df = df.withColumn(alias, F.expr(_rewrite_interval_in(expr)))
         from questdb_etl_jobs_spark.operators.sample_by import (
             sample_by,
             sample_by_fill,
@@ -1872,10 +2015,14 @@ def questdb_sql(
             )
         keys: list[str] = []
         aggs: list[Column] = []
+        computed_keys: list[tuple[str, str]] = []
         positions: list[str | None] = []  # select position → key or None
         for item in _split_items(select_list):
             agg = _AGG_RE.match(item) or _match_agg_expr(item)
             col = _COL_RE.match(item)
+            expr_key = re.match(
+                r"^(.+\S)\s+AS\s+([A-Za-z_]\w*)$", item, re.IGNORECASE
+            )
             if agg:
                 fn, arg, alias = (
                     agg.groups() if isinstance(agg, re.Match) else agg
@@ -1891,10 +2038,24 @@ def questdb_sql(
             elif col:
                 keys.append(col.group(1))
                 positions.append(col.group(1))
+            elif expr_key:
+                # Computed group key (`CASE WHEN … END AS band`,
+                # `user_id % 7 AS grp`) — same contract as the SAMPLE
+                # BY path: the expression materializes as a column
+                # BEFORE the grouping (an aggregate inside it fails in
+                # Spark's analyzer, loudly). Interval searches in the
+                # expression lower too (no pruning conjunct — this is a
+                # projection, not a scan predicate).
+                computed_keys.append((expr_key.group(2), expr_key.group(1)))
+                keys.append(expr_key.group(2))
+                positions.append(expr_key.group(2))
             else:
                 raise QuestDBSQLError(
-                    f"unsupported aggregate select item: {item!r}"
+                    f"unsupported aggregate select item: {item!r} "
+                    "(computed group keys need an explicit AS alias)"
                 )
+        for alias, expr in computed_keys:
+            df = df.withColumn(alias, F.expr(_rewrite_interval_in(expr)))
         if group_m:
             named = []
             for g in _split_items(group_m.group(1).strip()):
@@ -3399,14 +3560,21 @@ def questdb_ddl(
                     "(expected '<column> = <expression>')"
                 )
             assignments.append(
-                (am.group(1), rewrite_questdb_scalars(am.group(2).strip()))
+                (
+                    am.group(1),
+                    rewrite_regex_operators(
+                        rewrite_questdb_scalars(am.group(2).strip())
+                    ),
+                )
             )
         # Same interval-search lowering as plain UPDATE: `ts IN
         # '2024-01'` (bare or alias-qualified) expands to a half-open
         # range plus the partition-pruning predicate, so an
         # interval-scoped join-update probes only the interval's days.
         where = _rewrite_interval_in(
-            rewrite_questdb_scalars(m.group("where").strip()),
+            rewrite_regex_operators(
+                rewrite_questdb_scalars(m.group("where").strip())
+            ),
             (ts_col + PARTITION_SUFFIX,),
         )
         try:
@@ -3446,12 +3614,19 @@ def questdb_ddl(
                     "(expected '<column> = <expression>')"
                 )
             assignments.append(
-                (am.group(1), rewrite_questdb_scalars(am.group(2).strip()))
+                (
+                    am.group(1),
+                    rewrite_regex_operators(
+                        rewrite_questdb_scalars(am.group(2).strip())
+                    ),
+                )
             )
         where = m.group("where")
         if where:
             where = _rewrite_interval_in(
-                rewrite_questdb_scalars(where.strip()),
+                rewrite_regex_operators(
+                    rewrite_questdb_scalars(where.strip())
+                ),
                 (ts_col + PARTITION_SUFFIX,),
             )
         try:

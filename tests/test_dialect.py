@@ -377,12 +377,14 @@ def test_topk_route_rejects_invalid_query_before_any_job(spark, trades):
     """The eager-pass contract: full query validation precedes lowering,
     so a rejected query never triggers the threshold job. The
     unsupported fragment raises even though the table name does not
-    resolve — proof no table was touched before validation."""
+    resolve — proof no table was touched before validation. (This test
+    used EXCEPT as its unsupported construct until round 16 made
+    EXCEPT a supported set-operation connector.)"""
     with pytest.raises(QuestDBSQLError, match="unsupported fragment"):
         questdb_sql(
             spark,
             "SELECT * FROM no_such_table LATEST ON ts PARTITION BY sym "
-            "EXCEPT SELECT 1 ORDER BY qty DESC LIMIT 5",
+            "QUALIFY price > 1 ORDER BY qty DESC LIMIT 5",
             {"no_such_table": "ts"},
         )
 
@@ -3550,7 +3552,7 @@ def test_union_folds_positionally(spark, trades):
     )
     assert out.columns == ["a", "price"]
     assert out.count() > 0
-    with pytest.raises(QuestDBSQLError, match="positional union"):
+    with pytest.raises(QuestDBSQLError, match="positional set"):
         questdb_sql(
             spark,
             "SELECT sym, price FROM trades WHERE ts IN '2024-01' "
@@ -3754,3 +3756,148 @@ def test_not_in_interval_and_group_by_ordinal(spark, trades):
             "SELECT sym, count() AS c FROM trades GROUP BY 2",
             {"trades": "ts"},
         )
+
+
+def test_ddl_literals_and_update_regex_operator(spark, tmp_path):
+    """DDL-path QuestDB literal semantics: INSERT VALUES strings keep
+    literal backslashes and doubled-quote escapes; UPDATE's SET/WHERE
+    run the regex-operator rewrite, so `WHERE s ~ '\\\\'` (a regex
+    matching one literal backslash) works there too — it used to be a
+    hard ParseException (bare ~ is bitwise NOT to Spark)."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"lit": str(tmp_path / "lit")}
+    questdb_ddl(
+        spark, "CREATE TABLE lit(s STRING, ts TIMESTAMP) TIMESTAMP(ts)",
+        tables,
+    )
+    questdb_ddl(
+        spark,
+        r"INSERT INTO lit(s, ts) VALUES "
+        r"('back\slash', TIMESTAMP '2024-01-01 00:00:00'), "
+        r"('it''s', TIMESTAMP '2024-01-01 01:00:00')",
+        tables,
+    )
+    rows = sorted(
+        r.s
+        for r in register_designated_table(
+            spark, "lit", tables["lit"]
+        ).collect()
+    )
+    assert rows == ["back\\slash", "it's"], rows
+    questdb_ddl(
+        spark, r"UPDATE lit SET s = 'fixed' WHERE s ~ '\\'", tables
+    )
+    rows = sorted(
+        r.s
+        for r in register_designated_table(
+            spark, "lit", tables["lit"]
+        ).collect()
+    )
+    assert rows == ["fixed", "it's"], rows
+
+
+def test_extract_sysdate_and_computed_group_keys(spark, trades):
+    """extract(f FROM e) lowers to date_part (the FROM inside the call
+    used to break the dialect's SELECT…FROM split); sysdate()/
+    systimestamp() map to now(); computed group keys with an AS alias
+    work on the plain GROUP BY path (same contract as SAMPLE BY)."""
+    by_hour = questdb_sql(
+        spark,
+        "SELECT extract(hour FROM ts) AS h, count() AS c FROM trades "
+        "WHERE ts IN '2024-01' GROUP BY h ORDER BY h",
+        {"trades": "ts"},
+    ).collect()
+    ref = spark.sql(
+        "SELECT date_part('hour', ts) AS h, count(*) AS c FROM trades "
+        "GROUP BY 1 ORDER BY h"
+    ).collect()
+    assert [tuple(r) for r in by_hour] == [tuple(r) for r in ref]
+    n = spark.table("trades").count()
+    assert questdb_sql(
+        spark, "SELECT count() c FROM trades WHERE ts < sysdate()",
+        {"trades": "ts"},
+    ).collect()[0].c == n
+    assert questdb_sql(
+        spark, "SELECT count() c FROM trades WHERE ts < systimestamp()",
+        {"trades": "ts"},
+    ).collect()[0].c == n
+    banded = questdb_sql(
+        spark,
+        "SELECT CASE WHEN price > 20 THEN 'hi' ELSE 'lo' END AS band, "
+        "count() AS c FROM trades WHERE ts IN '2024-01' "
+        "GROUP BY band ORDER BY band",
+        {"trades": "ts"},
+    ).collect()
+    assert sum(r.c for r in banded) == n
+    assert [r.band for r in banded] == ["hi", "lo"]
+
+
+def test_rnd_generators_lower_to_rand(spark):
+    """QuestDB's random-value generators map onto rand()-based
+    expressions — non-deterministic, so the assertions are range and
+    membership, never values; unsupported shapes (nanRate > 0, the
+    unbounded/length forms) refuse with a named error."""
+    rows = questdb_sql(
+        spark,
+        "SELECT x, rnd_double() d, rnd_int(5, 9, 0) i, "
+        "rnd_symbol('a','b','c') s, rnd_boolean() b, rnd_uuid4() u "
+        "FROM long_sequence(50)",
+    ).collect()
+    assert len(rows) == 50
+    assert all(0.0 <= r.d < 1.0 for r in rows)
+    assert all(5 <= r.i <= 9 for r in rows)
+    assert all(r.s in ("a", "b", "c") for r in rows)
+    assert all(isinstance(r.b, bool) for r in rows)
+    assert len({r.u for r in rows}) == 50  # uuids unique
+    for bad in (
+        "SELECT rnd_double(5) x FROM long_sequence(1)",
+        "SELECT rnd_long() x FROM long_sequence(1)",
+        "SELECT rnd_symbol(3, 2, 8, 0) x FROM long_sequence(1)",
+    ):
+        with pytest.raises(QuestDBSQLError):
+            questdb_sql(spark, bad)
+
+
+def test_set_op_composition_with_precedence(spark, trades):
+    """EXCEPT / INTERSECT [ALL] compose with dialect fragments;
+    INTERSECT binds tighter than UNION/EXCEPT (SQL precedence), sides
+    fold positionally, and EXCEPT/INTERSECT carry SQL's distinct
+    semantics (Spark subtract/intersect)."""
+    # day-1 syms minus day-2 syms.
+    ex = sorted(
+        r.sym
+        for r in questdb_sql(
+            spark,
+            "SELECT sym FROM trades WHERE ts IN '2024-01-01' "
+            "EXCEPT SELECT sym FROM trades WHERE ts IN '2024-01-09'",
+            {"trades": "ts"},
+        ).collect()
+    )
+    assert ex == ["AAA", "BBB"]
+    both = sorted(
+        r.sym
+        for r in questdb_sql(
+            spark,
+            "SELECT sym FROM trades WHERE ts IN '2024-01-01' "
+            "INTERSECT SELECT sym FROM trades WHERE ts IN '2024-01-02'",
+            {"trades": "ts"},
+        ).collect()
+    )
+    assert both == ["AAA", "BBB"]
+    # A UNION B INTERSECT C == A UNION (B INTERSECT C).
+    prec = sorted(
+        r.sym
+        for r in questdb_sql(
+            spark,
+            "SELECT sym FROM trades WHERE sym = 'AAA' AND "
+            "ts IN '2024-01' "
+            "UNION SELECT sym FROM trades WHERE ts IN '2024-01-02' "
+            "INTERSECT SELECT sym FROM trades WHERE sym = 'BBB'",
+            {"trades": "ts"},
+        ).collect()
+    )
+    assert prec == ["AAA", "BBB"]
