@@ -2333,6 +2333,41 @@ _QDB_TO_SPARK_TYPE = {
 }
 
 
+def _register_catalog_tables(
+    spark: SparkSession,
+    select_text: str,
+    tables: dict[str, str],
+    designated: dict[str, str],
+) -> dict[str, str]:
+    """Make the DDL catalog visible to a DDL-embedded SELECT. QuestDB
+    idioms reference catalog tables by name inside the statement
+    (``INSERT INTO t SELECT … FROM t``, ``CREATE TABLE x AS (SELECT …
+    FROM y)``), but the query lowering resolves TEMP VIEWS — before
+    round 16 those failed TABLE_OR_VIEW_NOT_FOUND unless the caller had
+    registered the view out of band. Registers every mapped table whose
+    name appears (word-boundary) in the text and that exists on disk,
+    and returns the designated mapping extended with each table's
+    inferred timestamp column."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        infer_designated_ts,
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sources.fs import hadoop_path_exists
+
+    overlay = dict(designated)
+    for name, path in tables.items():
+        if not re.search(rf"\b{re.escape(name)}\b", select_text):
+            continue
+        if not hadoop_path_exists(spark, path):
+            continue
+        df = register_designated_table(spark, name, path)
+        if name not in overlay:
+            ts = infer_designated_ts(df.columns)
+            if ts:
+                overlay[name] = ts
+    return overlay
+
+
 def _ddl_table_path(table: str, tables: dict[str, str]) -> tuple[str, str]:
     name = table.strip().strip("'")
     if name not in tables:
@@ -2577,19 +2612,26 @@ def questdb_ddl(
     [PARTITION BY DAY]`` (the reference's own      ``_qdb_table_meta``
     statement, sql/create-table.sql:1;             sidecar (the empty
     IF NOT EXISTS accepted)                        table's catalog)
-    ``CREATE TABLE t AS (SELECT …) TIMESTAMP(ts)   dialect SELECT →
-    [PARTITION BY DAY]``                           ``write_designated_ts``
-                                                   (overwrite; day dirs)
+    ``CREATE TABLE [IF NOT EXISTS] t AS (SELECT    dialect SELECT →
+    …) TIMESTAMP(ts) [PARTITION BY DAY]``          ``write_designated_ts``
+    (catalog tables visible to the SELECT by       (existing table:
+    name; round 16)                                error / IF NOT EXISTS
+                                                   no-op)
+    ``CREATE TABLE new (LIKE existing)``           declared-schema copy
+                                                   (columns, designated
+                                                   ts, DEDUP keys; no
+                                                   rows)
     ``INSERT INTO t [(cols)] VALUES (…), (…)``     typed VALUES relation
     (the reference's DML,                          aligned to the declared
     cloud_function.py:84-88, inline                schema →
     ``to_timestamp`` included)                     ``write_designated_ts``
                                                    (append)
-    ``INSERT INTO t [(cols)] SELECT …``            dialect SELECT →
-                                                   ``write_designated_ts``
-                                                   (append; designated
-                                                   col from the layout;
-                                                   cols match positionally)
+    ``INSERT [ATOMIC|BATCH n] INTO t [(cols)]      dialect SELECT →
+    SELECT …`` (self-references fine — catalog     ``write_designated_ts``
+    tables register for the SELECT; no column      (append; designated
+    list = POSITIONAL mapping to the declared      col from the layout;
+    schema; ATOMIC/BATCH are commit-batching       cols match positionally)
+    knobs, ignored — job commits are atomic)
     ``DROP TABLE [IF EXISTS] t``                   recursive directory
                                                    delete (catalog = the
                                                    table→path mapping)
@@ -2726,14 +2768,27 @@ def questdb_ddl(
                 f"PARTITION BY {part} unsupported: this engine's "
                 "designated-ts partitions are day directories"
             )
+        from questdb_etl_jobs_spark.sources.fs import hadoop_path_exists
+
+        if hadoop_path_exists(spark, path):
+            # QuestDB errors on CREATE over an existing table; the
+            # IF NOT EXISTS form no-ops WITHOUT running the SELECT.
+            if m.group("ifnx"):
+                return []
+            raise QuestDBSQLError(
+                f"table {name!r} already exists at {path} "
+                "(use CREATE TABLE IF NOT EXISTS to no-op, or DROP it)"
+            )
         ts_col = m.group("ts")
         from questdb_etl_jobs_spark.plans.designated import (
             list_partitions,
             write_designated_ts,
         )
 
+        sel_text = m.group("select").strip()
         out = questdb_sql(
-            spark, m.group("select").strip(), designated,
+            spark, sel_text,
+            _register_catalog_tables(spark, sel_text, tables, designated),
             _literals_normalized=True,
         )
         if ts_col not in out.columns:
@@ -2743,6 +2798,32 @@ def questdb_ddl(
             )
         write_designated_ts(out, path, ts_col, mode="overwrite")
         return list_partitions(spark, path, ts_col)
+
+    m = _CREATE_TABLE_LIKE_RE.match(text)
+    if m:
+        # CREATE TABLE new (LIKE existing) — QuestDB's schema copy: the
+        # declared columns, designated timestamp, and DEDUP UPSERT KEYS
+        # declaration carry over; no rows do. Lowered as a sidecar copy
+        # (the source's declaration is materialized from footers first
+        # when it was born with rows).
+        from questdb_etl_jobs_spark.plans.designated import (
+            meta_column_tuples,
+            write_table_meta,
+        )
+        from questdb_etl_jobs_spark.sources.fs import hadoop_path_exists
+
+        name, path = _ddl_table_path(m.group("table"), tables)
+        src_name, src_path = _ddl_table_path(m.group("src"), tables)
+        if hadoop_path_exists(spark, path):
+            raise QuestDBSQLError(
+                f"table {name!r} already exists at {path}"
+            )
+        meta = _ensure_table_meta(spark, src_name, src_path, designated)
+        write_table_meta(
+            spark, path, meta_column_tuples(meta), meta["designated"],
+            dedup_keys=meta.get("dedup_keys"),
+        )
+        return []
 
     m = _CREATE_TABLE_COLS_RE.match(text)
     if m:
@@ -2911,8 +2992,10 @@ def questdb_ddl(
             write_designated_ts,
         )
 
+        sel_text = m.group("select").strip()
         out = questdb_sql(
-            spark, m.group("select").strip(), designated,
+            spark, sel_text,
+            _register_catalog_tables(spark, sel_text, tables, designated),
             _literals_normalized=True,
         )
         if m.group("cols"):
@@ -2928,6 +3011,23 @@ def questdb_ddl(
             out = out.toDF(*listed)
         from questdb_etl_jobs_spark.plans.designated import read_table_meta
 
+        if not m.group("cols") and read_table_meta(spark, path) is not None:
+            # No column list: QuestDB maps the SELECT's output to the
+            # DECLARED schema positionally (computed select items carry
+            # auto-generated names — `v * 2` is not a declared column,
+            # it is the second positional value). Arity must match the
+            # declaration exactly.
+            schema_cols, _ = _ddl_declared_schema(
+                spark, name, path, designated
+            )
+            if len(out.columns) != len(schema_cols):
+                raise QuestDBSQLError(
+                    f"INSERT INTO {name!r}: the SELECT produces "
+                    f"{len(out.columns)} columns but the table declares "
+                    f"{len(schema_cols)} (positional mapping; use a "
+                    "column list to insert a subset)"
+                )
+            out = out.toDF(*[n for n, _ in schema_cols])
         if read_table_meta(spark, path) is not None:
             # Declared-schema table: absent columns fill as typed
             # NULLs, present ones cast to their declared types so
@@ -3199,33 +3299,39 @@ def questdb_ddl(
 
         name, path = _ddl_table_path(m.group("table"), tables)
         meta = _ensure_table_meta(spark, name, path, designated)
-        col, qtype = m.group("col"), m.group("type").upper()
-        stype = _QDB_TO_SPARK_TYPE.get(qtype)
-        if stype is None:
-            raise QuestDBSQLError(
-                f"unsupported QuestDB column type {qtype!r} for {col!r} "
-                f"(known: {sorted(_QDB_TO_SPARK_TYPE)})"
-            )
-        if col in [c["name"] for c in meta["columns"]]:
-            raise QuestDBSQLError(
-                f"column {col!r} already exists on table {name!r}"
-            )
         from questdb_etl_jobs_spark.plans.designated import (
             meta_column_tuples,
             stored_name,
         )
 
+        cols = meta_column_tuples(meta)
+        declared_now = [c["name"] for c in meta["columns"]]
         # A renamed column keeps its ORIGINAL physical name forever, so
         # a later ADD COLUMN reusing the vacated declared name must not
         # collide with it in the files — store the newcomer under a
         # fresh physical name when its declared name is taken.
         taken = {stored_name(c) for c in meta["columns"]}
-        stored = col
-        i = 0
-        while stored in taken:
-            i += 1
-            stored = f"{col}__s{i}"
-        cols = meta_column_tuples(meta) + [(col, stype, qtype, stored)]
+        for decl in m.group("cols").split(","):
+            col, qtype = decl.split()
+            qtype = qtype.upper()
+            stype = _QDB_TO_SPARK_TYPE.get(qtype)
+            if stype is None:
+                raise QuestDBSQLError(
+                    f"unsupported QuestDB column type {qtype!r} for "
+                    f"{col!r} (known: {sorted(_QDB_TO_SPARK_TYPE)})"
+                )
+            if col in declared_now:
+                raise QuestDBSQLError(
+                    f"column {col!r} already exists on table {name!r}"
+                )
+            stored = col
+            i = 0
+            while stored in taken:
+                i += 1
+                stored = f"{col}__s{i}"
+            taken.add(stored)
+            declared_now.append(col)
+            cols.append((col, stype, qtype, stored))
         write_table_meta(
             spark, path, cols, meta["designated"],
             dedup_keys=meta.get("dedup_keys"),
@@ -3639,9 +3745,10 @@ def questdb_ddl(
     raise QuestDBSQLError(
         f"unsupported DDL statement: {text!r} (supported: CREATE TABLE "
         "[IF NOT EXISTS] … (col TYPE, …) TIMESTAMP(ts) [PARTITION BY "
-        "DAY], CREATE TABLE … AS (…) TIMESTAMP(ts) [PARTITION BY DAY], "
-        "INSERT INTO … [(cols)] VALUES (…), INSERT INTO … [(cols)] "
-        "SELECT …, UPDATE … SET … [WHERE …], DROP TABLE [IF EXISTS] …, "
+        "DAY], CREATE TABLE [IF NOT EXISTS] … AS (…) TIMESTAMP(ts) "
+        "[PARTITION BY DAY], CREATE TABLE … (LIKE …), "
+        "INSERT [ATOMIC|BATCH n] INTO … [(cols)] VALUES (…) / SELECT …, "
+        "UPDATE … SET … [WHERE …], DROP TABLE [IF EXISTS] …, "
         "RENAME TABLE … TO …, TRUNCATE TABLE …, ALTER "
         "TABLE … ADD/DROP/RENAME COLUMN, ALTER TABLE … DEDUP ENABLE UPSERT "
         "KEYS(…)/DEDUP DISABLE, ALTER TABLE … DROP "
@@ -3651,17 +3758,29 @@ def questdb_ddl(
 
 
 _CREATE_TABLE_AS_RE = re.compile(
-    r"^CREATE\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s+AS\s*"
+    r"^CREATE\s+TABLE\s+(?:(?P<ifnx>IF\s+NOT\s+EXISTS)\s+)?"
+    r"(?P<table>[A-Za-z_][\w.]*|'[^']+')\s+AS\s*"
     r"\((?P<select>.+)\)\s*"
     r"TIMESTAMP\s*\(\s*(?P<ts>\w+)\s*\)\s*"
     r"(?:PARTITION\s+BY\s+(?P<part>\w+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_INTO_RE = re.compile(
-    r"^INSERT\s+INTO\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s*"
+    # ATOMIC / BATCH n are QuestDB commit-batching knobs: writes here
+    # are all-or-nothing job commits already, so both are accepted and
+    # ignored.
+    r"^INSERT\s+(?:ATOMIC\s+|BATCH\s+\d+\s+)?INTO\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s*"
     r"(?:\((?P<cols>[^()]*)\)\s*)?"
     r"(?P<select>SELECT\b.+)$",
     re.IGNORECASE | re.DOTALL,
+)
+#: CREATE TABLE new (LIKE existing) — QuestDB's schema-copy form.
+#: Matched BEFORE the column-list regex (whose <cols> would otherwise
+#: swallow `LIKE existing` as a declaration).
+_CREATE_TABLE_LIKE_RE = re.compile(
+    r"^CREATE\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s*"
+    r"\(\s*LIKE\s+(?P<src>[A-Za-z_][\w.]*|'[^']+')\s*\)\s*$",
+    re.IGNORECASE,
 )
 #: Bare column-list CREATE TABLE — the reference's own table-creation
 #: statement (reference sql/create-table.sql:1). Distinct from the CTAS
@@ -3682,7 +3801,10 @@ _CREATE_TABLE_COLS_RE = re.compile(
 #: INSERT INTO … VALUES — the reference's one DML shape
 #: (reference cloud_function.py:84-88). Multi-tuple accepted.
 _INSERT_VALUES_RE = re.compile(
-    r"^INSERT\s+INTO\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s*"
+    # ATOMIC / BATCH n are QuestDB commit-batching knobs: writes here
+    # are all-or-nothing job commits already, so both are accepted and
+    # ignored.
+    r"^INSERT\s+(?:ATOMIC\s+|BATCH\s+\d+\s+)?INTO\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s*"
     r"(?:\((?P<cols>[^()]*)\)\s*)?"
     r"VALUES\s*(?P<tuples>\(.+\))\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -3695,7 +3817,11 @@ _DROP_TABLE_RE = re.compile(
     re.IGNORECASE,
 )
 _TRUNCATE_TABLE_RE = re.compile(
-    r"^TRUNCATE\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s*$",
+    # KEEP SYMBOL MAPS preserves QuestDB's symbol dictionaries across a
+    # truncate; this engine's SYMBOL is plain STRING (no dictionary to
+    # keep), so the clause is accepted and ignored.
+    r"^TRUNCATE\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')"
+    r"(?:\s+KEEP\s+SYMBOL\s+MAPS)?\s*$",
     re.IGNORECASE,
 )
 _RENAME_TABLE_RE = re.compile(
@@ -3704,8 +3830,11 @@ _RENAME_TABLE_RE = re.compile(
     re.IGNORECASE,
 )
 _ALTER_ADD_COLUMN_RE = re.compile(
+    # QuestDB ADD COLUMN takes one or more comma-separated
+    # declarations; the branch splits <cols>.
     r"^ALTER\s+TABLE\s+(?P<table>[A-Za-z_][\w.]*|'[^']+')\s+"
-    r"ADD\s+COLUMN\s+(?P<col>[A-Za-z_]\w*)\s+(?P<type>[A-Za-z_]\w*)\s*$",
+    r"ADD\s+COLUMN\s+(?P<cols>[A-Za-z_]\w*\s+[A-Za-z_]\w*"
+    r"(?:\s*,\s*[A-Za-z_]\w*\s+[A-Za-z_]\w*)*)\s*$",
     re.IGNORECASE,
 )
 _ALTER_DROP_COLUMN_RE = re.compile(

@@ -1586,22 +1586,31 @@ def test_create_table_as_designated(spark, trades, tmp_path):
     assert written == ["2024-01-01", "2024-01-02"]
     out = register_designated_table(spark, "daily", path)
     assert out.count() == 2 and "vw" in out.columns
-    # Idempotent: re-running overwrites, same partitions.
+    # QuestDB parity (round 16): re-running errors — CREATE over an
+    # existing table is never a silent overwrite; IF NOT EXISTS no-ops.
+    with pytest.raises(QuestDBSQLError, match="already exists"):
+        questdb_ddl(
+            spark, ddl, tables={"daily": path},
+            designated={"trades": "ts"},
+        )
     assert questdb_ddl(
-        spark, ddl, tables={"daily": path}, designated={"trades": "ts"}
-    ) == written
+        spark, ddl.replace("CREATE TABLE", "CREATE TABLE IF NOT EXISTS"),
+        tables={"daily": path}, designated={"trades": "ts"},
+    ) == []
     with pytest.raises(QuestDBSQLError, match="PARTITION BY"):
         questdb_ddl(
             spark,
-            ddl.replace("PARTITION BY DAY", "PARTITION BY MONTH"),
-            tables={"daily": path}, designated={"trades": "ts"},
+            ddl.replace("PARTITION BY DAY", "PARTITION BY MONTH")
+            .replace("daily", "daily2"),
+            tables={"daily2": str(tmp_path / "daily2")},
+            designated={"trades": "ts"},
         )
     with pytest.raises(QuestDBSQLError, match="does not produce"):
         questdb_ddl(
             spark,
-            "CREATE TABLE daily AS (SELECT sym FROM trades) "
+            "CREATE TABLE daily3 AS (SELECT sym FROM trades) "
             "TIMESTAMP(ts)",
-            tables={"daily": path},
+            tables={"daily3": str(tmp_path / "daily3")},
         )
 
 
@@ -3901,3 +3910,151 @@ def test_set_op_composition_with_precedence(spark, trades):
         ).collect()
     )
     assert prec == ["AAA", "BBB"]
+
+
+def test_ddl_catalog_visible_to_embedded_selects(spark, tmp_path):
+    """DDL-embedded SELECTs see the statement's own catalog: `INSERT
+    INTO t SELECT … FROM t` and `CREATE TABLE x AS (SELECT … FROM t)`
+    resolve mapped tables by name (registered on the fly with their
+    designated ts), and a no-column-list INSERT…SELECT maps the
+    SELECT's output to the declared schema POSITIONALLY (computed
+    items carry auto-generated names)."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"src": str(tmp_path / "src"), "agg": str(tmp_path / "agg")}
+    questdb_ddl(
+        spark,
+        "CREATE TABLE src(sym SYMBOL, v DOUBLE, ts TIMESTAMP) "
+        "TIMESTAMP(ts)",
+        tables,
+    )
+    questdb_ddl(
+        spark,
+        "INSERT INTO src VALUES "
+        "('A', 1.0, TIMESTAMP '2024-01-01 00:00:00'), "
+        "('B', 2.0, TIMESTAMP '2024-01-01 01:00:00')",
+        tables,
+    )
+    # Self-referencing INSERT … SELECT with computed items, a QuestDB
+    # scalar, and a regex predicate — positional mapping to (sym,v,ts).
+    questdb_ddl(
+        spark,
+        "INSERT INTO src SELECT sym, v * 10, dateadd('d', 7, ts) "
+        "FROM src WHERE sym ~ '^A'",
+        tables,
+    )
+    rows = sorted(
+        (r.sym, r.v)
+        for r in register_designated_table(
+            spark, "src", tables["src"]
+        ).collect()
+    )
+    assert rows == [("A", 1.0), ("A", 10.0), ("B", 2.0)]
+    # CTAS over a catalog table (SAMPLE BY inside).
+    days = questdb_ddl(
+        spark,
+        "CREATE TABLE agg AS (SELECT ts, count() AS n FROM src "
+        "SAMPLE BY 1d) TIMESTAMP(ts)",
+        tables,
+    )
+    assert days == ["2024-01-01", "2024-01-08"]
+    # Re-creating errors; IF NOT EXISTS no-ops without running.
+    with pytest.raises(QuestDBSQLError, match="already exists"):
+        questdb_ddl(
+            spark,
+            "CREATE TABLE agg AS (SELECT ts, count() AS n FROM src "
+            "SAMPLE BY 1d) TIMESTAMP(ts)",
+            tables,
+        )
+    assert questdb_ddl(
+        spark,
+        "CREATE TABLE IF NOT EXISTS agg AS (SELECT ts, count() AS n "
+        "FROM src SAMPLE BY 1d) TIMESTAMP(ts)",
+        tables,
+    ) == []
+    # Arity mismatch on the positional mapping refuses loudly.
+    with pytest.raises(QuestDBSQLError, match="positional mapping"):
+        questdb_ddl(
+            spark, "INSERT INTO src SELECT sym, v FROM src", tables
+        )
+
+
+def test_ddl_add_columns_batch_atomic_keep_maps(spark, tmp_path):
+    """Round-16 DDL fringe: multi-column ADD COLUMN, INSERT ATOMIC /
+    BATCH n (commit-batching knobs — ignored, writes are all-or-nothing
+    job commits), TRUNCATE … KEEP SYMBOL MAPS (no symbol dictionaries
+    here — ignored)."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"t": str(tmp_path / "t")}
+    questdb_ddl(
+        spark, "CREATE TABLE t(sym SYMBOL, ts TIMESTAMP) TIMESTAMP(ts)",
+        tables,
+    )
+    questdb_ddl(
+        spark,
+        "INSERT ATOMIC INTO t VALUES "
+        "('A', TIMESTAMP '2024-01-01 00:00:00')",
+        tables,
+    )
+    questdb_ddl(
+        spark,
+        "INSERT BATCH 5000 INTO t(sym, ts) VALUES "
+        "('B', TIMESTAMP '2024-01-02 00:00:00')",
+        tables,
+    )
+    questdb_ddl(
+        spark, "ALTER TABLE t ADD COLUMN extra1 DOUBLE, extra2 STRING",
+        tables,
+    )
+    df = register_designated_table(spark, "t", tables["t"])
+    assert {"extra1", "extra2"} <= set(df.columns)
+    assert df.count() == 2
+    assert df.filter(df.extra1.isNull()).count() == 2  # pre-ALTER NULLs
+    questdb_ddl(spark, "TRUNCATE TABLE t KEEP SYMBOL MAPS", tables)
+    assert register_designated_table(spark, "t", tables["t"]).count() == 0
+
+
+def test_create_table_like_copies_schema(spark, tmp_path):
+    """CREATE TABLE new (LIKE existing): declared columns, designated
+    ts, and DEDUP UPSERT KEYS carry over; no rows do; inserts align to
+    the copied declaration."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        read_table_meta,
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"a": str(tmp_path / "a"), "b": str(tmp_path / "b")}
+    questdb_ddl(
+        spark,
+        "CREATE TABLE a(sym SYMBOL, v DOUBLE, ts TIMESTAMP) "
+        "TIMESTAMP(ts) DEDUP UPSERT KEYS(ts, sym)",
+        tables,
+    )
+    questdb_ddl(
+        spark,
+        "INSERT INTO a VALUES ('A', 1.0, TIMESTAMP '2024-01-01 00:00:00')",
+        tables,
+    )
+    assert questdb_ddl(spark, "CREATE TABLE b (LIKE a)", tables) == []
+    meta_a = read_table_meta(spark, tables["a"])
+    meta_b = read_table_meta(spark, tables["b"])
+    assert meta_b["columns"] == meta_a["columns"]
+    assert meta_b["designated"] == "ts"
+    assert meta_b.get("dedup_keys") == meta_a.get("dedup_keys")
+    assert register_designated_table(spark, "b", tables["b"]).count() == 0
+    questdb_ddl(
+        spark,
+        "INSERT INTO b VALUES ('Z', 9.0, TIMESTAMP '2024-02-01 00:00:00')",
+        tables,
+    )
+    assert register_designated_table(spark, "b", tables["b"]).count() == 1
+    with pytest.raises(QuestDBSQLError, match="already exists"):
+        questdb_ddl(spark, "CREATE TABLE b (LIKE a)", tables)

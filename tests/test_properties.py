@@ -1109,3 +1109,38 @@ def test_update_mor_matches_row_model_and_fold(
     questdb_ddl(spark, "VACUUM TABLE t", {"t": path})
     assert pending_update_seqs(spark, path) == []
     assert merged_rows() == before_fold
+
+
+_lit_texts = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FA0),
+        max_size=24,
+    ),
+    min_size=1, max_size=10, unique=True,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_lit_texts)
+def test_questdb_literal_roundtrip_equality(spark, texts):
+    """QuestDB literal round trip through the real entry point: any BMP
+    string embedded as a QuestDB literal (quotes doubled, backslashes
+    LITERAL) selects exactly its own row via `=` — the round-16
+    normalization pass owns the QuestDB→Spark escape translation, so
+    backslash-bearing and quote-bearing strings compare correctly."""
+    from questdb_etl_jobs_spark.sql.dialect import questdb_sql
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, s string"
+    )
+    df.createOrReplaceTempView("__prop_lit")
+    for i, t in enumerate(texts):
+        lit = t.replace("'", "''")
+        got = questdb_sql(
+            spark, f"SELECT i FROM __prop_lit WHERE s = '{lit}'"
+        ).collect()
+        assert [r.i for r in got] == [i], (t, got)
