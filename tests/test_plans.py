@@ -961,3 +961,38 @@ def test_mor_tombstone_broadcast_is_bounded(spark, tmp_path, monkeypatch):
     capped2 = read_designated_merged(spark, path, "ts")
     assert "BroadcastHashJoin" not in plan(capped2)
     assert {r.sym: r.v for r in capped2.collect()} == got
+
+
+def test_union_tail_plans_avoid_global_sort(spark):
+    """The dialect's whole-union ORDER BY/LIMIT lowers to the
+    scale-correct plans: ORDER BY + LIMIT plans TakeOrderedAndProject
+    (bounded heap, no range-partition exchange of the union), and a
+    bare LIMIT pushes LocalLimit into BOTH union children before the
+    CollectLimit — at 100 TB neither shape materializes the union."""
+    from questdb_etl_jobs_spark.sql.dialect import questdb_sql
+
+    spark.createDataFrame(
+        [(datetime.fromisoformat("2024-01-01 00:15:00"), "AAA", 1.0),
+         (datetime.fromisoformat("2024-01-02 01:15:00"), "BBB", 2.0)],
+        "ts timestamp, sym string, price double",
+    ).createOrReplaceTempView("__ut_trades")
+    top = questdb_sql(
+        spark,
+        "SELECT sym, price FROM __ut_trades WHERE ts IN '2024-01' "
+        "UNION ALL SELECT sym, price FROM __ut_trades "
+        "ORDER BY price DESC LIMIT 2",
+        {"__ut_trades": "ts"},
+    )
+    assert_in_plan(top, "TakeOrderedAndProject")
+    assert_not_in_plan(top, "Exchange rangepartitioning")
+    lim = questdb_sql(
+        spark,
+        "SELECT sym FROM __ut_trades WHERE ts IN '2024-01' "
+        "UNION ALL SELECT sym FROM __ut_trades LIMIT 2",
+        {"__ut_trades": "ts"},
+    )
+    plan = plan_string(lim)
+    assert "CollectLimit" in plan
+    # Two LocalLimit NODES (the formatted plan prints each node in the
+    # tree and again in the detail section).
+    assert plan.count("LocalLimit") >= 2  # pushed into both sides
