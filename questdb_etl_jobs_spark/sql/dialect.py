@@ -118,8 +118,18 @@ _SAMPLE_RE = re.compile(
     re.IGNORECASE,
 )
 _JOIN_RE = re.compile(
+    # ASOF/LT/SPLICE JOIN <table> [ON (keys)] [TOLERANCE <dur>] —
+    # QuestDB's TOLERANCE takes a bare duration (10s) or a quoted one
+    # ('10s'); both accepted (round 16 — all TOLERANCE spellings used
+    # to die as unsupported fragments while the operator supported the
+    # bound all along).
     r"\b(ASOF|LT|SPLICE)\s+JOIN\s+(\w+)"
-    r"(?:\s+ON\s+\(?\s*(\w+(?:\s*,\s*\w+)*)\s*\)?)?",
+    r"(?:\s+ON\s+\(?\s*(\w+(?:\s*,\s*\w+)*)\s*\)?)?"
+    # \s* (not \s+): the ON group's trailing \s*\)? may already have
+    # consumed the separating space, and the engine never backtracks
+    # into an optional group that already satisfied the pattern.
+    r"(?:\s*TOLERANCE\s+(?:'(?P<tolq>\d+[smhdwMy])'"
+    r"|(?P<tol>\d+[smhdwMy])))?",
     re.IGNORECASE,
 )
 _LIMIT_RE = re.compile(
@@ -1722,6 +1732,7 @@ def questdb_sql(
             join_m.group(2),
             join_m.group(3),
         )
+        tolerance = join_m.group("tolq") or join_m.group("tol")
         right = spark.table(right_name)
         r_ts = designated.get(right_name) or infer_designated_ts(right.columns)
         if ts is None or r_ts is None:
@@ -1748,9 +1759,17 @@ def questdb_sql(
                 )
             from questdb_etl_jobs_spark.operators.asof import splice_join
 
+            if tolerance:
+                raise QuestDBSQLError(
+                    "SPLICE JOIN does not take TOLERANCE (QuestDB "
+                    "defines it for ASOF/LT only)"
+                )
             df = splice_join(df, right, on=ts, by=by).drop("side")
         else:
-            df = asof_join(df, right, on=ts, by=by, strict=(kind == "LT"))
+            df = asof_join(
+                df, right, on=ts, by=by, strict=(kind == "LT"),
+                tolerance=tolerance,
+            )
 
     post_latest_pred: str | None = None
     if where_m:

@@ -4058,3 +4058,48 @@ def test_create_table_like_copies_schema(spark, tmp_path):
     assert register_designated_table(spark, "b", tables["b"]).count() == 1
     with pytest.raises(QuestDBSQLError, match="already exists"):
         questdb_ddl(spark, "CREATE TABLE b (LIKE a)", tables)
+
+
+def test_asof_join_tolerance_in_dialect_text(spark):
+    """`ASOF/LT JOIN … [ON keys] TOLERANCE <dur>` parses in the dialect
+    text (bare and quoted durations; every spelling used to die as an
+    unsupported fragment while the operator supported the bound);
+    SPLICE JOIN refuses TOLERANCE, matching QuestDB."""
+    spark.createDataFrame(
+        [(datetime(2024, 1, 1, 2, 15), "AAA", 1.0),
+         (datetime(2024, 1, 1, 5, 0), "BBB", 9.0)],
+        "ts timestamp, sym string, price double",
+    ).createOrReplaceTempView("__tol_trades")
+    spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 10), "AAA", 0.9),
+         (datetime(2024, 1, 1, 4, 59), "BBB", 8.5)],
+        "ts timestamp, sym string, bid double",
+    ).createOrReplaceTempView("__tol_quotes")
+    D = {"__tol_trades": "ts", "__tol_quotes": "ts"}
+    tight = sorted(
+        (r.sym, r.bid)
+        for r in questdb_sql(
+            spark,
+            "SELECT * FROM __tol_trades ASOF JOIN __tol_quotes ON sym "
+            "TOLERANCE '1h'",
+            D,
+        ).collect()
+    )
+    assert tight == [("AAA", None), ("BBB", 8.5)]
+    bare = sorted(
+        (r.sym, r.bid)
+        for r in questdb_sql(
+            spark,
+            "SELECT * FROM __tol_trades ASOF JOIN __tol_quotes ON sym "
+            "TOLERANCE 1d",
+            D,
+        ).collect()
+    )
+    assert bare == [("AAA", 0.9), ("BBB", 8.5)]
+    with pytest.raises(QuestDBSQLError, match="SPLICE JOIN does not"):
+        questdb_sql(
+            spark,
+            "SELECT * FROM __tol_trades SPLICE JOIN __tol_quotes "
+            "TOLERANCE 1h",
+            D,
+        )
