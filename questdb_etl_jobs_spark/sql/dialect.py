@@ -1805,7 +1805,13 @@ def questdb_sql(
         if post_latest_pred:
             df = df.filter(F.expr(post_latest_pred))
 
+    #: Set by the aggregation branches below: the alias of a select-list
+    #: bare count() (so ORDER BY count() can reference it after the agg),
+    #: and whether an aggregated lowering ran at all.
+    agg_count_alias: str | None = None
+    aggregated_lowering = False
     if sample_m:
+        aggregated_lowering = True
         if ts is None:
             raise QuestDBSQLError(
                 f"SAMPLE BY needs a designated timestamp for {table!r}"
@@ -1878,6 +1884,8 @@ def questdb_sql(
         # (dropped after the filter). FILL paths can't host the hidden
         # column (fill specs are positional over the value columns), so
         # they require an aliased count in the select list.
+        if count_aliases:
+            agg_count_alias = count_aliases[0]
         sample_having_pred = None
         sample_having_hidden = False
         if having_m:
@@ -2027,6 +2035,7 @@ def questdb_sql(
         # columns imply the grouping — so keys come from the select
         # list's non-aggregate items; an explicit GROUP BY must name
         # exactly those (QuestDB rejects mismatches too).
+        aggregated_lowering = True
         if distinct:
             raise QuestDBSQLError(
                 "DISTINCT cannot combine with a grouped aggregation "
@@ -2053,6 +2062,10 @@ def questdb_sql(
                 aggs.append(
                     _agg_column(fn, arg, alias or _default_agg_alias(fn, arg), ts)
                 )
+                if fn.lower() == "count" and arg in ("*", ""):
+                    agg_count_alias = agg_count_alias or (
+                        alias or _default_agg_alias(fn, arg)
+                    )
                 positions.append(None)
             elif col:
                 keys.append(col.group(1))
@@ -2139,6 +2152,21 @@ def questdb_sql(
         for item in _split_items(order_m.group(1).strip()):
             m = re.match(r"^(.*?)(?:\s+(ASC|DESC))?$", item, re.IGNORECASE)
             expr, direction = m.group(1).strip(), (m.group(2) or "ASC").upper()
+            if aggregated_lowering and re.search(
+                r"\bcount\s*\(\s*\*?\s*\)", expr, re.IGNORECASE
+            ):
+                # QuestDB's ORDER BY count() after a grouping: the agg
+                # already ran, so the sort references the SELECT's
+                # count alias (same carry as HAVING's bare count()).
+                if agg_count_alias is None:
+                    raise QuestDBSQLError(
+                        "ORDER BY count() needs a count() in the "
+                        "select list (alias it and sort by the alias)"
+                    )
+                expr = re.sub(
+                    r"\bcount\s*\(\s*\*?\s*\)",
+                    agg_count_alias, expr, flags=re.IGNORECASE,
+                )
             order_items.append((expr, direction))
             c = F.expr(expr)
             order_cols.append(c.desc() if direction == "DESC" else c.asc())

@@ -4103,3 +4103,34 @@ def test_asof_join_tolerance_in_dialect_text(spark):
             "TOLERANCE 1h",
             D,
         )
+
+
+def test_order_by_bare_count_after_grouping(spark, trades):
+    """QuestDB's ORDER BY count() / count(*) after GROUP BY or SAMPLE
+    BY sorts by the select list's count alias (the agg already ran);
+    without a count in the select list it refuses with guidance."""
+    by_count = questdb_sql(
+        spark,
+        "SELECT sym, count() AS c FROM trades GROUP BY sym "
+        "ORDER BY count() DESC, sym",
+        {"trades": "ts"},
+    ).collect()
+    assert [tuple(r) for r in by_count] == sorted(
+        [tuple(r) for r in by_count], key=lambda t: (-t[1], t[0])
+    )
+    sampled = questdb_sql(
+        spark,
+        "SELECT ts, count() AS c FROM trades SAMPLE BY 1d "
+        "ORDER BY count(*) DESC, ts",
+        {"trades": "ts"},
+    ).collect()
+    assert [r.c for r in sampled] == sorted(
+        (r.c for r in sampled), reverse=True
+    )
+    with pytest.raises(QuestDBSQLError, match="ORDER BY count"):
+        questdb_sql(
+            spark,
+            "SELECT sym, max(price) m FROM trades GROUP BY sym "
+            "ORDER BY count() DESC",
+            {"trades": "ts"},
+        )
