@@ -355,7 +355,16 @@ def fill_gaps(
         if mode == "null":
             continue
         if isinstance(mode, tuple) and mode[0] == "value":
-            out = out.withColumn(col, F.coalesce(c, F.lit(mode[1])))
+            # Cast the fill literal to the COLUMN's type: the dialect
+            # parses FILL(0) as a float, which would otherwise coerce a
+            # count column long→double (QuestDB keeps the aggregate's
+            # own type; round 16).
+            out = out.withColumn(
+                col,
+                F.coalesce(
+                    c, F.lit(mode[1]).cast(out.schema[col].dataType)
+                ),
+            )
         elif mode == "prev":
             out = out.withColumn(
                 col, F.last(c, ignorenulls=True).over(w_prev)
