@@ -78,217 +78,76 @@ def dq(name: str, oracle: str | Callable[[], str], covers: str = ""):
 # ``tools/verify_local.py`` (full-registry differential run; committed
 # report in CORRECTNESS_FULL.md).
 _PRIORITY: tuple[str, ...] = (
-    # Rotation policy (since round 15): ~10–12 window slots rotate per
+    # Rotation policy (since round 15): ~10–16 window slots rotate per
     # round toward queries that have never produced a driver
-    # CORRECTNESS row (union of CORRECTNESS_r01–r15 = 110 of 210
-    # names). Members whose ids stay covered in-window cede first,
-    # oldest never-windowed names enter first; at this rate the
-    # backlog (~88 names after round 16) retires in ~8 rounds.
-    # Round 16 rotates FIFTEEN slots (12 backlog + 3 ship-round): the q93–q104 head of the
-    # never-windowed q93–q144 band enters; the round-15 lifecycle
-    # members that got their rows in r15 (q195/q193/q196/q189/q205/
-    # q197/q202/q199/q206) and three round-1 veterans (q08/q25/q42)
-    # cede. The covering-set invariant is enforced by
+    # CORRECTNESS row. Members whose ids stay covered in-window cede
+    # first, oldest never-windowed names enter first; the covering-set
+    # invariant is enforced by
     # tests/test_registry.py::test_window_is_a_covering_set.
     #
-    # Round-15 rotation #1: q194 ceded its slot (driver row in r14) —
-    # S6/O3 stay covered by the incoming lifecycle wave, F4 by q02 —
-    # so the table lifecycle (DROP/TRUNCATE/ADD COLUMN round trip)
-    # gets its first driver row.
-    # Round-16 rotation #1: q195 ceded (driver row in r15) — S6/O3
-    # stay via q207/q208/q210/q60 — opening the q93–q144 never-windowed
-    # band (rotation policy below): the three-way deterministic
-    # train/val/test split gets its first driver row.
-    "q93_train_val_test_split",   # A1 F10 EXT (deterministic split)
-    "q02_pipeline_anonymize",     # F1 U1 F4
-    # Round-15 rotation #2: q191 ceded its slot (driver row in r14) —
-    # S6/O3 via the lifecycle wave, A7 by q187/q181/q63 and the
-    # incoming q193 — so INSERT INTO … SELECT (bulk DML through the
-    # declared schema and designated layout) gets its first driver row.
-    # Round-16 rotation #2: q193 ceded (driver row in r15) — A7 via
-    # q187/q210/q63 and the incoming q98/q100, S6/O3 as above.
-    "q94_fixed_size_sample",      # A1 W1 EXT (fixed-size sample)
+    # Round-17 rotation: SIXTEEN slots. Incoming: the q105–q116 head of
+    # the never-windowed band (12 backlog slots), the two reference-
+    # fidelity faces q134 (JSONL wire-format ingest) and q163 (entry
+    # point 2, the purchase generator) per VERDICT r16 #7, and the two
+    # ship-round queries q214 (quoted identifiers — the round-16 bug
+    # fix under the driver's own oracle) and q215 (arithmetic
+    # promotion pin). Ceding: the twelve r16 rotations that got their
+    # rows (q93–q103 minus q97/q104 which are sole F9/A6 coverage),
+    # q211/q212 (rows in r16), and veterans q02/q16/q74/q200 (rows
+    # since round 1; F1/P3/F3/F4 move to q134/q163, J7 to q105,
+    # A3/A2 stay via q157/q114/q116/q169, F6/F7 plentiful).
+    "q105_asof_tolerance",        # J7 (TOLERANCE bound — takes q16's id)
+    "q134_jsonl_ingest",          # S2 F1 P3 F3 F4 EXT (wire-format twin)
+    "q106_twap",                  # W2 A1 F7 (TWAP window)
     "q07_event_filter",           # P1 P2 P4
-    # Round-16 rotation #3: q08 ceded (driver rows since round 1) —
-    # F10 via the incoming q93/q104, A1/F7 plentiful.
-    "q95_zorder_key",             # A1 F7 EXT (z-order key)
-    # Round-15 rotation #3: q198 ceded its slot (driver row in r14) —
-    # S6/O3 via the lifecycle wave — so DEDUP UPSERT KEYS declarations
-    # (ingest-time dedup contract) get their first driver row.
-    # Round-16 rotation #4: q196 ceded (driver row in r15).
-    "q96_chunk_udtf_lateral",     # U4 EXT (chunking UDTF)
+    "q107_pivot_daily_matrix",    # A1 F5 EXT (pivot)
+    "q108_unpivot_measures",      # T1 A1 EXT (unpivot)
     "q10_join_revenue_by_nation", # J1 J2 F7
-    # Round-15 rotation #4: q188 ceded its slot (driver row in r14) —
-    # A1 by q08/q10/q177, F7 by q08/q10/q164 and the incoming q189 —
-    # so vwap (the QuestDB volume-weighted aggregate with null-pair
-    # gating) gets its first driver row.
-    # Round-16 rotation #5: q189 ceded (driver row in r15) — A1/F7
-    # plentiful in-window.
-    "q97_variant_extract",        # F9 (variant/JSON extraction)
-    # Round-11 rotation #2: q12 ceded its slot — its only id, J4, stays
-    # covered in-window by q167's anti-join admission gate — so the
-    # round's flagship scale face (the grouped threshold prune behind
-    # q172-q175, dq30's full rank family with zero full-data exchange)
-    # runs under the driver's own oracle in the round it shipped.
+    "q97_variant_extract",        # F9 (sole in-window F9 — stays)
     "q175_rank_family_pruned",    # W1 O2 EXT (grouped prune, full family)
-    # Round-15 rotation #5: q185 ceded its slot (driver row in r13/r14)
-    # — S6 stays plentiful in-window — so SHOW CREATE TABLE (the
-    # round-trip catalog face: emitted DDL re-creates the table) gets
-    # its first driver row.
-    # Round-16 rotation #6: q205 ceded (driver row in r15).
-    "q98_recursive_spine",        # A7 F5 (recursive spine)
+    "q109_sample_by_calendar_tz", # A7 F5 EXT (tz-aligned SAMPLE BY)
     "q15_interval_join_events",   # J6
-    "q16_asof_join",              # J7
+    "q110_quality_filter_chain",  # EXT P2 F6 A1 (quality chain)
     "q22_rollup_orders",          # A4
-    # Round-15 rotation #6: q178 ceded its slot (driver row in r12–r14)
-    # — S6 via the lifecycle wave, A1 by q08/q10, W1 by q175/q33/q74 —
-    # so the QuestDB string/rounding scalar family (strpos,
-    # to_uppercase, round_down/up/half_even) gets its first driver row.
-    "q200_string_rounding_scalars",  # F6 F7 EXT (string/rounding scalars)
-    # Round-16 rotation #7: q25 ceded (driver rows since round 1) —
-    # A6 stays via the incoming q104.
-    "q99_semantic_dedup",         # A1 F11 J5 EXT (semantic dedup)
-    # Round-13 rotation #2: q26 ceded its slot — A7/F5 stay covered
-    # in-window by q181 and the incoming q187, R2 by q60's tumbling
-    # replay — so sub-second SAMPLE BY (T/U strides on the epoch-µs
-    # floor, never driver-verified) runs under the driver's own oracle
-    # in the round after it shipped.
-    # Round-16 rotation #13 (ship-round): q187 ceded (driver rows in
-    # r13–r15) — A7/F5 via q98/q100/q181 and the incoming q211/q212,
-    # F7 via q10/q164/q95/q102 — so the whole-union ORDER BY/LIMIT +
-    # positional fold (shipped THIS round) gets its driver row in the
-    # round it shipped.
-    "q211_dialect_union_tail",    # T1 A7 O2 F5 EXT (union tail)
-    "q74_kmv_distinct",           # A3 (value-verified KMV twin of q27's HLL)
-    # Round-12 rotation #2: q29 ceded its slot — U4 stays covered
-    # in-window by q47/q57/q167, and T1 moves to the incoming q181 —
-    # so the Spark 4 recursive-CTE date spine joins the hard signal.
+    "q111_domain_cap",            # EXT W1 A1 (per-domain cap)
+    "q112_duplicated_spans",      # EXT F6 W2 A1 (span dedup)
+    "q113_scd2_intervals",        # W1 W2 A1 F5 EXT (SCD2)
+    "q114_profile_columns",       # A1 A2 F10 EXT (profiler)
     "q181_recursive_date_spine",  # A7 F5 T1 J3 (recursive CTE)
-    # Round-15 rotation #7: q203 ceded its slot (driver row in r14) —
-    # S6/O3 via the lifecycle wave, J3 by q181 — so catalog ALTERs
-    # (RENAME COLUMN/TABLE declaration-level alterations) get their
-    # first driver row.
-    # Round-16 rotation #8: q197 ceded (driver row in r15).
-    "q100_sample_by_first_obs",   # A7 F5 (ALIGN TO FIRST OBSERVATION)
-    # Round-11 rotation #3: q31 ceded its slot — W2 stays covered
-    # in-window by q164 (lag/CUSUM) and q145 (stateful EMA) — so the
-    # round's new clustering family (distributed Lloyd k-means under a
-    # bit-exact CPython mirror) runs under the driver's own oracle in
-    # the round it shipped.
+    "q115_char_entropy",          # U2 F6 EXT (char entropy)
     "q177_kmeans_clusters",       # EXT clustering, F8 U1
-    # Round-15 rotation #8: q186 ceded its slot (driver row in r13/r14)
-    # — F5 by q187/q181 and the incoming q190, F7/A1 plentiful — so the
-    # regex-symbol operators (`~`/`!~` match + SAMPLE BY composition)
-    # get their first driver row.
     "q190_dialect_regex_symbol",  # F6 F5 A1 EXT (regex symbol ops)
     "q33_latest_event_per_user",  # W4
-    # Round-13 rotation #4: q34 ceded its slot — O2 stays covered
-    # in-window by q183 (routed descending prune) and the incoming
-    # q184 — so the ascending bottom-k face (dialect-routed, nulls-
-    # first prune, never driver-verified) joins the hard signal; q34
-    # itself remains the bench headline outside the window.
     "q184_dialect_bottomk_routed",  # O2 EXT (ascending prune, SQL surface)
-    # Round-15 rotation #9: q183 ceded its slot (driver row in r12–r14)
-    # — O2 stays covered by q175/q184/q192/q45 — so negative LIMIT
-    # ranges (QuestDB's python-style tail slices, now with the
-    # deterministic tie contract) get their first driver row.
-    # Round-16 rotation #9: q202 ceded (driver row in r15) — O2 via
-    # q175/q184/q180/q192/q59.
-    "q101_decontaminate_bloom",   # F6 J4 U2 EXT (bloom decontaminate)
-    # Round-16 rotation #15 (ship-round): q35 ceded (driver rows since
-    # round 1) — its only id, T2, stays covered by the incoming q213,
-    # which runs the set operations through the DIALECT face (EXCEPT /
-    # INTERSECT precedence) instead of the DataFrame API.
-    "q213_dialect_set_ops",       # T2 T1 EXT (dialect set ops)
-    # Round-14 rotation #4: q40 ceded its slot — F6 stays covered
-    # in-window by q49/q80, U4 by q47/q57/q80/q167 — so the streaming
-    # deterministic reservoir (exactly-k per stratum, batch-equivalent)
-    # joins the hard signal.
+    "q116_skew_safe_distinct",    # A1 A2 EXT (skew-safe distinct)
+    "q213_dialect_set_ops",       # T2 T1 EXT (dialect set ops — sole T2)
     "q192_stream_reservoir",      # R1 R6 U2 O2 EXT (streaming reservoir)
-    # Round-15 rotation #10: q201 ceded its slot (driver row in r14) —
-    # S6/O3 via the lifecycle wave — so DETACH/ATTACH PARTITION (the
-    # partition-parking lifecycle, now all-or-nothing validated) gets
-    # its first driver row.
-    # Round-16 rotation #11: q199 ceded (driver row in r15).
-    "q103_repetition_metrics",    # A1 F6 F8 EXT (repetition metrics)
-    # Round-16 rotation #10: q42 ceded (driver rows since round 1) —
-    # F9 stays via the incoming q97.
-    "q102_zorder_3d_key",         # A1 F7 EXT (3-D z-order key)
-    "q05_hash_family",            # F2 (q44 ceded its slot in round 9 —
-                                  #     F11 stays via q41, J5 via q14/q56 —
-                                  #     closing the one §2 id, F2, that had
-                                  #     no covering query inside the window)
-    # Round-15 rotation #14: q45 ceded its slot (driver rows since
-    # round 1) — EXT similarity stays via q56/q59, F8 via q177/q180,
-    # O2 plentiful — so PII detection/redaction (the free-text face of
-    # the reference's anonymization stance, shipped THIS round) gets
-    # its driver row in the round it shipped.
+    "q163_purchase_generator",    # S2 F1 F7 EXT (entry point 2 mirror)
+    # Ship-round slots (the q211–q213 precedent): the round-17 bug fix
+    # and the arithmetic pin get driver rows in the round they shipped.
+    "q214_dialect_quoted_idents", # F6 A7 A1 T1 F5 EXT (PG-quoted idents)
+    "q05_hash_family",            # F2
     "q209_pii_redaction",         # F6 U1 EXT (PII scrub)
-    # Round-15 rotation #15: q46 ceded its slot (driver rows since
-    # round 1) — EXT dedup stays via the q56/q57-family full-reg
-    # coverage and the in-window q167 admission gate, A1/J4 plentiful —
-    # so the dialect composition pre-pass (DECLARE + CTE + FROM-
-    # subquery + SAMPLE BY + interval, shipped THIS round) gets its
-    # driver row in the round it shipped.
-    # Round-16 rotation #14 (ship-round): q210 ceded (driver row in
-    # r15) — S6 via q207/q208/q60/q169/q170, A7/F5/A1 plentiful — so
-    # the CTE-chain + expression-argument-aggregate composition
-    # (shipped THIS round) gets its driver row in the round it shipped.
-    "q212_dialect_cte_chain",     # A7 A1 F10 F7 EXT (CTE chain)
-    # Round-15 rotation #11: q204 ceded its slot (driver row in r14) —
-    # S2 stays covered by q86, S6/O3 via the lifecycle wave — so ALTER
-    # COLUMN TYPE (the declared-schema data rewrite through the vacuum
-    # machinery) gets its first driver row.
-    # Round-16 rotation #12: q206 ceded (driver row in r15).
-    "q104_funnel_steps",          # A1 A6 F8 F10 EXT (funnel steps)
-    # Round-11 rotation #4: q50 ceded its slot — EXT text stays covered
-    # in-window by q40/q49/q58 — so the round's composition face
-    # (k-means topic assignment × per-stratum A-ES draw, exact integer
-    # arithmetic end to end) runs under the driver's own oracle.
+    "q215_arith_semantics",       # F7 EXT (promotion rules pinned)
+    "q104_funnel_steps",          # A1 A6 F8 F10 EXT (sole in-window A6)
     "q180_cluster_balanced_sample",  # EXT clustering × sampling, O2 W1
     "q51_multimodal_decode",      # U2 multimodal
     "q53_udaf_geomean",           # U3
-    # Round-12 rotation #4: q58 ceded its slot — EXT text stays covered
-    # in-window by q40/q49, F6 by q40/q49, A1 by q08/q10 — so
-    # TTL-on-ingest (the continuous evaluate-on-ingest retention face,
-    # q170) runs under the driver's own oracle.
     "q170_ttl_on_ingest",         # S6 O1 A1 EXT (TTL-on-ingest)
     "q61_csv_sink_roundtrip",     # S5
     "q63_session_window",         # R3
     "q80_decontaminate",          # EXT composite
     "q86_metadata_source_gate",   # S7
     # Heavier composites last inside the 50-query window:
-    # Round-15 rotation #13: q47 ceded its slot (driver rows since the
-    # early rounds) — EXT dedup stays via q46, U4 via q80/q167, A1/J1
-    # plentiful — so the merge-on-read UPDATE face (delta write +
-    # merged read + fold, shipped THIS round) gets its driver row in
-    # the round it shipped.
     "q208_update_merge_on_read",  # S6 O3 EXT (MoR UPDATE face)
     "q56_embedding_near_dup",     # EXT similarity
-    # Round-15 rotation #12: q57 ceded its slot (driver rows since the
-    # early rounds) — EXT dedup stays via q46/q47, U4 via q80/q167/q47,
-    # A1/J1 plentiful — so COPY … ON ERROR SKIP_ROW (quarantined bulk
-    # import, shipped THIS round) gets its driver row in the round it
-    # shipped.
     "q207_copy_skip_row",         # S2 S6 O3 EXT (quarantined COPY)
     "q59_ivf_topk_exact",         # EXT similarity (IVF)
     "q60_streaming_replay",       # S1 S6 O3 R1 R4 R5
-    # Round-9 rotation (VERDICT r8 task #6): redundant twins ceded their
-    # slots so the driver's hard signal exercises post-round-6 work —
-    # J4 stays covered by q12, A1 by q08/q10, A5 by q23/q157.
     "q157_tdigest_quantiles",     # A3 A5 U2 (mergeable t-digest sketch)
     "q164_cusum_drift",           # W2 W3 F7 (CUSUM closed form)
     "q145_ema_stream_replay",     # R1 R6 U2 W2 (stateful streaming EMA)
-    # Round-10 rotation (VERDICT r9 task #5): q55 ceded its slot — its
-    # only id, F9, stays covered in-window by q42 — so the streaming
-    # near-dup admission gate (R5 + the LSH dedup path under an exact
-    # brute-force Jaccard oracle) joins the hard signal.
     "q167_stream_dedup_admit",    # R1 R5 R6 U4 J4 EXT (admission gate)
-    # Round-11 rotation (VERDICT r10 task #7): q21 ceded its slot — its
-    # only id, A2, stays covered in-window by q74's exact-count column —
-    # so the retention surface (DROP PARTITION WHERE/LIST + SET TTL via
-    # the QuestDB DDL dialect) runs under the driver's own oracle for
-    # the first time.
     "q169_retention_dialect_ddl", # S6 O1 A1 A2 EXT (retention DDL)
 )
 

@@ -4134,3 +4134,173 @@ def test_order_by_bare_count_after_grouping(spark, trades):
             "ORDER BY count() DESC",
             {"trades": "ts"},
         )
+
+
+def test_double_quoted_identifiers_are_column_references(spark):
+    """QuestDB follows PG: `"s"` is a quoted IDENTIFIER (what every
+    PG-wire client emits), with `""` escaping an embedded quote.
+    Spark's default parser reads it as a STRING LITERAL — the
+    round-16 silent-wrong-answer class: `SELECT "s" FROM t` returned
+    the literal letter s per row, `WHERE "s" = 'a1b22'` matched
+    nothing. The normalization pass now rewrites quoted identifiers
+    onto Spark identifiers at both entries."""
+    spark.createDataFrame(
+        [("a1b22", 5), ("nodigits", 7)], "s string, v int"
+    ).createOrReplaceTempView("__qi_t")
+    # The round-16 verdict's exact repros.
+    got = [
+        r.s
+        for r in questdb_sql(
+            spark, 'SELECT "s" FROM __qi_t ORDER BY 1'
+        ).collect()
+    ]
+    assert got == ["a1b22", "nodigits"], got
+    got = [
+        r.s
+        for r in questdb_sql(
+            spark, "SELECT s FROM __qi_t WHERE \"s\" = 'a1b22'"
+        ).collect()
+    ]
+    assert got == ["a1b22"], got
+    # Composed with the literal normalization: quoted identifier ~
+    # backslash-class regex.
+    got = [
+        r.v
+        for r in questdb_sql(
+            spark, "SELECT \"s\" AS v FROM __qi_t WHERE \"s\" ~ '\\d+'"
+        ).collect()
+    ]
+    assert got == ["a1b22"], got
+    # `""` escape inside an identifier (PG: one literal quote).
+    got = questdb_sql(
+        spark, 'SELECT 1 AS "a""b" FROM __qi_t LIMIT 1'
+    )
+    assert got.columns == ['a"b'], got.columns
+    # Dialect-marked route: quoted identifiers in select list, GROUP
+    # BY, aggregate argument, and table name.
+    got = questdb_sql(
+        spark,
+        'SELECT "s", count() AS n, max("v") AS mv '
+        'FROM "__qi_t" GROUP BY "s" ORDER BY "s"',
+    ).collect()
+    assert [(r.s, r.n, r.mv) for r in got] == [
+        ("a1b22", 1, 5), ("nodigits", 1, 7)
+    ], got
+    # A reserved-word column keeps backtick quoting on the passthrough
+    # route (it cannot be emitted bare).
+    spark.createDataFrame([(1,)], ["order"]).createOrReplaceTempView(
+        "__qi_res"
+    )
+    got = questdb_sql(spark, 'SELECT "order" FROM __qi_res').collect()
+    assert [r[0] for r in got] == [1], got
+    # A double-quoted token inside a string literal is DATA, never an
+    # identifier.
+    got = questdb_sql(
+        spark, "SELECT '\"s\"' AS lit FROM __qi_t LIMIT 1"
+    ).collect()
+    assert got[0].lit == '"s"', got
+
+
+def test_double_quoted_identifier_refusals(spark):
+    """Identifier shapes the scanners cannot carry refuse LOUDLY — a
+    clean QuestDBSQLError beats a silent mis-parse (the round-15/16
+    bug-class lesson)."""
+    spark.createDataFrame([(1,)], "v int").createOrReplaceTempView(
+        "__qi_r"
+    )
+    with pytest.raises(QuestDBSQLError, match="zero-length"):
+        questdb_sql(spark, 'SELECT "" FROM __qi_r')
+    with pytest.raises(QuestDBSQLError, match="unterminated quoted"):
+        questdb_sql(spark, 'SELECT "v FROM __qi_r')
+    for bad in ('"a(b"', '"a)b"', '"a\'b"', '"a`b"'):
+        with pytest.raises(QuestDBSQLError, match="unsupported"):
+            questdb_sql(spark, f"SELECT {bad} FROM __qi_r")
+    # Keyword-bearing identifier + dialect construct: the clause
+    # splitters would mis-split inside it — refused, not mis-parsed.
+    with pytest.raises(QuestDBSQLError, match="keyword"):
+        questdb_sql(
+            spark,
+            'SELECT "union all x", count() FROM __qi_r',
+        )
+
+
+def test_composition_probe_round3(spark):
+    """Round-17 composition probes (VERDICT r16 #4): cells where real
+    QuestDB queries live, each either lowered correctly or refused
+    loudly — never silently wrong."""
+    import datetime as dt
+
+    rows = [
+        (
+            dt.datetime(2024, 1, 1, h % 24) + dt.timedelta(days=h // 24),
+            f"u{h % 3}",
+            f"s{h % 2}",
+            float(h),
+        )
+        for h in range(48)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, user string, sym string, v double"
+    ).createOrReplaceTempView("__c3")
+    d = {"__c3": "ts"}
+    # IN (SELECT …) inside dialect-marked text lowers (the WHERE body
+    # passes through intact; users with v>40 = all three here).
+    got = questdb_sql(
+        spark,
+        "SELECT ts, count() AS n FROM __c3 WHERE user IN "
+        "(SELECT user FROM __c3 WHERE v > 40) SAMPLE BY 1d",
+        d,
+    ).collect()
+    assert [(r.ts.day, r.n) for r in got] == [(1, 24), (2, 24)], got
+    # Correlated scalar subquery in dialect-marked text (bare count()
+    # routes the dialect parser): one max row per sym.
+    got = questdb_sql(
+        spark,
+        "SELECT sym, count() AS n FROM __c3 t1 WHERE v = "
+        "(SELECT max(v) FROM __c3 t2 WHERE t2.sym = t1.sym) "
+        "GROUP BY sym ORDER BY sym",
+        d,
+    ).collect()
+    assert [(r.sym, r.n) for r in got] == [("s0", 1), ("s1", 1)], got
+    # ORDER BY + LIMIT inside a lowered CTE stay INSIDE the CTE (top-5
+    # by v: 47,46,45,44,43 → s0×2, s1×3).
+    got = questdb_sql(
+        spark,
+        "WITH a AS (SELECT ts, sym, v FROM __c3 WHERE ts IN "
+        "'2024-01-02' ORDER BY v DESC LIMIT 5) "
+        "SELECT sym, count() AS n FROM a GROUP BY sym ORDER BY sym",
+        d,
+    ).collect()
+    assert [(r.sym, r.n) for r in got] == [("s0", 2), ("s1", 3)], got
+    # A window function mixed INTO an aggregated lowering used to
+    # misparse as a computed group key (per-row groups, count()=1,
+    # silent). Now a loud refusal — QuestDB rejects the mix too.
+    for q in (
+        "SELECT sym, row_number() OVER (PARTITION BY sym ORDER BY ts) "
+        "AS rn, count() FROM __c3 SAMPLE BY 1d",
+        "SELECT sym, row_number() OVER (PARTITION BY sym ORDER BY ts) "
+        "AS rn, count() FROM __c3 GROUP BY sym",
+        "SELECT count() AS c, row_number() OVER (ORDER BY sym) AS rn "
+        "FROM __c3 LATEST ON ts PARTITION BY sym",
+    ):
+        with pytest.raises(QuestDBSQLError, match="window functions"):
+            questdb_sql(spark, q, d)
+    # …but a PURE window select over a dialect result still lowers
+    # (LATEST ON filters first, then the window sees one row per sym).
+    got = questdb_sql(
+        spark,
+        "SELECT ts, sym, avg(v) OVER (PARTITION BY sym ORDER BY ts) "
+        "AS m FROM __c3 LATEST ON ts PARTITION BY sym",
+        d,
+    ).collect()
+    assert sorted((r.sym, r.m) for r in got) == [
+        ("s0", 46.0), ("s1", 47.0)
+    ], got
+    # An 'OVER (' inside a string literal is data, not a window.
+    got = questdb_sql(
+        spark,
+        "SELECT sym, count() AS n FROM __c3 "
+        "WHERE sym != 'OVER (x' GROUP BY sym ORDER BY sym",
+        d,
+    ).collect()
+    assert [(r.sym, r.n) for r in got] == [("s0", 24), ("s1", 24)], got

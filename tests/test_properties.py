@@ -1144,3 +1144,54 @@ def test_questdb_literal_roundtrip_equality(spark, texts):
             spark, f"SELECT i FROM __prop_lit WHERE s = '{lit}'"
         ).collect()
         assert [r.i for r in got] == [i], (t, got)
+
+
+_qi_idents = st.text(
+    alphabet=st.sampled_from(list(
+        "abcXYZ_09 -\""
+    )),
+    min_size=1, max_size=10,
+).filter(
+    lambda s: s.strip() and s.strip() == s and s.lower() != "i"
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ident=_qi_idents, texts=_lit_texts)
+def test_quoted_identifier_literal_product_roundtrip(spark, ident, texts):
+    """Round-16 verdict #6: the identifier and literal normalizations
+    must not regress each other — a PG-quoted identifier (possibly
+    containing doubled-quote escapes, spaces, dashes) referencing a
+    column whose VALUES contain backslashes and quotes selects exactly
+    its own row through the real entry point. Draws from the full
+    identifier × literal product space."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from questdb_etl_jobs_spark.sql.dialect import questdb_sql
+
+    schema = StructType(
+        [
+            StructField("i", IntegerType()),
+            StructField(ident, StringType()),
+        ]
+    )
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema
+    ).createOrReplaceTempView("__prop_qi")
+    q_ident = '"' + ident.replace('"', '""') + '"'
+    for i, t in enumerate(texts):
+        lit = t.replace("'", "''")
+        got = questdb_sql(
+            spark,
+            f"SELECT i FROM __prop_qi WHERE {q_ident} = '{lit}'",
+        ).collect()
+        assert [r.i for r in got] == [i], (ident, t, got)

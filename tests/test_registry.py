@@ -69,11 +69,15 @@ def test_window_includes_post_round6_work():
 
 
 def test_window_covers_value_verified_a3():
-    # q27 (HLL) ceded its window slot to the value-verified KMV twin q74;
-    # q27 remains in the full registry, now oracle-paired via the
-    # exact-count + accuracy-bound row pattern.
-    assert "q74_kmv_distinct" in qreg._PRIORITY
+    # A3 (approx count-distinct / mergeable sketches) must be covered
+    # in-window by a VALUE-verified sketch query — q74 (KMV) carried
+    # this through round 16; round 17's rotation ceded it (rows since
+    # round 9) and q157 (t-digest, A3+A5) carries it now. Both stay in
+    # the full registry either way.
+    window = set(qreg._PRIORITY)
+    assert window & {"q74_kmv_distinct", "q157_tdigest_quantiles"}
     assert "q27_approx_distinct_users" in set(qreg.spark_queries())
+    assert "q74_kmv_distinct" in set(qreg.spark_queries())
 
 
 def test_oracle_queries_routes_sf_dir_only_to_parametric():

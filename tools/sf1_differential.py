@@ -1957,7 +1957,12 @@ def _stream_topk_sf10(
     results["dq176_stream_topk"][tier_key] = cell
 
 
-def _stream_admit_sf10(spark, results: dict) -> None:
+def _stream_admit_sf10(
+    spark,
+    results: dict,
+    factor: int = 1,
+    tier_key: str = "sf01_docs_composite",
+) -> None:
     """Second streaming tier cell (round 15): the LSH near-dup
     ADMISSION GATE (q167's operator, streaming/dedup_stream.py) over a
     composite corpus ~20× the q167 fixture — the state-growth story the
@@ -2003,6 +2008,39 @@ def _stream_admit_sf10(spark, results: dict) -> None:
     base_docs = load_table(spark, BASE, "documents").select(
         "doc_id", "text"
     )
+    if factor > 1:
+        # Third tier cell (round 17): scale the NOVEL base ~factor× so
+        # the admitted INDEX — this operator's state — is ~factor×
+        # larger, pinning the index-scan latency trend at depth.
+        # Replica k rotates each document's word sequence by k
+        # positions: a rotation rewrites (almost) every 3-word shingle,
+        # so replicas are novel CONTENT, not near-dups of their base —
+        # any residual collisions (short/repetitive docs) are handled
+        # by the mirror, which replays the measured pair graph rather
+        # than assuming one. Replica ids live k·1M up, keeping the
+        # +100k/+200k/+300k variant offsets collision-free.
+        reps = [base_docs]
+        for k in range(1, factor):
+            w = F.split(F.col("text"), " ")
+            rotated = F.when(
+                F.size(w) > k,
+                F.concat_ws(
+                    " ",
+                    F.slice(w, k + 1, F.size(w) - k),
+                    F.slice(w, 1, k),
+                ),
+            ).otherwise(F.concat_ws(" ", F.reverse(w), F.lit(f"r{k}")))
+            reps.append(
+                base_docs.select(
+                    (F.col("doc_id") + 1_000_000 * k).alias("doc_id"),
+                    rotated.alias("text"),
+                )
+            )
+        from functools import reduce
+
+        base_docs = reduce(
+            lambda a, b: a.unionByName(b), reps
+        ).localCheckpoint()
     corpus = base_docs
     corpus = corpus.unionByName(
         base_docs.filter(F.col("doc_id") % 2 == 0).select(
@@ -2119,7 +2157,7 @@ def _stream_admit_sf10(spark, results: dict) -> None:
                 admitted_model.add(d)
 
     # Replay through the streaming gate.
-    work = tempfile.mkdtemp(prefix="stream_admit_sf10_")
+    work = tempfile.mkdtemp(prefix=f"stream_admit_{tier_key}_")
     try:
         src = f"{work}/src"
         os.makedirs(src)
@@ -2153,7 +2191,7 @@ def _stream_admit_sf10(spark, results: dict) -> None:
             index_path=f"{work}/index",
             checkpoint_path=f"{work}/ckpt",
         )
-        q.awaitTermination(1800)
+        q.awaitTermination(1800 if factor == 1 else 5400)
         wall = round(time.perf_counter() - t0, 2)
         progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
         batch_stats = [
@@ -2211,7 +2249,7 @@ def _stream_admit_sf10(spark, results: dict) -> None:
         file=sys.stderr,
     )
     results.setdefault("dq167_stream_admit", {})
-    results["dq167_stream_admit"]["sf01_docs_composite"] = cell
+    results["dq167_stream_admit"][tier_key] = cell
 
 
 def _grouped_topk_sf100(spark, results: dict) -> None:
@@ -2576,6 +2614,7 @@ def main() -> None:
     sf100_stream_topk = "--sf100-stream-topk-only" in argv
     sf10_interval = "--sf10-interval-only" in argv
     sf10_stream_admit = "--sf10-stream-admit-only" in argv
+    sf10_docs_stream_admit = "--sf10-docs-stream-admit-only" in argv
     argv = [
         a for a in argv
         if a not in (
@@ -2593,6 +2632,7 @@ def main() -> None:
             "--sf100-stream-topk-only",
             "--sf10-interval-only",
             "--sf10-stream-admit-only",
+            "--sf10-docs-stream-admit-only",
         )
     ]
     out_path = next((a for a in argv if not a.startswith("--")), None)
@@ -2604,7 +2644,8 @@ def main() -> None:
             or sf100_dialect_routed or sf100_bottomk or sf100_latest
             or sf100_grouped_topk or sf100_asof or sf10_update
             or sf10_update_mor or sf10_stream_topk or sf100_stream_topk
-            or sf10_interval or sf10_stream_admit):
+            or sf10_interval or sf10_stream_admit
+            or sf10_docs_stream_admit):
         # Fast path for re-measuring ONLY the lineitem sf100 cells (the
         # third fit point) on a fresh quiet boot, merged into a prior
         # artifact via --merge: control probes + _lineitem_sf100, no
@@ -2635,6 +2676,18 @@ def main() -> None:
                 "composite-docs streaming admission-gate replay: "
                 "per-batch latency, admitted-index state bound, CPython "
                 "gate-semantics mirror over verified ground-truth pairs"
+            )
+        elif sf10_docs_stream_admit:
+            results = {"dq167_stream_admit": {}}
+            _stream_admit_sf10(
+                spark, results, factor=10, tier_key="sf10_docs"
+            )
+            scope = (
+                "sf10-docs streaming admission-gate tier cell: same "
+                "10-batch chunking over a ~10× novel corpus (rotated-"
+                "word replicas), per-batch latency trend where the "
+                "admitted index is ~10× larger, CPython gate mirror "
+                "over verified ground-truth pairs at the tier"
             )
         elif sf10_interval:
             results = {"dq82_interval_search": {}}
