@@ -320,6 +320,16 @@ def _normalize_string_literals(text: str) -> str:
                     "would mis-split inside it; rename the column or "
                     "drop the dialect construct"
                 )
+            if dialect_marked and ("," in ident or ";" in ident):
+                # The select-list splitter walks commas; one inside a
+                # backticked identifier would silently mis-split on
+                # the lowered path (plain-SQL text accepts these —
+                # spark.sql parses backticks natively).
+                raise QuestDBSQLError(
+                    f"quoted identifier {ident!r} contains ',' or ';' "
+                    "— unsupported in dialect-marked queries (the "
+                    "select-list splitter would mis-split inside it)"
+                )
             if re.fullmatch(
                 r"[A-Za-z_]\w*", ident
             ) and not _RESERVED_WORD_RE.match(ident):

@@ -4222,6 +4222,11 @@ def test_double_quoted_identifier_refusals(spark):
             spark,
             'SELECT "union all x", count() FROM __qi_r',
         )
+    # Comma-bearing identifier + dialect construct: the select-list
+    # splitter would mis-split inside it — refused on the lowered
+    # path (plain SQL accepts it: spark.sql parses the backticks).
+    with pytest.raises(QuestDBSQLError, match="',' or ';'"):
+        questdb_sql(spark, 'SELECT "a,b", count() FROM __qi_r')
 
 
 def test_composition_probe_round3(spark):
@@ -4304,3 +4309,42 @@ def test_composition_probe_round3(spark):
         d,
     ).collect()
     assert [(r.sym, r.n) for r in got] == [("s0", 24), ("s1", 24)], got
+
+
+def test_quoted_identifiers_through_ddl_entry(spark, tmp_path):
+    """The questdb_ddl entry shares the normalization pass, so
+    PG-quoted identifiers work across the DDL lifecycle: CREATE with a
+    quoted table/column, INSERT INTO a quoted table, UPDATE SET on a
+    quoted column with a quoted-identifier WHERE, and a quoted SELECT
+    readback."""
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"qt": str(tmp_path / "qt")}
+    questdb_ddl(
+        spark,
+        'CREATE TABLE "qt"("sym" SYMBOL, "v" INT, "ts" TIMESTAMP) '
+        'TIMESTAMP("ts")',
+        tables,
+    )
+    questdb_ddl(
+        spark,
+        'INSERT INTO "qt"("sym", "v", "ts") VALUES '
+        "('a', 1, TIMESTAMP '2024-07-01 08:00:00'), "
+        "('b', 2, TIMESTAMP '2024-07-02 09:00:00')",
+        tables,
+    )
+    touched = questdb_ddl(
+        spark,
+        'UPDATE "qt" SET "v" = "v" * 10 WHERE "sym" = \'b\'',
+        tables,
+    )
+    assert touched == ["2024-07-02"]
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+
+    register_designated_table(spark, "qt", tables["qt"])
+    got = questdb_sql(
+        spark, 'SELECT "sym", "v" FROM "qt" ORDER BY "sym"'
+    ).collect()
+    assert [(r.sym, r.v) for r in got] == [("a", 1), ("b", 20)], got

@@ -2012,28 +2012,30 @@ def _stream_admit_sf10(
         # Third tier cell (round 17): scale the NOVEL base ~factor× so
         # the admitted INDEX — this operator's state — is ~factor×
         # larger, pinning the index-scan latency trend at depth.
-        # Replica k rotates each document's word sequence by k
-        # positions: a rotation rewrites (almost) every 3-word shingle,
-        # so replicas are novel CONTENT, not near-dups of their base —
-        # any residual collisions (short/repetitive docs) are handled
-        # by the mirror, which replays the measured pair graph rather
-        # than assuming one. Replica ids live k·1M up, keeping the
-        # +100k/+200k/+300k variant offsets collision-free.
+        # Replica k suffixes EVERY word with the replica index: every
+        # 3-word shingle rewrites, so replicas are novel CONTENT with
+        # Jaccard 0 against their base. (A first attempt ROTATED the
+        # word sequence — but rotation preserves all contiguous
+        # shingles except at the seam, so replicas were near-dups and
+        # the index grew only 1.9×; the suffix transform is the one
+        # that actually multiplies state.) Residual collisions are
+        # handled by the mirror either way — it replays the MEASURED
+        # pair graph rather than assuming one. Replica ids live k·1M
+        # up, keeping the +100k/+200k/+300k variant offsets
+        # collision-free.
         reps = [base_docs]
         for k in range(1, factor):
             w = F.split(F.col("text"), " ")
-            rotated = F.when(
-                F.size(w) > k,
-                F.concat_ws(
-                    " ",
-                    F.slice(w, k + 1, F.size(w) - k),
-                    F.slice(w, 1, k),
+            suffixed = F.concat_ws(
+                " ",
+                F.transform(
+                    w, lambda x, _k=k: F.concat(x, F.lit(f"_{_k}"))
                 ),
-            ).otherwise(F.concat_ws(" ", F.reverse(w), F.lit(f"r{k}")))
+            )
             reps.append(
                 base_docs.select(
                     (F.col("doc_id") + 1_000_000 * k).alias("doc_id"),
-                    rotated.alias("text"),
+                    suffixed.alias("text"),
                 )
             )
         from functools import reduce
