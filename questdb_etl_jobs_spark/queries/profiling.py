@@ -5228,3 +5228,115 @@ def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_int").cast("long").alias("q_int"),
         "s_try",
     )
+
+
+# ---------------------------------------------------------------------------
+# q216 — GROUP BY repeats a computed select expression (round 17)
+# ---------------------------------------------------------------------------
+#
+# Standard SQL (and QuestDB) allow the GROUP BY list to repeat a
+# computed select expression instead of its alias; the round-17
+# composition probe found this refusing through the dialect grammar.
+# The item now matches the computed key whitespace-insensitively and
+# groups by its alias. This face composes it with an ordinal ORDER BY
+# over the aggregate column and a quoted-identifier argument. Exact
+# aggregates only.
+
+_Q216_SQL = (
+    'SELECT "user_id" % 5 AS grp, '
+    "CASE WHEN value > 500.0 THEN 'hi' ELSE 'lo' END AS band, "
+    "count() AS n, max(event_id) AS me "
+    "FROM __q216_events "
+    "WHERE ts IN '2024-01' "
+    "GROUP BY user_id % 5, CASE WHEN value>500.0 THEN 'hi' ELSE 'lo' END "
+    "ORDER BY 3 DESC, grp, band"
+)
+
+_Q216_ORACLE = """
+SELECT user_id % 5 AS grp,
+       CASE WHEN value > 500.0 THEN 'hi' ELSE 'lo' END AS band,
+       count(*) AS n, max(event_id) AS me
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+GROUP BY 1, 2
+ORDER BY 3 DESC, grp, band
+"""
+
+
+@dq(
+    "q216_dialect_expr_groupby",
+    oracle=_Q216_ORACLE,
+    covers="A1,F10,F6,EXT",
+)
+def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q216_events"
+    )
+    return questdb_sql(spark, _Q216_SQL, {"__q216_events": "ts"}).select(
+        "grp", "band",
+        F.col("n").cast("long").alias("n"),
+        F.col("me").cast("long").alias("me"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q217 — subquery filters through the dialect (round 17, probe round 3)
+# ---------------------------------------------------------------------------
+#
+# The round-17 composition probes verified `IN (SELECT …)` and
+# correlated scalar subqueries lower correctly through dialect-marked
+# text (the WHERE body passes through to Spark intact while SAMPLE BY
+# / interval searches lower around it); this face pins both against
+# regression with a DuckDB oracle. The inner subquery selects the
+# high-value user cohort; the correlated arm keeps each user's
+# max-value click row.
+
+_Q217_SQL = (
+    "SELECT ts, count() AS n "
+    "FROM __q217_events e1 "
+    "WHERE user_id IN (SELECT user_id FROM __q217_events "
+    "WHERE value > 400.0 AND ts IN '2024-01') "
+    "AND value = (SELECT max(value) FROM __q217_events e2 "
+    "WHERE e2.user_id = e1.user_id "
+    "AND e2.ts >= TIMESTAMP '2024-01-01' "
+    "AND e2.ts < TIMESTAMP '2024-02-01') "
+    "AND ts IN '2024-01' "
+    "SAMPLE BY 7d"
+)
+
+_Q217_ORACLE = """
+WITH jan AS (
+  SELECT * FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+), cohort AS (
+  SELECT DISTINCT user_id FROM jan WHERE value > 400.0
+), mx AS (
+  SELECT user_id, max(value) AS mv FROM jan GROUP BY user_id
+)
+SELECT CAST(to_timestamp(
+         CAST(floor(epoch(CAST(e.ts AS TIMESTAMP)) / 604800) AS BIGINT)
+         * 604800) AS TIMESTAMP) AS ts,
+       count(*) AS n
+FROM jan e
+JOIN cohort c ON e.user_id = c.user_id
+JOIN mx ON e.user_id = mx.user_id AND e.value = mx.mv
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@dq(
+    "q217_dialect_subquery_filters",
+    oracle=_Q217_ORACLE,
+    covers="A7,J4,A1,EXT",
+)
+def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q217_events"
+    )
+    return questdb_sql(spark, _Q217_SQL, {"__q217_events": "ts"}).select(
+        "ts", F.col("n").cast("long").alias("n")
+    )

@@ -4348,3 +4348,50 @@ def test_quoted_identifiers_through_ddl_entry(spark, tmp_path):
         spark, 'SELECT "sym", "v" FROM "qt" ORDER BY "sym"'
     ).collect()
     assert [(r.sym, r.v) for r in got] == [("a", 1), ("b", 20)], got
+
+
+def test_group_by_expression_matches_computed_key(spark):
+    """Standard SQL (and QuestDB) allow GROUP BY to repeat a computed
+    select expression instead of its alias; the round-17 probe found
+    this refusing. The item now matches the computed key
+    whitespace-insensitively and groups by its alias."""
+    import datetime as dt
+
+    rows = [
+        (
+            dt.datetime(2024, 1, 1, h % 24) + dt.timedelta(days=h // 24),
+            h % 7,
+            float(h) - 10,
+        )
+        for h in range(48)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, user_id int, v double"
+    ).createOrReplaceTempView("__gbe")
+    d = {"__gbe": "ts"}
+    got = questdb_sql(
+        spark,
+        "SELECT user_id % 5 AS grp, count() AS n FROM __gbe "
+        "GROUP BY user_id % 5 ORDER BY grp",
+        d,
+    ).collect()
+    assert [(r.grp, r.n) for r in got] == [
+        (0, 14), (1, 13), (2, 7), (3, 7), (4, 7)
+    ], got
+    # Whitespace-insensitive match, CASE expression.
+    got = questdb_sql(
+        spark,
+        "SELECT CASE WHEN v > 0 THEN 'p' ELSE 'n' END AS band, "
+        "count() AS n FROM __gbe "
+        "GROUP BY CASE WHEN v>0 THEN 'p' ELSE 'n' END ORDER BY band",
+        d,
+    ).collect()
+    assert [(r.band, r.n) for r in got] == [("n", 11), ("p", 37)], got
+    # A GROUP BY expression matching NO select item still refuses.
+    with pytest.raises(QuestDBSQLError, match="do not match"):
+        questdb_sql(
+            spark,
+            "SELECT user_id % 5 AS grp, count() AS n FROM __gbe "
+            "GROUP BY user_id % 3",
+            d,
+        )
