@@ -402,6 +402,7 @@ def sample_by_fill(
 
 #: Precision of a QuestDB interval literal → timestamp format + step.
 _INTERVAL_FORMS = (
+    ("%Y-%m-%dT%H:%M:%S", 19, "second"),
     ("%Y-%m-%dT%H:%M", 16, "minute"),
     ("%Y-%m-%dT%H", 13, "hour"),
     ("%Y-%m-%d", 10, "day"),
@@ -416,7 +417,12 @@ def interval_bounds(literal: str) -> tuple[str, str]:
     QuestDB's interval search idiom ``WHERE ts IN '2024-01'`` (time-series
     surface per reference README.md:70-71) names a calendar span by its
     prefix: ``'2024'`` a year, ``'2024-01'`` a month, ``'2024-01-15'`` a
-    day, ``'2024-01-15T10'`` an hour, ``'2024-01-15T10:30'`` a minute.
+    day, ``'2024-01-15T10'`` an hour, ``'2024-01-15T10:30'`` a minute,
+    ``'2024-01-15T10:30:00'`` a second (round 17 — seconds used to
+    raise; QuestDB accepts the full prefix ladder). Sub-second
+    prefixes are NOT supported — this engine's interval bounds travel
+    as second-resolution SQL timestamps; callers surface a clean
+    error.
     """
     import datetime
 

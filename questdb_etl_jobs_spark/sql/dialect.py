@@ -1239,8 +1239,22 @@ def _rewrite_interval_in(predicate: str, columns: tuple[str, ...] = ()) -> str:
             conds.append(f"({one})" if len(spans) > 1 else one)
         return "(" + " OR ".join(conds) + ")"
 
+    def bounds(lit: str) -> list[tuple[str, str]]:
+        # An interval-SHAPED literal that fails the parser (sub-second
+        # prefix, malformed modifier) raises the dialect's own error —
+        # before round 17 the ValueError (or, for shapes the regex
+        # skipped, Spark's ParseException over the raw IN) leaked.
+        try:
+            return interval_bounds_multi(lit)
+        except ValueError as exc:
+            raise QuestDBSQLError(
+                f"invalid interval literal {lit!r}: {exc} (prefix "
+                "ladder: year..second, optional ';dur' / ';dur;period"
+                ";count' modifiers)"
+            ) from exc
+
     def repl(m: re.Match) -> str:
-        cond = expand(m.group(1), interval_bounds_multi(m.group(3)))
+        cond = expand(m.group(1), bounds(m.group(3)))
         # NOT IN: negate the whole range disjunction. The (redundant)
         # pruning conjunct inside is implied by the range itself, so
         # NOT(range AND pdate-range) == NOT(range) — still correct,
@@ -1255,12 +1269,29 @@ def _rewrite_interval_in(predicate: str, columns: tuple[str, ...] = ()) -> str:
         col, body = m.group(1), m.group(3)
         spans: list[tuple[str, str]] = []
         for lit in re.findall(r"'([^']+)'", body):
-            spans.extend(interval_bounds_multi(lit))
+            spans.extend(bounds(lit))
         cond = expand(col, spans)
         return f"NOT ({cond})" if m.group(2) else cond
 
     predicate = _IN_INTERVAL_LIST_RE.sub(repl_list, predicate)
-    return _IN_INTERVAL_RE.sub(repl, predicate)
+    predicate = _IN_INTERVAL_RE.sub(repl, predicate)
+    # Anything still interval-SHAPED (digit-led single-quoted IN) after
+    # the rewrites is a malformed interval the regex could not even
+    # match (e.g. a negative duration ';-1d') — without this check it
+    # reaches spark.sql as `col IN '…'` and dies as a raw
+    # ParseException; a single-string IN is never valid SQL, so the
+    # clean dialect error loses nothing.
+    leftover = re.search(
+        r"\b\w+\s+(?:NOT\s+)?IN\s+'(\d[^']*)'", predicate,
+        re.IGNORECASE,
+    )
+    if leftover:
+        raise QuestDBSQLError(
+            f"invalid interval literal {leftover.group(1)!r} (prefix "
+            "ladder: year..second, optional ';dur' / ';dur;period;"
+            "count' modifiers)"
+        )
+    return predicate
 
 
 def _split_top_and(predicate: str) -> list[str] | None:

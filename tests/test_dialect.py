@@ -4395,3 +4395,44 @@ def test_group_by_expression_matches_computed_key(spark):
             "GROUP BY user_id % 3",
             d,
         )
+
+
+def test_interval_second_granularity_and_clean_refusals(spark):
+    """Round-17 interval probe: the prefix ladder extends to SECONDS
+    (`'…T10:30:00'` — QuestDB-legal, used to raise a raw ValueError);
+    sub-second prefixes and malformed modifiers refuse with the
+    dialect's own error instead of leaking ValueError/ParseException."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1) + dt.timedelta(minutes=30 * h), float(h))
+        for h in range(200)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, v double"
+    ).createOrReplaceTempView("__iv")
+    d = {"__iv": "ts"}
+    got = questdb_sql(
+        spark,
+        "SELECT count() FROM __iv WHERE ts IN '2024-01-01T10:30:00'",
+        d,
+    ).collect()
+    assert got[0][0] == 1, got
+    got = questdb_sql(
+        spark,
+        "SELECT count() FROM __iv "
+        "WHERE ts IN '2024-01-01T10:30:00;30m'",
+        d,
+    ).collect()
+    assert got[0][0] == 2, got
+    for bad in (
+        "2024-01-01T10:30:00.123",  # sub-second prefix
+        "2024-01-01;-1d",           # negative duration modifier
+        "2024-01-01;1d;1y",         # 3-part modifier (needs 4)
+    ):
+        with pytest.raises(QuestDBSQLError, match="interval"):
+            questdb_sql(
+                spark,
+                f"SELECT count() FROM __iv WHERE ts IN '{bad}'",
+                d,
+            )
