@@ -5340,3 +5340,49 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
     return questdb_sql(spark, _Q217_SQL, {"__q217_events": "ts"}).select(
         "ts", F.col("n").cast("long").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# q218 — concat() null-as-empty semantics (round 17)
+# ---------------------------------------------------------------------------
+#
+# QuestDB (like PostgreSQL and DuckDB) treats NULL concat() arguments
+# as EMPTY; Spark's concat nulls the whole result, so legal QuestDB
+# text silently dropped every row whose key had one null component
+# (round-17 probe — same silent class as the backslash/identifier
+# bugs). The scalar pass rewrites concat( → concat_ws('', …); this
+# face builds a group key with a nullif-manufactured null component so
+# the differential is ONLY green under the null-skipping semantics —
+# DuckDB's native concat is the oracle.
+
+_Q218_SQL = (
+    "SELECT concat(nullif(event_type, 'click'), '#', user_id % 3) "
+    "AS key, count() AS n "
+    "FROM __q218_events WHERE ts IN '2024-01-10' "
+    "GROUP BY 1 ORDER BY 1"
+)
+
+_Q218_ORACLE = """
+SELECT concat(nullif(event_type, 'click'), '#',
+              CAST(user_id % 3 AS VARCHAR)) AS key,
+       count(*) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@dq(
+    "q218_concat_null_semantics",
+    oracle=_Q218_ORACLE,
+    covers="F6,A1,F10,EXT",
+)
+def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q218_events"
+    )
+    return questdb_sql(spark, _Q218_SQL, {"__q218_events": "ts"}).select(
+        "key", F.col("n").cast("long").alias("n")
+    )

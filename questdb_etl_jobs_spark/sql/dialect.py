@@ -775,6 +775,8 @@ _QDB_FN_RE = re.compile(
     r"|strpos|to_lowercase|to_uppercase"
     r"|round_down|round_up|round_half_even"
     r"|extract|sysdate|systimestamp"
+    r"|count_distinct|day_of_week_sunday_first|day_of_week"
+    r"|week_of_year"
     r"|rnd_double|rnd_int|rnd_long|rnd_boolean|rnd_symbol|rnd_str"
     r"|rnd_uuid4)\s*\(",
     re.IGNORECASE,
@@ -790,6 +792,9 @@ _REGEX_MATCH_RE = re.compile(
 )
 #: QuestDB SYMBOL is an interned string; Spark's equivalent is STRING.
 _SYMBOL_CAST_RE = re.compile(r"\bAS\s+SYMBOL\s*\)", re.IGNORECASE)
+#: concat( calls (never concat_ws — no word boundary falls between t
+#: and _) for the PG/QuestDB null-as-empty rewrite.
+_CONCAT_CALL_RE = re.compile(r"\bconcat\s*\(\s*", re.IGNORECASE)
 _STRIDE_RE = re.compile(r"^'(\d*)([smhdwMyTU])'$")
 _UNIT_WORD = {
     "s": "SECOND", "m": "MINUTE", "h": "HOUR", "d": "DAY",
@@ -888,6 +893,14 @@ def rewrite_questdb_scalars(text: str) -> str:
                                            broke the dialect's
                                            SELECT…FROM split)
     ``sysdate()/systimestamp()``           ``now()`` (UTC sessions)
+    ``count_distinct(x)``                  ``count(DISTINCT x)``
+    ``day_of_week(ts)``                    Monday=1 shift of
+                                           ``dayofweek`` (Spark is
+                                           Sunday=1 — a bare alias
+                                           would be silently off by
+                                           one)
+    ``day_of_week_sunday_first(ts)``       ``dayofweek(ts)``
+    ``week_of_year(ts)``                   ``weekofyear(ts)`` (ISO)
     ``rnd_double()/rnd_int(lo,hi,0)/…``    ``rand()``-based expressions
                                            (:func:`_rewrite_rnd`; non-
                                            deterministic, unsupported
@@ -1004,6 +1017,30 @@ def _rewrite_one_scalar(
         # QuestDB's sysdate (server TZ) and systimestamp (UTC) agree.
         if args == [""] or not args or args == []:
             return "now()"
+        return None
+    if name == "count_distinct":
+        # QuestDB's one-arg exact distinct-count spelling; Spark (and
+        # the dialect's aggregate grammar) speak count(DISTINCT x).
+        if len(args) == 1 and args[0]:
+            return f"count(DISTINCT {args[0]})"
+        return None
+    if name == "day_of_week":
+        # QuestDB: 1=Monday…7=Sunday (ISO). Spark's dayofweek is
+        # 1=Sunday…7=Saturday — shift, don't alias (round-17 probe:
+        # the spelling died as UNRESOLVED_ROUTINE; a bare alias would
+        # have been a SILENT off-by-one for every weekday).
+        if len(args) == 1 and args[0]:
+            return f"((dayofweek({args[0]}) + 5) % 7 + 1)"
+        return None
+    if name == "day_of_week_sunday_first":
+        # QuestDB's Sunday-first variant IS Spark's dayofweek.
+        if len(args) == 1 and args[0]:
+            return f"dayofweek({args[0]})"
+        return None
+    if name == "week_of_year":
+        # Both are ISO week-of-year.
+        if len(args) == 1 and args[0]:
+            return f"weekofyear({args[0]})"
         return None
     if name.startswith("rnd_"):
         return _rewrite_rnd(name, args)
@@ -1195,9 +1232,27 @@ def rewrite_regex_operators(text: str) -> str:
         return f"NOT {call}" if m.group(2) == "!~" else call
 
     text = _REGEX_MATCH_RE.sub(_regex_repl, text)
-    return _SYMBOL_CAST_RE.sub(
+    text = _SYMBOL_CAST_RE.sub(
         lambda m: (
             "AS STRING)" if _outside_literal(m.start(), m.string)
+            else m.group(0)
+        ),
+        text,
+    )
+    # QuestDB (like PostgreSQL) treats NULL arguments to concat() as
+    # EMPTY — concat('a', null, 'b') is 'ab'. Spark's concat returns
+    # NULL when any argument is null, so legal QuestDB text silently
+    # nulled whole strings (round-17 probe; the same class as the
+    # backslash/identifier bugs). concat_ws('') skips nulls — exact
+    # QuestDB semantics. `||` is NOT rewritten: PG (and QuestDB's
+    # PG-wire face) propagate null through the operator, which is
+    # Spark's behavior already. The rewrite is textual (function name
+    # only), literal-aware, and never touches concat_ws itself (the \b
+    # cannot fall between t and _).
+    return _CONCAT_CALL_RE.sub(
+        lambda m: (
+            "concat_ws('', "
+            if _outside_literal(m.start(), m.string)
             else m.group(0)
         ),
         text,
@@ -3172,14 +3227,25 @@ def questdb_ddl(
         cols: list[tuple[str, str, str]] = []
         for item in _split_items(m.group("cols")):
             cm = re.match(
-                r"^([A-Za-z_]\w*)\s+([A-Za-z_]\w*)\s*$", item.strip()
+                # SYMBOL storage qualifiers (CAPACITY n / CACHE /
+                # NOCACHE / INDEX [CAPACITY n]) are QuestDB tuning
+                # knobs with no Spark analogue — tolerated and ignored
+                # on SYMBOL columns (round 17; the WAL / ATOMIC
+                # precedent), refused elsewhere (QuestDB rejects them
+                # on other types too).
+                r"^([A-Za-z_]\w*)\s+([A-Za-z_]\w*)"
+                r"((?:\s+(?:CAPACITY\s+\d+|NOCACHE|CACHE|INDEX))*)\s*$",
+                item.strip(), re.IGNORECASE,
             )
             if not cm:
                 raise QuestDBSQLError(
                     f"unsupported column declaration {item.strip()!r} "
-                    "(expected '<name> <type>'; SYMBOL capacity/index "
-                    "qualifiers are QuestDB storage tuning with no "
-                    "Spark analogue — declare the bare type)"
+                    "(expected '<name> <type> [SYMBOL qualifiers]')"
+                )
+            if cm.group(3) and cm.group(2).upper() != "SYMBOL":
+                raise QuestDBSQLError(
+                    f"column qualifiers{cm.group(3)!r} are only valid "
+                    f"on SYMBOL columns, not {cm.group(2).upper()}"
                 )
             cname, qtype = cm.group(1), cm.group(2).upper()
             stype = _QDB_TO_SPARK_TYPE.get(qtype)

@@ -1768,13 +1768,15 @@ def test_create_table_cols_contract(spark, tmp_path):
             spark, "CREATE TABLE u(a STRING, ts INT) TIMESTAMP(ts)",
             {"u": str(tmp_path / "u")},
         )
-    with pytest.raises(QuestDBSQLError, match="unsupported column"):
-        questdb_ddl(
-            spark,
-            "CREATE TABLE u(s SYMBOL CAPACITY 256, ts TIMESTAMP) "
-            "TIMESTAMP(ts)",
-            {"u": str(tmp_path / "u")},
-        )
+    # SYMBOL storage qualifiers are tolerated and ignored since round
+    # 17 (they used to refuse); non-SYMBOL qualifiers still refuse —
+    # see test_create_table_symbol_qualifiers_ignored.
+    questdb_ddl(
+        spark,
+        "CREATE TABLE u(s SYMBOL CAPACITY 256, ts TIMESTAMP) "
+        "TIMESTAMP(ts)",
+        {"u": str(tmp_path / "u")},
+    )
     # SYMBOL itself (bare) lowers to string.
     questdb_ddl(
         spark, "CREATE TABLE v(s SYMBOL, ts TIMESTAMP) TIMESTAMP(ts)",
@@ -4436,3 +4438,121 @@ def test_interval_second_granularity_and_clean_refusals(spark):
                 f"SELECT count() FROM __iv WHERE ts IN '{bad}'",
                 d,
             )
+
+
+def test_concat_null_is_empty(spark):
+    """QuestDB (like PostgreSQL) treats NULL concat() arguments as
+    EMPTY; Spark's concat nulls the whole result — a silent divergence
+    on legal QuestDB text (round-17 probe). The scalar pass rewrites
+    concat( → concat_ws('', which skips nulls; `||` keeps PG's
+    null-propagation (Spark agrees there); concat_ws and literals are
+    untouched."""
+    spark.createDataFrame(
+        [("a", None), ("x", "y")], "s string, t string"
+    ).createOrReplaceTempView("__cc")
+    got = questdb_sql(
+        spark, "SELECT concat(s, t, '!') AS c FROM __cc ORDER BY s"
+    ).collect()
+    assert [r.c for r in got] == ["a!", "xy!"], got
+    got = questdb_sql(
+        spark, "SELECT concat('n=', 1+1) AS c FROM __cc LIMIT 1"
+    ).collect()
+    assert [r.c for r in got] == ["n=2"], got
+    got = questdb_sql(
+        spark,
+        "SELECT concat_ws('-', s, t) AS c FROM __cc ORDER BY s",
+    ).collect()
+    assert [r.c for r in got] == ["a", "x-y"], got
+    got = questdb_sql(
+        spark, "SELECT s || t AS c FROM __cc ORDER BY s"
+    ).collect()
+    assert [r.c for r in got] == [None, "xy"], got
+    got = questdb_sql(
+        spark, "SELECT 'concat(x' AS c FROM __cc LIMIT 1"
+    ).collect()
+    assert [r.c for r in got] == ["concat(x"], got
+    # Dialect-marked route shares the pass.
+    got = questdb_sql(
+        spark,
+        "SELECT concat(s, t) AS key, count() AS n FROM __cc "
+        "GROUP BY concat(s, t) ORDER BY key",
+    ).collect()
+    assert [(r.key, r.n) for r in got] == [("a", 1), ("xy", 1)], got
+
+
+def test_questdb_scalar_spellings_round17(spark):
+    """Round-17 probe: QuestDB spellings that died as
+    UNRESOLVED_ROUTINE — count_distinct, day_of_week (Monday=1; a bare
+    alias to Spark's Sunday=1 dayofweek would be silently off by one),
+    day_of_week_sunday_first, week_of_year — now lower through the
+    scalar pass on both routes."""
+    import datetime as dt
+
+    spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 15), "a"),   # Monday
+            (dt.datetime(2024, 1, 21), "b"),   # Sunday
+            (dt.datetime(2024, 1, 21), "a"),
+        ],
+        "ts timestamp, s string",
+    ).createOrReplaceTempView("__sc17")
+    d = {"__sc17": "ts"}
+    got = questdb_sql(
+        spark, "SELECT count_distinct(s) AS n FROM __sc17", d
+    ).collect()
+    assert got[0].n == 2, got
+    got = questdb_sql(
+        spark,
+        "SELECT day_of_week(ts) AS d, day_of_week_sunday_first(ts) "
+        "AS ds, week_of_year(ts) AS w FROM __sc17 ORDER BY ts, d",
+        d,
+    ).collect()
+    assert [(r.d, r.ds, r.w) for r in got] == [
+        (1, 2, 3), (7, 1, 3), (7, 1, 3)
+    ], got
+    # Grouped dialect route: count_distinct lowers into the aggregate
+    # grammar's count(DISTINCT …).
+    got = questdb_sql(
+        spark,
+        "SELECT s, count_distinct(ts) AS n FROM __sc17 "
+        "GROUP BY s ORDER BY s",
+        d,
+    ).collect()
+    assert [(r.s, r.n) for r in got] == [("a", 2), ("b", 1)], got
+
+
+def test_create_table_symbol_qualifiers_ignored(spark, tmp_path):
+    """Real QuestDB DDL carries SYMBOL storage qualifiers (CAPACITY /
+    CACHE / NOCACHE / INDEX) and WAL suffixes — tuning knobs with no
+    Spark analogue (round-17 probe: they refused). Tolerated and
+    ignored on SYMBOL columns (the ATOMIC/BATCH/WAL precedent); still
+    refused on other types (QuestDB rejects that too)."""
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"wt": str(tmp_path / "wt")}
+    questdb_ddl(
+        spark,
+        "CREATE TABLE wt(sym SYMBOL CAPACITY 256 CACHE INDEX, "
+        "v DOUBLE, ts TIMESTAMP) TIMESTAMP(ts) PARTITION BY DAY WAL",
+        tables,
+    )
+    questdb_ddl(
+        spark,
+        "INSERT INTO wt(sym, v, ts) VALUES "
+        "('a', 1.5, TIMESTAMP '2024-07-01 08:00:00')",
+        tables,
+    )
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+
+    register_designated_table(spark, "wt", tables["wt"])
+    got = questdb_sql(spark, "SELECT sym, v FROM wt").collect()
+    assert [(r.sym, r.v) for r in got] == [("a", 1.5)], got
+    with pytest.raises(QuestDBSQLError, match="only valid"):
+        questdb_ddl(
+            spark,
+            "CREATE TABLE w2(v DOUBLE CAPACITY 256, ts TIMESTAMP) "
+            "TIMESTAMP(ts)",
+            {"w2": str(tmp_path / "w2")},
+        )
