@@ -1195,3 +1195,122 @@ def test_quoted_identifier_literal_product_roundtrip(spark, ident, texts):
             f"SELECT i FROM __prop_qi WHERE {q_ident} = '{lit}'",
         ).collect()
         assert [r.i for r in got] == [i], (ident, t, got)
+
+
+# ---------------------------------------------------------------------------
+# PG-common-fragment equivalence fuzz (round 17)
+# ---------------------------------------------------------------------------
+#
+# The round-15/16/17 wrong-answer bugs (literal backslashes, quoted
+# identifiers, concat nulls) were all found by hand-probing the entry
+# with text that is LEGAL in both QuestDB and DuckDB. This property
+# institutionalizes that probe: generate small queries in the shared
+# PG-flavored fragment — quoted identifiers, tricky string literals
+# ('' escapes, backslashes), concat over nullable columns, CASE,
+# IS NULL, grouped count()/min/max — and assert the engine's result
+# equals DuckDB running the SAME text (count() → count(*) is the one
+# textual translation). Results compare as multisets, so no ORDER BY
+# (whose null placement legitimately differs across engines) is drawn.
+
+_frag_strs = st.sampled_from(
+    ["a1b22", "it's", "back\\slash", "x\\d+", "", "ümlaut", "zz"]
+)
+_frag_ints = st.integers(min_value=-3, max_value=9)
+
+
+@st.composite
+def _fragment_query(draw):
+    mode = draw(st.sampled_from(["project", "group"]))
+    lit = draw(_frag_strs).replace("'", "''")
+    n = draw(_frag_ints)
+    preds = [
+        f"s = '{lit}'",
+        f"i > {n}",
+        "s IS NULL",
+        "s IS NOT NULL",
+        f"i <= {n} AND s IS NOT NULL",
+        f"s = '{lit}' OR i = {n}",
+        f"length(s) > {max(0, n)}",
+        f"concat(s, '#') = '{lit}#'",
+    ]
+    where = draw(st.sampled_from(preds))
+    if mode == "project":
+        items = draw(
+            st.lists(
+                st.sampled_from(
+                    [
+                        "i",
+                        "s",
+                        '"s"',
+                        "concat(s, '_', i) AS k",
+                        "CASE WHEN i > 4 THEN s ELSE 'lo' END AS b",
+                        "nullif(s, 'zz') AS z",
+                        "coalesce(s, '∅') AS c",
+                    ]
+                ),
+                min_size=1,
+                max_size=3,
+                unique=True,
+            )
+        )
+        return f"SELECT {', '.join(items)} FROM __frag WHERE {where}"
+    key = draw(st.sampled_from(['"s"', "s", "i % 3 AS g", "CASE WHEN i > 4 THEN 'hi' ELSE 'lo' END AS band"]))
+    agg = draw(st.sampled_from(["count() AS n", "min(i) AS n", "max(s) AS n", "sum(i) AS n", "count_distinct(s) AS n"]))
+    kname = key.split(" AS ")[-1].strip().strip('"')
+    return (
+        f"SELECT {key}, {agg} FROM __frag WHERE {where} "
+        f"GROUP BY {kname}"
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_fragment_query())
+def test_pg_common_fragment_matches_duckdb_verbatim(spark, q):
+    import duckdb
+    import math
+    import re
+
+    rows = [
+        (0, "a1b22", 1.5),
+        (1, "it's", -2.0),
+        (2, "back\\slash", 0.0),
+        (3, None, 3.25),
+        (4, "zz", None),
+        (5, "a1b22", 9.0),
+        (6, "", 4.0),
+        (7, "ümlaut", 5.0),
+        (8, None, None),
+        (9, "x\\d+", 2.0),
+    ]
+    spark.createDataFrame(
+        rows, "i int, s string, v double"
+    ).createOrReplaceTempView("__frag")
+    from questdb_etl_jobs_spark.sql.dialect import questdb_sql
+
+    got = [tuple(r) for r in questdb_sql(spark, q).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE __frag(i int, s varchar, v double)"
+    )
+    con.executemany(
+        "INSERT INTO __frag VALUES (?, ?, ?)", rows
+    )
+    duck_q = re.sub(r"\bcount\(\)", "count(*)", q).replace(
+        "count_distinct(", "count(DISTINCT "
+    )
+    want = con.execute(duck_q).fetchall()
+
+    def norm(t):
+        return tuple(
+            round(x, 6) if isinstance(x, float) and not math.isnan(x)
+            else x
+            for x in t
+        )
+
+    assert sorted(map(norm, got), key=repr) == sorted(
+        map(norm, want), key=repr
+    ), (q, got, want)
