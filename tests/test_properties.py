@@ -1232,6 +1232,13 @@ def _fragment_query(draw):
         f"s = '{lit}' OR i = {n}",
         f"length(s) > {max(0, n)}",
         f"concat(s, '#') = '{lit}#'",
+        f"i BETWEEN {n} AND {n + 4}",
+        f"s IN ('{lit}', 'zz')",
+        "s LIKE 'a%'",        # %/_ only: LIKE's escape char is where
+        "s LIKE '_1b__'",     # PG/Spark (backslash) and DuckDB differ
+        f"s || '#' = '{lit}#'",
+        f"i / 2 > {n}",       # int/int → exact-rational DOUBLE in both
+        f"v > {n} - 0.5",
     ]
     where = draw(st.sampled_from(preds))
     if mode == "project":
@@ -1246,6 +1253,11 @@ def _fragment_query(draw):
                         "CASE WHEN i > 4 THEN s ELSE 'lo' END AS b",
                         "nullif(s, 'zz') AS z",
                         "coalesce(s, '∅') AS c",
+                        "CAST(i AS STRING) AS cs",
+                        "s || '!' AS p",
+                        "upper(s) AS u",
+                        "substring(s, 2, 3) AS sub",
+                        "i % 4 AS m",
                     ]
                 ),
                 min_size=1,
