@@ -5386,3 +5386,50 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
     return questdb_sql(spark, _Q218_SQL, {"__q218_events": "ts"}).select(
         "key", F.col("n").cast("long").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# q219 — generate_series table generator (round 17)
+# ---------------------------------------------------------------------------
+#
+# QuestDB's PG-style series generator in table position — inclusive
+# bounds, optional/negative step, output column generate_series. The
+# engine lowers it onto spark.range (distributed, no driver
+# materialization); DuckDB's native generate_series shares the PG
+# semantics exactly, so the oracle is near-verbatim. Composed with a
+# grouped aggregate so the generator output drives the dialect's
+# aggregate grammar.
+
+_Q219_SQL = (
+    "SELECT generate_series % 7 AS m, count() AS n, "
+    "sum(generate_series) AS s "
+    "FROM generate_series(1, 10000, 3) GROUP BY 1 ORDER BY 1"
+)
+
+_Q219_ORACLE = """
+SELECT generate_series % 7 AS m, count(*) AS n,
+       CAST(sum(generate_series) AS BIGINT) AS s
+FROM generate_series(1, 10000, 3) GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q219_oracle() -> str:
+    return _Q219_ORACLE
+
+
+_q219_oracle.sf_invariant = True
+
+
+@dq(
+    "q219_generate_series",
+    oracle=_q219_oracle,
+    covers="A1,F7,EXT",
+)
+def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    return questdb_sql(spark, _Q219_SQL).select(
+        "m",
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("long").alias("s"),
+    )

@@ -153,9 +153,14 @@ _HAVING_RE = re.compile(
 )
 _MAIN_RE = re.compile(
     # Table: bare word, `backticked` (a PG "quoted" identifier after
-    # normalization), or long_sequence(n)-style generator call.
+    # normalization), or a generator call — long_sequence(n) /
+    # generate_series(a, b[, s]) with integer arguments.
     r"^\s*SELECT\s+(?P<select>.+?)\s+FROM\s+"
-    r"(?P<table>`[^`]+`|\w+(?:\s*\(\s*\d+\s*\))?)(?P<rest>.*)$",
+    r"(?P<table>`[^`]+`"
+    # generate_series captures ANY argument list so its own branch can
+    # refuse non-integer forms with a message naming the fix.
+    r"|generate_series\s*\([^()]*\)"
+    r"|\w+(?:\s*\(\s*-?\d+(?:\s*,\s*-?\d+){0,2}\s*\))?)(?P<rest>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -168,6 +173,7 @@ _DIALECT_MARKER_RE = re.compile(
     r"\bSAMPLE\s+BY\b|\bLATEST\s+(?:ON|BY)\b"
     r"|\b(?:ASOF|LT|SPLICE)\s+JOIN\b"
     r"|\bIN\s+'|\blong_sequence\s*\(|\btimestamp_sequence\s*\("
+    r"|\bgenerate_series\s*\("
     r"|\bcount\s*\(\s*\)|\b(?:ksum|nsum|vwap)\s*\("
     r"|\bLIMIT\s+-\d|\bLIMIT\s+\d+\s*,",
     re.IGNORECASE,
@@ -687,6 +693,12 @@ def _split_declares(text: str) -> tuple[list[tuple[str, str]], str] | None:
     return bindings, text[sel_at:]
 _LONG_SEQ_RE = re.compile(
     r"^long_sequence\s*\(\s*(\d+)\s*\)$", re.IGNORECASE
+)
+#: QuestDB's PG-style series generator in table position
+#: (``FROM generate_series(1, 9[, 2])``) — inclusive bounds, optional
+#: step, output column named generate_series (PG/DuckDB agree).
+_GEN_SERIES_RE = re.compile(
+    r"^generate_series\s*\(([^()]*)\)$", re.IGNORECASE
 )
 _TS_SEQ_RE = re.compile(
     r"\btimestamp_sequence\s*\(\s*'([^']+)'\s*,\s*(\d+)L?\s*\)",
@@ -1884,6 +1896,9 @@ def questdb_sql(
         or _IN_INTERVAL_LIST_RE.search(text)
         or _TS_SEQ_RE.search(text)
         or re.search(r"\blong_sequence\s*\(", text, re.IGNORECASE)
+        # Spark has no generate_series table function — the dialect's
+        # spark.range lowering is the only route.
+        or re.search(r"\bgenerate_series\s*\(", text, re.IGNORECASE)
         # Bare count() is QuestDB's count(*): Spark SQL rejects it, so
         # its presence routes through the dialect aggregate parser.
         or re.search(r"\bcount\s*\(\s*\)", text, re.IGNORECASE)
@@ -1989,6 +2004,7 @@ def questdb_sql(
         raise QuestDBSQLError(f"unsupported fragment: {leftover.strip()!r}")
 
     seq_m = _LONG_SEQ_RE.match(table.strip())
+    gs_m = _GEN_SERIES_RE.match(table.strip())
     if seq_m:
         # QuestDB's row generator: long_sequence(n) is a table of one
         # column x = 1..n. spark.range is the distributed twin — n rows
@@ -1996,6 +2012,30 @@ def questdb_sql(
         df = spark.range(1, int(seq_m.group(1)) + 1).select(
             F.col("id").alias("x")
         )
+    elif gs_m:
+        # generate_series(start, end[, step]) — inclusive bounds,
+        # descending for negative steps, empty when the step points
+        # away from the end (PG semantics; QuestDB and DuckDB agree).
+        # spark.range again — distributed, no driver materialization.
+        raw = [a.strip() for a in gs_m.group(1).split(",") if a.strip()]
+        if len(raw) not in (2, 3) or not all(
+            re.fullmatch(r"-?\d+", a) for a in raw
+        ):
+            raise QuestDBSQLError(
+                "generate_series lowers only as generate_series(start, "
+                "end[, step]) with integer literals (timestamp series: "
+                "timestamp_sequence over long_sequence)"
+            )
+        gs_start, gs_end = int(raw[0]), int(raw[1])
+        gs_step = (
+            int(raw[2]) if len(raw) == 3
+            else (1 if gs_end >= gs_start else -1)
+        )
+        if gs_step == 0:
+            raise QuestDBSQLError("generate_series step cannot be 0")
+        df = spark.range(
+            gs_start, gs_end + (1 if gs_step > 0 else -1), gs_step
+        ).select(F.col("id").alias("generate_series"))
     else:
         df = spark.table(table)
     if table_alias:

@@ -4556,3 +4556,34 @@ def test_create_table_symbol_qualifiers_ignored(spark, tmp_path):
             "TIMESTAMP(ts)",
             {"w2": str(tmp_path / "w2")},
         )
+
+
+def test_generate_series_table_generator(spark):
+    """generate_series(start, end[, step]) in table position — PG
+    semantics (inclusive bounds, descending for negative or reversed
+    bounds), lowered onto spark.range; zero step and non-integer
+    arguments refuse loudly."""
+    got = questdb_sql(
+        spark, "SELECT * FROM generate_series(1, 5)"
+    ).collect()
+    assert [r[0] for r in got] == [1, 2, 3, 4, 5], got
+    got = questdb_sql(
+        spark, "SELECT * FROM generate_series(9, 1, -3)"
+    ).collect()
+    assert [r[0] for r in got] == [9, 6, 3], got
+    got = questdb_sql(
+        spark, "SELECT * FROM generate_series(5, 1)"
+    ).collect()
+    assert [r[0] for r in got] == [5, 4, 3, 2, 1], got
+    got = questdb_sql(
+        spark,
+        "SELECT generate_series % 2 AS m, count() AS n "
+        "FROM generate_series(1, 10) GROUP BY 1 ORDER BY 1",
+    ).collect()
+    assert [(r.m, r.n) for r in got] == [(0, 5), (1, 5)], got
+    with pytest.raises(QuestDBSQLError, match="step cannot be 0"):
+        questdb_sql(spark, "SELECT * FROM generate_series(1, 5, 0)")
+    with pytest.raises(QuestDBSQLError, match="integer literals"):
+        questdb_sql(
+            spark, "SELECT * FROM generate_series('2024-01-01', 5)"
+        )
