@@ -1326,3 +1326,98 @@ def test_pg_common_fragment_matches_duckdb_verbatim(spark, q):
     assert sorted(map(norm, got), key=repr) == sorted(
         map(norm, want), key=repr
     ), (q, got, want)
+
+
+@st.composite
+def _sample_by_query(draw):
+    n = draw(st.integers(min_value=1, max_value=7))
+    unit = draw(st.sampled_from(["s", "m", "h", "d"]))
+    agg, duck_agg = draw(
+        st.sampled_from(
+            [
+                ("count() AS n", "count(*) AS n"),
+                ("min(v) AS n", "min(v) AS n"),
+                ("max(v) AS n", "max(v) AS n"),
+                ("sum(v) AS n", "CAST(sum(v) AS BIGINT) AS n"),
+            ]
+        )
+    )
+    keyed = draw(st.booleans())
+    where = draw(
+        st.sampled_from(
+            [
+                None,
+                "ts IN '2024-01-01'",
+                "ts IN '2024-01-02T06'",
+                "v > 40",
+                "k = 'a' AND v <= 90",
+            ]
+        )
+    )
+    key_sql = "k, " if keyed else ""
+    where_sql = f"WHERE {where} " if where else ""
+    q = (
+        f"SELECT ts, {key_sql}{agg} FROM __sbf "
+        f"{where_sql}SAMPLE BY {n}{unit}"
+    )
+    secs = n * {"s": 1, "m": 60, "h": 3600, "d": 86400}[unit]
+    duck_where = (
+        where_sql.replace(
+            "ts IN '2024-01-01'",
+            "ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP "
+            "'2024-01-02'",
+        ).replace(
+            "ts IN '2024-01-02T06'",
+            "ts >= TIMESTAMP '2024-01-02 06:00:00' AND ts < "
+            "TIMESTAMP '2024-01-02 07:00:00'",
+        )
+    )
+    duck_q = (
+        f"SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / {secs}) "
+        f"AS BIGINT) * {secs}) AS TIMESTAMP) AS ts, {key_sql}"
+        f"{duck_agg} FROM __sbf {duck_where}"
+        f"GROUP BY {'1, 2' if keyed else '1'}"
+    )
+    return q, duck_q
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(qs=_sample_by_query())
+def test_sample_by_fuzz_matches_duckdb_epoch_floor(spark, qs):
+    """Generated SAMPLE BY queries (stride × unit × key × WHERE incl.
+    interval searches × aggregate) against DuckDB's epoch-floor
+    translation — the generative twin of the fixed SAMPLE BY oracle
+    queries. Epoch-anchored strides only (s/m/h/d); week/month/year
+    anchoring is pinned by dedicated unit tests."""
+    import duckdb
+
+    q, duck_q = qs
+    rows = [
+        (
+            datetime(2024, 1, 1) + timedelta(minutes=17 * i),
+            "a" if i % 3 else "b",
+            (i * 7) % 100,
+        )
+        for i in range(200)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, k string, v int"
+    ).createOrReplaceTempView("__sbf")
+    from questdb_etl_jobs_spark.sql.dialect import questdb_sql
+
+    got = [
+        tuple(r) for r in questdb_sql(
+            spark, q, {"__sbf": "ts"}
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE __sbf(ts timestamp, k varchar, v int)")
+    con.executemany("INSERT INTO __sbf VALUES (?, ?, ?)", rows)
+    want = con.execute(duck_q).fetchall()
+    assert sorted(got, key=repr) == sorted(want, key=repr), (
+        q, duck_q, sorted(got, key=repr)[:4], sorted(want, key=repr)[:4]
+    )
