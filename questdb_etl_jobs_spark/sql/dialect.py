@@ -2107,6 +2107,14 @@ def questdb_sql(
                 df, right, on=ts, by=by, strict=(kind == "LT"),
                 tolerance=tolerance,
             )
+        if table_alias:
+            # The operator's internal selects drop the left table's
+            # alias scope; re-alias the JOINED frame under it so
+            # qualified projections (`e.ts` after `FROM tt e ASOF JOIN
+            # …`) resolve — QuestDB scopes the left alias over the
+            # joined row too (right columns are merged in). Round-17
+            # probe: these died as UNRESOLVED_COLUMN.
+            df = df.alias(table_alias)
 
     post_latest_pred: str | None = None
     if where_m:

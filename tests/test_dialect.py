@@ -4587,3 +4587,31 @@ def test_generate_series_table_generator(spark):
         questdb_sql(
             spark, "SELECT * FROM generate_series('2024-01-01', 5)"
         )
+
+
+def test_asof_join_left_alias_qualified_refs(spark):
+    """Qualified references through the left table's alias after an
+    ASOF JOIN (`SELECT e.ts FROM tt e ASOF JOIN …`) resolve — the
+    operator's internal selects used to drop the alias scope and the
+    reference died as UNRESOLVED_COLUMN (round-17 probe)."""
+    import datetime as dt
+
+    rows = [
+        (
+            dt.datetime(2024, 1, 1, h % 24) + dt.timedelta(days=h // 24),
+            f"s{h % 2}",
+            float(h),
+        )
+        for h in range(48)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, sym string, v double"
+    ).createOrReplaceTempView("__aa")
+    d = {"__aa": "ts"}
+    got = questdb_sql(
+        spark,
+        "SELECT e.sym, count() AS n FROM __aa e ASOF JOIN __aa "
+        "ON (sym) GROUP BY e.sym ORDER BY 1",
+        d,
+    ).collect()
+    assert [(r.sym, r.n) for r in got] == [("s0", 24), ("s1", 24)], got
