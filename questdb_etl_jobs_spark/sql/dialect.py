@@ -2045,11 +2045,26 @@ def questdb_sql(
     # generation order; with long_sequence that order IS x). Rewritten
     # to pure integer-µs arithmetic so it runs anywhere an expression
     # can (select list, WHERE), entirely in codegen.
+    # The generator's 1-based row ordinal: long_sequence exposes it as
+    # x directly; for generate_series it derives from the value, start
+    # and step (exact integer arithmetic, valid for descending series
+    # too). Plain tables have no generation order — the unresolved `x`
+    # stays a loud analyzer error there, as before.
+    if gs_m:
+        row_ord = (
+            f"((generate_series - ({gs_start})) div ({gs_step}) + 1)"
+        )
+    else:
+        row_ord = "x"
+
     def _ts_seq(m: re.Match) -> str:
         from questdb_etl_jobs_spark.operators.sample_by import _parse_utc_us
 
         start_us = _parse_utc_us(m.group(1))
-        return f"timestamp_micros({start_us} + (x - 1) * {m.group(2)})"
+        return (
+            f"timestamp_micros({start_us} + ({row_ord} - 1) "
+            f"* {m.group(2)})"
+        )
 
     select_list = _TS_SEQ_RE.sub(_ts_seq, select_list)
     # Designated ts: explicit mapping wins; otherwise recover it from the

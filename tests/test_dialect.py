@@ -4615,3 +4615,48 @@ def test_asof_join_left_alias_qualified_refs(spark):
         d,
     ).collect()
     assert [(r.sym, r.n) for r in got] == [("s0", 24), ("s1", 24)], got
+
+
+def test_timestamp_sequence_over_generate_series(spark, tmp_path):
+    """timestamp_sequence composes with generate_series: the ordinal
+    derives from (value, start, step) — exact for descending series
+    too — so the QuestDB demo idiom INSERT INTO … SELECT …,
+    timestamp_sequence(…) FROM generate_series(…) lands the designated
+    layout."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        register_designated_table,
+    )
+    from questdb_etl_jobs_spark.sql.dialect import questdb_ddl
+
+    tables = {"gt": str(tmp_path / "gt")}
+    questdb_ddl(
+        spark, "CREATE TABLE gt(x LONG, ts TIMESTAMP) TIMESTAMP(ts)",
+        tables,
+    )
+    questdb_ddl(
+        spark,
+        "INSERT INTO gt(x, ts) SELECT generate_series, "
+        "timestamp_sequence('2024-01-01T00:00:00', 3600000000) "
+        "FROM generate_series(1, 48)",
+        tables,
+    )
+    register_designated_table(spark, "gt", tables["gt"])
+    got = questdb_sql(
+        spark,
+        "SELECT ts, count() AS n, min(x) AS lo, max(x) AS hi "
+        "FROM gt SAMPLE BY 1d",
+        {"gt": "ts"},
+    ).collect()
+    assert sorted((r.ts.day, r.n, r.lo, r.hi) for r in got) == [
+        (1, 24, 1, 24), (2, 24, 25, 48)
+    ], got
+    # Descending series: ordinal 1 is the FIRST generated value (9).
+    got = questdb_sql(
+        spark,
+        "SELECT generate_series AS g, "
+        "timestamp_sequence('2024-01-01T00:00:00', 60000000) AS t "
+        "FROM generate_series(9, 1, -4)",
+    ).collect()
+    assert sorted((r.g, r.t.minute) for r in got) == [
+        (1, 2), (5, 1), (9, 0)
+    ], got
