@@ -9,6 +9,8 @@ come from Catalyst; one shuffle keyed by (bucket, keys…).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -419,13 +421,40 @@ def interval_bounds(literal: str) -> tuple[str, str]:
     prefix: ``'2024'`` a year, ``'2024-01'`` a month, ``'2024-01-15'`` a
     day, ``'2024-01-15T10'`` an hour, ``'2024-01-15T10:30'`` a minute,
     ``'2024-01-15T10:30:00'`` a second (round 17 — seconds used to
-    raise; QuestDB accepts the full prefix ladder). Sub-second
-    prefixes are NOT supported — this engine's interval bounds travel
-    as second-resolution SQL timestamps; callers surface a clean
-    error.
+    raise), and — round 18 — the SUB-SECOND ladder down to QuestDB's
+    native microsecond resolution: each fractional digit narrows the
+    span 10× (``'…00.1'`` = [.100000, .200000), ``'…00.123456'`` = one
+    microsecond). Fractional bounds are formatted with ``.%f`` —
+    ``TIMESTAMP '… .123000'`` literals are exact µs values in Spark and
+    DuckDB alike, so the range predicate still pushes down to the scan;
+    second-resolution literals keep the plain format (plan-stable).
+    More than 6 fractional digits refuses: beyond µs is below the
+    engine's (and QuestDB's) timestamp resolution.
     """
     import datetime
 
+    frac_m = re.fullmatch(
+        r"(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})\.(\d+)", literal
+    )
+    if frac_m:
+        digits = frac_m.group(2)
+        if len(digits) > 6:
+            raise ValueError(
+                f"sub-microsecond interval prefix {literal!r} — QuestDB "
+                "timestamps are microsecond-resolution (max 6 "
+                "fractional digits)"
+            )
+        base = datetime.datetime.strptime(
+            frac_m.group(1), "%Y-%m-%dT%H:%M:%S"
+        )
+        start = base + datetime.timedelta(
+            microseconds=int(digits.ljust(6, "0"))
+        )
+        end = start + datetime.timedelta(
+            microseconds=10 ** (6 - len(digits))
+        )
+        iso_us = "%Y-%m-%d %H:%M:%S.%f"
+        return start.strftime(iso_us), end.strftime(iso_us)
     for fmt, width, step in _INTERVAL_FORMS:
         if len(literal) == width:
             start = datetime.datetime.strptime(literal, fmt)
@@ -496,7 +525,13 @@ def interval_bounds_multi(literal: str) -> list[tuple[str, str]]:
     if len(parts) not in (1, 2, 4):
         raise ValueError(f"malformed interval expression: {literal!r}")
     s0, e0 = interval_bounds(parts[0])
-    iso = "%Y-%m-%d %H:%M:%S"
+    # Sub-second prefixes carry microsecond bounds (.%f); the output
+    # keeps whichever resolution the prefix named, so second-resolution
+    # spans stay byte-identical to their pre-round-18 strings
+    # (plan-stable).
+    iso = (
+        "%Y-%m-%d %H:%M:%S.%f" if "." in s0 else "%Y-%m-%d %H:%M:%S"
+    )
     start = datetime.datetime.strptime(s0, iso)
     end = datetime.datetime.strptime(e0, iso)
 

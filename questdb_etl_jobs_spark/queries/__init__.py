@@ -85,50 +85,50 @@ _PRIORITY: tuple[str, ...] = (
     # invariant is enforced by
     # tests/test_registry.py::test_window_is_a_covering_set.
     #
-    # Round-17 rotation: SIXTEEN slots. Incoming: the q105–q116 head of
-    # the never-windowed band (12 backlog slots), the two reference-
-    # fidelity faces q134 (JSONL wire-format ingest) and q163 (entry
-    # point 2, the purchase generator) per VERDICT r16 #7, and the two
-    # ship-round queries q214 (quoted identifiers — the round-16 bug
-    # fix under the driver's own oracle) and q215 (arithmetic
-    # promotion pin). Ceding: the twelve r16 rotations that got their
-    # rows (q93–q103 minus q97/q104 which are sole F9/A6 coverage),
-    # q211/q212 (rows in r16), and veterans q02/q16/q74/q200 (rows
-    # since round 1; F1/P3/F3/F4 move to q134/q163, J7 to q105,
-    # A3/A2 stay via q157/q114/q116/q169, F6/F7 plentiful).
-    "q105_asof_tolerance",        # J7 (TOLERANCE bound — takes q16's id)
+    # Round-18 rotation: TWENTY slots. Incoming: the q117–q128 head
+    # of the never-windowed band (12 backlog slots, VERDICT r17 #2),
+    # the four round-17 pins q216–q219 (per the same board item:
+    # "include q216–q219 early — they should get driver rows while
+    # fresh"), and this round's four ship queries q220 (ASOF both-
+    # sides-aliased), q221 (`||` null-as-empty), q222 (sub-second
+    # intervals), q223 (meta functions) — the q211/q214 ship-round
+    # precedent. Ceding: the fifteen r17 rotations that got their
+    # green rows (q105–q116, q163, q214, q215 — q134 stays: unique
+    # F3/F4/P3), veterans q22 (A4 → incoming q127) and q33 (W4 →
+    # incoming q125/q128), and q190/q184/q209 (rows in r17; F5 stays
+    # via q119/q123/q127, O2 via q175/q192/q124, U1 via q177).
+    # J7 moves to q118/q220, A2 to q117/q123/q169, A7 to q127/q217.
+    "q220_asof_both_aliased",     # J7 F6 (both-sides-aliased ASOF, NEW)
     "q134_jsonl_ingest",          # S2 F1 P3 F3 F4 EXT (wire-format twin)
-    "q106_twap",                  # W2 A1 F7 (TWAP window)
+    "q117_hll_mergeable",         # A2 A3 EXT (mergeable HLL partials)
     "q07_event_filter",           # P1 P2 P4
-    "q107_pivot_daily_matrix",    # A1 F5 EXT (pivot)
-    "q108_unpivot_measures",      # T1 A1 EXT (unpivot)
+    "q118_pit_enrichment",        # J7 W2 A1 EXT (PIT enrichment)
+    "q119_rollup_merge",          # A1 F5 EXT (partial-rollup merge)
     "q10_join_revenue_by_nation", # J1 J2 F7
     "q97_variant_extract",        # F9 (sole in-window F9 — stays)
     "q175_rank_family_pruned",    # W1 O2 EXT (grouped prune, full family)
-    "q109_sample_by_calendar_tz", # A7 F5 EXT (tz-aligned SAMPLE BY)
+    "q120_approx_percentile_bound",  # A3 A5 EXT (quantile error bound)
     "q15_interval_join_events",   # J6
-    "q110_quality_filter_chain",  # EXT P2 F6 A1 (quality chain)
-    "q22_rollup_orders",          # A4
-    "q111_domain_cap",            # EXT W1 A1 (per-domain cap)
-    "q112_duplicated_spans",      # EXT F6 W2 A1 (span dedup)
-    "q113_scd2_intervals",        # W1 W2 A1 F5 EXT (SCD2)
-    "q114_profile_columns",       # A1 A2 F10 EXT (profiler)
+    "q121_salted_join",           # J1 A1 EXT (skew-salted join)
+    "q127_time_grouping_sets",    # A4 A7 F5 EXT (time grouping sets)
+    "q122_unigram_logprob",       # J2 F6 A1 EXT (unigram LM score)
+    "q123_cumulative_uniques",    # A1 A2 F5 W3 EXT (cumulative uniques)
+    "q124_weighted_sample",       # A1 O2 EXT (weighted sampling)
+    "q125_incremental_latest",    # W4 J4 T1 EXT (incremental LATEST ON)
     "q181_recursive_date_spine",  # A7 F5 T1 J3 (recursive CTE)
-    "q115_char_entropy",          # U2 F6 EXT (char entropy)
+    "q126_exact_quantile_histogram",  # A1 A5 EXT (exact quantile)
     "q177_kmeans_clusters",       # EXT clustering, F8 U1
-    "q190_dialect_regex_symbol",  # F6 F5 A1 EXT (regex symbol ops)
-    "q33_latest_event_per_user",  # W4
-    "q184_dialect_bottomk_routed",  # O2 EXT (ascending prune, SQL surface)
-    "q116_skew_safe_distinct",    # A1 A2 EXT (skew-safe distinct)
+    "q221_pipe_concat_null",      # F6 F10 A1 (|| null-as-empty pin)
+    "q128_cdc_apply",             # W4 F10 EXT (CDC apply)
+    "q222_subsecond_interval",    # A7 P1 F4 (µs interval ladder)
+    "q216_dialect_expr_groupby",  # A1 F6 F10 EXT (expression GROUP BY)
     "q213_dialect_set_ops",       # T2 T1 EXT (dialect set ops — sole T2)
     "q192_stream_reservoir",      # R1 R6 U2 O2 EXT (streaming reservoir)
-    "q163_purchase_generator",    # S2 F1 F7 EXT (entry point 2 mirror)
-    # Ship-round slots (the q211–q213 precedent): the round-17 bug fix
-    # and the arithmetic pin get driver rows in the round they shipped.
-    "q214_dialect_quoted_idents", # F6 A7 A1 T1 F5 EXT (PG-quoted idents)
+    "q217_dialect_subquery_filters",  # A7 J4 A1 EXT (subquery filters)
+    "q218_concat_null_semantics", # F6 A1 F10 EXT (concat null-as-empty)
     "q05_hash_family",            # F2
-    "q209_pii_redaction",         # F6 U1 EXT (PII scrub)
-    "q215_arith_semantics",       # F7 EXT (promotion rules pinned)
+    "q223_meta_functions",        # S6 F10 T1 (tables()/table_columns())
+    "q219_generate_series",       # A1 F7 EXT (series generator)
     "q104_funnel_steps",          # A1 A6 F8 F10 EXT (sole in-window A6)
     "q180_cluster_balanced_sample",  # EXT clustering × sampling, O2 W1
     "q51_multimodal_decode",      # U2 multimodal

@@ -5433,3 +5433,218 @@ def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.col("s").cast("long").alias("s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q220 — ASOF JOIN with BOTH sides aliased (round 18)
+# ---------------------------------------------------------------------------
+#
+# The idiomatic QuestDB two-table as-of (their docs alias both sides):
+# `FROM p t ASOF JOIN s q ON user_id` with qualified refs through each
+# scope. Round 17 restored the LEFT alias only — the right alias died
+# as `unsupported fragment: 'q'`. q.ts exercises the clash-suffixed
+# right designated ts, q.value the kept-name payload column. DuckDB's
+# native ASOF LEFT JOIN (aliasing both sides the same way) is the
+# oracle.
+
+_Q220_SQL = (
+    "SELECT t.event_id, t.user_id, t.ts, q.ts AS signup_ts, "
+    "q.value AS signup_value "
+    "FROM __q220_p t ASOF JOIN __q220_s q ON user_id "
+    "ORDER BY t.event_id"
+)
+
+_Q220_ORACLE = """
+WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+     s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'signup')
+SELECT t.event_id, t.user_id, t.ts, q.ts AS signup_ts,
+       round(q.value, 4) AS signup_value
+FROM p t ASOF LEFT JOIN s q
+  ON t.user_id = q.user_id AND t.ts >= q.ts
+ORDER BY t.event_id
+"""
+
+
+@dq(
+    "q220_asof_both_aliased",
+    oracle=_Q220_ORACLE,
+    covers="J7,F6",
+)
+def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    events = load_table(spark, sf_dir, "events")
+    events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    ).createOrReplaceTempView("__q220_p")
+    events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    ).createOrReplaceTempView("__q220_s")
+    return questdb_sql(
+        spark, _Q220_SQL, {"__q220_p": "ts", "__q220_s": "ts"}
+    ).select(
+        "event_id", "user_id", "ts", "signup_ts",
+        F.round("signup_value", 4).alias("signup_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q221 — `||` null-as-empty semantics (round 18)
+# ---------------------------------------------------------------------------
+#
+# QuestDB's parser lowers the `||` operator onto concat() (operator and
+# function are ONE implementation), so `'x' || null` is 'x' — a
+# DOCUMENTED DIVERGENCE from PostgreSQL, whose operator propagates
+# NULL while its concat() function skips it. Round 17 had adjudicated
+# concat() only and left `||` null-propagating; Spark==DuckDB==PG on
+# the operator made the differential structurally blind (VERDICT r17
+# "what's missing" #3 — the round-16 division playbook). The group key
+# manufactures a null component via nullif, so this is ONLY green
+# under null-skipping semantics; DuckDB's native concat() — which
+# skips nulls — is the oracle.
+
+_Q221_SQL = (
+    "SELECT nullif(event_type, 'click') || '#' || (user_id % 3) "
+    "AS key, count() AS n "
+    "FROM __q221_events WHERE ts IN '2024-01-10' "
+    "GROUP BY 1 ORDER BY 1"
+)
+
+_Q221_ORACLE = """
+SELECT concat(nullif(event_type, 'click'), '#',
+              CAST(user_id % 3 AS VARCHAR)) AS key,
+       count(*) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@dq(
+    "q221_pipe_concat_null",
+    oracle=_Q221_ORACLE,
+    covers="F6,F10,A1",
+)
+def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q221_events"
+    )
+    return questdb_sql(spark, _Q221_SQL, {"__q221_events": "ts"}).select(
+        "key", F.col("n").cast("long").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q222 — sub-second interval search (round 18)
+# ---------------------------------------------------------------------------
+#
+# QuestDB's native timestamp resolution is microseconds, and its
+# interval-search prefix ladder extends below the second: each
+# fractional digit narrows the span 10× ('…:07.1' = [.100000,
+# .200000)). Round 17 refused every sub-second prefix (bounds traveled
+# as second-resolution timestamps — VERDICT r17 "what's missing" #4);
+# the bounds now carry .%f microsecond literals, which both Spark and
+# DuckDB evaluate exactly and still push to the scan. Faces: the full
+# 6-digit µs prefix (exactly one event) OR a fractional prefix
+# composed with duration+repeat modifiers ('.1;2m;1d;30'); the oracle
+# expands both to explicit µs-timestamp ranges.
+
+_Q222_SQL = (
+    "SELECT ts, event_id FROM __q222_events "
+    "WHERE ts IN '2024-01-01T00:00:07.179575' "
+    "OR ts IN '2024-01-01T00:00:07.1;2m;1d;30' "
+    "ORDER BY ts"
+)
+
+_Q222_ORACLE = """
+SELECT e.ts, e.event_id
+FROM events e
+WHERE (e.ts >= TIMESTAMP '2024-01-01 00:00:07.179575'
+       AND e.ts < TIMESTAMP '2024-01-01 00:00:07.179576')
+   OR EXISTS (
+        SELECT 1 FROM range(0, 30) r(k)
+        WHERE e.ts >= TIMESTAMP '2024-01-01 00:00:07.100000'
+                      + r.k * INTERVAL 1 DAY
+          AND e.ts < TIMESTAMP '2024-01-01 00:02:07.200000'
+                      + r.k * INTERVAL 1 DAY)
+ORDER BY e.ts
+"""
+
+
+@dq(
+    "q222_subsecond_interval",
+    oracle=_Q222_ORACLE,
+    covers="A7,P1,F4",
+)
+def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q222_events"
+    )
+    return questdb_sql(spark, _Q222_SQL, {"__q222_events": "ts"}).select(
+        "ts", "event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q223 — tables()/table_columns() meta-function spellings (round 18)
+# ---------------------------------------------------------------------------
+#
+# QuestDB's catalog table FUNCTIONS — the spellings PG tools emit
+# alongside the SHOW statements (q178/q182/q185). Round-18 probe:
+# `SELECT * FROM tables()` / `table_columns('t')` died as raw
+# UNRESOLVABLE_TABLE_VALUED_FUNCTION; the dialect now materializes the
+# catalog answer and rewrites the reference, so projections and
+# filters over the function output lower. The UNION pins both faces —
+# tables() (name + designated ts from the mapping) and
+# table_columns() (QuestDB type spellings + designated flag) — against
+# a constants oracle, the q215 VALUES playbook for session-catalog
+# state SQL cannot reach.
+
+_Q223_SQL = (
+    "SELECT 'T' AS face, table_name AS a, designatedTimestamp AS b, "
+    "'' AS c FROM tables() WHERE table_name = '__q223_t' "
+    "UNION ALL "
+    "SELECT 'C' AS face, column AS a, type AS b, "
+    "CAST(designated AS STRING) AS c FROM table_columns('__q223_t') "
+    "ORDER BY face, a"
+)
+
+_Q223_ORACLE = """
+SELECT * FROM (VALUES
+  ('C', 'event_id', 'LONG', 'false'),
+  ('C', 'event_type', 'STRING', 'false'),
+  ('C', 'ts', 'TIMESTAMP', 'true'),
+  ('C', 'value', 'DOUBLE', 'false'),
+  ('T', '__q223_t', 'ts', '')
+) t(face, a, b, c)
+ORDER BY face, a
+"""
+
+
+def _q223_oracle() -> str:
+    return _Q223_ORACLE
+
+
+_q223_oracle.sf_invariant = True
+
+
+@dq(
+    "q223_meta_functions",
+    oracle=_q223_oracle,
+    covers="S6,F10,T1",
+)
+def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    ).createOrReplaceTempView("__q223_t")
+    return questdb_sql(spark, _Q223_SQL, {"__q223_t": "ts"}).select(
+        "face", "a", "b", "c"
+    )

