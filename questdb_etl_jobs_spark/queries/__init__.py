@@ -91,8 +91,10 @@ _PRIORITY: tuple[str, ...] = (
     # "include q216–q219 early — they should get driver rows while
     # fresh"), and this round's four ship queries q220 (ASOF both-
     # sides-aliased), q221 (`||` null-as-empty), q222 (sub-second
-    # intervals), q223 (meta functions) — the q211/q214 ship-round
-    # precedent. Ceding: the fifteen r17 rotations that got their
+    # intervals), q223 (meta functions), q224 (verbose ON equality) —
+    # the q211/q214 ship-round precedent (21 slots total with q224's
+    # later swap for q170, whose S6/O1/A1/A2 stay covered via
+    # q169/q223/q207/q208, q169, and q117/q123). Ceding: the fifteen r17 rotations that got their
     # green rows (q105–q116, q163, q214, q215 — q134 stays: unique
     # F3/F4/P3), veterans q22 (A4 → incoming q127) and q33 (W4 →
     # incoming q125/q128), and q190/q184/q209 (rows in r17; F5 stays
@@ -133,7 +135,7 @@ _PRIORITY: tuple[str, ...] = (
     "q180_cluster_balanced_sample",  # EXT clustering × sampling, O2 W1
     "q51_multimodal_decode",      # U2 multimodal
     "q53_udaf_geomean",           # U3
-    "q170_ttl_on_ingest",         # S6 O1 A1 EXT (TTL-on-ingest)
+    "q224_asof_on_equality",      # J7 F6 (verbose ON equality + rename)
     "q61_csv_sink_roundtrip",     # S5
     "q63_session_window",         # R3
     "q80_decontaminate",          # EXT composite

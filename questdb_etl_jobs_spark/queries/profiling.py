@@ -5648,3 +5648,52 @@ def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
     return questdb_sql(spark, _Q223_SQL, {"__q223_t": "ts"}).select(
         "face", "a", "b", "c"
     )
+
+
+# ---------------------------------------------------------------------------
+# q224 — time-series join, verbose ON equality with differing key names
+# ---------------------------------------------------------------------------
+#
+# The `ON t.user_id = s.uid` spelling (round 18 — it used to die as an
+# unsupported fragment): the equality resolves one column per side, the
+# right key renames onto the left name pre-join, and right-key refs in
+# the select map back to the left name. DuckDB's native ASOF LEFT JOIN
+# with the identical ON text is the oracle, so the rename path is
+# value-gated end to end.
+
+_Q224_SQL = (
+    "SELECT t.event_id, s.uid AS matched_uid, s.ts AS signup_ts "
+    "FROM __q224_p t ASOF JOIN __q224_s s ON t.user_id = s.uid "
+    "ORDER BY t.event_id"
+)
+
+_Q224_ORACLE = """
+WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+     s AS (SELECT user_id AS uid, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'signup')
+SELECT t.event_id, s.uid AS matched_uid, s.ts AS signup_ts
+FROM p t ASOF LEFT JOIN s
+  ON t.user_id = s.uid AND t.ts >= s.ts
+ORDER BY t.event_id
+"""
+
+
+@dq(
+    "q224_asof_on_equality",
+    oracle=_Q224_ORACLE,
+    covers="J7,F6",
+)
+def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    events = load_table(spark, sf_dir, "events")
+    events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    ).createOrReplaceTempView("__q224_p")
+    events.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("uid"), "ts"
+    ).createOrReplaceTempView("__q224_s")
+    return questdb_sql(
+        spark, _Q224_SQL, {"__q224_p": "ts", "__q224_s": "ts"}
+    ).select("event_id", "matched_uid", "signup_ts")

@@ -133,7 +133,14 @@ _JOIN_RE = re.compile(
     r"|GROUP\b|ORDER\b|LIMIT\b|HAVING\b|UNION\b|INTERSECT\b|EXCEPT\b"
     r"|ASOF\b|LT\b|SPLICE\b|JOIN\b|INNER\b|LEFT\b|RIGHT\b|FULL\b"
     r"|CROSS\b)(?P<ralias>[A-Za-z_]\w*))?"
-    r"(?:\s+ON\s+\(?\s*(?P<keys>\w+(?:\s*,\s*\w+)*)\s*\)?)?"
+    # ON takes QuestDB's bare-key list (`ON (sym)` / `ON sym, venue`)
+    # or the verbose equality form (`ON t.sym = q.sym [AND …]`,
+    # round 18 — it used to die as an unsupported fragment). The
+    # equality alternative is tried FIRST (it is the more specific
+    # shape, anchored on `=`); qualifiers resolve in the lowering.
+    r"(?:\s+ON\s+(?P<keyeq>[\w.]+\s*=\s*[\w.]+"
+    r"(?:\s+AND\s+[\w.]+\s*=\s*[\w.]+)*)"
+    r"|\s+ON\s+\(?\s*(?P<keys>\w+(?:\s*,\s*\w+)*)\s*\)?)?"
     # \s* (not \s+): the ON group's trailing \s*\)? may already have
     # consumed the separating space, and the engine never backtracks
     # into an optional group that already satisfied the pattern.
@@ -542,11 +549,56 @@ def _rewrite_table_ref(text: str, name: str, new: str) -> str:
     return pat.sub(repl, text)
 
 
+def _parse_on_equalities(
+    eq_text: str,
+    left_quals: set[str],
+    right_quals: set[str],
+) -> list[tuple[str, str]]:
+    """Parse the verbose time-series-join ON form
+    (``ON t.sym = q.sym [AND t.venue = q.venue]``) into
+    [(left_col, right_col), …]. Every ref must be qualified and the two
+    sides of each equality must come from opposite tables — anything
+    else refuses BY NAME (an unqualified ref is ambiguous once the
+    right frame merges in; a same-side equality is not a join key)."""
+    pairs: list[tuple[str, str]] = []
+    for part in re.split(r"\s+AND\s+", eq_text, flags=re.IGNORECASE):
+        lhs, _, rhs = part.partition("=")
+        sides: dict[str, str] = {}
+        for ref in (lhs.strip(), rhs.strip()):
+            qual, _, col = ref.rpartition(".")
+            if not qual:
+                raise QuestDBSQLError(
+                    f"time-series join ON equality {part.strip()!r}: "
+                    f"qualify {ref!r} with a table name or alias "
+                    "(or use the bare-key form: ON (col))"
+                )
+            if qual in left_quals:
+                side = "left"
+            elif qual in right_quals:
+                side = "right"
+            else:
+                raise QuestDBSQLError(
+                    f"time-series join ON equality {part.strip()!r}: "
+                    f"unknown qualifier {qual!r} (left: "
+                    f"{sorted(left_quals)}, right: {sorted(right_quals)})"
+                )
+            if side in sides:
+                raise QuestDBSQLError(
+                    f"time-series join ON equality {part.strip()!r} "
+                    "compares two columns of the SAME table — not a "
+                    "join key"
+                )
+            sides[side] = col
+        pairs.append((sides["left"], sides["right"]))
+    return pairs
+
+
 def _resolve_right_qualifiers(
     spark: "SparkSession",
     select_list: str,
     rest: str,
     table: str,
+    table_alias: str | None,
     join_m: re.Match,
     designated: dict[str, str],
 ) -> tuple[str, str, re.Match]:
@@ -592,14 +644,41 @@ def _resolve_right_qualifiers(
         )
     keys = join_m.group("keys")
     by = {k.strip() for k in keys.split(",")} if keys else set()
+    right_key_to_left: dict[str, str] = {}
+    if join_m.group("keyeq"):
+        lq = {table} | ({table_alias} if table_alias else set())
+        rq = {right_name} | ({ralias} if ralias else set())
+        for lc, rc in _parse_on_equalities(join_m.group("keyeq"), lq, rq):
+            by.add(lc)
+            right_key_to_left[rc] = lc
+
+    kind = join_m.group(1).upper()
 
     def _mapped(col: str) -> str:
+        lc = right_key_to_left.get(col, col if col in by else None)
+        if lc is not None:
+            # A RIGHT-side ref to a join KEY: the operator carries keys
+            # from the left row, so on an UNMATCHED left row the left
+            # value is populated while QuestDB (and DuckDB's ASOF LEFT
+            # — the oracle) show NULL for every right column, keys
+            # included. Mask through the carried right ts, which is
+            # non-null exactly when a right row matched (TOLERANCE
+            # nulls it with the rest of the payload). SPLICE rows flow
+            # BOTH directions, so the mask has no single reading there
+            # — refuse by name.
+            if kind == "SPLICE":
+                raise QuestDBSQLError(
+                    f"SPLICE JOIN: a right-side key reference "
+                    f"({col!r}) has no single-sided reading — "
+                    "project after the join"
+                )
+            return (
+                f"(CASE WHEN {ts}_right IS NOT NULL THEN {lc} END)"
+            )
         if col == r_ts or col == ts:
             # The right ts is renamed onto the left ts name pre-join and
             # always clash-suffixes in the output.
             return f"{ts}_right"
-        if col in by:
-            return col
         if col in right_cols:
             return col + "_right" if col in left_cols else col
         raise QuestDBSQLError(
@@ -607,17 +686,24 @@ def _resolve_right_qualifiers(
             "the time-series join)"
         )
 
-    def _rewrite(text: str) -> str:
+    def _rewrite(text: str, skip: tuple[int, int] | None = None) -> str:
         spans = _quoted_spans(text)
 
         def repl(m: re.Match) -> str:
             if any(s <= m.start() < e for s, e, _ in spans):
                 return m.group(0)
+            if skip and skip[0] <= m.start() < skip[1]:
+                return m.group(0)
             return _mapped(m.group(2))
 
         return pat.sub(repl, text)
 
-    new_rest = _rewrite(rest)
+    # The ON clause's own qualified refs are the join lowering's input
+    # — rewriting them would strip the qualifiers it resolves by.
+    on_span = (
+        join_m.span("keyeq") if join_m.group("keyeq") else None
+    )
+    new_rest = _rewrite(rest, skip=on_span)
     new_join = _JOIN_RE.search(new_rest)
     assert new_join is not None  # rewrites never touch the join clause
     return _rewrite(select_list), new_rest, new_join
@@ -2272,7 +2358,8 @@ def questdb_sql(
         # Right-side qualified refs (`q.bid` / `quotes.bid`) map onto
         # the joined frame's output names before any clause splitting.
         select_list, rest, join_m = _resolve_right_qualifiers(
-            spark, select_list, rest, table, join_m, designated
+            spark, select_list, rest, table, table_alias, join_m,
+            designated,
         )
     where_m = _WHERE_RE.search(rest)
     latest_m = _LATEST_RE.search(rest)
@@ -2407,7 +2494,37 @@ def questdb_sql(
             )
         if r_ts != ts:
             right = right.withColumnRenamed(r_ts, ts)
-        by = [k.strip() for k in keys.split(",")] if keys else []
+        eq = join_m.group("keyeq")
+        if eq:
+            # Verbose ON form (`ON t.sym = q.sym [AND …]`, round 18):
+            # each equality resolves one left column against one right
+            # column; differing right names rename onto the left name
+            # (the operator joins on shared columns).
+            lq = {table} | ({table_alias} if table_alias else set())
+            rq = {right_name} | (
+                {join_m.group("ralias")} if join_m.group("ralias")
+                else set()
+            )
+            by = []
+            for lc, rc in _parse_on_equalities(eq, lq, rq):
+                if rc == r_ts or lc == ts:
+                    raise QuestDBSQLError(
+                        "the designated timestamps are matched by the "
+                        f"as-of itself — drop {lc!r} = {rc!r} from ON"
+                    )
+                if lc not in df.columns:
+                    raise QuestDBSQLError(
+                        f"unknown column {lc!r} on {table!r} in ON"
+                    )
+                if rc not in right.columns:
+                    raise QuestDBSQLError(
+                        f"unknown column {rc!r} on {right_name!r} in ON"
+                    )
+                if rc != lc:
+                    right = right.withColumnRenamed(rc, lc)
+                by.append(lc)
+        else:
+            by = [k.strip() for k in keys.split(",")] if keys else []
         if kind == "SPLICE":
             # Full-outer as-of: one row per input row of BOTH tables,
             # each carrying the other side's latest at-or-before values.

@@ -4783,6 +4783,78 @@ def test_asof_join_right_alias_qualified_refs(spark):
         )
 
 
+def test_asof_join_on_equality_form(spark):
+    """The verbose time-series-join ON form (`ON t.sym = q.ticker
+    [AND …]`) — what PG tools and two-table as-of text emit — lowers
+    (round 18; it used to die as an unsupported fragment): each
+    equality resolves one left column against one right column,
+    differing right names rename onto the left name, reversed sides
+    and table-name qualifiers work, and malformed equalities refuse BY
+    NAME (unqualified ref / same-side pair / unknown qualifier /
+    designated-ts equality)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, "a", t0 + dt.timedelta(seconds=5)),
+         (2, "b", t0 + dt.timedelta(seconds=10)),
+         (3, "a", t0 + dt.timedelta(seconds=20))],
+        "event_id int, sym string, ts timestamp",
+    ).createOrReplaceTempView("__eq_t")
+    spark.createDataFrame(
+        [("a", 1.0, t0 + dt.timedelta(seconds=1)),
+         ("a", 2.0, t0 + dt.timedelta(seconds=15)),
+         ("b", 9.0, t0 + dt.timedelta(seconds=2))],
+        "ticker string, bid double, qts timestamp",
+    ).createOrReplaceTempView("__eq_q")
+    d = {"__eq_t": "ts", "__eq_q": "qts"}
+    want = [(1, 1.0), (2, 9.0), (3, 2.0)]
+    for on in (
+        "ON t.sym = q.ticker",
+        "ON q.ticker = t.sym",                 # reversed sides
+        "ON __eq_t.sym = __eq_q.ticker",       # table-name qualifiers
+    ):
+        got = questdb_sql(
+            spark,
+            f"SELECT t.event_id, q.bid FROM __eq_t t ASOF JOIN "
+            f"__eq_q q {on} ORDER BY t.event_id",
+            d,
+        ).collect()
+        assert [(r.event_id, r.bid) for r in got] == want, (on, got)
+    # A right-key ref in the select carries the matched key and is
+    # NULL on unmatched rows (QuestDB/DuckDB ASOF LEFT semantics — the
+    # operator carries keys from the left row, so the ref is masked
+    # through the carried right ts; an unmasked mapping silently
+    # returned the left key on no-match rows, caught by q224's
+    # differential).
+    spark.createDataFrame(
+        [(1, "a", t0 + dt.timedelta(seconds=5)),
+         (2, "zz", t0 + dt.timedelta(seconds=10))],
+        "event_id int, sym string, ts timestamp",
+    ).createOrReplaceTempView("__eq_t2")
+    got = questdb_sql(
+        spark,
+        "SELECT t.event_id, q.ticker AS k, q.bid FROM __eq_t2 t "
+        "ASOF JOIN __eq_q q ON t.sym = q.ticker ORDER BY t.event_id",
+        {"__eq_t2": "ts", "__eq_q": "qts"},
+    ).collect()
+    assert [(r.event_id, r.k, r.bid) for r in got] == [
+        (1, "a", 1.0), (2, None, None)
+    ], got
+    for bad, msg in (
+        ("ON sym = q.ticker", "qualify"),
+        ("ON t.sym = t.sym", "SAME table"),
+        ("ON z.sym = q.ticker", "unknown qualifier"),
+        ("ON t.ts = q.qts", "matched by the as-of itself"),
+    ):
+        with pytest.raises(QuestDBSQLError, match=msg):
+            questdb_sql(
+                spark,
+                f"SELECT * FROM __eq_t t ASOF JOIN __eq_q q {bad}",
+                d,
+            )
+
+
 def test_timestamp_sequence_over_generate_series(spark, tmp_path):
     """timestamp_sequence composes with generate_series: the ordinal
     derives from (value, start, step) — exact for descending series
