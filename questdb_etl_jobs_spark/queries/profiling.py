@@ -5697,3 +5697,59 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
     return questdb_sql(
         spark, _Q224_SQL, {"__q224_p": "ts", "__q224_s": "ts"}
     ).select("event_id", "matched_uid", "signup_ts")
+
+
+# ---------------------------------------------------------------------------
+# q225 — rnd_* generator family, property-pinned (round 18)
+# ---------------------------------------------------------------------------
+#
+# QuestDB's random-value generators are its demo/seeding staple
+# (`INSERT INTO t SELECT rnd_double(), rnd_symbol(…) FROM
+# long_sequence(n)` in every tutorial). They lower onto rand()-based
+# expressions (sql/dialect._rewrite_rnd) and are NON-DETERMINISTIC by
+# design, so the pin aggregates to DETERMINISTIC properties — row
+# count, range bounds, domain membership — and the oracle is the
+# constants row those properties must equal (the KMV/accuracy-bound
+# registry pattern for unmirrorable values). The generator body runs
+# in a CTE so the property aggregation itself is plain SQL.
+
+_Q225_SQL = """
+WITH g AS (SELECT rnd_double() AS d, rnd_int(5, 9, 0) AS i,
+                  rnd_symbol('a', 'b', 'c') AS s, rnd_boolean() AS b
+           FROM long_sequence(5000))
+SELECT count(*) AS n,
+       CAST(min(d) >= 0.0 AND max(d) < 1.0 AS STRING) AS d_in_range,
+       CAST(min(i) >= 5 AND max(i) <= 9
+            AND count(DISTINCT i) = 5 AS STRING) AS i_covers_domain,
+       CAST(count(DISTINCT s) = 3 AS STRING) AS s_covers_domain,
+       CAST(count(DISTINCT b) = 2 AS STRING) AS b_both_values
+FROM g
+"""
+
+_Q225_ORACLE = """
+SELECT * FROM (VALUES
+  (5000, 'true', 'true', 'true', 'true')
+) t(n, d_in_range, i_covers_domain, s_covers_domain, b_both_values)
+"""
+
+
+def _q225_oracle() -> str:
+    return _Q225_ORACLE
+
+
+_q225_oracle.sf_invariant = True
+
+
+@dq(
+    "q225_rnd_generators",
+    oracle=_q225_oracle,
+    covers="F7,F6,A2",
+)
+def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    return questdb_sql(spark, _Q225_SQL).select(
+        F.col("n").cast("int").alias("n"),
+        "d_in_range", "i_covers_domain", "s_covers_domain",
+        "b_both_values",
+    )

@@ -4986,3 +4986,33 @@ def test_composition_probe_round4(spark):
         questdb_sql(
             spark, "SELECT * FROM table_columns('__nope_p4')", d
         )
+
+    # Round-18 composition sweep pins: GROUP BY over a RIGHT-KEY ref
+    # groups unmatched rows under NULL (the null mask flows through
+    # grouping), and `||` chains work as computed SAMPLE BY keys.
+    spark.createDataFrame(
+        [(f"s{i % 2}", float(i),
+          dt.datetime(2024, 1, 1, 0, 0, 30) + dt.timedelta(hours=i))
+         for i in range(4)],
+        "sym string, bid double, qts timestamp",
+    ).createOrReplaceTempView("__p4q")
+    d2 = {"__p4": "ts", "__p4q": "qts"}
+    got = questdb_sql(
+        spark,
+        "SELECT q.sym AS k, count() AS n FROM __p4 t ASOF JOIN __p4q "
+        "q ON t.sym = q.sym GROUP BY q.sym ORDER BY k",
+        d2,
+    ).collect()
+    # Hour-0 rows precede the first quote (00:00:30) → NULL group
+    # (Spark ASC seats nulls first, matching QuestDB's fixed order).
+    assert got[0].k is None and got[0].n >= 1, got
+    assert sum(r.n for r in got) == 24, got
+    got = questdb_sql(
+        spark,
+        "SELECT ts, sym || '#' AS k, count() AS n FROM __p4 "
+        "SAMPLE BY 1d",
+        {"__p4": "ts"},
+    ).collect()
+    assert sorted((r.k, r.n) for r in got) == [
+        ("s0#", 12), ("s1#", 12)
+    ], got
