@@ -5753,3 +5753,50 @@ def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_in_range", "i_covers_domain", "s_covers_domain",
         "b_both_values",
     )
+
+
+# ---------------------------------------------------------------------------
+# q226 — single-element interval list (round 18)
+# ---------------------------------------------------------------------------
+#
+# QuestDB applies interval-search semantics PER ELEMENT of a
+# parenthesized timestamp IN-list at ANY list length — the
+# single-element `ts IN ('2024-01-10')` is the whole day. Round-18
+# probe: the list rewrite required 2+ elements, so the n=1 list fell
+# through to Spark's IN-as-equality (midnight only — zero rows here)
+# while n=2 got the day spans: a silent wrong answer AND
+# self-inconsistent across list lengths. The pin bands every event by
+# the n=1 list as a computed group key (the expression path of the
+# interval rewrite); DuckDB's explicit half-open range is the oracle.
+# The no-paren equivalence and the NOT IN complement are pytest-pinned
+# (test_interval_list_in_where).
+
+_Q226_SQL = (
+    "SELECT CASE WHEN ts IN ('2024-01-10') THEN 'in' ELSE 'out' END "
+    "AS band, count() AS n "
+    "FROM __q226_events GROUP BY 1 ORDER BY 1"
+)
+
+_Q226_ORACLE = """
+SELECT CASE WHEN ts >= TIMESTAMP '2024-01-10'
+             AND ts < TIMESTAMP '2024-01-11'
+       THEN 'in' ELSE 'out' END AS band,
+       count(*) AS n
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+@dq(
+    "q226_single_interval_list",
+    oracle=_Q226_ORACLE,
+    covers="A7,P1,F10",
+)
+def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q226_events"
+    )
+    return questdb_sql(spark, _Q226_SQL, {"__q226_events": "ts"}).select(
+        "band", F.col("n").cast("long").alias("n")
+    )

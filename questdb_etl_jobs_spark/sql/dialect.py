@@ -757,16 +757,35 @@ def _strip_union_tail(
     items: list[tuple[str, bool]] = []
     if tm.group("order"):
         for item in _split_items(tm.group("order")):
+            # Peel an explicit NULLS FIRST/LAST (PG tools emit it; it
+            # used to stay inside the expression text and die as a raw
+            # ParseException). Spark's bare asc()/desc() defaults are
+            # nulls-first-asc / nulls-last-desc — identical to the
+            # explicit spellings this peel drops when they RESTATE the
+            # default; the non-default seats refuse by name (the union
+            # sort is built from (expr, is_desc) pairs only).
+            nm = re.match(
+                r"^(.*?)\s+NULLS\s+(FIRST|LAST)$", item.strip(),
+                re.IGNORECASE | re.DOTALL,
+            )
+            nulls = None
+            if nm:
+                item, nulls = nm.group(1), nm.group(2).upper()
             dm = re.match(
                 r"^(.*?)\s+(ASC|DESC)$", item.strip(),
                 re.IGNORECASE | re.DOTALL,
             )
             if dm:
-                items.append(
-                    (dm.group(1).strip(), dm.group(2).upper() == "DESC")
-                )
+                expr, is_desc = dm.group(1).strip(), dm.group(2).upper() == "DESC"
             else:
-                items.append((item.strip(), False))
+                expr, is_desc = item.strip(), False
+            if nulls and nulls != ("LAST" if is_desc else "FIRST"):
+                raise QuestDBSQLError(
+                    f"NULLS {nulls} after a UNION reverses the default "
+                    "null seat — sort the union through a subquery "
+                    "instead"
+                )
+            items.append((expr, is_desc))
     limit_n: int | None = None
     if tm.group("limit"):
         lit = tm.group("limit").strip()
@@ -897,9 +916,15 @@ _IN_INTERVAL_RE = re.compile(
     rf"\b(\w+(?:\.\w+)?)\s+(NOT\s+)?IN\s+'({_INTERVAL_LIT})'",
     re.IGNORECASE,
 )
+#: The element repetition is ``*``, not ``+``: QuestDB applies interval
+#: semantics PER ELEMENT at any list length, so the single-element
+#: ``ts IN ('2024-01-01')`` is the whole day too. Round-18 probe: with
+#: ``+`` the n=1 list fell through to Spark's IN-as-equality (midnight
+#: only, 0 rows) while n=2 got the day spans — a silent wrong answer
+#: AND self-inconsistent across list lengths.
 _IN_INTERVAL_LIST_RE = re.compile(
     rf"\b(\w+(?:\.\w+)?)\s+(NOT\s+)?IN\s+(\(\s*'{_INTERVAL_LIT}'"
-    rf"(?:\s*,\s*'{_INTERVAL_LIT}')+\s*\))",
+    rf"(?:\s*,\s*'{_INTERVAL_LIT}')*\s*\))",
     re.IGNORECASE,
 )
 _AGG_RE = re.compile(
@@ -2082,16 +2107,24 @@ def questdb_sql(
                     rf"@{pn}\b", lambda m, _v=pv: _v, expr
                 )
             # Atomic binding values substitute UNWRAPPED: literals,
-            # numbers, and (round-18 probe) bare / backticked / single-
+            # numbers, (round-18 probe) bare / backticked / single-
             # qualified identifiers — `DECLARE @c := sym … GROUP BY @c`
             # is legal QuestDB and the paren wrap turned the group key
             # into `(sym)`, which the aggregate grammar refuses as a
-            # computed key without alias. Anything compound keeps the
+            # computed key without alias — and parenthesized LITERAL
+            # LISTS (`@syms := ('a', 'b')`, QuestDB's documented IN-list
+            # binding): those carry their own parens, and the extra
+            # wrap made `IN ((…))` — a Spark STRUCT comparison that
+            # errored for n≥2 and, for n=1, silently collapsed to
+            # IN-as-equality where the interval-list rewrite should
+            # have seen the day span. Anything compound keeps the
             # parens (precedence safety).
+            _lit = r"(?:'(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
             if not re.fullmatch(
                 r"'[^']*'|-?\d+(?:\.\d+)?"
                 r"|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?"
-                r"|`[^`]+`",
+                r"|`[^`]+`"
+                rf"|\(\s*{_lit}(?:\s*,\s*{_lit})*\s*\)",
                 expr.strip(),
             ):
                 expr = f"({expr.strip()})"
@@ -2976,10 +3009,26 @@ def questdb_sql(
 
     order_items: list[tuple[str, str]] = []
     order_cols: list[Column] = []
+    order_has_nulls_spec = False
     if order_m:
         for item in _split_items(order_m.group(1).strip()):
-            m = re.match(r"^(.*?)(?:\s+(ASC|DESC))?$", item, re.IGNORECASE)
+            # `expr [ASC|DESC] [NULLS FIRST|LAST]` — PG tools emit the
+            # NULLS spec; before round 18 it leaked a raw ParseException
+            # (the suffix stayed inside the expression text). Bare
+            # directions keep Spark's defaults, which MATCH QuestDB's
+            # null-sentinel ordering (nulls first ASC / last DESC —
+            # QuestDB stores null numerics as MIN_VALUE sentinels and
+            # sorts them numerically; DuckDB's NULLS-LAST default is
+            # the odd one out, spelled explicitly in oracles where a
+            # LIMIT cuts across nulls).
+            m = re.match(
+                r"^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?$",
+                item, re.IGNORECASE,
+            )
             expr, direction = m.group(1).strip(), (m.group(2) or "ASC").upper()
+            nulls = m.group(3).upper() if m.group(3) else None
+            if nulls:
+                order_has_nulls_spec = True
             if aggregated_lowering and re.search(
                 r"\bcount\s*\(\s*\*?\s*\)", expr, re.IGNORECASE
             ):
@@ -2997,7 +3046,20 @@ def questdb_sql(
                 )
             order_items.append((expr, direction))
             c = F.expr(expr)
-            order_cols.append(c.desc() if direction == "DESC" else c.asc())
+            if nulls == "FIRST":
+                order_cols.append(
+                    c.desc_nulls_first() if direction == "DESC"
+                    else c.asc_nulls_first()
+                )
+            elif nulls == "LAST":
+                order_cols.append(
+                    c.desc_nulls_last() if direction == "DESC"
+                    else c.asc_nulls_last()
+                )
+            else:
+                order_cols.append(
+                    c.desc() if direction == "DESC" else c.asc()
+                )
 
     # Top-k route (the deployed 100 TB plan): ``ORDER BY <col> DESC|ASC
     # [, tiebreak ASC ...] LIMIT k`` over a bare scan (no join / LATEST
@@ -3020,6 +3082,9 @@ def questdb_sql(
     _ident = r"[A-Za-z_]\w*"
     shape_ok = bool(
         order_items
+        # An explicit NULLS FIRST/LAST opts out of the threshold prune:
+        # its null-position proof covers the DEFAULT seating only.
+        and not order_has_nulls_spec
         and all(d == "ASC" for _, d in order_items[1:])
         and all(re.fullmatch(_ident, e) for e, _ in order_items)
         and all(e in df.columns for e, _ in order_items)
@@ -3062,11 +3127,27 @@ def questdb_sql(
         out = []
         for it in items:
             mm = re.match(
-                r"^(.*?)(?:\s+(ASC|DESC))?$", it, re.IGNORECASE
+                r"^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?$",
+                it, re.IGNORECASE,
             )
             direction = (mm.group(2) or "ASC").upper()
+            nulls = mm.group(3).upper() if mm.group(3) else None
             c = F.expr(mm.group(1).strip())
-            out.append(c.asc() if direction == "DESC" else c.desc())
+            if nulls:
+                # Exact reversal flips BOTH the direction and the null
+                # seat (reverse of asc_nulls_first is desc_nulls_last).
+                if direction == "DESC":
+                    out.append(
+                        c.asc_nulls_last() if nulls == "FIRST"
+                        else c.asc_nulls_first()
+                    )
+                else:
+                    out.append(
+                        c.desc_nulls_last() if nulls == "FIRST"
+                        else c.desc_nulls_first()
+                    )
+            else:
+                out.append(c.asc() if direction == "DESC" else c.desc())
         return out
 
     def _ts_tiebreak(d: DataFrame) -> list[str]:

@@ -1068,6 +1068,28 @@ def test_interval_list_in_where(spark, trades):
         {"trades": "ts"},
     )
     assert one.first().n == 6
+    # SINGLE-element list: QuestDB applies interval semantics per
+    # element at ANY list length — with the pre-round-18 `+` repetition
+    # the n=1 list fell through to Spark's IN-as-equality (midnight
+    # only, 0 rows), a silent wrong answer that was also inconsistent
+    # with the n=2 behavior above. NOT IN complements the same span.
+    single = questdb_sql(
+        spark,
+        "SELECT count(*) n FROM trades WHERE ts IN ('2024-01-01')",
+        {"trades": "ts"},
+    )
+    two_day = questdb_sql(
+        spark,
+        "SELECT count(*) n FROM trades WHERE ts IN '2024-01-01'",
+        {"trades": "ts"},
+    )
+    assert single.first().n == two_day.first().n > 0
+    neg = questdb_sql(
+        spark,
+        "SELECT count(*) n FROM trades WHERE ts NOT IN ('2024-01-01')",
+        {"trades": "ts"},
+    )
+    assert neg.first().n == 12 - single.first().n
 
 
 def test_having_filters_aggregates(spark, trades):
@@ -3501,6 +3523,57 @@ def test_declare_binding_with_backslash_pattern(spark):
     assert got == ["x9"], got
 
 
+def test_declare_list_bindings(spark):
+    """QuestDB's documented IN-list DECLARE bindings
+    (`@syms := ('a', 'b')` … `sym IN @syms`) substitute WITHOUT an
+    extra paren wrap — the wrap made `IN ((…))`, a Spark STRUCT
+    comparison that errored for n≥2 and, for n=1, silently collapsed
+    to IN-as-equality where the interval-list rewrite should have seen
+    the whole day (round-18 probe — the same n=1 class as q226).
+    Compound expressions still wrap (precedence safety)."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1) + dt.timedelta(hours=h),
+         f"s{h % 3}", float(h))
+        for h in range(72)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, sym string, v double"
+    ).createOrReplaceTempView("__dl")
+    d = {"__dl": "ts"}
+    got = questdb_sql(
+        spark,
+        "DECLARE @ss := ('s0', 's1') "
+        "SELECT count() AS n FROM __dl WHERE sym IN @ss",
+        d,
+    ).collect()
+    assert got[0].n == 48, got
+    got = questdb_sql(
+        spark,
+        "DECLARE @days := ('2024-01-01', '2024-01-02') "
+        "SELECT count() AS n FROM __dl WHERE ts IN @days",
+        d,
+    ).collect()
+    assert got[0].n == 48, got
+    # n=1 list binding: the WHOLE day, not midnight equality.
+    got = questdb_sql(
+        spark,
+        "DECLARE @d := ('2024-01-02') "
+        "SELECT count() AS n FROM __dl WHERE ts IN @d",
+        d,
+    ).collect()
+    assert got[0].n == 24, got
+    # Compound binding keeps its parens: @x * 2 must be (1 + 2) * 2.
+    got = questdb_sql(
+        spark,
+        "DECLARE @x := 1 + 2 "
+        "SELECT count() AS n FROM __dl WHERE v < @x * 2",
+        d,
+    ).collect()
+    assert got[0].n == 6, got
+
+
 def test_union_trailing_order_by_limit_binds_to_whole_union(
     spark, trades
 ):
@@ -5016,3 +5089,61 @@ def test_composition_probe_round4(spark):
     assert sorted((r.k, r.n) for r in got) == [
         ("s0#", 12), ("s1#", 12)
     ], got
+
+
+def test_order_by_nulls_first_last(spark):
+    """`ORDER BY expr [ASC|DESC] NULLS FIRST|LAST` — the PG-tool
+    spelling — lowers on the dialect path (round 18; the suffix used to
+    stay inside the expression text and die as a raw ParseException).
+    Bare directions keep Spark's defaults, which match QuestDB's
+    null-sentinel ordering (nulls first ASC / last DESC); the explicit
+    spellings force either seat; a NULLS-bearing sort opts out of the
+    threshold-prune LIMIT route; the negative-LIMIT tail slice reverses
+    the null seat exactly."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, h), None if h % 3 == 0 else float(h))
+        for h in range(6)
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, v double"
+    ).createOrReplaceTempView("__nf")
+    d = {"__nf": "ts"}
+
+    got = questdb_sql(
+        spark,
+        "SELECT v, count() AS n FROM __nf GROUP BY v "
+        "ORDER BY v ASC NULLS LAST",
+        d,
+    ).collect()
+    assert got[-1].v is None and got[0].v == 1.0, got
+    got = questdb_sql(
+        spark,
+        "SELECT v, count() AS n FROM __nf GROUP BY v "
+        "ORDER BY v DESC NULLS FIRST",
+        d,
+    ).collect()
+    assert got[0].v is None and got[1].v == 5.0, got
+    # Bare ASC: Spark/QuestDB default seats nulls FIRST.
+    got = questdb_sql(
+        spark,
+        "SELECT v, count() AS n FROM __nf GROUP BY v ORDER BY v",
+        d,
+    ).collect()
+    assert got[0].v is None, got
+    # LIMIT across the null boundary honors the explicit seat (this is
+    # where a wrong default would silently change WHICH rows survive).
+    got = questdb_sql(
+        spark,
+        "SELECT v FROM __nf ORDER BY v NULLS LAST LIMIT 3",
+        d,
+    ).collect()
+    assert [r.v for r in got] == [1.0, 2.0, 4.0], got
+    # Negative LIMIT (tail slice) with a NULLS seat: exact reversal.
+    got = questdb_sql(
+        spark,
+        "SELECT v FROM __nf ORDER BY v NULLS LAST LIMIT -2",
+        d,
+    ).collect()
+    assert [r.v for r in got] == [None, None], got
