@@ -91,10 +91,13 @@ _PRIORITY: tuple[str, ...] = (
     # "include q216–q219 early — they should get driver rows while
     # fresh"), and this round's four ship queries q220 (ASOF both-
     # sides-aliased), q221 (`||` null-as-empty), q222 (sub-second
-    # intervals), q223 (meta functions), q224 (verbose ON equality) —
-    # the q211/q214 ship-round precedent (21 slots total with q224's
-    # later swap for q170, whose S6/O1/A1/A2 stay covered via
-    # q169/q223/q207/q208, q169, and q117/q123). Ceding: the fifteen r17 rotations that got their
+    # intervals), q223 (meta functions), q224 (verbose ON equality),
+    # and the self-probe wrong-answer pins q226 (single-element
+    # interval lists) and q227 (ts-ordered first/last) — the q211/q214
+    # ship-round precedent (23 slots total with the later swaps:
+    # q224↔q170 [S6/O1/A1/A2 stay via q169/q223/q207/q208/q117/q123],
+    # q226↔q80 [J4 via q217/q125/q167, U4 via q167, F6 plentiful],
+    # q227↔q10 [J1 via q121, J2 via q122, F7 via q219]). Ceding: the fifteen r17 rotations that got their
     # green rows (q105–q116, q163, q214, q215 — q134 stays: unique
     # F3/F4/P3), veterans q22 (A4 → incoming q127) and q33 (W4 →
     # incoming q125/q128), and q190/q184/q209 (rows in r17; F5 stays
@@ -106,7 +109,7 @@ _PRIORITY: tuple[str, ...] = (
     "q07_event_filter",           # P1 P2 P4
     "q118_pit_enrichment",        # J7 W2 A1 EXT (PIT enrichment)
     "q119_rollup_merge",          # A1 F5 EXT (partial-rollup merge)
-    "q10_join_revenue_by_nation", # J1 J2 F7
+    "q227_first_last_groupby",    # A1 F5 O1 (ts-ordered first/last pin)
     "q97_variant_extract",        # F9 (sole in-window F9 — stays)
     "q175_rank_family_pruned",    # W1 O2 EXT (grouped prune, full family)
     "q120_approx_percentile_bound",  # A3 A5 EXT (quantile error bound)
@@ -138,7 +141,7 @@ _PRIORITY: tuple[str, ...] = (
     "q224_asof_on_equality",      # J7 F6 (verbose ON equality + rename)
     "q61_csv_sink_roundtrip",     # S5
     "q63_session_window",         # R3
-    "q80_decontaminate",          # EXT composite
+    "q226_single_interval_list",  # A7 P1 F10 (n=1 interval-list pin)
     "q86_metadata_source_gate",   # S7
     # Heavier composites last inside the 50-query window:
     "q208_update_merge_on_read",  # S6 O3 EXT (MoR UPDATE face)

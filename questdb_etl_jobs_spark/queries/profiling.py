@@ -5800,3 +5800,50 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
     return questdb_sql(spark, _Q226_SQL, {"__q226_events": "ts"}).select(
         "band", F.col("n").cast("long").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# q227 — first()/last() in plain GROUP BY are ts-ordered (round 18)
+# ---------------------------------------------------------------------------
+#
+# QuestDB's first()/last() aggregates follow the designated-ts order;
+# Spark's same-named aggregates are "any row, nondeterministic", and a
+# plain GROUP BY (no SAMPLE BY or other marker) used to hit the
+# passthrough — arbitrary group members, silently (round-18 probe; the
+# same marker-gap class as the concat-null bug, caught the same way).
+# first/last now route the dialect parser onto min_by/max_by over the
+# designated ts. DuckDB's arg_min/arg_max — explicitly ordered — are
+# the oracle.
+
+_Q227_SQL = (
+    "SELECT event_type, first(value) AS open_v, last(value) AS close_v,"
+    " count() AS n "
+    "FROM __q227_events GROUP BY event_type ORDER BY event_type"
+)
+
+_Q227_ORACLE = """
+SELECT event_type,
+       ROUND(arg_min(value, CAST(ts AS TIMESTAMP)), 4) AS open_v,
+       ROUND(arg_max(value, CAST(ts AS TIMESTAMP)), 4) AS close_v,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@dq(
+    "q227_first_last_groupby",
+    oracle=_Q227_ORACLE,
+    covers="A1,F5,O1",
+)
+def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q227_events"
+    )
+    return questdb_sql(spark, _Q227_SQL, {"__q227_events": "ts"}).select(
+        "event_type",
+        F.round("open_v", 4).alias("open_v"),
+        F.round("close_v", 4).alias("close_v"),
+        F.col("n").cast("long").alias("n"),
+    )

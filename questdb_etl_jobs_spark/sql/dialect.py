@@ -936,7 +936,20 @@ _AGG_RE = re.compile(
 #: QuestDB aggregate spellings Spark SQL lacks: their presence routes a
 #: query through the dialect aggregate parser even when nothing else in
 #: the text is dialectal (spark.sql would reject the function name).
-_QDB_AGG_RE = re.compile(r"\b(ksum|nsum|vwap)\s*\(", re.IGNORECASE)
+#: QuestDB-semantic aggregate spellings that must route through the
+#: dialect parser. ksum/nsum/vwap don't exist in Spark SQL; first/last
+#: DO — with DIFFERENT semantics (round-18 probe): Spark's first()/
+#: last() are "any row of the group, nondeterministic", QuestDB's are
+#: BY DESIGNATED-TS ORDER. A plain `SELECT sym, first(v) … GROUP BY
+#: sym` carried no other dialect marker, hit the spark.sql passthrough,
+#: and silently returned arbitrary group members — the SAMPLE BY path
+#: (min_by/max_by on ts) was correct all along. Spark's window
+#: first_value()/last_value() spellings stay passthrough (different
+#: names); `first(x) OVER (…)` — Spark-only text, QuestDB windows use
+#: first_value — now refuses loudly via the OVER-in-aggregation guard.
+_QDB_AGG_RE = re.compile(
+    r"\b(ksum|nsum|vwap|first|last)\s*\(", re.IGNORECASE
+)
 _COL_RE = re.compile(r"^([\w\.]+)(?:\s+(?:AS\s+)?(\w+))?$", re.IGNORECASE)
 #: The scan-bound top-k shape the dialect routes through the certified
 #: threshold prune (operators/topk.py): plain-column projection over one

@@ -5147,3 +5147,52 @@ def test_order_by_nulls_first_last(spark):
         d,
     ).collect()
     assert [r.v for r in got] == [None, None], got
+
+
+def test_first_last_group_by_is_ts_ordered(spark):
+    """QuestDB's first()/last() aggregates are BY DESIGNATED-TS ORDER;
+    Spark's same-named aggregates are 'any row, nondeterministic'. A
+    plain GROUP BY with first()/last() carried no other dialect marker,
+    hit the spark.sql passthrough, and silently returned arbitrary
+    group members (round-18 probe — the SAMPLE BY path was correct all
+    along). first/last now route the dialect parser (min_by/max_by on
+    the designated ts); no designated ts refuses loudly; Spark's
+    first_value window spelling stays passthrough."""
+    import datetime as dt
+    import random
+
+    rows = [
+        (dt.datetime(2024, 1, 1) + dt.timedelta(hours=h),
+         f"s{h % 2}", float(h))
+        for h in range(400)
+    ]
+    random.Random(7).shuffle(rows)
+    spark.createDataFrame(
+        rows, "ts timestamp, sym string, v double"
+    ).repartition(8).createOrReplaceTempView("__fl")
+    d = {"__fl": "ts"}
+    got = questdb_sql(
+        spark,
+        "SELECT sym, first(v) AS fv, last(v) AS lv FROM __fl "
+        "GROUP BY sym ORDER BY sym",
+        d,
+    ).collect()
+    assert [(r.sym, r.fv, r.lv) for r in got] == [
+        ("s0", 0.0, 398.0), ("s1", 1.0, 399.0)
+    ], got
+    # Implicit aggregation (no GROUP BY) shares the route.
+    got = questdb_sql(
+        spark, "SELECT first(v) AS fv, last(v) AS lv FROM __fl", d
+    ).collect()
+    assert (got[0].fv, got[0].lv) == (0.0, 399.0), got
+    with pytest.raises(QuestDBSQLError, match="designated timestamp"):
+        questdb_sql(
+            spark, "SELECT sym, first(v) AS fv FROM __fl GROUP BY sym"
+        )
+    # Spark's window spelling keeps working on the passthrough path.
+    got = questdb_sql(
+        spark,
+        "SELECT ts, first_value(v) OVER (PARTITION BY sym ORDER BY ts)"
+        " AS fv FROM __fl ORDER BY ts LIMIT 1",
+    ).collect()
+    assert got[0].fv == 0.0, got
