@@ -97,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     # ship-round precedent (23 slots total with the later swaps:
     # q224↔q170 [S6/O1/A1/A2 stay via q169/q223/q207/q208/q117/q123],
     # q226↔q80 [J4 via q217/q125/q167, U4 via q167, F6 plentiful],
+    # q228↔q104 [A6 moves to q228; F8 via q177, F10 via q216/q218],
     # q227↔q10 [J1 via q121, J2 via q122, F7 via q219]). Ceding: the fifteen r17 rotations that got their
     # green rows (q105–q116, q163, q214, q215 — q134 stays: unique
     # F3/F4/P3), veterans q22 (A4 → incoming q127) and q33 (W4 →
@@ -134,7 +135,7 @@ _PRIORITY: tuple[str, ...] = (
     "q05_hash_family",            # F2
     "q223_meta_functions",        # S6 F10 T1 (tables()/table_columns())
     "q219_generate_series",       # A1 F7 EXT (series generator)
-    "q104_funnel_steps",          # A1 A6 F8 F10 EXT (sole in-window A6)
+    "q228_string_agg_ordered",    # A6 F6 A1 (ts-ordered string_agg pin)
     "q180_cluster_balanced_sample",  # EXT clustering × sampling, O2 W1
     "q51_multimodal_decode",      # U2 multimodal
     "q53_udaf_geomean",           # U3

@@ -5847,3 +5847,50 @@ def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("close_v", 4).alias("close_v"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q228 — string_agg in designated-ts order (round 18)
+# ---------------------------------------------------------------------------
+#
+# QuestDB's string_agg concatenates in scan order — the designated-ts
+# order; Spark's same-named aggregate is partition-arbitrary, and the
+# unmarked passthrough silently produced differently-ordered strings
+# (round-18 probe; the first()/last() marker-gap class, q227). The
+# lowering collects (ts, value) structs, array_sorts, joins — nulls
+# drop as in QuestDB/PG. DuckDB's string_agg with an explicit ORDER BY
+# ts is the oracle, so the concatenation order is value-gated.
+
+_Q228_SQL = (
+    "SELECT event_type, string_agg(event_id, ',') AS ids, "
+    "count() AS n "
+    "FROM __q228_events WHERE ts IN '2024-01-10T00' "
+    "GROUP BY event_type ORDER BY event_type"
+)
+
+_Q228_ORACLE = """
+SELECT event_type,
+       string_agg(CAST(event_id AS VARCHAR), ','
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS ids,
+       count(*) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts < TIMESTAMP '2024-01-10 01:00:00'
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@dq(
+    "q228_string_agg_ordered",
+    oracle=_Q228_ORACLE,
+    covers="A6,F6,A1",
+)
+def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from questdb_etl_jobs_spark.sql import questdb_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__q228_events"
+    )
+    return questdb_sql(spark, _Q228_SQL, {"__q228_events": "ts"}).select(
+        "event_type", "ids", F.col("n").cast("long").alias("n")
+    )

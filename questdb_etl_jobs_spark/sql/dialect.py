@@ -948,7 +948,7 @@ _AGG_RE = re.compile(
 #: names); `first(x) OVER (…)` — Spark-only text, QuestDB windows use
 #: first_value — now refuses loudly via the OVER-in-aggregation guard.
 _QDB_AGG_RE = re.compile(
-    r"\b(ksum|nsum|vwap|first|last)\s*\(", re.IGNORECASE
+    r"\b(ksum|nsum|vwap|first|last|string_agg)\s*\(", re.IGNORECASE
 )
 _COL_RE = re.compile(r"^([\w\.]+)(?:\s+(?:AS\s+)?(\w+))?$", re.IGNORECASE)
 #: The scan-bound top-k shape the dialect routes through the certified
@@ -1856,7 +1856,8 @@ def _match_agg_expr(item: str) -> tuple[str, str, str | None] | None:
     used to fall through to the computed-GROUP-KEY branch, turning the
     aggregate into a grouping expression (analyzer error at best)."""
     m = re.match(
-        r"^(sum|avg|min|max|count|first|last|ksum|nsum|vwap)\s*\(",
+        r"^(sum|avg|min|max|count|first|last|ksum|nsum|vwap"
+        r"|string_agg)\s*\(",
         item, re.IGNORECASE,
     )
     if not m:
@@ -1892,6 +1893,42 @@ def _agg_column(fn: str, arg: str, alias: str, ts: str) -> Column:
         col = F.min_by(F.expr(arg), F.col(ts))
     elif fn == "last":
         col = F.max_by(F.expr(arg), F.col(ts))
+    elif fn == "string_agg":
+        # QuestDB's string_agg(value, 'delim') concatenates in SCAN
+        # order — the designated-ts order on a designated table.
+        # Spark's same-named aggregate concatenates in partition-
+        # arbitrary order (round-18 probe: silently different strings
+        # on the unmarked passthrough, the first/last marker-gap class).
+        # Lowered as collect (ts, value) structs → array_sort (ts, then
+        # value, so equal-ts ties are deterministic) → join. Null
+        # values drop, as in QuestDB/PG (array_join filters nulls when
+        # no replacement is given).
+        parts = [s.strip() for s in _split_items(arg)]
+        if len(parts) != 2:
+            raise QuestDBSQLError(
+                f"string_agg takes (value, 'delimiter'), got {arg!r}"
+            )
+        v_expr, delim = parts
+        dm = re.fullmatch(r"'((?:[^']|'')*)'", delim)
+        if not dm:
+            raise QuestDBSQLError(
+                f"string_agg delimiter must be a string literal, "
+                f"got {delim!r}"
+            )
+        col = F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(ts).alias("t"),
+                            F.expr(v_expr).alias("v"),
+                        )
+                    )
+                ),
+                lambda s: s["v"],
+            ),
+            dm.group(1).replace("''", "'"),
+        )
     elif fn in ("ksum", "nsum"):
         # QuestDB's Kahan (ksum) / Neumaier (nsum) compensated sums
         # exist to tame floating-point error on large double sums —
@@ -2915,7 +2952,8 @@ def questdb_sql(
                 fn, arg, alias = (
                     agg.groups() if isinstance(agg, re.Match) else agg
                 )
-                if fn.lower() in ("first", "last") and ts is None:
+                if fn.lower() in ("first", "last", "string_agg") \
+                        and ts is None:
                     raise QuestDBSQLError(
                         f"{fn}() needs a designated timestamp for {table!r}"
                     )

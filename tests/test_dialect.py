@@ -5196,3 +5196,54 @@ def test_first_last_group_by_is_ts_ordered(spark):
         " AS fv FROM __fl ORDER BY ts LIMIT 1",
     ).collect()
     assert got[0].fv == 0.0, got
+
+
+def test_string_agg_is_ts_ordered(spark):
+    """QuestDB's string_agg(value, 'delim') concatenates in scan order
+    — designated-ts order; Spark's same-named aggregate is partition-
+    arbitrary, and the unmarked passthrough silently produced a
+    different string (round-18 probe, the first/last marker-gap
+    class). Now dialect-routed: ts-sorted join, nulls drop, works
+    under GROUP BY and SAMPLE BY, refuses without a designated ts and
+    for non-literal delimiters."""
+    import datetime as dt
+    import random
+
+    rows = [
+        (dt.datetime(2024, 1, 1) + dt.timedelta(hours=h),
+         f"s{h % 2}", None if h == 4 else f"w{h}")
+        for h in range(8)
+    ]
+    random.Random(3).shuffle(rows)
+    spark.createDataFrame(
+        rows, "ts timestamp, sym string, w string"
+    ).repartition(8).createOrReplaceTempView("__sa")
+    d = {"__sa": "ts"}
+    got = questdb_sql(
+        spark,
+        "SELECT sym, string_agg(w, ',') AS ws FROM __sa "
+        "GROUP BY sym ORDER BY sym",
+        d,
+    ).collect()
+    assert [(r.sym, r.ws) for r in got] == [
+        ("s0", "w0,w2,w6"), ("s1", "w1,w3,w5,w7")
+    ], got
+    got = questdb_sql(
+        spark,
+        "SELECT ts, string_agg(w, '|') AS ws FROM __sa SAMPLE BY 1d",
+        d,
+    ).collect()
+    assert got[0].ws == "w0|w1|w2|w3|w5|w6|w7", got
+    with pytest.raises(QuestDBSQLError, match="designated timestamp"):
+        questdb_sql(
+            spark,
+            "SELECT sym, string_agg(w, ',') AS ws FROM __sa "
+            "GROUP BY sym",
+        )
+    with pytest.raises(QuestDBSQLError, match="string literal"):
+        questdb_sql(
+            spark,
+            "SELECT sym, string_agg(w, sym) AS ws FROM __sa "
+            "GROUP BY sym",
+            d,
+        )
