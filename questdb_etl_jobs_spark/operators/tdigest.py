@@ -54,13 +54,65 @@ def _compress(
     """Merge (mean, weight) points into ≤ ~2δ centroids.
 
     Standard merging-digest pass: sort by mean, then greedily absorb
-    neighbors while the absorbed span stays within one k₁ unit. Pure
-    numpy + one Python loop over OUTPUT centroids (≤2δ iterations
-    regardless of input size — the loop is sketch-sized, not
-    data-sized).
+    neighbors while the absorbed span stays within one k₁ unit.
+
+    r18 optimization (guide §4.2 — vectorize the per-batch hot loop):
+    the original loop called scalar ``_k1`` (a numpy ufunc round-trip,
+    ~µs each) once per INPUT point — O(n) scalar arcsin calls per Arrow
+    batch dominated the partials pass. Every weight in this module is an
+    integer-valued double (unit weights in the partials pass, counts in
+    the merge pass), so every cumulative weight is an exact integer
+    < 2⁵³ and any grouping of the additions yields the same float. That
+    makes the absorb condition precomputable: with C = cumsum(weights)
+    (exact), the original ``_k1((cum + w + weights[j]) / total)`` IS
+    ``_k1(C[j] / total)`` — one vectorized arcsin over n points — and
+    the greedy scan becomes a binary search per OUTPUT centroid on the
+    EXACT original predicate ``K[j] − k_lo ≤ 1.0`` (K is monotone, so
+    the absorb set is a prefix). The mean accumulation stays a
+    sequential left-to-right float loop, replicating the original IEEE
+    order term for term. Bit-identical by construction; the non-integer
+    fallback below keeps the original loop for foreign callers.
     """
     order = np.argsort(means, kind="stable")
     means, weights = means[order], weights[order]
+    n = len(means)
+    C = np.cumsum(weights)
+    if not (n and float(C[-1]) < 2.0**53 and np.all(weights == np.floor(weights))):
+        return _compress_seq(means, weights, delta)
+    total = float(C[-1])
+    K = _k1(C / total, delta)  # K[j] = k1 after absorbing point j
+    Kb = _k1(np.concatenate(([0.0], C[:-1])) / total, delta)  # k1 at cum
+    mw = means * weights  # elementwise: same floats as means[j]*weights[j]
+    out_m: list[float] = []
+    out_w: list[float] = []
+    i = 0
+    while i < n:
+        k_lo = float(Kb[i])
+        # first j > i with K[j] - k_lo > 1.0 (predicate monotone in j)
+        lo, hi = i + 1, n
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if K[mid] - k_lo <= 1.0:
+                lo = mid + 1
+            else:
+                hi = mid
+        j = lo  # segment = [i, j)
+        m = float(mw[i])
+        for t in range(i + 1, j):  # sequential, original accumulation order
+            m += float(mw[t])
+        w = float(C[j - 1] - (C[i - 1] if i else 0.0))  # exact integer
+        out_m.append(m / w)
+        out_w.append(w)
+        i = j
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def _compress_seq(
+    means: np.ndarray, weights: np.ndarray, delta: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Original scalar greedy pass (inputs pre-sorted by the caller) —
+    the fallback for non-integer weights, kept as the reference
+    implementation the vectorized path is equivalence-tested against."""
     total = float(weights.sum())
     out_m: list[float] = []
     out_w: list[float] = []

@@ -2494,6 +2494,47 @@ def test_geohash_null_coordinates_yield_null(spark):
     assert mirror == (None, None, "u4pruyd")
 
 
+def test_tdigest_compress_vectorized_matches_reference():
+    """r18 optimization: the vectorized _compress (binary search over a
+    precomputed k1 prefix) must be BIT-identical to the original scalar
+    greedy pass (_compress_seq) on every integer-weight input — unit
+    weights (the partials pass), count weights (the merge pass), and
+    tied means (stable-sort order)."""
+    import numpy as np
+
+    from questdb_etl_jobs_spark.operators.tdigest import (
+        _compress,
+        _compress_seq,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(24):
+        n = int(rng.integers(1, 5000))
+        means = rng.normal(0, 1000, n)
+        if trial % 3 == 0:
+            weights = np.ones(n)
+        elif trial % 3 == 1:
+            weights = rng.integers(1, 50, n).astype(np.float64)
+        else:
+            means = np.round(means, 1)  # duplicate means: tie coverage
+            weights = np.ones(n)
+        delta = int(rng.choice([50, 100, 200]))
+        order = np.argsort(means, kind="stable")
+        m_fast, w_fast = _compress(means.copy(), weights.copy(), delta)
+        m_ref, w_ref = _compress_seq(means[order], weights[order], delta)
+        assert len(m_fast) == len(m_ref), trial
+        assert np.all(m_fast == m_ref), trial  # same floats, not approx
+        assert np.all(w_fast == w_ref), trial
+    # Non-integer weights must route to the reference pass (exactness of
+    # the cumsum precompute is only guaranteed for integer weights).
+    means = rng.normal(0, 1, 100)
+    weights = rng.uniform(0.5, 2.0, 100)
+    order = np.argsort(means, kind="stable")
+    m_fast, w_fast = _compress(means.copy(), weights.copy(), 100)
+    m_ref, w_ref = _compress_seq(means[order], weights[order], 100)
+    assert np.all(m_fast == m_ref) and np.all(w_fast == w_ref)
+
+
 def test_tdigest_bounded_state_and_accuracy(spark):
     """Centroid count stays sketch-sized on heavy input; every quantile
     estimate's TRUE rank error stays within the k1 bound; total weight
