@@ -946,7 +946,14 @@ _q58_oracle.sf_invariant = True
 
 @dq("q58_lang_id_confusion", oracle=_q58_oracle, covers="EXT,F6,A1")
 def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from questdb_etl_jobs_spark.sources.tables import fan_out
+
+    # r18: lang_guess is a wide codegen expression chain evaluated in
+    # the scan stage's partial aggregate — single-core on an
+    # unsplittable source. fan_out parallelizes it; no-op at scale.
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("lang", "text")
+    )
     return (
         docs.groupBy("lang", lang_guess("text").alias("lang_guess"))
         .agg(F.count(F.lit(1)).alias("n"))

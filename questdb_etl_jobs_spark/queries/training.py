@@ -876,7 +876,17 @@ _q103_oracle.sf_invariant = True
 
 @dq("q103_repetition_metrics", oracle=_q103_oracle, covers="EXT,F6,F8,A1")
 def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from questdb_etl_jobs_spark.sources.tables import fan_out
+
+    # r18: gram construction + explode + map-side partial agg is the
+    # heavy part of this query and runs inside the scan stage; on an
+    # unsplittable source (the local single-row-group file) that is one
+    # core. fan_out spreads the (doc_id, text) rows first — a no-op at
+    # deployment scale where the scan has many splits. Measured 1.59 →
+    # 0.85 s at sf0.1/local[32]; per-doc counts are partition-independent.
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     t = F.split("text", " ")
     n_t = F.size(t)
     bi = F.zip_with(

@@ -3408,3 +3408,20 @@ def test_pii_redaction_families_and_order(spark):
     assert got[5] == ("clean document, nothing to scrub 12345", "", 0)
     assert got[6] == ("two mails [EMAIL] [EMAIL] one ip [IPV4]",
                       "email,ipv4", 3)
+
+
+def test_fan_out_fires_only_on_underparallel_scans(spark):
+    """r18: fan_out must round-robin repartition a single-split source
+    up to defaultParallelism, leave an already-parallel frame alone,
+    and never change row contents."""
+    from questdb_etl_jobs_spark.sources.tables import fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 1000).coalesce(1)
+    fanned = fan_out(df)
+    assert fanned.rdd.getNumPartitions() == par
+    assert fanned.count() == 1000
+    assert sorted(r.id for r in fanned.collect()) == list(range(1000))
+    # already parallel enough: untouched object
+    wide = spark.range(0, 1000).repartition(par)
+    assert fan_out(wide) is wide
