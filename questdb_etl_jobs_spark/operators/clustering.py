@@ -70,8 +70,33 @@ def _centroid_matrix(centroids: list[list[float]]) -> Column:
     across iterations), and the distance fold below replays the exact
     same per-element IEEE sequence — measured bit-identical, and
     ~0.3 s/action faster on the bench's 12-action init chain.
+
+    Round-18 follow-up: ``F.lit(nested_list)`` builds the tree with one
+    py4j call PER ELEMENT (PySpark lowers a list literal to
+    ``array(*[lit(x) ...])`` recursively), which at k × dim = 1,792
+    elements measured 1.0–1.6 s of pure driver-side plan construction
+    per action — the dominant cost of the whole k-means|| init chain.
+    Parsing the equivalent ``array(array(<v>D, ...), ...)`` SQL text is
+    ONE py4j call; the JVM parser builds the identical foldable
+    CreateArray tree (constant-folded to the same Literal before
+    codegen). Values round-trip bit-exactly: ``repr(float)`` is
+    shortest-correct and ``Double.parseDouble`` is correctly rounded,
+    and the ``D`` suffix pins the SQL type to DOUBLE (a bare decimal
+    literal would parse as DECIMAL). Non-finite components (never
+    produced by the fit/init, which exclude malformed vectors by
+    contract) fall back to the per-element path, which handles them.
     """
     rows = [[float(x) for x in c] for c in centroids]
+    import math
+
+    if rows and all(math.isfinite(x) for r in rows for x in r):
+        sql = "array({})".format(
+            ",".join(
+                "array({})".format(",".join(f"{x!r}D" for x in r))
+                for r in rows
+            )
+        )
+        return F.expr(sql)
     try:
         return F.lit(rows)
     except Exception:
@@ -215,6 +240,31 @@ def assign_clusters(
         return _assign_clusters_arrow(
             df, centroids, vec_col, cluster_col, dist_col
         )
+    cluster_expr, dist_expr = _assign_exprs(centroids, vec_col)
+    # ONE select, not withColumn chaining: every Dataset creation runs
+    # the full analyzer over the accumulated plan — with the k × dim
+    # literal tree in it, each extra withColumn re-walked ~2k nodes and
+    # measurably dominated the driver-side cost of every k-means action
+    # (r18 optimization; same values, same plan after optimization).
+    # withColumn's replace-in-place semantics are preserved for callers
+    # that overwrite an existing column name.
+    new = {cluster_col: cluster_expr}
+    if dist_col is not None:
+        new[dist_col] = dist_expr
+    cols = [
+        (new.pop(c).alias(c) if c in new else F.col(c)) for c in df.columns
+    ] + [e.alias(n) for n, e in new.items()]
+    return df.select(*cols)
+
+
+def _assign_exprs(
+    centroids: list[list[float]], vec_col: str
+) -> tuple[Column, Column]:
+    """(cluster, distance) expressions for nearest-centroid assignment.
+
+    Shared by :func:`assign_clusters` and the k-means|| advance plan so
+    both build the projection in a single ``select`` (one analyzer pass).
+    """
     vec = F.col(vec_col).cast("array<double>")
     # transform over the literal matrix preserves centroid order, and
     # each element IS _sq_dist's fold — identical doubles to the old
@@ -235,16 +285,12 @@ def assign_clusters(
             | (x == F.lit(float("-inf")))
         ),
     )
-    out = df.withColumn(
-        cluster_col,
-        F.when(
-            finite,
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
-        ),
+    cluster_expr = F.when(
+        finite,
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
     )
-    if dist_col is not None:
-        out = out.withColumn(dist_col, F.when(finite, F.array_min(dists)))
-    return out
+    dist_expr = F.when(finite, F.array_min(dists))
+    return cluster_expr, dist_expr
 
 
 def _update_centroids(
@@ -459,8 +505,22 @@ def _parallel_init_rounds(
         only — the caller decides which action materializes it). The
         batch rides assign_clusters, so the init inherits the
         plan-literal envelope (above PLAN_LITERAL_BUDGET the batch
-        distances switch to the broadcast/Arrow path, same fold)."""
+        distances switch to the broadcast/Arrow path, same fold).
+
+        The batch→global id map is a reference-typed int-array literal
+        (``element_at(ids, __nc + 1)``) instead of ``__nc + <offset>``:
+        a primitive int literal is INLINED into the generated source, so
+        a per-round offset recompiled the whole distance-fold codegen
+        unit every round (~0.3 s each); an array literal rides the
+        ``references`` array and the source stays byte-identical across
+        rounds — one compile for the whole init (r18 optimization;
+        same values: ids[nc] == nc + offset by construction)."""
         beats = F.col("__nd") < F.col("__d")
+        ids = F.expr(
+            "array({})".format(
+                ",".join(str(offset + i) for i in range(len(batch)))
+            )
+        )
         return (
             assign_clusters(
                 state, batch, vec_col="__v",
@@ -469,7 +529,7 @@ def _parallel_init_rounds(
             .select(
                 "__id",
                 "__v",
-                F.when(beats, F.col("__nc") + F.lit(offset))
+                F.when(beats, F.element_at(ids, F.col("__nc") + 1))
                 .otherwise(F.col("__c"))
                 .alias("__c"),
                 F.when(beats, F.col("__nd"))
