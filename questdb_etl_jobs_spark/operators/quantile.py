@@ -41,6 +41,7 @@ def exact_quantile(
     group: str,
     q: float = 0.5,
     buckets: int = 4096,
+    broadcast_targets: bool = True,
 ) -> DataFrame:
     """Exact linear-interpolation quantile of ``value`` per ``group``
     (same definition as ANSI ``percentile_cont`` / Spark ``percentile``:
@@ -50,6 +51,18 @@ def exact_quantile(
     NULL values are ignored (SQL aggregate semantics); a group with no
     non-NULL values is dropped. A NULL group KEY is its own group, as in
     ``GROUP BY``.
+
+    ``broadcast_targets`` (r18 optimization, guide §3.1/§2.4): the
+    target-bucket table is ≤2 rows PER GROUP, so the refine join hints
+    it broadcast — statically removing the full-data exchange the
+    planner's sort-merge default put under the join (every surviving row
+    was hash-shuffled on (group, bucket) before the ≤2-per-group filter;
+    with the hint, rows stream from the scan straight into the join and
+    only the refine set — ~n/buckets rows per group — reaches the
+    ranking window's exchange). The right default whenever the group
+    space fits one broadcast (tens of millions of groups); pass False
+    for a group space too large to broadcast, which restores the
+    AQE-arbitrated shuffle join.
     """
     if not 0.0 <= q <= 1.0:
         raise ValueError("q must be in [0, 1]")
@@ -123,6 +136,8 @@ def exact_quantile(
     t = targets.withColumnRenamed(group, "__g").withColumnRenamed(
         "__b", "__tb"
     )
+    if broadcast_targets:
+        t = F.broadcast(t)
     ranked = (
         bucketed.alias("__x")
         .join(
