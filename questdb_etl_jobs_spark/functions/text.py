@@ -104,17 +104,26 @@ def _lang_expr(tokens: Column) -> Column:
     would be worse still — codegen's subexpression elimination does not
     descend into conditional branches).
     """
-    langs = list(LANG_MARKERS)
+    return _lang_from_best(_lang_best(tokens))
+
+
+def _lang_best(tokens: Column) -> Column:
+    """The winning ``(score, -index)`` struct of the marker argmax."""
     entries = F.array(
         *[
             F.struct(
                 _member_count(tokens, LANG_MARKERS[lang]).alias("s"),
                 F.lit(-i).alias("ni"),
             )
-            for i, lang in enumerate(langs)
+            for i, lang in enumerate(LANG_MARKERS)
         ]
     )
-    best = F.array_max(entries)
+    return F.array_max(entries)
+
+
+def _lang_from_best(best: Column) -> Column:
+    """Winner name from a (score, -index) struct (see :func:`_lang_best`)."""
+    langs = list(LANG_MARKERS)
     winner = F.element_at(
         F.array(*[F.lit(lang) for lang in langs]),
         (-best["ni"] + 1).cast("int"),
@@ -158,7 +167,19 @@ def text_profile(df: DataFrame, text_col: str) -> DataFrame:
         ).alias("__m"),
     )
     toks = F.col("__m.toks")
-    out = with_toks.select(
+    # Second barrier (r18): the language argmax struct is referenced
+    # three times (score test + winner index), and its marker filters
+    # are lambda expressions — EXCLUDED from codegen subexpression
+    # elimination, so inline references re-ran all four filters per
+    # reference (12 token-array scans per row instead of 4). Binding the
+    # argmax result as a row-local attribute evaluates it once.
+    with_best = with_toks.select(
+        "*",
+        F.explode(
+            F.array(F.struct(_lang_best(toks).alias("b")))
+        ).alias("__lb"),
+    )
+    out = with_best.select(
         "*",
         F.size(toks).alias("n_tokens"),
         regex_token_count(t).cast("int").alias("n_bpe"),
@@ -171,7 +192,7 @@ def text_profile(df: DataFrame, text_col: str) -> DataFrame:
             F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
             / F.size(toks)
         ).alias("avg_tok_len"),
-        _lang_expr(toks).alias("lang_guess"),
+        _lang_from_best(F.col("__lb.b")).alias("lang_guess"),
     )
     length_term = F.least(F.length(t) / F.lit(400.0), F.lit(1.0))
     punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 10.0)
@@ -184,7 +205,7 @@ def text_profile(df: DataFrame, text_col: str) -> DataFrame:
         + 0.3 * punct_term
         + 0.2 * wordlen_term
         + 0.2 * stop_term,
-    ).drop("__m")
+    ).drop("__m", "__lb")
 
 
 def min_shingle_fingerprint(text: Column | str, k: int = 8) -> Column:
