@@ -96,6 +96,35 @@ def _centroid_matrix(centroids: list[list[float]]) -> Column:
                 for r in rows
             )
         )
+        # Pre-fold the parsed CreateArray tree into ONE Literal node
+        # before handing it to callers: every Dataset creation re-runs
+        # the full analyzer over its plan, and a k × dim CreateArray
+        # tree measurably scales that cost (~0.2 s per 1,000 elements
+        # per Dataset at local measurement). Optimizing a one-row
+        # projection of the parsed text constant-folds it once; the
+        # extracted Literal is the same node the optimizer would have
+        # produced downstream anyway (bit-identical by construction),
+        # so plans, codegen and values are unchanged — only the
+        # analyzer's node count drops. Any internal-API drift falls
+        # back to the parsed-tree column.
+        try:
+            from pyspark.sql import SparkSession
+            from pyspark.sql.column import Column
+
+            spark = SparkSession.getActiveSession()
+            jdf = spark.range(1).select(F.expr(sql).alias("m"))._jdf
+            jlit = (
+                jdf.queryExecution().optimizedPlan()
+                .projectList().apply(0).child()
+            )
+            if jlit.getClass().getSimpleName() == "Literal":
+                jcol = (
+                    spark._jvm.org.apache.spark.sql.classic
+                    .ExpressionUtils.column(jlit)
+                )
+                return Column(jcol)
+        except Exception:
+            pass
         return F.expr(sql)
     try:
         return F.lit(rows)
