@@ -154,6 +154,25 @@ def jaccard(a: Column, b: Column) -> Column:
 # MinHash + banded LSH
 # ---------------------------------------------------------------------------
 
+def _signature_agg_expr(n_hashes: int):
+    """``array(min(xxhash64(__hs, 0)), …)`` as ONE parsed expression.
+
+    r18 optimization (driver-side): spelling the n_hashes min-aggregates
+    as individual ``F.min(F.xxhash64(...))`` columns plus a post-agg
+    ``F.array`` projection cost ~130 py4j round trips (~0.15 s) per
+    pipeline build and an extra Dataset; one JVM-side parse builds the
+    identical aggregate tree (array-of-aggregates is a plain result
+    expression — the partial/final split per min is unchanged, verified
+    by byte-identical signatures)."""
+    return F.expr(
+        "array({})".format(
+            ",".join(
+                f"min(xxhash64(__hs, {i}))" for i in range(n_hashes)
+            )
+        )
+    )
+
+
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 32, shingle_words: int = 3
 ) -> DataFrame:
@@ -181,14 +200,8 @@ def minhash_signature(
     wire, not one per shingle.
     """
     exploded = hashed_shingle_rows(df, id_col, text_col, shingle_words)
-    mins = [
-        F.min(F.xxhash64("__hs", F.lit(i))).alias(f"__h{i}")
-        for i in range(n_hashes)
-    ]
-    agg = exploded.groupBy(id_col).agg(*mins)
-    return agg.select(
-        F.col(id_col),
-        F.array(*[F.col(f"__h{i}") for i in range(n_hashes)]).alias("signature"),
+    return exploded.groupBy(id_col).agg(
+        _signature_agg_expr(n_hashes).alias("signature")
     )
 
 
@@ -213,17 +226,9 @@ def signature_and_shingles(
     the string shingles it replaced.
     """
     exploded = hashed_shingle_rows(df, id_col, text_col, shingle_words)
-    mins = [
-        F.min(F.xxhash64("__hs", F.lit(i))).alias(f"__h{i}")
-        for i in range(n_hashes)
-    ]
-    agg = exploded.groupBy(id_col).agg(
-        *mins, F.collect_set("__hs").alias("__sh")
-    )
-    return agg.select(
-        F.col(id_col),
-        F.array(*[F.col(f"__h{i}") for i in range(n_hashes)]).alias("signature"),
-        "__sh",
+    return exploded.groupBy(id_col).agg(
+        _signature_agg_expr(n_hashes).alias("signature"),
+        F.collect_set("__hs").alias("__sh"),
     )
 
 
