@@ -55,7 +55,60 @@ def _sq_dist(vec: Column, c: Column) -> Column:
     )
 
 
-def _centroid_matrix(centroids: list[list[float]]) -> Column:
+#: One-shot flag: the Literal pre-fold rides Spark-internal APIs behind a
+#: try/except, and a SILENT fallback would let version drift degrade the
+#: perf profile unnoticed (r18 ADVICE) — warn the first time it happens.
+_PREFOLD_WARNED = False
+
+
+def _try_prefold(sql: str, spark=None) -> Column | None:
+    """Constant-fold the parsed ``array(array(…D))`` tree into ONE
+    ``Literal`` plan node via a one-row optimized projection.
+
+    Returns the Literal-backed Column, or ``None`` when any internal
+    API has drifted (callers fall back to the parsed expression —
+    bit-identical values, just more analyzer work per Dataset). The
+    session comes from the caller's DataFrame when available (r18
+    ADVICE: ``getActiveSession`` can be None on other threads).
+    """
+    global _PREFOLD_WARNED
+    try:
+        from pyspark.sql import SparkSession
+        from pyspark.sql.column import Column as _Column
+
+        if spark is None:
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError("no active SparkSession")
+        jdf = spark.range(1).select(F.expr(sql).alias("m"))._jdf
+        jlit = (
+            jdf.queryExecution().optimizedPlan()
+            .projectList().apply(0).child()
+        )
+        if jlit.getClass().getSimpleName() != "Literal":
+            raise RuntimeError(
+                f"optimized to {jlit.getClass().getSimpleName()}, not Literal"
+            )
+        jcol = (
+            spark._jvm.org.apache.spark.sql.classic
+            .ExpressionUtils.column(jlit)
+        )
+        return _Column(jcol)
+    except Exception as exc:
+        if not _PREFOLD_WARNED:
+            _PREFOLD_WARNED = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "centroid-literal pre-fold fell back to the parsed "
+                "expression (%r) — values are unchanged but every "
+                "k-means action re-analyzes the k×dim tree; check for "
+                "Spark internal-API drift.", exc,
+            )
+        return None
+
+
+def _centroid_matrix(centroids: list[list[float]], spark=None) -> Column:
     """The k × dim centroid directory as ONE nested-array literal.
 
     Round-18 (optimization): the previous shape spelled every component
@@ -106,25 +159,11 @@ def _centroid_matrix(centroids: list[list[float]]) -> Column:
         # produced downstream anyway (bit-identical by construction),
         # so plans, codegen and values are unchanged — only the
         # analyzer's node count drops. Any internal-API drift falls
-        # back to the parsed-tree column.
-        try:
-            from pyspark.sql import SparkSession
-            from pyspark.sql.column import Column
-
-            spark = SparkSession.getActiveSession()
-            jdf = spark.range(1).select(F.expr(sql).alias("m"))._jdf
-            jlit = (
-                jdf.queryExecution().optimizedPlan()
-                .projectList().apply(0).child()
-            )
-            if jlit.getClass().getSimpleName() == "Literal":
-                jcol = (
-                    spark._jvm.org.apache.spark.sql.classic
-                    .ExpressionUtils.column(jlit)
-                )
-                return Column(jcol)
-        except Exception:
-            pass
+        # back to the parsed-tree column (see _try_prefold; warns once,
+        # and the two paths are equivalence-pinned by unit test).
+        folded = _try_prefold(sql, spark)
+        if folded is not None:
+            return folded
         return F.expr(sql)
     try:
         return F.lit(rows)
@@ -269,7 +308,9 @@ def assign_clusters(
         return _assign_clusters_arrow(
             df, centroids, vec_col, cluster_col, dist_col
         )
-    cluster_expr, dist_expr = _assign_exprs(centroids, vec_col)
+    cluster_expr, dist_expr = _assign_exprs(
+        centroids, vec_col, spark=df.sparkSession
+    )
     # ONE select, not withColumn chaining: every Dataset creation runs
     # the full analyzer over the accumulated plan — with the k × dim
     # literal tree in it, each extra withColumn re-walked ~2k nodes and
@@ -287,7 +328,7 @@ def assign_clusters(
 
 
 def _assign_exprs(
-    centroids: list[list[float]], vec_col: str
+    centroids: list[list[float]], vec_col: str, spark=None
 ) -> tuple[Column, Column]:
     """(cluster, distance) expressions for nearest-centroid assignment.
 
@@ -299,7 +340,9 @@ def _assign_exprs(
     # each element IS _sq_dist's fold — identical doubles to the old
     # per-centroid F.array([...]) spelling, one plan node instead of
     # k × dim.
-    dists = F.transform(_centroid_matrix(centroids), lambda c: _sq_dist(vec, c))
+    dists = F.transform(
+        _centroid_matrix(centroids, spark), lambda c: _sq_dist(vec, c)
+    )
     # NULL vectors / wrong lengths / NULL elements already propagate to
     # NULL through the fold (zip_with pads ragged arrays with null);
     # non-finite elements need the explicit guard — a NaN distance
@@ -415,7 +458,18 @@ def kmeans_fit(
     # Memory-and-disk default storage spills gracefully at scale; the
     # cached width is ONE array column, not the caller's row. Released
     # before returning — nothing persists across calls (r18 optimization).
-    pts = df.select(F.col(vec_col).cast("array<double>").alias(vec_col)).cache()
+    # fan_out (r19, guide §2.5): the interpreted HOF distance fold and
+    # the posexplode update both inherit the SCAN's parallelism — a
+    # single-split source (one small file locally; one gzip member /
+    # row group in the wild) serializes every Lloyd pass onto one core.
+    # Scale-adaptive: a structural no-op whenever the source already
+    # offers enough splits; results are layout-independent by protocol
+    # (decimal sums, content-keyed draws) and A/B-pinned bit-identical.
+    from questdb_etl_jobs_spark.sources.tables import fan_out
+
+    pts = fan_out(
+        df.select(F.col(vec_col).cast("array<double>").alias(vec_col))
+    ).cache()
     try:
         for _ in range(iterations):
             assigned = assign_clusters(pts, centroids, vec_col=vec_col)
@@ -485,11 +539,22 @@ def kmeans_parallel_init(
     # The narrow (id, vec) projection is scanned ~3× per round (psi,
     # candidate draw) plus the weights pass — cache it once (the
     # standard k-means|| practice, e.g. MLlib caching norms) and
-    # release it before returning.
-    pts = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-    ).filter(F.col(vec_col).isNotNull()).cache()
+    # release it before returning. fan_out first (r19, guide §2.5):
+    # every per-round advance/ψ materialization inherits the scan's
+    # split count, and the interpreted HOF distance fold on a one-split
+    # source runs single-core (measured: the three ψ/weights actions
+    # were 0.8-1.0 s each at sf0.1, ~0.2-0.5 s after). Structural no-op
+    # at deployment split counts; the init's draws/sums are
+    # layout-independent by construction (content-keyed uniforms,
+    # decimal ψ) and the whole init is A/B-pinned bit-identical.
+    from questdb_etl_jobs_spark.sources.tables import fan_out
+
+    pts = fan_out(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ).filter(F.col(vec_col).isNotNull())
+    ).cache()
     try:
         return _parallel_init_rounds(pts, k, rounds, l, lloyd_iterations)
     finally:
@@ -581,7 +646,13 @@ def _parallel_init_rounds(
     # fusing them is 2 actions/round with IDENTICAL values (psi over the
     # advanced state is the same decimal sum wherever it is computed),
     # and the final round's advance materializes under the weights pass
-    # instead of its own count.
+    # instead of its own count. (r19 measured-and-REJECTED: fusing ψ
+    # WITH the draw — ψ as a broadcast-cross-joined column feeding the
+    # threshold, candidates collect_list'ed beside it in one action —
+    # was bit-identical but SLOWER, 3.2-3.8 s → 3.6-5.3 s same-session:
+    # the broadcast build + BroadcastNestedLoopJoin + second 1-row join
+    # cost more than the one action they save. The action count here is
+    # at the Dataset-API floor for the remaining shape.)
     psi = _psi(cur)  # materializes the seed-distance cache
     final = None  # last round's advanced state (lazy, reads `cur`'s cache)
     for rnd in range(rounds):

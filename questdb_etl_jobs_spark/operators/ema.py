@@ -89,6 +89,16 @@ def ema(
                     ap(state)  # NULL: carry prior EMA (NULL before any x)
                     continue
                 state = xi if state is None else a * xi + one_minus * state
+                if state != state:
+                    # NaN state (±inf arithmetic, e.g. +inf then -inf):
+                    # the original numpy face kept np.nan — emitted as
+                    # NULL — and RESTARTED from the next value
+                    # (np.isnan(state) → state = xi). r19: the r18
+                    # plain-float rewrite silently dropped that reset
+                    # (NaN propagated forever and surfaced as NaN, not
+                    # NULL); None restores bit-parity on non-finite
+                    # inputs (property-tested against the numpy loop).
+                    state = None
                 ap(state)
             out.append(ys)
         return pd.Series(out)

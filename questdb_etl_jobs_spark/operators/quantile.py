@@ -41,7 +41,7 @@ def exact_quantile(
     group: str,
     q: float = 0.5,
     buckets: int = 4096,
-    broadcast_targets: bool = True,
+    broadcast_targets: bool = False,
 ) -> DataFrame:
     """Exact linear-interpolation quantile of ``value`` per ``group``
     (same definition as ANSI ``percentile_cont`` / Spark ``percentile``:
@@ -53,16 +53,20 @@ def exact_quantile(
     ``GROUP BY``.
 
     ``broadcast_targets`` (r18 optimization, guide §3.1/§2.4): the
-    target-bucket table is ≤2 rows PER GROUP, so the refine join hints
-    it broadcast — statically removing the full-data exchange the
-    planner's sort-merge default put under the join (every surviving row
-    was hash-shuffled on (group, bucket) before the ≤2-per-group filter;
-    with the hint, rows stream from the scan straight into the join and
-    only the refine set — ~n/buckets rows per group — reaches the
-    ranking window's exchange). The right default whenever the group
-    space fits one broadcast (tens of millions of groups); pass False
-    for a group space too large to broadcast, which restores the
-    AQE-arbitrated shuffle join.
+    target-bucket table is ≤2 rows PER GROUP, so ``True`` hints the
+    refine join broadcast — statically removing the full-data exchange
+    the planner's sort-merge default put under the join (every surviving
+    row was hash-shuffled on (group, bucket) before the ≤2-per-group
+    filter; with the hint, rows stream from the scan straight into the
+    join and only the refine set — ~n/buckets rows per group — reaches
+    the ranking window's exchange). OPT-IN (r19, round-18 ADVICE): the
+    hint bypasses ``autoBroadcastJoinThreshold`` and broadcast relations
+    cap at 8 GB / 512M rows, so on a group space the CALLER cannot bound
+    it can fail jobs that a shuffle join would run; the operator cannot
+    see group cardinality at plan time, so the safe default is False
+    (AQE still converts to a broadcast join at runtime when the
+    materialized targets side is small). Pass True when the group
+    domain is known small — the engine's own call sites do.
     """
     if not 0.0 <= q <= 1.0:
         raise ValueError("q must be in [0, 1]")

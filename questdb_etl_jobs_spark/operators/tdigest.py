@@ -77,7 +77,17 @@ def _compress(
     means, weights = means[order], weights[order]
     n = len(means)
     C = np.cumsum(weights)
-    if not (n and float(C[-1]) < 2.0**53 and np.all(weights == np.floor(weights))):
+    if not (
+        n
+        and float(C[-1]) < 2.0**53
+        and np.all(weights == np.floor(weights))
+        # Positive weights only (r18 ADVICE): a zero/negative integer
+        # weight makes the cumsum non-monotone, breaking the binary
+        # search's monotone-predicate assumption AND the
+        # C[-1]-bounds-all-prefixes exactness argument — route such
+        # inputs to the reference loop instead of silently diverging.
+        and np.all(weights > 0)
+    ):
         return _compress_seq(means, weights, delta)
     total = float(C[-1])
     K = _k1(C / total, delta)  # K[j] = k1 after absorbing point j

@@ -904,7 +904,13 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    med = exact_quantile(li, "l_extendedprice", "l_returnflag", q=0.5)
+    # broadcast_targets: l_returnflag has 3 values — the ≤2-rows-per-group
+    # targets side is trivially broadcastable, keeping the r18 plan shape
+    # (no full-data exchange under the refine join) now that the operator
+    # default is the safe opt-out (r19, round-18 ADVICE).
+    med = exact_quantile(
+        li, "l_extendedprice", "l_returnflag", q=0.5, broadcast_targets=True
+    )
     return med.select(
         "l_returnflag",
         "n",
