@@ -300,9 +300,9 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at jaccard 0.8 is (1-0.8²)¹⁶ ≈ 8e-8.
 
 def _mutated_corpus(docs: DataFrame) -> DataFrame:
-    mutated = docs.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.expr("substring(text, locate(' ', text) + 1)").alias("text"),
+    mutated = docs.selectExpr(
+        "doc_id + 100000 AS doc_id",
+        "substring(text, locate(' ', text) + 1) AS text",
     )
     return docs.select("doc_id", "text").unionByName(mutated)
 
@@ -1211,20 +1211,15 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (operators/dedup.py dup_clusters). The oracle recomputes everything in
 # CPython: brute-force pairs + union-find — transitive closure included.
 
-def _chain_drop_first(col: str = "text"):
-    return F.expr(f"substring({col}, locate(' ', {col}) + 1)")
-
-
 def _chained_corpus(docs: DataFrame) -> DataFrame:
+    # selectExpr: one py4j call per projection (r19 §5), same trees.
+    mut = [
+        "doc_id + 100000 AS doc_id",
+        "substring(text, locate(' ', text) + 1) AS text",
+    ]
     base = docs.select("doc_id", "text")
-    m1 = base.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        _chain_drop_first().alias("text"),
-    )
-    m2 = m1.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        _chain_drop_first().alias("text"),
-    )
+    m1 = base.selectExpr(*mut)
+    m2 = m1.selectExpr(*mut)
     return base.unionByName(m1).unionByName(m2)
 
 
