@@ -121,6 +121,23 @@ def _lang_best(tokens: Column) -> Column:
     return F.array_max(entries)
 
 
+def _lang_best_sql(toks: str) -> str:
+    """:func:`_lang_best` as ONE SQL string over a ``toks`` reference —
+    the identical tree (struct(size(filter(...)) AS s, -i AS ni) per
+    language, array_max picks the winner) minus ~100 py4j calls per
+    build (r19, guide §5)."""
+    entries = ", ".join(
+        "struct(size(filter({toks}, x -> array_contains("
+        "array({markers}), x))) AS s, {ni} AS ni)".format(
+            toks=toks,
+            markers=", ".join(f"'{w}'" for w in LANG_MARKERS[lang]),
+            ni=-i,
+        )
+        for i, lang in enumerate(LANG_MARKERS)
+    )
+    return f"array_max(array({entries}))"
+
+
 def _lang_from_best(best: Column) -> Column:
     """Winner name from a (score, -index) struct (see :func:`_lang_best`)."""
     langs = list(LANG_MARKERS)
@@ -133,8 +150,25 @@ def _lang_from_best(best: Column) -> Column:
 
 def lang_guess(text: Column | str) -> Column:
     """Heuristic language ID: argmax of marker-token hits (ties resolve in
-    LANG_MARKERS order); 'und' when nothing matches."""
+    LANG_MARKERS order); 'und' when nothing matches.
+
+    Column-name input takes the JVM-parsed spelling (identical tree,
+    ~130 fewer py4j calls per build — r19 §5); Column input keeps the
+    Column-API composition.
+    """
+    if isinstance(text, str):
+        return F.expr(_lang_guess_sql(f"split(`{text}`, ' ')"))
     return _lang_expr(whitespace_tokens(text))
+
+
+def _lang_guess_sql(toks: str) -> str:
+    """The full :func:`_lang_expr` argmax→name expression as SQL."""
+    langs_arr = ", ".join(f"'{lang}'" for lang in LANG_MARKERS)
+    best = _lang_best_sql(toks)
+    return (
+        f"CASE WHEN ({best}).s > 0 THEN element_at(array({langs_arr}), "
+        f"CAST(-({best}).ni + 1 AS INT)) ELSE 'und' END"
+    )
 
 
 def text_profile(df: DataFrame, text_col: str) -> DataFrame:
@@ -155,18 +189,24 @@ def text_profile(df: DataFrame, text_col: str) -> DataFrame:
     Adds columns n_tokens, n_bpe, punct_ratio, stop_ratio, avg_tok_len,
     quality, lang_guess (all unrounded).
     """
+    # JVM-parsed expressions throughout (r19, guide §5): the old
+    # Column-API spelling cost ~270 ms of py4j round trips per build
+    # (rebuilt every bench pass) — the marker-lexicon literals alone
+    # were ~60 calls. Each string below parses to the IDENTICAL tree
+    # (0.3D/1.0D double literals match F.lit(0.3)'s doubles; `/` on
+    # int operands is Spark's fractional divide, same as Column `/`).
+    # The regex metrics stay Column-API: their patterns contain
+    # backslashes that SQL string-literal unescaping would mangle.
     t = F.col(text_col)
-    stop_lit = F.array(*[F.lit(w) for w in STOPWORDS])
     # Barrier: the token array (the 1-element array literal is never
     # empty or null, so explode keeps every row — null text just yields
     # a null toks attribute, same as the inline expression).
     with_toks = df.select(
         "*",
-        F.explode(
-            F.array(F.struct(whitespace_tokens(t).alias("toks")))
+        F.expr(
+            f"explode(array(struct(split(`{text_col}`, ' ') AS toks)))"
         ).alias("__m"),
     )
-    toks = F.col("__m.toks")
     # Second barrier (r18): the language argmax struct is referenced
     # three times (score test + winner index), and its marker filters
     # are lambda expressions — EXCLUDED from codegen subexpression
@@ -175,36 +215,42 @@ def text_profile(df: DataFrame, text_col: str) -> DataFrame:
     # argmax result as a row-local attribute evaluates it once.
     with_best = with_toks.select(
         "*",
-        F.explode(
-            F.array(F.struct(_lang_best(toks).alias("b")))
+        F.expr(
+            "explode(array(struct({best} AS b)))".format(
+                best=_lang_best_sql("__m.toks")
+            )
         ).alias("__lb"),
     )
+    langs_arr = ", ".join(f"'{lang}'" for lang in LANG_MARKERS)
+    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
     out = with_best.select(
         "*",
-        F.size(toks).alias("n_tokens"),
+        F.expr("size(__m.toks)").alias("n_tokens"),
         regex_token_count(t).cast("int").alias("n_bpe"),
         punct_ratio(t).alias("punct_ratio"),
-        (
-            F.size(F.filter(toks, lambda x: F.array_contains(stop_lit, x)))
-            / F.size(toks)
+        F.expr(
+            f"size(filter(__m.toks, x -> array_contains(array({stop_arr}), x)))"
+            " / size(__m.toks)"
         ).alias("stop_ratio"),
-        (
-            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
-            / F.size(toks)
+        F.expr(
+            "aggregate(__m.toks, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
+            " / size(__m.toks)"
         ).alias("avg_tok_len"),
-        _lang_from_best(F.col("__lb.b")).alias("lang_guess"),
+        F.expr(
+            "CASE WHEN __lb.b.s > 0 THEN element_at("
+            f"array({langs_arr}), CAST(-__lb.b.ni + 1 AS INT)) "
+            "ELSE 'und' END"
+        ).alias("lang_guess"),
     )
-    length_term = F.least(F.length(t) / F.lit(400.0), F.lit(1.0))
-    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 10.0)
-    awl = F.col("avg_tok_len")
-    wordlen_term = F.when((awl >= 3) & (awl <= 10), 1.0).otherwise(0.3)
-    stop_term = F.least(F.col("stop_ratio") * 5.0, F.lit(1.0))
     return out.withColumn(
         "quality",
-        0.3 * length_term
-        + 0.3 * punct_term
-        + 0.2 * wordlen_term
-        + 0.2 * stop_term,
+        F.expr(
+            f"0.3D * least(length(`{text_col}`) / 400.0D, 1.0D) "
+            "+ 0.3D * greatest(0.0D, 1.0D - punct_ratio * 10.0D) "
+            "+ 0.2D * (CASE WHEN avg_tok_len >= 3 AND avg_tok_len <= 10 "
+            "THEN 1.0D ELSE 0.3D END) "
+            "+ 0.2D * least(stop_ratio * 5.0D, 1.0D)"
+        ),
     ).drop("__m", "__lb")
 
 
