@@ -460,11 +460,13 @@ def dup_clusters(
 
     Min-label propagation: each round every node takes the min of its own
     and its neighbors' labels; converges in O(component diameter) rounds
-    (dup chains are shallow — typically ≤5). The edge list carries a
-    SELF-LOOP per node, which folds "min of neighbors vs keep own label"
-    into a single ``min`` aggregate — each round is exactly one equi-join
-    (edges ⋈ labels on the neighbor id) and one hash aggregate, two
-    shuffles, versus three with the textbook join-agg-join-back shape.
+    (dup chains are shallow — typically ≤5). The edge list carries
+    SELF-LOOPS (one per endpoint occurrence — ``min`` is idempotent, so
+    duplicates are harmless), which folds "min of neighbors vs keep own
+    label" into a single ``min`` aggregate — each round is exactly one
+    equi-join (edges ⋈ labels on the neighbor id) and one hash
+    aggregate, two shuffles, versus three with the textbook
+    join-agg-join-back shape.
     Lineage is truncated per round (localCheckpoint here; use a reliable
     checkpoint dir on a real cluster) so the plan doesn't grow. The
     driver loop is control flow only — the convergence check ships ONE
@@ -484,36 +486,54 @@ def dup_clusters(
     large-star/small-star alternation (Kiveris et al., "Connected
     Components in MapReduce and Beyond", SoCC'14) — same fixpoint, fewer
     rounds; not needed for dup graphs.
+
+    Setup shape (r19, guide §1.2/§2.4 — three jobs and two shuffles
+    fewer than the r18 form, propagation values unchanged):
+
+    - self-loops are emitted per ENDPOINT OCCURRENCE, not per distinct
+      node: ``min`` is idempotent under duplicates, so the
+      union-distinct ``nodes`` shuffle the r18 setup ran twice (inside
+      ``sym`` and again for the initial labels) is structurally
+      unnecessary — ``sym`` is now a pure narrow union over the edge
+      checkpoint (4|E| rows vs 2|E|+|V|; same O(E) class).
+    - round 1 needs no join at all: against identity labels,
+      min-of-neighborhood IS the min neighbor id — one aggregate over
+      ``sym`` replaces the initial-labels checkpoint job plus the first
+      join.
+    - ``sym`` itself is a fixed-depth view over the edge checkpoint, so
+      it needs no checkpoint of its own: per-round re-derivation is a
+      narrow union re-read of checkpoint blocks, and the per-round label
+      checkpoints keep the plan from growing.
     """
     src, dst = "__cc_src", "__cc_dst"
-    # Materialize the (possibly expensive) edge subtree ONCE; sym, nodes,
-    # and labels all re-read this checkpoint instead of re-deriving it.
+    # Materialize the (possibly expensive) edge subtree ONCE; every
+    # round's sym re-read derives from this checkpoint.
     half = edges.select(
         F.col(id_a).alias(src), F.col(id_b).alias(dst)
     ).localCheckpoint()
-    nodes = (
-        half.select(F.col(src).alias("node"))
-        .unionByName(half.select(F.col(dst).alias("node")))
-        .distinct()
-    )
     sym = (
-        half.unionByName(
-            half.select(F.col(dst).alias(src), F.col(src).alias(dst))
-        )
-        .unionByName(
-            nodes.select(F.col("node").alias(src), F.col("node").alias(dst))
-        )
-        .localCheckpoint()  # re-read every round; cut the upstream plan
+        half.unionByName(half.selectExpr(f"{dst} AS {src}", f"{src} AS {dst}"))
+        .unionByName(half.selectExpr(src, f"{src} AS {dst}"))
+        .unionByName(half.selectExpr(f"{dst} AS {src}", dst))
     )
-    labels = nodes.withColumn("cluster", F.col("node")).localCheckpoint()
+    # Round 1 fused: one aggregate, no join, no initial-labels Dataset.
+    # Labels stay keyed by ``dst`` THROUGH the loop (r19): the r18 shape
+    # renamed node↔dst twice per round, and withColumnRenamed forces a
+    # full analyzer pass each time — ~0.2 s of driver time per round at
+    # three analyses/round. Aliasing the group key to ``dst`` leaves
+    # localCheckpoint's analysis as the only one per round.
+    labels = (
+        sym.groupBy(F.col(src).alias(dst))
+        .agg(F.min(dst).alias("cluster"))
+        .localCheckpoint(eager=False)
+    )
     prev_sum = None
-    for rnd in range(1, max_iter + 1):
+    for rnd in range(2, max_iter + 1):
         # Self-loops make min(neighborhood ∪ self) the whole update rule.
         labels = (
-            sym.join(labels.withColumnRenamed("node", dst), dst)
-            .groupBy(src)
+            sym.join(labels, dst)
+            .groupBy(F.col(src).alias(dst))
             .agg(F.min("cluster").alias("cluster"))
-            .withColumnRenamed(src, "node")
             .localCheckpoint(eager=False)
         )
         if rnd % check_stride and rnd < max_iter:
@@ -528,7 +548,7 @@ def dup_clusters(
         if cur == prev_sum:
             break
         prev_sum = cur
-    return labels
+    return labels.selectExpr(f"{dst} AS node", "cluster")
 
 
 # ---------------------------------------------------------------------------
