@@ -96,6 +96,16 @@ def _headline():
         "dialect_topk_routed": "q183_dialect_topk_routed",
         "kmeans_fit": "q177_kmeans_clusters",
         "kmeans_pll_init": _kmeans_pll_init,
+        # Round-19 additions (exclude from total-vs-r18 deltas): the
+        # streaming operator class had ZERO bench entries 18 rounds in
+        # (r18 VERDICT item 3) — file-stream ingest (quarantine split +
+        # stateful dedup + designated-ts append), the near-dup admission
+        # stream, and the idempotent upsert sink under full redelivery.
+        # Each runs its stream(s) to completion inside the callable and
+        # returns the (deterministic) admitted/loaded counts.
+        "file_stream": _stream_file_ingest,
+        "dedup_stream": _stream_dedup_admit,
+        "upsert_stream": _stream_upsert_redelivery,
     }
 
 
@@ -134,6 +144,135 @@ def _dup_clusters_lsh(spark, sf_dir):
     corpus = _chained_corpus(load_table(spark, sf_dir, "documents"))
     edges = near_dup_pairs(corpus, "doc_id", "text", threshold=0.7)
     return dup_clusters(edges, "doc_id_a", "doc_id_b")
+
+
+def _stream_file_ingest(spark, sf_dir):
+    """Full streaming pipeline (streaming/file_stream.py): CSV file
+    source → anonymize/cast → quarantine split → watermark + stateful
+    dedup → designated-ts append, run to completion with AvailableNow.
+    Returns the (deterministic) good/bad row counts."""
+    import shutil
+    import tempfile
+
+    from questdb_etl_jobs_spark.streaming.file_stream import run_stream_to_table
+
+    input_dir = _ensure_stream_csvs(2, 8_000)
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    try:
+        good_q, bad_q = run_stream_to_table(
+            spark, input_dir, f"{work}/table", f"{work}/quarantine",
+            f"{work}/ckpt",
+        )
+        good_q.awaitTermination()
+        bad_q.awaitTermination()
+        good = spark.read.parquet(f"{work}/table").count()
+        try:
+            bad = spark.read.json(f"{work}/quarantine").count()
+        except Exception:
+            bad = 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame([(good, bad)], "good long, bad long")
+
+
+def _stream_dedup_admit(spark, sf_dir):
+    """Streaming near-dup admission (streaming/dedup_stream.py): two
+    micro-batches — the sf corpus, then its drop-first-word mutations —
+    against a fresh corpus+signature index. Batch 2 is mostly rejected
+    against the admitted index; the admitted count is deterministic
+    (min-id winners)."""
+    import shutil
+    import tempfile
+
+    from questdb_etl_jobs_spark.sources.tables import load_table
+    from questdb_etl_jobs_spark.streaming.dedup_stream import admit_batch
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id % 3 = 0")  # bounded batch; the operator cost is
+        .select("doc_id", "text")  # stream machinery + LSH, not corpus size
+    )
+    mut = docs.selectExpr(
+        "doc_id + 100000 AS doc_id",
+        "substring(text, locate(' ', text) + 1) AS text",
+    )
+    work = tempfile.mkdtemp(prefix="spark_graft_dedup_stream_")
+    try:
+        for batch in (docs, mut):
+            admit_batch(spark, batch, f"{work}/corpus", f"{work}/index")
+        admitted = spark.read.parquet(f"{work}/corpus").count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame([(admitted,)], "admitted long")
+
+
+def _stream_upsert_redelivery(spark, sf_dir):
+    """Idempotent upsert sink (streaming/upsert.py semantics via
+    run_stream_to_table(sink='upsert')) under FULL redelivery: the same
+    files replayed with a fresh checkpoint must merge into themselves —
+    the table row count equals the single-delivery count."""
+    import shutil
+    import tempfile
+
+    from questdb_etl_jobs_spark.streaming.file_stream import run_stream_to_table
+
+    input_dir = _ensure_stream_csvs(2, 8_000)
+    work = tempfile.mkdtemp(prefix="spark_graft_upsert_")
+    try:
+        for attempt in range(2):  # fresh checkpoint = full redelivery
+            good_q, bad_q = run_stream_to_table(
+                spark, input_dir, f"{work}/table", f"{work}/quarantine",
+                f"{work}/ckpt{attempt}", dedup=False, sink="upsert",
+            )
+            good_q.awaitTermination()
+            bad_q.awaitTermination()
+        rows = spark.read.parquet(f"{work}/table").count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame([(rows,)], "rows long")
+
+
+def _ensure_stream_csvs(n_files: int, rows_per_file: int) -> str:
+    """Deterministic reference-format CSV micro-batches for the
+    streaming benches (seeded, content-stable, ~1% malformed rows to
+    exercise the quarantine branch)."""
+    import csv
+    import random
+
+    # Marker lives BESIDE the dir — the streaming csv source reads every
+    # file under input_dir, so the dir must hold only data files.
+    path = f"/tmp/spark_graft_bench_stream_{n_files}x{rows_per_file}"
+    if os.path.exists(f"{path}.READY"):
+        return path
+    os.makedirs(path, exist_ok=True)
+    rng = random.Random(19)
+    first = ["ada", "grace", "alan", "edsger", "barbara", "ken", "radia", "donald"]
+    last = ["lovelace", "hopper", "turing", "dijkstra", "liskov", "knuth"]
+    domains = ["example.com", "example.org", "example.net", "mail.test"]
+    for i in range(n_files):
+        with open(f"{path}/part-{i:03d}.csv.tmp", "w", newline="") as fh:
+            w = csv.writer(fh)
+            for r in range(rows_per_file):
+                email = (
+                    f"{rng.choice(first)}.{rng.choice(last)}{rng.randrange(1000)}"
+                    f"@{rng.choice(domains)}"
+                )
+                ts = (
+                    f"2021-03-{rng.randrange(1, 29):02d}T"
+                    f"{rng.randrange(24):02d}:{rng.randrange(60):02d}:"
+                    f"{rng.randrange(60):02d}"
+                )
+                if rng.random() < 0.01:  # malformed → quarantine branch
+                    w.writerow([email, "not_a_number", 3, 999, ts])
+                else:
+                    w.writerow(
+                        [email, rng.randrange(1, 50), rng.randrange(1, 11),
+                         rng.randrange(100, 10000), ts]
+                    )
+        os.replace(f"{path}/part-{i:03d}.csv.tmp", f"{path}/part-{i:03d}.csv")
+    with open(f"{path}.READY", "w") as fh:
+        fh.write("ok")
+    return path
 
 
 def _ensure_ingest_csv(n_rows: int) -> str:
