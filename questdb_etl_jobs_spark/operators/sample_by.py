@@ -328,9 +328,18 @@ def fill_gaps(
     step = step if " " in step else f"1 {step}"
     # Three consumers (bounds, distinct keys, the grid join) would each
     # re-derive the aggregate from its INPUT — 3 scans of the raw table.
-    # Persisting the aggregate (bounded: n_buckets × n_keys rows, input-
-    # size-independent) makes it one input scan + in-memory re-reads.
-    agg = agg.persist()
+    # Materializing the aggregate (bounded: n_buckets × n_keys rows,
+    # input-size-independent) makes it one input scan + in-memory
+    # re-reads. localCheckpoint, NOT persist (r19, r18 VERDICT item 8):
+    # Dataset.persist registers in the CacheManager and nothing here can
+    # unpersist after the caller's last action, so a long-lived session
+    # accumulated one cached-plan entry per call. The lazy local
+    # checkpoint materializes under the first consuming action exactly
+    # like the cache did, but its RDD-level storage is released by the
+    # ContextCleaner when the returned DataFrame is garbage-collected —
+    # no per-call residue. (Same executor-loss caveat as the dedup
+    # loop's checkpoints: use a reliable checkpoint dir on a cluster.)
+    agg = agg.localCheckpoint(eager=False)
     if lo_us is not None and hi_us is not None:
         bounds = agg.sparkSession.range(1).select(
             F.timestamp_micros(F.lit(lo_us)).alias("__lo"),
