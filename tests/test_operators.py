@@ -658,6 +658,41 @@ def test_dup_clusters_transitive_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
 
 
+def test_dup_clusters_deep_chain_dup_edges_vs_union_find(spark):
+    """r19 restructure pin (fused round 1, per-occurrence self-loops, no
+    per-round renames): a diameter-8 chain forces MULTIPLE join rounds
+    past the fused first one, duplicate and reversed edges exercise the
+    min-idempotence argument for the occurrence-level self-loops, and
+    the ground truth is an independent union-find."""
+    from questdb_etl_jobs_spark.operators.dedup import dup_clusters
+
+    pairs = (
+        [(i + 1, i) for i in range(1, 9)]      # 1-2-…-9 chain (reversed)
+        + [(2, 3), (2, 3), (3, 2)]             # duplicate + both directions
+        + [(20, 21), (21, 20), (30, 30)]       # 2-cycle dup; self-edge
+    )
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = min(find(a), find(b))
+        parent[find(b)] = find(find(a))
+    want = {
+        n: min(m for m in parent if find(m) == find(n)) for n in parent
+    }
+    edges = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        r["node"]: r["cluster"]
+        for r in dup_clusters(edges, "a", "b").collect()
+    }
+    assert got == want
+
+
 def test_stratified_sample_content_keyed(spark):
     """The sample is a pure function of the key: repartitioning doesn't
     change membership, fraction 1.0 keeps everything, 0.0 drops all,
