@@ -522,11 +522,11 @@ def dup_clusters(
     # full analyzer pass each time — ~0.2 s of driver time per round at
     # three analyses/round. Aliasing the group key to ``dst`` leaves
     # localCheckpoint's analysis as the only one per round.
-    labels = (
-        sym.groupBy(F.col(src).alias(dst))
-        .agg(F.min(dst).alias("cluster"))
-        .localCheckpoint(eager=False)
+    labels = sym.groupBy(F.col(src).alias(dst)).agg(
+        F.min(dst).alias("cluster")
     )
+    if max_iter < 2:  # degenerate: certify/truncate round 1 itself
+        labels = labels.localCheckpoint(eager=False)
     prev_sum = None
     for rnd in range(2, max_iter + 1):
         # Self-loops make min(neighborhood ∪ self) the whole update rule.
@@ -534,12 +534,18 @@ def dup_clusters(
             sym.join(labels, dst)
             .groupBy(F.col(src).alias(dst))
             .agg(F.min("cluster").alias("cluster"))
-            .localCheckpoint(eager=False)
         )
         if rnd % check_stride and rnd < max_iter:
             continue
+        # Checkpoint at STRIDE boundaries only (r19): localCheckpoint
+        # compiles the physical plan at call time (~0.1-0.3 s of driver
+        # work per call), so checkpointing every round paid one compile
+        # per round for plans the boundary checkpoint subsumes. The
+        # boundary plan is ≤ check_stride joins deep over the previous
+        # boundary's LogicalRDD — still bounded, still truncated.
+        labels = labels.localCheckpoint(eager=False)
         # Labels are monotone non-increasing: an unchanged sum ⇔ fixpoint.
-        # The lazy checkpoints materialize under THIS collect — the whole
+        # The lazy checkpoint materializes under THIS collect — the whole
         # stride window's label updates plus the convergence check run as
         # one job, instead of an eager-checkpoint job per round.
         cur = labels.agg(
